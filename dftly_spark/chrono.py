@@ -1,0 +1,166 @@
+"""chrono ``%``-format → Java ``DateTimeFormatter`` pattern translation.
+
+The reference's ``strptime`` formats use Rust chrono strftime codes
+(/root/reference/src/dftly/nodes/str.py:593-649); Spark's ``to_date`` /
+``to_timestamp`` take Java DateTimeFormatter patterns.  This module is the
+static translation table (SURVEY.md §4.3 #5 / §7.5 #3): translatable codes map
+1:1, untranslatable ones are rejected loudly.
+
+Also classifies which codes are date-like / time-like / datetime-like so
+``Strptime`` can infer its output type exactly as the reference does
+(str.py:678-696).
+"""
+
+from __future__ import annotations
+
+# chrono code → Java pattern fragment. None = recognized but untranslatable.
+_CHRONO_TO_JAVA: dict[str, str | None] = {
+    "Y": "yyyy",
+    "y": "yy",
+    "G": "YYYY",  # ISO week-based year
+    "g": "YY",
+    "C": None,  # century — no Java equivalent
+    "q": "Q",
+    "m": "MM",
+    "b": "MMM",
+    "h": "MMM",
+    "B": "MMMM",
+    "d": "dd",
+    "e": "d",
+    "a": "EEE",
+    "A": "EEEE",
+    "w": None,  # weekday 0=Sun — no parse equivalent
+    "u": "e",  # ISO weekday 1=Mon
+    "j": "DDD",
+    "U": None,
+    "W": None,
+    "V": "ww",
+    "D": "MM/dd/yy",
+    "x": None,  # locale date
+    "F": "yyyy-MM-dd",
+    "v": "d-MMM-yyyy",
+    "H": "HH",
+    "k": "H",
+    "I": "hh",
+    "l": "h",
+    "M": "mm",
+    "S": "ss",
+    "f": "SSSSSS",
+    "3f": "SSS",
+    "6f": "SSSSSS",
+    "9f": "SSSSSSSSS",
+    "p": "a",
+    "P": "a",
+    "r": "hh:mm:ss a",
+    "R": "HH:mm",
+    "T": "HH:mm:ss",
+    "X": None,  # locale time
+    "z": "xx",
+    ":z": "xxx",
+    "::z": None,
+    ":::z": "x",
+    "Z": "zzz",
+    "c": None,  # locale datetime
+    "+": "yyyy-MM-dd'T'HH:mm:ssxxx",
+    "s": None,  # unix seconds — handled as a special case by Strptime
+    "%": "%",  # literal percent
+}
+
+# Classification sets, verbatim from the reference (str.py:594-649).
+DATE_PARTS = {
+    "Y", "G", "C", "q", "y", "g", "m", "b", "B", "h", "d", "e", "a", "A",
+    "w", "u", "j", "U", "W", "V", "D", "x", "F", "v",
+}
+TIME_PARTS = {
+    "H", "k", "I", "l", "M", "S", "f", "3f", "6f", "9f", "p", "P", "r", "R",
+    "T", "X", "z", ":z", "::z", ":::z", "Z",
+}
+DATETIME_PARTS = {"c", "+", "s"}
+
+_MULTI = sorted((k for k in _CHRONO_TO_JAVA if len(k) > 1), key=len, reverse=True)
+
+
+def _scan(fmt: str):
+    """Yield ("code", c) / ("lit", text) items from a chrono format string."""
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            rest = fmt[i + 1 :]
+            for code in _MULTI:
+                if rest.startswith(code):
+                    yield ("code", code)
+                    i += 1 + len(code)
+                    break
+            else:
+                if not rest:
+                    raise ValueError(f"Trailing '%' in format {fmt!r}")
+                yield ("code", rest[0])
+                i += 2
+        else:
+            j = i
+            while j < len(fmt) and fmt[j] != "%":
+                j += 1
+            yield ("lit", fmt[i:j])
+            i = j
+
+
+def classify(fmt: str) -> str:
+    """Return "date" / "time" / "datetime" from which chrono codes appear.
+
+    Same inference rule as the reference (str.py:678-696): any datetime code
+    or (date and time) → datetime; else date; else time; else error.
+    """
+    codes = {c for kind, c in _scan(fmt) if kind == "code"}
+    has_date = bool(codes & DATE_PARTS)
+    has_time = bool(codes & TIME_PARTS)
+    has_dt = bool(codes & DATETIME_PARTS)
+    if has_dt or (has_date and has_time):
+        return "datetime"
+    if has_date:
+        return "date"
+    if has_time:
+        return "time"
+    raise ValueError(
+        "The format string must contain at least one date or time component. "
+        "The format string should be in the syntax used by the `chrono` crate: "
+        "https://docs.rs/chrono/latest/chrono/format/strftime/index.html"
+    )
+
+
+def _quote_literal(text: str) -> str:
+    """Quote literal text for a Java DateTimeFormatter pattern."""
+    if not text:
+        return ""
+    out = []
+    for ch in text:
+        if ch == "'":
+            out.append("''")
+        elif ch.isalpha():
+            out.append(f"'{ch}'")
+        else:
+            out.append(ch)
+    # Collapse adjacent quoted runs like 'a''b' → keep simple; Java accepts it.
+    return "".join(out)
+
+
+def to_java(fmt: str) -> str:
+    """Translate a chrono format to a Java DateTimeFormatter pattern.
+
+    Raises ``ValueError`` on codes with no Java equivalent (%s is handled by
+    the caller before reaching here).
+    """
+    out: list[str] = []
+    for kind, item in _scan(fmt):
+        if kind == "lit":
+            out.append(_quote_literal(item))
+        elif item == "%":
+            out.append(_quote_literal("%"))
+        else:
+            java = _CHRONO_TO_JAVA.get(item)
+            if java is None:
+                raise ValueError(
+                    f"chrono format code %{item} has no Java DateTimeFormatter "
+                    f"equivalent supported by Spark; cannot translate {fmt!r}"
+                )
+            out.append(java)
+    return "".join(out)

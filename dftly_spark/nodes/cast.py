@@ -1,0 +1,203 @@
+"""Cast node: dtype casts plus implicit duration/date unit constructors.
+
+Reference: /root/reference/src/dftly/nodes/types.py:79-323.
+
+Spark lowering (SURVEY.md §2 #32, §4.3 #2):
+
+* dtype casts: non-strict (``::?``) → ``try_cast`` (null on failure, equal to
+  Spark's default non-ANSI cast); strict (default) → ``try_cast`` plus a
+  per-row ``raise_error`` guard that fires when a non-null input failed to
+  convert.
+* implicit duration units (``seconds``/``minutes``/…/``months``/``years``) →
+  day-time interval built via ``make_dt_interval`` from a fixed
+  seconds-per-unit factor (months/years are the reference's fixed-length
+  30.4375 / 365.25-day approximations, types.py:47-64 — never calendar
+  intervals).
+* ``year`` → ``make_date(x, 1, 1)`` (types.py:66-68).
+* ``time`` target → tagged micros-since-midnight long (SURVEY §4.3 #6).
+* int→datetime/date/duration follow Polars' epoch-unit semantics
+  (µs since epoch / days since epoch / µs), not Spark's seconds-based cast.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column as SparkColumn
+from pyspark.sql import functions as F
+
+from .. import dtypes as DT
+from .base import LoweringContext, Node
+
+
+def _strict_guard(src: SparkColumn, out: SparkColumn, target: str, spark_type: str) -> SparkColumn:
+    """Raise at runtime when a non-null value failed to convert (strict cast)."""
+    err = F.raise_error(
+        F.concat(
+            F.lit(f"strict cast to {target} failed for value: "),
+            F.coalesce(src.cast("string"), F.lit("null")),
+        )
+    ).cast(spark_type)
+    return F.when(src.isNotNull() & out.isNull(), err).otherwise(out)
+
+
+class Cast(Node):
+    """``x::type`` / ``x as type`` / ``x::?type`` (non-strict).
+
+    Canonical keyword form ``{source, type, strict}``; ``Cast(source, type)``
+    positional form is sugar (types.py:107-109,248-264).
+    """
+
+    KEY = "cast"
+    SYM = "::"
+    ALLOW_KW = True
+    REQUIRED_KW = frozenset({"source", "type"})
+    OPTIONAL_KW = frozenset({"strict"})
+
+    def _normalize(self) -> None:
+        if self.args:
+            if self.kwargs:
+                raise ValueError(
+                    f"{self.KEY} cannot mix positional and keyword arguments; got positional "
+                    f"args with {set(self.kwargs)}"
+                )
+            if len(self.args) != 2:
+                raise ValueError(
+                    f"{self.KEY} requires exactly two positional arguments (source, type); "
+                    f"got {len(self.args)}"
+                )
+            source, target = self.args
+            self.args = ()
+            self.kwargs = {"source": source, "type": target}
+
+    def _validate(self) -> None:
+        super()._validate()
+        if self.target not in DT.CAST_TARGETS:
+            raise ValueError(f"Unsupported type: {self.target}")
+        if not self.strict and not self._is_dtype_cast:
+            raise ValueError(
+                f"Non-strict casting is not supported for unit {self.target!r}; `strict` "
+                "applies only to dtype casts. This unit builds a value rather than "
+                "converting one, so there is no failure mode to relax."
+            )
+
+    # -- config properties -------------------------------------------------
+
+    @property
+    def source(self) -> Node:
+        return self.kwargs["source"]
+
+    @property
+    def target(self) -> str:
+        from .base import NotConst
+
+        try:
+            value = self.kwargs["type"].fold()
+        except NotConst as e:
+            raise ValueError(
+                "The type argument of a Cast operation must evaluate to a string literal."
+            ) from e
+        return value
+
+    @property
+    def strict(self) -> bool:
+        return self.literal_kwarg("strict", bool, default=True)
+
+    @property
+    def _is_dtype_cast(self) -> bool:
+        return self.target in DT.NAMED_TYPES
+
+    # -- folding -----------------------------------------------------------
+
+    def fold(self) -> Any:
+        from .base import NotConst
+
+        v = self.source.fold()
+        t = self.target
+        if t not in DT.NAMED_TYPES:
+            raise NotConst(self.KEY)
+        tag = DT.NAMED_TYPES[t]
+        try:
+            if DT.is_int(tag):
+                return int(v)
+            if DT.is_float(tag):
+                return float(v)
+            if tag == DT.STR:
+                return str(v)
+            if tag == DT.BOOL:
+                return bool(v)
+        except (TypeError, ValueError) as e:
+            if self.strict:
+                raise ValueError(f"strict cast of {v!r} to {t} failed") from e
+            return None
+        raise NotConst(self.KEY)
+
+    # -- lowering ----------------------------------------------------------
+
+    def out_type(self, ctx: LoweringContext) -> str:
+        t = self.target
+        if t in DT.DURATION_UNIT_SECONDS:
+            return DT.DURATION
+        if t in DT.DATE_UNITS:
+            return DT.DATE
+        return DT.NAMED_TYPES[t]
+
+    def to_column(self, ctx: LoweringContext | None = None) -> SparkColumn:
+        ctx = ctx or LoweringContext()
+        t = self.target
+        src = self.source.to_column(ctx)
+        src_tag = self.source.out_type(ctx)
+
+        if t in DT.DURATION_UNIT_SECONDS:
+            secs = src.cast("double") * F.lit(DT.DURATION_UNIT_SECONDS[t])
+            return F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs)
+        if t in DT.DATE_UNITS:  # "year": int → Jan 1 of that year
+            return F.make_date(src.cast("int"), F.lit(1), F.lit(1))
+
+        tag = DT.NAMED_TYPES[t]
+        return self._dtype_cast(src, src_tag, tag, t)
+
+    def _dtype_cast(
+        self, src: SparkColumn, src_tag: str, tag: str, target_name: str
+    ) -> SparkColumn:
+        strict = self.strict
+
+        # Targets whose Polars cast semantics differ from Spark's cast.
+        if tag == DT.TIME:
+            return self._cast_to_time(src, src_tag)
+        if tag == DT.DATETIME and DT.is_int(src_tag):
+            return F.timestamp_micros(src.cast("bigint"))  # µs since epoch
+        if tag == DT.DATE and DT.is_int(src_tag):
+            return F.date_add(F.to_date(F.lit("1970-01-01")), src.cast("int"))
+        if tag == DT.DURATION:
+            if src_tag == DT.DURATION:
+                return src
+            secs = src.cast("double") * F.lit(1e-6)  # Polars: int → µs duration
+            return F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs)
+        if src_tag == DT.TIME and tag == DT.STR:
+            # micros-since-midnight → "HH:MM:SS[.ffffff]"
+            ts = F.timestamp_micros(src)
+            return F.date_format(ts, "HH:mm:ss")
+
+        spark_type = DT.SPARK_TYPE[tag]
+        out = src.try_cast(spark_type)
+        if strict:
+            return _strict_guard(src, out, target_name, spark_type)
+        return out
+
+    def _cast_to_time(self, src: SparkColumn, src_tag: str) -> SparkColumn:
+        if src_tag == DT.TIME:
+            return src
+        if src_tag == DT.STR:
+            ts = F.to_timestamp(F.concat(F.lit("1970-01-01 "), src))
+            return F.unix_micros(ts)
+        if src_tag == DT.DATETIME:
+            midnight = F.to_timestamp(F.to_date(src))
+            return F.unix_micros(src.cast("timestamp")) - F.unix_micros(midnight)
+        # Polars int→Time: nanoseconds since midnight → micros.
+        return (src.cast("bigint") / F.lit(1000)).cast("bigint")
+
+    @classmethod
+    def from_str_args(cls, items: Any) -> dict[str, Any]:
+        source, target = items
+        return {cls.KEY: {"source": source, "type": target}}

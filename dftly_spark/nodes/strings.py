@@ -1,0 +1,436 @@
+"""String operator nodes.
+
+Reference: /root/reference/src/dftly/nodes/str.py.
+
+Spark lowering notes (SURVEY.md §2 #24-30, §4.3):
+
+* ``string_interpolate`` → ``F.concat`` of literal segments and stringified
+  fields.  ``concat`` null-propagates exactly like ``pl.format``; neither
+  ``concat_ws`` (null-skipping) nor ``format_string`` (renders "null") do.
+* ``regex_extract`` → ``regexp_extract`` wrapped in an ``rlike`` guard:
+  Spark returns ``''`` on no-match where Polars returns null (§4.3 #3).
+* ``strptime`` → ``to_date``/``to_timestamp`` with a chrono→Java pattern
+  translation (:mod:`dftly_spark.chrono`); time-only formats produce the
+  tagged micros-since-midnight long (§4.3 #6).
+* ``substring`` replicates Python slice normalization (negative indices,
+  clipping) with ``F.length`` + ``greatest``/``least`` (§4.3 #11; formula
+  ported from str.py:947-971).
+* ``split`` separators are literals, but Spark's split pattern is a regex —
+  constant separators are ``re.escape``d; expression separators are wrapped in
+  ``\\Q...\\E`` (§4.3 #12).
+"""
+
+from __future__ import annotations
+
+import re
+import warnings
+from typing import Any
+
+from pyspark.sql import Column as SparkColumn
+from pyspark.sql import functions as F
+
+from .. import chrono
+from .. import dtypes as DT
+from .base import Literal, LoweringContext, Node, NotConst
+
+
+def stringify(node: Node, ctx: LoweringContext) -> SparkColumn:
+    """Render a node as a string column the way Polars' formatter would."""
+    col = node.to_column(ctx)
+    t = node.out_type(ctx)
+    if t == DT.STR:
+        return col
+    if t == DT.TIME:
+        return F.date_format(F.timestamp_micros(col), "HH:mm:ss")
+    return col.cast("string")
+
+
+class StringInterpolate(Node):
+    """f-string interpolation: pattern + field expressions (str.py:13-176).
+
+    The pattern must fold to a compile-time string; each ``{}`` placeholder is
+    filled by the corresponding field.  Null in any field → null result
+    (``F.concat`` semantics, matching ``pl.format``).
+    """
+
+    KEY = "string_interpolate"
+    MIN_ARGS = 2
+
+    def _validate(self) -> None:
+        if len(self.args) <= 1:
+            raise ValueError(
+                "StringInterpolate requires more than one argument; it takes both the "
+                "pattern string (first) and the fields to interpolate into the pattern "
+                f"(subsequent). Got {len(self.args)} argument(s): {self.args}."
+            )
+        super()._validate()
+        try:
+            pattern = self.args[0].fold()
+        except NotConst as e:
+            raise ValueError(
+                "The pattern argument must be a string, Literal, or Literal-evaluatable "
+                "instance. This `NodeBase` instance can't be evaluated to a string literal."
+            ) from e
+        if not isinstance(pattern, str):
+            raise ValueError(
+                "The pattern argument must be a string, Literal, or Literal-evaluatable "
+                f"instance that evaluates to a string, not a {type(pattern)}."
+            )
+        self.pattern = pattern
+
+    def out_type(self, ctx: LoweringContext) -> str:
+        return DT.STR
+
+    def to_column(self, ctx: LoweringContext | None = None) -> SparkColumn:
+        ctx = ctx or LoweringContext()
+        fields = list(self.args[1:])
+        segments = self.pattern.split("{}")
+        if len(segments) != len(fields) + 1:
+            raise ValueError(
+                f"String interpolation pattern {self.pattern!r} has "
+                f"{len(segments) - 1} placeholders but {len(fields)} fields."
+            )
+        parts: list[SparkColumn] = []
+        for i, seg in enumerate(segments):
+            if seg:
+                parts.append(F.lit(seg))
+            if i < len(fields):
+                parts.append(stringify(fields[i], ctx))
+        if not parts:
+            parts = [F.lit("")]
+        return F.concat(*parts)
+
+    @classmethod
+    def from_str_args(cls, items: Any) -> dict[str, Any]:
+        from ..strform.interpolation import split_interpolation
+
+        if not isinstance(items, list):
+            items = [items]
+        if len(items) != 1:
+            raise ValueError(
+                "StringInterpolate.from_str_args only accepts a single argument, which is "
+                f"the pattern string. Got {len(items)} arguments instead: {items}"
+            )
+        pattern = items[0]
+        if isinstance(pattern, dict):
+            if not Literal.matches(pattern):
+                raise ValueError(
+                    "When parsing an interpolation from string form, the pattern must "
+                    "resolve to a Literal node."
+                )
+            pattern = Literal.args_from_value(pattern)[0][0]
+        pattern, fields = split_interpolation(pattern)
+        # Fields stay raw strings here; the Parser re-enters the grammar on them.
+        return {cls.KEY: [{"literal": pattern}] + fields}
+
+
+def _const_pattern(node: Node) -> str | None:
+    try:
+        v = node.fold()
+    except NotConst:
+        return None
+    return v if isinstance(v, str) else None
+
+
+class RegexExtract(Node):
+    """``extract [group N of] /re/ from x`` (str.py:179-433).
+
+    No-match → null (rlike guard — Spark's ``regexp_extract`` returns ``''``).
+    ``group_index`` defaults to 0 (whole match); a pattern that writes capture
+    groups without naming one warns, exactly as the reference does
+    (str.py:360-397).
+    """
+
+    KEY = "regex_extract"
+    ALLOW_KW = True
+    REQUIRED_KW = frozenset({"pattern", "source"})
+    OPTIONAL_KW = frozenset({"group_index"})
+
+    def _validate(self) -> None:
+        super()._validate()
+        if not isinstance(self.group_index, int) or isinstance(self.group_index, bool):
+            raise ValueError(
+                "The group_index argument must be an integer or a NodeBase instance that "
+                f"evaluates to an integer; evaluates to {type(self.group_index)} instead."
+            )
+        if self.group_index < 0:
+            raise ValueError("The group_index argument must be a non-negative integer.")
+        self._warn_on_unnamed_capture_groups()
+
+    def _warn_on_unnamed_capture_groups(self) -> None:
+        if "group_index" in self.kwargs:
+            return
+        pattern = _const_pattern(self.kwargs["pattern"])
+        if pattern is None:
+            return
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                n_groups = re.compile(pattern).groups
+        except Exception:
+            return
+        if not n_groups:
+            return
+        warnings.warn(
+            f"Regex pattern {pattern!r} has {n_groups} capture "
+            f"{'group' if n_groups == 1 else 'groups'} but no group_index, so the whole "
+            "match is returned rather than the group. Use "
+            f"`extract group 1 of /{pattern}/ from ...` (base form: `group_index: "
+            "{literal: 1}`) to select a group; pass `group_index: {literal: 0}` to ask "
+            "for the whole match explicitly, or make the group non-capturing -- "
+            "`(?:...)` -- to silence this.",
+            stacklevel=2,
+        )
+
+    @property
+    def group_index(self) -> int:
+        gi = self.kwargs.get("group_index")
+        if gi is None:
+            return 0
+        try:
+            return gi.fold()
+        except NotConst as e:
+            raise ValueError(
+                "The group_index argument must be an integer or a NodeBase instance that "
+                "evaluates to an integer."
+            ) from e
+
+    def out_type(self, ctx: LoweringContext) -> str:
+        return DT.STR
+
+    def to_column(self, ctx: LoweringContext | None = None) -> SparkColumn:
+        ctx = ctx or LoweringContext()
+        src = self.kwargs["source"].to_column(ctx)
+        gi = self.group_index
+        pat = _const_pattern(self.kwargs["pattern"])
+        if pat is not None:
+            matched = src.rlike(pat)
+            extracted = F.regexp_extract(src, pat, gi)
+        else:
+            pat_col = self.kwargs["pattern"].to_column(ctx)
+            matched = F.call_function("rlike", src, pat_col)
+            extracted = F.call_function("regexp_extract", src, pat_col, F.lit(gi))
+        return F.when(matched, extracted)
+
+    @classmethod
+    def from_str_args(cls, items: Any) -> dict[str, Any]:
+        if len(items) == 2:
+            kwargs = {"pattern": items[0], "source": items[1]}
+        else:
+            kwargs = {"pattern": items[1], "source": items[2], "group_index": items[0]}
+        return {cls.KEY: kwargs}
+
+
+class RegexMatch(Node):
+    """``/re/ in x`` — boolean unanchored contains-match (str.py:436-504).
+
+    ``Column.rlike`` is an unanchored search, matching Polars' ``str.contains``.
+    """
+
+    KEY = "regex_match"
+    ALLOW_KW = True
+    REQUIRED_KW = frozenset({"pattern", "source"})
+
+    def out_type(self, ctx: LoweringContext) -> str:
+        return DT.BOOL
+
+    def to_column(self, ctx: LoweringContext | None = None) -> SparkColumn:
+        ctx = ctx or LoweringContext()
+        src = self.kwargs["source"].to_column(ctx)
+        pat = _const_pattern(self.kwargs["pattern"])
+        if pat is not None:
+            return src.rlike(pat)
+        return F.call_function("rlike", src, self.kwargs["pattern"].to_column(ctx))
+
+    @classmethod
+    def from_str_args(cls, items: Any) -> dict[str, Any]:
+        pattern, source = items
+        return {cls.KEY: {"pattern": pattern, "source": source}}
+
+
+class Strptime(Node):
+    """Parse a string into date/time/datetime per a chrono format
+    (str.py:507-717).
+
+    Output type is inferred from which ``%`` codes the format contains
+    (DATE_PARTS / TIME_PARTS / DATETIME_PARTS — chrono.classify mirrors
+    str.py:594-649).  ``strict=False`` nulls unparseable values, which is
+    Spark's native ``to_date``/``to_timestamp`` behavior; strict (default)
+    adds a raise_error guard.
+    """
+
+    KEY = "strptime"
+    ALLOW_KW = True
+    REQUIRED_KW = frozenset({"format", "source"})
+    OPTIONAL_KW = frozenset({"strict"})
+
+    def _validate(self) -> None:
+        super()._validate()
+        fmt = self.format_str
+        if not isinstance(fmt, str):
+            raise ValueError(
+                "The format argument must be a NodeBase instance that evaluates to a "
+                f"string; evaluates to a {type(fmt)} instead."
+            )
+
+    @property
+    def format_str(self) -> str:
+        fmt = self.kwargs["format"]
+        if not isinstance(fmt, Node):
+            raise ValueError(
+                "The format argument must be a NodeBase instance that evaluates to a "
+                f"string. Got {type(fmt)} instead."
+            )
+        try:
+            return fmt.fold()
+        except NotConst as e:
+            raise ValueError(
+                "The format argument must be a NodeBase instance that evaluates to a "
+                "string. This instance can't be evaluated to a string."
+            ) from e
+
+    @property
+    def output_type(self) -> str:
+        return chrono.classify(self.format_str)
+
+    @property
+    def strict(self) -> bool:
+        return self.literal_kwarg("strict", bool, default=True)
+
+    def out_type(self, ctx: LoweringContext) -> str:
+        return {"date": DT.DATE, "time": DT.TIME, "datetime": DT.DATETIME}[self.output_type]
+
+    def to_column(self, ctx: LoweringContext | None = None) -> SparkColumn:
+        ctx = ctx or LoweringContext()
+        src = self.kwargs["source"].to_column(ctx)
+        fmt = self.format_str
+        kind = self.output_type
+
+        if "%s" in fmt and kind == "datetime":
+            out = F.timestamp_seconds(src.try_cast("bigint"))
+            spark_t = "timestamp"
+        else:
+            java = chrono.to_java(fmt)
+            if kind == "date":
+                out = F.try_to_timestamp(src, F.lit(java))
+                out = F.to_date(out)
+                spark_t = "date"
+            elif kind == "datetime":
+                out = F.try_to_timestamp(src, F.lit(java))
+                spark_t = "timestamp"
+            else:  # time → micros since midnight on 1970-01-01
+                ts = F.try_to_timestamp(src, F.lit(java))
+                out = F.unix_micros(ts)
+                spark_t = "bigint"
+
+        if self.strict:
+            err = F.raise_error(
+                F.concat(
+                    F.lit(f"strptime({fmt!r}) failed for value: "),
+                    F.coalesce(src.cast("string"), F.lit("null")),
+                )
+            ).cast(spark_t)
+            return F.when(src.isNotNull() & out.isNull(), err).otherwise(out)
+        return out
+
+    @classmethod
+    def from_str_args(cls, items: Any) -> dict[str, Any]:
+        source, fmt = items
+        return {cls.KEY: {"format": fmt, "source": source}}
+
+
+class LenChars(Node):
+    """Unicode character count (str.py:720-784) → ``F.length`` (chars)."""
+
+    KEY = "len_chars"
+    N_ARGS = 1
+
+    def out_type(self, ctx: LoweringContext) -> str:
+        return DT.I32
+
+    def to_column(self, ctx: LoweringContext | None = None) -> SparkColumn:
+        ctx = ctx or LoweringContext()
+        return F.length(self.args[0].to_column(ctx))
+
+
+class Substring(Node):
+    """Python-slice-semantics substring (str.py:787-987).
+
+    ``[start, stop)``, negative indices count from the end, out-of-range
+    bounds clip — the normalization formula from str.py:947-971, rebuilt on
+    ``F.length`` / ``greatest`` / ``least``, then 1-based ``Column.substr``.
+    """
+
+    KEY = "substring"
+    ALLOW_KW = True
+    REQUIRED_KW = frozenset({"source", "start"})
+    OPTIONAL_KW = frozenset({"stop"})
+
+    def out_type(self, ctx: LoweringContext) -> str:
+        return DT.STR
+
+    def to_column(self, ctx: LoweringContext | None = None) -> SparkColumn:
+        ctx = ctx or LoweringContext()
+        src = self.kwargs["source"].to_column(ctx)
+        start = self.kwargs["start"].to_column(ctx).cast("bigint")
+        n = F.length(src).cast("bigint")
+
+        def norm(idx):
+            shifted = F.when(idx < 0, idx + n).otherwise(idx)
+            return F.greatest(F.least(shifted, n), F.lit(0).cast("bigint"))
+
+        lo = norm(start)
+        if "stop" in self.kwargs:
+            stop = self.kwargs["stop"].to_column(ctx).cast("bigint")
+            hi = norm(stop)
+        else:
+            hi = n
+        length = F.greatest(hi - lo, F.lit(0).cast("bigint"))
+        return src.substr(lo.cast("int") + F.lit(1), length.cast("int"))
+
+    @classmethod
+    def from_str_args(cls, items: Any) -> dict[str, Any]:
+        if len(items) == 2:
+            kwargs = {"source": items[0], "start": items[1]}
+        elif len(items) == 3:
+            kwargs = {"source": items[0], "start": items[1], "stop": items[2]}
+        else:
+            raise ValueError(
+                f"substring expects 2 or 3 positional arguments; got {len(items)}"
+            )
+        return {cls.KEY: kwargs}
+
+
+class Split(Node):
+    """Split on a *literal* separator → array<string> (str.py:990-1063).
+
+    Spark's split pattern is a regex, so constant separators are escaped and
+    expression separators quoted with ``\\Q...\\E``.  Limit −1 keeps trailing
+    empty strings (matching Polars).
+    """
+
+    KEY = "split"
+    ALLOW_KW = True
+    REQUIRED_KW = frozenset({"source", "by"})
+
+    def out_type(self, ctx: LoweringContext) -> str:
+        return DT.LIST_STR
+
+    def to_column(self, ctx: LoweringContext | None = None) -> SparkColumn:
+        ctx = ctx or LoweringContext()
+        src = self.kwargs["source"].to_column(ctx)
+        sep = _const_pattern(self.kwargs["by"])
+        if sep is not None:
+            return F.split(src, re.escape(sep), -1)
+        sep_col = self.kwargs["by"].to_column(ctx)
+        return F.split(src, F.concat(F.lit("\\Q"), sep_col, F.lit("\\E")), F.lit(-1))
+
+    @classmethod
+    def from_str_args(cls, items: Any) -> dict[str, Any]:
+        if not isinstance(items, list) or len(items) != 2:
+            n = len(items) if isinstance(items, list) else 1
+            raise ValueError(
+                f"{cls.KEY} expects exactly 2 positional arguments (source, by); got {n}"
+            )
+        source, by = items
+        return {cls.KEY: {"source": source, "by": by}}
