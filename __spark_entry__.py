@@ -593,6 +593,301 @@ _q(
 
 
 # ---------------------------------------------------------------------------
+# Extension operators (dedup / similarity / text analysis / multimodal)
+# ---------------------------------------------------------------------------
+
+#: Shared DuckDB CTE: distinct word-trigram shingle sets per document, the
+#: exact mirror of ops.dedup.word_shingles (n=3).
+_SHINGLE_CTE = r"""
+ws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+       FROM documents),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM ws WHERE len(w) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS g FROM idx
+  UNION SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM ws WHERE len(w) < 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS s
+           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+"""
+
+_JACCARD_ORACLE = f"""
+WITH {_SHINGLE_CTE}
+SELECT id_l, id_r, s::DOUBLE / (x.n + y.n - s) AS jaccard
+FROM shared JOIN sizes x ON x.doc_id = id_l JOIN sizes y ON y.doc_id = id_r
+WHERE s::DOUBLE / (x.n + y.n - s) >= 0.7
+"""
+
+
+def _x01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import exact_dedup
+
+    _prep(spark)
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_q(
+    "x01_exact_dedup",
+    _x01,
+    r"""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+    """,
+)
+
+
+def _x02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import ngram_jaccard_pairs
+
+    _prep(spark)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.7
+    )
+
+
+_q("x02_ngram_jaccard_pairs", _x02, _JACCARD_ORACLE)
+
+
+def _x03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import minhash_dup_pairs
+
+    _prep(spark)
+    return minhash_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, k=32, bands=16, threshold=0.7
+    )
+
+
+# MinHash candidates are verified with the exact Jaccard, and at s≈0.97 the
+# 16-band recall is ≈1, so the exact-pairs oracle applies.
+_q("x03_minhash_lsh_pairs", _x03, _JACCARD_ORACLE)
+
+
+def _x04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import simhash_dup_pairs
+
+    _prep(spark)
+    return simhash_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+# SimHash fingerprints are engine-specific (xxhash64 bit votes) — no portable
+# SQL equivalent; the driver records the weaker rows-only check.
+_q("x04_simhash_pairs", _x04, None)
+
+
+def _x05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import embedding_dup_pairs
+
+    _prep(spark)
+    return embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4, method="brute"
+    )
+
+
+_q(
+    "x05_embedding_neardup",
+    _x05,
+    """
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+      FROM embeddings)
+    SELECT a.vec_id AS id_l, b.vec_id AS id_r, list_dot_product(a.v, b.v) AS cos
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) >= 0.4
+    """,
+)
+
+
+def _x06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import brute_force_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries_df, k=10)
+
+
+_q(
+    "x06_cosine_topk",
+    _x06,
+    """
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id, list_dot_product(qv, c.v) AS cos
+      FROM u c CROSS JOIN q)
+    SELECT query_id, vec_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+
+
+def _x07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import (
+        bpe_token_count,
+        language_id,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        F.col("doc_id"),
+        token_count(t).alias("n_tok"),
+        bpe_token_count(t).alias("n_bpe"),
+        stopword_ratio(t).alias("sw_ratio"),
+        punct_ratio(t).alias("p_ratio"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_pred"),
+    )
+
+
+_q(
+    "x07_text_analysis",
+    _x07,
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, text, len(toks) AS n_tok,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+             CASE WHEN len(toks) > 0 THEN len(list_filter(toks,
+               x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE / len(toks)
+               ELSE 0.0 END AS sw_en,
+             CASE WHEN len(toks) > 0 THEN len(list_filter(toks,
+               x -> list_contains(['el','la','de','que','y','en','un','los','se','no'], x)))::DOUBLE / len(toks)
+               ELSE 0.0 END AS sw_es,
+             CASE WHEN len(toks) > 0 THEN len(list_filter(toks,
+               x -> list_contains(['der','die','und','das','ist','ein','zu','den','mit','nicht'], x)))::DOUBLE / len(toks)
+               ELSE 0.0 END AS sw_de,
+             CASE WHEN len(toks) > 0 THEN len(list_filter(toks,
+               x -> list_contains(['le','la','et','les','des','un','une','du','est','pour'], x)))::DOUBLE / len(toks)
+               ELSE 0.0 END AS sw_fr,
+             CASE WHEN length(text) > 0
+               THEN len(regexp_extract_all(text, '[^A-Za-z0-9_\s]'))::DOUBLE / length(text)
+               ELSE 0.0 END AS p_ratio,
+             CASE WHEN length(text) > 0
+               THEN len(regexp_extract_all(text, '[一-鿿]'))::DOUBLE / length(text)
+               ELSE 0.0 END AS cjk_ratio
+      FROM base
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(n_bpe AS BIGINT) AS n_bpe,
+           sw_en AS sw_ratio, p_ratio,
+           LEAST(CAST(length(text) AS DOUBLE), 400.0) / 400.0 * 0.4
+             + LEAST(sw_en * 5.0, 1.0) * 0.3
+             + (1.0 - LEAST(p_ratio * 4.0, 1.0)) * 0.3 AS quality,
+           CASE
+             WHEN length(text) > 0 AND cjk_ratio > 0.2 THEN 'zh'
+             WHEN GREATEST(sw_en, sw_es, sw_de, sw_fr) <= 0.0 THEN 'und'
+             WHEN sw_en = GREATEST(sw_en, sw_es, sw_de, sw_fr) THEN 'en'
+             WHEN sw_es = GREATEST(sw_en, sw_es, sw_de, sw_fr) THEN 'es'
+             WHEN sw_de = GREATEST(sw_en, sw_es, sw_de, sw_fr) THEN 'de'
+             WHEN sw_fr = GREATEST(sw_en, sw_es, sw_de, sw_fr) THEN 'fr'
+             ELSE 'und'
+           END AS lang_pred
+    FROM feats
+    """,
+)
+
+
+def _x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import doc_fingerprint
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    fp = doc_fingerprint(F.col("text"), n=3, k=8)
+    return docs.select(
+        F.col("doc_id"), F.size(fp).cast("bigint").alias("fp_len")
+    )
+
+
+# Fingerprint values are engine-specific hashes; the oracle checks the
+# structural contract (min-k set size = min(#shingles, 8)).
+_SHINGLE_SIZES_CTE = _SHINGLE_CTE.rsplit(",\nshared", 1)[0]
+_q(
+    "x08_fingerprint",
+    _x08,
+    f"""
+    WITH {_SHINGLE_SIZES_CTE}
+    SELECT doc_id, CAST(LEAST(n, 8) AS BIGINT) AS fp_len FROM sizes
+    """,
+)
+
+
+def _x09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import attach_fake_media, decode_media_meta
+
+    _prep(spark)
+    docs = attach_fake_media(_t(spark, sf_dir, "documents"), "text")
+    return decode_media_meta(docs, "doc_id")
+
+
+_q(
+    "x09_multimodal_decode",
+    _x09,
+    """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS size_bytes,
+           CAST(16 + strlen(text) % 64 AS INTEGER) AS width,
+           CAST(16 + (strlen(text) // 7) % 64 AS INTEGER) AS height,
+           'fake' AS decoder
+    FROM documents
+    """,
+)
+
+
+def _x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import attach_fake_media, sample_frames
+
+    _prep(spark)
+    docs = attach_fake_media(_t(spark, sf_dir, "documents"), "text")
+    return sample_frames(docs, every=4, id_col="doc_id")
+
+
+_q(
+    "x10_frame_sample",
+    _x10,
+    """
+    WITH nf AS (SELECT doc_id, 1 + strlen(text) % 16 AS n_frames FROM documents)
+    SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 4)) AS INTEGER) AS frame_index
+    FROM nf
+    """,
+)
+
+
+def _x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import lsh_bucket_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucket_topk(emb, queries_df, k=10)
+
+
+# Approximate ANN — recall < 1 by design; rows-only check.
+_q("x11_ann_lsh_topk", _x11, None)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,59 @@
+"""Table-level operators for large-scale training-data pipelines.
+
+These extend the reference's expression surface (SURVEY.md §7.3 step 10 /
+BASELINE.json north star) with the operations a 100 TB text/embedding pipeline
+needs: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine), similarity search, text analysis, and multimodal column plumbing.
+
+Design rules (SURVEY.md §7.3, the 100 TB contract):
+
+* Everything is DataFrame-in → DataFrame-out, built from native
+  ``pyspark.sql.functions`` so plans stay inside whole-stage codegen.
+  Python reaches execution only in the clearly-marked multimodal decode
+  stubs (Arrow-batched ``mapInPandas``), never in text/hash paths.
+* No driver-side collects; candidate generation is always a key-partitioned
+  join (LSH bucket, shingle inverted index), never an all-pairs crossJoin
+  except in explicitly-named ``brute_force_*`` baselines.
+* Skew hygiene: bucket joins cap candidate-list sizes; docs note where
+  salting applies at 1000-executor scale.
+"""
+
+from .textops import (
+    bpe_token_count,
+    doc_fingerprint,
+    language_id,
+    normalize_text,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from .dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_dup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_dup_pairs,
+    word_shingles,
+)
+from .similarity import brute_force_topk, cosine, dot, l2_norm, lsh_bucket_topk
+from .multimodal import (
+    MEDIA_SCHEMA,
+    attach_fake_media,
+    decode_media_meta,
+    sample_frames,
+)
+
+__all__ = [
+    "tokens", "token_count", "bpe_token_count", "normalize_text",
+    "stopword_ratio", "punct_ratio", "quality_score", "language_id",
+    "doc_fingerprint",
+    "exact_dedup", "word_shingles", "minhash_signature", "minhash_dup_pairs",
+    "simhash64", "simhash_dup_pairs", "ngram_jaccard_pairs",
+    "embedding_dup_pairs",
+    "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket_topk",
+    "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames",
+]

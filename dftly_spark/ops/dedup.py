@@ -1,0 +1,410 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the 100 TB contract — see ops/__init__ docstring):
+
+* **Exact dedup** groups on a 64-bit hash of the normalized text, not the
+  text itself — the shuffle carries 8-byte keys instead of documents.
+* **MinHash-LSH** is the standard shingle → k-minhash → band → bucket-join
+  pipeline: candidates come from an equi-join on (band, bucket-hash), so the
+  shuffle is keyed and partition-parallel; no all-pairs comparison ever
+  happens.  Hot buckets (boilerplate shingles) are capped by
+  ``max_bucket_size`` — the LSH analogue of skew salting.
+* **SimHash** bands the 64-bit fingerprint into 4×16-bit chunks; hamming ≤ 3
+  duplicates must collide on ≥1 chunk (pigeonhole), so candidates again come
+  from an equi-join.
+* **n-gram Jaccard** is the exact inverted-index join (explode shingles,
+  self-join on shingle, count shared); ``max_df`` drops ubiquitous shingles
+  that would otherwise create quadratic candidate blow-up.
+* **Embedding near-dup**: ``method="brute"`` is the O(n²) baseline
+  (broadcast nested-loop — only for small n / verification);
+  ``method="lsh"`` buckets by random-hyperplane signs and verifies exact
+  cosine within buckets.
+
+All text/hash paths are pure ``pyspark.sql.functions`` — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column as SparkColumn
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import cosine
+from .textops import normalize_text, tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One representative row per distinct (normalized) text.
+
+    Returns ``(id_col, n_copies)`` — the minimum id of each duplicate group
+    and the group size.  Groups on ``xxhash64(normalized_text)`` so the
+    shuffle key is 8 bytes (collision probability ~n²/2⁶⁴; at 10¹² docs
+    switch to a 128-bit hash).
+    """
+    key = F.xxhash64(normalize_text(F.col(text_col)))
+    return (
+        df.groupBy(key.alias("_k"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: SparkColumn, n: int = 3) -> SparkColumn:
+    """Distinct word ``n``-grams (array<string>), lowercased.
+
+    Documents shorter than ``n`` words contribute their whole text as a
+    single shingle, so no document vanishes from the index.
+    """
+    ws = tokens(F.lower(col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    )
+    whole = F.array(F.concat_ws(" ", ws))
+    return F.array_distinct(F.when(F.size(ws) >= n, grams).otherwise(whole))
+
+
+def minhash_signature(shingles_col: SparkColumn, k: int = 32) -> SparkColumn:
+    """k-permutation MinHash signature (array<bigint> of length ``k``).
+
+    Permutation ``i`` is ``xxhash64(shingle, i)``; the signature element is
+    the minimum over the document's shingles.  Empty shingle sets yield null
+    elements — filter empty documents upstream.
+
+    Expression form (higher-order functions are interpreted, not codegen'd);
+    the pipeline in :func:`minhash_dup_pairs` uses the faster explode +
+    hash-aggregate formulation of the same signature.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(k)
+        ]
+    )
+
+
+def _minhash_signatures_df(base: DataFrame, k: int) -> DataFrame:
+    """(_id, _sig) via explode + groupBy-min — whole-stage-codegen'd hash
+    aggregation with map-side partial min, so the shuffle carries k longs per
+    document regardless of document size."""
+    ex = base.select("_id", F.explode("_sh").alias("_g"))
+    aggs = [F.min(F.xxhash64(F.col("_g"), F.lit(i))).alias(f"_m{i}") for i in range(k)]
+    return (
+        ex.groupBy("_id")
+        .agg(*aggs)
+        .select("_id", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("_sig"))
+    )
+
+
+def _band_buckets(sig_col: SparkColumn, bands: int, rows: int) -> SparkColumn:
+    """array<struct<band:int, bucket:bigint>> — one LSH bucket per band."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(F.slice(sig_col, b * rows + 1, rows), lambda v: v.cast("string")),
+                ),
+                b,
+            ).alias("bucket"),
+        ),
+    )
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash-LSH with exact-Jaccard verification.
+
+    Returns ``(id_l, id_r, jaccard)`` with ``id_l < id_r`` and shingle-set
+    Jaccard ≥ ``threshold``.  With ``bands=16, rows=2`` the candidate recall
+    at s=0.7 is 1-(1-s²)^16 ≈ 0.9999; every candidate is then verified with
+    the exact Jaccard, so precision is 1.0 by construction.
+    """
+    rows = k // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
+    ).where(F.size("_sh") > 0)
+    # The banded frame carries only (id, band, bucket) — shingle arrays would
+    # be duplicated `bands`× through the explode and shuffle otherwise.
+    sigs = _minhash_signatures_df(base, k).select(
+        "_id", F.explode(_band_buckets(F.col("_sig"), bands, rows)).alias("_bb")
+    ).select("_id", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket"))
+
+    # Skew cap: drop pathological buckets before the quadratic self-join.
+    sizes = sigs.groupBy("_band", "_bucket").count().where(F.col("count") <= max_bucket_size)
+    sigs = sigs.join(sizes.select("_band", "_bucket"), ["_band", "_bucket"])
+
+    left = sigs.select("_band", "_bucket", F.col("_id").alias("id_l"))
+    right = sigs.select("_band", "_bucket", F.col("_id").alias("id_r"))
+    cand = (
+        left.join(right, ["_band", "_bucket"])
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    # Exact-Jaccard verification: join the slim candidate pairs back to the
+    # shingle sets (each document's array shipped once per side).
+    cand = cand.join(
+        base.select(F.col("_id").alias("id_l"), F.col("_sh").alias("_sh_l")), "id_l"
+    ).join(base.select(F.col("_id").alias("id_r"), F.col("_sh").alias("_sh_r")), "id_r")
+    jac = F.size(F.array_intersect("_sh_l", "_sh_r")).cast("double") / F.size(
+        F.array_union("_sh_l", "_sh_r")
+    )
+    return (
+        cand.select("id_l", "id_r", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted index)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via a shingle inverted-index join.
+
+    Returns ``(id_l, id_r, jaccard)`` with ``id_l < id_r`` and Jaccard ≥
+    ``threshold`` over distinct word ``n``-gram sets.  ``max_df`` (document
+    frequency cutoff) drops shingles occurring in more than that many
+    documents before the self-join — at web scale a handful of boilerplate
+    shingles otherwise produce quadratic candidates.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+    )
+    if max_df is not None:
+        keep = sh.groupBy("_g").count().where(F.col("count") <= max_df).select("_g")
+        sh = sh.join(keep, "_g")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    shared = (
+        sh.select(F.col("_id").alias("id_l"), "_g")
+        .join(sh.select(F.col("_id").alias("id_r"), "_g"), "_g")
+        .where(F.col("id_l") < F.col("id_r"))
+        .groupBy("id_l", "id_r")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnsRenamed({"_id": "id_l", "_n": "_nl"}), "id_l")
+        .join(sizes.withColumnsRenamed({"_id": "id_r", "_n": "_nr"}), "id_r")
+        .select(
+            "id_l",
+            "id_r",
+            (
+                F.col("_shared").cast("double")
+                / (F.col("_nl") + F.col("_nr") - F.col("_shared"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(col: SparkColumn) -> SparkColumn:
+    """64-bit SimHash fingerprint of a document's whitespace tokens.
+
+    Classic bit-voting: each token hash votes ±1 per bit position; the
+    fingerprint sets bit i when the vote is positive.  One fold over the
+    tokens with an elementwise ``zip_with`` accumulator — stays in codegen.
+    """
+    hashes = F.transform(tokens(F.lower(col)), lambda t: F.xxhash64(t))
+    # Shift amounts must be Python ints in Spark, so the 64 bit positions are
+    # statically unrolled (still one codegen'd expression tree).
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                    for i in range(64)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # Bit 63 contributes the sign bit in two's complement.
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        fp = fp + F.when(F.element_at(votes, i + 1) > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return fp
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs with SimHash hamming distance ≤ ``max_hamming``.
+
+    Returns ``(id_l, id_r, hamming)``.  Fingerprints are banded into 4×16-bit
+    chunks: any pair within hamming ≤ 3 agrees exactly on at least one chunk
+    (pigeonhole), so candidates come from an equi-join on (chunk index,
+    chunk value) and are then verified with ``bit_count(xor)``.
+    """
+    # Explode + 64 codegen'd sum-aggregates: one token-hash pass, map-side
+    # partial aggregation, 64 longs per document over the shuffle.  (The
+    # expression form `simhash64` computes the same fingerprint but runs as
+    # an interpreted higher-order fold — fine per-row, slow per-corpus.)
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
+    ).withColumn("_h", F.xxhash64("_t"))
+    vote_aggs = [
+        F.sum(F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    votes = ex.groupBy("_id").agg(*vote_aggs)
+    fp_col = F.lit(0).cast("long")
+    for i in range(64):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        fp_col = fp_col + F.when(F.col(f"_b{i}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    fp = votes.select("_id", fp_col.alias("_fp"))
+    chunks = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("_fp"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_bb"),
+    ).select("_id", "_fp", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket"))
+
+    sizes = chunks.groupBy("_band", "_bucket").count().where(F.col("count") <= max_bucket_size)
+    chunks = chunks.join(sizes.select("_band", "_bucket"), ["_band", "_bucket"])
+
+    left = chunks.select("_band", "_bucket", F.col("_id").alias("id_l"), F.col("_fp").alias("_fp_l"))
+    right = chunks.select("_band", "_bucket", F.col("_id").alias("id_r"), F.col("_fp").alias("_fp_r"))
+    hamming = F.bit_count(F.col("_fp_l").bitwiseXOR(F.col("_fp_r")))
+    return (
+        left.join(right, ["_band", "_bucket"])
+        .where(F.col("id_l") < F.col("id_r"))
+        .dropDuplicates(["id_l", "id_r"])
+        .select("id_l", "id_r", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def _plane_signature(vec: SparkColumn, planes: list[list[float]]) -> SparkColumn:
+    """Random-hyperplane sign bucket (bigint) for a float-array column."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(w)) for w in plane]), lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    method: str = "brute",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine similarity ≥ ``threshold``: ``(id_l, id_r, cos)``.
+
+    ``method="brute"`` — O(n²) broadcast nested-loop; the exact baseline for
+    verification and small tables.  ``method="lsh"`` — random-hyperplane
+    buckets then exact cosine within buckets; at 100 TB this is the path
+    (keyed equi-join shuffle), with recall < 1 traded for linear cost.
+    """
+    from .similarity import dot, unit
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if method == "lsh":
+        dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_planes, seed)
+        base = base.withColumn("_bucket", _plane_signature(F.col("_v"), planes))
+        base = base.withColumn("_v", unit(F.col("_v")))
+        join_keys = ["_bucket"]
+        left = base.select(*join_keys, F.col("_id").alias("id_l"), F.col("_v").alias("_vl"))
+        right = base.select(*join_keys, F.col("_id").alias("id_r"), F.col("_v").alias("_vr"))
+        cand = left.join(right, join_keys).where(F.col("id_l") < F.col("id_r"))
+    else:
+        # Pre-normalize once per row so each pair costs one dot product.
+        base = base.withColumn("_v", unit(F.col("_v")))
+        left = base.select(F.col("_id").alias("id_l"), F.col("_v").alias("_vl"))
+        right = base.select(F.col("_id").alias("id_r"), F.col("_v").alias("_vr"))
+        cand = left.join(F.broadcast(right), F.col("id_l") < F.col("id_r"))
+    cos = dot(F.col("_vl"), F.col("_vr"))
+    return cand.select("id_l", "id_r", cos.alias("cos")).where(F.col("cos") >= threshold)

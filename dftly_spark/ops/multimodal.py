@@ -1,0 +1,145 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The contract for image/audio/video at 100 TB: payloads travel as ``binary``
+columns with a typed metadata struct alongside; decode / feature-extract /
+resize / frame-sample run as Arrow-batched pandas functions over
+``mapInPandas`` (the only place Python touches data in this package), sized
+by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+
+This container has no image/audio libraries, so the decode step is STUBBED:
+``decode_media_meta`` tries a real decoder (PIL) and otherwise falls back to
+a deterministic fake derived from the bytes.  The Spark-side plumbing —
+schema, batching, partitioning, UDF signature — is real and tested; swap
+``_decode_batch``'s fake branch for a real decoder on a cluster with the
+libraries installed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical media column group: payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_bytes", BinaryType()),
+        StructField(
+            "media_meta",
+            StructType(
+                [
+                    StructField("format", StringType()),
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("n_frames", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministically synthesize a media payload column from text.
+
+    Stand-in for a real binary ingest (the container has no media files):
+    payload = UTF-8 bytes of the text; metadata derived from the byte length.
+    Everything is reproducible in SQL, which is what lets the decode stub be
+    oracle-checked end-to-end.
+    """
+    nbytes = F.octet_length(F.col(text_col))
+    return df.withColumns(
+        {
+            "media_bytes": F.encode(F.col(text_col), "UTF-8"),
+            "media_meta": F.struct(
+                F.lit("fake/raw").alias("format"),
+                (F.lit(16) + nbytes % 64).cast("int").alias("width"),
+                (F.lit(16) + (nbytes / 7).cast("int") % 64).cast("int").alias("height"),
+                (F.lit(1) + nbytes % 16).cast("int").alias("n_frames"),
+            ),
+        }
+    )
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("size_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def _decode_batch(batches: Iterator, id_name: str):  # pragma: no cover - executor side
+    import pandas as pd
+
+    try:
+        from PIL import Image  # noqa: F401
+
+        decoder = "pil"
+    except ImportError:
+        decoder = "fake"
+
+    for pdf in batches:
+        payload = pdf["media_bytes"]
+        sizes = payload.map(len)
+        if decoder == "pil":
+            # Real path (unused in this container): open bytes, read size.
+            import io
+
+            dims = payload.map(lambda b: Image.open(io.BytesIO(b)).size)
+            width = dims.map(lambda s: s[0])
+            height = dims.map(lambda s: s[1])
+        else:
+            # Deterministic fake decode from the byte stream itself.
+            width = 16 + sizes % 64
+            height = 16 + (sizes // 7) % 64
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf[id_name],
+                "size_bytes": sizes.astype("int64"),
+                "width": width.astype("int32"),
+                "height": height.astype("int32"),
+                "decoder": decoder,
+            }
+        )
+
+
+def decode_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode media payloads to (size, width, height) via ``mapInPandas``.
+
+    Arrow-batched; each batch is a pandas DataFrame with the binary column,
+    so a real decoder processes thousands of payloads per Python call.
+    The fake branch derives dimensions from byte length (SQL-reproducible for
+    the oracle); the PIL branch is the real-cluster path.
+    """
+    cols = df.select(F.col(id_col), "media_bytes")
+    return cols.mapInPandas(
+        lambda it: _decode_batch(it, id_col), schema=_DECODE_SCHEMA
+    )
+
+
+def sample_frames(df: DataFrame, every: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Frame-sampling plan for video payloads: one row per sampled frame.
+
+    Pure JVM-side plumbing (no decode): explodes ``sequence(0, n_frames-1,
+    every)`` from the metadata struct.  The downstream frame *decode* would
+    be another ``mapInPandas`` over (payload, frame_index) rows.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.col("media_meta.n_frames") - 1, F.lit(every))
+        ).alias("frame_index"),
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+``brute_force_topk`` is the exact baseline: broadcast the (small) query set,
+score every corpus row, window-rank per query.  Linear in corpus size with no
+shuffle of the corpus — the scan-heavy but 100 TB-shaped plan when the query
+set fits in a broadcast.
+
+``lsh_bucket_topk`` is the approximate scale path: random-hyperplane bucket
+signatures on both sides, candidates from the bucket equi-join (multi-probe
+over signature hamming-1 neighbors raises recall), exact cosine re-ranking
+within candidates.  An IVF variant is the same plan shape with learned
+centroids as the bucketer.
+
+All math is JVM-side (``zip_with`` + ``aggregate`` folds in double precision,
+deterministic left-to-right summation — reproducible across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column as SparkColumn
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: SparkColumn, b: SparkColumn, dim: int | None = None) -> SparkColumn:
+    """Elementwise dot product of two array columns (double).
+
+    With ``dim`` given, the sum is statically unrolled over ``element_at``
+    lookups.  Measured on local[32] at 64 dims the default ``zip_with`` +
+    ``aggregate`` fold is FASTER — the unrolled tree exceeds codegen method
+    limits and falls back to per-node interpretation — so hot paths use the
+    fold; the unrolled form is kept for narrow vectors.  Both sum
+    left-to-right, so results are bit-identical.
+    """
+    if dim is not None:
+        out = F.lit(0.0)
+        for i in range(1, dim + 1):
+            out = out + F.element_at(a, i) * F.element_at(b, i)
+        return out
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: SparkColumn, dim: int | None = None) -> SparkColumn:
+    return F.sqrt(dot(a, a, dim))
+
+
+def cosine(a: SparkColumn, b: SparkColumn) -> SparkColumn:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def unit(a: SparkColumn, dim: int | None = None) -> SparkColumn:
+    """L2-normalized copy of an array column.
+
+    Normalizing once per row turns per-pair cosine (three dot products) into
+    a single dot product — the difference between 3·n² and n + n² folds in
+    any pairwise stage.
+    """
+    if dim is not None:
+        n = l2_norm(a, dim)
+        return F.array(*[F.element_at(a, i) / n for i in range(1, dim + 1)])
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query: ``(query_id, vec_id, cos, rank)``.
+
+    ``queries`` must be small (it is broadcast); the corpus is scanned once,
+    never shuffled before the per-query rank.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        unit(F.col(vec_col).cast("array<double>")).alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        unit(F.col(vec_col).cast("array<double>")).alias("_cv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col("_qid").alias(query_id_col),
+        F.col("_cid").alias(id_col),
+        dot(F.col("_qv"), F.col("_cv")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane buckets + exact re-rank.
+
+    Candidates are corpus rows sharing the query's bucket or any hamming-1
+    neighbor bucket (multi-probe).  Returns the same schema as
+    :func:`brute_force_topk`; recall < 1 by design — the candidate join is a
+    keyed shuffle instead of a full scan per query.
+    """
+    from .dedup import _hyperplanes, _plane_signature
+
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_cv")
+    ).withColumn("_bucket", _plane_signature(F.col("_cv"), planes)).withColumn(
+        "_cv", unit(F.col("_cv"))
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).withColumn("_b0", _plane_signature(F.col("_qv"), planes)).withColumn(
+        "_qv", unit(F.col("_qv"))
+    )
+    # multi-probe: own bucket + flip each of the n_planes bits
+    probes = F.array_union(
+        F.array(F.col("_b0")),
+        F.array(
+            *[
+                F.col("_b0").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ]
+        ),
+    )
+    q = q.select("_qid", "_qv", F.explode(probes).alias("_bucket"))
+
+    scored = c.join(F.broadcast(q), "_bucket").select(
+        F.col("_qid").alias(query_id_col),
+        F.col("_cid").alias(id_col),
+        dot(F.col("_qv"), F.col("_cv")).alias("cos"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,112 @@
+"""Targeted tests for the table-level extension operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_dedup_covers_all_rows(spark, docs):
+    from dftly_spark.ops import exact_dedup
+
+    out = exact_dedup(docs, "text", "doc_id")
+    total = out.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == docs.count()
+
+
+def test_minhash_equals_exact_jaccard(spark, docs):
+    from dftly_spark.ops import minhash_dup_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r.id_l, r.id_r)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7).collect()
+    }
+    lsh = {
+        (r.id_l, r.id_r)
+        for r in minhash_dup_pairs(
+            docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.7
+        ).collect()
+    }
+    assert lsh == exact  # verify step makes precision 1.0; recall ≈ 1 at s≈0.97
+
+
+def test_simhash_pairs_are_near_dups(spark, docs):
+    from dftly_spark.ops import ngram_jaccard_pairs, simhash_dup_pairs
+
+    sim = {
+        (r.id_l, r.id_r)
+        for r in simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    # hamming<=3 simhash pairs should be genuinely similar documents
+    exact = {
+        (r.id_l, r.id_r)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5).collect()
+    }
+    assert sim <= exact
+    assert len(sim) > 0  # the planted duplicates collide
+
+
+def test_lsh_topk_recall_vs_brute(spark, emb):
+    from dftly_spark.ops import brute_force_topk, lsh_bucket_topk
+
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_bucket_topk(emb, queries, k=5).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    # every query returns candidates, and ANN finds at least part of the true top-5
+    for qid, truth in brute_sets.items():
+        assert len(approx_sets.get(qid, set()) & truth) >= 1
+
+
+def test_multimodal_decode_schema_and_values(spark, docs):
+    from dftly_spark.ops import attach_fake_media, decode_media_meta
+
+    out = decode_media_meta(attach_fake_media(docs, "text"), "doc_id")
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "size_bytes", "width", "height", "decoder",
+    ]
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r.decoder in ("fake", "pil") for r in rows)
+    assert all(16 <= r.width < 80 for r in rows)
+
+
+def test_frame_sampling(spark, docs):
+    from dftly_spark.ops import attach_fake_media, sample_frames
+
+    media = attach_fake_media(docs, "text")
+    frames = sample_frames(media, every=4, id_col="doc_id")
+    per_doc = frames.groupBy("doc_id").count()
+    meta = media.select("doc_id", F.col("media_meta.n_frames").alias("nf"))
+    joined = per_doc.join(meta, "doc_id").collect()
+    for r in joined:
+        assert r["count"] == (r.nf + 3) // 4
+
+
+def test_no_python_udf_in_text_paths(spark, docs):
+    """Text/hash operators must stay JVM-side (no BatchEvalPython)."""
+    from dftly_spark.ops import minhash_dup_pairs, quality_score, simhash64
+
+    plan = docs.select(simhash64(F.col("text")), quality_score(F.col("text")))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    plan2 = (
+        minhash_dup_pairs(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan2
