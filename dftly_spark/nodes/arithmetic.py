@@ -158,7 +158,7 @@ def _add_result_type(types: list[str]) -> str:
     if any(t == DT.DATETIME for t in types):
         return DT.DATETIME
     if any(t == DT.DATE for t in types) and any(t == DT.DURATION for t in types):
-        return DT.DATETIME
+        return DT.DATE  # Polars: Date + Duration stays Date
     if all(t == DT.DURATION for t in types):
         return DT.DURATION
     if any(DT.is_float(t) for t in types):
@@ -194,6 +194,13 @@ class Add(Node):
         cols = [a.to_column(ctx) for a in self.args]
         if any(t == DT.STR for t in types):
             return F.concat(*cols)
+        if any(t == DT.DATE for t in types) and any(t == DT.DURATION for t in types):
+            # Date + Duration stays a Date in Polars; Spark's date + interval
+            # promotes to timestamp, so shift through a timestamp and truncate.
+            cols = [
+                F.to_timestamp(c) if t == DT.DATE else c for c, t in zip(cols, types)
+            ]
+            return reduce(operator.add, cols).cast("date")
         return reduce(operator.add, cols)
 
 
@@ -213,6 +220,8 @@ class Subtract(Node):
         lt, rt = (a.out_type(ctx) for a in self.args)
         if lt in (DT.DATETIME, DT.DATE) and rt in (DT.DATETIME, DT.DATE):
             return DT.DURATION
+        if lt == DT.DATE and rt == DT.DURATION:
+            return DT.DATE
         if lt == DT.DATETIME or rt == DT.DATETIME:
             return DT.DATETIME
         if DT.is_float(lt) or DT.is_float(rt):
@@ -234,6 +243,8 @@ class Subtract(Node):
                 lc = F.to_timestamp(lc)
             if rt == DT.DATE:
                 rc = F.to_timestamp(rc)
+        elif lt == DT.DATE and rt == DT.DURATION:
+            return (F.to_timestamp(lc) - rc).cast("date")  # Date − Duration stays Date
         return lc - rc
 
 

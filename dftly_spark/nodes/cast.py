@@ -30,6 +30,41 @@ from .. import dtypes as DT
 from .base import LoweringContext, Node
 
 
+#: Widening order for integer tags (unsigned tags sit at their Spark-widened
+#: level, SURVEY §1.2).
+_INT_LEVEL = {
+    DT.I8: 1, DT.U8: 2, DT.I16: 2, DT.U16: 3, DT.I32: 3, DT.U32: 4, DT.I64: 4,
+    DT.U64: 4, DT.I128: 5,
+}
+
+
+def _cast_cannot_fail(src: str, dst: str) -> bool:
+    """True when `cast(src as dst)` never nulls a non-null input.
+
+    Lets strict casts skip the per-row raise_error guard — the guard roughly
+    doubles the expression cost and splits codegen, so eliding it on
+    infallible casts matters on wide scans.
+    """
+    if src == dst:
+        return True
+    if DT.is_int(src):
+        # widening int, any float, string, bool are all total from ints
+        if DT.is_int(dst):
+            return _INT_LEVEL[dst] >= _INT_LEVEL[src]
+        return DT.is_float(dst) or dst in (DT.STR, DT.BOOL)
+    if DT.is_float(src):
+        if dst == DT.F64 or dst == DT.STR or dst == DT.BOOL:
+            return True
+        return False  # float→int can overflow/NaN; f64→f32 overflows to inf? safe, but keep guarded
+    if src == DT.BOOL:
+        return DT.is_int(dst) or DT.is_float(dst) or dst == DT.STR
+    if src == DT.DATE:
+        return dst in (DT.STR, DT.DATETIME)
+    if src == DT.DATETIME:
+        return dst in (DT.STR, DT.DATE)
+    return False
+
+
 def _strict_guard(src: SparkColumn, out: SparkColumn, target: str, spark_type: str) -> SparkColumn:
     """Raise at runtime when a non-null value failed to convert (strict cast)."""
     err = F.raise_error(
@@ -180,6 +215,8 @@ class Cast(Node):
             return F.date_format(ts, "HH:mm:ss")
 
         spark_type = DT.SPARK_TYPE[tag]
+        if strict and _cast_cannot_fail(src_tag, tag):
+            return src.cast(spark_type)
         out = src.try_cast(spark_type)
         if strict:
             return _strict_guard(src, out, target_name, spark_type)

@@ -1,0 +1,97 @@
+"""Physical-plan quality checks — the 100 TB contract in test form.
+
+The reference surface must lower to pure Catalyst expressions: one
+whole-stage-codegen Project over the scan, column pruning reaching the
+parquet reader, filters pushed down, and no Python evaluation nodes.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dftly_spark import Parser
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_projection_prunes_columns(lineitem):
+    out = Parser.select(lineitem, {"revenue": "$l_extendedprice * (1 - $l_discount)"})
+    plan = _plan(out)
+    assert "ReadSchema: struct<l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_no_python_eval_on_reference_surface(lineitem):
+    spec = {
+        "revenue": "$l_extendedprice * (1 - $l_discount)",
+        "bucket": "'high' if $l_extendedprice > 30000 else 'low'",
+        "code": 'f"{$l_returnflag}//{$l_linestatus}"',
+        "y": "$l_shipdate::year_of_date",
+        "s": "$l_quantity::str",
+        "h": "hash($l_returnflag)",
+        "sub": "$l_returnflag[0:1]",
+        "m": "mean($l_discount, $l_tax)",
+    }
+    plan = _plan(Parser.select(lineitem, spec))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "*(1) Project" in plan  # the `*` marks a WholeStageCodegen stage
+
+
+def test_filter_pushdown_through_engine_exprs(spark, lineitem):
+    """A filter built from an engine expression reaches the parquet scan."""
+    pred = Parser.expr_to_spark("$l_quantity > 45", schema=lineitem)
+    out = lineitem.where(pred).select("l_orderkey")
+    plan = _plan(out)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+
+
+def test_safe_strict_cast_has_no_raise_guard(lineitem):
+    # int → string / long / double can never fail: no raise_error in the plan
+    out = Parser.select(
+        lineitem,
+        {"a": "$l_linenumber::str", "b": "$l_linenumber::int64", "c": "$l_linenumber::float64"},
+    )
+    assert "raise_error" not in _plan(out)
+
+
+def test_fallible_strict_cast_keeps_guard(lineitem):
+    out = Parser.select(lineitem, {"a": "$l_returnflag::float64"})
+    assert "raise_error" in _plan(out)
+    # and the non-strict spelling has no guard
+    out2 = Parser.select(lineitem, {"a": "$l_returnflag::?float64"})
+    assert "raise_error" not in _plan(out2)
+
+
+def test_single_project_over_scan(lineitem):
+    out = Parser.select(
+        lineitem,
+        {
+            "r": "$l_extendedprice * (1 - $l_discount)",
+            "b": "'h' if $l_quantity > 30 else 'l'",
+        },
+    )
+    plan = _plan(out)
+    # exactly one Project, no Exchange (shuffle) for a pure projection
+    assert plan.count("Project") == 1
+    assert "Exchange" not in plan
+
+
+def test_broadcast_join_in_ts_diff_query(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q13_ts_diff_totals"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
