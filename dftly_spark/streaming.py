@@ -1,0 +1,91 @@
+"""Structured Streaming integration.
+
+The reference has no streaming surface (SURVEY.md §2.3), but every dftly
+expression is row-wise and stateless, so a compiled spec applies to a
+streaming DataFrame unchanged — ``Parser.select``/``with_columns`` work on
+``spark.readStream`` frames as-is.  This module adds the pieces a streaming
+pipeline needs around the expressions:
+
+* :func:`stream_table` — a file-source stream over one of the testdata
+  tables (schema taken from the batch reader; the events table's
+  nanosecond-timestamp quirk handled the same way as batch).
+* :func:`apply_spec` — compile a dftly spec against the stream's schema and
+  project it (works for any streaming DataFrame).
+* :func:`tumbling_agg` — watermarked tumbling-window aggregation over
+  engine-projected columns: the standard late-data-tolerant shape
+  (``withWatermark`` → ``groupBy(window(...), keys)``).
+
+Scale notes: stateless projections add no state store; the windowed
+aggregation's state is bounded by the watermark horizon, and the shuffle key
+is (window, group keys) — the same keyed-shuffle discipline as the batch
+operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column as SparkColumn
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .parser import Parser
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream over a testdata parquet table (one-file-per-batch).
+
+    Uses the batch reader's schema; ``events.ts`` (TIMESTAMP(NANOS) parquet)
+    is read as a long and converted with exact integer division, mirroring
+    the batch path.
+    """
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/{name}.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # The file source requires a directory; expose single-file testdata
+        # tables through a symlink directory (read-only, no copy).
+        d = tempfile.mkdtemp(prefix=f"stream_{name}_")
+        os.symlink(path, os.path.join(d, f"{name}.parquet"))
+        path = d
+    df = spark.readStream.schema(schema).format("parquet").load(path)
+    if name == "events":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def apply_spec(df: DataFrame, spec) -> DataFrame:
+    """Project a dftly transformation spec over a (streaming) DataFrame."""
+    return Parser.select(df, spec)
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+    aggs: dict[str, SparkColumn] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation.
+
+    ``aggs`` maps output name → Spark aggregate Column (vertical aggregation
+    is deliberately outside the expression language, SURVEY.md §2.3; the
+    caller supplies it just as reference users do with Polars).  Defaults to
+    a row count.
+    """
+    keys = keys or []
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    grouped = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), *keys)
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+    )
+    return grouped.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *keys,
+        *aggs.keys(),
+    )

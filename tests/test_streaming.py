@@ -1,0 +1,85 @@
+"""Streaming integration: engine specs over readStream, batch-stream parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dftly_spark import Parser
+from dftly_spark.streaming import apply_spec, stream_table, tumbling_agg
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SPEC = {
+    "ev": "$event_id",
+    "etype": "$event_type",
+    "ts": "$ts",
+    "score": "$value * 2 + 1",
+    "bucket": "'hot' if $value > 10 else 'cold'",
+    "hour": "$ts::hour_of_day",
+}
+
+
+def _run_to_memory(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _batch_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def test_spec_projection_streams(spark):
+    stream = apply_spec(stream_table(spark, SF_DIR, "events"), SPEC)
+    assert stream.isStreaming
+    got = _run_to_memory(spark, stream, "stream_proj")
+    batch = Parser.select(_batch_events(spark), SPEC)
+    assert got.count() == batch.count()
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b
+
+
+def test_windowed_agg_matches_batch(spark):
+    stream = stream_table(spark, SF_DIR, "events")
+    projected = apply_spec(stream, {"ts": "$ts", "etype": "$event_type", "v": "$value"})
+    windowed = tumbling_agg(
+        projected,
+        "ts",
+        window="1 hour",
+        watermark="2 hours",
+        keys=["etype"],
+        aggs={"n": F.count(F.lit(1)), "total": F.sum("v")},
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("stream_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("stream_win").collect()}
+
+    batch = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            F.col("event_type").alias("etype"),
+            "n",
+            "total",
+        )
+    )
+    b = {tuple(r) for r in batch.collect()}
+    assert got == b
+    assert len(got) > 0
