@@ -592,6 +592,72 @@ _q(
 )
 
 
+_q(
+    "q23_casts_extended",
+    _spec_query(
+        "lineitem",
+        {
+            "ok": "$l_orderkey",
+            "ln": "$l_linenumber",
+            "u8": "$l_linenumber::uint8",
+            "u16": "$l_linenumber::uint16",
+            "u32": "$l_quantity::uint32",
+            "u64": "$l_linenumber::uint64",
+            "i8": "$l_linenumber::int8",
+            "i16": "$l_linenumber::int16",
+            "i128_str": "$l_linenumber::int128::str",
+        },
+    ),
+    """
+    SELECT l_orderkey AS ok, l_linenumber AS ln,
+           CAST(l_linenumber AS SMALLINT) AS u8,
+           CAST(l_linenumber AS INTEGER) AS u16,
+           CAST(TRUNC(l_quantity) AS BIGINT) AS u32,
+           CAST(l_linenumber AS BIGINT) AS u64,
+           CAST(l_linenumber AS TINYINT) AS i8,
+           CAST(l_linenumber AS SMALLINT) AS i16,
+           CAST(CAST(l_linenumber AS HUGEINT) AS VARCHAR) AS i128_str
+    FROM lineitem
+    """,
+)
+
+
+def _q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    # Expression-valued separator and non-constant regex pattern: both reach
+    # the engine's column-pattern fallback paths.
+    part = _t(spark, sf_dir, "part").withColumns(
+        {"sep": F.lit(" "), "pat": F.lit("[a-z]+")}
+    )
+    return Parser.select(
+        part,
+        {
+            "pk": "$p_partkey",
+            "words": {"split": {"source": {"column": "p_name"}, "by": {"column": "sep"}}},
+            "first_word": {
+                "regex_extract": {"pattern": {"column": "pat"}, "source": {"column": "p_name"}}
+            },
+            "has_word": {
+                "regex_match": {"pattern": {"column": "pat"}, "source": {"column": "p_name"}}
+            },
+        },
+    )
+
+
+_q(
+    "q24_dynamic_patterns",
+    _q24,
+    """
+    SELECT p_partkey AS pk,
+           string_split(p_name, ' ') AS words,
+           CASE WHEN regexp_matches(p_name, '[a-z]+')
+                THEN regexp_extract(p_name, '[a-z]+') END AS first_word,
+           regexp_matches(p_name, '[a-z]+') AS has_word
+    FROM part
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Extension operators (dedup / similarity / text analysis / multimodal)
 # ---------------------------------------------------------------------------
@@ -885,6 +951,21 @@ def _x11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Approximate ANN — recall < 1 by design; rows-only check.
 _q("x11_ann_lsh_topk", _x11, None)
+
+
+def _x12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops.similarity import ivf_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries_df, k=10, n_centroids=16, nprobe=4)
+
+
+# IVF is approximate (cell-probe recall < 1) — rows-only check.
+_q("x12_ivf_topk", _x12, None)
 
 
 # ---------------------------------------------------------------------------

@@ -98,6 +98,75 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    Centroids are a deterministic hash-ordered sample of corpus vectors (a
+    cheap stand-in for k-means — the plan shape is identical; swap in learned
+    centroids for better cell balance).  Every corpus row is assigned to its
+    nearest centroid cell; each query probes its ``nprobe`` nearest cells and
+    re-ranks candidates with the exact cosine.  The candidate join is a keyed
+    equi-join on cell id — the 100 TB shape — scanning ~``nprobe/n_centroids``
+    of the corpus per query instead of all of it.  Recall < 1 by design.
+    """
+    cents = [
+        [float(x) for x in r[1]]
+        for r in corpus.select(F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"), vec_col)
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    ]
+    # normalize centroids driver-side
+    cents = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in cents]
+
+    def cell_scores(vec: SparkColumn) -> SparkColumn:
+        u = unit(vec)
+        return F.array(
+            *[dot(u, F.array(*[F.lit(x) for x in c])) for c in cents]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    c = c.withColumn("_cell", F.array_position(cell_scores(F.col("_cv")), F.array_max(cell_scores(F.col("_cv")))))
+    c = c.withColumn("_cv", unit(F.col("_cv")))
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    # top-nprobe cells per query: sort (−score, cell-index) structs, slice.
+    ranked = F.array_sort(
+        F.zip_with(
+            cell_scores(F.col("_qv")),
+            F.sequence(F.lit(1), F.lit(len(cents))),
+            lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda st: st["cell"].cast("long"))
+    q = q.withColumn("_qv", unit(F.col("_qv"))).select(
+        "_qid", "_qv", F.explode(probes).alias("_cell")
+    )
+
+    scored = c.join(F.broadcast(q), "_cell").select(
+        F.col("_qid").alias(query_id_col),
+        F.col("_cid").alias(id_col),
+        dot(F.col("_qv"), F.col("_cv")).alias("cos"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
