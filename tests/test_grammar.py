@@ -202,6 +202,58 @@ def test_parse_errors(src, msg):
         assert msg in str(exc.value)
 
 
+def test_parenthesization_is_transparent():
+    """Wrapping any full expression in parens yields the identical tree."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True).filter(
+        lambda s: s not in {"and", "or", "not", "if", "else", "as", "in",
+                            "extract", "group", "of", "from", "true", "false"}
+    )
+
+    @st.composite
+    def exprs(draw, depth=2):
+        choice = draw(st.integers(0, 5 if depth > 0 else 1))
+        if choice == 0:
+            return f"${draw(names)}"
+        if choice == 1:
+            return str(draw(st.integers(0, 10**6)))
+        a = draw(exprs(depth=depth - 1))
+        b = draw(exprs(depth=depth - 1))
+        if choice == 2:
+            op = draw(st.sampled_from(["+", "-", "*", "/", "??", "**"]))
+            return f"{a} {op} {b}"
+        if choice == 3:
+            return f"coalesce({a}, {b})"
+        if choice == 4:
+            return f"{a}::float64"
+        return f"{a} if ({b} > 0)"
+
+    @given(exprs())
+    @settings(max_examples=150, deadline=None)
+    def check(e):
+        assert parse_str(f"({e})") == parse_str(e)
+
+    check()
+
+
+def test_parser_never_crashes_on_garbage():
+    """Arbitrary input either parses or raises ValueError — nothing else."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def check(s):
+        try:
+            parse_str(s)
+        except ValueError:
+            pass
+
+    check()
+
+
 def test_regex_binds_like_comparison():
     tree = parse_str("extract /(a)(b)/ from $bp if /(a)(b)/ in $bp")
     assert list(tree) == ["conditional"]
