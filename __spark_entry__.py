@@ -968,6 +968,30 @@ def _x12(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q("x12_ivf_topk", _x12, None)
 
 
+def _x13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops.sessions import sessionize
+
+    _prep(spark)
+    return sessionize(_t(spark, sf_dir, "events"), gap_micros=1_800_000_000)
+
+
+_q(
+    "x13_sessionize",
+    _x13,
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         b AS (SELECT event_id, user_id, us,
+                      lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+               FROM e)
+    SELECT event_id, user_id,
+           SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+             AS session_idx
+    FROM b
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -39,7 +39,17 @@ from .dedup import (
     simhash_dup_pairs,
     word_shingles,
 )
-from .similarity import brute_force_topk, cosine, dot, l2_norm, lsh_bucket_topk
+from .similarity import (
+    brute_force_topk,
+    cosine,
+    dot,
+    ivf_topk,
+    l2_norm,
+    lsh_bucket_topk,
+    unit,
+)
+from .scale import read_bucketed, salted_agg, write_bucketed
+from .sessions import sessionize, sessionize_stream
 from .multimodal import (
     MEDIA_SCHEMA,
     attach_fake_media,
@@ -54,6 +64,9 @@ __all__ = [
     "exact_dedup", "word_shingles", "minhash_signature", "minhash_dup_pairs",
     "simhash64", "simhash_dup_pairs", "ngram_jaccard_pairs",
     "embedding_dup_pairs",
-    "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket_topk",
+    "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "lsh_bucket_topk",
+    "ivf_topk",
+    "salted_agg", "write_bucketed", "read_bucketed",
+    "sessionize", "sessionize_stream",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames",
 ]

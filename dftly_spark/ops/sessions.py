@@ -1,0 +1,136 @@
+"""Sessionization: gap-based user sessions over an event stream.
+
+Two implementations of the same contract (events → per-event session index):
+
+* :func:`sessionize` — batch, pure window functions (lag + running sum of
+  gap-breaks).  Shuffles once on the user key; SQL-expressible, so it is
+  oracle-checked against DuckDB.
+* :func:`sessionize_stream` — streaming, custom stateful operator via
+  ``applyInPandasWithState``: per-user state carries (last event time,
+  current session index) across micro-batches.  This is the
+  arbitrary-stateful-processing escape hatch for semantics Spark's built-in
+  session windows don't cover; state size is O(1) per user and is the only
+  Python-touching path besides the multimodal decode stub.
+
+At 100 TB the batch form is a single keyed shuffle + per-partition sort; the
+streaming form's state store is partitioned by the group key, and the
+watermark-style timeout (not used here) would bound it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+GAP_MICROS_DEFAULT = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_micros: int = GAP_MICROS_DEFAULT,
+) -> DataFrame:
+    """Assign a per-user session index to every event (batch).
+
+    A new session starts at the first event and whenever the gap to the
+    previous event exceeds ``gap_micros``.  Returns
+    ``(id_col, user_col, session_idx)``.
+    """
+    order = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(F.col(ts_col)).over(order)
+    is_break = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_micros),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.sum(is_break).over(running).cast("bigint").alias("session_idx"),
+    )
+
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("session_idx", LongType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_micros", LongType()),
+        StructField("session_idx", LongType()),
+    ]
+)
+
+
+def _session_func(gap_micros: int):
+    def func(
+        key: Tuple[Any, ...], pdfs: Iterator, state: GroupState
+    ) -> Iterator:  # pragma: no cover - executor side
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            last_ts, idx = state.get
+        else:
+            last_ts, idx = None, 0
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev, ts in zip(pdf["event_id"], pdf["ts"]):
+                micros = int(pd.Timestamp(ts).value // 1000)
+                if last_ts is None or micros - last_ts > gap_micros:
+                    idx += 1
+                last_ts = micros
+                out_rows.append((int(ev), int(user_id), idx))
+        state.update((last_ts, idx))
+        yield pd.DataFrame(out_rows, columns=["event_id", "user_id", "session_idx"])
+
+    return func
+
+
+def sessionize_stream(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_micros: int = GAP_MICROS_DEFAULT,
+) -> DataFrame:
+    """Streaming sessionization with per-user state (``applyInPandasWithState``).
+
+    Same contract as :func:`sessionize`; state per user is (last event time,
+    session counter).  Events must arrive time-ordered per user across
+    micro-batches (within a batch they are sorted here); production use would
+    add a timeout to expire idle users' state.
+    """
+    cols = df.select(
+        F.col(id_col).alias("event_id"),
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+    )
+    return cols.groupBy("user_id").applyInPandasWithState(
+        _session_func(gap_micros),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
