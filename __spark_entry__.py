@@ -997,6 +997,64 @@ _q(
 # ---------------------------------------------------------------------------
 
 
+def _x14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning pipeline: quality gate + near-dup removal.
+
+    The composition these operators exist for — keep documents above a
+    quality threshold, then drop the higher-id member of every near-duplicate
+    pair (canonical-copy dedup) via a left-anti join.
+    """
+    from dftly_spark.ops import ngram_jaccard_pairs, quality_score, token_count
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tok"),
+    ).where((F.col("quality") >= 0.5) & (F.col("n_tok") >= 10))
+    dup_victims = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7).select(
+        F.col("id_r").alias("doc_id")
+    )
+    return (
+        scored.join(dup_victims, "doc_id", "left_anti")
+        .select("doc_id", "quality", "n_tok")
+    )
+
+
+_q(
+    "x14_corpus_clean_pipeline",
+    _x14,
+    f"""
+    WITH {_SHINGLE_CTE},
+    victims AS (
+      SELECT id_r AS doc_id
+      FROM shared JOIN sizes x ON x.doc_id = id_l JOIN sizes y ON y.doc_id = id_r
+      WHERE s::DOUBLE / (x.n + y.n - s) >= 0.7
+    ),
+    scored AS (
+      SELECT doc_id,
+             LEAST(CAST(length(text) AS DOUBLE), 400.0) / 400.0 * 0.4
+               + LEAST(CASE WHEN len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) > 0
+                   THEN len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE
+                     / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   ELSE 0.0 END * 5.0, 1.0) * 0.3
+               + (1.0 - LEAST(CASE WHEN length(text) > 0
+                   THEN len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]'))::DOUBLE / length(text)
+                   ELSE 0.0 END * 4.0, 1.0)) * 0.3 AS quality,
+             CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, quality, n_tok
+    FROM scored
+    WHERE quality >= 0.5 AND n_tok >= 10
+      AND doc_id NOT IN (SELECT doc_id FROM victims)
+    """,
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _DEFS["q22_flagship"][0](spark, "/root/testdata/sf0.001")

@@ -131,32 +131,39 @@ def ivf_topk(
     cents = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in cents]
 
     def cell_scores(vec: SparkColumn) -> SparkColumn:
-        u = unit(vec)
+        # Centroids are unit vectors, so argmax(dot) == argmax(cosine): no
+        # per-row normalization needed for cell assignment/probing.
         return F.array(
-            *[dot(u, F.array(*[F.lit(x) for x in c])) for c in cents]
+            *[dot(vec, F.array(*[F.lit(x) for x in c])) for c in cents]
         )
 
     c = corpus.select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_cv")
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        cell_scores(F.col(vec_col).cast("array<double>")).alias("_s"),
     )
-    c = c.withColumn("_cell", F.array_position(cell_scores(F.col("_cv")), F.array_max(cell_scores(F.col("_cv")))))
-    c = c.withColumn("_cv", unit(F.col("_cv")))
+    # Separate select so `_s` is computed once, not inlined per reference.
+    c = c.select(
+        "_cid",
+        unit(F.col("_cv")).alias("_cv"),
+        F.array_position(F.col("_s"), F.array_max(F.col("_s"))).alias("_cell"),
+    )
 
     q = queries.select(
-        F.col(query_id_col).alias("_qid"), F.col(vec_col).cast("array<double>").alias("_qv")
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        cell_scores(F.col(vec_col).cast("array<double>")).alias("_s"),
     )
     # top-nprobe cells per query: sort (−score, cell-index) structs, slice.
     ranked = F.array_sort(
         F.zip_with(
-            cell_scores(F.col("_qv")),
+            F.col("_s"),
             F.sequence(F.lit(1), F.lit(len(cents))),
             lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
         )
     )
     probes = F.transform(F.slice(ranked, 1, nprobe), lambda st: st["cell"].cast("long"))
-    q = q.withColumn("_qv", unit(F.col("_qv"))).select(
-        "_qid", "_qv", F.explode(probes).alias("_cell")
-    )
+    q = q.select("_qid", unit(F.col("_qv")).alias("_qv"), F.explode(probes).alias("_cell"))
 
     scored = c.join(F.broadcast(q), "_cell").select(
         F.col("_qid").alias(query_id_col),
