@@ -205,10 +205,14 @@ def ngram_jaccard_pairs(
     documents before the self-join — at web scale a handful of boilerplate
     shingles otherwise produce quadratic candidates.
     """
+    # Join on the 64-bit shingle hash, not the shingle text: the self-join
+    # shuffle carries 8-byte keys instead of strings.  Collisions would need
+    # two distinct shingles with equal xxhash64 (~n²/2⁶⁴) — negligible, and
+    # consistent on both sides of the count.
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
-    )
+    ).select("_id", F.xxhash64("_g").alias("_g"))
     if max_df is not None:
         keep = sh.groupBy("_g").count().where(F.col("count") <= max_df).select("_g")
         sh = sh.join(keep, "_g")
