@@ -17,8 +17,11 @@ from __future__ import annotations
 _CHRONO_TO_JAVA: dict[str, str | None] = {
     "Y": "yyyy",
     "y": "yy",
-    "G": "YYYY",  # ISO week-based year
-    "g": "YY",
+    # ISO week-based codes: Java has Y/ww/e letters but Spark >= 3.0 rejects
+    # week-based pattern letters at runtime (DATETIME_WEEK_BASED_PATTERN), so
+    # map to None for a clear lowering-time error instead of an executor crash.
+    "G": None,
+    "g": None,
     "C": None,  # century — no Java equivalent
     "q": "Q",
     "m": "MM",
@@ -30,11 +33,11 @@ _CHRONO_TO_JAVA: dict[str, str | None] = {
     "a": "EEE",
     "A": "EEEE",
     "w": None,  # weekday 0=Sun — no parse equivalent
-    "u": "e",  # ISO weekday 1=Mon
+    "u": None,  # ISO weekday — Java 'e' is week-based, rejected by Spark
     "j": "DDD",
     "U": None,
     "W": None,
-    "V": "ww",
+    "V": None,  # ISO week number — Java 'ww' is week-based, rejected by Spark
     "D": "MM/dd/yy",
     "x": None,  # locale date
     "F": "yyyy-MM-dd",

@@ -199,7 +199,10 @@ class Cast(Node):
 
         # Targets whose Polars cast semantics differ from Spark's cast.
         if tag == DT.TIME:
-            return self._cast_to_time(src, src_tag)
+            out = self._cast_to_time(src, src_tag)
+            if strict and src_tag == DT.STR:  # the only fallible time source
+                return _strict_guard(src, out, target_name, "bigint")
+            return out
         if tag == DT.DATETIME and DT.is_int(src_tag):
             return F.timestamp_micros(src.cast("bigint"))  # µs since epoch
         if tag == DT.DATE and DT.is_int(src_tag):
@@ -226,8 +229,10 @@ class Cast(Node):
         if src_tag == DT.TIME:
             return src
         if src_tag == DT.STR:
-            ts = F.to_timestamp(F.concat(F.lit("1970-01-01 "), src))
-            return F.unix_micros(ts)
+            # try_to_timestamp (nulls on bad input — strict guard applied by
+            # caller); midnight term cancels the session-timezone offset.
+            ts = F.try_to_timestamp(F.concat(F.lit("1970-01-01 "), src))
+            return F.unix_micros(ts) - F.unix_micros(F.to_timestamp(F.to_date(ts)))
         if src_tag == DT.DATETIME:
             midnight = F.to_timestamp(F.to_date(src))
             return F.unix_micros(src.cast("timestamp")) - F.unix_micros(midnight)

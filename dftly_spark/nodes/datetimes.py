@@ -35,9 +35,16 @@ MICROS = {
 
 
 def _interval_micros(iv: SparkColumn) -> SparkColumn:
-    """Total microseconds of a day-time interval, exactly."""
+    """Total microseconds of a day-time interval, exactly.
+
+    Computed as ``unix_micros(epoch + iv) - unix_micros(epoch)`` so the
+    session-timezone term cancels: ``unix_micros`` interprets a naive
+    timestamp in ``spark.sql.session.timeZone``, and under a non-UTC zone
+    the lone ``unix_micros(epoch + iv)`` would be shifted by the zone's
+    UTC offset.
+    """
     epoch = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
-    return F.unix_micros(epoch + iv)
+    return F.unix_micros(epoch + iv) - F.unix_micros(epoch)
 
 
 def _div_trunc(c: SparkColumn, n: int) -> SparkColumn:

@@ -318,9 +318,11 @@ class Strptime(Node):
             elif kind == "datetime":
                 out = F.try_to_timestamp(src, F.lit(java))
                 spark_t = "timestamp"
-            else:  # time → micros since midnight on 1970-01-01
+            else:  # time → micros since midnight (tz-invariant: the
+                # midnight term cancels the session-timezone offset that
+                # unix_micros alone would bake in; mirrors Cast._cast_to_time)
                 ts = F.try_to_timestamp(src, F.lit(java))
-                out = F.unix_micros(ts)
+                out = F.unix_micros(ts) - F.unix_micros(F.to_timestamp(F.to_date(ts)))
                 spark_t = "bigint"
 
         if self.strict:

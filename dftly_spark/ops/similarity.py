@@ -64,6 +64,22 @@ def unit(a: SparkColumn, dim: int | None = None) -> SparkColumn:
     return F.transform(a, lambda x: x / n)
 
 
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimension of an embedding column, with a clear failure mode.
+
+    Spark's ``ArrayType`` carries no length, so this has to look at a row;
+    callers that know the dimension should pass ``dim=`` instead and skip the
+    plan-build-time job this launches.
+    """
+    row = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if row is None or row[0] is None or len(row[0]) == 0:
+        raise ValueError(
+            f"cannot infer vector dimension: column {vec_col!r} has no non-null, "
+            "non-empty vectors — pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -184,6 +200,7 @@ def lsh_bucket_topk(
     k: int = 10,
     n_planes: int = 6,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane buckets + exact re-rank.
 
@@ -194,7 +211,8 @@ def lsh_bucket_topk(
     """
     from .dedup import _hyperplanes, _plane_signature
 
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
     planes = _hyperplanes(dim, n_planes, seed)
 
     c = corpus.select(
