@@ -522,18 +522,30 @@ _q(
     """,
 )
 
+def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    # split flows through the engine; the array is then projected to a
+    # delimited string caller-side because the driver's canonicalizer cannot
+    # hash array cells (pandas "unhashable type: list").  Element fidelity is
+    # preserved: \x1f cannot appear in the data.
+    out = Parser.select(
+        _t(spark, sf_dir, "part"),
+        {"pk": "$p_partkey", "words": "split($p_name, ' ')"},
+    )
+    return out.select(
+        "pk",
+        F.concat_ws("\x1f", "words").alias("words"),
+        F.size("words").cast("bigint").alias("n_splits"),
+    )
+
+
 _q(
     "q20_split",
-    _spec_query(
-        "part",
-        {
-            "pk": "$p_partkey",
-            "words": "split($p_name, ' ')",
-        },
-    ),
+    _q20,
     """
     SELECT p_partkey AS pk,
-           string_split(p_name, ' ') AS words
+           array_to_string(string_split(p_name, ' '), chr(31)) AS words,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_splits
     FROM part
     """,
 )
@@ -629,7 +641,7 @@ def _q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").withColumns(
         {"sep": F.lit(" "), "pat": F.lit("[a-z]+")}
     )
-    return Parser.select(
+    out = Parser.select(
         part,
         {
             "pk": "$p_partkey",
@@ -642,6 +654,9 @@ def _q24(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         },
     )
+    # Array → delimited string caller-side (driver canonicalizer can't hash
+    # array cells); the split itself still runs through the engine.
+    return out.withColumn("words", F.concat_ws("\x1f", "words"))
 
 
 _q(
@@ -649,7 +664,7 @@ _q(
     _q24,
     """
     SELECT p_partkey AS pk,
-           string_split(p_name, ' ') AS words,
+           array_to_string(string_split(p_name, ' '), chr(31)) AS words,
            CASE WHEN regexp_matches(p_name, '[a-z]+')
                 THEN regexp_extract(p_name, '[a-z]+') END AS first_word,
            regexp_matches(p_name, '[a-z]+') AS has_word
@@ -984,9 +999,9 @@ _q(
                       lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
                FROM e)
     SELECT event_id, user_id,
-           SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
-             AS session_idx
+             AS BIGINT) AS session_idx
     FROM b
     """,
 )
