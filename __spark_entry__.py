@@ -677,9 +677,18 @@ _q(
 # Extension operators (dedup / similarity / text analysis / multimodal)
 # ---------------------------------------------------------------------------
 
+#: Document-frequency cap passed to ngram_jaccard_pairs in x02/x14 and
+#: mirrored in the oracle.  A no-op at these scale factors (max DF is 25 at
+#: sf0.1) but keeps the hot-shingle guard in the *gated plan*: at web scale a
+#: single boilerplate shingle shared by m documents otherwise emits m²/2
+#: candidate pairs.
+_MAX_DF = 100
+
 #: Shared DuckDB CTE: distinct word-trigram shingle sets per document, the
-#: exact mirror of ops.dedup.word_shingles (n=3).
-_SHINGLE_CTE = r"""
+#: exact mirror of ops.dedup.ngram_jaccard_pairs' shingling (n=3), including
+#: the max_df hot-shingle cap (sizes are computed on the *full* sets; capped
+#: shingles only reduce shared counts — same as the Spark plan).
+_SHINGLE_CTE = rf"""
 ws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
        FROM documents),
 idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM ws WHERE len(w) >= 3),
@@ -688,8 +697,9 @@ sh AS (
   UNION SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM ws WHERE len(w) < 3
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+kept AS (SELECT doc_id, g FROM sh QUALIFY count(*) OVER (PARTITION BY g) <= {_MAX_DF}),
 shared AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS s
-           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
 """
 
 _JACCARD_ORACLE = f"""
@@ -723,7 +733,7 @@ def _x02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.7
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.7, max_df=_MAX_DF
     )
 
 
@@ -1029,9 +1039,9 @@ def _x14(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score(F.col("text")).alias("quality"),
         token_count(F.col("text")).alias("n_tok"),
     ).where((F.col("quality") >= 0.5) & (F.col("n_tok") >= 10))
-    dup_victims = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7).select(
-        F.col("id_r").alias("doc_id")
-    )
+    dup_victims = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.7, max_df=_MAX_DF
+    ).select(F.col("id_r").alias("doc_id"))
     return (
         scored.join(dup_victims, "doc_id", "left_anti")
         .select("doc_id", "quality", "n_tok")

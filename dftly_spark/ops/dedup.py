@@ -197,47 +197,104 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via a shingle inverted-index join.
+    """Exact Jaccard-similar pairs via a shingle inverted index.
 
     Returns ``(id_l, id_r, jaccard)`` with ``id_l < id_r`` and Jaccard ≥
-    ``threshold`` over distinct word ``n``-gram sets.  ``max_df`` (document
-    frequency cutoff) drops shingles occurring in more than that many
-    documents before the self-join — at web scale a handful of boilerplate
-    shingles otherwise produce quadratic candidates.
+    ``threshold`` over distinct word ``n``-gram sets.
+
+    Plan shape (one pass over the shingle index, three keyed shuffles —
+    no self-join, so the shingle explosion is computed once):
+
+    1. explode shingles, keyed by the 64-bit shingle hash (8-byte shuffle
+       keys; a collision needs two distinct shingles with equal xxhash64,
+       ~n²/2⁶⁴ — negligible), carrying each document's set size inline;
+    2. group by shingle → sorted id list (groups of size 1 are dropped
+       before any pair is generated);
+    3. per group, emit the C(d,2) ordered pairs via a two-level explode
+       (``posexplode`` + ``slice`` — codegen'd Generate operators, no
+       higher-order functions), then count shared shingles per pair.
+
+    ``max_df`` (document-frequency cutoff) drops shingles occurring in more
+    than that many documents *before* the pair stage — at web scale a single
+    boilerplate shingle shared by m documents otherwise emits m²/2 pairs.
+    Pass it for any corpus where the DF tail is unbounded; the resulting
+    jaccard is computed with the *full* set sizes, so capped values are a
+    lower bound on the true jaccard (shared counts only lose capped
+    shingles).  Default ``None`` = exact.
+
+    Shingle hashes are built with ``lead()`` over a per-document window
+    rather than the array higher-order functions of :func:`word_shingles`:
+    HOFs are interpreted (measured ~13 µs/shingle on this repo), while the
+    token explode + window + hash path stays in whole-stage codegen.  The
+    window's exchange on the document id is then *reused* by the
+    ``collect_set`` aggregation (hash partitioning on ``_id`` already
+    satisfies it), so the instance table is shuffled once.
     """
-    # Join on the 64-bit shingle hash, not the shingle text: the self-join
-    # shuffle carries 8-byte keys instead of strings.  Collisions would need
-    # two distinct shingles with equal xxhash64 (~n²/2⁶⁴) — negligible, and
-    # consistent on both sides of the count.
-    sh = df.select(
+    from pyspark.sql import Window
+
+    base = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
-    ).select("_id", F.xxhash64("_g").alias("_g"))
+        tokens(F.lower(F.col(text_col))).alias("_w"),
+    ).select("_id", "_w", F.size("_w").alias("_sz"))
+
+    win = Window.partitionBy("_id").orderBy("_p")
+    long_docs = (
+        base.where(F.col("_sz") >= n)
+        .select("_id", F.col("_sz"), F.posexplode("_w").alias("_p", "_t"))
+        .select(
+            "_id",
+            "_p",
+            "_sz",
+            F.xxhash64(*[F.lead("_t", j).over(win) if j else F.col("_t") for j in range(n)]).alias(
+                "_g"
+            ),
+        )
+        .where(F.col("_p") <= F.col("_sz") - n)
+        .groupBy("_id")
+        .agg(F.collect_set("_g").alias("_gs"))
+        .select("_id", F.size("_gs").alias("_n"), F.explode("_gs").alias("_g"))
+    )
+    # Documents shorter than n words contribute their whole text as a single
+    # shingle (same contract as word_shingles): no document vanishes.
+    short_docs = base.where(F.col("_sz") < n).select(
+        "_id", F.lit(1).alias("_n"), F.xxhash64(F.concat_ws(" ", "_w")).alias("_g")
+    )
+    sh = long_docs.unionByName(short_docs)
     if max_df is not None:
         keep = sh.groupBy("_g").count().where(F.col("count") <= max_df).select("_g")
         sh = sh.join(keep, "_g")
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    shared = (
-        sh.select(F.col("_id").alias("id_l"), "_g")
-        .join(sh.select(F.col("_id").alias("id_r"), "_g"), "_g")
-        .where(F.col("id_l") < F.col("id_r"))
-        .groupBy("id_l", "id_r")
-        .agg(F.count(F.lit(1)).alias("_shared"))
+    groups = (
+        sh.groupBy("_g")
+        .agg(F.sort_array(F.collect_list(F.struct("_id", "_n"))).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+        .select("_ids")
     )
-    out = (
-        shared.join(sizes.withColumnsRenamed({"_id": "id_l", "_n": "_nl"}), "id_l")
-        .join(sizes.withColumnsRenamed({"_id": "id_r", "_n": "_nr"}), "id_r")
+    pairs = (
+        groups.select(F.posexplode("_ids").alias("_pos", "_l"), F.col("_ids"))
         .select(
-            "id_l",
-            "id_r",
-            (
-                F.col("_shared").cast("double")
-                / (F.col("_nl") + F.col("_nr") - F.col("_shared"))
-            ).alias("jaccard"),
+            F.col("_l"),
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_pos") + 2, F.size("_ids") - F.col("_pos") - 1)
+            ).alias("_r"),
         )
-        .where(F.col("jaccard") >= threshold)
+        .groupBy(
+            F.col("_l._id").alias("id_l"),
+            F.col("_r._id").alias("id_r"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_shared"),
+            F.any_value(F.col("_l._n")).alias("_nl"),
+            F.any_value(F.col("_r._n")).alias("_nr"),
+        )
     )
-    return out
+    return pairs.select(
+        "id_l",
+        "id_r",
+        (
+            F.col("_shared").cast("double")
+            / (F.col("_nl") + F.col("_nr") - F.col("_shared"))
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
