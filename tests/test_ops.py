@@ -56,6 +56,41 @@ def test_simhash_pairs_are_near_dups(spark, docs):
     assert len(sim) > 0  # the planted duplicates collide
 
 
+def test_embedding_dup_lsh_equals_brute_on_planted_pairs(spark, emb):
+    """On a corpus with planted scaled copies (cos ≡ 1), LSH recall is
+    structurally 1.0 — brute and lsh must return identical pair sets."""
+    from dftly_spark.ops import embedding_dup_pairs
+
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    copies = base.where(F.col("vec_id") % 8 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    aug = base.unionByName(copies)
+    brute = {
+        (r.id_l, r.id_r)
+        for r in embedding_dup_pairs(
+            aug, "vec_id", "embedding", threshold=0.95, method="brute"
+        ).collect()
+    }
+    lsh = {
+        (r.id_l, r.id_r)
+        for r in embedding_dup_pairs(
+            aug, "vec_id", "embedding", threshold=0.95, method="lsh", dim=64
+        ).collect()
+    }
+    assert lsh == brute
+    assert len(brute) == base.where(F.col("vec_id") % 8 == 0).count()
+
+
+def test_embedding_dup_lsh_empty_input_raises_clearly(spark):
+    from dftly_spark.ops import embedding_dup_pairs
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="cannot infer vector dimension"):
+        embedding_dup_pairs(empty, "vec_id", "embedding", method="lsh")
+
+
 def test_lsh_topk_recall_vs_brute(spark, emb):
     from dftly_spark.ops import brute_force_topk, lsh_bucket_topk
 
