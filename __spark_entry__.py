@@ -759,13 +759,38 @@ def _x04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     return simhash_dup_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, token_hash="md5_60"
     )
 
 
-# SimHash fingerprints are engine-specific (xxhash64 bit votes) — no portable
-# SQL equivalent; the driver records the weaker rows-only check.
-_q("x04_simhash_pairs", _x04, None)
+# Portable-hash SimHash (md5-derived 60-bit token hashes) lets DuckDB
+# recompute the exact fingerprints.  The oracle finds hamming<=3 pairs by
+# brute force over all fingerprint pairs, so it also checks the *recall* of
+# the banded pigeonhole join, not just its precision.
+_q(
+    "x04_simhash_pairs",
+    _x04,
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::UBIGINT AS h FROM tok
+    ), votes AS (
+      SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) bits
+      GROUP BY doc_id, i
+    ), fp AS (
+      SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END)::UBIGINT AS fp
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """,
+)
 
 
 def _x05(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,11 +1019,61 @@ def _x11(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_bucket_topk(emb, queries_df, k=10)
+    return lsh_bucket_topk(emb, queries_df, k=10, n_planes=6, seed=42, dim=64)
 
 
-# Approximate ANN — recall < 1 by design; rows-only check.
-_q("x11_ann_lsh_topk", _x11, None)
+def _x11_oracle() -> str:
+    """Full DuckDB mirror of lsh_bucket_topk(n_planes=6, seed=42).
+
+    The seeded hyperplanes are deterministic, so they are inlined as SQL
+    literals and DuckDB re-runs the *same algorithm* — sign buckets,
+    hamming-1 multi-probe, exact cosine re-rank — end to end.  Float dots
+    are bit-identical because both engines fold left-to-right
+    (list_dot_product ≡ the zip_with/aggregate fold).
+    """
+    from dftly_spark.ops.dedup import _hyperplanes
+
+    planes = _hyperplanes(64, 6, 42)
+    rows = ",\n      ".join(
+        f"({i}, {p!r}::DOUBLE[])" for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH planes(i, p) AS (VALUES
+      {rows}),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+      SELECT c.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(c.v, planes.p) > 0
+                           THEN (1::BIGINT << planes.i) ELSE 0 END) AS BIGINT) AS bucket
+      FROM c CROSS JOIN planes GROUP BY c.vec_id
+    ),
+    u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v FROM c),
+    q AS (SELECT vec_id AS query_id, bucket AS b0 FROM buckets WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id,
+             CASE WHEN j = 0 THEN b0
+                  ELSE CAST(xor(b0::UBIGINT, (1::UBIGINT << (j - 1))) AS BIGINT) END AS bucket
+      FROM q CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS j) js
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, b2.vec_id
+      FROM probes p JOIN buckets b2 ON b2.bucket = p.bucket
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, list_dot_product(qu.v, cu.v) AS cos
+      FROM cand
+      JOIN u qu ON qu.vec_id = cand.query_id
+      JOIN u cu ON cu.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """
+
+
+_q("x11_ann_lsh_topk", _x11, _x11_oracle())
 
 
 def _x12(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1009,11 +1084,56 @@ def _x12(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries_df, k=10, n_centroids=16, nprobe=4)
+    return ivf_topk(emb, queries_df, k=10, n_centroids=16, nprobe=4, strategy="first")
 
 
-# IVF is approximate (cell-probe recall < 1) — rows-only check.
-_q("x12_ivf_topk", _x12, None)
+# Full DuckDB mirror of ivf_topk(strategy="first"): the centroids are the 16
+# lowest-id corpus vectors (unit-normalized), so the oracle derives them from
+# the data and replays the whole index — cell assignment (argmax dot,
+# lowest-cell tie-break), nprobe probing, exact cosine re-rank.  Float dots
+# are bit-identical (sequential fold ≡ list_dot_product).  kmeans centroids
+# are exercised by tests/test_ops.py instead (recall vs brute).
+_q(
+    "x12_ivf_topk",
+    _x12,
+    """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cell,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+      FROM c
+      QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
+    ),
+    scores AS (
+      SELECT c.vec_id, cents.cell, list_dot_product(c.v, cents.cv) AS s
+      FROM c CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM scores
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM scores WHERE vec_id < 5
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) <= 4
+    ),
+    u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v FROM c),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, list_dot_product(qu.v, cu.v) AS cos
+      FROM cand
+      JOIN u qu ON qu.vec_id = cand.query_id
+      JOIN u cu ON cu.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
 
 
 def _x13(spark: SparkSession, sf_dir: str) -> DataFrame:

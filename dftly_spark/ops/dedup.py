@@ -343,29 +343,48 @@ def simhash_dup_pairs(
     *,
     max_hamming: int = 3,
     max_bucket_size: int = 1000,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash hamming distance ≤ ``max_hamming``.
 
-    Returns ``(id_l, id_r, hamming)``.  Fingerprints are banded into 4×16-bit
+    Returns ``(id_l, id_r, hamming)``.  Fingerprints are banded into 4
     chunks: any pair within hamming ≤ 3 agrees exactly on at least one chunk
     (pigeonhole), so candidates come from an equi-join on (chunk index,
     chunk value) and are then verified with ``bit_count(xor)``.
+
+    ``token_hash``: ``"xxhash64"`` (default — fastest, 64-bit fingerprints)
+    or ``"md5_60"`` (60-bit fingerprints from the first 15 hex chars of
+    md5).  md5 is engine-portable — DuckDB/Postgres/Trino compute the same
+    digest — so an external system can recompute the fingerprints and
+    verify the pipeline end-to-end (the x04 driver oracle does exactly
+    that); xxhash64 values are Spark-specific.
     """
-    # Explode + 64 codegen'd sum-aggregates: one token-hash pass, map-side
-    # partial aggregation, 64 longs per document over the shuffle.  (The
+    if token_hash == "xxhash64":
+        nbits, hash_col = 64, F.xxhash64("_t")
+    elif token_hash == "md5_60":
+        # 15 hex chars = 60 bits < 2^63: conv() stays exact in a signed long.
+        nbits = 60
+        hash_col = F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
+    band_bits = nbits // 4
+    band_mask = (1 << band_bits) - 1
+
+    # Explode + nbits codegen'd sum-aggregates: one token-hash pass, map-side
+    # partial aggregation, nbits longs per document over the shuffle.  (The
     # expression form `simhash64` computes the same fingerprint but runs as
     # an interpreted higher-order fold — fine per-row, slow per-corpus.)
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", hash_col)
     vote_aggs = [
         F.sum(F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     votes = ex.groupBy("_id").agg(*vote_aggs)
     fp_col = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(nbits):
         weight = (1 << i) if i < 63 else -(1 << 63)
         fp_col = fp_col + F.when(F.col(f"_b{i}") > 0, F.lit(weight).cast("long")).otherwise(
             F.lit(0).cast("long")
@@ -379,8 +398,8 @@ def simhash_dup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("_fp"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("_fp"), b * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("bucket"),
                     )
                     for b in range(4)

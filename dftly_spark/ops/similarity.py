@@ -114,6 +114,83 @@ def brute_force_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 5,
+    init: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Lloyd's k-means over an embedding column; returns unit centroids.
+
+    Each iteration is two distributed steps — assign (argmax dot against the
+    current centroid literals) and update (posexplode + groupBy(cell, dim)
+    avg, a map-side-combinable aggregation whose output is ``k×dim`` rows) —
+    with only the tiny centroid matrix ever collected to the driver.  Empty
+    cells keep their previous centroid.
+    """
+    if init is None:
+        init = [
+            [float(x) for x in r[1]]
+            for r in corpus.select(
+                F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"), vec_col
+            )
+            .orderBy("_h")
+            .limit(n_centroids)
+            .collect()
+        ]
+    cents = [_unit_list(c) for c in init]
+    base = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    for _ in range(iters):
+        scores = _cell_scores_col(F.col("_v"), cents)
+        assigned = base.select(
+            "_v", F.array_position(scores, F.array_max(scores)).alias("_cell")
+        )
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("_cell", "_i")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["_cell"]), {})[int(r["_i"])] = float(r["_m"])
+        new = []
+        for ci in range(1, len(cents) + 1):
+            if ci in by_cell:
+                d = by_cell[ci]
+                new.append(_unit_list([d[i] for i in sorted(d)]))
+            else:
+                new.append(cents[ci - 1])
+        cents = new
+    return cents
+
+
+def _unit_list(c: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(v * v for v in c))
+    return [x / n for x in c] if n else c
+
+
+def _cell_scores_col(vec: SparkColumn, cents: list[list[float]]) -> SparkColumn:
+    """array<double> of dot(vec, centroid_i) — one expression over a 2-D
+    centroid literal, so the plan carries two small trees instead of
+    ``n_centroids`` separate fold columns (compiles fast; the fold itself is
+    an interpreted HOF either way).  Fold order matches DuckDB's
+    ``list_dot_product`` bit-for-bit."""
+    cents2d = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    return F.transform(
+        cents2d,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        ),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -125,33 +202,56 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    strategy: str = "first",
+    kmeans_iters: int = 5,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
-    Centroids are a deterministic hash-ordered sample of corpus vectors (a
-    cheap stand-in for k-means — the plan shape is identical; swap in learned
-    centroids for better cell balance).  Every corpus row is assigned to its
-    nearest centroid cell; each query probes its ``nprobe`` nearest cells and
-    re-ranks candidates with the exact cosine.  The candidate join is a keyed
-    equi-join on cell id — the 100 TB shape — scanning ~``nprobe/n_centroids``
-    of the corpus per query instead of all of it.  Recall < 1 by design.
+    Every corpus row is assigned to its nearest centroid cell; each query
+    probes its ``nprobe`` nearest cells and re-ranks candidates with the
+    exact cosine.  The candidate join is a keyed equi-join on cell id — the
+    100 TB shape — scanning ~``nprobe/n_centroids`` of the corpus per query
+    instead of all of it.  Recall < 1 by design.
+
+    ``strategy`` picks the centroids:
+
+    * ``"first"`` — the ``n_centroids`` lowest-id corpus vectors,
+      unit-normalized.  Fully deterministic and expressible in plain SQL, so
+      an external engine can replay the whole index (the x12 driver oracle
+      does); centroid quality is whatever the data order gives.
+    * ``"sample"`` — deterministic hash-ordered sample (seeded; spreads
+      centroids independent of data order).
+    * ``"kmeans"`` — :func:`kmeans_centroids` from the sample init
+      (``kmeans_iters`` Lloyd iterations); best cell balance/recall,
+      costs ``2×iters`` extra distributed jobs at build time.
     """
-    cents = [
-        [float(x) for x in r[1]]
-        for r in corpus.select(F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"), vec_col)
-        .orderBy("_h")
-        .limit(n_centroids)
-        .collect()
-    ]
-    # normalize centroids driver-side
-    cents = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in cents]
+    if strategy == "first":
+        rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+        cents = [_unit_list([float(x) for x in r[1]]) for r in rows]
+    elif strategy == "sample":
+        rows = (
+            corpus.select(F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"), vec_col)
+            .orderBy("_h")
+            .limit(n_centroids)
+            .collect()
+        )
+        cents = [_unit_list([float(x) for x in r[1]]) for r in rows]
+    elif strategy == "kmeans":
+        cents = kmeans_centroids(
+            corpus,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            iters=kmeans_iters,
+            id_col=id_col,
+            seed=seed,
+        )
+    else:
+        raise ValueError(f"unknown centroid strategy {strategy!r}")
 
     def cell_scores(vec: SparkColumn) -> SparkColumn:
         # Centroids are unit vectors, so argmax(dot) == argmax(cosine): no
         # per-row normalization needed for cell assignment/probing.
-        return F.array(
-            *[dot(vec, F.array(*[F.lit(x) for x in c])) for c in cents]
-        )
+        return _cell_scores_col(vec, cents)
 
     c = corpus.select(
         F.col(id_col).alias("_cid"),

@@ -110,6 +110,46 @@ def test_lsh_topk_recall_vs_brute(spark, emb):
         assert len(approx_sets.get(qid, set()) & truth) >= 1
 
 
+def test_ivf_kmeans_recall_on_clustered_data(spark):
+    """On genuinely clustered data (the case IVF exists for), learned
+    centroids recover the cluster structure: nprobe=2 of 8 cells must find
+    nearly all true neighbors, and beat the arbitrary first-N centroids."""
+    import numpy as np
+
+    from dftly_spark.ops import brute_force_topk
+    from dftly_spark.ops.similarity import ivf_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 16) * 3
+    points = np.concatenate(
+        [c + rng.randn(50, 16) * 0.15 for c in centers]
+    )  # 400 points in 8 tight clusters
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in points[i]]) for i in range(len(points))],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = df.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {}
+    for r in brute_force_topk(df, queries, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(strategy):
+        out = ivf_topk(
+            df, queries, k=5, n_centroids=8, nprobe=2, strategy=strategy, kmeans_iters=4
+        ).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = sum(len(per_q.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r_kmeans = recall("kmeans")
+    assert r_kmeans >= 0.9
+    assert r_kmeans >= recall("first")
+
+
 def test_multimodal_decode_schema_and_values(spark, docs):
     from dftly_spark.ops import attach_fake_media, decode_media_meta
 
