@@ -98,17 +98,48 @@ def minhash_signature(shingles_col: SparkColumn, k: int = 32) -> SparkColumn:
     )
 
 
-def _minhash_signatures_df(base: DataFrame, k: int) -> DataFrame:
-    """(_id, _sig) via explode + groupBy-min — whole-stage-codegen'd hash
-    aggregation with map-side partial min, so the shuffle carries k longs per
-    document regardless of document size."""
-    ex = base.select("_id", F.explode("_sh").alias("_g"))
-    aggs = [F.min(F.xxhash64(F.col("_g"), F.lit(i))).alias(f"_m{i}") for i in range(k)]
-    return (
-        ex.groupBy("_id")
-        .agg(*aggs)
-        .select("_id", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("_sig"))
+def _shingle_instance_frames(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Codegen-friendly shingle-hash instances, split by document length.
+
+    Returns ``(long_inst, short_rows)``:
+
+    * ``long_inst`` — ``(_id, _g)`` rows, one per word ``n``-gram occurrence
+      (non-distinct), built with ``lead()`` over a per-document window: the
+      token explode + window + ``xxhash64`` path stays in whole-stage codegen
+      (array higher-order functions are interpreted — measured ~13 µs/shingle
+      in this repo).  The frame is hash-partitioned by ``_id``, so a
+      downstream ``groupBy("_id")`` reuses the window's exchange.
+    * ``short_rows`` — ``(_id, _g)`` one row per document shorter than ``n``
+      words, whose whole text is its single shingle (no document vanishes).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        tokens(F.lower(F.col(text_col))).alias("_w"),
+    ).select("_id", "_w", F.size("_w").alias("_sz"))
+
+    win = Window.partitionBy("_id").orderBy("_p")
+    long_inst = (
+        base.where(F.col("_sz") >= n)
+        .select("_id", F.col("_sz"), F.posexplode("_w").alias("_p", "_t"))
+        .select(
+            "_id",
+            "_p",
+            "_sz",
+            F.xxhash64(
+                *[F.lead("_t", j).over(win) if j else F.col("_t") for j in range(n)]
+            ).alias("_g"),
+        )
+        .where(F.col("_p") <= F.col("_sz") - n)
+        .select("_id", "_g")
     )
+    short_rows = base.where(F.col("_sz") < n).select(
+        "_id", F.xxhash64(F.concat_ws(" ", "_w")).alias("_g")
+    )
+    return long_inst, short_rows
 
 
 def _band_buckets(sig_col: SparkColumn, bands: int, rows: int) -> SparkColumn:
@@ -145,16 +176,32 @@ def minhash_dup_pairs(
     Jaccard ≥ ``threshold``.  With ``bands=16, rows=2`` the candidate recall
     at s=0.7 is 1-(1-s²)^16 ≈ 0.9999; every candidate is then verified with
     the exact Jaccard, so precision is 1.0 by construction.
+
+    One per-document aggregation computes the shingle *set* and all ``k``
+    minhash permutations together (map-side-combinable mins over the
+    codegen'd shingle-hash instances; the min over occurrences equals the
+    min over the set).  The shuffle carries ``k`` longs + the hashed set per
+    document; the verify join ships 8-byte shingle hashes, not strings.
     """
     rows = k // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), n).alias("_sh"),
-    ).where(F.size("_sh") > 0)
-    # The banded frame carries only (id, band, bucket) — shingle arrays would
+    long_inst, short_rows = _shingle_instance_frames(df, id_col, text_col, n)
+    min_aggs = [
+        F.min(F.xxhash64(F.col("_g"), F.lit(i))).alias(f"_m{i}") for i in range(k)
+    ]
+    per_doc_long = long_inst.groupBy("_id").agg(
+        F.collect_set("_g").alias("_gs"), *min_aggs
+    )
+    per_doc_short = short_rows.select(
+        "_id",
+        F.array("_g").alias("_gs"),
+        *[F.xxhash64(F.col("_g"), F.lit(i)).alias(f"_m{i}") for i in range(k)],
+    )
+    per_doc = per_doc_long.unionByName(per_doc_short)
+    sig = F.array(*[F.col(f"_m{i}") for i in range(k)])
+    # The banded frame carries only (id, band, bucket) — shingle sets would
     # be duplicated `bands`× through the explode and shuffle otherwise.
-    sigs = _minhash_signatures_df(base, k).select(
-        "_id", F.explode(_band_buckets(F.col("_sig"), bands, rows)).alias("_bb")
+    sigs = per_doc.select(
+        "_id", F.explode(_band_buckets(sig, bands, rows)).alias("_bb")
     ).select("_id", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket"))
 
     # Skew cap: drop pathological buckets before the quadratic self-join.
@@ -170,10 +217,12 @@ def minhash_dup_pairs(
         .dropDuplicates(["id_l", "id_r"])
     )
     # Exact-Jaccard verification: join the slim candidate pairs back to the
-    # shingle sets (each document's array shipped once per side).
+    # hashed shingle sets (each document's 8-byte-element array shipped once
+    # per side).
+    sets = per_doc.select("_id", "_gs")
     cand = cand.join(
-        base.select(F.col("_id").alias("id_l"), F.col("_sh").alias("_sh_l")), "id_l"
-    ).join(base.select(F.col("_id").alias("id_r"), F.col("_sh").alias("_sh_r")), "id_r")
+        sets.select(F.col("_id").alias("id_l"), F.col("_gs").alias("_sh_l")), "id_l"
+    ).join(sets.select(F.col("_id").alias("id_r"), F.col("_gs").alias("_sh_r")), "id_r")
     jac = F.size(F.array_intersect("_sh_l", "_sh_r")).cast("double") / F.size(
         F.array_union("_sh_l", "_sh_r")
     )
@@ -222,43 +271,17 @@ def ngram_jaccard_pairs(
     lower bound on the true jaccard (shared counts only lose capped
     shingles).  Default ``None`` = exact.
 
-    Shingle hashes are built with ``lead()`` over a per-document window
-    rather than the array higher-order functions of :func:`word_shingles`:
-    HOFs are interpreted (measured ~13 µs/shingle on this repo), while the
-    token explode + window + hash path stays in whole-stage codegen.  The
-    window's exchange on the document id is then *reused* by the
-    ``collect_set`` aggregation (hash partitioning on ``_id`` already
-    satisfies it), so the instance table is shuffled once.
+    Shingle hashes come from :func:`_shingle_instance_frames` (codegen'd
+    window-lead construction; its ``_id`` partitioning is reused by the
+    ``collect_set`` aggregation, so the instance table is shuffled once).
     """
-    from pyspark.sql import Window
-
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        tokens(F.lower(F.col(text_col))).alias("_w"),
-    ).select("_id", "_w", F.size("_w").alias("_sz"))
-
-    win = Window.partitionBy("_id").orderBy("_p")
+    long_inst, short_rows = _shingle_instance_frames(df, id_col, text_col, n)
     long_docs = (
-        base.where(F.col("_sz") >= n)
-        .select("_id", F.col("_sz"), F.posexplode("_w").alias("_p", "_t"))
-        .select(
-            "_id",
-            "_p",
-            "_sz",
-            F.xxhash64(*[F.lead("_t", j).over(win) if j else F.col("_t") for j in range(n)]).alias(
-                "_g"
-            ),
-        )
-        .where(F.col("_p") <= F.col("_sz") - n)
-        .groupBy("_id")
+        long_inst.groupBy("_id")
         .agg(F.collect_set("_g").alias("_gs"))
         .select("_id", F.size("_gs").alias("_n"), F.explode("_gs").alias("_g"))
     )
-    # Documents shorter than n words contribute their whole text as a single
-    # shingle (same contract as word_shingles): no document vanishes.
-    short_docs = base.where(F.col("_sz") < n).select(
-        "_id", F.lit(1).alias("_n"), F.xxhash64(F.concat_ws(" ", "_w")).alias("_g")
-    )
+    short_docs = short_rows.select("_id", F.lit(1).alias("_n"), "_g")
     sh = long_docs.unionByName(short_docs)
     if max_df is not None:
         keep = sh.groupBy("_g").count().where(F.col("count") <= max_df).select("_g")
