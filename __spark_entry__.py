@@ -948,13 +948,12 @@ _q(
 
 
 def _x08(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import doc_fingerprint
+    from dftly_spark.ops import doc_fingerprints
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    fp = doc_fingerprint(F.col("text"), n=3, k=8)
-    return docs.select(
-        F.col("doc_id"), F.size(fp).cast("bigint").alias("fp_len")
+    return doc_fingerprints(docs, "doc_id", "text", n=3, k=8).select(
+        "doc_id", F.size("fingerprint").cast("bigint").alias("fp_len")
     )
 
 
@@ -1156,6 +1155,86 @@ _q(
              OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
              AS BIGINT) AS session_idx
     FROM b
+    """,
+)
+
+
+def _x15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import repetition_signals
+
+    _prep(spark)
+    return repetition_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_q(
+    "x15_repetition_signals",
+    _x15,
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), ex AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM base
+    ), tok AS (
+      SELECT doc_id, w[p] AS t, CASE WHEN p < len(w) THEN w[p + 1] END AS t2 FROM ex
+    ), wc AS (
+      SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+    ), words AS (
+      SELECT doc_id, sum(c) AS n_words,
+             sum(c * length(t))::DOUBLE / sum(c) AS mean_word_len,
+             count(*)::DOUBLE / sum(c) AS ttr,
+             max(c)::DOUBLE / sum(c) AS top_word_frac
+      FROM wc GROUP BY doc_id
+    ), gc AS (
+      SELECT doc_id, t, t2, count(*) AS c FROM tok WHERE t2 IS NOT NULL
+      GROUP BY doc_id, t, t2
+    ), grams AS (
+      SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac FROM gc GROUP BY doc_id
+    )
+    SELECT words.doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len, ttr,
+           top_word_frac, COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM words LEFT JOIN grams ON words.doc_id = grams.doc_id
+    """,
+)
+
+
+def _x16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: odd-id docs are the 'new batch', even-id
+    docs the already-indexed corpus; find new docs duplicating the corpus."""
+    from dftly_spark.ops import cross_corpus_dup_pairs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    return cross_corpus_dup_pairs(
+        new_batch, corpus, "doc_id", "text", n=3, threshold=0.7
+    )
+
+
+_q(
+    "x16_incremental_dedup",
+    _x16,
+    r"""
+    WITH ws AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM ws WHERE len(w) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS g FROM idx
+      UNION SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM ws WHERE len(w) < 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS s
+      FROM sh a JOIN sh b ON a.g = b.g
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      GROUP BY 1, 2
+    )
+    SELECT new_id, corpus_id, s::DOUBLE / (x.n + y.n - s) AS jaccard
+    FROM shared JOIN sizes x ON x.doc_id = new_id JOIN sizes y ON y.doc_id = corpus_id
+    WHERE s::DOUBLE / (x.n + y.n - s) >= 0.7
     """,
 )
 

@@ -21,6 +21,8 @@ Design rules (SURVEY.md §7.3, the 100 TB contract):
 from .textops import (
     bpe_token_count,
     doc_fingerprint,
+    doc_fingerprints,
+    repetition_signals,
     language_id,
     normalize_text,
     punct_ratio,
@@ -30,6 +32,7 @@ from .textops import (
     tokens,
 )
 from .dedup import (
+    cross_corpus_dup_pairs,
     embedding_dup_pairs,
     exact_dedup,
     minhash_dup_pairs,
@@ -61,8 +64,10 @@ __all__ = [
     "tokens", "token_count", "bpe_token_count", "normalize_text",
     "stopword_ratio", "punct_ratio", "quality_score", "language_id",
     "doc_fingerprint",
+    "doc_fingerprints",
+    "repetition_signals",
     "exact_dedup", "word_shingles", "minhash_signature", "minhash_dup_pairs",
-    "simhash64", "simhash_dup_pairs", "ngram_jaccard_pairs",
+    "simhash64", "simhash_dup_pairs", "ngram_jaccard_pairs", "cross_corpus_dup_pairs",
     "embedding_dup_pairs",
     "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk",

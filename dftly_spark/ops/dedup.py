@@ -159,6 +159,27 @@ def _band_buckets(sig_col: SparkColumn, bands: int, rows: int) -> SparkColumn:
     )
 
 
+def _minhash_per_doc(
+    df: DataFrame, id_col: str, text_col: str, n: int, k: int
+) -> DataFrame:
+    """``(_id, _gs, _m0.._m{k-1})`` — hashed shingle set + k minhash
+    permutations, computed in one per-document aggregation (the min over
+    shingle occurrences equals the min over the set)."""
+    long_inst, short_rows = _shingle_instance_frames(df, id_col, text_col, n)
+    min_aggs = [
+        F.min(F.xxhash64(F.col("_g"), F.lit(i))).alias(f"_m{i}") for i in range(k)
+    ]
+    per_doc_long = long_inst.groupBy("_id").agg(
+        F.collect_set("_g").alias("_gs"), *min_aggs
+    )
+    per_doc_short = short_rows.select(
+        "_id",
+        F.array("_g").alias("_gs"),
+        *[F.xxhash64(F.col("_g"), F.lit(i)).alias(f"_m{i}") for i in range(k)],
+    )
+    return per_doc_long.unionByName(per_doc_short)
+
+
 def minhash_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -184,19 +205,7 @@ def minhash_dup_pairs(
     document; the verify join ships 8-byte shingle hashes, not strings.
     """
     rows = k // bands
-    long_inst, short_rows = _shingle_instance_frames(df, id_col, text_col, n)
-    min_aggs = [
-        F.min(F.xxhash64(F.col("_g"), F.lit(i))).alias(f"_m{i}") for i in range(k)
-    ]
-    per_doc_long = long_inst.groupBy("_id").agg(
-        F.collect_set("_g").alias("_gs"), *min_aggs
-    )
-    per_doc_short = short_rows.select(
-        "_id",
-        F.array("_g").alias("_gs"),
-        *[F.xxhash64(F.col("_g"), F.lit(i)).alias(f"_m{i}") for i in range(k)],
-    )
-    per_doc = per_doc_long.unionByName(per_doc_short)
+    per_doc = _minhash_per_doc(df, id_col, text_col, n, k)
     sig = F.array(*[F.col(f"_m{i}") for i in range(k)])
     # The banded frame carries only (id, band, bucket) — shingle sets would
     # be duplicated `bands`× through the explode and shuffle otherwise.
@@ -228,6 +237,72 @@ def minhash_dup_pairs(
     )
     return (
         cand.select("id_l", "id_r", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def cross_corpus_dup_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Which *new* documents duplicate an *existing* corpus document.
+
+    The incremental-ingest shape: a fresh batch is deduplicated against an
+    already-indexed corpus without ever self-joining either side.  Returns
+    ``(new_id, corpus_id, jaccard)`` with shingle-set Jaccard ≥ ``threshold``.
+
+    Bipartite MinHash-LSH: both sides get the one-aggregation signature
+    build (:func:`_minhash_per_doc`); candidates come from a band equi-join
+    *across* the sides only, so cost is keyed by bucket and proportional to
+    true collisions — at 100 TB the corpus side's banded signatures are what
+    you would persist between ingests (k longs + a band table per document,
+    no retokenization of the corpus).
+    """
+    rows = k // bands
+
+    def banded(per_doc: DataFrame) -> DataFrame:
+        sig = F.array(*[F.col(f"_m{i}") for i in range(k)])
+        return per_doc.select(
+            "_id", F.explode(_band_buckets(sig, bands, rows)).alias("_bb")
+        ).select(
+            "_id", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket")
+        )
+
+    new_pd = _minhash_per_doc(new_df, id_col, text_col, n, k)
+    old_pd = _minhash_per_doc(corpus_df, id_col, text_col, n, k)
+    new_b = banded(new_pd).withColumnRenamed("_id", "new_id")
+    old_b = banded(old_pd).withColumnRenamed("_id", "corpus_id")
+
+    # Skew cap on the corpus side (the unbounded one at ingest time).
+    sizes = (
+        old_b.groupBy("_band", "_bucket").count().where(F.col("count") <= max_bucket_size)
+    )
+    old_b = old_b.join(sizes.select("_band", "_bucket"), ["_band", "_bucket"])
+
+    cand = (
+        new_b.join(old_b, ["_band", "_bucket"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    cand = cand.join(
+        new_pd.select(F.col("_id").alias("new_id"), F.col("_gs").alias("_sh_l")), "new_id"
+    ).join(
+        old_pd.select(F.col("_id").alias("corpus_id"), F.col("_gs").alias("_sh_r")),
+        "corpus_id",
+    )
+    jac = F.size(F.array_intersect("_sh_l", "_sh_r")).cast("double") / F.size(
+        F.array_union("_sh_l", "_sh_r")
+    )
+    return (
+        cand.select("new_id", "corpus_id", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

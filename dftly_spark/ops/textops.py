@@ -110,3 +110,79 @@ def doc_fingerprint(col: SparkColumn, n: int = 3, k: int = 8) -> SparkColumn:
     sh = word_shingles(col, n)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
     return F.slice(F.array_sort(hashes), 1, k)
+
+
+def repetition_signals(df, id_col: str, text_col: str):
+    """Gopher-style repetition/quality signals per document.
+
+    Returns ``(id_col, n_words, mean_word_len, ttr, top_word_frac,
+    top_bigram_frac)``:
+
+    * ``ttr`` — type-token ratio (distinct words / words); low = repetitive.
+    * ``top_word_frac`` — occurrences of the most frequent word / words.
+    * ``top_bigram_frac`` — occurrences of the most frequent word bigram /
+      bigrams (0.0 for one-word documents).
+
+    These are the filters a training-data pipeline runs at full corpus
+    scale, so the plan is one keyed shuffle: tokens explode + a ``lead()``
+    window partitioned by document id, and every later aggregation
+    (``groupBy(id, word)``, ``groupBy(id)``, the final join) reuses that
+    hash partitioning — no further exchanges.  Documents with no tokens are
+    omitted (blank text carries no signal).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("_id"), tokens(F.lower(F.col(text_col))).alias("_w")
+    ).where(F.size("_w") > 0)
+    win = Window.partitionBy("_id").orderBy("_p")
+    ex = base.select("_id", F.posexplode("_w").alias("_p", "_t")).select(
+        "_id", "_t", F.lead("_t", 1).over(win).alias("_t2")
+    )
+    wc = ex.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    words = wc.groupBy("_id").agg(
+        F.sum("_c").alias("n_words"),
+        (F.sum(F.col("_c") * F.length("_t")) / F.sum("_c")).alias("mean_word_len"),
+        (F.count(F.lit(1)) / F.sum("_c")).alias("ttr"),
+        (F.max("_c") / F.sum("_c")).alias("top_word_frac"),
+    )
+    gc = (
+        ex.where(F.col("_t2").isNotNull())
+        .groupBy("_id", "_t", "_t2")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    grams = gc.groupBy("_id").agg((F.max("_c") / F.sum("_c")).alias("top_bigram_frac"))
+    return (
+        words.join(grams, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_words").cast("bigint").alias("n_words"),
+            "mean_word_len",
+            "ttr",
+            "top_word_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+def doc_fingerprints(
+    df, id_col: str, text_col: str, *, n: int = 3, k: int = 8
+):
+    """Table-level :func:`doc_fingerprint`: ``(id_col, fingerprint)``.
+
+    Same min-k-shingle-hash contract, but built on the codegen'd window-lead
+    shingle instances (one keyed shuffle, map-side combinable) instead of
+    per-row interpreted array HOFs — the corpus-scale path.  Fingerprint
+    values differ from :func:`doc_fingerprint` (hashes of token triples vs
+    hashes of joined strings); both are engine-specific by contract.
+    """
+    from .dedup import _shingle_instance_frames
+
+    long_inst, short_rows = _shingle_instance_frames(df, id_col, text_col, n)
+    long_fp = (
+        long_inst.groupBy("_id")
+        .agg(F.collect_set("_g").alias("_gs"))
+        .select("_id", F.slice(F.array_sort("_gs"), 1, k).alias("fingerprint"))
+    )
+    short_fp = short_rows.select("_id", F.array("_g").alias("fingerprint"))
+    return long_fp.unionByName(short_fp).withColumnRenamed("_id", id_col)

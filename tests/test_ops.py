@@ -150,6 +150,50 @@ def test_ivf_kmeans_recall_on_clustered_data(spark):
     assert r_kmeans >= recall("first")
 
 
+def test_repetition_signals_bounds_and_values(spark, docs):
+    from dftly_spark.ops import repetition_signals
+
+    out = repetition_signals(docs, "doc_id", "text")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r.n_words >= 1
+        assert 0.0 < r.ttr <= 1.0
+        assert 0.0 < r.top_word_frac <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+        assert r.mean_word_len > 0
+    # hand-check one synthetic doc
+    one = spark.createDataFrame([(1, "a b a b a")], "doc_id int, text string")
+    r = repetition_signals(one, "doc_id", "text").collect()[0]
+    assert r.n_words == 5 and abs(r.ttr - 0.4) < 1e-12
+    assert abs(r.top_word_frac - 0.6) < 1e-12
+    assert abs(r.top_bigram_frac - 0.5) < 1e-12  # 'a b' twice of 4 bigrams
+
+
+def test_cross_corpus_dedup_matches_exact_cross_pairs(spark, docs):
+    from dftly_spark.ops import cross_corpus_dup_pairs, ngram_jaccard_pairs
+
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in cross_corpus_dup_pairs(
+            new_batch, corpus, "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    # ground truth: exact all-pairs jaccard, restricted to odd-even pairs
+    exact = {
+        (r.id_l, r.id_r)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    cross = {
+        (a, b) if a % 2 == 1 else (b, a)
+        for a, b in exact
+        if (a % 2) != (b % 2)
+    }
+    assert got == cross
+
+
 def test_multimodal_decode_schema_and_values(spark, docs):
     from dftly_spark.ops import attach_fake_media, decode_media_meta
 
