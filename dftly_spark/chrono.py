@@ -146,6 +146,62 @@ def _quote_literal(text: str) -> str:
     return "".join(out)
 
 
+def week_based_plan(fmt: str) -> dict | None:
+    """Parse plan for ``%U``/``%W`` week-of-year formats, or None.
+
+    Java/Spark reject week-based ``DateTimeFormatter`` letters, so these
+    formats are lowered to regex extraction + explicit date arithmetic
+    instead (chrono semantics: ``%U`` weeks start Sunday, ``%W`` Monday;
+    week 0 holds the days before the year's first week start).  A complete
+    date needs year + week + weekday — same requirement chrono itself has —
+    so the supported combos are ``%Y`` + (``%U``|``%W``) + (``%w``|``%u``)
+    plus literal text; anything else raises the loud translation error.
+
+    Returns ``{"regex", "year", "week", "weekday", "weekday_code",
+    "sunday_first"}`` with 1-based capture-group indices.
+    """
+    import re as _re
+
+    codes = {c for kind, c in _scan(fmt) if kind == "code"}
+    if "U" not in codes and "W" not in codes:
+        return None
+    parts: list[str] = ["^"]
+    roles: dict = {"sunday_first": "U" in codes}
+    gi = 0
+    for kind, item in _scan(fmt):
+        if kind == "lit":
+            parts.append(_re.escape(item))
+            continue
+        if item == "%":
+            parts.append("%")
+            continue
+        gi += 1
+        if item == "Y":
+            parts.append(r"(\d{4})")
+            roles["year"] = gi
+        elif item in ("U", "W"):
+            parts.append(r"(\d{1,2})")
+            roles["week"] = gi
+        elif item in ("w", "u"):
+            parts.append(r"(\d)")
+            roles["weekday"] = gi
+            roles["weekday_code"] = item
+        else:
+            raise ValueError(
+                f"chrono format code %{item} cannot be combined with week-based "
+                f"%U/%W parsing (supported there: %Y, %U/%W, %w/%u); cannot "
+                f"translate {fmt!r}"
+            )
+    if not {"year", "week", "weekday"} <= roles.keys():
+        raise ValueError(
+            f"week-based format {fmt!r} is incomplete: chrono needs year + week "
+            "+ weekday (%Y + %U/%W + %w/%u) to resolve a date"
+        )
+    parts.append("$")
+    roles["regex"] = "".join(parts)
+    return roles
+
+
 def to_java(fmt: str) -> str:
     """Translate a chrono format to a Java DateTimeFormatter pattern.
 

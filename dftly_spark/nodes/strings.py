@@ -306,9 +306,13 @@ class Strptime(Node):
         fmt = self.format_str
         kind = self.output_type
 
+        week_plan = chrono.week_based_plan(fmt) if kind == "date" else None
         if "%s" in fmt and kind == "datetime":
             out = F.timestamp_seconds(src.try_cast("bigint"))
             spark_t = "timestamp"
+        elif week_plan is not None:
+            out = self._week_based_date(src, week_plan)
+            spark_t = "date"
         else:
             java = chrono.to_java(fmt)
             if kind == "date":
@@ -334,6 +338,48 @@ class Strptime(Node):
             ).cast(spark_t)
             return F.when(src.isNotNull() & out.isNull(), err).otherwise(out)
         return out
+
+    @staticmethod
+    def _week_based_date(src: SparkColumn, plan: dict) -> SparkColumn:
+        """``%U``/``%W`` lowering: regex component extraction + arithmetic.
+
+        C/Python strptime semantics (``_calc_julian_from_U_or_W``): with
+        week-start-based weekday ``dow`` and ``first_wd`` = that basis's
+        index of Jan 1,
+
+        * week 0:  ``yday = dow - first_wd`` (0-based; may roll into the
+          previous year, e.g. ``"2024 0 0"`` under ``%U`` → 2023-12-31);
+        * week ≥1: ``yday = (7 - first_wd) % 7 + 7*(week-1) + dow`` (week 53
+          may roll forward).
+
+        Pinned against Python's own strptime in tests/test_chrono.py.
+        """
+        rx = plan["regex"]
+        year = F.regexp_extract(src, rx, plan["year"]).try_cast("int")
+        week = F.regexp_extract(src, rx, plan["week"]).try_cast("int")
+        wd = F.regexp_extract(src, rx, plan["weekday"]).try_cast("int")
+        if plan["weekday_code"] == "w":  # 0=Sunday
+            sun_idx, mon_idx = wd, (wd + F.lit(6)) % 7
+            wd_valid = (wd >= 0) & (wd <= 6)
+        else:  # %u: 1=Monday … 7=Sunday
+            sun_idx, mon_idx = wd % 7, wd - F.lit(1)
+            wd_valid = (wd >= 1) & (wd <= 7)
+        jan1 = F.make_date(year, F.lit(1), F.lit(1))
+        if plan["sunday_first"]:
+            idx, jan1_idx = sun_idx, F.dayofweek(jan1) - F.lit(1)
+        else:
+            idx, jan1_idx = mon_idx, F.weekday(jan1)
+        yday0 = idx - jan1_idx
+        ydayn = (F.lit(7) - jan1_idx) % 7 + (week - F.lit(1)) * 7 + idx
+        date = F.date_add(jan1, F.when(week == 0, yday0).otherwise(ydayn))
+        ok = (
+            year.isNotNull()
+            & week.isNotNull()
+            & wd.isNotNull()
+            & wd_valid
+            & (week <= 53)
+        )
+        return F.when(ok, date)
 
     @classmethod
     def from_str_args(cls, items: Any) -> dict[str, Any]:

@@ -60,6 +60,39 @@ def apply_spec(df: DataFrame, spec) -> DataFrame:
     return Parser.select(df, spec)
 
 
+def stream_exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    *,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication on the normalized-text hash.
+
+    Emits only the first-seen row of every duplicate group, the streaming
+    twin of :func:`dftly_spark.ops.exact_dedup`.  With ``ts_col`` given, the
+    state store is bounded: ``dropDuplicatesWithinWatermark`` evicts keys
+    older than the watermark horizon, so state is O(distinct keys per
+    horizon) — the only shape that survives an unbounded stream.  Without a
+    timestamp the state grows with total distinct keys (exact-forever mode;
+    use only for bounded backfills).
+
+    The dedup key is the 8-byte ``xxhash64`` of the normalized text, so the
+    state store and the pre-dedup shuffle carry hashes, not documents —
+    identical key discipline to the batch operator.
+    """
+    from .ops.textops import normalize_text
+
+    keyed = df.withColumn("_dedup_key", F.xxhash64(normalize_text(F.col(text_col))))
+    if ts_col is not None:
+        out = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["_dedup_key"]
+        )
+    else:
+        out = keyed.dropDuplicates(["_dedup_key"])
+    return out.drop("_dedup_key")
+
+
 def tumbling_agg(
     df: DataFrame,
     ts_col: str,

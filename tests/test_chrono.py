@@ -14,10 +14,8 @@ from dftly_spark import chrono
 
 UNSUPPORTED = [
     "%C",   # century
-    "%w",   # weekday 0=Sun
+    "%w",   # weekday 0=Sun (alone, without %U/%W)
     "%u",   # ISO weekday (Java 'e' is week-based → Spark rejects)
-    "%U",   # week of year, Sunday-first
-    "%W",   # week of year, Monday-first
     "%V",   # ISO week (Java 'ww' is week-based → Spark rejects)
     "%G",   # ISO week-based year
     "%g",   # ISO week-based year, 2-digit
@@ -41,6 +39,54 @@ def test_week_based_codes_fail_at_lowering_not_runtime(run1, code):
     # is being built (ValueError), not as an opaque executor exception.
     with pytest.raises(ValueError, match="no Java DateTimeFormatter equivalent"):
         run1(f"strptime($t, '%Y {code}')", t="2024 1")
+
+
+@pytest.mark.parametrize("fmt", ["%Y %U", "%Y %W", "%U %w"])
+def test_incomplete_week_formats_raise(fmt):
+    # chrono itself cannot resolve a date from these; we reject at lowering.
+    with pytest.raises(ValueError, match="incomplete|week-based"):
+        chrono.week_based_plan(fmt)
+
+
+def test_week_based_plan_shape():
+    plan = chrono.week_based_plan("%Y-%U-%w")
+    assert plan["regex"] == r"^(\d{4})\-(\d{1,2})\-(\d)$"
+    assert (plan["year"], plan["week"], plan["weekday"]) == (1, 2, 3)
+    assert plan["sunday_first"] is True
+    assert chrono.week_based_plan("%Y-%m-%d") is None
+
+
+@pytest.mark.parametrize("fmt", ["%Y %U %w", "%Y %W %u", "%Y-%W-%w"])
+def test_week_based_roundtrip_matches_python_strptime(run1, fmt):
+    """Format a spread of dates with strftime, parse back through the
+    engine, compare against Python's own strptime (same C semantics as
+    chrono for %U/%W)."""
+    import datetime as dt
+
+    d = dt.date(2023, 12, 20)
+    for off in range(0, 400, 13):  # crosses a year boundary, hits week 0
+        day = d + dt.timedelta(days=off)
+        s = day.strftime(fmt)
+        want = dt.datetime.strptime(s, fmt).date()
+        got = run1(f"strptime($t, '{fmt}')", t=s)
+        assert got == want, (s, fmt)
+
+
+def test_week_based_year_rollover_matches_python(run1):
+    import datetime as dt
+
+    # week 0 day before Jan 1 rolls into the previous year (C semantics)
+    assert run1("strptime($t, '%Y %U %w')", t="2024 0 0") == dt.date(2023, 12, 31)
+    assert dt.datetime.strptime("2024 0 0", "%Y %U %w").date() == dt.date(2023, 12, 31)
+
+
+def test_week_based_invalid_components(run1):
+    # weekday out of range / week > 53 / regex mismatch → strict raises,
+    # non-strict nulls
+    for bad in ("2023 5 9", "2023 60 3", "garbage"):
+        with pytest.raises(Exception, match="strptime|USER_RAISED"):
+            run1("strptime($t, '%Y %U %w')", t=bad)
+        assert run1("$t::?'%Y %U %w'", t=bad) is None
 
 
 @pytest.mark.parametrize(

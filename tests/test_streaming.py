@@ -47,6 +47,38 @@ def test_spec_projection_streams(spark):
     assert g == b
 
 
+def test_stream_exact_dedup_matches_batch(spark):
+    from dftly_spark.ops import exact_dedup
+    from dftly_spark.streaming import stream_exact_dedup
+
+    stream = stream_table(spark, SF_DIR, "documents")
+    got = _run_to_memory(
+        spark, stream_exact_dedup(stream, "text"), "stream_dedup"
+    )
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    batch_groups = exact_dedup(batch, "text", "doc_id")
+    # one survivor per distinct normalized text, same group count as batch
+    assert got.count() == batch_groups.count()
+    # survivors are distinct under normalization
+    from dftly_spark.ops.textops import normalize_text
+
+    n_distinct = got.select(normalize_text(F.col("text")).alias("t")).distinct().count()
+    assert n_distinct == got.count()
+
+
+def test_stream_exact_dedup_watermarked_plan_has_state_eviction(spark):
+    """The ts-bounded variant must compile to dropDuplicatesWithinWatermark
+    (bounded state), not plain dropDuplicates."""
+    from dftly_spark.streaming import stream_exact_dedup
+
+    stream = stream_table(spark, SF_DIR, "events").withColumn(
+        "text", F.col("event_type")
+    )
+    out = stream_exact_dedup(stream, "text", ts_col="ts", watermark="30 minutes")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in plan
+
+
 def test_windowed_agg_matches_batch(spark):
     stream = stream_table(spark, SF_DIR, "events")
     projected = apply_spec(stream, {"ts": "$ts", "etype": "$event_type", "v": "$value"})
