@@ -139,19 +139,25 @@ def repetition_signals(df, id_col: str, text_col: str):
     ex = base.select("_id", F.posexplode("_w").alias("_p", "_t")).select(
         "_id", "_t", F.lead("_t", 1).over(win).alias("_t2")
     )
-    wc = ex.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    # One (id, word, next-word) count frame feeds BOTH signal families.  The
+    # last token of each document keeps a null _t2 so word counts stay exact;
+    # bigram aggregates filter it out.  Every aggregation below groups on a
+    # superset-partitioning of the window's hashpartitioning(_id), so the
+    # whole tree runs on the window's single exchange (ReusedExchange across
+    # the two branches).
+    gc = ex.groupBy("_id", "_t", "_t2").agg(F.count(F.lit(1)).alias("_c"))
+    wc = gc.groupBy("_id", "_t").agg(F.sum("_c").alias("_c"))
     words = wc.groupBy("_id").agg(
         F.sum("_c").alias("n_words"),
         (F.sum(F.col("_c") * F.length("_t")) / F.sum("_c")).alias("mean_word_len"),
         (F.count(F.lit(1)) / F.sum("_c")).alias("ttr"),
         (F.max("_c") / F.sum("_c")).alias("top_word_frac"),
     )
-    gc = (
-        ex.where(F.col("_t2").isNotNull())
-        .groupBy("_id", "_t", "_t2")
-        .agg(F.count(F.lit(1)).alias("_c"))
+    grams = (
+        gc.where(F.col("_t2").isNotNull())
+        .groupBy("_id")
+        .agg((F.max("_c") / F.sum("_c")).alias("top_bigram_frac"))
     )
-    grams = gc.groupBy("_id").agg((F.max("_c") / F.sum("_c")).alias("top_bigram_frac"))
     return (
         words.join(grams, "_id", "left")
         .select(

@@ -219,6 +219,35 @@ def test_frame_sampling(spark, docs):
         assert r["count"] == (r.nf + 3) // 4
 
 
+def test_extension_plans_stay_jvm_side_and_keyed(spark, docs):
+    """New extension ops: no Python evaluation, no cartesian products, and
+    repetition_signals' aggregation tree collapses onto the window exchange
+    (≤2 instance-table shuffles, all map-side combinable)."""
+    from dftly_spark.ops import (
+        cross_corpus_dup_pairs,
+        doc_fingerprints,
+        repetition_signals,
+    )
+
+    frames = {
+        "repetition": repetition_signals(docs, "doc_id", "text"),
+        "fingerprints": doc_fingerprints(docs, "doc_id", "text"),
+        "cross_dedup": cross_corpus_dup_pairs(
+            docs.where(F.col("doc_id") % 2 == 1),
+            docs.where(F.col("doc_id") % 2 == 0),
+            "doc_id",
+            "text",
+        ),
+    }
+    for name, df in frames.items():
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    rep_plan = frames["repetition"]._jdf.queryExecution().executedPlan().toString()
+    assert rep_plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_no_python_udf_in_text_paths(spark, docs):
     """Text/hash operators must stay JVM-side (no BatchEvalPython)."""
     from dftly_spark.ops import minhash_dup_pairs, quality_score, simhash64
