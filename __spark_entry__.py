@@ -1239,6 +1239,71 @@ _q(
 )
 
 
+def _x17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import random_project
+    from dftly_spark.ops.similarity import l2_norm
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_project(emb, "embedding", out_dim=16, seed=42, dim=64)
+    return proj.select(
+        "vec_id",
+        F.element_at("projection", 1).alias("p0"),
+        F.element_at("projection", 2).alias("p1"),
+        l2_norm(F.col("projection")).alias("proj_norm"),
+    )
+
+
+def _x17_oracle() -> str:
+    """Mirror of random_project(out_dim=16, seed=42): the seeded Gaussian
+    direction matrix is inlined as literals; every component and the norm
+    are bit-identical via sequential-fold dot products."""
+    import math
+
+    from dftly_spark.ops.dedup import _hyperplanes
+
+    planes = _hyperplanes(64, 16, 42)
+    scale = 1.0 / math.sqrt(16)
+    comps = ",\n        ".join(
+        f"list_dot_product(v, {p!r}::DOUBLE[]) * {scale!r}" for p in planes
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id, [
+        {comps}] AS parr FROM c)
+    SELECT vec_id, parr[1] AS p0, parr[2] AS p1,
+           sqrt(list_dot_product(parr, parr)) AS proj_norm
+    FROM p
+    """
+
+
+_q("x17_random_projection", _x17, _x17_oracle())
+
+
+def _x18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import attach_fake_media, audio_chunks
+
+    _prep(spark)
+    docs = attach_fake_media(_t(spark, sf_dir, "documents"), "text")
+    return audio_chunks(docs, chunk_ms=1000, id_col="doc_id")
+
+
+_q(
+    "x18_audio_chunks",
+    _x18,
+    """
+    WITH m AS (SELECT doc_id, strlen(text)::BIGINT * 1000 AS ns FROM documents),
+    c AS (SELECT doc_id, ns,
+                 unnest(generate_series(0, CAST(ceil(ns / 16000.0) AS INT) - 1)) AS ci
+          FROM m)
+    SELECT doc_id, CAST(ci AS INTEGER) AS chunk_index,
+           CAST(ci * 16000 AS BIGINT) AS start_sample,
+           CAST(LEAST((ci + 1) * 16000, ns) AS BIGINT) AS end_sample
+    FROM c
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -43,10 +43,12 @@ from .dedup import (
     word_shingles,
 )
 from .similarity import (
+    random_project,
     brute_force_topk,
     cosine,
     dot,
     ivf_topk,
+    kmeans_centroids,
     l2_norm,
     lsh_bucket_topk,
     unit,
@@ -54,6 +56,8 @@ from .similarity import (
 from .scale import read_bucketed, salted_agg, write_bucketed
 from .sessions import sessionize, sessionize_stream
 from .multimodal import (
+    audio_chunks,
+    resize_images,
     MEDIA_SCHEMA,
     attach_fake_media,
     decode_media_meta,
@@ -70,8 +74,8 @@ __all__ = [
     "simhash64", "simhash_dup_pairs", "ngram_jaccard_pairs", "cross_corpus_dup_pairs",
     "embedding_dup_pairs",
     "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "lsh_bucket_topk",
-    "ivf_topk",
+    "ivf_topk", "random_project", "kmeans_centroids",
     "salted_agg", "write_bucketed", "read_bucketed",
     "sessionize", "sessionize_stream",
-    "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames",
+    "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",
 ]

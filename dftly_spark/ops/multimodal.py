@@ -41,6 +41,8 @@ MEDIA_SCHEMA = StructType(
                     StructField("width", IntegerType()),
                     StructField("height", IntegerType()),
                     StructField("n_frames", IntegerType()),
+                    StructField("sample_rate", IntegerType()),
+                    StructField("n_samples", LongType()),
                 ]
             ),
         ),
@@ -65,6 +67,8 @@ def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
                 (F.lit(16) + nbytes % 64).cast("int").alias("width"),
                 (F.lit(16) + (nbytes / 7).cast("int") % 64).cast("int").alias("height"),
                 (F.lit(1) + nbytes % 16).cast("int").alias("n_frames"),
+                F.lit(16000).cast("int").alias("sample_rate"),
+                (nbytes * 1000).cast("long").alias("n_samples"),
             ),
         }
     )
@@ -127,6 +131,103 @@ def decode_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     cols = df.select(F.col(id_col), "media_bytes")
     return cols.mapInPandas(
         lambda it: _decode_batch(it, id_col), schema=_DECODE_SCHEMA
+    )
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("out_bytes", BinaryType()),
+        StructField("resizer", StringType()),
+    ]
+)
+
+
+def _resize_batch(batches: Iterator, id_name: str, w: int, h: int):  # pragma: no cover
+    import pandas as pd
+
+    try:
+        from PIL import Image
+
+        resizer = "pil"
+    except ImportError:
+        resizer = "fake"
+
+    for pdf in batches:
+        if resizer == "pil":
+            import io
+
+            def _do(b):
+                img = Image.open(io.BytesIO(b)).resize((w, h))
+                out = io.BytesIO()
+                img.save(out, format="PNG")
+                return out.getvalue()
+
+            out_bytes = pdf["media_bytes"].map(_do)
+        else:
+            # Deterministic fake: w*h 'pixels', each the byte at the
+            # proportional source offset (nearest-neighbor over the stream).
+            def _do(b):
+                n = len(b)
+                if n == 0:
+                    return b""
+                return bytes(b[(i * n) // (w * h)] for i in range(w * h))
+
+            out_bytes = pdf["media_bytes"].map(_do)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf[id_name],
+                "out_width": w,
+                "out_height": h,
+                "out_bytes": out_bytes,
+                "resizer": resizer,
+            }
+        )
+
+
+def resize_images(
+    df: DataFrame, id_col: str = "doc_id", *, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Resize image payloads to ``width×height`` via ``mapInPandas``.
+
+    Arrow-batched like :func:`decode_media_meta`; the PIL branch is the real
+    path, the fake branch emits a deterministic nearest-neighbor byte
+    sample (same output size/shape as a real 1-byte-per-pixel resize, so
+    downstream schema and batch-size behavior are exercised for real).
+    """
+    cols = df.select(F.col(id_col), "media_bytes")
+    return cols.mapInPandas(
+        lambda it: _resize_batch(it, id_col, width, height), schema=_RESIZE_SCHEMA
+    )
+
+
+def audio_chunks(
+    df: DataFrame, *, chunk_ms: int = 1000, id_col: str = "doc_id"
+) -> DataFrame:
+    """Chunking plan for audio payloads: one row per fixed-length window.
+
+    Pure JVM-side plumbing from the metadata (``sample_rate``,
+    ``n_samples``): explodes chunk indices and emits sample offsets — the
+    downstream chunk *decode/feature* step would be a ``mapInPandas`` over
+    (payload, start, end) rows.  The last partial chunk is kept (its ``end``
+    clips to ``n_samples``).
+    """
+    spc = (F.col("media_meta.sample_rate") * chunk_ms / 1000).cast("long")
+    n_chunks = F.ceil(F.col("media_meta.n_samples") / spc).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+        spc.alias("_spc"),
+        F.col("media_meta.n_samples").alias("_ns"),
+    ).select(
+        id_col,
+        "chunk_index",
+        (F.col("chunk_index") * F.col("_spc")).alias("start_sample"),
+        F.least((F.col("chunk_index") + 1) * F.col("_spc"), F.col("_ns")).alias(
+            "end_sample"
+        ),
     )
 
 

@@ -80,6 +80,41 @@ def infer_dim(df: DataFrame, vec_col: str) -> int:
     return len(row[0])
 
 
+def random_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    out_dim: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    out_col: str = "projection",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of an embedding column.
+
+    Appends ``out_col``: an ``array<double>`` of ``out_dim`` components,
+    each ``dot(vec, g_i)/sqrt(out_dim)`` for seeded Gaussian directions
+    ``g_i`` — pairwise distances are preserved within ~ε with out_dim =
+    O(log n / ε²), so downstream dedup/ANN can run on 4× smaller vectors.
+    Deterministic given the seed (the direction matrix is inlined as
+    literals), and the sequential fold keeps components bit-reproducible in
+    any engine with a left-to-right list dot product.
+    """
+    import math
+
+    from .dedup import _hyperplanes
+
+    if dim is None:
+        dim = infer_dim(df, vec_col)
+    planes = _hyperplanes(dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    v = F.col(vec_col).cast("array<double>")
+    comps = [
+        (dot(v, F.array(*[F.lit(float(w)) for w in p])) * F.lit(scale)).alias(f"_p{i}")
+        for i, p in enumerate(planes)
+    ]
+    return df.withColumn(out_col, F.array(*comps))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -248,6 +248,66 @@ def test_extension_plans_stay_jvm_side_and_keyed(spark, docs):
     assert rep_plan.count("Exchange hashpartitioning") <= 2
 
 
+def test_resize_images_batch_shape(spark, docs):
+    from dftly_spark.ops import attach_fake_media, resize_images
+
+    media = attach_fake_media(docs.limit(20), "text")
+    out = resize_images(media, "doc_id", width=8, height=4).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.out_width == 8 and r.out_height == 4
+        assert r.resizer in ("pil", "fake")
+        if r.resizer == "fake":
+            assert len(r.out_bytes) == 8 * 4  # 1 byte/pixel fake resize
+    # deterministic: same input → same bytes
+    again = resize_images(media, "doc_id", width=8, height=4).collect()
+    assert {(r.doc_id, bytes(r.out_bytes)) for r in out} == {
+        (r.doc_id, bytes(r.out_bytes)) for r in again
+    }
+
+
+def test_audio_chunks_cover_all_samples(spark, docs):
+    from dftly_spark.ops import attach_fake_media, audio_chunks
+
+    media = attach_fake_media(docs.limit(10), "text")
+    chunks = audio_chunks(media, chunk_ms=1000, id_col="doc_id").collect()
+    meta = {r.doc_id: r.media_meta.n_samples for r in media.collect()}
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_index)
+        assert rows[0].start_sample == 0
+        assert rows[-1].end_sample == meta[doc_id]
+        for a, b in zip(rows, rows[1:]):
+            assert a.end_sample == b.start_sample  # contiguous, no gaps
+
+
+def test_random_projection_preserves_distances(spark, emb):
+    """JL property: with out_dim=32, pairwise distances distort boundedly —
+    check correlation between original and projected distances is high."""
+    import numpy as np
+
+    from dftly_spark.ops import random_project
+
+    sample = emb.where(F.col("vec_id") < 40)
+    proj = random_project(sample, "embedding", out_dim=32, dim=64).collect()
+    orig = {r.vec_id: np.array(r.embedding, dtype=float) for r in proj}
+    pr = {r.vec_id: np.array(r.projection, dtype=float) for r in proj}
+    ids = sorted(orig)
+    ratios = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            do = np.linalg.norm(orig[ids[i]] - orig[ids[j]])
+            dp = np.linalg.norm(pr[ids[i]] - pr[ids[j]])
+            ratios.append(dp / do)
+    ratios = np.array(ratios)
+    # JL with k=32: per-pair distortion concentrated around 1 with
+    # ε ≈ sqrt(c/k); all pairs within a loose 2ε band, mean ≈ 1.
+    assert abs(ratios.mean() - 1.0) < 0.1
+    assert ratios.min() > 0.4 and ratios.max() < 1.8
+
+
 def test_no_python_udf_in_text_paths(spark, docs):
     """Text/hash operators must stay JVM-side (no BatchEvalPython)."""
     from dftly_spark.ops import minhash_dup_pairs, quality_score, simhash64
