@@ -1304,6 +1304,108 @@ _q(
 )
 
 
+def _x19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the user's latest click at-or-before it.
+
+    Single-shuffle as-of join (union + window carry-forward); the oracle is
+    DuckDB's native ``ASOF JOIN``.  Right side is pre-aggregated to one row
+    per (user, µs) so the at-tie winner is deterministic in both engines.
+    """
+    from dftly_spark.ops import asof_join
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+    )
+    out = asof_join(purch, clicks, on="ts", by="user_id", how="inner")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.unix_micros("ts_right").alias("click_ts_us"),
+        F.col("click_id_right").alias("click_id"),
+        F.col("click_value_right").alias("click_value"),
+        (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("age_us"),
+    )
+
+
+_q(
+    "x19_asof_join",
+    _x19,
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                      max(event_id) AS click_id,
+                      arg_max(value, event_id) AS click_value
+               FROM events WHERE event_type = 'click'
+               GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP)))
+    SELECT p.event_id, p.user_id, p.us AS ts_us, p.value,
+           c.us AS click_ts_us, c.click_id, c.click_value,
+           p.us - c.us AS age_us
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+    """,
+)
+
+
+def _x20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases landing inside any signup's first-30-minutes window.
+
+    Keyless interval join: a raw theta-join would go BroadcastNestedLoop;
+    ``range_join`` bins both sides onto 30-minute buckets so Spark runs a
+    hash equi-join + exact refine (plan pinned NestedLoop-free in
+    tests/test_joins.py).
+    """
+    from dftly_spark.ops import range_join
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    sign = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("point_id"), "ts", "value"
+    )
+    out = range_join(
+        purch, sign, point_on="ts", start_on="start", end_on="end",
+        bucket_micros=30 * 60 * 1_000_000,
+    )
+    return out.select(
+        "window_id",
+        "point_id",
+        F.unix_micros("start").alias("start_us"),
+        F.unix_micros("ts").alias("point_us"),
+        "value",
+    )
+
+
+_q(
+    "x20_range_join",
+    _x20,
+    """
+    WITH s AS (SELECT event_id AS window_id, epoch_us(CAST(ts AS TIMESTAMP)) AS start_us
+               FROM events WHERE event_type = 'signup'),
+         p AS (SELECT event_id AS point_id, epoch_us(CAST(ts AS TIMESTAMP)) AS point_us, value
+               FROM events WHERE event_type = 'purchase')
+    SELECT s.window_id, p.point_id, s.start_us, p.point_us, p.value
+    FROM s JOIN p
+      ON p.point_us >= s.start_us AND p.point_us < s.start_us + 1800000000
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

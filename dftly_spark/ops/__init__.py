@@ -53,6 +53,7 @@ from .similarity import (
     lsh_bucket_topk,
     unit,
 )
+from .joins import asof_join, range_join
 from .scale import read_bucketed, salted_agg, write_bucketed
 from .sessions import sessionize, sessionize_stream
 from .multimodal import (
@@ -75,6 +76,7 @@ __all__ = [
     "embedding_dup_pairs",
     "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk", "random_project", "kmeans_centroids",
+    "asof_join", "range_join",
     "salted_agg", "write_bucketed", "read_bucketed",
     "sessionize", "sessionize_stream",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",

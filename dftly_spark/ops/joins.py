@@ -1,0 +1,205 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and interval (range) join.
+
+Neither exists in the reference (its surface is row-wise expressions,
+SURVEY.md §2.3) — these are extension operators for the event-stream side of
+a training-data pipeline, expressed so Catalyst keeps them shuffle-minimal:
+
+* :func:`asof_join` — point-in-time join ("for each left row, the latest
+  right row at-or-before it, per key").  NOT a join node at all: both sides
+  are unioned, shuffled ONCE on the key, and a single window pass carries
+  the most recent right payload forward onto each left row.  A naive
+  ``l.ts >= r.ts`` theta-join would be O(|L|·|R|) per key; this is
+  O((|L|+|R|) log) with exactly one Exchange — the shape that survives
+  100 TB.  Equivalent to DuckDB/kdb ``ASOF JOIN`` semantics.
+* :func:`range_join` — points-in-intervals join with no (or any) equality
+  key.  Spark executes a raw ``start <= ts AND ts < end`` join as
+  BroadcastNestedLoopJoin (cartesian — the canonical scale-killer).  Here
+  every interval is exploded onto the fixed time buckets it covers and every
+  point onto its single bucket, turning the theta-join into a bucket
+  equi-join + exact refine.  Each point lands in exactly one bucket, so no
+  dedup pass is needed.  Bucket width should be ~the typical interval
+  length: intervals then explode into O(1) rows each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MICROS = "bigint"
+
+
+def _micros(c: F.Column) -> F.Column:
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "ts",
+    by: str | None = "user_id",
+    right_on: str | None = None,
+    direction: str = "backward",
+    tolerance_micros: int | None = None,
+    how: str = "inner",
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: attach to each left row the nearest right row per key.
+
+    ``direction='backward'`` (default) matches the latest right row with
+    ``right.ts <= left.ts``; ``'forward'`` the earliest with
+    ``right.ts >= left.ts``.  ``tolerance_micros`` bounds the match age.
+    ``how='inner'`` drops unmatched left rows (DuckDB ``ASOF JOIN``
+    semantics); ``'left'`` keeps them with null right columns.
+
+    Right payload columns (everything but ``by``/``right_on``) come back
+    suffixed.  If several right rows share one (key, ts), the one latest in
+    (ts, original column order) wins — pre-aggregate the right side if you
+    need a different tiebreak.
+
+    Plan shape: union → single hash-Exchange on ``by`` → one window sort.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    r_on = right_on or on
+    r_payload = [c for c in right.columns if c not in ((by,) if by else ()) and c != r_on]
+    payload = F.struct(
+        _micros(F.col(r_on)).alias("__rts"),
+        F.col(r_on).alias("__rorig"),
+        *[F.col(c).alias(c) for c in r_payload],
+    )
+
+    key = [F.col(by).alias("__key")] if by else [F.lit(0).alias("__key")]
+    l_side = left.select(
+        *key,
+        _micros(F.col(on)).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                ["__rts:bigint", f"__rorig:{right.schema[r_on].dataType.simpleString()}"]
+                + [f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in r_payload]
+            ) + ">"
+        ).alias("__rrow"),
+    )
+    r_key = [F.col(by).alias("__key")] if by else [F.lit(0).alias("__key")]
+    r_side = right.select(
+        *r_key,
+        _micros(F.col(r_on)).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_side.schema["__lrow"].dataType.simpleString()).alias("__lrow"),
+        payload.alias("__rrow"),
+    )
+    both = l_side.unionByName(r_side)
+
+    if direction == "backward":
+        # right (side=0) sorts before left at equal ts → visible to it
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last("__rrow", ignorenulls=True).over(w)
+    else:
+        # left (side=1) sorts before right at equal ts → sees it in the
+        # forward frame
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = F.first("__rrow", ignorenulls=True).over(w)
+
+    matched = (
+        both.withColumn("__match", carried)
+        .where(F.col("__side") == 1)
+    )
+    if tolerance_micros is not None:
+        age = (
+            F.col("__ts") - F.col("__match.__rts")
+            if direction == "backward"
+            else F.col("__match.__rts") - F.col("__ts")
+        )
+        matched = matched.withColumn(
+            "__match", F.when(age <= tolerance_micros, F.col("__match"))
+        )
+    if how == "inner":
+        matched = matched.where(F.col("__match").isNotNull())
+
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col("__match.__rorig").alias(f"{r_on}{suffix}"))
+    out_cols += [F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in r_payload]
+    return matched.select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_on: str = "ts",
+    start_on: str = "start",
+    end_on: str = "end",
+    by: str | None = None,
+    bucket_micros: int = 30 * 60 * 1_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points into half-open intervals ``[start, end)`` via time buckets.
+
+    Returns one row per (interval row, contained point row) with all columns
+    from both sides (point columns win name clashes — alias beforehand).
+    ``by`` adds an equality key to the bucket join.  ``how='left_outer'``
+    keeps empty intervals (null point columns).
+
+    The theta-condition never reaches the optimizer: both sides gain an
+    explicit bucket column and the join is a plain (bucket [, by]) hash
+    equi-join, refined exactly afterwards.
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
+    b = F.lit(bucket_micros)
+    ivl = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(_micros(F.col(start_on)) / b),
+                # end is exclusive: a zero-length or bucket-aligned end needs
+                # no extra bucket
+                F.floor((_micros(F.col(end_on)) - 1) / b),
+            )
+        ),
+    )
+    pts = points.withColumn("__bucket", F.floor(_micros(F.col(point_on)) / b))
+    # alias-qualified refs: both sides may share lineage (intervals derived
+    # from the points table is the common case) — df["col"] refs would be
+    # ambiguous in that self-join
+    ivl, pts = ivl.alias("__ivl"), pts.alias("__pts")
+    iv = lambda c: F.col(f"__ivl.`{c}`")  # noqa: E731
+    pt = lambda c: F.col(f"__pts.`{c}`")  # noqa: E731
+    cond = iv("__bucket") == pt("__bucket")
+    if by:
+        cond = cond & (iv(by) == pt(by))
+    cond = (
+        cond
+        & (_micros(pt(point_on)) >= _micros(iv(start_on)))
+        & (_micros(pt(point_on)) < _micros(iv(end_on)))
+    )
+    joined = ivl.join(pts, cond, "inner")
+    keep = [iv(c).alias(c) for c in intervals.columns if not (by and c == by)]
+    if by:
+        keep.append(iv(by).alias(by))
+    keep += [pt(c).alias(c) for c in points.columns if c != by]
+    out = joined.select(*keep)
+    if how == "left_outer":
+        # add back intervals with no contained point (null point columns);
+        # an inner bin-join + anti add-back, NOT a left join per bucket —
+        # that would emit one null row per non-matching covered bucket
+        matched_keys = out.select(*[F.col(c) for c in intervals.columns]).distinct()
+        empty = intervals.join(matched_keys, intervals.columns, "left_anti")
+        for c in points.columns:
+            if c != by:
+                empty = empty.withColumn(c, F.lit(None).cast(points.schema[c].dataType))
+        out = out.unionByName(empty)
+    return out

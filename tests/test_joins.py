@@ -1,0 +1,191 @@
+"""As-of join and range join: semantics on hand-built frames, real-data
+parity against a naive reference computation, and plan-shape guarantees."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dftly_spark.ops import asof_join, range_join
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        (1, "A", _ts("2024-01-01 10:00:00"), 100.0),
+        (2, "A", _ts("2024-01-01 10:05:00"), 101.0),
+        (3, "B", _ts("2024-01-01 10:01:00"), 50.0),
+        (4, "B", _ts("2024-01-01 09:00:00"), 49.0),  # before any quote
+    ]
+    return spark.createDataFrame(rows, "trade_id long, sym string, ts timestamp, px double")
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [
+        ("A", _ts("2024-01-01 09:59:00"), 99.5),
+        ("A", _ts("2024-01-01 10:05:00"), 100.5),  # equal-ts vs trade 2
+        ("B", _ts("2024-01-01 10:00:30"), 49.9),
+        ("B", _ts("2024-01-01 10:30:00"), 51.0),
+    ]
+    return spark.createDataFrame(rows, "sym string, ts timestamp, bid double")
+
+
+def test_asof_backward_semantics(spark, trades, quotes):
+    out = asof_join(trades, quotes, on="ts", by="sym", how="left")
+    got = {r.trade_id: r.bid_right for r in out.collect()}
+    # trade 2 at 10:05 sees the 10:05 quote (ties match backward)
+    assert got == {1: 99.5, 2: 100.5, 3: 49.9, 4: None}
+
+
+def test_asof_inner_drops_unmatched(spark, trades, quotes):
+    out = asof_join(trades, quotes, on="ts", by="sym", how="inner")
+    assert {r.trade_id for r in out.collect()} == {1, 2, 3}
+
+
+def test_asof_forward_semantics(spark, trades, quotes):
+    out = asof_join(trades, quotes, on="ts", by="sym", direction="forward", how="left")
+    got = {r.trade_id: r.bid_right for r in out.collect()}
+    # forward: earliest quote at-or-after; trade 2's equal-ts quote matches
+    assert got == {1: 100.5, 2: 100.5, 3: 51.0, 4: 49.9}
+
+
+def test_asof_tolerance_bounds_match_age(spark, trades, quotes):
+    out = asof_join(
+        trades, quotes, on="ts", by="sym", how="left",
+        tolerance_micros=2 * 60 * 1_000_000,
+    )
+    got = {r.trade_id: r.bid_right for r in out.collect()}
+    # trade 1's 09:59 quote is 60s old (in); trade 3's 10:00:30 is 30s (in);
+    # nothing within 2min of trades 2? 10:05 quote is 0s old (in)
+    assert got == {1: 99.5, 2: 100.5, 3: 49.9, 4: None}
+
+
+def test_asof_real_events_match_naive(spark):
+    """Backward as-of over real events equals a per-row naive scan."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    got = {
+        r.event_id: r.click_id_right
+        for r in asof_join(purch, clicks, on="ts", by="user_id").collect()
+    }
+    by_user = {}
+    for r in clicks.collect():
+        by_user.setdefault(r.user_id, []).append((r.ts, r.click_id))
+    expect = {}
+    for r in purch.collect():
+        cands = [(t, i) for t, i in by_user.get(r.user_id, []) if t <= r.ts]
+        if cands:
+            expect[r.event_id] = max(cands)[1]
+    assert got == expect
+
+
+def test_asof_single_exchange(spark, trades, quotes):
+    """The whole as-of is ONE hash shuffle on the key + a window sort."""
+    plan = (
+        asof_join(trades, quotes, on="ts", by="sym")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_boundaries(spark):
+    ivl = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00")),
+            (2, _ts("2024-01-01 10:30:00"), _ts("2024-01-01 10:30:00")),  # empty
+        ],
+        "window_id long, start timestamp, end timestamp",
+    )
+    pts = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 10:00:00")),  # == start: in
+            (11, _ts("2024-01-01 10:59:59")),  # in
+            (12, _ts("2024-01-01 11:00:00")),  # == end: out (half-open)
+            (13, _ts("2024-01-01 09:59:59")),  # out
+        ],
+        "point_id long, ts timestamp",
+    )
+    out = range_join(
+        pts, ivl, point_on="ts", start_on="start", end_on="end",
+        bucket_micros=15 * 60 * 1_000_000,  # interval spans 4 buckets
+    )
+    assert {(r.window_id, r.point_id) for r in out.collect()} == {(1, 10), (1, 11)}
+
+
+def test_range_join_left_outer_keeps_empty_intervals(spark):
+    ivl = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00")),
+            (2, _ts("2024-01-02 00:00:00"), _ts("2024-01-02 01:00:00")),
+        ],
+        "window_id long, start timestamp, end timestamp",
+    )
+    pts = spark.createDataFrame(
+        [(10, _ts("2024-01-01 10:30:00"))], "point_id long, ts timestamp"
+    )
+    out = range_join(
+        pts, ivl, point_on="ts", start_on="start", end_on="end", how="left_outer"
+    ).collect()
+    assert {(r.window_id, r.point_id) for r in out} == {(1, 10), (2, None)}
+
+
+def test_range_join_with_key_and_no_cartesian(spark):
+    ivl = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00")),
+            ("u2", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00")),
+        ],
+        "user string, start timestamp, end timestamp",
+    )
+    pts = spark.createDataFrame(
+        [("u1", 10, _ts("2024-01-01 10:30:00")), ("u2", 11, _ts("2024-01-01 12:30:00"))],
+        "user string, point_id long, ts timestamp",
+    )
+    out = range_join(
+        pts, ivl, point_on="ts", start_on="start", end_on="end", by="user"
+    )
+    assert {(r.user, r.point_id) for r in out.collect()} == {("u1", 10)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_self_lineage(spark):
+    """Intervals derived from the points table (the ambiguous-self-join trap)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    sign = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("point_id"), "ts"
+    )
+    out = range_join(purch, sign, point_on="ts", start_on="start", end_on="end")
+    naive = [
+        (s.window_id, p.point_id)
+        for s in sign.collect()
+        for p in purch.collect()
+        if s.start <= p.ts < s.end
+    ]
+    assert {(r.window_id, r.point_id) for r in out.collect()} == set(naive)
