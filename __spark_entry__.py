@@ -1406,6 +1406,44 @@ _q(
 )
 
 
+def _x21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join with Bloom pre-shuffle pruning on the fact side.
+
+    ``bloom_prune`` drops non-matching orders *before* the join shuffle
+    (sound — false positives only, removed by the join), so the result is
+    exactly the plain join: the oracle needs no Bloom mirror.
+    """
+    from dftly_spark.ops import bloom_prune
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    pruned = bloom_prune(orders, "o_custkey", cust, "c_custkey")
+    return (
+        pruned.join(F.broadcast(cust), pruned.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+_q(
+    "x21_bloom_pruned_join",
+    _x21,
+    """
+    SELECT c.c_nationkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'AUTOMOBILE'
+    GROUP BY c.c_nationkey
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -54,7 +54,7 @@ from .similarity import (
     unit,
 )
 from .joins import asof_join, range_join
-from .scale import read_bucketed, salted_agg, write_bucketed
+from .scale import bloom_prune, read_bucketed, salted_agg, semi_prune, write_bucketed
 from .sessions import sessionize, sessionize_stream
 from .multimodal import (
     audio_chunks,
@@ -77,7 +77,7 @@ __all__ = [
     "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk", "random_project", "kmeans_centroids",
     "asof_join", "range_join",
-    "salted_agg", "write_bucketed", "read_bucketed",
+    "salted_agg", "write_bucketed", "read_bucketed", "bloom_prune", "semi_prune",
     "sessionize", "sessionize_stream",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",
 ]

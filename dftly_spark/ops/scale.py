@@ -10,6 +10,16 @@ Two standard patterns, packaged:
   by its join key so repeated joins on that key are co-located (no Exchange
   in the join plan).  This is the batch analogue of co-partitioned state:
   pay the shuffle once at write time, never again.
+* :func:`bloom_prune` / :func:`semi_prune` — cut the fact side of a
+  fact⋈dim join *before* its shuffle.  ``semi_prune`` is the exact form (a
+  broadcast left-semi on the dim keys); ``bloom_prune`` is the
+  constant-memory form for dim key sets too large to broadcast exactly: a
+  Bloom filter over the dim keys, built with a distributed ``bit_or``
+  aggregation and shipped to every fact task as one broadcast row.  False
+  positives only — the downstream join stays exact — so it composes with
+  any join without changing results, like Spark's internal runtime-filter
+  rewrite (which is not exposed for pre-shuffle *aggregation* pruning or
+  non-equi plans).
 
 AQE (``spark.sql.adaptive.enabled`` + skew-join handling) covers many join
 skews automatically; ``salted_agg`` is for the aggregation case AQE doesn't
@@ -74,3 +84,86 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def semi_prune(fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str) -> DataFrame:
+    """Exact pre-shuffle pruning: broadcast left-semi on the dim's keys.
+
+    Use when the dim's *distinct key set* fits a broadcast (the usual
+    star-schema case).  The fact's big shuffle then moves only rows that
+    will survive the join.
+    """
+    keys = F.broadcast(dim.select(F.col(dim_key).alias(fact_key)).distinct())
+    return fact.join(keys, fact_key, "left_semi")
+
+
+def bloom_prune(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    *,
+    num_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Bloom-filter pre-shuffle pruning of ``fact`` against ``dim``'s keys.
+
+    Sound (never drops a matching fact row); false positives pass through
+    and are removed by whatever join follows.  With the default 2²⁰ bits /
+    5 hashes the filter is 128 KiB regardless of dim size, with fpr ≈
+    (1-e^{-kn/m})^k — ~3% at n=10⁵ keys; size ``num_bits`` ≈ 10·n for ~1%.
+
+    Everything stays JVM-side and distributed:
+
+    * build — each dim key is hashed to ``k`` bit positions
+      (``xxhash64(key, i) mod m``), positions aggregate into 64-bit words
+      via partial-merging ``bit_or``, and one final single-row aggregate
+      densifies the words into an ``array<bigint>``;
+    * probe — that one row is broadcast (BroadcastNestedLoopJoin with a
+      single-row build side ≡ a broadcast variable) and each fact row
+      checks its ``k`` bits with O(1) ``element_at`` lookups inside
+      whole-stage codegen.
+    """
+    n_words = (num_bits + 63) // 64
+
+    def positions(col: str) -> list:
+        return [
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(num_bits))
+            for i in range(k)
+        ]
+
+    words = (
+        dim.select(F.explode(F.array(*positions(dim_key))).alias("__pos"))
+        .select(
+            (F.col("__pos") / 64).cast("long").alias("__w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__bits"))
+    )
+    # densify: every word index 0..n_words-1 gets its bits (or 0), then one
+    # order-preserving collect — array_sort on (index, bits) structs, so the
+    # unordered collect_list still yields a position-addressable array
+    all_words = (
+        fact.sparkSession.range(n_words)
+        .join(words, F.col("id") == F.col("__w"), "left")
+        .select(F.col("id").alias("__w"), F.coalesce("__bits", F.lit(0)).alias("__bits"))
+    )
+    dense = all_words.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__w", "__bits"))),
+            lambda s: s["__bits"],
+        ).alias("__bf")
+    )
+
+    probed = fact.crossJoin(F.broadcast(dense)).withColumns(
+        {f"__p{i}": p for i, p in enumerate(positions(fact_key))}
+    )
+    # all k bits set: (bf[pos/64] >> (pos%64)) & 1 = 1
+    test = F.lit(True)
+    for i in range(k):
+        test = test & F.expr(
+            f"(shiftright(element_at(__bf, CAST(__p{i} / 64 AS INT) + 1),"
+            f" CAST(__p{i} % 64 AS INT)) & 1) = 1"
+        )
+    return probed.where(test).drop("__bf", *[f"__p{i}" for i in range(k)])

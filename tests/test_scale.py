@@ -90,3 +90,77 @@ def test_ivf_topk_recall(spark):
     for r in ivf:
         if r.vec_id == r.query_id:
             assert r.rank == 1
+
+
+def test_semi_prune_exact(spark):
+    from dftly_spark.ops import semi_prune
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").where(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    pruned = semi_prune(orders, "o_custkey", cust, "c_custkey")
+    keys = {r.c_custkey for r in cust.collect()}
+    expect = orders.where(F.col("o_custkey").isin(keys)).count()
+    assert pruned.count() == expect
+
+
+def test_bloom_prune_sound_and_selective(spark):
+    from dftly_spark.ops import bloom_prune
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").where(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    pruned = bloom_prune(orders, "o_custkey", cust, "c_custkey", num_bits=1 << 14)
+    keys = {r.c_custkey for r in cust.collect()}
+    kept = {r.o_orderkey for r in pruned.collect()}
+    matching = {r.o_orderkey for r in orders.collect() if r.o_custkey in keys}
+    # sound: every truly-matching fact row survives (no false negatives)
+    assert matching <= kept
+    # selective: false-positive rate within ~3x of (1-e^{-kn/m})^k
+    import math
+
+    n, m, k = len(keys), 1 << 14, 5
+    fpr_bound = (1 - math.exp(-k * n / m)) ** k
+    non_matching_total = orders.count() - len(matching)
+    fp = len(kept) - len(matching)
+    assert fp <= max(10, 3 * fpr_bound * non_matching_total)
+
+
+def test_bloom_prune_join_unchanged(spark):
+    """Bloom FPs are removed by the real join: pruned-join ≡ plain join."""
+    from dftly_spark.ops import bloom_prune
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").where(
+        F.col("c_acctbal") > 0
+    )
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(F.count("*"), F.sum("o_totalprice"))
+        .collect()
+    )
+    pruned = (
+        bloom_prune(orders, "o_custkey", cust, "c_custkey")
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .agg(F.count("*"), F.sum("o_totalprice"))
+        .collect()
+    )
+    assert plain == pruned
+
+
+def test_bloom_probe_stays_codegen(spark):
+    """The probe side is literal-array bit tests inside codegen — no
+    Python, no extra Exchange on the fact side."""
+    from dftly_spark.ops import bloom_prune
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    plan = (
+        bloom_prune(orders, "o_custkey", cust, "c_custkey")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    # fact side never shuffles: only the dim-side word aggregation exchanges
+    assert "Exchange hashpartitioning(o_custkey" not in plan
