@@ -1444,6 +1444,52 @@ _q(
 )
 
 
+def _x22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of the documents table (exact NDVs)."""
+    from dftly_spark.ops import profile_table
+
+    _prep(spark)
+    return profile_table(_t(spark, sf_dir, "documents"))
+
+
+_q(
+    "x22_table_profile",
+    _x22,
+    """
+    WITH s AS (
+      SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(doc_id) AS n_nulls,
+             COUNT(DISTINCT doc_id) AS n_distinct,
+             CAST(MIN(doc_id) AS VARCHAR) AS min_str,
+             CAST(MAX(doc_id) AS VARCHAR) AS max_str,
+             AVG(length(CAST(doc_id AS VARCHAR))) AS avg_len
+      FROM documents
+      UNION ALL
+      SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+             CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR),
+             AVG(length(text))
+      FROM documents
+      UNION ALL
+      SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+             CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR),
+             AVG(length(lang))
+      FROM documents
+      UNION ALL
+      SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+             CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR),
+             AVG(length(source))
+      FROM documents
+      UNION ALL
+      SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+             CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR),
+             AVG(length(CAST(n_chars AS VARCHAR)))
+      FROM documents
+    )
+    SELECT * FROM s
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -54,7 +54,15 @@ from .similarity import (
     unit,
 )
 from .joins import asof_join, range_join
-from .scale import bloom_prune, read_bucketed, salted_agg, semi_prune, write_bucketed
+from .profile import profile_table
+from .scale import (
+    bloom_prune,
+    read_bucketed,
+    salted_agg,
+    semi_prune,
+    write_bucketed,
+    write_partitioned,
+)
 from .sessions import sessionize, sessionize_stream
 from .multimodal import (
     audio_chunks,
@@ -78,6 +86,7 @@ __all__ = [
     "ivf_topk", "random_project", "kmeans_centroids",
     "asof_join", "range_join",
     "salted_agg", "write_bucketed", "read_bucketed", "bloom_prune", "semi_prune",
+    "write_partitioned", "profile_table",
     "sessionize", "sessionize_stream",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",
 ]

@@ -1,0 +1,61 @@
+"""Dataset profiling: one-pass per-column quality stats for pipeline triage.
+
+``profile_table`` answers the first questions asked of any new 100 TB drop —
+null rates, cardinalities, value ranges, value widths — in a single
+aggregation over one scan.  No reference counterpart (the reference is
+row-wise expressions only); this is extension scope for the
+training-data-pipeline side.
+
+Plan shape: every stat for every column is computed in ONE ``agg`` (Spark
+rewrites the multiple exact ``count(distinct)``s with an Expand — one
+shuffle whose width is #profiled-columns, the standard exact-NDV plan),
+then the single wide row is exploded into one row per column, all
+JVM-side.  For quick triage at extreme scale pass ``approx=True``: HLL
+sketches replace the exact NDVs and the Expand disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-column stats: ``(column, n_rows, n_nulls, n_distinct, min_str,
+    max_str, avg_len)``.
+
+    ``min_str``/``max_str`` are the native min/max rendered as strings
+    (numeric order, not lexicographic); ``avg_len`` is the mean rendered
+    width — a cheap proxy for payload size skew.  ``approx=True`` swaps the
+    exact distinct counts for ``approx_count_distinct`` (±~2%).
+    """
+    cols = cols or df.columns
+    ndv = F.approx_count_distinct if approx else F.countDistinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            ndv(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+            F.avg(F.length(F.col(c).cast("string"))).alias(f"__len_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_str"),
+            F.col(f"__max_{c}").alias("max_str"),
+            F.col(f"__len_{c}").alias("avg_len"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")

@@ -86,6 +86,35 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str],
+    sort_within: list[str] | None = None,
+    files_per_partition: int = 1,
+) -> None:
+    """Hive-partitioned parquet layout for partition pruning + row-group
+    skipping.
+
+    A filter on a ``partition_by`` column prunes whole directories at plan
+    time (``PartitionFilters`` in the scan — zero I/O for dead
+    partitions).  ``sort_within`` clusters rows inside each file so
+    parquet row-group min/max stats make pushed filters on *those* columns
+    skip pages too.  The pre-write ``repartition`` bounds the file count:
+    without it every task writes every partition (tasks × partitions small
+    files — the classic 100 TB layout mistake).
+    """
+    keys = [F.col(c) for c in partition_by]
+    if files_per_partition > 1:
+        # salt splits each hive partition across N writer tasks → N files
+        keys.append((F.rand(seed=0) * files_per_partition).cast("int"))
+    out = df.repartition(*keys)
+    if sort_within:
+        out = out.sortWithinPartitions(*partition_by, *sort_within)
+    out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
 def semi_prune(fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str) -> DataFrame:
     """Exact pre-shuffle pruning: broadcast left-semi on the dim's keys.
 

@@ -164,3 +164,64 @@ def test_bloom_probe_stays_codegen(spark):
     assert "BatchEvalPython" not in plan
     # fact side never shuffles: only the dim-side word aggregation exchanges
     assert "Exchange hashpartitioning(o_custkey" not in plan
+
+
+def test_write_partitioned_prunes_partitions(spark, tmp_path):
+    from dftly_spark.ops import write_partitioned
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, partition_by=["lang"], sort_within=["n_chars"])
+
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    back = spark.read.parquet(path)
+    one = back.where(F.col("lang") == langs[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # directory-level pruning visible in the scan, and only that
+    # partition's files are touched
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    # the pruned read returns exactly the partition's rows
+    assert one.count() == docs.where(F.col("lang") == langs[0]).count()
+    # row-group skipping: the sort_within column's filter is pushed
+    plan2 = back.where(F.col("n_chars") > 100)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]" in plan2
+    # round-trip is lossless
+    assert back.count() == docs.count()
+
+
+def test_write_partitioned_bounds_file_count(spark, tmp_path):
+    from dftly_spark.ops import write_partitioned
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "docs_files")
+    write_partitioned(docs, path, partition_by=["lang"], files_per_partition=1)
+    back = spark.read.parquet(path)
+    n_langs = docs.select("lang").distinct().count()
+    # one writer task per hive partition → exactly one file each
+    assert len(back.inputFiles()) == n_langs
+
+
+def test_profile_table_matches_naive(spark):
+    from dftly_spark.ops import profile_table
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    prof = {r.column: r for r in profile_table(docs, ["lang", "n_chars"]).collect()}
+    rows = docs.collect()
+    assert prof["lang"].n_rows == len(rows)
+    assert prof["lang"].n_distinct == len({r.lang for r in rows if r.lang is not None})
+    assert prof["n_chars"].min_str == str(min(r.n_chars for r in rows))
+    assert prof["n_chars"].max_str == str(max(r.n_chars for r in rows))
+    assert prof["n_chars"].n_nulls == sum(1 for r in rows if r.n_chars is None)
+
+
+def test_profile_table_approx_mode(spark):
+    from dftly_spark.ops import profile_table
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {r.column: r.n_distinct for r in profile_table(docs).collect()}
+    approx = {r.column: r.n_distinct for r in profile_table(docs, approx=True).collect()}
+    for c in exact:
+        assert abs(approx[c] - exact[c]) <= max(2, 0.1 * exact[c])
+    # approx plan has no Expand (the exact-NDV rewrite)
+    plan = profile_table(docs, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
