@@ -132,6 +132,23 @@ def _const_pattern(node: Node) -> str | None:
     return v if isinstance(v, str) else None
 
 
+def _rust_to_java(pattern: str) -> str:
+    """Bridge the regex dialect gap (reference: Rust regex, str.py:255-258).
+
+    The one Rust spelling with a direct Java equivalent is the Python-style
+    named group ``(?P<name>…)`` → Java ``(?<name>…)`` (Rust accepts both,
+    Java only the latter).  Remaining divergence is inherent and documented
+    (SURVEY §4.3 #4): Java additionally accepts lookarounds/backreferences
+    (the reference's Rust engine rejects them), and exotic Unicode class
+    names differ.  Pinned in tests/test_lowering.py.
+    """
+    return pattern.replace("(?P<", "(?<")
+
+
+def _rust_to_java_col(pat_col: SparkColumn) -> SparkColumn:
+    return F.regexp_replace(pat_col, F.lit(r"\(\?P<"), F.lit("(?<"))
+
+
 class RegexExtract(Node):
     """``extract [group N of] /re/ from x`` (str.py:179-433).
 
@@ -204,10 +221,11 @@ class RegexExtract(Node):
         gi = self.group_index
         pat = _const_pattern(self.kwargs["pattern"])
         if pat is not None:
+            pat = _rust_to_java(pat)
             matched = src.rlike(pat)
             extracted = F.regexp_extract(src, pat, gi)
         else:
-            pat_col = self.kwargs["pattern"].to_column(ctx)
+            pat_col = _rust_to_java_col(self.kwargs["pattern"].to_column(ctx))
             matched = F.call_function("rlike", src, pat_col)
             extracted = F.call_function("regexp_extract", src, pat_col, F.lit(gi))
         return F.when(matched, extracted)
@@ -239,8 +257,10 @@ class RegexMatch(Node):
         src = self.kwargs["source"].to_column(ctx)
         pat = _const_pattern(self.kwargs["pattern"])
         if pat is not None:
-            return src.rlike(pat)
-        return F.call_function("rlike", src, self.kwargs["pattern"].to_column(ctx))
+            return src.rlike(_rust_to_java(pat))
+        return F.call_function(
+            "rlike", src, _rust_to_java_col(self.kwargs["pattern"].to_column(ctx))
+        )
 
     @classmethod
     def from_str_args(cls, items: Any) -> dict[str, Any]:

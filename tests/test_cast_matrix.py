@@ -68,3 +68,34 @@ def _run_with_schema(spark, expr, col, typ, want):
     got = df.select(Parser.expr_to_spark(expr, schema=df).alias("v")).collect()[0][0]
     assert got == want
     return got
+
+
+# ---------------------------------------------------------------------------
+# Integer range extremes (SURVEY §1.2 caveats, pinned as contracts):
+# int128 lowers to decimal(38,0) — 38 decimal digits, NOT the full 2^127;
+# uint64 lowers to bigint — values above 2^63-1 do not fit.
+# ---------------------------------------------------------------------------
+
+
+def test_int128_full_38_digits(run1):
+    v = int("9" * 38)
+    assert run1("$s::int128", s=str(v)) == v
+
+
+def test_int128_beyond_decimal38_raises_strict(run1):
+    import pytest
+
+    with pytest.raises(Exception, match="strict cast|USER_RAISED"):
+        run1("$s::int128", s=str(2**127 - 1))  # 39 digits: reference fits, decimal(38,0) cannot
+
+
+def test_uint64_up_to_int63_max(run1):
+    v = 2**63 - 1
+    assert run1("$s::uint64", s=str(v)) == v
+
+
+def test_uint64_above_long_raises_strict(run1):
+    import pytest
+
+    with pytest.raises(Exception, match="strict cast|USER_RAISED"):
+        run1("$s::uint64", s=str(2**63))  # reference accepts up to 2^64-1; bigint cannot

@@ -204,3 +204,50 @@ def test_hash_distinctness_on_column(spark):
         ).collect()
     ]
     assert all(v is not None for v in filled)
+
+
+# ---------------------------------------------------------------------------
+# Regex dialect boundary: reference compiles Rust regex, we run Java regex
+# (SURVEY §4.3 #4).  The bridgeable spelling is translated; the inherent
+# divergences are pinned here so they are a contract, not an accident.
+# ---------------------------------------------------------------------------
+
+
+def test_regex_python_style_named_group_translated(run1):
+    # Rust/Python spelling (?P<name>…) is illegal in Java; the lowering
+    # rewrites it to Java's (?<name>…)
+    expr = {"regex_extract": {"pattern": {"literal": r"(?P<yr>\d{4})-\d{2}"},
+                              "source": "$s", "group_index": {"literal": 1}}}
+    assert run1(expr, s="2024-05-01") == "2024"
+
+
+def test_regex_java_style_named_group_passthrough(run1):
+    expr = {"regex_extract": {"pattern": {"literal": r"(?<yr>\d{4})"},
+                              "source": "$s", "group_index": {"literal": 1}}}
+    assert run1(expr, s="2024-05-01") == "2024"
+
+
+def test_regex_named_group_translated_in_dynamic_pattern(spark):
+    from dftly_spark import Parser
+
+    df = spark.createDataFrame(
+        [("2024-05-01", r"(?P<yr>\d{4})")], "s string, pat string"
+    )
+    out = Parser.select(
+        df, {"m": {"regex_match": {"pattern": "$pat", "source": "$s"}}}
+    ).collect()
+    assert out[0].m is True
+
+
+def test_regex_lookahead_divergence_is_permissive(run1):
+    # Rust regex (the reference) rejects lookarounds; Java accepts them.
+    # We are deliberately permissive — configs using lookarounds work here
+    # and fail there, never the reverse.
+    expr = {"regex_match": {"pattern": {"literal": r"foo(?=bar)"}, "source": "$s"}}
+    assert run1(expr, s="foobar") is True
+    assert run1(expr, s="foobaz") is False
+
+
+def test_regex_unicode_class_parity(run1):
+    expr = {"regex_extract": {"pattern": {"literal": r"\p{L}+"}, "source": "$s"}}
+    assert run1(expr, s="héllo42") == "héllo"
