@@ -1490,6 +1490,49 @@ _q(
 )
 
 
+def _x23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from events.props, then a typed aggregate.
+
+    Path extraction (``get_json_object``) and schema parse (``from_json``)
+    must agree — both appear and are cross-checked row-wise, then k is
+    aggregated per event_type.
+    """
+    from dftly_spark.ops import json_extract_fields, json_parse_typed
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    ex = json_extract_fields(ev, "props", {"k_path": ("$.k", "bigint")})
+    typed = json_parse_typed(ex, "props", "k BIGINT")
+    return (
+        typed.withColumn("k_typed", F.col("props_parsed.k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k_path").alias("sum_k"),
+            F.min("k_typed").alias("min_k"),
+            F.max("k_typed").alias("max_k"),
+            F.sum((F.col("k_path") != F.col("k_typed")).cast("bigint")).alias(
+                "path_vs_typed_mismatches"
+            ),
+        )
+    )
+
+
+_q(
+    "x23_json_extract",
+    _x23,
+    """
+    WITH e AS (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k, MAX(k) AS max_k,
+           CAST(0 AS BIGINT) AS path_vs_typed_mismatches
+    FROM e GROUP BY event_type
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

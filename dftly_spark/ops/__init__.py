@@ -54,6 +54,7 @@ from .similarity import (
     unit,
 )
 from .joins import asof_join, range_join
+from .jsonops import json_extract_fields, json_parse_typed
 from .profile import profile_table
 from .scale import (
     bloom_prune,
@@ -86,7 +87,7 @@ __all__ = [
     "ivf_topk", "random_project", "kmeans_centroids",
     "asof_join", "range_join",
     "salted_agg", "write_bucketed", "read_bucketed", "bloom_prune", "semi_prune",
-    "write_partitioned", "profile_table",
+    "write_partitioned", "profile_table", "json_extract_fields", "json_parse_typed",
     "sessionize", "sessionize_stream",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",
 ]

@@ -318,3 +318,39 @@ def test_no_python_udf_in_text_paths(spark, docs):
         minhash_dup_pairs(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan2
+
+
+def test_json_extract_fields_and_typed_parse(spark):
+    from dftly_spark.ops import json_extract_fields, json_parse_typed
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "tag": "a"}'),
+            (2, '{"tag": "b"}'),          # missing k -> null
+            (3, "not json"),               # malformed -> null
+            (4, None),                     # null in -> null out
+        ],
+        "id long, props string",
+    )
+    ex = json_extract_fields(
+        df, "props", {"k": ("$.k", "bigint"), "tag": ("$.tag", "string")}
+    )
+    got = {r.id: (r.k, r.tag) for r in ex.collect()}
+    assert got == {1: (7, "a"), 2: (None, "b"), 3: (None, None), 4: (None, None)}
+
+    typed = json_parse_typed(df, "props", "k BIGINT, tag STRING")
+    got2 = {r.id: r.props_parsed for r in typed.collect()}
+    assert got2[1].k == 7 and got2[1].tag == "a"
+    assert got2[2].k is None and got2[2].tag == "b"
+    assert got2[4] is None
+
+
+def test_json_ops_stay_jvm_side(spark):
+    from dftly_spark.ops import json_extract_fields
+
+    df = spark.createDataFrame([(1, '{"k": 1}')], "id long, props string")
+    plan = (
+        json_extract_fields(df, "props", {"k": ("$.k", "bigint")})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
