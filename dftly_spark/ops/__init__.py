@@ -53,7 +53,7 @@ from .similarity import (
     lsh_bucket_topk,
     unit,
 )
-from .joins import asof_join, range_join
+from .joins import asof_join, asof_join_stream, range_join
 from .jsonops import json_extract_fields, json_parse_typed
 from .profile import profile_table
 from .scale import (
@@ -85,7 +85,7 @@ __all__ = [
     "embedding_dup_pairs",
     "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk", "random_project", "kmeans_centroids",
-    "asof_join", "range_join",
+    "asof_join", "asof_join_stream", "range_join",
     "salted_agg", "write_bucketed", "read_bucketed", "bloom_prune", "semi_prune",
     "write_partitioned", "profile_table", "json_extract_fields", "json_parse_typed",
     "sessionize", "sessionize_stream",

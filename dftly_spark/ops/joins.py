@@ -23,8 +23,17 @@ a training-data pipeline, expressed so Catalyst keeps them shuffle-minimal:
 
 from __future__ import annotations
 
+from typing import Any, Iterator, Tuple
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 _MICROS = "bigint"
 
@@ -203,3 +212,96 @@ def range_join(
                 empty = empty.withColumn(c, F.lit(None).cast(points.schema[c].dataType))
         out = out.unionByName(empty)
     return out
+
+
+_ASOF_OUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("right_ts_us", LongType()),
+        StructField("right_value", DoubleType()),
+    ]
+)
+_ASOF_STATE = StructType(
+    [
+        StructField("right_ts_us", LongType()),
+        StructField("right_value", DoubleType()),
+    ]
+)
+
+
+def _asof_stream_func(
+    key: Tuple[Any, ...], pdfs: Iterator, state: GroupState
+) -> Iterator:  # pragma: no cover - executor side
+    import pandas as pd
+
+    (user_id,) = key
+    rts, rval = state.get if state.exists else (None, None)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["__ts", "__side", "__id"])
+        for side, ts, ev, val in zip(
+            pdf["__side"], pdf["__ts"], pdf["__id"], pdf["__val"]
+        ):
+            if side == 0:
+                rts, rval = int(ts), float(val)
+            else:
+                out.append((int(ev), int(user_id), int(ts), rts, rval))
+    if rts is not None:
+        state.update((rts, rval))
+    yield pd.DataFrame(
+        out, columns=["event_id", "user_id", "ts_us", "right_ts_us", "right_value"]
+    )
+
+
+def asof_join_stream(
+    left,
+    right,
+    *,
+    on: str = "ts",
+    by: str = "user_id",
+    left_id: str = "event_id",
+    right_val: str = "value",
+):
+    """Streaming backward as-of join: enrich each left event with the most
+    recent right event's value per key (``applyInPandasWithState``).
+
+    The streaming twin of :func:`asof_join`: both streams are tagged and
+    unioned, grouped by the key, and per-key state carries (latest right
+    ts, value) across micro-batches — O(1) state per key, the same plan
+    Spark's built-in stream-stream join cannot express (it buffers BOTH
+    sides within a watermark; an as-of needs only the latest right row,
+    forever).  Like :func:`~dftly_spark.ops.sessions.sessionize_stream`,
+    events must arrive time-ordered per key ACROSS micro-batches (sorted
+    within each batch here); a production deployment would add a timeout to
+    expire idle keys.
+
+    Emits ``(event_id, user_id, ts_us, right_ts_us, right_value)`` with
+    nulls when no right event has been seen yet (left-join semantics).
+    """
+    l_side = left.select(
+        F.col(by).alias("__key"),
+        _micros(F.col(on)).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.col(left_id).cast("long").alias("__id"),
+        F.lit(None).cast("double").alias("__val"),
+    )
+    r_side = right.select(
+        F.col(by).alias("__key"),
+        _micros(F.col(on)).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast("long").alias("__id"),
+        F.col(right_val).cast("double").alias("__val"),
+    )
+    return (
+        l_side.unionByName(r_side)
+        .groupBy("__key")
+        .applyInPandasWithState(
+            _asof_stream_func,
+            outputStructType=_ASOF_OUT,
+            stateStructType=_ASOF_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

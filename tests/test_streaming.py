@@ -115,3 +115,43 @@ def test_windowed_agg_matches_batch(spark):
     b = {tuple(r) for r in batch.collect()}
     assert got == b
     assert len(got) > 0
+
+
+def test_asof_join_stream_matches_batch(spark):
+    """Streaming as-of (stateful enrichment) ≡ batch asof_join, left mode."""
+    from dftly_spark.ops import asof_join, asof_join_stream
+
+    ev_stream = stream_table(spark, SF_DIR, "events")
+    left_s = ev_stream.where(F.col("event_type") == "purchase")
+    right_s = ev_stream.where(F.col("event_type") == "click")
+    got = _run_to_memory(
+        spark,
+        asof_join_stream(left_s, right_s, on="ts", by="user_id",
+                         left_id="event_id", right_val="value"),
+        "stream_asof",
+    )
+    ev = _batch_events(spark)
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    batch = asof_join(purch, clicks, on="ts", by="user_id", how="left")
+    b = {
+        r.event_id: (
+            None if r.ts_right is None else int(r.ts_right.timestamp() * 1e6),
+            r.value_right,
+        )
+        for r in batch.collect()
+    }
+    g = {r.event_id: (r.right_ts_us, r.right_value) for r in got.collect()}
+    assert g == b
+
+
+def test_asof_join_stream_state_is_bounded(spark):
+    """The stateful operator keeps one (ts, value) pair per key — assert the
+    state schema is the fixed 2-field struct, not a buffer."""
+    from dftly_spark.ops.joins import _ASOF_STATE
+
+    assert [f.name for f in _ASOF_STATE.fields] == ["right_ts_us", "right_value"]
