@@ -1533,6 +1533,51 @@ _q(
 )
 
 
+def _x24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-25 unigrams + top-25 bigrams by frequency."""
+    from dftly_spark.ops import vocab_topk
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    uni = vocab_topk(docs, "text", id_col="doc_id", k=25, n=1).withColumn(
+        "gram_size", F.lit(1)
+    )
+    bi = vocab_topk(docs, "text", id_col="doc_id", k=25, n=2).withColumn(
+        "gram_size", F.lit(2)
+    )
+    return uni.unionByName(bi)
+
+
+_q(
+    "x24_vocab_topk",
+    _x24,
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), ex AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM base
+    ), tok AS (
+      SELECT doc_id, w[p] AS t, CASE WHEN p < len(w) THEN w[p] || ' ' || w[p + 1] END AS t2
+      FROM ex
+    ), uni AS (
+      SELECT t AS gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS count,
+             1 AS gram_size
+      FROM tok GROUP BY t ORDER BY count DESC, gram ASC LIMIT 25
+    ), bi AS (
+      SELECT t2 AS gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS count,
+             2 AS gram_size
+      FROM tok WHERE t2 IS NOT NULL
+      GROUP BY t2 ORDER BY count DESC, gram ASC LIMIT 25
+    )
+    SELECT gram, n_docs, count, CAST(gram_size AS INTEGER) AS gram_size FROM uni
+    UNION ALL
+    SELECT gram, n_docs, count, CAST(gram_size AS INTEGER) AS gram_size FROM bi
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -27,6 +27,7 @@ from .textops import (
     normalize_text,
     punct_ratio,
     quality_score,
+    vocab_topk,
     stopword_ratio,
     token_count,
     tokens,
@@ -76,7 +77,7 @@ from .multimodal import (
 
 __all__ = [
     "tokens", "token_count", "bpe_token_count", "normalize_text",
-    "stopword_ratio", "punct_ratio", "quality_score", "language_id",
+    "stopword_ratio", "punct_ratio", "quality_score", "language_id", "vocab_topk",
     "doc_fingerprint",
     "doc_fingerprints",
     "repetition_signals",

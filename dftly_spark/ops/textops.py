@@ -192,3 +192,42 @@ def doc_fingerprints(
     )
     short_fp = short_rows.select("_id", F.array("_g").alias("fingerprint"))
     return long_fp.unionByName(short_fp).withColumnRenamed("_id", id_col)
+
+
+def vocab_topk(df, text_col: str, *, id_col: str = "doc_id", k: int = 50, n: int = 1):
+    """Corpus-level top-``k`` token ``n``-grams by frequency (vocab building).
+
+    Normalizes (lowercase, collapsed whitespace), tokenizes on whitespace,
+    forms word n-grams, and counts globally.  Returns ``(gram, n_docs,
+    count)`` ordered by (count desc, gram asc) — the deterministic tiebreak
+    makes the top-k reproducible.
+
+    Scale shape: explode → ONE hash aggregation on the gram (map-side
+    partial combine does the heavy lifting: per-partition counts are at
+    most vocab-sized, not token-count-sized), then Spark's
+    TakeOrderedAndProject computes the global top-k from per-partition
+    top-ks — no full sort, no single-reducer bottleneck.
+    """
+    toks = tokens(normalize_text(F.col(text_col)))
+    if n == 1:
+        grams = toks
+    else:
+        # sequence(1, 0) would be DESCENDING [1, 0], not empty — guard docs
+        # with fewer than n tokens explicitly
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("__doc"), F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("__doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("count"),
+        )
+        .orderBy(F.col("count").desc(), F.col("gram").asc())
+        .limit(k)
+    )

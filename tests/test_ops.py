@@ -354,3 +354,37 @@ def test_json_ops_stay_jvm_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_vocab_topk_counts_and_order(spark, docs):
+    from dftly_spark.ops import vocab_topk
+
+    out = vocab_topk(docs, "text", id_col="doc_id", k=10).collect()
+    assert len(out) == 10
+    # ordered by count desc then gram asc
+    counts = [r["count"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    # cross-check the #1 gram against a naive count
+    import re
+    from collections import Counter
+
+    c, docs_with = Counter(), Counter()
+    for r in docs.collect():
+        toks = re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+        toks = [t for t in toks if t]
+        c.update(toks)
+        docs_with.update(set(toks))
+    top = out[0]
+    assert c[top.gram] == top["count"] == max(c.values())
+    assert docs_with[top.gram] == top.n_docs
+
+
+def test_vocab_topk_bigrams_handle_short_docs(spark):
+    from dftly_spark.ops import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "a b a b"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.gram: r["count"] for r in vocab_topk(df, "text", k=10, n=2).collect()}
+    assert out == {"a b": 2, "b a": 1}
