@@ -1,0 +1,87 @@
+"""Batch table I/O: schema-explicit readers and writers.
+
+The reference engine's I/O surface is its host dataframe library's (configs
+are YAML; tables arrive as in-memory frames).  On Spark the equivalent
+surface is the DataFrameReader/Writer — these helpers pin the pipeline
+defaults so every entry point behaves the same way:
+
+* parquet is the canonical interchange format (typed, splittable,
+  column-pruned and predicate-pushed at the scan);
+* ``jsonl`` (newline-delimited JSON) round-trips nested types; schemas
+  should still be passed explicitly on read — schema inference is a full
+  extra pass over 100 TB;
+* csv is header-ful and requires an explicit schema on read (inference is
+  both a full pass AND lossy — everything nullable-string without it).
+
+``FAILFAST`` is the default read mode: silently null-ing malformed rows
+(Spark's default PERMISSIVE) is the wrong default for training-data
+pipelines, where a bad decode should stop the job, not poison the corpus.
+Pass ``mode="PERMISSIVE"`` explicitly to opt in to salvage semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FORMATS = ("parquet", "csv", "jsonl")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    format: str = "parquet",
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Read a table; ``schema`` is a DDL string (required for csv/jsonl
+    unless ``infer=True`` was deliberately chosen via options)."""
+    if format not in _FORMATS:
+        raise ValueError(f"format must be one of {_FORMATS}, got {format!r}")
+    reader = spark.read
+    if format == "csv":
+        opts = {"header": "true", "mode": "FAILFAST", **options}
+        reader = reader.options(**opts)
+        if schema is None and opts.get("inferSchema") != "true":
+            raise ValueError(
+                "csv reads need an explicit DDL schema (or inferSchema='true', "
+                "which costs a full extra pass and types everything it can't "
+                "parse as string)"
+            )
+    elif format == "jsonl":
+        reader = reader.options(**{"mode": "FAILFAST", **options})
+    else:
+        reader = reader.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    fmt = "json" if format == "jsonl" else format
+    return reader.format(fmt).load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    *,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    if format not in _FORMATS:
+        raise ValueError(f"format must be one of {_FORMATS}, got {format!r}")
+    writer = df.write.mode(mode)
+    if format == "csv":
+        writer = writer.options(**{"header": "true", **options})
+    else:
+        writer = writer.options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    fmt = "json" if format == "jsonl" else format
+    writer.format(fmt).save(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
+    """Expose parquet tables as temp views so ``spark.sql`` queries run
+    against them by bare name (the oracle-side setup, Spark-side)."""
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
