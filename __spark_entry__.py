@@ -1578,6 +1578,46 @@ _q(
 )
 
 
+def _x25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + per-lang stratified sample.
+
+    Row-local LCG-mix gating — no shuffle, no rand(); the oracle replays
+    the identical modular arithmetic (``sampling.mix_sql``).
+    """
+    from dftly_spark.ops import hash_split, stratified_sample
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+    sampled = stratified_sample(
+        split, "lang", {"en": 0.5, "de": 0.25}, "doc_id",
+        default_rate=0.1, seed=11,
+    )
+    return sampled.select("doc_id", "lang", "split")
+
+
+def _x25_oracle() -> str:
+    from dftly_spark.ops.sampling import _M, mix_sql
+
+    u7, u11 = mix_sql("doc_id", 7), mix_sql("doc_id", 11)
+    t_train, t_val = int(0.8 * _M), int(0.9 * _M)
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN {u7} < {t_train} THEN 'train'
+                WHEN {u7} < {t_val} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    WHERE {u11} < CASE lang WHEN 'en' THEN {int(0.5 * _M)}
+                            WHEN 'de' THEN {int(0.25 * _M)}
+                            ELSE {int(0.1 * _M)} END
+    """
+
+
+_q("x25_split_and_sample", _x25, _x25_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -388,3 +388,40 @@ def test_vocab_topk_bigrams_handle_short_docs(spark):
     )
     out = {r.gram: r["count"] for r in vocab_topk(df, "text", k=10, n=2).collect()}
     assert out == {"a b": 2, "b a": 1}
+
+
+def test_hash_split_deterministic_disjoint_exhaustive(spark, docs):
+    from dftly_spark.ops import hash_split
+
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    by = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(by.values()) == n  # exhaustive
+    # roughly proportional (LCG over sequential ids is near-uniform)
+    assert abs(by["train"] / n - 0.8) < 0.05
+    # rerun identical, and partition-count independent
+    again = hash_split(docs.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()} == {
+        (r.doc_id, r.split) for r in again.select("doc_id", "split").collect()
+    }
+
+
+def test_stratified_sample_nested_across_rates(spark, docs):
+    from dftly_spark.ops import stratified_sample
+
+    small = {r.doc_id for r in stratified_sample(docs, "lang", {"en": 0.2}, "doc_id").collect()}
+    big = {r.doc_id for r in stratified_sample(docs, "lang", {"en": 0.5}, "doc_id").collect()}
+    assert small <= big  # raising a rate only adds documents
+    # default_rate=0 drops all non-en
+    langs = {r.lang for r in stratified_sample(docs, "lang", {"en": 1.0}, "doc_id").select("lang").distinct().collect()}
+    assert langs == {"en"}
+
+
+def test_sampling_is_row_local(spark, docs):
+    from dftly_spark.ops import hash_split
+
+    plan = (
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
