@@ -1618,6 +1618,54 @@ def _x25_oracle() -> str:
 _q("x25_split_and_sample", _x25, _x25_oracle())
 
 
+def _x26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing of documents into 256-token
+    training windows (8 shards), offsets closed-form."""
+    from dftly_spark.ops import pack_sequences
+    from dftly_spark.ops.textops import token_count
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count(F.col("text"))
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tok", context_len=256, shards=8, seed=3
+    )
+
+
+def _x26_oracle() -> str:
+    from dftly_spark.ops.sampling import mix_sql
+
+    return rf"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))::BIGINT AS l
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, l, {mix_sql("doc_id", 3)} % 8 AS shard FROM d
+    ), c AS (
+      SELECT doc_id, l, shard,
+             SUM(l) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e
+      FROM s
+    ), x AS (
+      SELECT doc_id, shard, CAST(e AS BIGINT) AS e, CAST(e - l AS BIGINT) AS st
+      FROM c
+    ), ex AS (
+      SELECT doc_id, shard, st, e,
+             unnest(generate_series(st // 256, (e - 1) // 256)) AS chunk_id
+      FROM x
+    )
+    SELECT shard, chunk_id, doc_id,
+           GREATEST(st, chunk_id * 256) - st AS doc_offset,
+           GREATEST(st, chunk_id * 256) - chunk_id * 256 AS chunk_offset,
+           LEAST(e, chunk_id * 256 + 256) - GREATEST(st, chunk_id * 256) AS n_tokens
+    FROM ex
+    """
+
+
+_q("x26_pack_sequences", _x26, _x26_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -95,3 +95,62 @@ def stratified_sample(
 def mix_sql(id_expr: str, seed: int = 0) -> str:
     """The mixer as ANSI SQL, for oracle parity: ``mix_sql('doc_id')``."""
     return f"(({id_expr} * {_A} + {_C + seed}) % {_M})"
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    *,
+    context_len: int = 2048,
+    shards: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: map documents onto fixed-length
+    training windows.
+
+    The standard LM-pretraining packing: within a shard, documents are laid
+    end-to-end in a deterministic order and the token stream is cut every
+    ``context_len`` tokens (documents may span chunk boundaries).  Returns
+    one row per (document × chunk it overlaps): ``(shard, chunk_id,``
+    ``id_col, doc_offset, chunk_offset, n_tokens)`` — everything a loader
+    needs to materialize chunk tensors.
+
+    Scale shape: rows shuffle ONCE on the shard key (``shards`` bounds
+    partition size — size it so a shard's docs fit an executor), one window
+    cumsum per shard, then a per-doc explode over the chunks it touches
+    (O(doc_len / context_len) rows each).  Offsets are closed-form integer
+    arithmetic: no iterative packing state, exactly reproducible anywhere.
+    """
+    shard = F.pmod(_mix(F.col(id_col), seed), F.lit(shards))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    L = F.lit(context_len)
+    base = (
+        df.select(F.col(id_col), F.col(len_col).cast("bigint").alias("__len"), shard.alias("shard"))
+        .where(F.col("__len") > 0)
+        .withColumn("__end", F.sum("__len").over(w))
+        .withColumn("__start", F.col("__end") - F.col("__len"))
+    )
+    spans = base.withColumn(
+        "chunk_id",
+        F.explode(
+            F.sequence(F.floor(F.col("__start") / L), F.floor((F.col("__end") - 1) / L))
+        ),
+    )
+    chunk_start = F.col("chunk_id") * L
+    begin = F.greatest(F.col("__start"), chunk_start)
+    end = F.least(F.col("__end"), chunk_start + L)
+    return spans.select(
+        "shard",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col(id_col),
+        (begin - F.col("__start")).alias("doc_offset"),
+        (begin - chunk_start).alias("chunk_offset"),
+        (end - begin).alias("n_tokens"),
+    )

@@ -425,3 +425,39 @@ def test_sampling_is_row_local(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_covers_all_tokens(spark, docs):
+    from dftly_spark.ops import pack_sequences
+    from dftly_spark.ops.textops import token_count
+
+    d = docs.withColumn("n_tok", token_count(F.col("text")))
+    packed = pack_sequences(d, "doc_id", "n_tok", context_len=128, shards=4)
+    rows = packed.collect()
+    # every document's tokens are fully covered, in order, no overlap
+    total = {r.doc_id: r.n_tok for r in d.select("doc_id", "n_tok").collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, parts in by_doc.items():
+        parts.sort(key=lambda r: r.doc_offset)
+        assert parts[0].doc_offset == 0
+        assert sum(p.n_tokens for p in parts) == total[doc_id]
+        off = 0
+        for p in parts:
+            assert p.doc_offset == off
+            off += p.n_tokens
+    # every chunk except each shard's last is exactly full
+    chunks = {}
+    for r in rows:
+        chunks.setdefault((r.shard, r.chunk_id), 0)
+        chunks[(r.shard, r.chunk_id)] += r.n_tokens
+    last = {}
+    for (s, c) in chunks:
+        last[s] = max(last.get(s, -1), c)
+    for (s, c), n in chunks.items():
+        if c != last[s]:
+            assert n == 128
+        # chunk offsets stay within the window
+    for r in rows:
+        assert 0 <= r.chunk_offset < 128 and r.chunk_offset + r.n_tokens <= 128
