@@ -1666,6 +1666,32 @@ def _x26_oracle() -> str:
 _q("x26_pack_sequences", _x26, _x26_oracle())
 
 
+def _x27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution (exact interpolated
+    quantiles — Spark `percentile` ≡ ANSI quantile_cont, bit-identical on
+    integer inputs)."""
+    from dftly_spark.ops import quantile_stats
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_stats(docs, "n_chars", by="lang")
+
+
+_q(
+    "x27_quantile_stats",
+    _x27,
+    """
+    SELECT lang, COUNT(n_chars) AS n, AVG(n_chars) AS mean,
+           quantile_cont(n_chars, 0.1) AS q10,
+           quantile_cont(n_chars, 0.25) AS q25,
+           quantile_cont(n_chars, 0.5) AS q50,
+           quantile_cont(n_chars, 0.75) AS q75,
+           quantile_cont(n_chars, 0.9) AS q90
+    FROM documents GROUP BY lang
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

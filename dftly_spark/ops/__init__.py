@@ -57,7 +57,7 @@ from .similarity import (
 from .joins import asof_join, asof_join_stream, range_join
 from .jsonops import json_extract_fields, json_parse_typed
 from .sampling import hash_split, pack_sequences, stratified_sample
-from .profile import profile_table
+from .profile import profile_table, quantile_stats
 from .scale import (
     bloom_prune,
     read_bucketed,
@@ -90,7 +90,7 @@ __all__ = [
     "asof_join", "asof_join_stream", "range_join",
     "salted_agg", "write_bucketed", "read_bucketed", "bloom_prune", "semi_prune",
     "write_partitioned", "profile_table", "json_extract_fields", "json_parse_typed",
-    "hash_split", "stratified_sample", "pack_sequences",
+    "hash_split", "stratified_sample", "pack_sequences", "quantile_stats",
     "sessionize", "sessionize_stream",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",
 ]

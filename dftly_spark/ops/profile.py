@@ -59,3 +59,42 @@ def profile_table(
         for c in cols
     ]
     return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+def quantile_stats(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: str | None = None,
+    probs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9),
+    approx: bool = False,
+) -> DataFrame:
+    """Distribution stats per group: count, mean, and the given quantiles.
+
+    Exact mode uses Spark's ``percentile`` (linear interpolation — the same
+    definition as ANSI ``quantile_cont``, bit-identical on integer inputs),
+    which buffers each group's values: right for profiling runs and
+    bounded-cardinality groups.  At open-ended scale pass ``approx=True``
+    for ``percentile_approx`` (KLL-style sketch, constant memory, rank
+    error ≤ 1/accuracy) — approximate values are engine-specific, so only
+    the exact mode carries a value oracle.
+
+    Quantiles come back as one column per prob (``q10``, ``q25``, …) —
+    scalar columns, not an array.
+    """
+    fn = "percentile_approx" if approx else "percentile"
+    arr = ", ".join(repr(float(p)) for p in probs)
+    extra = ", 10000" if approx else ""
+    agg = [
+        F.count(value_col).alias("n"),
+        F.avg(value_col).alias("mean"),
+        F.expr(f"{fn}({value_col}, array({arr}){extra})").alias("__q"),
+    ]
+    g = df.groupBy(by) if by else df.groupBy()
+    wide = g.agg(*agg)
+    qcols = [
+        F.element_at("__q", i + 1).alias(f"q{int(p * 100)}")
+        for i, p in enumerate(probs)
+    ]
+    keep = ([F.col(by)] if by else []) + [F.col("n"), F.col("mean")] + qcols
+    return wide.select(*keep)

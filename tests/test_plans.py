@@ -95,3 +95,27 @@ def test_broadcast_join_in_ts_diff_query(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_all_contract_queries_plan_invariants(spark):
+    """Sweep every queries() entry: no row-at-a-time Python eval anywhere,
+    and no cartesian/nested-loop joins except the two sanctioned cases
+    (x21's single-row Bloom broadcast; x05/x06/x11/x12's broadcast of a
+    tiny query/centroid set is a hash join, so not excepted)."""
+    import __spark_entry__ as entry
+
+    nl_allowed = {
+        "x21_bloom_pruned_join",  # 1-row Bloom build side
+        "x06_cosine_topk",  # exact top-k must score every (query, corpus)
+        # pair: bounded query set broadcast over one corpus scan is the plan
+    }
+    arrow_allowed = {"x09_multimodal_decode"}  # sanctioned mapInPandas stub
+    for name, fn in entry.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{name} has a Python UDF"
+        if name not in arrow_allowed:
+            assert "ArrowEvalPython" not in plan, f"{name} has an Arrow UDF"
+        if name not in nl_allowed:
+            assert "CartesianProduct" not in plan, f"{name} goes cartesian"
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name} nested-loops"

@@ -225,3 +225,25 @@ def test_profile_table_approx_mode(spark):
     # approx plan has no Expand (the exact-NDV rewrite)
     plan = profile_table(docs, approx=True)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_quantile_stats_exact_and_approx(spark):
+    from dftly_spark.ops import quantile_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {r.lang: r for r in quantile_stats(docs, "n_chars", by="lang").collect()}
+    rows = {}
+    for r in docs.collect():
+        rows.setdefault(r.lang, []).append(r.n_chars)
+    import numpy as np
+
+    for lang, vals in rows.items():
+        e = exact[lang]
+        assert e.n == len(vals)
+        assert abs(e.q50 - np.quantile(vals, 0.5)) < 1e-9  # same interpolation
+        assert abs(e.q90 - np.quantile(vals, 0.9)) < 1e-9
+    # approx mode stays within loose rank error and runs without buffering
+    ap = {r.lang: r for r in quantile_stats(docs, "n_chars", by="lang", approx=True).collect()}
+    for lang, vals in rows.items():
+        spread = max(vals) - min(vals)
+        assert abs(ap[lang].q50 - exact[lang].q50) <= 0.2 * spread
