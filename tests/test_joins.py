@@ -189,3 +189,98 @@ def test_range_join_self_lineage(spark):
         if s.start <= p.ts < s.end
     ]
     assert {(r.window_id, r.point_id) for r in out.collect()} == set(naive)
+
+
+# ---------------------------------------------------------------------------
+# Property-based: random event sets vs a naive reference implementation
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_ts_us = st.integers(min_value=0, max_value=10_000)
+_key = st.integers(min_value=0, max_value=3)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lefts=st.lists(st.tuples(_key, _ts_us), min_size=0, max_size=20),
+    rights=st.lists(st.tuples(_key, _ts_us, st.floats(-10, 10, allow_nan=False)),
+                    min_size=0, max_size=20),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_asof_join_matches_naive_property(spark, lefts, rights, direction):
+    from dftly_spark.ops import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=t))
+         for i, (k, t) in enumerate(lefts)] or [(0, 0, None)],
+        "lid long, k long, ts timestamp",
+    ).where(F.col("ts").isNotNull())
+    # dedupe right (key, ts) — ties are contractually pre-aggregated
+    seen, rrows = set(), []
+    for j, (k, t, v) in enumerate(rights):
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rrows.append((j, k, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=t), v))
+    right = spark.createDataFrame(
+        rrows or [(0, 0, None, 0.0)], "rid long, k long, ts timestamp, v double"
+    ).where(F.col("ts").isNotNull())
+
+    got = {
+        r.lid: (r.rid_right, r.v_right)
+        for r in asof_join(left, right, on="ts", by="k", direction=direction,
+                           how="left").collect()
+    }
+    expect = {}
+    for i, (k, t) in enumerate(lefts):
+        cands = [
+            (rt, rid, rv)
+            for (rid, rk, rts, rv) in rrows
+            for rt in [int((rts - dt.datetime(2024, 1, 1)).total_seconds() * 1e6)]
+            if rk == k and (rt <= t if direction == "backward" else rt >= t)
+        ]
+        if not cands:
+            expect[i] = (None, None)
+        elif direction == "backward":
+            _, rid, rv = max(cands)
+            expect[i] = (rid, rv)
+        else:
+            _, rid, rv = min(cands)
+            expect[i] = (rid, rv)
+    assert got == expect
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    points=st.lists(st.tuples(_ts_us), min_size=0, max_size=20),
+    ivals=st.lists(st.tuples(_ts_us, st.integers(0, 2_000)), min_size=0, max_size=10),
+    bucket=st.sampled_from([128, 1000, 4096]),
+)
+def test_range_join_matches_naive_property(spark, points, ivals, bucket):
+    from dftly_spark.ops import range_join
+
+    epoch = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, epoch + dt.timedelta(microseconds=t)) for i, (t,) in enumerate(points)]
+        or [(0, None)],
+        "pid long, ts timestamp",
+    ).where(F.col("ts").isNotNull())
+    ivl = spark.createDataFrame(
+        [(j, epoch + dt.timedelta(microseconds=s),
+          epoch + dt.timedelta(microseconds=s + d)) for j, (s, d) in enumerate(ivals)]
+        or [(0, None, None)],
+        "wid long, start timestamp, end timestamp",
+    ).where(F.col("start").isNotNull())
+
+    got = {
+        (r.wid, r.pid)
+        for r in range_join(pts, ivl, point_on="ts", start_on="start",
+                            end_on="end", bucket_micros=bucket).collect()
+    }
+    expect = {
+        (j, i)
+        for j, (s, d) in enumerate(ivals)
+        for i, (t,) in enumerate(points)
+        if s <= t < s + d
+    }
+    assert got == expect

@@ -247,3 +247,39 @@ def test_quantile_stats_exact_and_approx(spark):
     for lang, vals in rows.items():
         spread = max(vals) - min(vals)
         assert abs(ap[lang].q50 - exact[lang].q50) <= 0.2 * spread
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Scale evidence: with AQE skew handling on, a pathologically hot join
+    key is split across tasks (skew=true in the final adaptive plan)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            (F.col("id") % 1000 == 0).cast("int").alias("z"),
+            # ~99.9% of rows land on key 0 → one huge shuffle partition
+            F.when(F.col("id") % 1000 == 0, F.col("id") % 7 + 1)
+            .otherwise(0).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("pad"),
+        )
+        right = spark.range(8).select(F.col("id").alias("k"), F.lit("r").alias("rv"))
+        joined = left.join(right, "k")
+        # materialize THIS dataset: the adaptive plan finalizes per
+        # QueryExecution, and count() would plan a different one
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
