@@ -948,24 +948,46 @@ _q(
 
 
 def _x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-k shingle fingerprints with the portable md5_60 hash: every slot
+    VALUE is recomputed exactly by the oracle (one row per slot — arrays
+    trip the driver canonicalizer)."""
     from dftly_spark.ops import doc_fingerprints
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    return doc_fingerprints(docs, "doc_id", "text", n=3, k=8).select(
-        "doc_id", F.size("fingerprint").cast("bigint").alias("fp_len")
+    fp = doc_fingerprints(docs, "doc_id", "text", n=3, k=8, shingle_hash="md5_60")
+    return fp.select(
+        "doc_id", F.posexplode("fingerprint").alias("slot", "shingle_hash")
     )
 
 
-# Fingerprint values are engine-specific hashes; the oracle checks the
-# structural contract (min-k set size = min(#shingles, 8)).
-_SHINGLE_SIZES_CTE = _SHINGLE_CTE.rsplit(",\nshared", 1)[0]
 _q(
     "x08_fingerprint",
     _x08,
-    f"""
-    WITH {_SHINGLE_SIZES_CTE}
-    SELECT doc_id, CAST(LEAST(n, 8) AS BIGINT) AS fp_len FROM sizes
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN w[p] || ' ' || w[p + 1] || ' ' || w[p + 2]
+                  ELSE array_to_string(w, ' ') END AS s
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS p
+            FROM base)
+    ), h AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) AS g
+      FROM sh
+    ), ranked AS (
+      SELECT doc_id, g,
+             row_number() OVER (PARTITION BY doc_id ORDER BY g) AS rn
+      FROM h
+    )
+    SELECT doc_id, CAST(rn - 1 AS INTEGER) AS slot, g AS shingle_hash
+    FROM ranked WHERE rn <= 8
     """,
 )
 

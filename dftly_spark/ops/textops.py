@@ -171,20 +171,62 @@ def repetition_signals(df, id_col: str, text_col: str):
     )
 
 
+def _md5_60(col: SparkColumn) -> SparkColumn:
+    """Portable 60-bit hash: first 15 hex chars of md5, as a long.
+
+    Engine-independent (any engine with md5 + base conversion reproduces it
+    — DuckDB: ``('0x' || substr(md5(x), 1, 15))::UBIGINT``), which is what
+    lets approximate operators carry full-value oracles.  60 bits < 2⁶³
+    keeps ``conv`` exact in a signed long.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def doc_fingerprints(
-    df, id_col: str, text_col: str, *, n: int = 3, k: int = 8
+    df, id_col: str, text_col: str, *, n: int = 3, k: int = 8,
+    shingle_hash: str = "xxhash64",
 ):
     """Table-level :func:`doc_fingerprint`: ``(id_col, fingerprint)``.
 
     Same min-k-shingle-hash contract, but built on the codegen'd window-lead
     shingle instances (one keyed shuffle, map-side combinable) instead of
-    per-row interpreted array HOFs — the corpus-scale path.  Fingerprint
-    values differ from :func:`doc_fingerprint` (hashes of token triples vs
-    hashes of joined strings); both are engine-specific by contract.
-    """
-    from .dedup import _shingle_instance_frames
+    per-row interpreted array HOFs — the corpus-scale path.
 
-    long_inst, short_rows = _shingle_instance_frames(df, id_col, text_col, n)
+    ``shingle_hash="xxhash64"`` (default) is the fastest path but
+    engine-specific; ``"md5_60"`` hashes the joined shingle string with
+    :func:`_md5_60`, so fingerprint VALUES are reproducible in any engine
+    (the x08 oracle recomputes them exactly in DuckDB).
+    """
+    if shingle_hash == "xxhash64":
+        from .dedup import _shingle_instance_frames
+
+        long_inst, short_rows = _shingle_instance_frames(df, id_col, text_col, n)
+    elif shingle_hash == "md5_60":
+        from pyspark.sql import Window
+
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            tokens(F.lower(F.col(text_col))).alias("_w"),
+        ).select("_id", "_w", F.size("_w").alias("_sz"))
+        win = Window.partitionBy("_id").orderBy("_p")
+        parts = [
+            F.lead("_t", j).over(win) if j else F.col("_t") for j in range(n)
+        ]
+        long_inst = (
+            base.where(F.col("_sz") >= n)
+            .select("_id", F.col("_sz"), F.posexplode("_w").alias("_p", "_t"))
+            .select(
+                "_id", "_p", "_sz", _md5_60(F.concat_ws(" ", *parts)).alias("_g")
+            )
+            .where(F.col("_p") <= F.col("_sz") - n)
+            .select("_id", "_g")
+        )
+        # zero-token documents have no shingle and no fingerprint
+        short_rows = base.where(
+            (F.col("_sz") < n) & (F.col("_sz") >= 1)
+        ).select("_id", _md5_60(F.concat_ws(" ", "_w")).alias("_g"))
+    else:
+        raise ValueError(f"unknown shingle_hash {shingle_hash!r}")
     long_fp = (
         long_inst.groupBy("_id")
         .agg(F.collect_set("_g").alias("_gs"))
