@@ -1,0 +1,111 @@
+"""End-to-end pretraining-data pipeline built from dftly-spark operators.
+
+Shows how the pieces compose into the standard corpus-preparation flow:
+
+    read → quality filter (engine expressions) → exact dedup → near-dedup
+    (MinHash-LSH) → language mix (stratified sample) → train/val/test split
+    → sequence packing → partitioned shard layout
+
+Every stage is a DataFrame transformation — the whole pipeline is ONE lazy
+plan per output split, so Catalyst fuses the row-local stages (filters,
+split gates) into the scan and the only shuffles are the ones the
+algorithms require (dedup's hash groups, MinHash's band join, packing's
+shard window).
+
+Run:  python examples/pretraining_pipeline.py [sf_dir] [out_dir]
+Test: tests/test_example_pipeline.py runs it end-to-end at sf0.001.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dftly_spark import Parser
+from dftly_spark.ops import (
+    exact_dedup,
+    hash_split,
+    minhash_dup_pairs,
+    pack_sequences,
+    stratified_sample,
+    write_partitioned,
+)
+from dftly_spark.ops.textops import token_count
+
+
+def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning plan: filter → dedup → near-dedup → mix → split."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 1. Quality gate — dftly expressions compiled to native Catalyst
+    #    columns; the filter pushes into the parquet scan.
+    scored = Parser.with_columns(
+        docs,
+        {
+            "n_tokens": "$n_chars / 6",  # crude chars-per-token prior
+            "keep": "($n_chars >= 64) and ($n_chars <= 100000)",
+        },
+    )
+    clean = scored.where(F.col("keep")).drop("keep")
+
+    # 2. Exact dedup: keep one survivor per normalized text.
+    survivors = exact_dedup(clean, "text", "doc_id").select("doc_id")
+    clean = clean.join(survivors, "doc_id", "left_semi")
+
+    # 3. Near-dedup: MinHash-LSH candidate pairs, verified by exact Jaccard;
+    #    drop the higher id of each verified pair.
+    pairs = minhash_dup_pairs(clean, "doc_id", "text", n=3, k=32, bands=16,
+                              threshold=0.7)
+    victims = pairs.select(F.col("id_r").alias("doc_id")).distinct()
+    clean = clean.join(victims, "doc_id", "left_anti")
+
+    # 4. Language mix, then deterministic splits — both row-local gates.
+    mixed = stratified_sample(
+        clean, "lang", {"en": 1.0, "de": 0.8, "fr": 0.8}, "doc_id",
+        default_rate=0.5, seed=13,
+    )
+    return hash_split(mixed, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01},
+                      seed=13)
+
+
+def pack_and_write(corpus: DataFrame, out_dir: str, context_len: int = 2048) -> None:
+    """Pack each split into fixed-length windows and lay out shards."""
+    with_len = corpus.withColumn("n_tok", token_count(F.col("text")))
+    for split in ("train", "val", "test"):
+        part = with_len.where(F.col("split") == split)
+        packed = pack_sequences(part, "doc_id", "n_tok",
+                                context_len=context_len, shards=16, seed=13)
+        # chunk index joins back to the text payload for the loader
+        out = packed.join(part.select("doc_id", "lang", "text"), "doc_id")
+        write_partitioned(
+            out, f"{out_dir}/{split}", partition_by=["shard"],
+            sort_within=["chunk_id", "chunk_offset"],
+        )
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", out_dir: str = "/tmp/corpus") -> None:
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    corpus = build_corpus(spark, sf_dir)
+    pack_and_write(corpus, out_dir)
+    stats = (
+        spark.read.parquet(f"{out_dir}/train")
+        .agg(
+            F.countDistinct("doc_id").alias("docs"),
+            F.countDistinct("shard", "chunk_id").alias("chunks"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .collect()[0]
+    )
+    print(f"train: {stats.docs} docs → {stats.chunks} chunks, {stats.tokens} tokens")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
