@@ -94,6 +94,11 @@ def asof_join(
             ) + ">"
         ).alias("__rrow"),
     )
+    if by:
+        # SQL equality semantics: a null key matches nothing.  Null-key
+        # right rows are dropped here; null-key left rows then find no
+        # carried payload (they'd otherwise co-group in the window).
+        right = right.where(F.col(by).isNotNull())
     r_key = [F.col(by).alias("__key")] if by else [F.lit(0).alias("__key")]
     r_side = right.select(
         *r_key,

@@ -284,3 +284,19 @@ def test_range_join_matches_naive_property(spark, points, ivals, bucket):
         if s <= t < s + d
     }
     assert got == expect
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL equality semantics: null keys match nothing on either side."""
+    left = spark.createDataFrame(
+        [(1, None, _ts("2024-01-01 10:00:00")), (2, "A", _ts("2024-01-01 10:00:00"))],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts("2024-01-01 09:00:00"), 5.0), ("A", _ts("2024-01-01 09:00:00"), 7.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = {r.lid: r.v_right for r in asof_join(left, right, on="ts", by="k", how="left").collect()}
+    assert out == {1: None, 2: 7.0}
+    inner = asof_join(left, right, on="ts", by="k", how="inner")
+    assert [r.lid for r in inner.collect()] == [2]
