@@ -292,7 +292,7 @@ def asof_join_stream(
         F.col(left_id).cast("long").alias("__id"),
         F.lit(None).cast("double").alias("__val"),
     )
-    r_side = right.select(
+    r_side = right.where(F.col(by).isNotNull()).select(
         F.col(by).alias("__key"),
         _micros(F.col(on)).alias("__ts"),
         F.lit(0).alias("__side"),

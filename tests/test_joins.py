@@ -300,3 +300,16 @@ def test_asof_null_keys_never_match(spark):
     assert out == {1: None, 2: 7.0}
     inner = asof_join(left, right, on="ts", by="k", how="inner")
     assert [r.lid for r in inner.collect()] == [2]
+
+
+def test_range_join_null_timestamps_drop(spark):
+    ivl = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00")), (2, None, None)],
+        "window_id long, start timestamp, end timestamp",
+    )
+    pts = spark.createDataFrame(
+        [(10, _ts("2024-01-01 10:30:00")), (11, None)],
+        "point_id long, ts timestamp",
+    )
+    out = range_join(pts, ivl, point_on="ts", start_on="start", end_on="end")
+    assert {(r.window_id, r.point_id) for r in out.collect()} == {(1, 10)}
