@@ -60,6 +60,8 @@ from .sampling import hash_split, pack_sequences, stratified_sample
 from .profile import profile_table, quantile_stats
 from .scale import (
     bloom_prune,
+    compact_table,
+    plan_summary,
     read_bucketed,
     salted_agg,
     semi_prune,
@@ -90,6 +92,7 @@ __all__ = [
     "asof_join", "asof_join_stream", "range_join",
     "salted_agg", "write_bucketed", "read_bucketed", "bloom_prune", "semi_prune",
     "write_partitioned", "profile_table", "json_extract_fields", "json_parse_typed",
+    "compact_table", "plan_summary",
     "hash_split", "stratified_sample", "pack_sequences", "quantile_stats",
     "sessionize", "sessionize_stream",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",

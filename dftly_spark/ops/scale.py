@@ -196,3 +196,69 @@ def bloom_prune(
             f" CAST(__p{i} % 64 AS INT)) & 1) = 1"
         )
     return probed.where(test).drop("__bf", *[f"__p{i}" for i in range(k)])
+
+
+def plan_summary(df: DataFrame) -> dict:
+    """Physical-plan introspection for tests and pipeline CI gates.
+
+    Returns counts the scale discipline cares about: shuffles, codegen
+    stages, Python eval nodes, nested-loop joins, broadcast joins.  Usage:
+    assert ``plan_summary(df)["n_exchanges"] <= 1`` next to the operator
+    that promises it.
+    """
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen stages appear as `*(N) Op` prefixes in the tree string
+    stages = set(re.findall(r"\*\((\d+)\)", plan))
+    return {
+        "n_exchanges": plan.count("Exchange hashpartitioning"),
+        "n_codegen_stages": len(stages),
+        "has_python_eval": "BatchEvalPython" in plan or "ArrowEvalPython" in plan,
+        "has_nested_loop": "BroadcastNestedLoopJoin" in plan
+        or "CartesianProduct" in plan,
+        "n_broadcast_joins": plan.count("BroadcastHashJoin"),
+        "n_sort_merge_joins": plan.count("SortMergeJoin"),
+    }
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_mb: int = 512,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_mb`` files (small-file
+    compaction).
+
+    Long-running pipelines accumulate small files (per-microbatch sinks,
+    over-parallel writers); at 100 TB that turns every downstream scan into
+    a metadata storm.  Sizes the output from the INPUT's on-disk bytes
+    (compression-representative), writes to a sibling temp dir, then swaps
+    atomically-enough for a single-writer pipeline.  Returns the output
+    file count.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    writer = df.repartition(n_files)
+    if partition_by:
+        writer = df.repartition(n_files, *[F.col(c) for c in partition_by])
+        writer.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+    else:
+        writer.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    out = spark.read.parquet(path)
+    return len(out.inputFiles())

@@ -283,3 +283,27 @@ def test_aqe_splits_skewed_join(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_compact_table_reduces_files_losslessly(spark, tmp_path):
+    from dftly_spark.ops import compact_table
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "fragmented")
+    docs.repartition(37).write.parquet(path)  # simulate small-file buildup
+    before = len(spark.read.parquet(path).inputFiles())
+    assert before == 37
+    baseline = sorted(r.doc_id for r in docs.collect())
+    n = compact_table(spark, path, target_mb=512)
+    assert n < before
+    back = spark.read.parquet(path)
+    assert sorted(r.doc_id for r in back.collect()) == baseline
+
+
+def test_plan_summary_reports_shape(spark):
+    from dftly_spark.ops import plan_summary
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    s = plan_summary(li.groupBy("l_returnflag").count())
+    assert s["n_exchanges"] == 1 and not s["has_python_eval"]
+    assert s["n_codegen_stages"] >= 1

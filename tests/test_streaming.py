@@ -186,3 +186,19 @@ def test_stream_interval_join_matches_batch(spark):
     }
     # the physical plan is a stateful symmetric hash join, not a nested loop
     assert out.isStreaming
+
+
+def test_stream_static_broadcast_enrichment(spark):
+    """Stream-static dimension join: the static side broadcasts, the stream
+    never shuffles — the standard streaming enrichment shape."""
+    ev = stream_table(spark, SF_DIR, "events")
+    users = spark.range(200).select(
+        F.col("id").alias("user_id"), (F.col("id") % 5).alias("cohort")
+    )
+    joined = ev.join(F.broadcast(users), "user_id", "left")
+    got = _run_to_memory(spark, joined, "stream_static")
+    batch = _batch_events(spark).join(F.broadcast(users), "user_id", "left")
+    assert got.count() == batch.count()
+    assert {(r.event_id, r.cohort) for r in got.select("event_id", "cohort").collect()} == {
+        (r.event_id, r.cohort) for r in batch.select("event_id", "cohort").collect()
+    }
