@@ -205,6 +205,10 @@ def plan_summary(df: DataFrame) -> dict:
     stages, Python eval nodes, nested-loop joins, broadcast joins.  Usage:
     assert ``plan_summary(df)["n_exchanges"] <= 1`` next to the operator
     that promises it.
+
+    Under AQE the pre-execution plan is not final and reports 0 codegen
+    stages — materialize the SAME DataFrame first (``df.collect()`` /
+    noop write) when asserting on ``n_codegen_stages``.
     """
     import re
 

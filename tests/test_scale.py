@@ -304,6 +304,9 @@ def test_plan_summary_reports_shape(spark):
     from dftly_spark.ops import plan_summary
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    s = plan_summary(li.groupBy("l_returnflag").count())
+    agg = li.groupBy("l_returnflag").count()
+    s = plan_summary(agg)
     assert s["n_exchanges"] == 1 and not s["has_python_eval"]
-    assert s["n_codegen_stages"] >= 1
+    # codegen stages only appear once AQE finalizes: materialize, re-read
+    agg.collect()
+    assert plan_summary(agg)["n_codegen_stages"] >= 1
