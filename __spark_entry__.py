@@ -1714,6 +1714,126 @@ _q(
 )
 
 
+def _x28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (retrieval prep): 64-token windows
+    advancing by 48."""
+    from dftly_spark.ops import chunk_text
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_text(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+_q(
+    "x28_chunk_text",
+    _x28,
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, GREATEST(len(t) - 16, 1), 48)) AS st
+      FROM w
+    ), c AS (
+      SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1) AS chunk_idx,
+             list_slice(t, st, st + 63) AS piece
+      FROM s
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(piece) AS BIGINT) AS n_tokens,
+           array_to_string(piece, ' ') AS chunk_text
+    FROM c WHERE len(piece) >= 1
+    """,
+)
+
+
+def _x29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise scrub over text with planted URLs/emails/long numbers.
+
+    The testdata has no natural PII, so each doc gets a deterministic
+    contact line appended (mirrored in the oracle) before scrubbing.
+    """
+    from dftly_spark.ops import scrub_text
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+        F.lit(" via https://ex.com/d/"), F.col("doc_id"),
+        F.lit(" ref 9000000"), F.col("doc_id"),
+    )
+    return docs.select(
+        "doc_id",
+        F.substring(scrub_text(dirty), 1, 200).alias("scrubbed_prefix"),
+        F.length(scrub_text(dirty)).cast("bigint").alias("scrubbed_len"),
+    )
+
+
+_q(
+    "x29_scrub_text",
+    _x29,
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com'
+                  || ' via https://ex.com/d/' || doc_id
+                  || ' ref 9000000' || doc_id AS dirty
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(dirty, 'https?://\S+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{8,}', '<NUM>', 'g') AS scrubbed
+      FROM d
+    )
+    SELECT doc_id, substr(scrubbed, 1, 200) AS scrubbed_prefix,
+           CAST(length(scrubbed) AS BIGINT) AS scrubbed_len
+    FROM s
+    """,
+)
+
+
+def _x30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: MinHash pairs → connected components
+    (min-label propagation); cluster_id is the component's smallest doc id."""
+    from dftly_spark.ops import dup_clusters, minhash_dup_pairs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dup_pairs(
+        docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.7
+    )
+    return dup_clusters(pairs, "id_l", "id_r")
+
+
+_q(
+    "x30_dup_clusters",
+    _x30,
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (
+      SELECT id_l, id_r
+      FROM shared JOIN sizes x ON x.doc_id = id_l JOIN sizes y ON y.doc_id = id_r
+      WHERE s::DOUBLE / (x.n + y.n - s) >= 0.7
+    ),
+    e AS (SELECT id_l AS a, id_r AS b FROM pairs
+          UNION SELECT id_r, id_l FROM pairs),
+    reach(node, label) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, r.label FROM e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

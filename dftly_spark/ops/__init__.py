@@ -27,6 +27,8 @@ from .textops import (
     normalize_text,
     punct_ratio,
     quality_score,
+    scrub_text,
+    chunk_text,
     vocab_topk,
     stopword_ratio,
     token_count,
@@ -34,6 +36,7 @@ from .textops import (
 )
 from .dedup import (
     cross_corpus_dup_pairs,
+    dup_clusters,
     embedding_dup_pairs,
     exact_dedup,
     minhash_dup_pairs,
@@ -81,6 +84,7 @@ from .multimodal import (
 __all__ = [
     "tokens", "token_count", "bpe_token_count", "normalize_text",
     "stopword_ratio", "punct_ratio", "quality_score", "language_id", "vocab_topk",
+    "scrub_text", "chunk_text", "dup_clusters",
     "doc_fingerprint",
     "doc_fingerprints",
     "repetition_signals",

@@ -592,3 +592,57 @@ def embedding_dup_pairs(
         cand = left.join(F.broadcast(right), F.col("id_l") < F.col("id_r"))
     cos = dot(F.col("_vl"), F.col("_vr"))
     return cand.select("id_l", "id_r", cos.alias("cos")).where(F.col("cos") >= threshold)
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over duplicate pairs → ``(doc_id, cluster_id)``.
+
+    Pair-level dedup (x02–x05) says *who* matches; keeping one survivor per
+    GROUP needs the transitive closure.  Min-label propagation: every node
+    starts labeled with itself, and each round takes the min label across
+    itself and its neighbors, converging in O(graph diameter) rounds —
+    near-dup clusters are shallow (stars/chains of a few docs), so this is
+    2–3 keyed shuffles in practice, with ``localCheckpoint`` truncating the
+    iterative lineage each round (use a checkpoint dir on a real cluster).
+    ``cluster_id`` is the smallest doc id in the component.
+    """
+    e = pairs.select(
+        F.col(id_l).cast("long").alias("a"), F.col(id_r).cast("long").alias("b")
+    )
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges["b"] == labels["node"]).select(
+            edges["a"].alias("node"), labels["label"].alias("label")
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -285,3 +285,66 @@ def vocab_topk(df, text_col: str, *, id_col: str = "doc_id", k: int = 50, n: int
         .orderBy(F.col("count").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def chunk_text(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    min_tokens: int = 1,
+):
+    """Overlapping token-window chunking (retrieval/embedding prep).
+
+    Splits each document's whitespace tokens into windows of
+    ``chunk_tokens`` advancing by ``chunk_tokens - overlap``, rejoined with
+    single spaces.  Returns ``(id_col, chunk_idx, n_tokens, chunk_text)``;
+    trailing windows shorter than ``min_tokens`` are dropped (they are
+    fully contained in the previous window).
+
+    Stays JVM-side: the starts sequence is O(len/stride) per doc and the
+    per-window ``slice`` touches each token ≤ ⌈chunk/stride⌉ times — unlike
+    per-token HOF shapes this is cheap because windows, not tokens, drive
+    the loop.  Deterministic, no shuffle (row-local explode).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(normalize_text(F.col(text_col)))
+    n = F.size(toks)
+    # window starts: 1, 1+stride, ... while start <= max(n - overlap, 1)
+    starts = F.when(
+        n >= 1,
+        F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    ex = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        F.posexplode(starts).alias("chunk_idx", "__s"),
+    )
+    piece = F.slice(F.col("__t"), F.col("__s"), chunk_tokens)
+    return ex.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    ).where(F.col("n_tokens") >= min_tokens)
+
+
+def scrub_text(col: SparkColumn) -> SparkColumn:
+    """Mask URLs, emails, and long digit runs with placeholder tokens.
+
+    The standard pre-training scrub for obvious PII/noise carriers:
+    ``https?://…`` → ``<URL>``, emails → ``<EMAIL>``, digit runs of 8+
+    (phones, IDs, card fragments) → ``<NUM>``.  Patterns deliberately use
+    the regex subset shared by Java and RE2 (no lookarounds/backrefs), so
+    the oracle replays them verbatim; order matters (URLs first — they may
+    contain @ and digits).
+    """
+    out = F.regexp_replace(col, r"https?://\S+", "<URL>")
+    out = F.regexp_replace(
+        out, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    return F.regexp_replace(out, r"[0-9]{8,}", "<NUM>")

@@ -461,3 +461,53 @@ def test_pack_sequences_covers_all_tokens(spark, docs):
         # chunk offsets stay within the window
     for r in rows:
         assert 0 <= r.chunk_offset < 128 and r.chunk_offset + r.n_tokens <= 128
+
+
+def test_chunk_text_covers_tokens_with_overlap(spark):
+    from dftly_spark.ops import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_text(df, "doc_id", "text", chunk_tokens=4, overlap=2)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text) for r in out.collect())
+    )
+    # doc 1: starts 1,3,5,7 (stride 2, while start <= 10-2) → windows of 4
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[3] for r in d1] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9",
+    ]
+    # consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(d1, d1[1:]):
+        assert a[3].split()[-2:] == b[3].split()[:2]
+    # short docs produce one whole-doc chunk
+    assert [r[3] for r in rows if r[0] == 2] == ["a b"]
+    assert [r[3] for r in rows if r[0] == 3] == ["solo"]
+
+
+def test_scrub_text_masks_pii(spark):
+    from dftly_spark.ops import scrub_text
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@mail.co or see https://x.io/p?q=1 tel 12345678901")],
+        "id long, t string",
+    )
+    got = df.select(scrub_text(F.col("t")).alias("s")).collect()[0].s
+    assert got == "mail me at <EMAIL> or see <URL> tel <NUM>"
+    # short digit runs survive
+    df2 = spark.createDataFrame([(1, "v1.2 build 1234567")], "id long, t string")
+    assert df2.select(scrub_text(F.col("t")).alias("s")).collect()[0].s == "v1.2 build 1234567"
+
+
+def test_dup_clusters_transitive(spark):
+    from dftly_spark.ops import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_l long, id_r long",
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
