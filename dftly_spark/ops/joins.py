@@ -47,7 +47,7 @@ def asof_join(
     right: DataFrame,
     *,
     on: str = "ts",
-    by: str | None = "user_id",
+    by: str | list[str] | None = "user_id",
     right_on: str | None = None,
     direction: str = "backward",
     tolerance_micros: int | None = None,
@@ -73,15 +73,23 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    bys = [by] if isinstance(by, str) else (list(by) if by else [])
     r_on = right_on or on
-    r_payload = [c for c in right.columns if c not in ((by,) if by else ()) and c != r_on]
+    r_payload = [c for c in right.columns if c not in bys and c != r_on]
     payload = F.struct(
         _micros(F.col(r_on)).alias("__rts"),
         F.col(r_on).alias("__rorig"),
         *[F.col(c).alias(c) for c in r_payload],
     )
 
-    key = [F.col(by).alias("__key")] if by else [F.lit(0).alias("__key")]
+    def _key():
+        if not bys:
+            return F.lit(0).alias("__key")
+        if len(bys) == 1:
+            return F.col(bys[0]).alias("__key")
+        return F.struct(*[F.col(b) for b in bys]).alias("__key")
+
+    key = [_key()]
     l_side = left.select(
         *key,
         _micros(F.col(on)).alias("__ts"),
@@ -94,12 +102,12 @@ def asof_join(
             ) + ">"
         ).alias("__rrow"),
     )
-    if by:
+    for b in bys:
         # SQL equality semantics: a null key matches nothing.  Null-key
         # right rows are dropped here; null-key left rows then find no
         # carried payload (they'd otherwise co-group in the window).
-        right = right.where(F.col(by).isNotNull())
-    r_key = [F.col(by).alias("__key")] if by else [F.lit(0).alias("__key")]
+        right = right.where(F.col(b).isNotNull())
+    r_key = [_key()]
     r_side = right.select(
         *r_key,
         _micros(F.col(r_on)).alias("__ts"),
@@ -156,7 +164,7 @@ def range_join(
     point_on: str = "ts",
     start_on: str = "start",
     end_on: str = "end",
-    by: str | None = None,
+    by: str | list[str] | None = None,
     bucket_micros: int = 30 * 60 * 1_000_000,
     how: str = "inner",
 ) -> DataFrame:
@@ -173,6 +181,7 @@ def range_join(
     """
     if how not in ("inner", "left_outer"):
         raise ValueError(f"how must be inner|left_outer, got {how!r}")
+    bys = [by] if isinstance(by, str) else (list(by) if by else [])
     b = F.lit(bucket_micros)
     ivl = intervals.withColumn(
         "__bucket",
@@ -193,18 +202,17 @@ def range_join(
     iv = lambda c: F.col(f"__ivl.`{c}`")  # noqa: E731
     pt = lambda c: F.col(f"__pts.`{c}`")  # noqa: E731
     cond = iv("__bucket") == pt("__bucket")
-    if by:
-        cond = cond & (iv(by) == pt(by))
+    for bk in bys:
+        cond = cond & (iv(bk) == pt(bk))
     cond = (
         cond
         & (_micros(pt(point_on)) >= _micros(iv(start_on)))
         & (_micros(pt(point_on)) < _micros(iv(end_on)))
     )
     joined = ivl.join(pts, cond, "inner")
-    keep = [iv(c).alias(c) for c in intervals.columns if not (by and c == by)]
-    if by:
-        keep.append(iv(by).alias(by))
-    keep += [pt(c).alias(c) for c in points.columns if c != by]
+    keep = [iv(c).alias(c) for c in intervals.columns if c not in bys]
+    keep += [iv(bk).alias(bk) for bk in bys]
+    keep += [pt(c).alias(c) for c in points.columns if c not in bys]
     out = joined.select(*keep)
     if how == "left_outer":
         # add back intervals with no contained point (null point columns);
@@ -213,7 +221,7 @@ def range_join(
         matched_keys = out.select(*[F.col(c) for c in intervals.columns]).distinct()
         empty = intervals.join(matched_keys, intervals.columns, "left_anti")
         for c in points.columns:
-            if c != by:
+            if c not in bys:
                 empty = empty.withColumn(c, F.lit(None).cast(points.schema[c].dataType))
         out = out.unionByName(empty)
     return out

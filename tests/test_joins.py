@@ -313,3 +313,34 @@ def test_range_join_null_timestamps_drop(spark):
     )
     out = range_join(pts, ivl, point_on="ts", start_on="start", end_on="end")
     assert {(r.window_id, r.point_id) for r in out.collect()} == {(1, 10)}
+
+
+def test_asof_join_composite_key(spark):
+    left = spark.createDataFrame(
+        [(1, "A", "x", _ts("2024-01-01 10:00:00")),
+         (2, "A", "y", _ts("2024-01-01 10:00:00"))],
+        "lid long, k1 string, k2 string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", "x", _ts("2024-01-01 09:00:00"), 1.0),
+         ("A", "y", _ts("2024-01-01 09:30:00"), 2.0)],
+        "k1 string, k2 string, ts timestamp, v double",
+    )
+    out = {r.lid: r.v_right for r in asof_join(
+        left, right, on="ts", by=["k1", "k2"], how="left").collect()}
+    assert out == {1: 1.0, 2: 2.0}
+
+
+def test_range_join_composite_key(spark):
+    ivl = spark.createDataFrame(
+        [("A", "x", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        "k1 string, k2 string, start timestamp, end timestamp",
+    )
+    pts = spark.createDataFrame(
+        [("A", "x", 10, _ts("2024-01-01 10:30:00")),
+         ("A", "y", 11, _ts("2024-01-01 10:30:00"))],
+        "k1 string, k2 string, point_id long, ts timestamp",
+    )
+    out = range_join(pts, ivl, point_on="ts", start_on="start",
+                     end_on="end", by=["k1", "k2"])
+    assert {r.point_id for r in out.collect()} == {10}
