@@ -511,3 +511,35 @@ def test_dup_clusters_transitive(spark):
     got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_ann_composes_with_random_projection(spark, emb):
+    """Dimensionality reduction then ANN: top-k in the 16-dim JL space
+    still recovers most of the exact 64-dim top-k (the point of the JL
+    lemma), and every query still finds itself first."""
+    from dftly_spark.ops import brute_force_topk, random_project
+
+    proj = random_project(emb, "embedding", out_dim=16, dim=64).select(
+        "vec_id", F.col("projection").alias("embedding")
+    )
+    queries = proj.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    low = brute_force_topk(proj, queries, k=10).collect()
+    full_q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, full_q, k=10).collect()
+    lo, hi = {}, {}
+    for r in low:
+        lo.setdefault(r.query_id, set()).add(r.vec_id)
+        if r.vec_id == r.query_id:
+            assert r.rank == 1
+    for r in exact:
+        hi.setdefault(r.query_id, set()).add(r.vec_id)
+    # These embeddings are near-uniform (max pairwise cos ~0.51), so top-10
+    # membership is weakly determined and 16 of 64 dims keeps only part of
+    # it — but chance overlap is k^2/N = 0.2, so >=1 mean overlap is still a
+    # 5x-over-chance signal that distances survived the projection.
+    overlaps = [len(lo[q] & hi[q]) for q in hi]
+    assert sum(overlaps) / len(overlaps) >= 1
