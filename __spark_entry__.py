@@ -1834,6 +1834,158 @@ _q(
 )
 
 
+#: Fixed BM25 probe queries (vocab terms of the synthetic documents table).
+_BM25_QUERIES = [
+    (1, "spark window agg"),
+    (2, "customer query table"),
+    (3, "hash join merge"),
+]
+
+
+def _x31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import bm25_topk
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, query string")
+    return bm25_topk(docs, qdf, k=10)
+
+
+def _x31_oracle() -> str:
+    """Full DuckDB mirror of bm25_topk(k1=1.2, b=0.75): same tokenization,
+    same idf/tf-norm formula with identically-associated float arithmetic,
+    and the per-(query, doc) sum replayed as a sequential list_reduce over
+    term-sorted scores — bit-identical doubles end to end."""
+    k1, b = 1.2, 0.75
+    qvals = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
+    return rf"""
+    WITH qs(query_id, query) AS (VALUES {qvals}),
+    base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+      WHERE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) > 0
+    ), tf AS (
+      SELECT doc_id, t AS term, count(*) AS tf, any_value(dl) AS dl
+      FROM (SELECT doc_id, unnest(w) AS t, len(w) AS dl FROM base)
+      GROUP BY doc_id, t
+    ), stats AS (
+      SELECT count(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, any_value(dl) AS dl FROM tf GROUP BY doc_id)
+    ), qterms AS (
+      SELECT DISTINCT query_id, unnest(list_distinct(
+        string_split(trim(regexp_replace(lower(query), '\s+', ' ', 'g')), ' '))) AS term
+      FROM qs
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf
+      WHERE term IN (SELECT term FROM qterms) GROUP BY term
+    ), scored AS (
+      SELECT q.query_id, tf.doc_id, tf.term,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * {k1 + 1.0!r})
+               / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf.dl / s.avgdl)) AS sc
+      FROM tf JOIN qterms q ON tf.term = q.term
+      JOIN dfreq d ON tf.term = d.term CROSS JOIN stats s
+    ), agg AS (
+      SELECT query_id, doc_id,
+             list_reduce(list(sc ORDER BY term), (a, x) -> a + x) AS score
+      FROM scored GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM agg
+    QUALIFY rank <= 10
+    """
+
+
+_q("x31_bm25_topk", _x31, _x31_oracle())
+
+
+def _x32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import dup_ngram_fraction
+
+    _prep(spark)
+    return dup_ngram_fraction(_t(spark, sf_dir, "documents"), "doc_id", "text", n=13)
+
+
+_q(
+    "x32_dup_ngram_spans",
+    _x32,
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), inst AS (
+      SELECT doc_id, array_to_string(list_slice(w, i, i + 12), ' ') AS g
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 12)) AS i
+            FROM base WHERE len(w) >= 13)
+      UNION ALL
+      SELECT doc_id, array_to_string(w, ' ') AS g FROM base WHERE len(w) < 13
+    ), gdf AS (
+      SELECT g, count(DISTINCT doc_id) AS docs FROM inst GROUP BY g
+    )
+    SELECT inst.doc_id,
+           count(*) AS n_grams,
+           CAST(SUM(CASE WHEN gdf.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           CAST(SUM(CASE WHEN gdf.docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+    FROM inst JOIN gdf ON inst.g = gdf.g
+    GROUP BY inst.doc_id
+    """,
+)
+
+
+def _x33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import cap_per_group
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", k=10, order_col="doc_id").select(
+        "doc_id", "source", "lang"
+    )
+
+
+_q(
+    "x33_cap_per_group",
+    _x33,
+    """
+    SELECT doc_id, source, lang
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+    """,
+)
+
+
+def _x34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import rollup_stats
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = rollup_stats(
+        docs, ["lang", "source"], {"total_chars": F.sum("n_chars")}
+    )
+    return out.select(
+        "lang",
+        "source",
+        F.col("grouping_id").cast("bigint").alias("grouping_id"),
+        "n_rows",
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+_q(
+    "x34_rollup_stats",
+    _x34,
+    """
+    SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS grouping_id,
+           COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP(lang, source)
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

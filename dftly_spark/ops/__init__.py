@@ -22,6 +22,7 @@ from .textops import (
     bpe_token_count,
     doc_fingerprint,
     doc_fingerprints,
+    dup_ngram_fraction,
     repetition_signals,
     language_id,
     normalize_text,
@@ -59,8 +60,9 @@ from .similarity import (
 )
 from .joins import asof_join, asof_join_stream, range_join
 from .jsonops import json_extract_fields, json_parse_typed
-from .sampling import hash_split, pack_sequences, stratified_sample
-from .profile import profile_table, quantile_stats
+from .retrieval import bm25_topk, tf_idf_vectors
+from .sampling import cap_per_group, hash_split, pack_sequences, stratified_sample
+from .profile import profile_table, quantile_stats, rollup_stats
 from .scale import (
     bloom_prune,
     compact_table,
@@ -98,6 +100,8 @@ __all__ = [
     "write_partitioned", "profile_table", "json_extract_fields", "json_parse_typed",
     "compact_table", "plan_summary",
     "hash_split", "stratified_sample", "pack_sequences", "quantile_stats",
+    "bm25_topk", "tf_idf_vectors", "cap_per_group", "rollup_stats",
+    "dup_ngram_fraction",
     "sessionize", "sessionize_stream",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",
 ]

@@ -61,6 +61,35 @@ def profile_table(
     return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
 
 
+def rollup_stats(
+    df: DataFrame,
+    dims: list[str],
+    metrics: dict[str, "F.Column"] | None = None,
+    *,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Hierarchical subtotals over ``dims`` (``ROLLUP``) in one aggregation.
+
+    The corpus-accounting query behind every mixing decision — "tokens by
+    (lang, source), with per-lang subtotals and a grand total" — computed
+    with Spark's native ``rollup`` so all levels share one scan + one
+    shuffle (an Expand feeds each row to its ⌈levels⌉ groups) instead of
+    ``len(dims)+1`` separate aggregations.  ``metrics`` maps output name →
+    aggregate Column (default: row count only).  Returns the dims (null =
+    subtotal row), ``grouping_id`` (bit i set = dim i rolled up — the
+    standard disambiguator between a genuine null dim value and a
+    subtotal), the count, and the metric columns.
+    """
+    aggs = [F.count(F.lit(1)).alias(count_col)]
+    for name, col in (metrics or {}).items():
+        aggs.append(col.alias(name))
+    return (
+        df.rollup(*dims)
+        .agg(F.grouping_id().alias("grouping_id"), *aggs)
+        .select(*dims, "grouping_id", count_col, *(metrics or {}))
+    )
+
+
 def quantile_stats(
     df: DataFrame,
     value_col: str,

@@ -1,0 +1,182 @@
+"""Sparse lexical retrieval over a document corpus (BM25 / TF-IDF).
+
+The curation-side complement to the dense ANN operators in ``similarity.py``:
+keyword search over 100 TB of text for targeted inspection ("show me docs
+matching this contamination probe"), benchmark-overlap mining, and boosted
+sampling all reduce to scoring documents against a small query set.
+
+Scale shape (the inverted-index join, never a scan-per-query):
+
+* the corpus is tokenized ONCE into a ``(doc, term, tf)`` postings frame —
+  at 100 TB this is the thing you'd persist/bucket by term;
+* the (tiny) query term set is broadcast; only postings whose term appears
+  in some query survive the join — a fraction ``|query vocab| / |corpus
+  vocab|`` of the index, with no shuffle of the corpus text itself;
+* document frequencies for idf come from a window count over the matched
+  term partition (one keyed shuffle of the slim matched postings);
+* per-(query, doc) scores sum over a deterministically sorted term list
+  (sequential fold), so scores are bit-reproducible in any engine with a
+  left-to-right list reduce — the DuckDB oracle replays them exactly.
+
+All JVM-side ``pyspark.sql.functions``; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import normalize_text, tokens
+
+
+def _term_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(_id, _term, _tf, _dl)`` — per-document term frequencies plus the
+    document length, from normalized whitespace tokens."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        tokens(normalize_text(F.col(text_col))).alias("_w"),
+    ).select("_id", F.size("_w").alias("_dl"), F.explode("_w").alias("_term"))
+    return base.groupBy("_id", "_term").agg(
+        F.count(F.lit(1)).alias("_tf"), F.any_value("_dl").alias("_dl")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query by Okapi BM25.
+
+    Returns ``(query_id, doc_id, score, rank)`` with rank 1 = best and ties
+    broken by ascending doc id.  Scoring is the standard Lucene-flavored
+    BM25: ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`` and
+    ``tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``, summed over the query's
+    distinct terms in lexicographic term order (the deterministic fold that
+    lets the oracle match bit-for-bit).
+
+    ``queries`` must be small (its term set is broadcast).  Corpus stats
+    (``N``, ``avgdl``) ride along as a broadcast one-row frame — no
+    driver-side collect, so the whole thing stays one lazy plan.
+    """
+    tf = _term_frame(docs, id_col, text_col)
+    # Corpus stats over one row per document (not per posting): N and avgdl.
+    per_doc = tf.groupBy("_id").agg(F.any_value("_dl").alias("_dl"))
+    stats = per_doc.groupBy().agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.explode(F.array_distinct(tokens(normalize_text(F.col(query_col))))).alias(
+            "_term"
+        ),
+    ).dropDuplicates(["_qid", "_term"])
+
+    matched = tf.join(F.broadcast(qterms.select("_term").distinct()), "_term")
+    # document frequency of each matched term, over the full corpus postings
+    matched = matched.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("_term"))
+    )
+    scored = (
+        matched.join(F.broadcast(qterms), "_term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_qid",
+            "_id",
+            "_term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+                    / (F.col("_df") + F.lit(0.5))
+                )
+                * (F.col("_tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("_tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+                    )
+                )
+            ).alias("_s"),
+        )
+    )
+    # Deterministic per-(query, doc) sum: fold the term scores in term order.
+    agg = scored.groupBy("_qid", "_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_term", "_s"))),
+                lambda st: st["_s"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("score"), F.asc("_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            "score",
+            "rank",
+        )
+    )
+
+
+def tf_idf_vectors(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF postings: ``(doc_id, term, tf, df, tf_idf)``.
+
+    ``tf_idf = tf · ln(N / df)`` (plain inverse document frequency; terms
+    appearing in every document score 0).  ``min_df`` drops hapax noise;
+    ``max_vocab`` keeps only the most frequent terms (deterministic
+    count-desc, term-asc order).  One tokenization pass + keyed aggregations
+    — the postings-building half of :func:`bm25_topk`, exposed for feature
+    pipelines that want the vectors themselves.
+    """
+    tf = _term_frame(docs, id_col, text_col)
+    n_docs = tf.groupBy("_id").count().groupBy().agg(
+        F.count(F.lit(1)).alias("_n_docs")
+    )
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("_df") >= min_df)
+    if max_vocab is not None:
+        keep = (
+            dfreq.orderBy(F.col("_df").desc(), F.col("_term").asc())
+            .limit(max_vocab)
+            .select("_term")
+        )
+        dfreq = dfreq.join(keep, "_term")
+    return (
+        tf.join(dfreq, "_term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_term").alias("term"),
+            F.col("_tf").cast("bigint").alias("tf"),
+            F.col("_df").cast("bigint").alias("df"),
+            (
+                F.col("_tf")
+                * F.log(F.col("_n_docs").cast("double") / F.col("_df"))
+            ).alias("tf_idf"),
+        )
+    )

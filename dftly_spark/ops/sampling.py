@@ -97,6 +97,51 @@ def mix_sql(id_expr: str, seed: int = 0) -> str:
     return f"(({id_expr} * {_A} + {_C + seed}) % {_M})"
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    *,
+    k: int,
+    order_col: str,
+    ascending: bool = True,
+    presalt: int | None = None,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, deterministically.
+
+    The per-domain / per-source cap every web-corpus recipe applies (a
+    handful of hosts otherwise dominate the token budget): rows are ranked
+    within ``group_col`` by ``order_col`` (ties by the order column only —
+    pass a unique column such as the id, or a (priority, id) struct column,
+    for full determinism) and rows ranked > ``k`` are dropped.  The input
+    schema passes through unchanged.
+
+    One keyed window shuffle.  For pathological groups (a single host with
+    10⁹ rows), ``presalt=S`` adds a sound two-phase pre-cap: rows are first
+    capped at ``k`` within each of ``S`` hash-salted sub-groups (keeping
+    ≤ ``S·k`` per group — a superset of the true top-k, since the true
+    top-k's members rank ≤ k in any sub-group they land in), then the exact
+    cap runs on the survivors; the heavy group's full row set never
+    converges on one reducer.
+    """
+    from pyspark.sql import Window
+
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    if presalt is not None:
+        salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(presalt))
+        w_pre = Window.partitionBy(F.col(group_col), salt).orderBy(order)
+        df = (
+            df.withColumn("__pre", F.row_number().over(w_pre))
+            .where(F.col("__pre") <= k)
+            .drop("__pre")
+        )
+    w = Window.partitionBy(group_col).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -236,6 +236,49 @@ def doc_fingerprints(
     return long_fp.unionByName(short_fp).withColumnRenamed("_id", id_col)
 
 
+def dup_ngram_fraction(df, id_col: str, text_col: str, *, n: int = 13):
+    """Per-document cross-document n-gram repetition (span-dedup signal).
+
+    For each document: the fraction of its word ``n``-gram *instances* that
+    also occur in at least one other document — the signal behind
+    substring-level training-data dedup (long shared spans mean boilerplate
+    or copies; a document with ``dup_frac ≈ 1`` is wholly duplicated
+    content even if no single pair passes a whole-document Jaccard gate).
+    Returns ``(id_col, n_grams, n_dup_grams, dup_frac)``; documents shorter
+    than ``n`` words are measured on their whole text as a single gram.
+
+    Unlike pairwise dedup this NEVER forms document pairs: gram document
+    frequencies come from one (gram → distinct-doc count) aggregation and
+    are joined back to the instance stream — two keyed shuffles total, cost
+    linear in corpus token count, no quadratic blow-up on hot grams.  Grams
+    travel as 8-byte xxhash64 keys (collision ≈ n²/2⁶⁴ — with ~10¹² distinct
+    grams at 100 TB, switch the key to a 128-bit hash).
+    """
+    from .dedup import _shingle_instance_frames
+
+    long_inst, short_rows = _shingle_instance_frames(df, id_col, text_col, n)
+    inst = long_inst.unionByName(short_rows)
+    # gram → number of distinct documents containing it (two-phase, no
+    # count-distinct Expand over the raw instance stream)
+    gdf = (
+        inst.dropDuplicates(["_id", "_g"])
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+    )
+    flagged = inst.join(gdf, "_g").select(
+        "_id", (F.col("_docs") >= 2).cast("bigint").alias("_dup")
+    )
+    return flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("_dup").alias("n_dup_grams"),
+    ).select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        "n_dup_grams",
+        (F.col("n_dup_grams").cast("double") / F.col("n_grams")).alias("dup_frac"),
+    )
+
+
 def vocab_topk(df, text_col: str, *, id_col: str = "doc_id", k: int = 50, n: int = 1):
     """Corpus-level top-``k`` token ``n``-grams by frequency (vocab building).
 

@@ -543,3 +543,116 @@ def test_ann_composes_with_random_projection(spark, emb):
     # 5x-over-chance signal that distances survived the projection.
     overlaps = [len(lo[q] & hi[q]) for q in hi]
     assert sum(overlaps) / len(overlaps) >= 1
+
+
+def test_bm25_exact_phrase_doc_ranks_first(spark):
+    """A document that IS the query outranks documents containing only some
+    query terms; scores decrease with rank; k caps the output."""
+    from dftly_spark.ops import bm25_topk
+
+    rows = [
+        (1, "spark window agg"),
+        (2, "spark spark spark spark spark spark"),
+        (3, "window agg"),
+        (4, "customer table order"),
+        (5, "the quick brown fox"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    qdf = spark.createDataFrame([(1, "spark window agg")], "query_id int, query string")
+    out = bm25_topk(docs, qdf, k=3).collect()
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)][0] == 1
+    assert len(out) == 3
+    scores = [r.score for r in sorted(out, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.doc_id != 5 for r in out)  # no shared term → never retrieved
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    """A term present in every document contributes less than a rare term
+    with the same tf."""
+    from dftly_spark.ops import bm25_topk
+
+    rows = [(i, "common filler words here") for i in range(1, 9)]
+    rows += [(9, "common rare"), (10, "common only")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    qdf = spark.createDataFrame(
+        [(1, "rare"), (2, "common")], "query_id int, query string"
+    )
+    out = bm25_topk(docs, qdf, k=1).collect()
+    by_q = {r.query_id: r for r in out}
+    assert by_q[1].doc_id == 9
+    assert by_q[1].score > by_q[2].score
+
+
+def test_tf_idf_vectors_values(spark):
+    from dftly_spark.ops import tf_idf_vectors
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c")], "doc_id int, text string"
+    )
+    out = {(r.doc_id, r.term): r for r in tf_idf_vectors(docs).collect()}
+    assert out[(1, "a")].tf == 2 and out[(1, "a")].df == 2
+    assert out[(1, "a")].tf_idf == pytest.approx(2 * math.log(3 / 2))
+    assert out[(1, "b")].tf_idf == pytest.approx(math.log(3.0))
+    # max_vocab=1: a and c tie at df=2; term-asc tiebreak keeps "a"
+    capped = tf_idf_vectors(docs, max_vocab=1)
+    assert {r.term for r in capped.collect()} == {"a"}
+
+
+def test_dup_ngram_fraction_flags_copies(spark):
+    from dftly_spark.ops import dup_ngram_fraction
+
+    text = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words entirely present")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in dup_ngram_fraction(docs, "doc_id", "text", n=3).collect()}
+    assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+    assert out[3].dup_frac == 0.0
+    assert out[1].n_grams == 5  # 7 tokens → 5 trigram instances
+
+
+def test_dup_ngram_fraction_short_docs_whole_text(spark):
+    from dftly_spark.ops import dup_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "other")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in dup_ngram_fraction(docs, "doc_id", "text", n=5).collect()}
+    assert out[1].n_grams == 1 and out[1].dup_frac == 1.0
+    assert out[3].dup_frac == 0.0
+
+
+def test_cap_per_group_exact_and_presalted_agree(spark, docs):
+    from dftly_spark.ops import cap_per_group
+
+    plain = cap_per_group(docs, "source", k=7, order_col="doc_id")
+    salted = cap_per_group(docs, "source", k=7, order_col="doc_id", presalt=4)
+    a = {(r.doc_id, r.source) for r in plain.select("doc_id", "source").collect()}
+    b = {(r.doc_id, r.source) for r in salted.select("doc_id", "source").collect()}
+    assert a == b
+    per_src = plain.groupBy("source").count().collect()
+    assert all(r["count"] <= 7 for r in per_src)
+    # deterministic: the kept ids are the k smallest per source
+    mins = {
+        r.source: r.ids
+        for r in docs.groupBy("source")
+        .agg(F.slice(F.array_sort(F.collect_list("doc_id")), 1, 7).alias("ids"))
+        .collect()
+    }
+    for src, ids in mins.items():
+        assert {d for d, s in a if s == src} == set(ids)
+
+
+def test_rollup_stats_levels_sum_consistently(spark, docs):
+    from dftly_spark.ops import rollup_stats
+
+    out = rollup_stats(docs, ["lang", "source"], {"chars": F.sum("n_chars")}).collect()
+    total = [r for r in out if r.grouping_id == 3]
+    assert len(total) == 1 and total[0].n_rows == docs.count()
+    lang_rows = [r for r in out if r.grouping_id == 1]
+    assert sum(r.n_rows for r in lang_rows) == docs.count()
+    leaf = [r for r in out if r.grouping_id == 0]
+    assert sum(r.chars for r in leaf) == total[0].chars
