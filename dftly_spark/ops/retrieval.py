@@ -82,10 +82,13 @@ def bm25_topk(
     ).dropDuplicates(["_qid", "_term"])
 
     matched = tf.join(F.broadcast(qterms.select("_term").distinct()), "_term")
-    # document frequency of each matched term, over the full corpus postings
-    matched = matched.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("_term"))
-    )
+    # Document frequency of each matched term over the full corpus postings.
+    # groupBy (map-side partial counts, |query vocab| rows total) + broadcast
+    # back — NOT a window over the term partition, which would shuffle every
+    # matched posting onto its term's reducer (hot query terms like "the"
+    # collapse onto one partition at corpus scale).
+    dfreq = matched.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    matched = matched.join(F.broadcast(dfreq), "_term")
     scored = (
         matched.join(F.broadcast(qterms), "_term")
         .crossJoin(F.broadcast(stats))
@@ -151,6 +154,10 @@ def tf_idf_vectors(
     count-desc, term-asc order).  One tokenization pass + keyed aggregations
     — the postings-building half of :func:`bm25_topk`, exposed for feature
     pipelines that want the vectors themselves.
+
+    The tf⋈df join is keyed on term; stop-word-grade terms are hot keys, so
+    at corpus scale run with AQE skew-join enabled (the suite default) or
+    pre-filter them via ``max_vocab``/a stopword list.
     """
     tf = _term_frame(docs, id_col, text_col)
     n_docs = tf.groupBy("_id").count().groupBy().agg(
