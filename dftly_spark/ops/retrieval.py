@@ -67,9 +67,13 @@ def bm25_topk(
     driver-side collect, so the whole thing stays one lazy plan.
     """
     tf = _term_frame(docs, id_col, text_col)
-    # Corpus stats over one row per document (not per posting): N and avgdl.
-    per_doc = tf.groupBy("_id").agg(F.any_value("_dl").alias("_dl"))
-    stats = per_doc.groupBy().agg(
+    # Corpus stats (N, avgdl) straight off the docs scan — one narrow pass,
+    # no dependence on the postings aggregation (which would re-tokenize the
+    # corpus a second time just to count documents).
+    dl_frame = docs.select(
+        F.size(tokens(normalize_text(F.col(text_col)))).alias("_dl")
+    ).where(F.col("_dl") > 0)
+    stats = dl_frame.groupBy().agg(
         F.count(F.lit(1)).alias("_n_docs"),
         (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"),
     )
@@ -82,13 +86,18 @@ def bm25_topk(
     ).dropDuplicates(["_qid", "_term"])
 
     matched = tf.join(F.broadcast(qterms.select("_term").distinct()), "_term")
-    # Document frequency of each matched term over the full corpus postings.
-    # groupBy (map-side partial counts, |query vocab| rows total) + broadcast
-    # back — NOT a window over the term partition, which would shuffle every
-    # matched posting onto its term's reducer (hot query terms like "the"
-    # collapse onto one partition at corpus scale).
+    # Document frequency of each matched term over the full corpus postings:
+    # groupBy with map-side partial counts (|query vocab| rows total), NOT a
+    # window over the term partition, which would shuffle every matched
+    # posting onto its term's reducer (hot query terms like "the" collapse
+    # onto one partition at corpus scale).  The df side joins back as a
+    # plain equi-join rather than a broadcast: a broadcast would force a
+    # separate materialization job that re-tokenizes the corpus, while the
+    # shuffle join keeps one job in which the matched-postings exchange is a
+    # ReusedExchange — the corpus is tokenized exactly once.  The tiny df
+    # side makes AQE pick a broadcast/local join for the probe anyway.
     dfreq = matched.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
-    matched = matched.join(F.broadcast(dfreq), "_term")
+    matched = matched.join(dfreq, "_term")
     scored = (
         matched.join(F.broadcast(qterms), "_term")
         .crossJoin(F.broadcast(stats))
