@@ -1986,6 +1986,57 @@ _q(
 )
 
 
+def _x35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: probes are 15-word prefixes of every 25th
+    document (ids offset by 5M) — each probe's n-grams are contained in its
+    source document by construction, so containment flags the source (and
+    any near-duplicate of it) at ≈1.0 while whole-doc Jaccard would not."""
+    from dftly_spark.ops import containment_pairs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 15)).alias("text"),
+    )
+    return containment_pairs(probes, docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+_q(
+    "x35_contamination_containment",
+    _x35,
+    r"""
+    WITH probes AS (
+      SELECT doc_id + 5000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 15), ' ') AS text
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    pws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+            FROM probes),
+    psh AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS g
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM pws WHERE len(w) >= 3)
+      UNION SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM pws WHERE len(w) < 3
+    ),
+    psizes AS (SELECT doc_id, count(*) AS pn FROM psh GROUP BY doc_id),
+    cws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+            FROM documents),
+    csh AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS g
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM cws WHERE len(w) >= 3)
+      UNION SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM cws WHERE len(w) < 3
+    ),
+    shared AS (
+      SELECT p.doc_id AS probe_id, c.doc_id AS doc_id, count(*) AS s
+      FROM psh p JOIN csh c ON p.g = c.g GROUP BY 1, 2
+    )
+    SELECT probe_id, shared.doc_id, s::DOUBLE / pn AS containment
+    FROM shared JOIN psizes ON psizes.doc_id = probe_id
+    WHERE s::DOUBLE / pn >= 0.8
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -395,6 +395,60 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    probe_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Corpus documents containing ≥ ``threshold`` of a probe's n-grams.
+
+    The decontamination primitive: a benchmark item buried inside a long
+    training document has tiny *Jaccard* similarity to it (the doc's extra
+    grams swamp the union) but containment ``|probe ∩ doc| / |probe|`` ≈ 1.
+    Returns ``(probe_id, doc_id, containment)`` over distinct word
+    ``n``-gram sets, one row per pair above the threshold.
+
+    Scale shape: the probe side (a benchmark suite) is small — its hashed
+    shingle postings are BROADCAST, so the corpus postings stream (built
+    once, codegen'd, 8-byte gram keys) is filtered map-side and only true
+    collisions reach the per-pair count; the corpus is never self-joined
+    and never shuffled by gram.  With ``broadcast_probes=False`` the same
+    plan runs as a keyed equi-join for probe sets too large to broadcast.
+    """
+    probe_inst, probe_short = _shingle_instance_frames(probe_df, id_col, text_col, n)
+    probe_sets = (
+        probe_inst.unionByName(probe_short)
+        .dropDuplicates(["_id", "_g"])
+        .withColumnRenamed("_id", "_pid")
+    )
+    probe_sizes = probe_sets.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
+
+    corp_inst, corp_short = _shingle_instance_frames(corpus_df, id_col, text_col, n)
+    corp_sets = corp_inst.unionByName(corp_short).dropDuplicates(["_id", "_g"])
+
+    probes = F.broadcast(probe_sets) if broadcast_probes else probe_sets
+    shared = (
+        corp_sets.join(probes, "_g")
+        .groupBy("_pid", "_id")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    sizes = F.broadcast(probe_sizes) if broadcast_probes else probe_sizes
+    return (
+        shared.join(sizes, "_pid")
+        .select(
+            F.col("_pid").alias("probe_id"),
+            F.col("_id").alias("doc_id"),
+            (F.col("_shared").cast("double") / F.col("_pn")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -656,3 +656,46 @@ def test_rollup_stats_levels_sum_consistently(spark, docs):
     assert sum(r.n_rows for r in lang_rows) == docs.count()
     leaf = [r for r in out if r.grouping_id == 0]
     assert sum(r.chars for r in leaf) == total[0].chars
+
+
+def test_containment_flags_embedded_benchmark(spark):
+    """A probe buried verbatim inside a long document has low Jaccard but
+    containment 1.0 — the case this operator exists for."""
+    from dftly_spark.ops import containment_pairs, ngram_jaccard_pairs
+
+    probe_text = "alpha beta gamma delta epsilon"
+    long_doc = "x1 x2 x3 " + probe_text + " y1 y2 y3 y4 y5 y6 y7 y8 y9"
+    corpus = spark.createDataFrame(
+        [(1, long_doc), (2, "totally unrelated words here now")],
+        "doc_id int, text string",
+    )
+    probes = spark.createDataFrame([(100, probe_text)], "doc_id int, text string")
+    got = containment_pairs(probes, corpus, "doc_id", "text", n=3, threshold=0.8).collect()
+    assert len(got) == 1
+    assert (got[0].probe_id, got[0].doc_id, got[0].containment) == (100, 1, 1.0)
+    # whole-doc jaccard misses it at any useful threshold
+    both = spark.createDataFrame(
+        [(100, probe_text), (1, long_doc)], "doc_id int, text string"
+    )
+    jac = ngram_jaccard_pairs(both, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_join_mode_matches_broadcast_mode(spark, docs):
+    from dftly_spark.ops import containment_pairs
+
+    probes = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 15)).alias("text"),
+    )
+    a = {
+        (r.probe_id, r.doc_id, r.containment)
+        for r in containment_pairs(probes, docs, "doc_id", "text").collect()
+    }
+    b = {
+        (r.probe_id, r.doc_id, r.containment)
+        for r in containment_pairs(
+            probes, docs, "doc_id", "text", broadcast_probes=False
+        ).collect()
+    }
+    assert a == b and len(a) > 0
