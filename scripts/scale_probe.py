@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Empirical scaling probe for the heavy operators.
+
+Runs the shuffle-heavy operators at 1x / 2x / 4x the sf0.1 corpus and
+prints per-scale wall times, so super-linear blow-ups (the thing that kills
+a 100 TB run) show up as a growth RATE, not a guess.  Replicated documents
+get a per-replica token suffix (disjoint vocab — the inverted indexes grow
+linearly and replicas share no shingles with the originals); replicated
+embeddings are dimension-rotated (orthogonal, so each replica reproduces
+the original's pairwise-cosine structure without cross-replica near-dups).
+
+Usage: python scripts/scale_probe.py [op ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+SF_DIR = "/root/testdata/sf0.1"
+SCALES = (1, 2, 4)
+
+
+def replicate_docs(docs: DataFrame, c: int) -> DataFrame:
+    out = docs
+    for i in range(1, c):
+        out = out.unionByName(
+            docs.select(
+                (F.col("doc_id") + 1_000_000 * i).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1c{i}").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    return out
+
+
+def replicate_emb(emb: DataFrame, c: int) -> DataFrame:
+    out = emb
+    for i in range(1, c):
+        v = F.col("embedding")
+        rot = F.concat(F.slice(v, i + 1, 64 - i), F.slice(v, 1, i))
+        out = out.unionByName(
+            emb.select(
+                (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+                rot.alias("embedding"),
+            )
+        )
+    return out
+
+
+def main() -> None:
+    from dftly_spark.ops import (
+        bm25_topk,
+        containment_pairs,
+        dup_ngram_fraction,
+        embedding_dup_pairs,
+        minhash_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qdf = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "customer query table"), (3, "hash join merge")],
+        "query_id int, query string",
+    )
+
+    def probes(d: DataFrame) -> DataFrame:
+        return d.where(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), r"\s+"), 1, 15)
+            ).alias("text"),
+        )
+
+    OPS = {
+        "ngram_jaccard": lambda d, e: ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.7, max_df=100
+        ),
+        "minhash": lambda d, e: minhash_dup_pairs(
+            d, "doc_id", "text", n=3, k=32, bands=16, threshold=0.7
+        ),
+        "dup_ngram_frac": lambda d, e: dup_ngram_fraction(d, "doc_id", "text", n=13),
+        "bm25": lambda d, e: bm25_topk(d, qdf, k=10),
+        "containment": lambda d, e: containment_pairs(
+            probes(d), d, "doc_id", "text", n=3, threshold=0.8
+        ),
+        "embedding_lsh": lambda d, e: embedding_dup_pairs(
+            e, "vec_id", "embedding", threshold=0.95, method="lsh", dim=64
+        ),
+    }
+    wanted = sys.argv[1:] or list(OPS)
+
+    for name in wanted:
+        build = OPS[name]
+        # warm codegen/JIT on the smallest scale so rates compare cleanly
+        build(docs, emb).write.format("noop").mode("overwrite").save()
+        times = []
+        for c in SCALES:
+            d, e = replicate_docs(docs, c), replicate_emb(emb, c)
+            t0 = time.perf_counter()
+            out = build(d, e)
+            out.write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        rates = [times[i] / times[0] for i in range(len(SCALES))]
+        print(
+            f"{name:16s} "
+            + "  ".join(f"{c}x={t:6.2f}s" for c, t in zip(SCALES, times))
+            + f"   growth {rates[1]:.2f}/{rates[2]:.2f} (linear=2.00/4.00)"
+        )
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
