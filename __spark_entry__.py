@@ -2037,6 +2037,51 @@ _q(
 )
 
 
+def _x36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding ingest: the new batch is ×1.5-scaled copies of
+    every 8th corpus vector (ids +10M).  Positive scaling preserves every
+    hyperplane sign, so each new vector shares its source's bucket
+    structurally — recall 1.0 by construction — and the exact-SQL oracle
+    below is a valid gate for the bucketed bipartite plan."""
+    from dftly_spark.ops import cross_corpus_embedding_pairs
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    new_batch = emb.where(F.col("vec_id") % 8 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    return cross_corpus_embedding_pairs(
+        new_batch, emb, "vec_id", "embedding", threshold=0.95, n_planes=8, dim=64
+    )
+
+
+_q(
+    "x36_incremental_embedding_dedup",
+    _x36,
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), newb AS (
+      SELECT vec_id + 10000000 AS vec_id,
+             list_transform(embedding::DOUBLE[], x -> x * 1.5) AS v
+      FROM embeddings WHERE vec_id % 8 = 0
+    ), cu AS (
+      SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+      FROM corpus
+    ), nu AS (
+      SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+      FROM newb
+    )
+    SELECT n.vec_id AS new_id, c.vec_id AS corpus_id, list_dot_product(n.v, c.v) AS cos
+    FROM nu n CROSS JOIN cu c
+    WHERE list_dot_product(n.v, c.v) >= 0.95
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

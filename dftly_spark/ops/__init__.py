@@ -38,6 +38,7 @@ from .textops import (
 from .dedup import (
     containment_pairs,
     cross_corpus_dup_pairs,
+    cross_corpus_embedding_pairs,
     dup_clusters,
     embedding_dup_pairs,
     exact_dedup,
@@ -93,7 +94,7 @@ __all__ = [
     "repetition_signals",
     "exact_dedup", "word_shingles", "minhash_signature", "minhash_dup_pairs",
     "simhash64", "simhash_dup_pairs", "ngram_jaccard_pairs", "cross_corpus_dup_pairs",
-    "containment_pairs",
+    "containment_pairs", "cross_corpus_embedding_pairs",
     "embedding_dup_pairs",
     "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk", "random_project", "kmeans_centroids",

@@ -648,6 +648,54 @@ def embedding_dup_pairs(
     return cand.select("id_l", "id_r", cos.alias("cos")).where(F.col("cos") >= threshold)
 
 
+def cross_corpus_embedding_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Which *new* embeddings near-duplicate an *existing* corpus vector.
+
+    Bipartite twin of ``embedding_dup_pairs(method="lsh")`` — the
+    incremental-ingest shape for vectors (mirrors
+    :func:`cross_corpus_dup_pairs` for text): both sides get hyperplane
+    sign buckets from the SAME seeded planes, candidates come from the
+    bucket equi-join *across* sides only (neither side is self-joined), and
+    every candidate is exact-cosine verified.  Returns ``(new_id,
+    corpus_id, cos)`` with cos ≥ ``threshold``.  At 100 TB the corpus
+    side's ``(id, bucket, unit-vector)`` frame is what you'd persist
+    between ingests — new batches bucket against it with no corpus rescan.
+    """
+    from .similarity import dot, infer_dim, unit
+
+    if dim is None:
+        dim = infer_dim(corpus_df, vec_col)
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def prep(df: DataFrame, out_id: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        return base.withColumn("_bucket", _plane_signature(F.col("_v"), planes)).withColumn(
+            "_v", unit(F.col("_v"))
+        )
+
+    new_b = prep(new_df, "new_id").withColumnRenamed("_v", "_vl")
+    old_b = prep(corpus_df, "corpus_id").withColumnRenamed("_v", "_vr")
+    cos = dot(F.col("_vl"), F.col("_vr"))
+    return (
+        new_b.join(old_b, "_bucket")
+        .select("new_id", "corpus_id", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_l: str = "id_l",

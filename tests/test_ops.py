@@ -699,3 +699,21 @@ def test_containment_join_mode_matches_broadcast_mode(spark, docs):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_cross_corpus_embedding_dedup_finds_planted_copies(spark, emb):
+    """Bipartite LSH recall is structurally 1.0 for positive scalings; no
+    within-side pair is ever emitted."""
+    from dftly_spark.ops import cross_corpus_embedding_pairs
+
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    new_batch = base.where(F.col("vec_id") % 8 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    got = cross_corpus_embedding_pairs(
+        new_batch, base, "vec_id", "embedding", threshold=0.95, dim=64
+    ).collect()
+    planted = {(r.vec_id + 10_000_000, r.vec_id) for r in base.where(F.col("vec_id") % 8 == 0).collect()}
+    assert {(r.new_id, r.corpus_id) for r in got} == planted
+    assert all(abs(r.cos - 1.0) < 1e-9 for r in got)
