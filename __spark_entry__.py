@@ -2082,6 +2082,51 @@ _q(
 )
 
 
+def _x37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import remove_dup_ngram_spans
+
+    _prep(spark)
+    return remove_dup_ngram_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=13, min_df=2
+    )
+
+
+_q(
+    "x37_remove_dup_spans",
+    _x37,
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), tok AS (
+      SELECT doc_id, p, w[p] AS t
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM base)
+    ), inst AS (
+      SELECT doc_id, p, array_to_string(list_slice(w, p, p + 12), ' ') AS g
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 12)) AS p
+            FROM base WHERE len(w) >= 13)
+    ), flagged AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM inst)
+      GROUP BY g HAVING count(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, unnest(generate_series(p, p + 12)) AS p
+        FROM inst JOIN flagged USING (g))
+    ), marked AS (
+      SELECT tok.doc_id, tok.p, tok.t, cov.p IS NOT NULL AS c
+      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(t, ' ' ORDER BY p) FILTER (WHERE NOT c), '') AS clean_text,
+           CAST(SUM(CASE WHEN NOT c THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+           CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_removed
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

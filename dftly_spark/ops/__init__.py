@@ -23,6 +23,7 @@ from .textops import (
     doc_fingerprint,
     doc_fingerprints,
     dup_ngram_fraction,
+    remove_dup_ngram_spans,
     repetition_signals,
     language_id,
     normalize_text,
@@ -104,7 +105,7 @@ __all__ = [
     "compact_table", "plan_summary",
     "hash_split", "stratified_sample", "pack_sequences", "quantile_stats",
     "bm25_topk", "tf_idf_vectors", "cap_per_group", "rollup_stats",
-    "dup_ngram_fraction",
+    "dup_ngram_fraction", "remove_dup_ngram_spans",
     "sessionize", "sessionize_stream",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",
 ]

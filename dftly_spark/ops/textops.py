@@ -279,6 +279,81 @@ def dup_ngram_fraction(df, id_col: str, text_col: str, *, n: int = 13):
     )
 
 
+def remove_dup_ngram_spans(df, id_col: str, text_col: str, *, n: int = 13, min_df: int = 2):
+    """Cut cross-document duplicated spans out of each document.
+
+    The transform behind substring-level training-data dedup: any token
+    covered by a word ``n``-gram that occurs in ≥ ``min_df`` documents is
+    dropped, and the survivors are rejoined in order.  Returns ``(id_col,
+    clean_text, n_tokens_kept, n_tokens_removed)`` — one row per document
+    with ≥1 token (normalized: lowercased, whitespace-collapsed).
+    Documents shorter than ``n`` words contain no ``n``-gram and pass
+    through whole.
+
+    Same never-pairwise shape as :func:`dup_ngram_fraction`: gram document
+    frequencies come from one keyed aggregation over hashed gram instances;
+    coverage is a positions explode (≤ ``n`` rows per flagged instance);
+    the rebuild is a per-document sort of surviving tokens.  All shuffles
+    are keyed by 8-byte hashes or the document id — linear in corpus
+    tokens at any scale.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _shingle_instance_frames
+
+    base = df.select(
+        F.col(id_col).alias("_id"), tokens(F.lower(F.col(text_col))).alias("_w")
+    ).where(F.size("_w") > 0)
+    toks = base.select("_id", F.posexplode("_w").alias("_p", "_t"))
+
+    # positioned gram instances (codegen'd window-lead hashes), long docs only
+    win = Window.partitionBy("_id").orderBy("_p")
+    inst = (
+        base.where(F.size("_w") >= n)
+        .select("_id", F.size("_w").alias("_sz"), F.posexplode("_w").alias("_p", "_t"))
+        .select(
+            "_id",
+            "_p",
+            "_sz",
+            F.xxhash64(
+                *[F.lead("_t", j).over(win) if j else F.col("_t") for j in range(n)]
+            ).alias("_g"),
+        )
+        .where(F.col("_p") <= F.col("_sz") - n)
+        .select("_id", "_p", "_g")
+    )
+    flagged = (
+        inst.dropDuplicates(["_id", "_g"])
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .where(F.col("_docs") >= min_df)
+        .select("_g")
+    )
+    covered = (
+        inst.join(flagged, "_g")
+        .select("_id", F.explode(F.sequence(F.col("_p"), F.col("_p") + (n - 1))).alias("_p"))
+        .dropDuplicates(["_id", "_p"])
+        .withColumn("_cov", F.lit(True))
+    )
+    marked = toks.join(covered, ["_id", "_p"], "left")
+    rebuilt = marked.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_cov").isNull(), F.struct("_p", "_t")).otherwise(None)
+                    )
+                ),
+                lambda st: st["_t"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.col("_cov").isNull().cast("bigint")).alias("n_tokens_kept"),
+        F.sum(F.col("_cov").isNotNull().cast("bigint")).alias("n_tokens_removed"),
+    )
+    return rebuilt.withColumnRenamed("_id", id_col)
+
+
 def vocab_topk(df, text_col: str, *, id_col: str = "doc_id", k: int = 50, n: int = 1):
     """Corpus-level top-``k`` token ``n``-grams by frequency (vocab building).
 

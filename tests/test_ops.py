@@ -717,3 +717,34 @@ def test_cross_corpus_embedding_dedup_finds_planted_copies(spark, emb):
     planted = {(r.vec_id + 10_000_000, r.vec_id) for r in base.where(F.col("vec_id") % 8 == 0).collect()}
     assert {(r.new_id, r.corpus_id) for r in got} == planted
     assert all(abs(r.cos - 1.0) < 1e-9 for r in got)
+
+
+def test_remove_dup_spans_cuts_shared_spans_only(spark):
+    from dftly_spark.ops import remove_dup_ngram_spans
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " UNIQUE-A tail words here"),
+            (2, "head words " + shared + " UNIQUE-B"),
+            (3, "independent text with no overlap at all"),
+            (4, "short"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in remove_dup_ngram_spans(docs, "doc_id", "text", n=5).collect()}
+    assert out[1].clean_text == "unique-a tail words here"
+    assert out[2].clean_text == "head words unique-b"
+    assert out[1].n_tokens_removed == 5 and out[2].n_tokens_removed == 5
+    assert out[3].n_tokens_removed == 0
+    assert out[4].clean_text == "short"  # < n words: passes through whole
+
+
+def test_remove_dup_spans_fully_duplicated_doc_becomes_empty(spark):
+    from dftly_spark.ops import remove_dup_ngram_spans
+
+    text = "a b c d e f g"
+    docs = spark.createDataFrame([(1, text), (2, text)], "doc_id int, text string")
+    out = {r.doc_id: r for r in remove_dup_ngram_spans(docs, "doc_id", "text", n=3).collect()}
+    assert out[1].clean_text == "" and out[1].n_tokens_kept == 0
+    assert out[2].n_tokens_removed == 7
