@@ -3,8 +3,9 @@
 Shows how the pieces compose into the standard corpus-preparation flow:
 
     read → quality filter (engine expressions) → exact dedup → near-dedup
-    (MinHash-LSH) → language mix (stratified sample) → train/val/test split
-    → sequence packing → partitioned shard layout
+    (MinHash-LSH) → duplicated-span removal → benchmark decontamination →
+    per-source cap → language mix (stratified sample) → train/val/test
+    split → sequence packing → partitioned shard layout → rollup accounting
 
 Every stage is a DataFrame transformation — the whole pipeline is ONE lazy
 plan per output split, so Catalyst fuses the row-local stages (filters,
@@ -25,10 +26,14 @@ from pyspark.sql import functions as F
 
 from dftly_spark import Parser
 from dftly_spark.ops import (
+    cap_per_group,
+    containment_pairs,
     exact_dedup,
     hash_split,
     minhash_dup_pairs,
     pack_sequences,
+    remove_dup_ngram_spans,
+    rollup_stats,
     stratified_sample,
     write_partitioned,
 )
@@ -61,7 +66,30 @@ def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     victims = pairs.select(F.col("id_r").alias("doc_id")).distinct()
     clean = clean.join(victims, "doc_id", "left_anti")
 
-    # 4. Language mix, then deterministic splits — both row-local gates.
+    # 4. Substring-level dedup: cut spans duplicated across surviving docs
+    #    (whole-doc dedup misses shared boilerplate inside distinct docs).
+    despanned = remove_dup_ngram_spans(clean, "doc_id", "text", n=13)
+    clean = (
+        clean.drop("text")
+        .join(despanned.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+        .where(F.length("text") > 0)
+    )
+
+    # 5. Benchmark decontamination: drop any doc containing ≥80% of a
+    #    held-out probe's n-grams (probes stand in for eval-set items).
+    probes = docs.where(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", r"\s+"), 1, 15)).alias("text"),
+    )
+    contaminated = containment_pairs(
+        probes, clean, "doc_id", "text", n=3, threshold=0.8
+    ).select(F.col("doc_id")).distinct()
+    clean = clean.join(contaminated, "doc_id", "left_anti")
+
+    # 6. Per-source cap — no host dominates the token budget.
+    clean = cap_per_group(clean, "source", k=100_000, order_col="doc_id")
+
+    # 7. Language mix, then deterministic splits — both row-local gates.
     mixed = stratified_sample(
         clean, "lang", {"en": 1.0, "de": 0.8, "fr": 0.8}, "doc_id",
         default_rate=0.5, seed=13,
@@ -95,6 +123,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out_dir: str = "/tmp/corpus") -
     )
     corpus = build_corpus(spark, sf_dir)
     pack_and_write(corpus, out_dir)
+    # Corpus accounting: docs/tokens by (split, lang) with subtotals.
+    acct = rollup_stats(
+        corpus.withColumn("n_tok", token_count(F.col("text"))),
+        ["split", "lang"],
+        {"tokens": F.sum("n_tok")},
+    )
+    acct.orderBy("grouping_id", "split", "lang").show(30, truncate=False)
     stats = (
         spark.read.parquet(f"{out_dir}/train")
         .agg(
