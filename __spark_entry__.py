@@ -2127,6 +2127,85 @@ _q(
 )
 
 
+def _x38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (the streaming helper, gated on batch —
+    ``withWatermark`` is a no-op on bounded frames, so the exact same code
+    path feeds the streaming twin tested in tests/test_streaming.py)."""
+    from dftly_spark.streaming import tumbling_agg
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        "ts",
+        window="1 hour",
+        watermark="2 hours",
+        keys=["event_type"],
+        aggs={"n": F.count(F.lit(1)), "total_value": F.sum("value")},
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("start_us"),
+        F.unix_micros("window_end").alias("end_us"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+_q(
+    "x38_tumbling_agg",
+    _x38,
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 * 3600000000 AS start_us
+      FROM events
+    )
+    SELECT start_us, start_us + 3600000000 AS end_us, event_type,
+           COUNT(*) AS n, SUM(value) AS total_value
+    FROM e GROUP BY start_us, event_type
+    """,
+)
+
+
+def _x39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lag features per user over the event stream."""
+    from dftly_spark.ops import lag_features
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    out = lag_features(
+        ev, "user_id", ["ts_us", "event_id"], ["value", "ts_us"], lags=(1, 2)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        "value_lag1",
+        "value_lag2",
+        (F.col("ts_us") - F.col("ts_us_lag1")).alias("gap_us"),
+    )
+
+
+_q(
+    "x39_lag_features",
+    _x39,
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+               FROM events)
+    SELECT event_id, user_id, ts_us, value,
+           LAG(value, 1) OVER w AS value_lag1,
+           LAG(value, 2) OVER w AS value_lag2,
+           ts_us - LAG(ts_us, 1) OVER w AS gap_us
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -61,7 +61,7 @@ from .similarity import (
     lsh_bucket_topk,
     unit,
 )
-from .joins import asof_join, asof_join_stream, range_join
+from .joins import asof_join, asof_join_stream, lag_features, range_join
 from .jsonops import json_extract_fields, json_parse_typed
 from .retrieval import bm25_topk, tf_idf_vectors
 from .sampling import cap_per_group, hash_split, pack_sequences, stratified_sample
@@ -99,7 +99,7 @@ __all__ = [
     "embedding_dup_pairs",
     "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk", "random_project", "kmeans_centroids",
-    "asof_join", "asof_join_stream", "range_join",
+    "asof_join", "asof_join_stream", "lag_features", "range_join",
     "salted_agg", "write_bucketed", "read_bucketed", "bloom_prune", "semi_prune",
     "write_partitioned", "profile_table", "json_extract_fields", "json_parse_typed",
     "compact_table", "plan_summary",

@@ -42,6 +42,38 @@ def _micros(c: F.Column) -> F.Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
+def lag_features(
+    df,
+    key_col: str,
+    order_cols: list[str],
+    value_cols: list[str],
+    *,
+    lags: tuple[int, ...] = (1,),
+):
+    """Append per-key lagged copies of ``value_cols`` (feature engineering).
+
+    The point-in-time feature shape: for each row, the previous ``lags``
+    values of each column within its ``key_col`` partition, ordered by
+    ``order_cols`` (pass a unique tiebreak column — e.g. the event id — for
+    full determinism).  New columns are named ``<col>_lag<k>`` and are null
+    where the history is shorter than ``k``.
+
+    ONE keyed window shuffle regardless of how many columns × lags are
+    requested — all ``lag()`` expressions share the same window frame, so
+    Spark computes them in a single pass over each sorted partition.  No
+    self-joins (the naive formulation is a per-lag equi-join each with its
+    own shuffle).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    out = df
+    for c in value_cols:
+        for k in lags:
+            out = out.withColumn(f"{c}_lag{k}", F.lag(c, k).over(w))
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -748,3 +748,22 @@ def test_remove_dup_spans_fully_duplicated_doc_becomes_empty(spark):
     out = {r.doc_id: r for r in remove_dup_ngram_spans(docs, "doc_id", "text", n=3).collect()}
     assert out[1].clean_text == "" and out[1].n_tokens_kept == 0
     assert out[2].n_tokens_removed == 7
+
+
+def test_lag_features_one_shuffle_and_values(spark):
+    from dftly_spark.ops import lag_features
+
+    rows = [(1, 10, 1.0), (1, 20, 2.0), (1, 30, 3.0), (2, 10, 9.0)]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    out = lag_features(df, "k", ["ts"], ["v"], lags=(1, 2))
+    got = {(r.k, r.ts): (r.v_lag1, r.v_lag2) for r in out.collect()}
+    assert got[(1, 10)] == (None, None)
+    assert got[(1, 20)] == (1.0, None)
+    assert got[(1, 30)] == (2.0, 1.0)
+    assert got[(2, 10)] == (None, None)
+    # all lag columns share one window: exactly one Exchange in the plan
+    # (AQE's toString repeats the plan under "== Initial Plan =="; count the
+    # final section only)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
