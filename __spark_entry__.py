@@ -2206,6 +2206,44 @@ _q(
 )
 
 
+def _x40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift: exact two-sample KS over document lengths,
+    English slice vs German slice."""
+    from dftly_spark.ops import ks_drift
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ks_drift(docs, "n_chars", "lang", "en", "de")
+
+
+_q(
+    "x40_ks_drift",
+    _x40,
+    """
+    WITH tagged AS (
+      SELECT n_chars AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS ib
+      FROM documents WHERE lang IN ('en', 'de')
+    ), counts AS (
+      SELECT v, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+      FROM tagged GROUP BY v
+    ), cums AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM counts
+    ), totals AS (
+      SELECT CAST(SUM(ia) AS BIGINT) AS na, CAST(SUM(ib) AS BIGINT) AS nb FROM tagged
+    )
+    SELECT MAX(ABS(cum_a / na - cum_b / nb)) AS ks,
+           CAST(any_value(na) AS BIGINT) AS n_a,
+           CAST(any_value(nb) AS BIGINT) AS n_b
+    FROM cums CROSS JOIN totals
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

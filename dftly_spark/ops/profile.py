@@ -90,6 +90,54 @@ def rollup_stats(
     )
 
 
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    a,
+    b,
+    *,
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between two slices.
+
+    The distribution-drift check run between corpus versions (did this
+    release shift the document-length / quality / score distribution?):
+    ``KS = max_x |F_a(x) - F_b(x)|`` over the empirical CDFs of
+    ``value_col`` in the ``group_col == a`` vs ``== b`` rows.  Returns one
+    row ``(ks, n_a, n_b)``.  Exact, not sampled.
+
+    Scale shape: per-value counts (one keyed aggregation over the rows),
+    then CDFs via :func:`~dftly_spark.ops.scale.partitioned_cumsum` over
+    the DISTINCT-value frame — the two-level scan, so no single-reducer
+    global window even when the value domain is large.  The (n_a, n_b)
+    totals ride along as a one-row broadcast.
+    """
+    from .scale import partitioned_cumsum
+
+    tagged = df.where(F.col(group_col).isin(a, b)).select(
+        F.col(value_col).alias("_v"),
+        (F.col(group_col) == a).cast("bigint").alias("_ia"),
+        (F.col(group_col) == b).cast("bigint").alias("_ib"),
+    )
+    counts = tagged.groupBy("_v").agg(
+        F.sum("_ia").alias("_ca"), F.sum("_ib").alias("_cb")
+    )
+    cums = partitioned_cumsum(counts, "_v", ["_ca", "_cb"], buckets=buckets)
+    totals = tagged.groupBy().agg(
+        F.sum("_ia").alias("_na"), F.sum("_ib").alias("_nb")
+    )
+    scored = cums.crossJoin(F.broadcast(totals))
+    diff = F.abs(
+        F.col("cum__ca") / F.col("_na") - F.col("cum__cb") / F.col("_nb")
+    )
+    return scored.agg(
+        F.max(diff).alias("ks"),
+        F.any_value("_na").alias("n_a"),
+        F.any_value("_nb").alias("n_b"),
+    )
+
+
 def quantile_stats(
     df: DataFrame,
     value_col: str,

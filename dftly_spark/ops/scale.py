@@ -198,6 +198,70 @@ def bloom_prune(
     return probed.where(test).drop("__bf", *[f"__p{i}" for i in range(k)])
 
 
+def partitioned_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    *,
+    buckets: int = 64,
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Distributed prefix sums: running totals of ``value_cols`` in
+    ``order_col`` order, without a single-partition window.
+
+    A bare ``Window.orderBy(...)`` funnels the whole table through ONE
+    reducer — the canonical scale-killer for global cumulative sums.  This
+    is the classic two-level scan instead:
+
+    1. rows are bucketed by ``order_col`` range (boundaries from a one-shot
+       ``approxQuantile`` at plan-build time — boundary placement affects
+       only partition sizes, never results);
+    2. each bucket computes its local running sums in parallel (keyed
+       window);
+    3. per-bucket totals (``buckets`` rows) get their own tiny cumulative
+       offsets, joined back by bucket id.
+
+    ``order_col`` must be numeric and unique per row (pre-aggregate to
+    distinct values first — ties would make a running sum order-dependent
+    in ANY engine).  Appends one ``prefix<col>`` column per value column.
+    """
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = df.stat.approxQuantile(order_col, probs, 0.01)
+    pid = F.lit(0)
+    for b in sorted(set(bounds)):
+        pid = pid + (F.col(order_col) > F.lit(b)).cast("int")
+    from pyspark.sql import Window
+
+    keyed = df.withColumn("_pid", pid)
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = keyed.select(
+        "*", *[F.sum(c).over(w_local).alias(f"_loc_{c}") for c in value_cols]
+    )
+    totals = keyed.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_tot_{c}") for c in value_cols]
+    )
+    # offsets over the tiny totals frame: `buckets` rows, so the
+    # single-partition window here is O(buckets), not O(rows)
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_tot_{c}").over(w_off), F.lit(0)).alias(f"_off_{c}")
+            for c in value_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    for c in value_cols:
+        out = out.withColumn(prefix + c, F.col(f"_loc_{c}") + F.col(f"_off_{c}"))
+    return out.drop("_pid", *[f"_loc_{c}" for c in value_cols], *[f"_off_{c}" for c in value_cols])
+
+
 def plan_summary(df: DataFrame) -> dict:
     """Physical-plan introspection for tests and pipeline CI gates.
 

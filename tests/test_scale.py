@@ -310,3 +310,39 @@ def test_plan_summary_reports_shape(spark):
     # codegen stages only appear once AQE finalizes: materialize, re-read
     agg.collect()
     assert plan_summary(agg)["n_codegen_stages"] >= 1
+
+
+def test_partitioned_cumsum_matches_global_window(spark):
+    """Two-level scan == the single-reducer window, and the big frame's
+    shuffle is keyed by bucket, not SinglePartition."""
+    import random
+
+    from pyspark.sql import Window
+    from dftly_spark.ops import partitioned_cumsum
+
+    rng = random.Random(5)
+    rows = [(float(v), rng.randint(1, 9)) for v in rng.sample(range(100000), 2000)]
+    df = spark.createDataFrame(rows, "v double, x int")
+    got = {
+        r.v: r.cum_x
+        for r in partitioned_cumsum(df, "v", ["x"], buckets=16).collect()
+    }
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r.v: r.c for r in df.select("v", F.sum("x").over(w).alias("c")).collect()}
+    assert got == want
+    plan = partitioned_cumsum(df, "v", ["x"], buckets=16)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_pid" in plan
+
+
+def test_ks_drift_identical_and_disjoint_distributions(spark):
+    from dftly_spark.ops import ks_drift
+
+    same = [(i % 50, "a") for i in range(500)] + [(i % 50, "b") for i in range(500)]
+    df = spark.createDataFrame(same, "v int, g string")
+    r = ks_drift(df, "v", "g", "a", "b").collect()[0]
+    assert r.ks == 0.0 and r.n_a == 500 and r.n_b == 500
+
+    disjoint = [(i, "a") for i in range(100)] + [(i + 1000, "b") for i in range(100)]
+    df2 = spark.createDataFrame(disjoint, "v int, g string")
+    r2 = ks_drift(df2, "v", "g", "a", "b").collect()[0]
+    assert r2.ks == 1.0
