@@ -2244,6 +2244,31 @@ _q(
 )
 
 
+def _x41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import histogram_fixed
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_fixed(li, "l_extendedprice", lo=0.0, hi=110000.0, nbins=22)
+
+
+_q(
+    "x41_histogram",
+    _x41,
+    """
+    WITH b AS (
+      SELECT CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 5000.0) AS INTEGER) AS bin
+      FROM lineitem
+      WHERE CAST(l_extendedprice AS DOUBLE) >= 0.0
+        AND CAST(l_extendedprice AS DOUBLE) < 110000.0
+    )
+    SELECT bin, 0.0 + bin * 5000.0 AS bin_lo, 0.0 + (bin + 1) * 5000.0 AS bin_hi,
+           COUNT(*) AS n
+    FROM b GROUP BY bin
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

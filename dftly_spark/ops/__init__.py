@@ -65,7 +65,13 @@ from .joins import asof_join, asof_join_stream, lag_features, range_join
 from .jsonops import json_extract_fields, json_parse_typed
 from .retrieval import bm25_topk, tf_idf_vectors
 from .sampling import cap_per_group, hash_split, pack_sequences, stratified_sample
-from .profile import ks_drift, profile_table, quantile_stats, rollup_stats
+from .profile import (
+    histogram_fixed,
+    ks_drift,
+    profile_table,
+    quantile_stats,
+    rollup_stats,
+)
 from .scale import (
     bloom_prune,
     compact_table,
@@ -104,6 +110,7 @@ __all__ = [
     "salted_agg", "write_bucketed", "read_bucketed", "bloom_prune", "semi_prune",
     "write_partitioned", "profile_table", "json_extract_fields", "json_parse_typed",
     "compact_table", "plan_summary", "partitioned_cumsum", "ks_drift",
+    "histogram_fixed",
     "hash_split", "stratified_sample", "pack_sequences", "quantile_stats",
     "bm25_topk", "tf_idf_vectors", "cap_per_group", "rollup_stats",
     "dup_ngram_fraction", "remove_dup_ngram_spans",

@@ -90,6 +90,41 @@ def rollup_stats(
     )
 
 
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Fixed-width histogram over ``[lo, hi)``: ``(bin, bin_lo, bin_hi, n)``.
+
+    One scan + one keyed aggregation (map-side combinable; the shuffle
+    carries ≤ ``nbins`` rows per task).  Values outside ``[lo, hi)`` are
+    dropped — count them separately if the tails matter; empty bins are
+    absent from the output (join against ``sequence(0, nbins-1)`` to
+    densify).  Bin edges are ``lo + bin·w`` in double arithmetic, exactly
+    reproducible in any engine.
+    """
+    if not hi > lo:
+        raise ValueError("hi must be greater than lo")
+    w = (hi - lo) / nbins
+    x = F.col(value_col).cast("double")
+    b = F.floor((x - F.lit(lo)) / F.lit(w)).cast("int")
+    return (
+        df.where((x >= lo) & (x < hi))
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
 def ks_drift(
     df: DataFrame,
     value_col: str,

@@ -767,3 +767,19 @@ def test_lag_features_one_shuffle_and_values(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1
+
+
+def test_histogram_fixed_bins_and_bounds(spark):
+    from dftly_spark.ops import histogram_fixed
+
+    df = spark.createDataFrame(
+        [(0.0,), (4.9,), (5.0,), (9.9,), (10.0,), (-1.0,), (100.0,)], "v double"
+    )
+    out = {r.bin: r for r in histogram_fixed(df, "v", lo=0.0, hi=10.0, nbins=2).collect()}
+    # out-of-range values (-1, 10.0, 100) are dropped; 10.0 == hi is exclusive
+    assert set(out) == {0, 1}
+    assert out[0].n == 2 and out[1].n == 2
+    assert (out[0].bin_lo, out[0].bin_hi) == (0.0, 5.0)
+    assert (out[1].bin_lo, out[1].bin_hi) == (5.0, 10.0)
+    with pytest.raises(ValueError, match="hi must be greater"):
+        histogram_fixed(df, "v", lo=1.0, hi=1.0, nbins=4)
