@@ -83,6 +83,16 @@ def main() -> None:
         "query_id int, query string",
     )
 
+    def _remove_spans(d: DataFrame) -> DataFrame:
+        from dftly_spark.ops import remove_dup_ngram_spans
+
+        return remove_dup_ngram_spans(d, "doc_id", "text", n=13)
+
+    def _ks(d: DataFrame) -> DataFrame:
+        from dftly_spark.ops import ks_drift
+
+        return ks_drift(d, "n_chars", "lang", "en", "de")
+
     def probes(d: DataFrame) -> DataFrame:
         return d.where(F.col("doc_id") % 25 == 0).select(
             (F.col("doc_id") + 5_000_000).alias("doc_id"),
@@ -106,6 +116,8 @@ def main() -> None:
         "embedding_lsh": lambda d, e: embedding_dup_pairs(
             e, "vec_id", "embedding", threshold=0.95, method="lsh", dim=64
         ),
+        "remove_dup_spans": lambda d, e: _remove_spans(d),
+        "ks_drift": lambda d, e: _ks(d),
     }
     wanted = sys.argv[1:] or list(OPS)
 
