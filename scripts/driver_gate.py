@@ -20,7 +20,9 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, ".")
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
