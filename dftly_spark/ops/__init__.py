@@ -44,6 +44,8 @@ from .dedup import (
     embedding_dup_pairs,
     exact_dedup,
     minhash_dup_pairs,
+    minhash_index,
+    minhash_join_index,
     minhash_signature,
     ngram_jaccard_pairs,
     simhash64,
@@ -101,6 +103,7 @@ __all__ = [
     "doc_fingerprints",
     "repetition_signals",
     "exact_dedup", "word_shingles", "minhash_signature", "minhash_dup_pairs",
+    "minhash_index", "minhash_join_index",
     "simhash64", "simhash_dup_pairs", "ngram_jaccard_pairs", "cross_corpus_dup_pairs",
     "containment_pairs", "cross_corpus_embedding_pairs",
     "embedding_dup_pairs",

@@ -241,6 +241,95 @@ def minhash_dup_pairs(
     )
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable MinHash index frames for a corpus.
+
+    Returns ``(banded, sets)``:
+
+    * ``banded`` — ``(id, _key)``, one row per (document, band) with
+      ``_key = xxhash64(band, bucket)`` folded into a single 8-byte join
+      key so the frame can be bucketed on ONE column;
+    * ``sets`` — ``(id, _gs)``, the hashed shingle set used by the exact
+      verify step.
+
+    This is the piece a 100 TB pipeline persists between ingests
+    (``write_bucketed(banded, key="_key")`` + ``write_bucketed(sets,
+    key=id)``): new batches join against the stored frames with no corpus
+    rescan, no retokenization, and — bucketed — no index-side Exchange
+    (proved in ``tests/test_scale.py``).  :func:`minhash_join_index` is the
+    matching ingest query.
+    """
+    per_doc = _minhash_per_doc(df, id_col, text_col, n, k)
+    sig = F.array(*[F.col(f"_m{i}") for i in range(k)])
+    rows = k // bands
+    banded = per_doc.select(
+        F.col("_id").alias(id_col), F.explode(_band_buckets(sig, bands, rows)).alias("_bb")
+    ).select(id_col, F.xxhash64(F.col("_bb.band"), F.col("_bb.bucket")).alias("_key"))
+    sets = per_doc.select(F.col("_id").alias(id_col), "_gs")
+    return banded, sets
+
+
+def minhash_join_index(
+    new_df: DataFrame,
+    index_banded: DataFrame,
+    index_sets: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Dedup a new batch against a PERSISTED MinHash index.
+
+    Same result contract as :func:`cross_corpus_dup_pairs` — ``(new_id,
+    corpus_id, jaccard ≥ threshold)`` — but the corpus side comes from the
+    stored :func:`minhash_index` frames instead of being re-derived, so an
+    ingest touches the new batch plus only the index rows its buckets hit.
+    MinHash parameters must match the ones the index was built with.
+    """
+    new_banded, new_sets = minhash_index(
+        new_df, id_col, text_col, n=n, k=k, bands=bands
+    )
+    new_banded = new_banded.withColumnRenamed(id_col, "new_id")
+    old_banded = index_banded.withColumnRenamed(id_col, "corpus_id")
+
+    sizes = (
+        old_banded.groupBy("_key").count().where(F.col("count") <= max_bucket_size)
+    )
+    old_banded = old_banded.join(sizes.select("_key"), "_key")
+
+    cand = (
+        new_banded.join(old_banded, "_key")
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    cand = cand.join(
+        new_sets.select(F.col(id_col).alias("new_id"), F.col("_gs").alias("_sh_l")),
+        "new_id",
+    ).join(
+        index_sets.select(F.col(id_col).alias("corpus_id"), F.col("_gs").alias("_sh_r")),
+        "corpus_id",
+    )
+    jac = F.size(F.array_intersect("_sh_l", "_sh_r")).cast("double") / F.size(
+        F.array_union("_sh_l", "_sh_r")
+    )
+    return (
+        cand.select("new_id", "corpus_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def cross_corpus_dup_pairs(
     new_df: DataFrame,
     corpus_df: DataFrame,

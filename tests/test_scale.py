@@ -346,3 +346,68 @@ def test_ks_drift_identical_and_disjoint_distributions(spark):
     df2 = spark.createDataFrame(disjoint, "v int, g string")
     r2 = ks_drift(df2, "v", "g", "a", "b").collect()[0]
     assert r2.ks == 1.0
+
+
+def test_minhash_index_persisted_ingest(spark, tmp_path):
+    """The repeat-ingest story: build the MinHash index once, persist it
+    bucketed, and dedup a new batch against the STORED frames — results
+    identical to the derive-everything cross-corpus op, and the candidate
+    join reads the index with no index-side Exchange (bucket pruning does
+    the shuffle's work at write time)."""
+    from dftly_spark.ops import (
+        cross_corpus_dup_pairs,
+        minhash_index,
+        minhash_join_index,
+    )
+    from dftly_spark.ops.scale import read_bucketed, write_bucketed
+
+    import shutil
+
+    for t in ("mh_banded", "mh_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+
+    banded, sets = minhash_index(corpus, "doc_id", "text")
+    write_bucketed(banded, "mh_banded", key="_key", buckets=4)
+    write_bucketed(sets, "mh_sets", key="doc_id", buckets=4)
+
+    got = minhash_join_index(
+        new_batch,
+        read_bucketed(spark, "mh_banded"),
+        read_bucketed(spark, "mh_sets"),
+        "doc_id",
+        "text",
+        threshold=0.7,
+    )
+    want = {
+        (r.new_id, r.corpus_id, round(r.jaccard, 12))
+        for r in cross_corpus_dup_pairs(
+            new_batch, corpus, "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    assert {
+        (r.new_id, r.corpus_id, round(r.jaccard, 12)) for r in got.collect()
+    } == want
+    assert len(want) > 0
+
+    # plan proof: joining against the bucketed index needs no index-side
+    # shuffle — only the (small) new side exchanges on the index's key
+    idx = read_bucketed(spark, "mh_banded")
+    probe = banded.withColumnRenamed("doc_id", "new_id")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = probe.join(idx, "_key")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Bucketed: true" in final
+    # exactly one shuffle on the join key — the probe side; the index scan
+    # feeds the join straight from its buckets (probe-internal shuffles on
+    # other keys, e.g. the signature window, are not join exchanges)
+    assert final.count("Exchange hashpartitioning(_key") == 1
