@@ -48,6 +48,7 @@ from .dedup import (
     minhash_join_index,
     minhash_signature,
     ngram_jaccard_pairs,
+    shingle_hashes,
     simhash64,
     simhash_dup_pairs,
     word_shingles,
@@ -103,7 +104,7 @@ __all__ = [
     "doc_fingerprints",
     "repetition_signals",
     "exact_dedup", "word_shingles", "minhash_signature", "minhash_dup_pairs",
-    "minhash_index", "minhash_join_index",
+    "minhash_index", "minhash_join_index", "shingle_hashes",
     "simhash64", "simhash_dup_pairs", "ngram_jaccard_pairs", "cross_corpus_dup_pairs",
     "containment_pairs", "cross_corpus_embedding_pairs",
     "embedding_dup_pairs",

@@ -79,6 +79,26 @@ def word_shingles(col: SparkColumn, n: int = 3) -> SparkColumn:
     return F.array_distinct(F.when(F.size(ws) >= n, grams).otherwise(whole))
 
 
+def shingle_hashes(col: SparkColumn, n: int = 3) -> SparkColumn:
+    """Row-local hashed shingle set (array<bigint>), bit-compatible with the
+    corpus-scale window formulation.
+
+    Produces exactly the values :func:`_shingle_instance_frames` produces —
+    word ``n``-grams hashed as multi-argument ``xxhash64(tok₀,…,tokₙ₋₁)``,
+    whole-text hash for documents shorter than ``n`` words — but as one
+    per-row expression (interpreted HOFs): the form streaming needs, where
+    window functions are not allowed, and the form that lets a stream join
+    a batch-built index (:func:`minhash_index`) key-for-key.
+    """
+    ws = tokens(F.lower(col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.xxhash64(*[F.element_at(ws, i + j) for j in range(n)]),
+    )
+    whole = F.array(F.xxhash64(F.concat_ws(" ", ws)))
+    return F.array_distinct(F.when(F.size(ws) >= n, grams).otherwise(whole))
+
+
 def minhash_signature(shingles_col: SparkColumn, k: int = 32) -> SparkColumn:
     """k-permutation MinHash signature (array<bigint> of length ``k``).
 
@@ -89,13 +109,19 @@ def minhash_signature(shingles_col: SparkColumn, k: int = 32) -> SparkColumn:
     Expression form (higher-order functions are interpreted, not codegen'd);
     the pipeline in :func:`minhash_dup_pairs` uses the faster explode +
     hash-aggregate formulation of the same signature.
+
+    NB: the permutation index must be captured in a helper scope — a
+    two-parameter ``lambda s, i=i`` would be treated by Spark as the
+    binary ``(element, index)`` transform form, shadowing the seed with
+    the array position (every permutation collapses to the same values).
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(k)
-        ]
-    )
+
+    def perm(i: int) -> SparkColumn:
+        return F.array_min(
+            F.transform(shingles_col, lambda s: F.xxhash64(s, F.lit(i)))
+        )
+
+    return F.array(*[perm(i) for i in range(k)])
 
 
 def _shingle_instance_frames(

@@ -93,6 +93,79 @@ def stream_exact_dedup(
     return out.drop("_dedup_key")
 
 
+def stream_minhash_dedup(
+    stream_df: DataFrame,
+    index_banded: DataFrame,
+    index_sets: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Streaming near-dedup against a PERSISTED MinHash index.
+
+    Each arriving document is checked for near-duplicates in the indexed
+    corpus (:func:`dftly_spark.ops.minhash_index`, typically read back from
+    its bucketed tables) and matches are emitted as ``(new_id, corpus_id,
+    jaccard ≥ threshold)`` — the streaming twin of
+    :func:`~dftly_spark.ops.minhash_join_index`.
+
+    Streaming constraints shape the plan: window functions are not allowed
+    on unbounded streams, so signatures use the ROW-LOCAL expression forms
+    (:func:`~dftly_spark.ops.shingle_hashes` — bit-compatible with the
+    index build's window formulation — plus
+    :func:`~dftly_spark.ops.minhash_signature`; interpreted HOFs, fine
+    per-arriving-row).  Candidates and verification are stream-static
+    equi-joins, which Spark runs statelessly — NO state store; the static
+    index side is just a (bucketed) table scan per micro-batch.
+
+    Statelessness has one visible consequence: a pair sharing ``b``
+    colliding bands is emitted ``b`` times (identical jaccard each time).
+    Exactly-once-per-pair needs keyed state that would grow with every
+    pair ever emitted; dedupe downstream instead (``dropDuplicates`` on a
+    bounded backfill, ``dropDuplicatesWithinWatermark`` when rows carry
+    event time, or at the sink).
+    """
+    from .ops.dedup import _band_buckets, minhash_signature, shingle_hashes
+
+    rows = k // bands
+    gs = shingle_hashes(F.col(text_col), n)
+    keyed = (
+        stream_df.select(
+            F.col(id_col).alias("new_id"),
+            gs.alias("_sh_l"),
+        )
+        .select(
+            "new_id",
+            "_sh_l",
+            F.explode(
+                _band_buckets(minhash_signature(F.col("_sh_l"), k), bands, rows)
+            ).alias("_bb"),
+        )
+        .select(
+            "new_id",
+            "_sh_l",
+            F.xxhash64(F.col("_bb.band"), F.col("_bb.bucket")).alias("_key"),
+        )
+    )
+    old = index_banded.withColumnRenamed(id_col, "corpus_id")
+    cand = keyed.join(old, "_key")
+    cand = cand.join(
+        index_sets.select(F.col(id_col).alias("corpus_id"), F.col("_gs").alias("_sh_r")),
+        "corpus_id",
+    )
+    jac = F.size(F.array_intersect("_sh_l", "_sh_r")).cast("double") / F.size(
+        F.array_union("_sh_l", "_sh_r")
+    )
+    return (
+        cand.select("new_id", "corpus_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def tumbling_agg(
     df: DataFrame,
     ts_col: str,

@@ -202,3 +202,50 @@ def test_stream_static_broadcast_enrichment(spark):
     assert {(r.event_id, r.cohort) for r in got.select("event_id", "cohort").collect()} == {
         (r.event_id, r.cohort) for r in batch.select("event_id", "cohort").collect()
     }
+
+
+def test_stream_minhash_dedup_matches_batch_index_join(spark):
+    """Streaming near-dedup against the persisted index == the batch
+    ingest join (as a pair set — stateless streaming emits one row per
+    colliding band), and the row-local shingle hashes are bit-compatible
+    with the index build's window formulation."""
+    from dftly_spark.ops import minhash_index, minhash_join_index, shingle_hashes
+    from dftly_spark.ops.dedup import _minhash_per_doc
+    from dftly_spark.streaming import stream_minhash_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+
+    # bit-compat: row-local hashes == the window-built per-doc sets
+    row_local = {
+        r.doc_id: frozenset(r.gs)
+        for r in new_batch.select(
+            "doc_id", shingle_hashes(F.col("text"), 3).alias("gs")
+        ).collect()
+    }
+    windowed = {
+        r._id: frozenset(r._gs)
+        for r in _minhash_per_doc(new_batch, "doc_id", "text", 3, 32)
+        .select("_id", "_gs")
+        .collect()
+    }
+    assert row_local == windowed
+
+    banded, sets = minhash_index(corpus, "doc_id", "text")
+    want = {
+        (r.new_id, r.corpus_id, round(r.jaccard, 12))
+        for r in minhash_join_index(
+            new_batch, banded, sets, "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+
+    stream = stream_table(spark, SF_DIR, "documents").where(
+        F.col("doc_id") % 2 == 1
+    )
+    out = stream_minhash_dedup(stream, banded, sets, "doc_id", "text", threshold=0.7)
+    assert out.isStreaming
+    got_rows = _run_to_memory(spark, out, "stream_mh_dedup").collect()
+    got = {(r.new_id, r.corpus_id, round(r.jaccard, 12)) for r in got_rows}
+    assert got == want
+    assert len(want) > 0
