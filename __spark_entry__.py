@@ -2269,6 +2269,189 @@ _q(
 )
 
 
+def _x42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel over the event log (view → click →
+    purchase): one user-keyed shuffle, chained conditional window mins."""
+    from dftly_spark.ops import funnel
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = funnel(ev, ["view", "click", "purchase"])
+    return out.select(
+        "user_id",
+        F.unix_micros("step_1_ts").alias("t1_us"),
+        F.unix_micros("step_2_ts").alias("t2_us"),
+        F.unix_micros("step_3_ts").alias("t3_us"),
+        F.col("steps_completed").cast("int").alias("steps_completed"),
+    )
+
+
+_q(
+    "x42_funnel",
+    _x42,
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ), s1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1 FROM e
+    ), s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2 FROM s1
+    ), s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3 FROM s2
+    )
+    SELECT user_id, epoch_us(MIN(t1)) AS t1_us, epoch_us(MIN(t2)) AS t2_us,
+           epoch_us(MIN(t3)) AS t3_us,
+           CAST(CASE WHEN MIN(t3) IS NOT NULL THEN 3
+                     WHEN MIN(t2) IS NOT NULL THEN 2
+                     ELSE 1 END AS INTEGER) AS steps_completed
+    FROM s3 GROUP BY user_id
+    HAVING MIN(t1) IS NOT NULL
+    """,
+)
+
+
+def _x43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge: apply a synthesized changelog (updates that supersede a
+    stale write, deletes, inserts) onto the documents snapshot."""
+    from dftly_spark.ops import merge_upsert
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+
+    def chg(frame: DataFrame, text_col, seq: int, op: str) -> DataFrame:
+        return frame.select(
+            "doc_id", text_col.alias("text"), "lang", "source", "n_chars",
+            F.lit(seq).cast("bigint").alias("seq"), F.lit(op).alias("op"),
+        )
+
+    upd = chg(docs.where(F.col("doc_id") % 10 == 3), F.upper("text"), 2, "U")
+    stale = chg(docs.where(F.col("doc_id") % 10 == 3), F.lit("STALE"), 1, "U")
+    dels = chg(docs.where(F.col("doc_id") % 10 == 7), F.col("text"), 1, "D")
+    ins = chg(
+        docs.where(F.col("doc_id") % 100 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        ),
+        F.concat(F.lit("NEW "), F.col("text")),
+        1,
+        "I",
+    )
+    changelog = upd.unionAll(stale).unionAll(dels).unionAll(ins)
+    return merge_upsert(docs, changelog, "doc_id")
+
+
+_q(
+    "x43_merge_upsert",
+    _x43,
+    """
+    WITH chg AS (
+      SELECT doc_id, upper(text) AS text, lang, source, n_chars,
+             CAST(2 AS BIGINT) AS seq, 'U' AS op
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id, 'STALE', lang, source, n_chars, 1, 'U'
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id, text, lang, source, n_chars, 1, 'D'
+      FROM documents WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT doc_id + 10000000, 'NEW ' || text, lang, source, n_chars, 1, 'I'
+      FROM documents WHERE doc_id % 100 = 0
+    ), latest AS (
+      SELECT * FROM chg
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1
+    )
+    SELECT COALESCE(c.doc_id, s.doc_id) AS doc_id,
+           CASE WHEN c.op IS NOT NULL THEN c.text ELSE s.text END AS text,
+           CASE WHEN c.op IS NOT NULL THEN c.lang ELSE s.lang END AS lang,
+           CASE WHEN c.op IS NOT NULL THEN c.source ELSE s.source END AS source,
+           CASE WHEN c.op IS NOT NULL THEN c.n_chars ELSE s.n_chars END AS n_chars
+    FROM documents s FULL OUTER JOIN latest c ON s.doc_id = c.doc_id
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+
+
+_MIX_BUDGET = 40_000.0
+
+
+def _x44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: 60/40 en/de recipe, rates measured
+    from per-source totals, row-local LCG membership gate."""
+    from dftly_spark.ops import mixture_sample
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, "lang", {"en": 0.6, "de": 0.4},
+        budget=_MIX_BUDGET, cost_col="n_chars", id_col="doc_id", seed=5,
+    )
+    return out.select("doc_id", "lang", "n_chars", "mix_rate")
+
+
+def _x44_oracle() -> str:
+    from dftly_spark.ops.sampling import _M, mix_sql
+
+    u = mix_sql("d.doc_id", 5)
+    return f"""
+    WITH totals AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS s
+      FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           LEAST(1.0, CASE d.lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.4 END
+                        * {_MIX_BUDGET!r} / CAST(t.s AS DOUBLE)) AS mix_rate
+    FROM documents d JOIN totals t ON d.lang = t.lang
+    WHERE {u} < LEAST(1.0, CASE d.lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.4 END
+                             * {_MIX_BUDGET!r} / CAST(t.s AS DOUBLE)) * {_M}
+    """
+
+
+_q("x44_mixture_sample", _x44, _x44_oracle())
+
+
+def _x45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM quality scores (add-1 smoothing, self-fit)."""
+    from dftly_spark.ops import bigram_lm_scores
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
+_q(
+    "x45_bigram_lm",
+    _x45,
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), uni AS (
+      SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM base)
+    ), inst AS (
+      SELECT doc_id, i AS pos, w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM base WHERE len(w) >= 2)
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM inst GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+    ), scored AS (
+      SELECT doc_id, pos, ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * uni.v)) AS lp
+      FROM inst JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN uni
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           list_reduce(list(lp ORDER BY pos), (a, x) -> a + x) AS logprob,
+           list_reduce(list(lp ORDER BY pos), (a, x) -> a + x) / count(*) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -67,7 +67,15 @@ from .similarity import (
 from .joins import asof_join, asof_join_stream, lag_features, range_join
 from .jsonops import json_extract_fields, json_parse_typed
 from .retrieval import bm25_topk, tf_idf_vectors
-from .sampling import cap_per_group, hash_split, pack_sequences, stratified_sample
+from .sampling import (
+    cap_per_group,
+    hash_split,
+    mixture_sample,
+    pack_sequences,
+    stratified_sample,
+)
+from .cdc import latest_changes, merge_upsert
+from .lm import bigram_frame, bigram_lm_scores
 from .profile import (
     histogram_fixed,
     ks_drift,
@@ -86,7 +94,7 @@ from .scale import (
     write_bucketed,
     write_partitioned,
 )
-from .sessions import sessionize, sessionize_stream
+from .sessions import funnel, sessionize, sessionize_stream
 from .multimodal import (
     audio_chunks,
     resize_images,
@@ -118,6 +126,8 @@ __all__ = [
     "hash_split", "stratified_sample", "pack_sequences", "quantile_stats",
     "bm25_topk", "tf_idf_vectors", "cap_per_group", "rollup_stats",
     "dup_ngram_fraction", "remove_dup_ngram_spans",
-    "sessionize", "sessionize_stream",
+    "sessionize", "sessionize_stream", "funnel",
+    "mixture_sample", "latest_changes", "merge_upsert",
+    "bigram_frame", "bigram_lm_scores",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",
 ]

@@ -1,0 +1,88 @@
+"""Changelog application: merge a CDC feed into a snapshot (upsert + delete).
+
+Incremental corpus maintenance at 100 TB is "apply this batch of changes to
+the stored table", not "rebuild the table".  Without a table format that
+implements MERGE (Delta/Iceberg), the relational core is still two keyed
+operators:
+
+1. collapse the changelog to the LATEST change per key (one hash shuffle +
+   per-key sort — ``row_number`` over ``(seq DESC)``), and
+2. a full-outer equi-join of snapshot and collapsed changes on the key
+   (both sides hash-partition on the same key, so the join co-locates; with
+   bucketed storage on the key the snapshot side's Exchange disappears —
+   see :func:`dftly_spark.ops.scale.write_bucketed`).
+
+Rows whose latest change is a delete drop out; other changed keys take the
+change's payload wholesale; untouched snapshot rows pass through.  This is
+exactly the merge semantics of Delta's ``MERGE WHEN MATCHED [DELETE |
+UPDATE SET *] WHEN NOT MATCHED INSERT *`` driven by a deduplicated feed.
+
+The reference's incremental-ingest tooling (cross-corpus index joins,
+``minhash_join_index``) covers the *dedup* half of ingest; this op covers
+the *state-maintenance* half.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_changes(
+    changelog: DataFrame,
+    key_col: str,
+    *,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Collapse a changelog to one row per key: highest ``seq_col`` wins.
+
+    Ties on ``seq`` are broken deterministically by preferring the larger
+    operation string then larger payload ordering is NOT attempted — emit
+    unique sequence numbers per key upstream (CDC sources do).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc())
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    key_col: str,
+    *,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply ``changelog`` (insert/update/delete rows) onto ``snapshot``.
+
+    ``changelog`` carries the snapshot's columns plus ``seq_col`` (change
+    order, larger = newer) and ``op_col`` (``delete_op`` marks deletes; any
+    other value is an upsert).  Returns the post-merge table with the
+    snapshot's schema.
+
+    The latest change per key is selected first, so a key that is updated
+    then deleted within the batch ends deleted, and stale updates lose.
+    """
+    payload_cols = [c for c in snapshot.columns if c != key_col]
+    latest = latest_changes(changelog, key_col, seq_col=seq_col)
+
+    snap = snapshot.alias("s")
+    chg = latest.alias("c")
+    joined = snap.join(chg, F.col(f"s.{key_col}") == F.col(f"c.{key_col}"), "full_outer")
+
+    has_change = F.col(f"c.{op_col}").isNotNull()
+    keep = ~has_change | (F.col(f"c.{op_col}") != delete_op)
+    merged = joined.where(keep).select(
+        F.coalesce(F.col(f"c.{key_col}"), F.col(f"s.{key_col}")).alias(key_col),
+        *[
+            F.when(has_change, F.col(f"c.{col}"))
+            .otherwise(F.col(f"s.{col}"))
+            .alias(col)
+            for col in payload_cols
+        ],
+    )
+    return merged

@@ -92,6 +92,55 @@ def stratified_sample(
     return df.where(u < thresh)
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    *,
+    budget: float,
+    cost_col: str,
+    id_col: str,
+    seed: int = 0,
+    rate_col: str = "mix_rate",
+) -> DataFrame:
+    """Downsample each source to hit a token/byte budget with given weights.
+
+    The mixing recipe "train on ``budget`` tokens, ``weights[g]`` of them
+    from source ``g``" becomes a per-source keep-rate
+    ``min(1, budget·weight_g / Σ cost_col over g)`` — measured from the
+    data, not guessed — and membership is the same row-local LCG gate as
+    :func:`stratified_sample` (nested samples, rerun-stable).  Sources not
+    in ``weights`` are dropped.
+
+    Scale shape: ONE map-side-combined aggregation producing |sources|
+    rows of totals, broadcast back onto the scan, then a pushable row-local
+    filter.  The big table is never shuffled.  A source whose corpus is
+    smaller than its target keeps everything (rate capped at 1) — the
+    shortfall is visible in ``rate_col`` so the caller can re-weight.
+    """
+    if not weights:
+        raise ValueError("mixture_sample needs at least one source weight")
+    totals = (
+        df.where(F.col(group_col).isin(list(weights)))
+        .groupBy(group_col)
+        .agg(F.sum(F.col(cost_col)).alias("_total_cost"))
+    )
+    wexpr = None
+    for value, wt in weights.items():
+        cond = F.col(group_col) == value
+        wexpr = F.when(cond, wt) if wexpr is None else wexpr.when(cond, wt)
+    rate = F.least(
+        F.lit(1.0), wexpr * budget / F.col("_total_cost").cast("double")
+    )
+    u = _mix(F.col(id_col), seed)
+    return (
+        df.join(F.broadcast(totals), group_col)
+        .withColumn(rate_col, rate)
+        .where(u.cast("double") < F.col(rate_col) * _M)
+        .drop("_total_cost")
+    )
+
+
 def mix_sql(id_expr: str, seed: int = 0) -> str:
     """The mixer as ANSI SQL, for oracle parity: ``mix_sql('doc_id')``."""
     return f"(({id_expr} * {_A} + {_C + seed}) % {_M})"

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -105,6 +105,63 @@ def _session_func(gap_micros: int):
         yield pd.DataFrame(out_rows, columns=["event_id", "user_id", "session_idx"])
 
     return func
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-step funnel: per user, the first time each step completes.
+
+    Step ``i`` completes at the earliest ``steps[i]`` event whose timestamp
+    is **>=** the completion time of step ``i-1`` (step 0 at its earliest
+    occurrence).  Returns one row per user who performed at least one
+    step-0 event: ``(user_col, step_1_ts … step_k_ts, steps_completed)``
+    with nulls past the deepest reached step.
+
+    Scale shape: events are filtered to the step types (predicate reaches
+    the scan), then ONE hash shuffle on the user key feeds a chain of
+    unordered window aggregates — each step's conditional ``min`` reuses
+    the same ``hashpartitioning(user)`` Exchange, so adding steps adds no
+    shuffles — and the final per-user collapse is satisfied by the same
+    partitioning.  No per-user arrays are materialized, so a hot user
+    costs O(events), not O(events²) or memory.
+
+    Analogue of the event-funnel analyses the reference's session tooling
+    targets (reference ``src/dftly/ops/sessions`` era); the windowed
+    sequential-min formulation is Spark-native.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(user_col)
+    out = df.where(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col), F.col(ts_col).alias("_ts"), F.col(type_col).alias("_tp")
+    )
+    prev: Column | None = None
+    names = []
+    for i, step in enumerate(steps):
+        name = f"step_{i + 1}_ts"
+        cond = F.col("_tp") == step
+        if prev is not None:
+            cond = cond & (F.col("_ts") >= F.col(prev))
+        out = out.withColumn(name, F.min(F.when(cond, F.col("_ts"))).over(w))
+        prev = name
+        names.append(name)
+    done = sum(
+        F.when(F.col(n).isNotNull(), 1).otherwise(0) for n in names
+    )
+    return (
+        out.groupBy(user_col)
+        .agg(
+            *[F.first(n).alias(n) for n in names],
+            F.first(done).alias("steps_completed"),
+        )
+        .where(F.col(names[0]).isNotNull())
+    )
 
 
 def sessionize_stream(
