@@ -30,10 +30,12 @@ def _prep(spark: SparkSession) -> None:
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark cannot read as a
-        # timestamp; read nanos as long (legacy conf set in _prep) and convert
-        # with exact integer division (ns div 1000 → µs).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # events.ts has shipped as both TIMESTAMP(NANOS) (readable only as
+        # nanos-long, legacy conf set in _prep) and TIMESTAMP(MICROS)
+        # (reads as timestamp_ntz); normalize either to plain timestamp.
+        from dftly_spark.io import normalize_event_ts
+
+        df = normalize_event_ts(df)
     return df
 
 

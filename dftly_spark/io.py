@@ -80,6 +80,28 @@ def write_table(
     writer.format(fmt).save(path)
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to ``TimestampType`` (session-tz, µs).
+
+    The synthetic ``events`` table has shipped with two physical layouts:
+    parquet TIMESTAMP(NANOS) — which Spark can only read as a raw ``bigint``
+    of nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``) — and parquet
+    TIMESTAMP(MICROS), which reads as ``timestamp_ntz``.  Downstream code
+    (windows, watermarks, as-of joins) assumes one type; this converts
+    either layout to plain ``timestamp``, exact in both directions (ns → µs
+    is integer division; ntz → tz is an identity under the pipeline's UTC
+    session zone).
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":  # nanos-as-long legacy layout
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
     """Expose parquet tables as temp views so ``spark.sql`` queries run
     against them by bare name (the oracle-side setup, Spark-side)."""

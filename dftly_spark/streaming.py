@@ -51,7 +51,9 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         path = d
     df = spark.readStream.schema(schema).format("parquet").load(path)
     if name == "events":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        from .io import normalize_event_ts
+
+        df = normalize_event_ts(df)
     return df
 
 

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dftly_spark.ops import asof_join, range_join
+from dftly_spark.io import normalize_event_ts
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -70,10 +71,7 @@ def test_asof_tolerance_bounds_match_age(spark, trades, quotes):
 def test_asof_real_events_match_naive(spark):
     """Backward as-of over real events equals a per-row naive scan."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    ev = normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     purch = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -169,10 +167,7 @@ def test_range_join_with_key_and_no_cartesian(spark):
 def test_range_join_self_lineage(spark):
     """Intervals derived from the points table (the ambiguous-self-join trap)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    ev = normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     sign = ev.where(F.col("event_type") == "signup").select(
         F.col("event_id").alias("window_id"),
         F.col("ts").alias("start"),

@@ -5,6 +5,7 @@ import math
 
 import pytest
 from pyspark.sql import functions as F
+from dftly_spark.io import normalize_event_ts
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -12,8 +13,7 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def events(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
 
 
 @pytest.fixture(scope="module")

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from dftly_spark.ops.sessions import sessionize, sessionize_stream
 from dftly_spark.streaming import stream_table
+from dftly_spark.io import normalize_event_ts
 
 SF_DIR = "/root/testdata/sf0.001"
 GAP = 30 * 60 * 1_000_000
@@ -12,8 +13,7 @@ GAP = 30 * 60 * 1_000_000
 
 def _batch_events(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
 
 
 def test_batch_sessionize_sanity(spark):

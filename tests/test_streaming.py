@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from dftly_spark import Parser
 from dftly_spark.streaming import apply_spec, stream_table, tumbling_agg
+from dftly_spark.io import normalize_event_ts
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -32,8 +33,7 @@ def _run_to_memory(spark, sdf, name):
 
 def _batch_events(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
 
 
 def test_spec_projection_streams(spark):
