@@ -829,12 +829,24 @@ def dup_clusters(
     iterative lineage each round (use a checkpoint dir on a real cluster).
     ``cluster_id`` is the smallest doc id in the component.
     """
-    e = pairs.select(
-        F.col(id_l).cast("long").alias("a"), F.col(id_r).cast("long").alias("b")
+    # Symmetrize with a row-local explode (not a self-union) so an expensive
+    # upstream pairs pipeline — e.g. the full MinHash join — executes once.
+    edges = (
+        pairs.select(
+            F.col(id_l).cast("long").alias("a"), F.col(id_r).cast("long").alias("b")
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
+        .distinct()
+        .localCheckpoint()
     )
-    edges = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint()
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -845,19 +857,18 @@ def dup_clusters(
         nbr = edges.join(labels, edges["b"] == labels["node"]).select(
             edges["a"].alias("node"), labels["label"].alias("label")
         )
+        # Carry each node's previous label ("_own") through the same
+        # aggregation so convergence is a scan-only filter over the
+        # checkpointed result — one keyed shuffle per round, no extra join.
         new = (
-            labels.unionByName(nbr)
+            labels.select("node", "label", F.col("label").alias("_own"))
+            .unionByName(nbr.withColumn("_own", F.lit(None).cast("long")))
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("_own").alias("_own"))
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("label") < F.col("_own")).limit(1).count()
+        labels = new.select("node", "label")
         if changed == 0:
             break
     return labels.select(
