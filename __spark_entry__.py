@@ -2454,6 +2454,140 @@ _q(
 )
 
 
+def _x46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup shape): cluster-then-prune survivors.
+
+    Same planted-copy corpus as x05 (scaled copies, cosine ≡ 1 with their
+    source).  Positive scaling preserves the argmax-dot cell assignment, so
+    every planted pair lands in one cell and the within-cell exact-cosine
+    prune removes each copy — recall 1.0 structurally, and the ``"first"``
+    centroid strategy makes the whole index replayable in plain SQL.
+    """
+    from dftly_spark.ops import semantic_dedup
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.where(F.col("vec_id") % 8 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    aug = emb.unionByName(copies)
+    kept = semantic_dedup(
+        aug, id_col="vec_id", vec_col="embedding", threshold=0.95,
+        n_centroids=16, strategy="first",
+    )
+    return kept.select("vec_id")
+
+
+# Full DuckDB mirror: "first"-strategy centroids (16 lowest-id vectors of the
+# augmented corpus, unit-normalized), argmax-dot cell assignment (lowest cell
+# on ties), within-cell pairwise cosine over unit vectors, and the SemDeDup
+# keep-one rule (a row is a victim iff it matches a lower id in its cell).
+_q(
+    "x46_semantic_dedup",
+    _x46,
+    """
+    WITH aug AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000, list_transform(embedding::DOUBLE[], x -> x * 1.5)
+      FROM embeddings WHERE vec_id % 8 = 0
+    ),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cell,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+      FROM aug
+      QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
+    ),
+    scores AS (
+      SELECT aug.vec_id, cents.cell, list_dot_product(aug.v, cents.cv) AS s
+      FROM aug CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM scores
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) = 1
+    ),
+    u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+          FROM aug),
+    victims AS (
+      SELECT DISTINCT b.vec_id AS id_r
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN u ua ON ua.vec_id = a.vec_id
+      JOIN u ub ON ub.vec_id = b.vec_id
+      WHERE list_dot_product(ua.v, ub.v) >= 0.95
+    )
+    SELECT vec_id FROM aug WHERE vec_id NOT IN (SELECT id_r FROM victims)
+    """,
+)
+
+
+def _x47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (data versioning): added/removed/changed keys between
+    two corpus versions, derived deterministically from orders."""
+    from dftly_spark.ops import snapshot_diff
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 7 != 0)
+    new = (
+        orders.where(F.col("o_orderkey") % 5 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    return snapshot_diff(old, new, "o_orderkey")
+
+
+_q(
+    "x47_snapshot_diff",
+    _x47,
+    """
+    WITH o AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+    n AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             array_to_string(list_filter([
+               CASE WHEN o.o_custkey       IS DISTINCT FROM n.o_custkey       THEN 'o_custkey' END,
+               CASE WHEN o.o_orderdate     IS DISTINCT FROM n.o_orderdate     THEN 'o_orderdate' END,
+               CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'o_orderpriority' END,
+               CASE WHEN o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus   THEN 'o_orderstatus' END,
+               CASE WHEN o.o_totalprice    IS DISTINCT FROM n.o_totalprice    THEN 'o_totalprice' END
+             ], x -> x IS NOT NULL), ',') AS cols
+      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN cols <> '' THEN 'changed' END AS change,
+           CASE WHEN in_old AND in_new AND cols <> '' THEN cols ELSE '' END
+             AS changed_cols
+    FROM j
+    WHERE (NOT in_old) OR (NOT in_new) OR cols <> ''
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -50,6 +50,8 @@ from .dedup import (
     ngram_jaccard_pairs,
     shingle_hashes,
     simhash64,
+    semantic_dedup,
+    semantic_dedup_pairs,
     simhash_dup_pairs,
     word_shingles,
 )
@@ -74,7 +76,7 @@ from .sampling import (
     pack_sequences,
     stratified_sample,
 )
-from .cdc import latest_changes, merge_upsert
+from .cdc import latest_changes, merge_upsert, snapshot_diff
 from .lm import bigram_frame, bigram_lm_scores
 from .profile import (
     histogram_fixed,
@@ -127,7 +129,8 @@ __all__ = [
     "bm25_topk", "tf_idf_vectors", "cap_per_group", "rollup_stats",
     "dup_ngram_fraction", "remove_dup_ngram_spans",
     "sessionize", "sessionize_stream", "funnel",
-    "mixture_sample", "latest_changes", "merge_upsert",
+    "mixture_sample", "latest_changes", "merge_upsert", "snapshot_diff",
+    "semantic_dedup", "semantic_dedup_pairs",
     "bigram_frame", "bigram_lm_scores",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",
 ]

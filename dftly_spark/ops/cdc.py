@@ -86,3 +86,70 @@ def merge_upsert(
         ],
     )
     return merged
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str] | str,
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshots of the same table by key: added/removed/changed.
+
+    The data-versioning primitive: given yesterday's and today's corpus
+    (same schema), return one row per key whose state differs —
+    ``(key_cols…, change, changed_cols)`` with ``change`` ∈ ``'added'`` /
+    ``'removed'`` / ``'changed'`` and ``changed_cols`` a comma-joined sorted
+    list of differing columns (empty for added/removed).  Unchanged keys
+    produce no row, so the output is |Δ|-sized, not |table|-sized.
+
+    One full-outer equi-join on the key — both sides hash-partition on the
+    same columns, so the join co-locates; snapshots bucketed on the key
+    (:func:`dftly_spark.ops.scale.write_bucketed`) drop both Exchanges.
+    Column comparison is null-safe (``IS DISTINCT FROM``), column by column
+    — no row-hash, so the diff is replayable by any engine bit-for-bit.
+
+    Keys must be unique per snapshot (it is a keyed table contract —
+    pre-collapse with :func:`latest_changes` if not).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in keys]
+    missing = [c for c in compare_cols if c not in new.columns]
+    if missing:
+        raise ValueError(f"compare_cols absent from new snapshot: {missing}")
+
+    # Presence markers survive the outer join even if a key value is null.
+    o = old.withColumn("_in_o", F.lit(True)).alias("o")
+    nw = new.withColumn("_in_n", F.lit(True)).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    joined = o.join(nw, cond, "full_outer")
+
+    in_old = F.col("o._in_o").isNotNull()
+    in_new = F.col("n._in_n").isNotNull()
+    diffs = [
+        F.when(
+            ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")), F.lit(c)
+        ).otherwise(F.lit(None))
+        for c in sorted(compare_cols)
+    ]
+    changed_cols = F.concat_ws(",", F.filter(F.array(*diffs), lambda x: x.isNotNull()))
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(changed_cols != "", F.lit("changed"))
+    )
+    return (
+        joined.select(
+            *[
+                F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+                for k in keys
+            ],
+            change.alias("change"),
+            F.when(change == "changed", changed_cols).otherwise(F.lit("")).alias(
+                "changed_cols"
+            ),
+        )
+        .where(F.col("change").isNotNull())
+    )

@@ -874,3 +874,88 @@ def dup_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    strategy: str = "first",
+    seed: int = 42,
+    kmeans_iters: int = 5,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """Semantic near-duplicate pairs via cluster-then-prune (SemDeDup shape).
+
+    Embedding-space dedup that bounds the quadratic term by clustering
+    first: every vector is assigned to its nearest centroid cell and exact
+    cosine runs only *within* a cell — a keyed equi-join on cell id, never
+    an all-pairs scan.  With balanced cells the pairwise work is
+    ``n²/n_centroids``, and ``n_centroids`` grows with the corpus (SemDeDup
+    used 50k clusters for LAION); ``max_cell_size`` hard-caps degenerate
+    cells (deterministic lowest-id members kept) so one hot cell can never
+    go quadratic.  Recall < 1 by design: near-dups straddling a cell
+    boundary are missed — the price of linearizing the scan.
+
+    Returns ``(id_l, id_r, cos)`` with ``id_l < id_r`` and ``cos ≥
+    threshold``, both members in the same cell.  Cosine folds are
+    bit-identical with DuckDB's ``list_dot_product`` replay.
+    """
+    from .similarity import assign_cells, choose_centroids, dot
+
+    cents = choose_centroids(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        strategy=strategy,
+        seed=seed,
+        kmeans_iters=kmeans_iters,
+    )
+    cells = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+    if max_cell_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_cell").orderBy("_id")
+        cells = (
+            cells.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_cell_size)
+            .drop("_rn")
+        )
+    left = cells.select(
+        "_cell", F.col("_id").alias("id_l"), F.col("_v").alias("_vl")
+    )
+    right = cells.select(
+        "_cell", F.col("_id").alias("id_r"), F.col("_v").alias("_vr")
+    )
+    return (
+        left.join(right, "_cell")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", dot(F.col("_vl"), F.col("_vr")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    **kwargs,
+) -> DataFrame:
+    """Drop semantic near-duplicates, keeping each group's lowest-id member.
+
+    A row is removed iff it matches a *lower-id* row in its cell at ``cos ≥
+    threshold`` (the deterministic SemDeDup keep-one rule; no transitive
+    closure — chain members each match their own lower neighbor).  Returns
+    the surviving corpus rows unchanged; the victims anti-join is keyed on
+    ``id_col``, one shuffle."""
+    pairs = semantic_dedup_pairs(
+        corpus, id_col=id_col, vec_col=vec_col, threshold=threshold, **kwargs
+    )
+    victims = pairs.select(F.col("id_r").alias(id_col)).distinct()
+    return corpus.join(victims, id_col, "left_anti")

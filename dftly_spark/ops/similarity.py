@@ -226,6 +226,70 @@ def _cell_scores_col(vec: SparkColumn, cents: list[list[float]]) -> SparkColumn:
     )
 
 
+def choose_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    strategy: str = "first",
+    seed: int = 42,
+    kmeans_iters: int = 5,
+) -> list[list[float]]:
+    """Unit centroids for cell-based indexes (IVF, semantic dedup).
+
+    * ``"first"`` — the ``n_centroids`` lowest-id corpus vectors; fully
+      deterministic and replayable in plain SQL (the driver oracles do).
+    * ``"sample"`` — seeded hash-ordered sample, independent of data order.
+    * ``"kmeans"`` — :func:`kmeans_centroids` from the sample init; best
+      cell balance/recall, costs ``2×iters`` extra jobs at build time.
+    """
+    if strategy == "first":
+        rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+        return [_unit_list([float(x) for x in r[1]]) for r in rows]
+    if strategy == "sample":
+        rows = (
+            corpus.select(F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"), vec_col)
+            .orderBy("_h")
+            .limit(n_centroids)
+            .collect()
+        )
+        return [_unit_list([float(x) for x in r[1]]) for r in rows]
+    if strategy == "kmeans":
+        return kmeans_centroids(
+            corpus,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            iters=kmeans_iters,
+            id_col=id_col,
+            seed=seed,
+        )
+    raise ValueError(f"unknown centroid strategy {strategy!r}")
+
+
+def assign_cells(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(_id, _v, _cell)`` — unit-normalized vectors with their nearest
+    centroid cell (argmax dot; first/lowest cell wins ties).  Centroids are
+    unit vectors, so argmax(dot) ≡ argmax(cosine) with no per-row norm."""
+    c = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        _cell_scores_col(F.col(vec_col).cast("array<double>"), cents).alias("_s"),
+    )
+    # Separate select so `_s` is computed once, not inlined per reference.
+    return c.select(
+        "_id",
+        unit(F.col("_v")).alias("_v"),
+        F.array_position(F.col("_s"), F.array_max(F.col("_s"))).alias("_cell"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -260,28 +324,15 @@ def ivf_topk(
       (``kmeans_iters`` Lloyd iterations); best cell balance/recall,
       costs ``2×iters`` extra distributed jobs at build time.
     """
-    if strategy == "first":
-        rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
-        cents = [_unit_list([float(x) for x in r[1]]) for r in rows]
-    elif strategy == "sample":
-        rows = (
-            corpus.select(F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"), vec_col)
-            .orderBy("_h")
-            .limit(n_centroids)
-            .collect()
-        )
-        cents = [_unit_list([float(x) for x in r[1]]) for r in rows]
-    elif strategy == "kmeans":
-        cents = kmeans_centroids(
-            corpus,
-            vec_col=vec_col,
-            n_centroids=n_centroids,
-            iters=kmeans_iters,
-            id_col=id_col,
-            seed=seed,
-        )
-    else:
-        raise ValueError(f"unknown centroid strategy {strategy!r}")
+    cents = choose_centroids(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        strategy=strategy,
+        seed=seed,
+        kmeans_iters=kmeans_iters,
+    )
 
     def cell_scores(vec: SparkColumn) -> SparkColumn:
         # Centroids are unit vectors, so argmax(dot) == argmax(cosine): no

@@ -783,3 +783,80 @@ def test_histogram_fixed_bins_and_bounds(spark):
     assert (out[1].bin_lo, out[1].bin_hi) == (5.0, 10.0)
     with pytest.raises(ValueError, match="hi must be greater"):
         histogram_fixed(df, "v", lo=1.0, hi=1.0, nbins=4)
+
+
+def _planted(emb):
+    aug = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    copies = aug.where(F.col("vec_id") % 8 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    return aug.unionByName(copies)
+
+
+def test_semantic_dedup_removes_planted_copies(spark, emb):
+    from dftly_spark.ops import semantic_dedup, semantic_dedup_pairs
+
+    aug = _planted(emb)
+    n_copies = aug.where(F.col("vec_id") >= 10_000_000).count()
+    pairs = semantic_dedup_pairs(aug, threshold=0.95).collect()
+    # positive scaling preserves the argmax-dot cell, so recall is structural
+    assert {(r.id_l, r.id_r) for r in pairs} == {
+        (r.vec_id, r.vec_id + 10_000_000)
+        for r in emb.where(F.col("vec_id") % 8 == 0).select("vec_id").collect()
+    }
+    assert all(r.cos >= 0.95 for r in pairs)
+    kept = semantic_dedup(aug, threshold=0.95)
+    assert kept.count() == aug.count() - n_copies
+    # survivors are always the lower id of each pair
+    assert kept.where(F.col("vec_id") >= 10_000_000).count() == 0
+
+
+def test_semantic_dedup_pairs_plan_is_keyed(spark, emb):
+    from dftly_spark.ops import semantic_dedup_pairs
+
+    plan = (
+        semantic_dedup_pairs(_planted(emb), threshold=0.95)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_max_cell_size_caps_pairwise(spark, emb):
+    from dftly_spark.ops import semantic_dedup_pairs
+
+    aug = _planted(emb)
+    # cap of 1 leaves at most one member per cell -> no pairs at all
+    assert semantic_dedup_pairs(aug, threshold=0.0, max_cell_size=1).count() == 0
+
+
+def test_snapshot_diff_classifies_and_is_null_safe(spark):
+    from dftly_spark.ops import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "zz", None), (5, "e", 5.0)],
+        "k int, s string, v double",
+    )
+    out = {r.k: r for r in snapshot_diff(old, new, "k").collect()}
+    # k=1 identical, k=2 identical (null == null under null-safe compare)
+    assert set(out) == {3, 4, 5}
+    assert out[3].change == "changed" and out[3].changed_cols == "s,v"
+    assert out[4].change == "removed" and out[4].changed_cols == ""
+    assert out[5].change == "added" and out[5].changed_cols == ""
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    from dftly_spark.ops import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "k int, s string, v double")
+    new = spark.createDataFrame([(1, "a", 9.0)], "k int, s string, v double")
+    # v excluded from comparison -> no diff rows at all
+    assert snapshot_diff(old, new, "k", compare_cols=["s"]).count() == 0
+    with pytest.raises(ValueError, match="absent"):
+        snapshot_diff(old, new, "k", compare_cols=["nope"])
