@@ -2588,6 +2588,60 @@ _q(
 )
 
 
+_X48_YAML = """
+source: {table: documents}
+steps:
+  - with_columns:
+      n_tokens: "$n_chars / 6"
+  - filter: "($n_chars >= 64) and ($n_chars <= 100000)"
+  - op: exact_dedup
+    args: {text_col: text, id_col: doc_id}
+    join_back: {key: doc_id}
+  - op: cap_per_group
+    args: {group_col: source, k: 100, order_col: doc_id}
+  - select:
+      doc_id: "$doc_id"
+      lang: "$lang"
+      n_tokens: "$n_tokens::int"
+"""
+
+
+def _x48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative YAML pipeline: quality filter → exact dedup (survivors
+    semi-join) → per-source cap → typed projection, all from one YAML doc
+    (dftly_spark.pipeline).  One lazy plan; the dftly expression steps fuse
+    into the scan."""
+    from dftly_spark.pipeline import run_pipeline
+
+    _prep(spark)
+    return run_pipeline(spark, _X48_YAML, sf_dir=sf_dir)
+
+
+_q(
+    "x48_pipeline_yaml",
+    _x48,
+    r"""
+    WITH filtered AS (
+      SELECT doc_id, lang, source, n_chars, text
+      FROM documents WHERE n_chars >= 64 AND n_chars <= 100000
+    ),
+    keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+            FROM filtered)
+      GROUP BY k
+    ),
+    capped AS (
+      SELECT f.* FROM filtered f JOIN keep USING (doc_id)
+      QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 100
+    )
+    SELECT doc_id, lang, CAST(TRUNC(n_chars / 6) AS INTEGER) AS n_tokens
+    FROM capped
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -1,0 +1,178 @@
+"""Declarative YAML pipelines: source → steps → sink, one lazy Spark plan.
+
+The reference engine's whole identity is "dataframe transformations from
+YAML" (reference ``README.md:33-35``): a YAML mapping compiles to engine
+expressions the caller applies to one frame.  This module extends that idea
+from *one projection* to *one pipeline* — the corpus-preparation flows the
+``ops`` package implements (quality filter → dedup → cap → sample → write),
+declared as data:
+
+.. code-block:: yaml
+
+    source: {table: documents}
+    steps:
+      - with_columns:
+          n_tokens: "$n_chars / 6"
+      - filter: "($n_chars >= 64) and ($n_chars <= 100000)"
+      - op: exact_dedup
+        args: {text_col: text, id_col: doc_id}
+        join_back: {key: doc_id, how: left_semi}
+      - op: cap_per_group
+        args: {group_cols: [source], order_col: doc_id, cap: 100}
+      - select:
+          doc_id: "$doc_id"
+          n_tokens: "$n_tokens::int"
+    sink: {path: /out/corpus, format: parquet, partition_by: [lang]}
+
+Execution model: every step is a DataFrame → DataFrame transformation, so
+the pipeline builds ONE lazy plan — Catalyst fuses the row-local steps
+(``select`` / ``with_columns`` / ``filter`` compile through the dftly
+expression layer into native codegen'd columns, filters push into the
+scan) and the only shuffles are the ones the invoked ops require.  Nothing
+materializes until the sink (or the caller's action).
+
+Step forms:
+
+* ``{select: SPEC}`` / ``{with_columns: SPEC}`` — a dftly transformation
+  spec (string/dict forms, full expression grammar).
+* ``{filter: "expr"}`` — a dftly boolean expression.
+* ``{op: name, args: {...}}`` — any allowlisted ``dftly_spark.ops``
+  function; the current frame is passed as the first argument.  Ops that
+  return a *reduced* frame (dedup survivors, pair lists) can rejoin it to
+  the current frame with ``join_back: {on: KEY, how: left_semi|left_anti|
+  inner|left}`` — the declarative spelling of the survivors-semi-join
+  pattern.  ``how`` defaults to ``left_semi``.
+
+Sources/sinks delegate to :mod:`dftly_spark.io` (schema-explicit,
+FAILFAST); ``{table: name}`` resolves ``<sf_dir>/<name>.parquet`` against
+the ``sf_dir`` argument, the driver-testdata layout.
+"""
+
+from __future__ import annotations
+
+import inspect
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import ops as _ops
+from .io import normalize_event_ts, read_table, write_table
+from .parser import Parser, _load_yaml
+
+# Every public ops function whose first parameter is a DataFrame is
+# runnable as a pipeline step; anything else (column helpers, writers,
+# index loaders) must be composed in code.
+_OP_REGISTRY: dict[str, Any] = {}
+for _name in _ops.__all__:
+    _fn = getattr(_ops, _name)
+    if callable(_fn):
+        try:
+            _params = list(inspect.signature(_fn).parameters.values())
+        except (TypeError, ValueError):  # pragma: no cover - builtins
+            continue
+        if _params and _params[0].annotation in ("DataFrame", DataFrame):
+            _OP_REGISTRY[_name] = _fn
+
+
+def _as_mapping(spec: str | Path | dict) -> dict:
+    if isinstance(spec, dict):
+        return spec
+    if isinstance(spec, Path):
+        return _load_yaml(spec.read_text())
+    if isinstance(spec, str):
+        return _load_yaml(spec)
+    raise TypeError(f"pipeline spec must be a dict, YAML string, or Path; got {type(spec)}")
+
+
+def _read_source(spark: SparkSession, src: dict, sf_dir: str | None) -> DataFrame:
+    if not isinstance(src, dict):
+        raise ValueError(f"source must be a mapping, got {type(src)}")
+    if "table" in src:
+        if sf_dir is None:
+            raise ValueError("source.table needs the sf_dir argument")
+        df = spark.read.parquet(f"{sf_dir}/{src['table']}.parquet")
+        if src["table"] == "events":
+            df = normalize_event_ts(df)
+        return df
+    if "path" in src:
+        return read_table(
+            spark,
+            src["path"],
+            format=src.get("format", "parquet"),
+            schema=src.get("schema"),
+            **src.get("options", {}),
+        )
+    raise ValueError(f"source needs 'table' or 'path'; got keys {sorted(src)}")
+
+
+def _apply_step(df: DataFrame, step: dict, idx: int) -> DataFrame:
+    if not isinstance(step, dict):
+        raise ValueError(f"step {idx}: must be a mapping, got {type(step)}")
+    kind = [k for k in ("select", "with_columns", "filter", "op") if k in step]
+    if len(kind) != 1:
+        raise ValueError(
+            f"step {idx}: exactly one of select/with_columns/filter/op, got {sorted(step)}"
+        )
+    k = kind[0]
+    if k == "select":
+        return Parser.select(df, step["select"])
+    if k == "with_columns":
+        return Parser.with_columns(df, step["with_columns"])
+    if k == "filter":
+        return df.where(Parser.expr_to_spark(step["filter"], schema=df))
+    name = step["op"]
+    fn = _OP_REGISTRY.get(name)
+    if fn is None:
+        raise ValueError(
+            f"step {idx}: unknown op {name!r} (available: {sorted(_OP_REGISTRY)})"
+        )
+    out = fn(df, **step.get("args", {}))
+    jb = step.get("join_back")
+    if jb:
+        if "key" not in jb:
+            raise ValueError(
+                f"step {idx}: join_back needs 'key' (note: a bare 'on' is a "
+                "YAML 1.1 boolean — the key is deliberately named 'key')"
+            )
+        on = jb["key"]
+        keys = [on] if isinstance(on, str) else list(on)
+        how = jb.get("how", "left_semi")
+        if how not in ("left_semi", "left_anti", "inner", "left"):
+            raise ValueError(f"step {idx}: unsupported join_back.how {how!r}")
+        return df.join(out.select(*keys).distinct(), keys, how)
+    return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    spec: str | Path | dict,
+    *,
+    sf_dir: str | None = None,
+) -> DataFrame:
+    """Build (and, if a sink is declared, write) the pipeline's frame.
+
+    Always returns the final DataFrame — with a ``sink`` the write happens
+    first (the one action); without one the caller owns the action, so a
+    pipeline can feed another pipeline or a test assertion lazily.
+    """
+    m = _as_mapping(spec)
+    unknown = set(m) - {"source", "steps", "sink"}
+    if unknown:
+        raise ValueError(f"unknown pipeline keys {sorted(unknown)}")
+    if "source" not in m:
+        raise ValueError("pipeline needs a source")
+    df = _read_source(spark, m["source"], sf_dir)
+    for i, step in enumerate(m.get("steps", [])):
+        df = _apply_step(df, step, i)
+    sink = m.get("sink")
+    if sink:
+        write_table(
+            df,
+            sink["path"],
+            format=sink.get("format", "parquet"),
+            mode=sink.get("mode", "overwrite"),
+            partition_by=sink.get("partition_by"),
+            **sink.get("options", {}),
+        )
+    return df

@@ -1,0 +1,120 @@
+"""YAML pipeline runner: step forms, validation, sink round-trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dftly_spark.pipeline import _OP_REGISTRY, run_pipeline
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_registry_covers_frame_ops(spark):
+    # spot-check the registry picked up frame-first ops and skipped helpers
+    for name in ("exact_dedup", "cap_per_group", "semantic_dedup", "sessionize"):
+        assert name in _OP_REGISTRY
+    for name in ("dot", "cosine", "unit", "tokens", "mix_sql"):
+        assert name not in _OP_REGISTRY
+
+
+def test_expression_steps_fuse_into_scan(spark):
+    out = run_pipeline(
+        spark,
+        """
+        source: {table: lineitem}
+        steps:
+          - with_columns:
+              revenue: "$l_extendedprice * (1 - $l_discount)"
+          - filter: "$l_quantity > 10"
+          - select:
+              ok: "$l_orderkey"
+              revenue: "$revenue"
+        """,
+        sf_dir=SF_DIR,
+    )
+    expect = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .where(F.col("l_quantity") > 10)
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+    assert out.exceptAll(expect).count() == 0 and expect.exceptAll(out).count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # filter pushed to the parquet scan; whole pipeline is scan + project
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)" in plan
+    assert "Exchange" not in plan
+
+
+def test_op_step_with_join_back(spark):
+    out = run_pipeline(
+        spark,
+        """
+        source: {table: documents}
+        steps:
+          - op: exact_dedup
+            args: {text_col: text, id_col: doc_id}
+            join_back: {key: doc_id}
+        """,
+        sf_dir=SF_DIR,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # survivors keep the full input schema, one row per distinct text group
+    assert out.columns == docs.columns
+    n_groups = docs.select(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    ).distinct().count()
+    assert out.count() == n_groups
+
+
+def test_sink_round_trip(spark, tmp_path):
+    p = str(tmp_path / "out")
+    run_pipeline(
+        spark,
+        {
+            "source": {"table": "region"},
+            "steps": [{"select": {"r_regionkey": "$r_regionkey"}}],
+            "sink": {"path": p, "format": "parquet"},
+        },
+        sf_dir=SF_DIR,
+    )
+    assert spark.read.parquet(p).count() == 5
+
+
+def test_events_source_normalizes_ts(spark):
+    out = run_pipeline(spark, {"source": {"table": "events"}}, sf_dir=SF_DIR)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+
+
+def test_validation_errors(spark):
+    with pytest.raises(ValueError, match="unknown pipeline keys"):
+        run_pipeline(spark, {"source": {"table": "region"}, "nope": 1}, sf_dir=SF_DIR)
+    with pytest.raises(ValueError, match="needs a source"):
+        run_pipeline(spark, {"steps": []}, sf_dir=SF_DIR)
+    with pytest.raises(ValueError, match="exactly one of"):
+        run_pipeline(
+            spark,
+            {"source": {"table": "region"}, "steps": [{"filter": "1", "op": "x"}]},
+            sf_dir=SF_DIR,
+        )
+    with pytest.raises(ValueError, match="unknown op"):
+        run_pipeline(
+            spark,
+            {"source": {"table": "region"}, "steps": [{"op": "not_an_op"}]},
+            sf_dir=SF_DIR,
+        )
+    with pytest.raises(ValueError, match="join_back needs 'key'"):
+        run_pipeline(
+            spark,
+            {
+                "source": {"table": "documents"},
+                "steps": [
+                    {
+                        "op": "exact_dedup",
+                        "args": {"text_col": "text", "id_col": "doc_id"},
+                        "join_back": {True: "doc_id"},  # YAML 1.1 bare `on`
+                    }
+                ],
+            },
+            sf_dir=SF_DIR,
+        )
