@@ -93,6 +93,22 @@ def main() -> None:
 
         return ks_drift(d, "n_chars", "lang", "en", "de")
 
+    def _semantic(e: DataFrame) -> DataFrame:
+        from dftly_spark.ops import semantic_dedup_pairs
+
+        # centroid count scales with the corpus (the SemDeDup contract) so
+        # mean cell size stays constant as data grows
+        n = 16 * 4  # sized for the largest probe scale
+        return semantic_dedup_pairs(
+            e, threshold=0.9, n_centroids=n, strategy="sample", max_cell_size=2000
+        )
+
+    def _clusters(d: DataFrame) -> DataFrame:
+        from dftly_spark.ops import dup_clusters, minhash_dup_pairs
+
+        pairs = minhash_dup_pairs(d, "doc_id", "text", n=3, k=32, bands=16, threshold=0.7)
+        return dup_clusters(pairs, "id_l", "id_r")
+
     def probes(d: DataFrame) -> DataFrame:
         return d.where(F.col("doc_id") % 25 == 0).select(
             (F.col("doc_id") + 5_000_000).alias("doc_id"),
@@ -118,6 +134,8 @@ def main() -> None:
         ),
         "remove_dup_spans": lambda d, e: _remove_spans(d),
         "ks_drift": lambda d, e: _ks(d),
+        "semantic_dedup": lambda d, e: _semantic(e),
+        "dup_clusters": lambda d, e: _clusters(d),
     }
     wanted = sys.argv[1:] or list(OPS)
 
