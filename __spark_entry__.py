@@ -2642,6 +2642,101 @@ _q(
 )
 
 
+def _x49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema analytics through the engine's documented usage pattern:
+    dftly expressions derive the row-level columns (revenue, ship year),
+    caller-side joins/aggregation do the rest.  Dimension tables broadcast
+    (nation/customer are small at any sf — customers shard with the fact
+    table in a real TPC-H, but the mktsegment-filtered slice stays
+    broadcastable); the single shuffle is the grouped aggregation."""
+    _prep(spark)
+    li = Parser.with_columns(
+        _t(spark, sf_dir, "lineitem"),
+        {
+            "revenue": "$l_extendedprice * (1 - $l_discount)",
+            "ship_year": "dt_year($l_shipdate)",
+        },
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+
+
+_q(
+    "x49_analytics_join",
+    _x49,
+    """
+    SELECT n.n_name, year(l.l_shipdate) AS ship_year,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(SUM(l.l_quantity), 2) AS qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, year(l.l_shipdate)
+    """,
+)
+
+
+def _x50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-level corpus accounting: embeddings bucketed to centroid cells
+    (row-local argmax, no shuffle), joined to their documents, counted per
+    (topic, lang) — the first step of cluster-balanced mixture reweighting."""
+    from dftly_spark.ops import topic_assign
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    topics = topic_assign(emb, n_topics=16, strategy="first")
+    return (
+        docs.join(topics, docs.doc_id == topics.vec_id)
+        .groupBy("topic", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+
+
+_q(
+    "x50_topic_mix",
+    _x50,
+    """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cell,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+      FROM c
+      QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
+    ),
+    scores AS (
+      SELECT c.vec_id, cents.cell, list_dot_product(c.v, cents.cv) AS s
+      FROM c CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, cell AS topic FROM scores
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) = 1
+    )
+    SELECT a.topic, d.lang, COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars
+    FROM documents d JOIN assigned a ON d.doc_id = a.vec_id
+    GROUP BY a.topic, d.lang
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -60,6 +60,7 @@ from .similarity import (
     brute_force_topk,
     cosine,
     dot,
+    topic_assign,
     ivf_topk,
     kmeans_centroids,
     l2_norm,
@@ -119,7 +120,7 @@ __all__ = [
     "containment_pairs", "cross_corpus_embedding_pairs",
     "embedding_dup_pairs",
     "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "lsh_bucket_topk",
-    "ivf_topk", "random_project", "kmeans_centroids",
+    "ivf_topk", "random_project", "kmeans_centroids", "topic_assign",
     "asof_join", "asof_join_stream", "lag_features", "range_join",
     "salted_agg", "write_bucketed", "read_bucketed", "bloom_prune", "semi_prune",
     "write_partitioned", "profile_table", "json_extract_fields", "json_parse_typed",

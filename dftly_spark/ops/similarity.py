@@ -290,6 +290,41 @@ def assign_cells(
     )
 
 
+def topic_assign(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_topics: int = 16,
+    strategy: str = "first",
+    seed: int = 42,
+    kmeans_iters: int = 5,
+) -> DataFrame:
+    """Assign every embedding to a centroid cell: ``(id_col, topic)``.
+
+    The corpus-bucketing primitive behind cluster-balanced sampling and
+    topic-level accounting (the DoReMi / cluster-reweighting recipe's first
+    step): rows join their nearest of ``n_topics`` centroids — a row-local
+    argmax against a broadcast centroid literal, NO shuffle at all — and
+    downstream mixture ops (``mixture_sample``, ``rollup_stats``,
+    ``cap_per_group``) treat the topic like any other group column.
+    ``strategy`` as in :func:`choose_centroids`; ``"kmeans"`` gives the
+    balanced cells a real deployment wants.
+    """
+    cents = choose_centroids(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_topics,
+        strategy=strategy,
+        seed=seed,
+        kmeans_iters=kmeans_iters,
+    )
+    return assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col).select(
+        F.col("_id").alias(id_col), F.col("_cell").alias("topic")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

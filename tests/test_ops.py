@@ -860,3 +860,19 @@ def test_snapshot_diff_compare_cols_subset(spark):
     assert snapshot_diff(old, new, "k", compare_cols=["s"]).count() == 0
     with pytest.raises(ValueError, match="absent"):
         snapshot_diff(old, new, "k", compare_cols=["nope"])
+
+
+def test_topic_assign_covers_corpus_no_shuffle(spark, emb):
+    from dftly_spark.ops import topic_assign
+
+    out = topic_assign(emb, n_topics=8, strategy="first")
+    assert out.count() == emb.count()
+    topics = {r.topic for r in out.select("topic").distinct().collect()}
+    assert topics <= set(range(1, 9))
+    # row-local argmax against a literal centroid matrix: no Exchange at all
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # kmeans strategy stays a valid assignment over the same corpus
+    km = topic_assign(emb, n_topics=8, strategy="kmeans", kmeans_iters=2)
+    assert km.count() == emb.count()
