@@ -96,6 +96,8 @@ from .scale import (
     semi_prune,
     write_bucketed,
     write_partitioned,
+    write_zordered,
+    zorder_key,
 )
 from .sessions import funnel, sessionize, sessionize_stream
 from .multimodal import (
@@ -123,7 +125,7 @@ __all__ = [
     "ivf_topk", "random_project", "kmeans_centroids", "topic_assign",
     "asof_join", "asof_join_stream", "lag_features", "range_join",
     "salted_agg", "write_bucketed", "read_bucketed", "bloom_prune", "semi_prune",
-    "write_partitioned", "profile_table", "json_extract_fields", "json_parse_typed",
+    "write_partitioned", "write_zordered", "zorder_key", "profile_table", "json_extract_fields", "json_parse_typed",
     "compact_table", "plan_summary", "partitioned_cumsum", "ks_drift",
     "histogram_fixed",
     "hash_split", "stratified_sample", "pack_sequences", "quantile_stats",

@@ -330,3 +330,75 @@ def compact_table(
     os.replace(tmp, path)
     out = spark.read.parquet(path)
     return len(out.inputFiles())
+
+
+def zorder_key(
+    cols: list[str],
+    ranges: dict[str, tuple[float, float]],
+    *,
+    bits: int = 16,
+):
+    """Z-order (Morton) key over 2+ numeric columns as one codegen'd column.
+
+    Each column is min-max normalized into ``bits`` levels using the
+    supplied ``ranges`` (collect them once with an agg — they are layout
+    parameters, not per-row state), then the level bits are interleaved so
+    nearby key values are nearby in EVERY dimension.  Pure integer
+    shift/or arithmetic — whole-stage codegen, no UDF.
+    """
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs at least two columns")
+    if bits * len(cols) > 63:
+        raise ValueError(f"{len(cols)} cols x {bits} bits overflows a signed long")
+    levels = (1 << bits) - 1
+    quantized = []
+    for c in cols:
+        lo, hi = ranges[c]
+        span = (hi - lo) or 1.0
+        q = F.floor(
+            (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span) * levels
+        ).cast("bigint")
+        quantized.append(F.greatest(F.lit(0), F.least(F.lit(levels), q)))
+    key = F.lit(0).cast("bigint")
+    for j in range(bits):
+        for i, q in enumerate(quantized):
+            bit = F.shiftright(q, j).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, j * len(quantized) + i))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+) -> None:
+    """Parquet layout clustered on a Z-order curve over ``cols``.
+
+    A single-column sort gives perfect min/max file skipping on that column
+    and none on any other; the Morton layout spends a few bits of each —
+    every file covers a narrow range of EVERY z-ordered column, so parquet
+    footer stats prune files for predicates on any of them (the Delta/
+    Iceberg ``OPTIMIZE ZORDER BY`` recipe, expressed as plain Spark).
+
+    One agg collects the column ranges, then ONE range-partitioning
+    shuffle (``repartitionByRange`` on the key samples ~``n_files``
+    contiguous z-ranges) + in-partition sort produces exactly ``n_files``
+    clustered files.
+    """
+    row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_hi_{c}") for c in cols],
+    ).collect()[0]
+    ranges = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
+    key = zorder_key(cols, ranges, bits=bits)
+    (
+        df.withColumn("_z", key)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

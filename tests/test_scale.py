@@ -411,3 +411,71 @@ def test_minhash_index_persisted_ingest(spark, tmp_path):
     # feeds the join straight from its buckets (probe-internal shuffles on
     # other keys, e.g. the signature window, are not join exchanges)
     assert final.count("Exchange hashpartitioning(_key") == 1
+
+
+def test_zorder_layout_clusters_every_dimension(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dftly_spark.ops.scale import write_zordered
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def file_spreads(path, cols):
+        """Mean per-file (max-min)/global_span for each column."""
+        spans = {}
+        glo = {c: [None, None] for c in cols}
+        per_file = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.row_group(0).column(i).path_in_schema: i
+                   for i in range(md.row_group(0).num_columns)}
+            mm = {}
+            for c in cols:
+                lo = min(md.row_group(g).column(idx[c]).statistics.min
+                         for g in range(md.num_row_groups))
+                hi = max(md.row_group(g).column(idx[c]).statistics.max
+                         for g in range(md.num_row_groups))
+                mm[c] = (lo, hi)
+                glo[c][0] = lo if glo[c][0] is None else min(glo[c][0], lo)
+                glo[c][1] = hi if glo[c][1] is None else max(glo[c][1], hi)
+            per_file.append(mm)
+        for c in cols:
+            span = glo[c][1] - glo[c][0]
+            spans[c] = sum((mm[c][1] - mm[c][0]) / span for mm in per_file) / len(per_file)
+        return spans
+
+    cols = ["o_custkey", "o_totalprice"]
+    zpath = str(tmp_path / "z")
+    write_zordered(orders, zpath, cols=cols, n_files=8)
+
+    spath = str(tmp_path / "s")
+    (orders.repartitionByRange(8, "o_custkey").sortWithinPartitions("o_custkey")
+     .write.mode("overwrite").parquet(spath))
+
+    z = file_spreads(zpath, cols)
+    s = file_spreads(spath, cols)
+    # single-column sort: ~perfect on the sort column, ~no clustering on the other
+    assert s["o_custkey"] < 0.35
+    assert s["o_totalprice"] > 0.8
+    # z-order: BOTH columns clustered well below the unsorted spread
+    assert z["o_custkey"] < 0.6
+    assert z["o_totalprice"] < 0.6
+    # round-trip is a permutation of the input
+    back = spark.read.parquet(zpath)
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).count() == 0
+
+
+def test_zorder_key_validation(spark):
+    import pytest
+
+    from dftly_spark.ops.scale import zorder_key
+
+    with pytest.raises(ValueError, match="at least two"):
+        zorder_key(["a"], {"a": (0, 1)})
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_key(["a", "b", "c", "d"], {}, bits=16)
