@@ -2737,6 +2737,62 @@ _q(
 )
 
 
+def _x51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules document filter: per-doc keep verdict + failed-rule
+    reasons, all pure column expressions over one scan (no shuffle)."""
+    from dftly_spark.ops.textops import gopher_rules
+
+    _prep(spark)
+    return gopher_rules(_t(spark, sf_dir, "documents"), min_words=20)
+
+
+_q(
+    "x51_gopher_rules",
+    _x51,
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CASE WHEN len(w) > 0
+                  THEN length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(w)
+                  ELSE 0.0 END AS mean_wl,
+             CASE WHEN len(w) > 0
+                  THEN (len(regexp_extract_all(text, '#|…'))
+                        + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE / len(w)
+                  ELSE 0.0 END AS symbol_ratio,
+             CASE WHEN len(w) > 0
+                  THEN len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+                       / len(w)
+                  ELSE 0.0 END AS alpha_frac,
+             len(list_distinct(list_filter(
+                 list_transform(w, t -> lower(t)),
+                 t -> t IN ('the','and','of','to','a','in','is','it','that','for')
+             ))) AS stop_hits
+      FROM base
+    ),
+    v AS (
+      SELECT doc_id, n_words,
+             -- DuckDB's array_to_string([]) is NULL, Spark's concat_ws is ''
+             COALESCE(array_to_string(list_filter([
+               CASE WHEN NOT (alpha_frac >= 0.8) THEN 'alpha_frac' END,
+               CASE WHEN NOT (mean_wl >= 3.0 AND mean_wl <= 10.0) THEN 'mean_word_len' END,
+               CASE WHEN NOT (stop_hits >= 2) THEN 'stopwords' END,
+               CASE WHEN NOT (symbol_ratio <= 0.1) THEN 'symbol_ratio' END,
+               CASE WHEN NOT (n_words >= 20 AND n_words <= 100000) THEN 'words' END
+             ], x -> x IS NOT NULL), ','), '') AS failed_rules
+      FROM m
+    )
+    SELECT doc_id, n_words, failed_rules = '' AS keep, failed_rules FROM v
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -466,3 +466,76 @@ def scrub_text(col: SparkColumn) -> SparkColumn:
         out, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
     )
     return F.regexp_replace(out, r"[0-9]{8,}", "<NUM>")
+
+
+def gopher_rules(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+):
+    """Gopher-style quality rules: per-document verdicts + failure reasons.
+
+    The repetition-independent subset of the Rae et al. (Gopher, 2021)
+    document filters, each a pure column expression over one scan — no
+    shuffle, no UDF (the repetition rules live in
+    :func:`repetition_signals`):
+
+    * ``words``        — whitespace word count in ``[min_words, max_words]``
+    * ``mean_word_len``— non-space chars / words in ``[3, 10]``
+    * ``symbol_ratio`` — ``#``/``…``/``...`` occurrences per word ≤ 0.1
+    * ``alpha_frac``   — fraction of words containing a letter ≥ 0.8
+    * ``stopwords``    — ≥ 2 distinct common-word hits ("is this prose")
+
+    Returns ``(id_col, n_words, keep, failed_rules)`` with ``failed_rules``
+    a comma-joined sorted rule-name list (empty when ``keep``).  Thresholds
+    are keyword parameters; the defaults are the published ones.
+    """
+    text = F.col(text_col)
+    ws = tokens(text)
+    n_words = F.size(ws).cast("bigint")
+    nonspace = F.length(F.regexp_replace(text, r"\s+", "")).cast("double")
+    mean_wl = F.when(n_words > 0, nonspace / n_words).otherwise(F.lit(0.0))
+    symbols = (F.regexp_count(text, F.lit(r"#|…")) +
+               F.regexp_count(text, F.lit(r"\.\.\."))).cast("double")
+    symbol_ratio = F.when(n_words > 0, symbols / n_words).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+    alpha_frac = F.when(n_words > 0, alpha / n_words).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(ws, F.lower),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+
+    checks = {
+        "alpha_frac": alpha_frac >= min_alpha_frac,
+        "mean_word_len": (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        "stopwords": stop_hits >= min_stopword_hits,
+        "symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "words": (n_words >= min_words) & (n_words <= max_words),
+    }
+    failed = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(*[
+                F.when(~ok, F.lit(name)).otherwise(F.lit(None))
+                for name, ok in sorted(checks.items())
+            ]),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    keep = failed == ""
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        keep.alias("keep"),
+        failed.alias("failed_rules"),
+    )

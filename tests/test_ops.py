@@ -876,3 +876,26 @@ def test_topic_assign_covers_corpus_no_shuffle(spark, emb):
     # kmeans strategy stays a valid assignment over the same corpus
     km = topic_assign(emb, n_topics=8, strategy="kmeans", kmeans_iters=2)
     assert km.count() == emb.count()
+
+
+def test_gopher_rules_verdicts(spark):
+    from dftly_spark.ops import gopher_rules
+
+    rows = [
+        # prose with stopwords, sane lengths -> keep (20 words incl. dups)
+        (1, "the cat and the dog sat in a field of green grass "
+            "that was it for the quiet day outside"),
+        (2, "short text"),                        # fails words
+        (3, "### ### " + "the is of to a in it " * 8),  # symbol_ratio fail
+        (4, " ".join(["1234"] * 30)),             # alpha/stopwords/mean_wl fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df, min_words=15).collect()}
+    assert out[1].keep and out[1].failed_rules == ""
+    assert not out[2].keep and "words" in out[2].failed_rules
+    assert not out[3].keep and "symbol_ratio" in out[3].failed_rules
+    assert not out[4].keep
+    assert set(out[4].failed_rules.split(",")) >= {"alpha_frac", "stopwords"}
+    # single scan, no shuffle, no UDF
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
