@@ -46,6 +46,16 @@ Step forms:
 Sources/sinks delegate to :mod:`dftly_spark.io` (schema-explicit,
 FAILFAST); ``{table: name}`` resolves ``<sf_dir>/<name>.parquet`` against
 the ``sf_dir`` argument, the driver-testdata layout.
+
+Streaming: ``source: {table: events, stream: true}`` reads the same table
+as an unbounded stream (:func:`dftly_spark.streaming.stream_table`).  The
+expression steps are stateless row transforms, so they are stream-legal
+as-is; ``op`` steps are restricted to the row-local allowlist
+(``_STREAM_SAFE_OPS``) — stateful operators (dedup joins, sessionization)
+have dedicated streaming twins in :mod:`dftly_spark.streaming` and
+``ops.sessions`` that need watermark policy a one-line YAML step cannot
+express responsibly.  The caller owns the ``writeStream`` (trigger,
+checkpoint, and output mode are deployment decisions).
 """
 
 from __future__ import annotations
@@ -71,7 +81,10 @@ for _name in _ops.__all__:
             _params = list(inspect.signature(_fn).parameters.values())
         except (TypeError, ValueError):  # pragma: no cover - builtins
             continue
-        if _params and _params[0].annotation in ("DataFrame", DataFrame):
+        if _params and (
+            _params[0].annotation in ("DataFrame", DataFrame)
+            or _params[0].name == "df"
+        ):
             _OP_REGISTRY[_name] = _fn
 
 
@@ -85,12 +98,20 @@ def _as_mapping(spec: str | Path | dict) -> dict:
     raise TypeError(f"pipeline spec must be a dict, YAML string, or Path; got {type(spec)}")
 
 
+# Row-local ops (pure projections) that are legal on unbounded streams.
+_STREAM_SAFE_OPS = ("gopher_rules",)
+
+
 def _read_source(spark: SparkSession, src: dict, sf_dir: str | None) -> DataFrame:
     if not isinstance(src, dict):
         raise ValueError(f"source must be a mapping, got {type(src)}")
     if "table" in src:
         if sf_dir is None:
             raise ValueError("source.table needs the sf_dir argument")
+        if src.get("stream"):
+            from .streaming import stream_table
+
+            return stream_table(spark, sf_dir, src["table"])
         df = spark.read.parquet(f"{sf_dir}/{src['table']}.parquet")
         if src["table"] == "events":
             df = normalize_event_ts(df)
@@ -126,6 +147,12 @@ def _apply_step(df: DataFrame, step: dict, idx: int) -> DataFrame:
     if fn is None:
         raise ValueError(
             f"step {idx}: unknown op {name!r} (available: {sorted(_OP_REGISTRY)})"
+        )
+    if df.isStreaming and name not in _STREAM_SAFE_OPS:
+        raise ValueError(
+            f"step {idx}: op {name!r} is not stream-safe (row-local ops only: "
+            f"{_STREAM_SAFE_OPS}; stateful streaming twins live in "
+            "dftly_spark.streaming / ops.sessions)"
         )
     out = fn(df, **step.get("args", {}))
     jb = step.get("join_back")
@@ -167,6 +194,12 @@ def run_pipeline(
         df = _apply_step(df, step, i)
     sink = m.get("sink")
     if sink:
+        if df.isStreaming:
+            raise ValueError(
+                "streaming pipelines return the frame for the caller's "
+                "writeStream (trigger/checkpoint/output-mode are deployment "
+                "decisions); remove the sink from the spec"
+            )
         write_table(
             df,
             sink["path"],

@@ -118,3 +118,69 @@ def test_validation_errors(spark):
             },
             sf_dir=SF_DIR,
         )
+
+
+STREAM_SPEC = """
+source: {table: events, stream: true}
+steps:
+  - with_columns:
+      vmag: "$value * 100"
+  - filter: "$event_type == 'purchase'"
+  - select:
+      event_id: "$event_id"
+      user_id: "$user_id"
+      vmag: "$vmag::int64"
+"""
+
+
+def test_streaming_pipeline_matches_batch(spark, tmp_path):
+    from dftly_spark.io import normalize_event_ts
+
+    out = run_pipeline(spark, STREAM_SPEC, sf_dir=SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pipe_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("pipe_stream")
+    expect = run_pipeline(
+        spark,
+        STREAM_SPEC.replace(", stream: true", ""),
+        sf_dir=SF_DIR,
+    )
+    assert got.count() == expect.count() > 0
+    assert got.exceptAll(expect).count() == 0
+
+
+def test_streaming_pipeline_rejects_stateful_ops_and_sinks(spark):
+    with pytest.raises(ValueError, match="not stream-safe"):
+        run_pipeline(
+            spark,
+            {
+                "source": {"table": "events", "stream": True},
+                "steps": [{"op": "sessionize", "args": {"gap_micros": 1}}],
+            },
+            sf_dir=SF_DIR,
+        )
+    with pytest.raises(ValueError, match="writeStream"):
+        run_pipeline(
+            spark,
+            {"source": {"table": "events", "stream": True}, "sink": {"path": "/tmp/x"}},
+            sf_dir=SF_DIR,
+        )
+
+
+def test_streaming_pipeline_allows_row_local_ops(spark):
+    out = run_pipeline(
+        spark,
+        {
+            "source": {"table": "documents", "stream": True},
+            "steps": [{"op": "gopher_rules", "args": {"min_words": 20}}],
+        },
+        sf_dir=SF_DIR,
+    )
+    assert out.isStreaming and "keep" in out.columns
