@@ -2793,6 +2793,39 @@ _q(
 )
 
 
+def _x52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate affix detection: per-doc count of documents sharing its
+    normalized first/last-k token run (template headers/footers)."""
+    from dftly_spark.ops import shared_affix_counts
+
+    _prep(spark)
+    return shared_affix_counts(_t(spark, sf_dir, "documents"), k=5)
+
+
+_q(
+    "x52_shared_affixes",
+    _x52,
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id,
+             array_to_string(w[1:5], ' ') AS pre,
+             array_to_string(w[greatest(len(w) - 4, 1):len(w)], ' ') AS suf
+      FROM base
+    ),
+    p AS (SELECT pre, COUNT(*) AS prefix_docs FROM a GROUP BY pre),
+    s AS (SELECT suf, COUNT(*) AS suffix_docs FROM a GROUP BY suf)
+    SELECT a.doc_id, p.prefix_docs, s.suffix_docs
+    FROM a JOIN p USING (pre) JOIN s USING (suf)
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

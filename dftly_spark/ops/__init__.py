@@ -20,6 +20,7 @@ Design rules (SURVEY.md §7.3, the 100 TB contract):
 
 from .textops import (
     gopher_rules,
+    shared_affix_counts,
     bpe_token_count,
     doc_fingerprint,
     doc_fingerprints,
@@ -113,7 +114,7 @@ from .multimodal import (
 __all__ = [
     "tokens", "token_count", "bpe_token_count", "normalize_text",
     "stopword_ratio", "punct_ratio", "quality_score", "language_id", "vocab_topk",
-    "gopher_rules",
+    "gopher_rules", "shared_affix_counts",
     "scrub_text", "chunk_text", "dup_clusters",
     "doc_fingerprint",
     "doc_fingerprints",

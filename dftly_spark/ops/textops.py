@@ -539,3 +539,34 @@ def gopher_rules(
         keep.alias("keep"),
         failed.alias("failed_rules"),
     )
+
+
+def shared_affix_counts(df, id_col: str = "doc_id", text_col: str = "text", *, k: int = 10):
+    """Boilerplate detection: how many documents share each doc's prefix/suffix.
+
+    Template pages (navigation headers, license footers, scraper banners)
+    share their first/last ``k`` tokens verbatim even when the middles
+    differ, so near-dup passes keyed on whole-document similarity miss
+    them.  Returns ``(id_col, prefix_docs, suffix_docs)`` — the number of
+    corpus documents (self included) sharing this document's normalized
+    first-``k`` / last-``k`` token run; threshold downstream to flag or
+    strip template families.
+
+    Two keyed aggregations on 8-byte affix hashes; each count joins back on
+    the SAME key it was aggregated on, so both aggregation exchanges are
+    reused (no extra shuffle).  Documents shorter than ``k`` tokens use
+    their whole token run.
+    """
+    ws = tokens(F.lower(F.col(text_col)))
+    pre = F.xxhash64(F.concat_ws(" ", F.slice(ws, 1, k)))
+    suf = F.xxhash64(
+        F.concat_ws(" ", F.slice(ws, F.greatest(F.size(ws) - (k - 1), F.lit(1)), k))
+    )
+    base = df.select(F.col(id_col), pre.alias("_pre"), suf.alias("_suf"))
+    pc = base.groupBy("_pre").agg(F.count(F.lit(1)).alias("prefix_docs"))
+    sc = base.groupBy("_suf").agg(F.count(F.lit(1)).alias("suffix_docs"))
+    return (
+        base.join(pc, "_pre")
+        .join(sc, "_suf")
+        .select(id_col, "prefix_docs", "suffix_docs")
+    )

@@ -899,3 +899,27 @@ def test_gopher_rules_verdicts(spark):
     # single scan, no shuffle, no UDF
     plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_shared_affix_counts_flags_templates(spark):
+    from dftly_spark.ops import shared_affix_counts
+
+    head = "site nav home about contact"
+    rows = [
+        (1, head + " unique middle alpha tail one"),
+        (2, head + " other middle beta tail two"),
+        (3, "completely different document text here entirely"),
+        (4, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in shared_affix_counts(df, k=5).collect()}
+    assert out[1].prefix_docs == 2 and out[2].prefix_docs == 2
+    assert out[3].prefix_docs == 1 and out[4].prefix_docs == 1
+    assert all(out[i].suffix_docs == 1 for i in (1, 2, 3, 4))
+    # the count joins reuse the aggregation exchanges: only the two
+    # groupBy hash exchanges appear in the final plan
+    plan = (
+        shared_affix_counts(df, k=5)._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan
