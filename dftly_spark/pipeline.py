@@ -37,11 +37,14 @@ Step forms:
   spec (string/dict forms, full expression grammar).
 * ``{filter: "expr"}`` — a dftly boolean expression.
 * ``{op: name, args: {...}}`` — any allowlisted ``dftly_spark.ops``
-  function; the current frame is passed as the first argument.  Ops that
-  return a *reduced* frame (dedup survivors, pair lists) can rejoin it to
-  the current frame with ``join_back: {on: KEY, how: left_semi|left_anti|
-  inner|left}`` — the declarative spelling of the survivors-semi-join
-  pattern.  ``how`` defaults to ``left_semi``.
+  function; the current frame is passed as the first argument.  An
+  optional ``where: "expr"`` filters the op's OUTPUT with a dftly
+  expression (e.g. ``where: "$keep"`` on a verdict op), and ops that
+  return a *reduced* frame (dedup survivors, pair lists, verdicts) can
+  rejoin it to the current frame with ``join_back: {key: COL, how:
+  left_semi|left_anti|inner|left}`` — the declarative spelling of the
+  survivors-semi-join pattern (``key`` not ``on``: bare ``on`` is a YAML
+  1.1 boolean).  ``how`` defaults to ``left_semi``.
 
 Sources/sinks delegate to :mod:`dftly_spark.io` (schema-explicit,
 FAILFAST); ``{table: name}`` resolves ``<sf_dir>/<name>.parquet`` against
@@ -155,6 +158,8 @@ def _apply_step(df: DataFrame, step: dict, idx: int) -> DataFrame:
             "dftly_spark.streaming / ops.sessions)"
         )
     out = fn(df, **step.get("args", {}))
+    if "where" in step:  # dftly filter over the OP'S output (e.g. "$keep")
+        out = out.where(Parser.expr_to_spark(step["where"], schema=out))
     jb = step.get("join_back")
     if jb:
         if "key" not in jb:
@@ -209,3 +214,39 @@ def run_pipeline(
             **sink.get("options", {}),
         )
     return df
+
+
+def main(argv: list[str] | None = None) -> None:
+    """``python -m dftly_spark.pipeline SPEC.yaml [--sf-dir DIR] [--show N]``
+
+    Runs a pipeline file; with no sink in the spec, prints the first
+    ``--show`` rows (default 20) instead of writing.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Run a dftly-spark YAML pipeline")
+    ap.add_argument("spec", help="pipeline YAML file")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--show", type=int, default=20)
+    ap.add_argument("--cpus", default="8")
+    args = ap.parse_args(argv)
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName("dftly-spark-pipeline")
+        .config("spark.sql.shuffle.partitions", args.cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    m = _as_mapping(Path(args.spec))
+    df = run_pipeline(spark, m, sf_dir=args.sf_dir)
+    if "sink" not in m:
+        df.show(args.show, truncate=60)
+    spark.stop()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -184,3 +184,37 @@ def test_streaming_pipeline_allows_row_local_ops(spark):
         sf_dir=SF_DIR,
     )
     assert out.isStreaming and "keep" in out.columns
+
+
+def test_op_where_filters_op_output(spark):
+    out = run_pipeline(
+        spark,
+        {
+            "source": {"table": "documents"},
+            "steps": [
+                {
+                    "op": "gopher_rules",
+                    "args": {"min_words": 20},
+                    "where": "$keep",
+                    "join_back": {"key": "doc_id"},
+                }
+            ],
+        },
+        sf_dir=SF_DIR,
+    )
+    from dftly_spark.ops import gopher_rules
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_keep = gopher_rules(docs, min_words=20).where(F.col("keep")).count()
+    assert 0 < out.count() == n_keep < docs.count()
+    assert out.columns == docs.columns
+
+
+def test_example_yaml_runs(spark):
+    from pathlib import Path
+
+    out = run_pipeline(
+        spark, Path("examples/corpus_clean.yaml"), sf_dir=SF_DIR
+    )
+    assert out.columns == ["doc_id", "lang", "source", "n_tokens"]
+    assert out.count() > 0
