@@ -2826,6 +2826,53 @@ _q(
 )
 
 
+def _x53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation — the overlapping twin of x38,
+    gated on batch (same helper runs on streams; windows expand row-locally
+    before the ONE keyed aggregation shuffle)."""
+    from dftly_spark.streaming import hopping_agg
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = hopping_agg(
+        ev,
+        "ts",
+        window="1 hour",
+        slide="30 minutes",
+        watermark="2 hours",
+        keys=["event_type"],
+        aggs={"n": F.count(F.lit(1)), "total_value": F.sum("value")},
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("start_us"),
+        F.unix_micros("window_end").alias("end_us"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+_q(
+    "x53_hopping_agg",
+    _x53,
+    """
+    WITH e AS (
+      SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ),
+    w AS (
+      SELECT event_type, value, us,
+             us // 1800000000 * 1800000000 - k * 1800000000 AS start_us
+      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT start_us, start_us + 3600000000 AS end_us, event_type,
+           COUNT(*) AS n, SUM(value) AS total_value
+    FROM w
+    WHERE us >= start_us AND us < start_us + 3600000000
+    GROUP BY start_us, event_type
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -243,3 +243,37 @@ def stream_interval_join(
         )
     )
     return l.join(r, cond, "inner").drop("__ron")
+
+
+def hopping_agg(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "20 minutes",
+    keys: list[str] | None = None,
+    aggs: dict[str, SparkColumn] | None = None,
+) -> DataFrame:
+    """Watermarked hopping (sliding) window aggregation.
+
+    Same contract as :func:`tumbling_agg` with overlapping windows: every
+    row lands in ``window/slide`` epoch-aligned windows (Spark expands
+    them row-locally before the ONE keyed aggregation shuffle — state and
+    shuffle volume scale by the overlap factor, the price of the overlap).
+    Works identically on bounded frames (``withWatermark`` is a no-op) and
+    streams.
+    """
+    keys = keys or []
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    grouped = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("win"), *keys)
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+    )
+    return grouped.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *keys,
+        *aggs.keys(),
+    )

@@ -249,3 +249,43 @@ def test_stream_minhash_dedup_matches_batch_index_join(spark):
     got = {(r.new_id, r.corpus_id, round(r.jaccard, 12)) for r in got_rows}
     assert got == want
     assert len(want) > 0
+
+
+def test_hopping_agg_matches_batch(spark):
+    from dftly_spark.streaming import hopping_agg
+
+    stream = stream_table(spark, SF_DIR, "events")
+    windowed = hopping_agg(
+        stream,
+        "ts",
+        window="1 hour",
+        slide="30 minutes",
+        watermark="2 hours",
+        keys=["event_type"],
+        aggs={"n": F.count(F.lit(1))},
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("stream_hop")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("stream_hop").collect()}
+    b = {
+        tuple(r)
+        for r in hopping_agg(
+            _batch_events(spark),
+            "ts",
+            window="1 hour",
+            slide="30 minutes",
+            watermark="2 hours",
+            keys=["event_type"],
+            aggs={"n": F.count(F.lit(1))},
+        ).collect()
+    }
+    assert got == b and len(got) > 0
+    # every row lands in exactly window/slide = 2 windows
+    n_events = _batch_events(spark).count()
+    assert sum(r[-1] for r in got) == 2 * n_events
