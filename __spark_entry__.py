@@ -2873,6 +2873,81 @@ _q(
 )
 
 
+def _x54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine pairs: inverted-index candidates (never
+    all-pairs), term-sorted folds for bit-reproducible doubles.
+
+    Every 10th document gets a verbatim copy (x05's planted-pair pattern,
+    lexical edition): a copy shares all its terms with its source, so the
+    pair survives any df cap that keeps rare terms — recall is structural.
+    ``max_df=300`` splits the corpus's bimodal df distribution at both
+    gate scales (rare terms max out near 250 at sf0.1; the ~30
+    stop-word-grade terms sit at 78-94%% of the corpus), dropping exactly
+    the hot keys that dominate the self-join quadratically while
+    contributing ~zero idf weight.
+    """
+    from dftly_spark.ops import sparse_cosine_pairs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return sparse_cosine_pairs(
+        docs.unionByName(copies), threshold=0.6, min_df=2, max_df=300
+    )
+
+
+_q(
+    "x54_sparse_cosine",
+    _x54,
+    r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM aug WHERE length(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(w) AS t FROM base)
+      GROUP BY doc_id, t
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= 300
+    ),
+    post AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(n.n_docs::DOUBLE / dfreq.df) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    norms AS (
+      SELECT doc_id,
+             sqrt(list_reduce(list(w * w ORDER BY term), (a, x) -> a + x)) AS nrm
+      FROM post GROUP BY doc_id
+    ),
+    u AS (
+      SELECT post.doc_id, post.term, post.w / norms.nrm AS w
+      FROM post JOIN norms USING (doc_id)
+      WHERE norms.nrm > 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+             list_reduce(list(a.w * b.w ORDER BY a.term), (a2, x) -> a2 + x) AS cos
+      FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_l, id_r, cos FROM pairs WHERE cos >= 0.6
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -71,7 +71,7 @@ from .similarity import (
 )
 from .joins import asof_join, asof_join_stream, lag_features, range_join
 from .jsonops import json_extract_fields, json_parse_typed
-from .retrieval import bm25_topk, tf_idf_vectors
+from .retrieval import sparse_cosine_pairs, bm25_topk, tf_idf_vectors
 from .sampling import (
     cap_per_group,
     hash_split,
@@ -132,7 +132,7 @@ __all__ = [
     "compact_table", "plan_summary", "partitioned_cumsum", "ks_drift",
     "histogram_fixed",
     "hash_split", "stratified_sample", "pack_sequences", "quantile_stats",
-    "bm25_topk", "tf_idf_vectors", "cap_per_group", "rollup_stats",
+    "bm25_topk", "tf_idf_vectors", "sparse_cosine_pairs", "cap_per_group", "rollup_stats",
     "dup_ngram_fraction", "remove_dup_ngram_spans",
     "sessionize", "sessionize_stream", "funnel",
     "mixture_sample", "latest_changes", "merge_upsert", "snapshot_diff",

@@ -196,3 +196,72 @@ def tf_idf_vectors(
             ).alias("tf_idf"),
         )
     )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+    min_df: int = 1,
+    max_df: int | None = None,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Document pairs by sparse TF-IDF cosine — the lexical twin of the
+    dense-embedding dedup family.
+
+    Candidates come from the inverted index (postings self-join on term:
+    only pairs sharing ≥1 surviving term are ever materialized — never
+    all-pairs), and the cosine is exact over the L2-normalized TF-IDF
+    vectors.  ``max_df`` drops stop-word-grade terms before pairing: a term
+    in ``m`` documents contributes ``m²`` candidate rows, so capping df is
+    the same hot-key discipline as the shingle join's cap — it changes the
+    vector space (the mirror applies the same cap), not the exactness.
+
+    Both the per-document norms and the per-pair dot products fold in
+    term-sorted order (``array_sort`` + sequential ``aggregate``), so every
+    double is bit-reproducible and an external engine replays them exactly
+    (``list_reduce(list(x ORDER BY term))``).  Returns ``(id_l, id_r,
+    cos)`` with ``id_l < id_r`` and ``cos ≥ threshold``.
+    """
+    postings = tf_idf_vectors(
+        docs, id_col=id_col, text_col=text_col, min_df=min_df, max_vocab=max_vocab
+    ).select(F.col(id_col).alias("_id"), "term", "df", "tf_idf")
+    if max_df is not None:
+        postings = postings.where(F.col("df") <= max_df)
+
+    def _sorted_fold(pairs_col):
+        return F.aggregate(
+            F.transform(F.array_sort(pairs_col), lambda st: st["v"]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norms = postings.groupBy("_id").agg(
+        F.sqrt(
+            _sorted_fold(
+                F.collect_list(F.struct(F.col("term"), (F.col("tf_idf") * F.col("tf_idf")).alias("v")))
+            )
+        ).alias("_norm")
+    )
+    unit = (
+        postings.join(norms, "_id")
+        .where(F.col("_norm") > 0)
+        .select("_id", "term", (F.col("tf_idf") / F.col("_norm")).alias("_w"))
+    )
+    l = unit.select(F.col("_id").alias("id_l"), "term", F.col("_w").alias("_wl"))
+    r = unit.select(F.col("_id").alias("id_r"), "term", F.col("_w").alias("_wr"))
+    return (
+        l.join(r, "term")
+        .where(F.col("id_l") < F.col("id_r"))
+        .groupBy("id_l", "id_r")
+        .agg(
+            _sorted_fold(
+                F.collect_list(
+                    F.struct(F.col("term"), (F.col("_wl") * F.col("_wr")).alias("v"))
+                )
+            ).alias("cos")
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -923,3 +923,27 @@ def test_shared_affix_counts_flags_templates(spark):
     )
     final = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan
+
+
+def test_sparse_cosine_pairs_finds_copies_and_stays_keyed(spark, docs):
+    from dftly_spark.ops import sparse_cosine_pairs
+
+    base = docs.select("doc_id", "text")
+    copies = base.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    aug = base.unionByName(copies)
+    out = sparse_cosine_pairs(aug, threshold=0.999, min_df=2)
+    got = {(r.id_l, r.id_r) for r in out.collect()}
+    planted = {
+        (r.doc_id, r.doc_id + 10_000_000)
+        for r in base.where(F.col("doc_id") % 25 == 0).collect()
+    }
+    # verbatim copies share every term -> cos == 1.0 (uncapped vector space;
+    # a df cap can legitimately empty a doc made entirely of hot terms)
+    assert planted <= got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # never cartesian; the only nested loops are tf_idf's sanctioned 1-row
+    # corpus-size broadcast (repeated across AQE stage reprints)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -111,6 +111,7 @@ def test_all_contract_queries_plan_invariants(spark):
         "x31_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
         "x40_ks_drift",  # 1-row (n_a, n_b) totals broadcast
         "x45_bigram_lm",  # 1-row vocabulary-size (V) broadcast
+        "x54_sparse_cosine",  # 1-row corpus-size (N) broadcast in tf_idf
     }
     arrow_allowed = {"x09_multimodal_decode"}  # sanctioned mapInPandas stub
     for name, fn in entry.queries().items():
