@@ -2948,6 +2948,36 @@ _q(
 )
 
 
+def _x55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the events stream (epoch-aligned weekly
+    cohorts of first activity × distinct active users per later week)."""
+    from dftly_spark.ops import cohort_retention
+
+    _prep(spark)
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+_q(
+    "x55_cohort_retention",
+    _x55,
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ),
+    first AS (
+      SELECT user_id, MIN(us) // 604800000000 AS cohort FROM e GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, us // 604800000000 AS w FROM e
+    )
+    SELECT f.cohort AS cohort_bucket, a.w - f.cohort AS period,
+           COUNT(*) AS n_users
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY f.cohort, a.w - f.cohort
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -101,7 +101,7 @@ from .scale import (
     write_zordered,
     zorder_key,
 )
-from .sessions import funnel, sessionize, sessionize_stream
+from .sessions import cohort_retention, funnel, sessionize, sessionize_stream
 from .multimodal import (
     audio_chunks,
     resize_images,
@@ -134,7 +134,7 @@ __all__ = [
     "hash_split", "stratified_sample", "pack_sequences", "quantile_stats",
     "bm25_topk", "tf_idf_vectors", "sparse_cosine_pairs", "cap_per_group", "rollup_stats",
     "dup_ngram_fraction", "remove_dup_ngram_spans",
-    "sessionize", "sessionize_stream", "funnel",
+    "sessionize", "sessionize_stream", "funnel", "cohort_retention",
     "mixture_sample", "latest_changes", "merge_upsert", "snapshot_diff",
     "semantic_dedup", "semantic_dedup_pairs",
     "bigram_frame", "bigram_lm_scores",

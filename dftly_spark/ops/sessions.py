@@ -191,3 +191,43 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    bucket_micros: int = 7 * 86_400 * 1_000_000,
+) -> DataFrame:
+    """Cohort retention matrix: ``(cohort_bucket, period, n_users)``.
+
+    Users are cohorted by the epoch-aligned bucket (default: week) of
+    their FIRST event; ``n_users`` counts distinct users from that cohort
+    active ``period`` buckets later (period 0 = the cohort bucket itself —
+    the cohort's size).  The product-analytics staple next to
+    :func:`funnel` and :func:`sessionize`.
+
+    Three keyed shuffles, all on ``user_col`` or small group keys:
+    first-seen is one min-aggregation, activity is a (user, bucket)
+    dedup whose exchange co-locates with the first-seen join, and the
+    final count groups ≤ cohorts×periods rows with map-side combine.
+    Epoch-aligned buckets (not calendar weeks) keep the arithmetic exact
+    and engine-replayable.
+    """
+    u = F.col(user_col)
+    # floor-div toward -inf so pre-1970 timestamps bucket correctly
+    bkt = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bucket_micros)).cast("bigint")
+    first = events.groupBy(u.alias("_u")).agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("_first_us")
+    )
+    cohort = F.floor(F.col("_first_us") / F.lit(bucket_micros)).cast("bigint")
+    act = events.select(u.alias("_u"), bkt.alias("_w")).distinct()
+    return (
+        act.join(first.select("_u", cohort.alias("_cohort")), "_u")
+        .groupBy(
+            F.col("_cohort").alias("cohort_bucket"),
+            (F.col("_w") - F.col("_cohort")).alias("period"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

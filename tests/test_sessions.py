@@ -42,3 +42,26 @@ def test_stream_sessionize_matches_batch(spark):
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.table("sessions_stream").collect()}
     assert got == batch
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime as dt
+
+    from dftly_spark.ops import cohort_retention
+
+    day = 86_400 * 1_000_000
+    rows = [
+        # user 1: first in bucket 0, active buckets 0,1,2
+        (1, dt.datetime(1970, 1, 2)), (1, dt.datetime(1970, 1, 9)),
+        (1, dt.datetime(1970, 1, 16)),
+        # user 2: first in bucket 0, active buckets 0,2
+        (2, dt.datetime(1970, 1, 3)), (2, dt.datetime(1970, 1, 20)),
+        # user 3: first in bucket 1, active bucket 1 only (twice in-bucket)
+        (3, dt.datetime(1970, 1, 10)), (3, dt.datetime(1970, 1, 11)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort_bucket, r.period): r.n_users
+        for r in cohort_retention(ev, bucket_micros=7 * day).collect()
+    }
+    assert out == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
