@@ -3041,6 +3041,81 @@ _q(
 )
 
 
+# ---------------------------------------------------------------------------
+# Registration order: riskiest-first.
+#
+# The driver's correctness gate verifies a PREFIX of the registered queries
+# (~50 in round 2), so insertion order decides what gets a driver-issued
+# correctness row.  Source order above groups queries by topic for
+# readability; this list re-orders the registry so that (a) queries added or
+# materially changed this round and (b) queries that have never had a
+# driver-issued row come first, while the long-stable q01-q24 / x01-x13 /
+# x15-x27 block (driver-green in both r01 and r02) fills the tail.
+# ---------------------------------------------------------------------------
+_PRIORITY = [
+    # -- round-3 additions (no driver row yet) --
+    # -- never driver-verified (registered at positions >50 in r02) --
+    "x14_corpus_clean_pipeline",
+    "x28_chunk_text",
+    "x29_scrub_text",
+    "x30_dup_clusters",
+    "x31_bm25_topk",
+    "x32_dup_ngram_spans",
+    "x33_cap_per_group",
+    "x34_rollup_stats",
+    "x35_contamination_containment",
+    "x36_incremental_embedding_dedup",
+    "x37_remove_dup_spans",
+    "x38_tumbling_agg",
+    "x39_lag_features",
+    "x40_ks_drift",
+    "x41_histogram",
+    "x42_funnel",
+    "x43_merge_upsert",
+    "x44_mixture_sample",
+    "x45_bigram_lm",
+    "x46_semantic_dedup",
+    "x47_snapshot_diff",
+    "x48_pipeline_yaml",
+    "x49_analytics_join",
+    "x50_topic_mix",
+    "x51_gopher_rules",
+    "x52_shared_affixes",
+    "x53_hopping_agg",
+    "x54_sparse_cosine",
+    "x55_cohort_retention",
+    # -- driver-green twice but historically red in r01 / most complex --
+    "q24_dynamic_patterns",
+    "q20_split",
+    "x04_simhash_pairs",
+    "x11_ann_lsh_topk",
+    "x12_ivf_topk",
+    "x13_sessionize",
+    "x05_embedding_neardup",
+    "x02_ngram_jaccard_pairs",
+    "x03_minhash_lsh_pairs",
+    "q15_strptime",
+    "q16_time_type",
+    "q22_flagship",
+    # everything else keeps its source order after these
+]
+
+
+def _apply_priority_order() -> None:
+    ordered: dict[str, tuple[Callable, str | None]] = {}
+    for name in _PRIORITY:
+        if name in _DEFS:
+            ordered[name] = _DEFS[name]
+    for name, val in _DEFS.items():
+        if name not in ordered:
+            ordered[name] = val
+    _DEFS.clear()
+    _DEFS.update(ordered)
+
+
+_apply_priority_order()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _DEFS["q22_flagship"][0](spark, "/root/testdata/sf0.001")
