@@ -675,6 +675,46 @@ _q(
 )
 
 
+def _q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ISO-8601 week-date strings built from plain JVM expressions
+    # (extract(YEAROFWEEK)/weekofyear/weekday are all ISO in Spark), then
+    # parsed back through the engine's %G/%V/%u week plan (chrono.py) —
+    # round-trips to o_orderdate iff the ISO arithmetic is exact.
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "iso",
+        F.concat(
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("string"),
+            F.lit("-W"),
+            F.lpad(F.weekofyear("o_orderdate").cast("string"), 2, "0"),
+            F.lit("-"),
+            (F.weekday("o_orderdate") + F.lit(1)).cast("string"),
+        ),
+    )
+    return Parser.select(
+        orders,
+        {
+            "ok": "$o_orderkey",
+            "iso": "$iso",
+            "d": "$iso::'%G-W%V-%u'",
+            "bad": "$iso::?'%d/%m/%Y'",
+        },
+    )
+
+
+_q(
+    "q25_iso_week",
+    _q25,
+    """
+    SELECT o_orderkey AS ok,
+           strftime(o_orderdate, '%G-W%V-%u') AS iso,
+           CAST(strptime(strftime(o_orderdate, '%G-W%V-%u'), '%G-W%V-%u') AS DATE) AS d,
+           CAST(try_strptime(strftime(o_orderdate, '%G-W%V-%u'), '%d/%m/%Y') AS DATE) AS bad
+    FROM orders
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Extension operators (dedup / similarity / text analysis / multimodal)
 # ---------------------------------------------------------------------------
@@ -3054,6 +3094,7 @@ _q(
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "q25_iso_week",
     # -- never driver-verified (registered at positions >50 in r02) --
     "x14_corpus_clean_pipeline",
     "x28_chunk_text",

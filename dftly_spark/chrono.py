@@ -147,26 +147,38 @@ def _quote_literal(text: str) -> str:
 
 
 def week_based_plan(fmt: str) -> dict | None:
-    """Parse plan for ``%U``/``%W`` week-of-year formats, or None.
+    """Parse plan for ``%U``/``%W``/``%V`` week-of-year formats, or None.
 
-    Java/Spark reject week-based ``DateTimeFormatter`` letters, so these
-    formats are lowered to regex extraction + explicit date arithmetic
-    instead (chrono semantics: ``%U`` weeks start Sunday, ``%W`` Monday;
-    week 0 holds the days before the year's first week start).  A complete
-    date needs year + week + weekday — same requirement chrono itself has —
-    so the supported combos are ``%Y`` + (``%U``|``%W``) + (``%w``|``%u``)
-    plus literal text; anything else raises the loud translation error.
+    Java/Spark reject week-based ``DateTimeFormatter`` letters
+    (DATETIME_WEEK_BASED_PATTERN), so these formats are lowered to regex
+    extraction + explicit date arithmetic instead:
 
-    Returns ``{"regex", "year", "week", "weekday", "weekday_code",
-    "sunday_first"}`` with 1-based capture-group indices.
+    * ``%U``/``%W``: C-strptime week-of-year (weeks start Sunday/Monday;
+      week 0 holds the days before the year's first week start).  A complete
+      date needs ``%Y`` + (``%U``|``%W``) + (``%w``|``%u``).
+    * ``%V``: ISO-8601 week date — chrono pairs it with the ISO year ``%G``
+      and ISO weekday ``%u`` (``%w`` also accepted; 0=Sunday maps to ISO 7).
+      Week 1 is the week containing Jan 4.
+
+    Anything else mixed into a week-based format raises the loud translation
+    error.  Returns ``{"regex", "year", "week", "weekday", "weekday_code",
+    "sunday_first", "iso"}`` with 1-based capture-group indices.
     """
     import re as _re
 
     codes = {c for kind, c in _scan(fmt) if kind == "code"}
-    if "U" not in codes and "W" not in codes:
+    has_uw = bool(codes & {"U", "W"})
+    has_iso = "V" in codes
+    if not has_uw and not has_iso:
         return None
+    if has_uw and has_iso:
+        raise ValueError(
+            f"chrono format {fmt!r} mixes C-strptime week codes (%U/%W) with "
+            "the ISO week code %V; pick one week-numbering system"
+        )
     parts: list[str] = ["^"]
-    roles: dict = {"sunday_first": "U" in codes}
+    roles: dict = {"sunday_first": "U" in codes, "iso": has_iso}
+    year_code = "G" if has_iso else "Y"
     gi = 0
     for kind, item in _scan(fmt):
         if kind == "lit":
@@ -176,10 +188,10 @@ def week_based_plan(fmt: str) -> dict | None:
             parts.append("%")
             continue
         gi += 1
-        if item == "Y":
+        if item == year_code:
             parts.append(r"(\d{4})")
             roles["year"] = gi
-        elif item in ("U", "W"):
+        elif item in (("V",) if has_iso else ("U", "W")):
             parts.append(r"(\d{1,2})")
             roles["week"] = gi
         elif item in ("w", "u"):
@@ -187,15 +199,16 @@ def week_based_plan(fmt: str) -> dict | None:
             roles["weekday"] = gi
             roles["weekday_code"] = item
         else:
+            allowed = "%G, %V, %w/%u" if has_iso else "%Y, %U/%W, %w/%u"
             raise ValueError(
                 f"chrono format code %{item} cannot be combined with week-based "
-                f"%U/%W parsing (supported there: %Y, %U/%W, %w/%u); cannot "
-                f"translate {fmt!r}"
+                f"parsing (supported there: {allowed}); cannot translate {fmt!r}"
             )
     if not {"year", "week", "weekday"} <= roles.keys():
+        need = "%G + %V + %w/%u" if has_iso else "%Y + %U/%W + %w/%u"
         raise ValueError(
             f"week-based format {fmt!r} is incomplete: chrono needs year + week "
-            "+ weekday (%Y + %U/%W + %w/%u) to resolve a date"
+            f"+ weekday ({need}) to resolve a date"
         )
     parts.append("$")
     roles["regex"] = "".join(parts)

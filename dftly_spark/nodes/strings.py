@@ -361,7 +361,7 @@ class Strptime(Node):
 
     @staticmethod
     def _week_based_date(src: SparkColumn, plan: dict) -> SparkColumn:
-        """``%U``/``%W`` lowering: regex component extraction + arithmetic.
+        """``%U``/``%W``/``%V`` lowering: regex extraction + arithmetic.
 
         C/Python strptime semantics (``_calc_julian_from_U_or_W``): with
         week-start-based weekday ``dow`` and ``first_wd`` = that basis's
@@ -372,12 +372,38 @@ class Strptime(Node):
         * week ≥1: ``yday = (7 - first_wd) % 7 + 7*(week-1) + dow`` (week 53
           may roll forward).
 
-        Pinned against Python's own strptime in tests/test_chrono.py.
+        ISO-8601 (``%G``/``%V``/``%u``): week 1 contains Jan 4, weeks start
+        Monday, so ``date = monday_of_week1(G) + 7*(V-1) + (u-1)`` where
+        ``monday_of_week1(G) = jan4 - iso_weekday(jan4) + 1`` — pure
+        ``make_date``/``weekday``/``date_add`` JVM expressions, no UDF.
+
+        Pinned against Python's own strptime / ``date.fromisocalendar`` in
+        tests/test_chrono.py.
         """
         rx = plan["regex"]
         year = F.regexp_extract(src, rx, plan["year"]).try_cast("int")
         week = F.regexp_extract(src, rx, plan["week"]).try_cast("int")
         wd = F.regexp_extract(src, rx, plan["weekday"]).try_cast("int")
+        if plan.get("iso"):
+            # %w 0=Sunday maps to ISO 7; %u is already 1=Mon..7=Sun.
+            if plan["weekday_code"] == "w":
+                iso_wd = F.when(wd == 0, F.lit(7)).otherwise(wd)
+                wd_valid = (wd >= 0) & (wd <= 6)
+            else:
+                iso_wd = wd
+                wd_valid = (wd >= 1) & (wd <= 7)
+            jan4 = F.make_date(year, F.lit(1), F.lit(4))
+            week1_monday = F.date_sub(jan4, F.weekday(jan4))  # weekday: 0=Mon
+            date = F.date_add(week1_monday, (week - F.lit(1)) * 7 + iso_wd - F.lit(1))
+            ok = (
+                year.isNotNull()
+                & week.isNotNull()
+                & wd.isNotNull()
+                & wd_valid
+                & (week >= 1)
+                & (week <= 53)
+            )
+            return F.when(ok, date)
         if plan["weekday_code"] == "w":  # 0=Sunday
             sun_idx, mon_idx = wd, (wd + F.lit(6)) % 7
             wd_valid = (wd >= 0) & (wd <= 6)

@@ -14,10 +14,10 @@ from dftly_spark import chrono
 
 UNSUPPORTED = [
     "%C",   # century
-    "%w",   # weekday 0=Sun (alone, without %U/%W)
-    "%u",   # ISO weekday (Java 'e' is week-based → Spark rejects)
-    "%V",   # ISO week (Java 'ww' is week-based → Spark rejects)
-    "%G",   # ISO week-based year
+    "%w",   # weekday 0=Sun (alone, without %U/%W/%V)
+    "%u",   # ISO weekday (alone; supported inside a %G/%V plan)
+    "%V",   # ISO week (alone via to_java; supported via the week plan)
+    "%G",   # ISO year (alone via to_java; supported via the week plan)
     "%g",   # ISO week-based year, 2-digit
     "%x",   # locale date
     "%X",   # locale time
@@ -33,12 +33,23 @@ def test_unsupported_codes_raise_at_lowering(code):
         chrono.to_java(fmt)
 
 
-@pytest.mark.parametrize("code", ["%u", "%V", "%G", "%g"])
+@pytest.mark.parametrize("code", ["%u", "%g"])
 def test_week_based_codes_fail_at_lowering_not_runtime(run1, code):
-    # End-to-end: a strptime with a week-based code must fail while the plan
-    # is being built (ValueError), not as an opaque executor exception.
+    # End-to-end: a strptime with an untranslatable code must fail while the
+    # plan is being built (ValueError), not as an opaque executor exception.
     with pytest.raises(ValueError, match="no Java DateTimeFormatter equivalent"):
         run1(f"strptime($t, '%Y {code}')", t="2024 1")
+
+
+def test_partial_iso_formats_fail_at_lowering(run1):
+    # %V without the full %G+%V+%u triple: loud lowering-time error from the
+    # week plan; %G alone never reaches the plan (no %V) and fails in to_java.
+    with pytest.raises(ValueError, match="week-based|incomplete|cannot be combined"):
+        run1("strptime($t, '%Y %V')", t="2024 1")
+    with pytest.raises(ValueError, match="incomplete"):
+        run1("strptime($t, '%G %V')", t="2024 1")
+    with pytest.raises(ValueError, match="no Java DateTimeFormatter equivalent"):
+        run1("strptime($t, '%Y %G')", t="2024 1")
 
 
 @pytest.mark.parametrize("fmt", ["%Y %U", "%Y %W", "%U %w"])
@@ -78,6 +89,58 @@ def test_week_based_year_rollover_matches_python(run1):
     # week 0 day before Jan 1 rolls into the previous year (C semantics)
     assert run1("strptime($t, '%Y %U %w')", t="2024 0 0") == dt.date(2023, 12, 31)
     assert dt.datetime.strptime("2024 0 0", "%Y %U %w").date() == dt.date(2023, 12, 31)
+
+
+def test_iso_week_plan_shape():
+    plan = chrono.week_based_plan("%G-W%V-%u")
+    assert plan["iso"] is True
+    assert plan["regex"] == r"^(\d{4})\-W(\d{1,2})\-(\d)$"
+    assert (plan["year"], plan["week"], plan["weekday"]) == (1, 2, 3)
+    assert chrono.week_based_plan("%Y-%U-%w")["iso"] is False
+
+
+def test_iso_week_mixing_rejected():
+    with pytest.raises(ValueError, match="mixes"):
+        chrono.week_based_plan("%Y %U %V %u")
+    # ISO plans key on %G; a %Y inside one is a loud error, not silently read.
+    with pytest.raises(ValueError, match="cannot be combined"):
+        chrono.week_based_plan("%Y %V %u")
+    with pytest.raises(ValueError, match="incomplete"):
+        chrono.week_based_plan("%G %V")
+
+
+@pytest.mark.parametrize("fmt", ["%G-W%V-%u", "%G %V %u"])
+def test_iso_week_roundtrip_matches_python(run1, fmt):
+    """Format a spread of dates with Python strftime (same ISO-8601
+    semantics as chrono), parse back through the engine, compare against
+    ``date.fromisocalendar``."""
+    import datetime as dt
+
+    d = dt.date(2023, 12, 20)
+    for off in range(0, 400, 13):  # crosses the ISO year boundary (week 52/1)
+        day = d + dt.timedelta(days=off)
+        s = day.strftime(fmt)
+        y, w, wd = day.isocalendar()
+        assert dt.date.fromisocalendar(y, w, wd) == day
+        got = run1(f"strptime($t, '{fmt}')", t=s)
+        assert got == day, (s, fmt)
+
+
+def test_iso_week_boundary_cases(run1):
+    import datetime as dt
+
+    # 2021-01-01 is ISO 2020-W53-5; 2024-12-30 is ISO 2025-W01-1.
+    assert run1("strptime($t, '%G-W%V-%u')", t="2020-W53-5") == dt.date(2021, 1, 1)
+    assert run1("strptime($t, '%G-W%V-%u')", t="2025-W01-1") == dt.date(2024, 12, 30)
+    # %w variant: 0=Sunday maps to ISO weekday 7.
+    assert run1("strptime($t, '%G %V %w')", t="2024 01 0") == dt.date(2024, 1, 7)
+
+
+def test_iso_week_invalid_components(run1):
+    for bad in ("2023 05 9", "2023 00 3", "2023 60 3", "garbage"):
+        with pytest.raises(Exception, match="strptime|USER_RAISED"):
+            run1("strptime($t, '%G %V %u')", t=bad)
+        assert run1("$t::?'%G %V %u'", t=bad) is None
 
 
 def test_week_based_invalid_components(run1):
