@@ -1199,6 +1199,108 @@ _q(
 )
 
 
+def _x56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops.similarity import ivf_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb,
+        queries_df,
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+        strategy="kmeans",
+        kmeans_iters=2,
+        kmeans_init="first",
+    )
+
+
+def _x56_oracle() -> str:
+    """DuckDB mirror of ivf_topk(strategy="kmeans") — the PRODUCTION path.
+
+    x12 gates strategy="first" (centroids derivable in SQL); this gates the
+    learned-centroid path.  The centroid matrix is re-fitted HERE in pure
+    Python/numpy (pyarrow read, same deterministic Lloyd's schedule:
+    lowest-id init, argmax-dot assign with first-cell tie-break, mean
+    update, empty cells keep previous, unit-normalize each iter) and
+    inlined as literals, so DuckDB replays the whole index against an
+    INDEPENDENTLY fitted implementation.  Summation order differs between
+    the two fitters (Spark partial aggs vs numpy pairwise), so centroids
+    agree to ~1e-12 — far below any real assignment margin — and the final
+    cos column is bit-exact either way because re-ranking uses the original
+    vectors, not the centroids.  Reads the same sf dir the driver gates at
+    (sf0.01; override with SPARK_GRAFT_GATE_SF_DIR).
+    """
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    vecs = vecs[order]
+
+    def _unit(m: np.ndarray) -> np.ndarray:
+        n = np.sqrt((m * m).sum(axis=-1, keepdims=True))
+        return np.where(n > 0, m / np.where(n == 0, 1.0, n), m)
+
+    cents = _unit(vecs[:16].copy())
+    for _ in range(2):
+        cell = (vecs @ cents.T).argmax(axis=1)  # first-wins on ties, like array_position
+        new = []
+        for ci in range(16):
+            members = vecs[cell == ci]
+            new.append(_unit(members.mean(axis=0)) if len(members) else cents[ci])
+        cents = np.array(new)
+
+    rows = ",\n      ".join(
+        f"({i + 1}, {[float(x) for x in c]!r}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH cents(cell, cv) AS (VALUES
+      {rows}),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scores AS (
+      SELECT c.vec_id, cents.cell, list_dot_product(c.v, cents.cv) AS s
+      FROM c CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM scores
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM scores WHERE vec_id < 5
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) <= 4
+    ),
+    u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v FROM c),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, list_dot_product(qu.v, cu.v) AS cos
+      FROM cand
+      JOIN u qu ON qu.vec_id = cand.query_id
+      JOIN u cu ON cu.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """
+
+
+_q("x56_ivf_kmeans_topk", _x56, _x56_oracle())
+
+
 def _x13(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dftly_spark.ops.sessions import sessionize
 
@@ -3095,6 +3197,7 @@ _q(
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
     "q25_iso_week",
+    "x56_ivf_kmeans_topk",
     # -- never driver-verified (registered at positions >50 in r02) --
     "x14_corpus_clean_pipeline",
     "x28_chunk_text",

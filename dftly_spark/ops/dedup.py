@@ -886,6 +886,7 @@ def semantic_dedup_pairs(
     strategy: str = "first",
     seed: int = 42,
     kmeans_iters: int = 5,
+    kmeans_init: str = "sample",
     max_cell_size: int | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs via cluster-then-prune (SemDeDup shape).
@@ -914,6 +915,7 @@ def semantic_dedup_pairs(
         strategy=strategy,
         seed=seed,
         kmeans_iters=kmeans_iters,
+        kmeans_init=kmeans_init,
     )
     cells = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
     if max_cell_size is not None:

@@ -158,6 +158,7 @@ def kmeans_centroids(
     init: list[list[float]] | None = None,
     id_col: str = "vec_id",
     seed: int = 42,
+    init_strategy: str = "sample",
 ) -> list[list[float]]:
     """Lloyd's k-means over an embedding column; returns unit centroids.
 
@@ -166,17 +167,30 @@ def kmeans_centroids(
     avg, a map-side-combinable aggregation whose output is ``k×dim`` rows) —
     with only the tiny centroid matrix ever collected to the driver.  Empty
     cells keep their previous centroid.
+
+    ``init_strategy`` picks the starting centroids when ``init`` is not
+    given: ``"sample"`` (seeded hash-ordered sample — default) or
+    ``"first"`` (lowest-id vectors — replayable by an external engine
+    without xxhash64, which is what the x56 driver oracle needs).
     """
     if init is None:
-        init = [
-            [float(x) for x in r[1]]
-            for r in corpus.select(
-                F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"), vec_col
+        if init_strategy == "first":
+            rows = (
+                corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
             )
-            .orderBy("_h")
-            .limit(n_centroids)
-            .collect()
-        ]
+            init = [[float(x) for x in r[1]] for r in rows]
+        elif init_strategy == "sample":
+            init = [
+                [float(x) for x in r[1]]
+                for r in corpus.select(
+                    F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"), vec_col
+                )
+                .orderBy("_h")
+                .limit(n_centroids)
+                .collect()
+            ]
+        else:
+            raise ValueError(f"unknown kmeans init_strategy {init_strategy!r}")
     cents = [_unit_list(c) for c in init]
     base = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
     for _ in range(iters):
@@ -235,14 +249,16 @@ def choose_centroids(
     strategy: str = "first",
     seed: int = 42,
     kmeans_iters: int = 5,
+    kmeans_init: str = "sample",
 ) -> list[list[float]]:
     """Unit centroids for cell-based indexes (IVF, semantic dedup).
 
     * ``"first"`` — the ``n_centroids`` lowest-id corpus vectors; fully
       deterministic and replayable in plain SQL (the driver oracles do).
     * ``"sample"`` — seeded hash-ordered sample, independent of data order.
-    * ``"kmeans"`` — :func:`kmeans_centroids` from the sample init; best
-      cell balance/recall, costs ``2×iters`` extra jobs at build time.
+    * ``"kmeans"`` — :func:`kmeans_centroids` from the ``kmeans_init`` init
+      ("sample" default; "first" for external replay); best cell
+      balance/recall, costs ``2×iters`` extra jobs at build time.
     """
     if strategy == "first":
         rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
@@ -263,6 +279,7 @@ def choose_centroids(
             iters=kmeans_iters,
             id_col=id_col,
             seed=seed,
+            init_strategy=kmeans_init,
         )
     raise ValueError(f"unknown centroid strategy {strategy!r}")
 
@@ -299,6 +316,7 @@ def topic_assign(
     strategy: str = "first",
     seed: int = 42,
     kmeans_iters: int = 5,
+    kmeans_init: str = "sample",
 ) -> DataFrame:
     """Assign every embedding to a centroid cell: ``(id_col, topic)``.
 
@@ -319,6 +337,7 @@ def topic_assign(
         strategy=strategy,
         seed=seed,
         kmeans_iters=kmeans_iters,
+        kmeans_init=kmeans_init,
     )
     return assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col).select(
         F.col("_id").alias(id_col), F.col("_cell").alias("topic")
@@ -338,6 +357,7 @@ def ivf_topk(
     seed: int = 42,
     strategy: str = "first",
     kmeans_iters: int = 5,
+    kmeans_init: str = "sample",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
@@ -367,6 +387,7 @@ def ivf_topk(
         strategy=strategy,
         seed=seed,
         kmeans_iters=kmeans_iters,
+        kmeans_init=kmeans_init,
     )
 
     def cell_scores(vec: SparkColumn) -> SparkColumn:

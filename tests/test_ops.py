@@ -150,6 +150,43 @@ def test_ivf_kmeans_recall_on_clustered_data(spark):
     assert r_kmeans >= recall("first")
 
 
+def test_ivf_kmeans_recall_on_real_embeddings_sf01(spark):
+    """Recall-vs-brute bound for the learned-centroid production path at
+    sf0.1 — the exact x56 configuration (kmeans, lowest-id init, 2 iters,
+    16 cells, nprobe 4).  Measured 0.98 on the driver testdata; pinned with
+    headroom."""
+    import os
+
+    path = "/root/testdata/sf0.1/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.1 testdata not present")
+    from dftly_spark.ops import brute_force_topk
+    from dftly_spark.ops.similarity import ivf_topk
+
+    emb = spark.read.parquet(path)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {}
+    for r in brute_force_topk(emb, queries, k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    out = ivf_topk(
+        emb,
+        queries,
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+        strategy="kmeans",
+        kmeans_iters=2,
+        kmeans_init="first",
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(per_q.get(q, set()) & t) for q, t in truth.items())
+    assert hits / sum(len(t) for t in truth.values()) >= 0.9
+
+
 def test_repetition_signals_bounds_and_values(spark, docs):
     from dftly_spark.ops import repetition_signals
 
