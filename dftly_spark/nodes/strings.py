@@ -149,6 +149,44 @@ def _rust_to_java_col(pat_col: SparkColumn) -> SparkColumn:
     return F.regexp_replace(pat_col, F.lit(r"\(\?P<"), F.lit("(?<"))
 
 
+#: Java-regex-only constructs the reference's Rust engine REJECTS outright
+#: (rust-lang/regex guarantees linear time by excluding them).  Matching is
+#: syntactic: each (name, detector) pair fires on the raw pattern text.
+_JAVA_ONLY_RE = [
+    ("lookahead (?=…)/(?!…)", re.compile(r"\(\?=|\(\?!")),
+    ("lookbehind (?<=…)/(?<!…)", re.compile(r"\(\?<=|\(\?<!")),
+    ("backreference \\N", re.compile(r"\\[1-9]")),
+    ("named backreference \\k<…>", re.compile(r"\\k<")),
+    ("atomic group (?>…)", re.compile(r"\(\?>")),
+    # brace case must be a NUMERIC quantifier ({2}+, {2,}+, {2,3}+) — a bare
+    # \}\+ would false-positive on Unicode classes like \p{L}+
+    ("possessive quantifier", re.compile(r"(?:[*+?]|\{\d+(?:,\d*)?\})\+")),
+]
+
+
+def _lint_rust_dialect(pattern: str) -> None:
+    """Warn when a pattern uses Java-only regex syntax.
+
+    The reference's Rust engine rejects lookarounds, backreferences, atomic
+    groups and possessive quantifiers; Spark's Java engine accepts them — a
+    config relying on the reference's rejection silently changes behavior
+    here.  Same parse-time-warning contract as the bare-word and
+    capture-group warnings; matching is syntactic, so a literal ``\\(?=``
+    can rarely false-positive — silence with ``warnings.simplefilter``.
+    """
+    for name, rx in _JAVA_ONLY_RE:
+        if rx.search(pattern):
+            warnings.warn(
+                f"Regex pattern {pattern!r} uses {name}, which Spark's Java "
+                "regex engine accepts but the reference implementation "
+                "(Rust regex) rejects.  This expression would FAIL on the "
+                "reference — remove the construct for portable configs, or "
+                "ignore this warning if Java-only semantics are intended.",
+                stacklevel=3,
+            )
+            return
+
+
 class RegexExtract(Node):
     """``extract [group N of] /re/ from x`` (str.py:179-433).
 
@@ -173,6 +211,9 @@ class RegexExtract(Node):
         if self.group_index < 0:
             raise ValueError("The group_index argument must be a non-negative integer.")
         self._warn_on_unnamed_capture_groups()
+        pattern = _const_pattern(self.kwargs["pattern"])
+        if pattern is not None:
+            _lint_rust_dialect(pattern)
 
     def _warn_on_unnamed_capture_groups(self) -> None:
         if "group_index" in self.kwargs:
@@ -248,6 +289,12 @@ class RegexMatch(Node):
     KEY = "regex_match"
     ALLOW_KW = True
     REQUIRED_KW = frozenset({"pattern", "source"})
+
+    def _validate(self) -> None:
+        super()._validate()
+        pattern = _const_pattern(self.kwargs["pattern"])
+        if pattern is not None:
+            _lint_rust_dialect(pattern)
 
     def out_type(self, ctx: LoweringContext) -> str:
         return DT.BOOL

@@ -18,7 +18,14 @@ Design rules (SURVEY.md §7.3, the 100 TB contract):
   salting applies at 1000-executor scale.
 """
 
+from .corpus import (
+    TOKENS_COL,
+    clear_token_cache,
+    memo_persist,
+    tokenized_docs,
+)
 from .textops import (
+    doc_tokens,
     gopher_rules,
     shared_affix_counts,
     bpe_token_count,
@@ -113,6 +120,7 @@ from .multimodal import (
 
 __all__ = [
     "tokens", "token_count", "bpe_token_count", "normalize_text",
+    "TOKENS_COL", "tokenized_docs", "clear_token_cache", "doc_tokens", "memo_persist",
     "stopword_ratio", "punct_ratio", "quality_score", "language_id", "vocab_topk",
     "gopher_rules", "shared_affix_counts",
     "scrub_text", "chunk_text", "dup_clusters",

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import cosine
-from .textops import normalize_text, tokens
+from .textops import doc_tokens, normalize_text, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -125,7 +125,13 @@ def minhash_signature(shingles_col: SparkColumn, k: int = 32) -> SparkColumn:
 
 
 def _shingle_instance_frames(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
+    keep_pos: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Codegen-friendly shingle-hash instances, split by document length.
 
@@ -144,28 +150,42 @@ def _shingle_instance_frames(
 
     base = df.select(
         F.col(id_col).alias("_id"),
-        tokens(F.lower(F.col(text_col))).alias("_w"),
+        doc_tokens(df, text_col, tokens_col).alias("_w"),
     ).select("_id", "_w", F.size("_w").alias("_sz"))
 
-    win = Window.partitionBy("_id").orderBy("_p")
-    long_inst = (
-        base.where(F.col("_sz") >= n)
-        .select("_id", F.col("_sz"), F.posexplode("_w").alias("_p", "_t"))
-        .select(
-            "_id",
-            "_p",
-            "_sz",
-            F.xxhash64(
-                *[F.lead("_t", j).over(win) if j else F.col("_t") for j in range(n)]
-            ).alias("_g"),
+    def build_long() -> DataFrame:
+        win = Window.partitionBy("_id").orderBy("_p")
+        return (
+            base.where(F.col("_sz") >= n)
+            .select("_id", F.col("_sz"), F.posexplode("_w").alias("_p", "_t"))
+            .select(
+                "_id",
+                "_p",
+                "_sz",
+                F.xxhash64(
+                    *[F.lead("_t", j).over(win) if j else F.col("_t") for j in range(n)]
+                ).alias("_g"),
+            )
+            .where(F.col("_p") <= F.col("_sz") - n)
+            .select("_id", "_p", "_g")
         )
-        .where(F.col("_p") <= F.col("_sz") - n)
-        .select("_id", "_g")
-    )
-    short_rows = base.where(F.col("_sz") < n).select(
-        "_id", F.xxhash64(F.concat_ws(" ", "_w")).alias("_g")
-    )
-    return long_inst, short_rows
+
+    def build_short() -> DataFrame:
+        return base.where(F.col("_sz") < n).select(
+            "_id", F.xxhash64(F.concat_ws(" ", "_w")).alias("_g")
+        )
+
+    if cache_key is not None:
+        from .corpus import memo_persist
+
+        spark = df.sparkSession
+        long_pos = memo_persist(spark, f"{cache_key}:sh{n}:long", build_long)
+        short_rows = memo_persist(spark, f"{cache_key}:sh{n}:short", build_short)
+    else:
+        long_pos, short_rows = build_long(), build_short()
+    if not keep_pos:
+        long_pos = long_pos.select("_id", "_g")
+    return long_pos, short_rows
 
 
 def _band_buckets(sig_col: SparkColumn, bands: int, rows: int) -> SparkColumn:
@@ -186,12 +206,16 @@ def _band_buckets(sig_col: SparkColumn, bands: int, rows: int) -> SparkColumn:
 
 
 def _minhash_per_doc(
-    df: DataFrame, id_col: str, text_col: str, n: int, k: int
+    df: DataFrame, id_col: str, text_col: str, n: int, k: int,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """``(_id, _gs, _m0.._m{k-1})`` — hashed shingle set + k minhash
     permutations, computed in one per-document aggregation (the min over
     shingle occurrences equals the min over the set)."""
-    long_inst, short_rows = _shingle_instance_frames(df, id_col, text_col, n)
+    long_inst, short_rows = _shingle_instance_frames(
+        df, id_col, text_col, n, tokens_col=tokens_col, cache_key=cache_key
+    )
     min_aggs = [
         F.min(F.xxhash64(F.col("_g"), F.lit(i))).alias(f"_m{i}") for i in range(k)
     ]
@@ -216,6 +240,8 @@ def minhash_dup_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     max_bucket_size: int = 1000,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH with exact-Jaccard verification.
 
@@ -231,7 +257,9 @@ def minhash_dup_pairs(
     document; the verify join ships 8-byte shingle hashes, not strings.
     """
     rows = k // bands
-    per_doc = _minhash_per_doc(df, id_col, text_col, n, k)
+    per_doc = _minhash_per_doc(
+        df, id_col, text_col, n, k, tokens_col=tokens_col, cache_key=cache_key
+    )
     sig = F.array(*[F.col(f"_m{i}") for i in range(k)])
     # The banded frame carries only (id, band, bucket) — shingle sets would
     # be duplicated `bands`× through the explode and shuffle otherwise.
@@ -435,6 +463,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via a shingle inverted index.
 
@@ -465,7 +495,9 @@ def ngram_jaccard_pairs(
     window-lead construction; its ``_id`` partitioning is reused by the
     ``collect_set`` aggregation, so the instance table is shuffled once).
     """
-    long_inst, short_rows = _shingle_instance_frames(df, id_col, text_col, n)
+    long_inst, short_rows = _shingle_instance_frames(
+        df, id_col, text_col, n, tokens_col=tokens_col, cache_key=cache_key
+    )
     long_docs = (
         long_inst.groupBy("_id")
         .agg(F.collect_set("_g").alias("_gs"))
@@ -519,6 +551,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     broadcast_probes: bool = True,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Corpus documents containing ≥ ``threshold`` of a probe's n-grams.
 
@@ -543,7 +576,9 @@ def containment_pairs(
     )
     probe_sizes = probe_sets.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
 
-    corp_inst, corp_short = _shingle_instance_frames(corpus_df, id_col, text_col, n)
+    corp_inst, corp_short = _shingle_instance_frames(
+        corpus_df, id_col, text_col, n, tokens_col=tokens_col
+    )
     corp_sets = corp_inst.unionByName(corp_short).dropDuplicates(["_id", "_g"])
 
     probes = F.broadcast(probe_sets) if broadcast_probes else probe_sets

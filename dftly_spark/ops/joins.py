@@ -317,7 +317,10 @@ def asof_join_stream(
     ts, value) across micro-batches — O(1) state per key, the same plan
     Spark's built-in stream-stream join cannot express (it buffers BOTH
     sides within a watermark; an as-of needs only the latest right row,
-    forever).  Like :func:`~dftly_spark.ops.sessions.sessionize_stream`,
+    forever).  Same Spark-4.x API note as ``sessionize_stream``: one
+    value-state per key, no timers — ``applyInPandasWithState`` is the
+    smaller supported surface; ``transformWithStateInPandas`` (RocksDB
+    state) is the mechanical migration target.  Like :func:`~dftly_spark.ops.sessions.sessionize_stream`,
     events must arrive time-ordered per key ACROSS micro-batches (sorted
     within each batch here); a production deployment would add a timeout to
     expire idle keys.

@@ -27,16 +27,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textops import normalize_text, tokens
+from .textops import doc_tokens, normalize_text, tokens
 
 
-def bigram_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def bigram_frame(
+    df: DataFrame, id_col: str, text_col: str, tokens_col: str | None = None
+) -> DataFrame:
     """``(_id, _pos, _w1, _w2)`` — position-indexed bigram instances of the
     normalized whitespace tokens; documents with fewer than two tokens have
     no rows."""
     base = df.select(
         F.col(id_col).alias("_id"),
-        tokens(normalize_text(F.col(text_col))).alias("_w"),
+        doc_tokens(df, text_col, tokens_col).alias("_w"),
     ).where(F.size("_w") >= 2)
     pairs = F.arrays_zip(
         F.slice(F.col("_w"), 1, F.size("_w") - 1).alias("_w1"),
@@ -53,6 +55,7 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: float = 1.0,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Score each document under an add-``k`` bigram LM fit on the corpus.
 
@@ -66,13 +69,11 @@ def bigram_lm_scores(
     to score against a held-out reference model, fit the counts on the
     reference frame and join this frame's instances against them.
     """
-    inst = bigram_frame(df, id_col, text_col)
+    inst = bigram_frame(df, id_col, text_col, tokens_col)
     c2 = inst.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c2"))
     c1 = c2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
     vocab = (
-        df.select(
-            F.explode(tokens(normalize_text(F.col(text_col)))).alias("_t")
-        )
+        df.select(F.explode(doc_tokens(df, text_col, tokens_col)).alias("_t"))
         .agg(F.count_distinct("_t").alias("_v"))
     )
     lp = F.log(

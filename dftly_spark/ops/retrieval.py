@@ -26,19 +26,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textops import normalize_text, tokens
+from .textops import doc_tokens, normalize_text, tokens
 
 
-def _term_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _term_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
     """``(_id, _term, _tf, _dl)`` — per-document term frequencies plus the
-    document length, from normalized whitespace tokens."""
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        tokens(normalize_text(F.col(text_col))).alias("_w"),
-    ).select("_id", F.size("_w").alias("_dl"), F.explode("_w").alias("_term"))
-    return base.groupBy("_id", "_term").agg(
-        F.count(F.lit(1)).alias("_tf"), F.any_value("_dl").alias("_dl")
-    )
+    document length, from normalized whitespace tokens (or the precomputed
+    ``tokens_col`` — same arrays, see ops/corpus.py).  With ``cache_key``
+    the aggregated frame is persisted per session (ops/corpus.py), so
+    BM25 and the TF-IDF family share one postings build."""
+
+    def build() -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            doc_tokens(df, text_col, tokens_col).alias("_w"),
+        ).select("_id", F.size("_w").alias("_dl"), F.explode("_w").alias("_term"))
+        return base.groupBy("_id", "_term").agg(
+            F.count(F.lit(1)).alias("_tf"), F.any_value("_dl").alias("_dl")
+        )
+
+    if cache_key is not None:
+        from .corpus import memo_persist
+
+        return memo_persist(df.sparkSession, f"{cache_key}:terms", build)
+    return build()
 
 
 def bm25_topk(
@@ -52,6 +69,8 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by Okapi BM25.
 
@@ -66,13 +85,19 @@ def bm25_topk(
     (``N``, ``avgdl``) ride along as a broadcast one-row frame — no
     driver-side collect, so the whole thing stays one lazy plan.
     """
-    tf = _term_frame(docs, id_col, text_col)
-    # Corpus stats (N, avgdl) straight off the docs scan — one narrow pass,
-    # no dependence on the postings aggregation (which would re-tokenize the
-    # corpus a second time just to count documents).
-    dl_frame = docs.select(
-        F.size(tokens(normalize_text(F.col(text_col)))).alias("_dl")
-    ).where(F.col("_dl") > 0)
+    tf = _term_frame(docs, id_col, text_col, tokens_col, cache_key)
+    # Corpus stats (N, avgdl): with a cached postings frame, derive them
+    # from it (one tiny agg over the persisted rows — the explode already
+    # dropped zero-token docs, so the >0 filter is implicit); otherwise one
+    # narrow pass off the docs scan, independent of the postings
+    # aggregation (which would re-tokenize the corpus a second time just to
+    # count documents).
+    if cache_key is not None:
+        dl_frame = tf.groupBy("_id").agg(F.any_value("_dl").alias("_dl"))
+    else:
+        dl_frame = docs.select(
+            F.size(doc_tokens(docs, text_col, tokens_col)).alias("_dl")
+        ).where(F.col("_dl") > 0)
     stats = dl_frame.groupBy().agg(
         F.count(F.lit(1)).alias("_n_docs"),
         (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"),
@@ -154,6 +179,8 @@ def tf_idf_vectors(
     text_col: str = "text",
     min_df: int = 1,
     max_vocab: int | None = None,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Sparse TF-IDF postings: ``(doc_id, term, tf, df, tf_idf)``.
 
@@ -168,7 +195,7 @@ def tf_idf_vectors(
     at corpus scale run with AQE skew-join enabled (the suite default) or
     pre-filter them via ``max_vocab``/a stopword list.
     """
-    tf = _term_frame(docs, id_col, text_col)
+    tf = _term_frame(docs, id_col, text_col, tokens_col, cache_key)
     n_docs = tf.groupBy("_id").count().groupBy().agg(
         F.count(F.lit(1)).alias("_n_docs")
     )
@@ -207,6 +234,8 @@ def sparse_cosine_pairs(
     min_df: int = 1,
     max_df: int | None = None,
     max_vocab: int | None = None,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Document pairs by sparse TF-IDF cosine — the lexical twin of the
     dense-embedding dedup family.
@@ -226,7 +255,13 @@ def sparse_cosine_pairs(
     cos)`` with ``id_l < id_r`` and ``cos ≥ threshold``.
     """
     postings = tf_idf_vectors(
-        docs, id_col=id_col, text_col=text_col, min_df=min_df, max_vocab=max_vocab
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        min_df=min_df,
+        max_vocab=max_vocab,
+        tokens_col=tokens_col,
+        cache_key=cache_key,
     ).select(F.col(id_col).alias("_id"), "term", "df", "tf_idf")
     if max_df is not None:
         postings = postings.where(F.col("df") <= max_df)

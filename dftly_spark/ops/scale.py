@@ -345,6 +345,10 @@ def zorder_key(
     parameters, not per-row state), then the level bits are interleaved so
     nearby key values are nearby in EVERY dimension.  Pure integer
     shift/or arithmetic — whole-stage codegen, no UDF.
+
+    NULL values quantize to level 0 explicitly (they sort together at the
+    low end of the curve, the same choice as NULLS FIRST), rather than
+    whatever ``greatest``/``least``'s null-skipping would leave behind.
     """
     if len(cols) < 2:
         raise ValueError("z-ordering needs at least two columns")
@@ -358,7 +362,8 @@ def zorder_key(
         q = F.floor(
             (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span) * levels
         ).cast("bigint")
-        quantized.append(F.greatest(F.lit(0), F.least(F.lit(levels), q)))
+        clamped = F.greatest(F.lit(0), F.least(F.lit(levels), q))
+        quantized.append(F.coalesce(clamped, F.lit(0).cast("bigint")))
     key = F.lit(0).cast("bigint")
     for j in range(bits):
         for i, q in enumerate(quantized):
@@ -392,6 +397,12 @@ def write_zordered(
         *[F.min(F.col(c).cast("double")).alias(f"_lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"_hi_{c}") for c in cols],
     ).collect()[0]
+    for c in cols:
+        if row[f"_lo_{c}"] is None:
+            raise ValueError(
+                f"z-order column {c!r} is entirely null — no range to quantize; "
+                "drop it from cols= or filter the frame first"
+            )
     ranges = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
     key = zorder_key(cols, ranges, bits=bits)
     (

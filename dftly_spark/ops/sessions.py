@@ -178,6 +178,15 @@ def sessionize_stream(
     session counter).  Events must arrive time-ordered per user across
     micro-batches (within a batch they are sorted here); production use would
     add a timeout to expire idle users' state.
+
+    API note (Spark 4.x): ``applyInPandasWithState`` remains fully
+    supported; its successor ``transformWithStateInPandas`` (4.0+, requires
+    the RocksDB state store provider) adds multiple named state variables,
+    timers, and TTL.  This op needs exactly one value-state tuple per key
+    and no timers, so the legacy API is the smaller surface; the migration
+    is mechanical when RocksDB state becomes this deployment's default —
+    the state tuple becomes a ``ValueState`` in a ``StatefulProcessor`` and
+    the per-group pandas loop is unchanged.
     """
     cols = df.select(
         F.col(id_col).alias("event_id"),

@@ -36,6 +36,24 @@ def tokens(col: SparkColumn) -> SparkColumn:
     )
 
 
+def doc_tokens(df, text_col: str, tokens_col: str | None) -> SparkColumn:
+    """Token-array expression for a document frame.
+
+    Returns the precomputed ``tokens_col`` when given (validated against the
+    frame's columns), else the canonical ``tokens(lower(text))``.  Every op
+    with a ``tokens_col=`` parameter resolves through here, so one cached
+    tokenization (``ops.corpus.tokenized_docs``) feeds the whole text-op
+    family instead of each query re-running the regex split over the corpus.
+    """
+    if tokens_col is not None:
+        if tokens_col not in df.columns:
+            raise ValueError(
+                f"tokens_col {tokens_col!r} not found in frame columns {df.columns}"
+            )
+        return F.col(tokens_col)
+    return tokens(F.lower(F.col(text_col)))
+
+
 def token_count(col: SparkColumn) -> SparkColumn:
     """Whitespace token count (bigint)."""
     return F.size(tokens(col)).cast("bigint")
@@ -112,7 +130,7 @@ def doc_fingerprint(col: SparkColumn, n: int = 3, k: int = 8) -> SparkColumn:
     return F.slice(F.array_sort(hashes), 1, k)
 
 
-def repetition_signals(df, id_col: str, text_col: str):
+def repetition_signals(df, id_col: str, text_col: str, *, tokens_col: str | None = None):
     """Gopher-style repetition/quality signals per document.
 
     Returns ``(id_col, n_words, mean_word_len, ttr, top_word_frac,
@@ -133,7 +151,7 @@ def repetition_signals(df, id_col: str, text_col: str):
     from pyspark.sql import Window
 
     base = df.select(
-        F.col(id_col).alias("_id"), tokens(F.lower(F.col(text_col))).alias("_w")
+        F.col(id_col).alias("_id"), doc_tokens(df, text_col, tokens_col).alias("_w")
     ).where(F.size("_w") > 0)
     win = Window.partitionBy("_id").orderBy("_p")
     ex = base.select("_id", F.posexplode("_w").alias("_p", "_t")).select(
@@ -236,7 +254,15 @@ def doc_fingerprints(
     return long_fp.unionByName(short_fp).withColumnRenamed("_id", id_col)
 
 
-def dup_ngram_fraction(df, id_col: str, text_col: str, *, n: int = 13):
+def dup_ngram_fraction(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 13,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
+):
     """Per-document cross-document n-gram repetition (span-dedup signal).
 
     For each document: the fraction of its word ``n``-gram *instances* that
@@ -256,7 +282,9 @@ def dup_ngram_fraction(df, id_col: str, text_col: str, *, n: int = 13):
     """
     from .dedup import _shingle_instance_frames
 
-    long_inst, short_rows = _shingle_instance_frames(df, id_col, text_col, n)
+    long_inst, short_rows = _shingle_instance_frames(
+        df, id_col, text_col, n, tokens_col=tokens_col, cache_key=cache_key
+    )
     inst = long_inst.unionByName(short_rows)
     # gram → number of distinct documents containing it (two-phase, no
     # count-distinct Expand over the raw instance stream)
@@ -279,7 +307,16 @@ def dup_ngram_fraction(df, id_col: str, text_col: str, *, n: int = 13):
     )
 
 
-def remove_dup_ngram_spans(df, id_col: str, text_col: str, *, n: int = 13, min_df: int = 2):
+def remove_dup_ngram_spans(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 13,
+    min_df: int = 2,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
+):
     """Cut cross-document duplicated spans out of each document.
 
     The transform behind substring-level training-data dedup: any token
@@ -297,30 +334,18 @@ def remove_dup_ngram_spans(df, id_col: str, text_col: str, *, n: int = 13, min_d
     are keyed by 8-byte hashes or the document id — linear in corpus
     tokens at any scale.
     """
-    from pyspark.sql import Window
-
     from .dedup import _shingle_instance_frames
 
     base = df.select(
-        F.col(id_col).alias("_id"), tokens(F.lower(F.col(text_col))).alias("_w")
+        F.col(id_col).alias("_id"), doc_tokens(df, text_col, tokens_col).alias("_w")
     ).where(F.size("_w") > 0)
     toks = base.select("_id", F.posexplode("_w").alias("_p", "_t"))
 
-    # positioned gram instances (codegen'd window-lead hashes), long docs only
-    win = Window.partitionBy("_id").orderBy("_p")
-    inst = (
-        base.where(F.size("_w") >= n)
-        .select("_id", F.size("_w").alias("_sz"), F.posexplode("_w").alias("_p", "_t"))
-        .select(
-            "_id",
-            "_p",
-            "_sz",
-            F.xxhash64(
-                *[F.lead("_t", j).over(win) if j else F.col("_t") for j in range(n)]
-            ).alias("_g"),
-        )
-        .where(F.col("_p") <= F.col("_sz") - n)
-        .select("_id", "_p", "_g")
+    # positioned gram instances — the same (cacheable) frame the n-gram
+    # dedup family builds, positions kept for the coverage explode
+    inst, _ = _shingle_instance_frames(
+        df, id_col, text_col, n, tokens_col=tokens_col, cache_key=cache_key,
+        keep_pos=True,
     )
     flagged = (
         inst.dropDuplicates(["_id", "_g"])
@@ -354,7 +379,15 @@ def remove_dup_ngram_spans(df, id_col: str, text_col: str, *, n: int = 13, min_d
     return rebuilt.withColumnRenamed("_id", id_col)
 
 
-def vocab_topk(df, text_col: str, *, id_col: str = "doc_id", k: int = 50, n: int = 1):
+def vocab_topk(
+    df,
+    text_col: str,
+    *,
+    id_col: str = "doc_id",
+    k: int = 50,
+    n: int = 1,
+    tokens_col: str | None = None,
+):
     """Corpus-level top-``k`` token ``n``-grams by frequency (vocab building).
 
     Normalizes (lowercase, collapsed whitespace), tokenizes on whitespace,
@@ -375,7 +408,7 @@ def vocab_topk(df, text_col: str, *, id_col: str = "doc_id", k: int = 50, n: int
     """
     from pyspark.sql import Window
 
-    toks = tokens(normalize_text(F.col(text_col)))
+    toks = doc_tokens(df, text_col, tokens_col)
     if n == 1:
         ex = df.select(F.col(id_col).alias("__doc"), F.explode(toks).alias("gram"))
     else:
@@ -541,7 +574,14 @@ def gopher_rules(
     )
 
 
-def shared_affix_counts(df, id_col: str = "doc_id", text_col: str = "text", *, k: int = 10):
+def shared_affix_counts(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 10,
+    tokens_col: str | None = None,
+):
     """Boilerplate detection: how many documents share each doc's prefix/suffix.
 
     Template pages (navigation headers, license footers, scraper banners)
@@ -557,7 +597,7 @@ def shared_affix_counts(df, id_col: str = "doc_id", text_col: str = "text", *, k
     reused (no extra shuffle).  Documents shorter than ``k`` tokens use
     their whole token run.
     """
-    ws = tokens(F.lower(F.col(text_col)))
+    ws = doc_tokens(df, text_col, tokens_col)
     pre = F.xxhash64(F.concat_ws(" ", F.slice(ws, 1, k)))
     suf = F.xxhash64(
         F.concat_ws(" ", F.slice(ws, F.greatest(F.size(ws) - (k - 1), F.lit(1)), k))

@@ -18,7 +18,7 @@ declared as data:
         args: {text_col: text, id_col: doc_id}
         join_back: {key: doc_id, how: left_semi}
       - op: cap_per_group
-        args: {group_cols: [source], order_col: doc_id, cap: 100}
+        args: {group_col: source, k: 100, order_col: doc_id}
       - select:
           doc_id: "$doc_id"
           n_tokens: "$n_tokens::int"

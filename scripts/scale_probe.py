@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 sys.path.insert(0, ".")
 
 SF_DIR = "/root/testdata/sf0.1"
-SCALES = (1, 2, 4)
+# override with e.g. SPARK_GRAFT_PROBE_SCALES=1,2,4,8,16 for the join-heavy ops
+import os as _os
+
+SCALES = tuple(
+    int(x) for x in _os.environ.get("SPARK_GRAFT_PROBE_SCALES", "1,2,4").split(",")
+)
 
 
 def replicate_docs(docs: DataFrame, c: int) -> DataFrame:
@@ -103,6 +108,13 @@ def main() -> None:
             e, threshold=0.9, n_centroids=n, strategy="sample", max_cell_size=2000
         )
 
+    def _sparse_cosine(d: DataFrame) -> DataFrame:
+        from dftly_spark.ops import sparse_cosine_pairs
+
+        # same df-cap discipline as the contract query; the cap is a
+        # per-term bound, so candidate volume grows with true collisions
+        return sparse_cosine_pairs(d, threshold=0.6, min_df=2, max_df=300)
+
     def _clusters(d: DataFrame) -> DataFrame:
         from dftly_spark.ops import dup_clusters, minhash_dup_pairs
 
@@ -136,6 +148,7 @@ def main() -> None:
         "ks_drift": lambda d, e: _ks(d),
         "semantic_dedup": lambda d, e: _semantic(e),
         "dup_clusters": lambda d, e: _clusters(d),
+        "sparse_cosine": lambda d, e: _sparse_cosine(d),
     }
     wanted = sys.argv[1:] or list(OPS)
 

@@ -91,10 +91,10 @@ def exprs(draw, depth=2):
     b = draw(exprs(depth=depth - 1))
     if choice == 4:
         op = draw(st.sampled_from(["+", "-", "*", "/", "??", "==", "<"]))
-        if op in ("==", "<"):
-            # comparisons are non-associative; parenthesize to avoid chains
-            return f"({a}) {op} ({b})"
-        return f"{a} {op} {b}"
+        # always parenthesize operands: comparisons are non-associative, and
+        # an unparenthesized comparison INSIDE an arithmetic operand would
+        # chain through precedence (`a == b + c == d`) and be rejected
+        return f"({a}) {op} ({b})"
     if choice == 5:
         return f"coalesce({a}, {b})"
     if choice == 6:

@@ -242,10 +242,51 @@ def test_regex_named_group_translated_in_dynamic_pattern(spark):
 def test_regex_lookahead_divergence_is_permissive(run1):
     # Rust regex (the reference) rejects lookarounds; Java accepts them.
     # We are deliberately permissive — configs using lookarounds work here
-    # and fail there, never the reverse.
+    # and fail there, never the reverse — with a parse-time warning
+    # (test_regex_java_only_syntax_warns) flagging the divergence.
     expr = {"regex_match": {"pattern": {"literal": r"foo(?=bar)"}, "source": "$s"}}
     assert run1(expr, s="foobar") is True
     assert run1(expr, s="foobaz") is False
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        r"foo(?=bar)",       # lookahead
+        r"(?<!x)y",          # negative lookbehind
+        r"(a)\1",            # backreference
+        r"\k<g>",            # named backreference
+        r"(?>ab)c",          # atomic group
+        r"ab*+",             # possessive quantifier
+    ],
+)
+def test_regex_java_only_syntax_warns(pattern):
+    """Java-only constructs the reference's Rust engine rejects produce a
+    parse-time warning (strict-dialect lint) — the config still runs."""
+    import warnings
+
+    from dftly_spark import Parser
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        Parser()({"regex_match": {"pattern": {"literal": pattern},
+                                  "source": {"literal": "x"}}})
+    assert any("Rust regex" in str(x.message) for x in w), pattern
+
+
+@pytest.mark.parametrize(
+    "pattern", [r"[a-z]+", r"(?P<g>\d+)", r"(?<g>\d+)", r"a{2,3}", r"\p{L}+"]
+)
+def test_regex_portable_syntax_does_not_warn(pattern):
+    import warnings
+
+    from dftly_spark import Parser
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        Parser()({"regex_match": {"pattern": {"literal": pattern},
+                                  "source": {"literal": "x"}}})
+    assert not [x for x in w if "Rust regex" in str(x.message)], pattern
 
 
 def test_regex_unicode_class_parity(run1):

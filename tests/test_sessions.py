@@ -65,3 +65,45 @@ def test_cohort_retention_matrix(spark):
         for r in cohort_retention(ev, bucket_micros=7 * day).collect()
     }
     assert out == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
+
+
+def test_cohort_retention_pre_1970_floors(spark):
+    """Pre-epoch timestamps bucket toward -inf (floor division), matching
+    the DuckDB mirror's explicit floor() — not C-style truncation toward
+    zero, which would merge the last pre-epoch bucket with bucket 0."""
+    import datetime as dt
+
+    import duckdb
+
+    from dftly_spark.ops import cohort_retention
+
+    day = 86_400 * 1_000_000
+    rows = [
+        (1, dt.datetime(1969, 12, 29)),  # -3 days → bucket -1 under floor
+        (1, dt.datetime(1970, 1, 2)),    # bucket 0
+        (2, dt.datetime(1969, 12, 20)),  # bucket -2
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort_bucket, r.period): r.n_users
+        for r in cohort_retention(ev, bucket_micros=7 * day).collect()
+    }
+    assert out == {(-1, 0): 1, (-1, 1): 1, (-2, 0): 1}
+    # and the mirror formulation agrees on the same rows
+    pdf = ev.toPandas()
+    got = duckdb.sql(
+        """
+        WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM pdf),
+        first AS (
+          SELECT user_id, CAST(floor(MIN(us) / 604800000000.0) AS BIGINT) AS cohort
+          FROM e GROUP BY user_id
+        ),
+        act AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(us / 604800000000.0) AS BIGINT) AS w FROM e
+        )
+        SELECT f.cohort, a.w - f.cohort AS period, COUNT(*) AS n
+        FROM act a JOIN first f USING (user_id) GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert {(r[0], r[1]): r[2] for r in got} == out

@@ -1,0 +1,69 @@
+"""Spark 4.1 TIME bridge (SURVEY §7.5 #2): version-gated, opt-in.
+
+The engine's internal time representation stays the tagged
+micros-since-midnight bigint (portable, codegen'd, oracle-replayable);
+``dftly_spark.timetype`` converts at the output boundary when the session
+has ``spark.sql.timeType.enabled`` on.  Skips on any Spark that lacks the
+flag or the type.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def time_spark(spark):
+    try:
+        spark.conf.set("spark.sql.timeType.enabled", "true")
+    except Exception:
+        pytest.skip("this Spark has no TIME feature flag")
+    try:
+        spark.range(1).select(F.expr("make_time(1, 1, 1.0)")).collect()
+    except Exception:
+        pytest.skip("TIME type unsupported on this Spark")
+    yield spark
+    spark.conf.set("spark.sql.timeType.enabled", "false")
+
+
+def test_micros_roundtrip_through_time(time_spark):
+    from dftly_spark.timetype import micros_to_time, time_to_micros, time_type_enabled
+
+    assert time_type_enabled(time_spark)
+    us = 13 * 3_600_000_000 + 5 * 60_000_000 + 7_123_456
+    row = (
+        time_spark.range(1)
+        .select(micros_to_time(F.lit(us)).alias("t"))
+        .select(F.col("t"), time_to_micros(F.col("t")).alias("us"))
+        .collect()[0]
+    )
+    import datetime as dt
+
+    assert row.t == dt.time(13, 5, 7, 123456)
+    assert row.us == us
+
+
+def test_engine_time_surfaces_as_real_time(time_spark):
+    """End-to-end: a strptime'd engine time value materializes as TIME(6)."""
+    from dftly_spark import Parser
+    from dftly_spark.timetype import micros_to_time
+
+    df = time_spark.createDataFrame([("13:05:07",)], "s string")
+    tagged = Parser.select(df, {"t_us": "$s::'%H:%M:%S'"})
+    out = tagged.select(micros_to_time(F.col("t_us")).alias("t"))
+    assert out.schema["t"].dataType.typeName().startswith("time")
+    import datetime as dt
+
+    assert out.collect()[0].t == dt.time(13, 5, 7)
+
+
+def test_time_type_enabled_false_by_default():
+    from dftly_spark.timetype import time_type_enabled
+
+    class FakeConf:
+        def get(self, k):
+            raise Exception("no such conf")
+
+    class FakeSpark:
+        conf = FakeConf()
+
+    assert time_type_enabled(FakeSpark()) is False
