@@ -738,6 +738,58 @@ _q(
 )
 
 
+def _q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``TIME(6)`` output (Spark 4.1, ``spark.sql.timeType.enabled``
+    set per-session at build time — a SQL conf, so it works on the driver's
+    own session).  The engine's tagged micros-long (SURVEY §4.3 #6) converts
+    at the output boundary via :mod:`dftly_spark.timetype`; this gates the
+    bridge itself against DuckDB's native TIME: second-resolution (``t``),
+    microsecond-resolution (``t_frac``), and the TIME→micros round-trip
+    (``rt_us``) all hash-match.
+    """
+    from dftly_spark.timetype import micros_to_time, time_to_micros
+
+    _prep(spark)
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ts_s", F.date_format("ts", "HH:mm:ss")
+    )
+    tagged = Parser.select(events, {"ev": "$event_id", "t_us": "$ts_s::'%H:%M:%S'"})
+    frac_us = (F.col("t_us") + F.col("ev") % 999_983).cast("bigint") % F.lit(
+        86_400_000_000
+    )
+    return tagged.select(
+        "ev",
+        "t_us",
+        micros_to_time(F.col("t_us")).alias("t"),
+        micros_to_time(frac_us).alias("t_frac"),
+        time_to_micros(micros_to_time(F.col("t_us"))).alias("rt_us"),
+    )
+
+
+_q(
+    "q26_native_time",
+    _q26,
+    """
+    WITH e AS (
+      SELECT event_id AS ev,
+             (hour(ts) * 3600 + minute(ts) * 60 + CAST(FLOOR(second(ts)) AS BIGINT))
+               * 1000000 AS t_us
+      FROM events
+    )
+    SELECT ev, t_us,
+           make_time(t_us // 3600000000, (t_us // 60000000) % 60,
+                     (t_us % 60000000) / 1000000.0) AS t,
+           make_time(((t_us + ev % 999983) % 86400000000) // 3600000000,
+                     (((t_us + ev % 999983) % 86400000000) // 60000000) % 60,
+                     (((t_us + ev % 999983) % 86400000000) % 60000000) / 1000000.0)
+             AS t_frac,
+           t_us AS rt_us
+    FROM e
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Extension operators (dedup / similarity / text analysis / multimodal)
 # ---------------------------------------------------------------------------
@@ -3282,6 +3334,7 @@ _q(
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "q26_native_time",
     "q25_iso_week",
     "x56_ivf_kmeans_topk",
     # -- never driver-verified (registered at positions >50 in r02) --

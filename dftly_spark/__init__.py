@@ -25,6 +25,11 @@ from .nodes import (  # noqa: F401
     Node,
 )
 from .parser import Parser  # noqa: F401
+from .timetype import (  # noqa: F401
+    micros_to_time,
+    time_to_micros,
+    time_type_enabled,
+)
 
 __version__ = "0.1.0"
 __all__ = [
@@ -36,4 +41,7 @@ __all__ = [
     "UNARY_OPS",
     "DT_CAST_ACCESSORS",
     "LoweringContext",
+    "micros_to_time",
+    "time_to_micros",
+    "time_type_enabled",
 ]
