@@ -849,6 +849,8 @@ def _x02(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dftly_spark.ops import ngram_jaccard_pairs
 
     _prep(spark)
+    # tokens_col shares the memoized token-array plan fragment (persisted
+    # only when SPARK_GRAFT_CACHE_PERSIST is set — see ops/corpus.py).
     return ngram_jaccard_pairs(
         _docs_tok(spark, sf_dir),
         "doc_id",
@@ -857,7 +859,6 @@ def _x02(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.7,
         max_df=_MAX_DF,
         tokens_col=_TOK,
-        cache_key=f"documents:{sf_dir}",
     )
 
 
@@ -877,7 +878,6 @@ def _x03(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         threshold=0.7,
         tokens_col=_TOK,
-        cache_key=f"documents:{sf_dir}",
     )
 
 
@@ -3281,7 +3281,6 @@ def _x14(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.7,
         max_df=_MAX_DF,
         tokens_col=_TOK,
-        cache_key=f"documents:{sf_dir}",
     ).select(F.col("id_r").alias("doc_id"))
     return (
         scored.join(dup_victims, "doc_id", "left_anti")
@@ -3411,14 +3410,26 @@ def warm_caches(spark: SparkSession, sf_dir: str) -> None:
     (``cache_warm_sec``), so per-query numbers reflect the steady state
     while the build cost stays visible.
     """
+    from dftly_spark.ops import corpus
     from dftly_spark.ops.dedup import _shingle_instance_frames
     from dftly_spark.ops.retrieval import _term_frame
 
     _prep(spark)
+    if not corpus.PERSIST_LEVEL:
+        # Lazy-memo mode (the default): the shared frames are plan
+        # fragments, not materialized state — running actions here would
+        # compute results nobody stores.  Measured at sf0.1/local[32],
+        # pinned storage degraded every later query in the session, so
+        # materialization is opt-in via SPARK_GRAFT_CACHE_PERSIST.
+        return
     docs = _docs_tok(spark, sf_dir)
     key = f"documents:{sf_dir}"
     frames = [docs]
-    for n in (3, 13):
+    # Only the n=13 span family caches its shingle frame: its 13-lead
+    # window construction is expensive enough to amortize, while the n=3
+    # minhash/jaccard consumers measured FASTER recomputing the fused
+    # pipeline than scanning a persisted instance frame at sf0.1.
+    for n in (13,):
         li, sr = _shingle_instance_frames(
             docs, "doc_id", "text", n, tokens_col=_TOK, cache_key=key
         )

@@ -153,3 +153,50 @@ def snapshot_diff(
         )
         .where(F.col("change").isNotNull())
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    *,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change feed.
+
+    The warehouse-side twin of :func:`merge_upsert`: instead of keeping only
+    each key's latest state, keep every DISTINCT state with its validity
+    interval.  Consecutive feed rows that repeat the previous state collapse
+    (heartbeats/no-op updates don't open versions); each surviving version
+    gets ``valid_from`` (its first observation), ``valid_to`` (the next
+    version's start, null while current) and ``is_current``.
+
+    Two window passes over the SAME key partitioning — change detection
+    (null-safe ``lag`` comparison per value column, so NULL→value and
+    value→NULL transitions version correctly) and ``lead`` for interval
+    close — means one keyed Exchange; the filter between them only shrinks
+    partitions.  Ties in ``ts`` are broken by ``order_cols`` for a total
+    order.  At 100 TB this is the sessionize shape: sort-dominated within
+    hash partitions, no cross-key state.
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.lit(False)
+    for c in value_cols:
+        # null-safe "differs from previous row" per column
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    is_first = F.row_number().over(w) == 1
+    versions = changes.withColumn("_new", is_first | changed).where(F.col("_new"))
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        versions.select(
+            F.col(key_col),
+            *[F.col(c) for c in value_cols],
+            F.col(ts_col).alias("valid_from"),
+            F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -32,6 +32,28 @@ from .textops import doc_tokens, tokens
 
 __all__ = ["TOKENS_COL", "tokenized_docs", "clear_token_cache", "doc_tokens"]
 
+import os
+
+#: Storage level NAME for the session caches ("MEMORY_AND_DISK", ...), or
+#: None to memoize the LAZY frame only (plan sharing without
+#: materialization — consumers fuse it into their own codegen pipelines).
+#: Default None: measured at sf0.1/local[32], pinned storage blocks
+#: degraded every later query in the session (InMemoryScan beats the fused
+#: pipeline only in isolation), while lazy sharing kept the wins.  On a
+#: real cluster with repeated queries over one corpus, set
+#: SPARK_GRAFT_CACHE_PERSIST=MEMORY_AND_DISK — or better, write the
+#: tokenized/postings frame to a bucketed table once (ops/scale.py) and
+#: read that.
+PERSIST_LEVEL: str | None = os.environ.get("SPARK_GRAFT_CACHE_PERSIST") or None
+
+
+def _maybe_persist(df: DataFrame) -> DataFrame:
+    if PERSIST_LEVEL:
+        from pyspark import StorageLevel
+
+        return df.persist(getattr(StorageLevel, PERSIST_LEVEL))
+    return df
+
 #: Conventional name for the precomputed token-array column.
 TOKENS_COL = "__tokens"
 
@@ -63,9 +85,7 @@ def tokenized_docs(
     if keep_cols is not None:
         out = out.select(*keep_cols, tokens_col)
     if cache_key is not None:
-        from pyspark import StorageLevel
-
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out = _maybe_persist(out)
         _CACHE[key] = out
     return out
 
@@ -83,9 +103,7 @@ def memo_persist(spark, key: str, make):
     k = (id(spark), f"frame:{key}")
     hit = _CACHE.get(k)
     if hit is None:
-        from pyspark import StorageLevel
-
-        hit = make().persist(StorageLevel.MEMORY_AND_DISK)
+        hit = _maybe_persist(make())
         _CACHE[k] = hit
     return hit
 

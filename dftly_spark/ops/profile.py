@@ -210,3 +210,120 @@ def quantile_stats(
     ]
     keep = ([F.col(by)] if by else []) + [F.col("n"), F.col("mean")] + qcols
     return wide.select(*keep)
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    lookback: int = 100,
+    z_threshold: float = 3.0,
+    min_obs: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly flags over an ordered stream.
+
+    Each row's value is scored against the mean/stddev of its own key's
+    previous ``lookback`` rows (the row itself EXCLUDED — the score is a
+    pure one-step-ahead residual, so an outlier can't mask itself), and
+    flagged when ``|z| > z_threshold``.  Rows with fewer than ``min_obs``
+    predecessors emit a null score: an honest cold-start, not a fake zero.
+    Appends ``zscore`` (rounded) and ``is_anomaly``.
+
+    ONE keyed window shuffle; the frame is rows-bounded (``lookback``
+    PRECEDING .. 1 PRECEDING), so per-row state is O(lookback) within a
+    sorted partition and nothing grows with key cardinality or history
+    length.  ``stddev_samp``'s accumulation differs across engines in the
+    last ulps — rounding to ``decimals`` keeps scores engine-portable,
+    and flag knife-edges would need a score within 1e-12 of the
+    threshold.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order).rowsBetween(-lookback, -1)
+    mean = F.mean(F.col(value_col)).over(w)
+    sd = F.stddev_samp(F.col(value_col)).over(w)
+    n_prev = F.count(F.col(value_col)).over(w)
+    z = F.when(
+        (n_prev >= min_obs) & (sd > 0),
+        (F.col(value_col) - mean) / sd,
+    )
+    return df.withColumn("zscore", F.round(z, decimals)).withColumn(
+        "is_anomaly", F.coalesce(F.abs(F.col("zscore")) > z_threshold, F.lit(False))
+    )
+
+
+def ntile_features(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+    *,
+    buckets: int = 10,
+) -> DataFrame:
+    """Per-key rank features: ``ntile`` bucket, ``percent_rank``,
+    ``cume_dist`` over the value within each key.
+
+    The feature-engineering staple for monotone-invariant models (a value's
+    *standing* within its group, not its magnitude): appends three columns,
+    all from ONE keyed window shuffle.  Ties are broken by ``order_cols``
+    (pass the row id) so the ordering is total and every engine ranks
+    identically; percent_rank and cume_dist are ratios of row counts —
+    exact rationals, bit-identical everywhere.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(value_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        df.withColumn("bucket", F.ntile(buckets).over(w))
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("cume", F.cume_dist().over(w))
+    )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top_k: int = 25,
+) -> DataFrame:
+    """Heavy-hitter report for a join/aggregation key: the diagnostic read
+    BEFORE picking a salting factor or an AQE skew threshold.
+
+    Output: the ``top_k`` keys by row count with each key's ``share`` of
+    total rows and the running ``cum_share`` — the '3 keys own 40% of the
+    table' table that decides whether a shuffle needs a skew plan at all.
+
+    Plan: keyed count with map-side combine (the only data-sized shuffle),
+    TakeOrdered for the top-k cut (never a full sort), then the 1-row total
+    joins the k survivors by broadcast — the same sanctioned 1-row
+    nested-loop as BM25's corpus stats.  The final window ranks ``top_k``
+    rows, not data.  Shares are count ratios: exact rationals, engine-exact.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(top_k)
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n",
+            (F.col("n").cast("double") / F.col("_total")).alias("share"),
+            (F.sum("n").over(w).cast("double") / F.col("_total")).alias(
+                "cum_share"
+            ),
+        )
+    )

@@ -300,3 +300,69 @@ def sparse_cosine_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 10,
+    min_group_tf: int = 5,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Top-``k`` most distinctive terms per group by relative-frequency lift.
+
+    The corpus-card question "what does each source/language/domain talk
+    about that the rest doesn't": ``lift = (term's share of the group's
+    tokens) / (term's share of all tokens)``.  Lift > 1 marks
+    group-specific vocabulary; stop words sit near 1 in every group and
+    never surface.  ``min_group_tf`` suppresses one-off typos.  Output:
+    ``(group, term, tf, lift)``, ``k`` rows per group ranked by lift.
+
+    Built on the SAME per-document term frame BM25/TF-IDF share (one
+    tokenize+postings build per corpus per session): per-group term counts
+    via ONE keyed agg, corpus totals via a second agg over that (already
+    small) frame reused twice — Catalyst sees a ReusedExchange, and the
+    1-row grand total joins by the sanctioned tiny broadcast.  The rank
+    window orders ≤ |vocab| rows per group, never documents.  ``lift`` is
+    built from counts with only IEEE ``*``/``/`` — correctly rounded,
+    engine-exact, no rounding hedge — and ties (identical count tuples)
+    break on the term string.
+    """
+    from pyspark.sql import Window
+
+    terms = _term_frame(docs, id_col, text_col, tokens_col, cache_key)
+    with_g = terms.join(
+        docs.select(F.col(id_col).alias("_id"), F.col(group_col).alias("_g")),
+        "_id",
+    )
+    gterm = with_g.groupBy("_g", "_term").agg(F.sum("_tf").alias("_gtf"))
+    gtot = gterm.groupBy("_g").agg(F.sum("_gtf").alias("_gtot"))
+    cterm = gterm.groupBy("_term").agg(F.sum("_gtf").alias("_ctf"))
+    ctot = gterm.agg(F.sum("_gtf").alias("_ctot"))
+    scored = (
+        gterm.where(F.col("_gtf") >= min_group_tf)
+        .join(gtot, "_g")
+        .join(cterm, "_term")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_term").alias("term"),
+            F.col("_gtf").alias("tf"),
+            (
+                (F.col("_gtf").cast("double") / F.col("_gtot"))
+                / (F.col("_ctf").cast("double") / F.col("_ctot"))
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("lift").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

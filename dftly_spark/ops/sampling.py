@@ -248,3 +248,46 @@ def pack_sequences(
         (begin - chunk_start).alias("chunk_offset"),
         (end - begin).alias("n_tokens"),
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    *,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of ``k`` rows per group.
+
+    Efraimidis–Spirakis A-ES: each row draws ``u ∈ (0,1)`` from its id
+    through the deterministic LCG mixer (never ``rand()`` — reruns, retries
+    and repartitions all see the same sample) and the ``k`` smallest
+    ``-ln(u) / w`` win; a row's win probability is proportional to its
+    weight.  Non-positive or null weights never win (their key is +inf).
+
+    The exponential key is ONE window rank per group — the same single
+    keyed Exchange as :func:`cap_per_group`, so the ``presalt`` trick there
+    applies when one group is pathological.  The key is ordering-only and
+    never emitted: cross-engine ``ln`` differs in the last ulp, but two
+    distinct draws are never within an ulp of each other, so the SELECTED
+    SET is engine-exact even though the float key is not.
+    """
+    from pyspark.sql import Window
+
+    u = (_mix(F.col(id_col), seed) + F.lit(1)).cast("double") / F.lit(
+        float(_M + 1)
+    )
+    wcol = F.col(weight_col).cast("double")
+    es_key = F.when(wcol > 0, -F.log(u) / wcol).otherwise(
+        F.lit(float("inf"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        es_key.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__esr", F.row_number().over(w))
+        .where(F.col("__esr") <= k)
+        .drop("__esr")
+    )

@@ -240,3 +240,144 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Union overlapping/touching intervals per key (gaps-and-islands).
+
+    The span-coalescing primitive behind activity timelines, sensor uptime,
+    and document-span bookkeeping: intervals ``[start, end)`` that overlap
+    or touch (``start <= running max of prior ends``) merge into one span.
+    Output: ``(key, span_start, span_end, n_rows)``.
+
+    Classic two-window gaps-and-islands, both windows partitioned by the
+    SAME key so the plan has ONE keyed Exchange: a running ``max(end)`` over
+    preceding rows detects island breaks, a running sum of breaks numbers
+    the islands, and a keyed agg collapses each island.  Per-key state in
+    the window is one long — no buffering, no cross-key traffic.  At 100 TB
+    this is sort-within-partition dominated, exactly like sessionize.
+    """
+    w_order = Window.partitionBy(key_col).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(end_col).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_break = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    island = F.sum(is_break).over(
+        w_order.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("_island", island)
+        .groupBy(F.col(key_col), F.col("_island"))
+        .agg(
+            F.min(start_col).alias("span_start"),
+            F.max(end_col).alias("span_end"),
+            F.count(F.lit(1)).alias(count_col),
+        )
+        .drop("_island")
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-key time-weighted average of a step signal (carry-forward).
+
+    Each value holds from its event until the key's next event; the average
+    weights every value by how long it held:
+    ``sum(value_i * (t_{i+1} - t_i)) / (t_last - t_first)``.  Keys with a
+    single event (no elapsed time) report that value unchanged.  Output:
+    ``(key, twa, span_us, n_events)``.
+
+    One keyed window (``lead`` over the same partitioning the final agg
+    uses) then one keyed agg — a single Exchange.  The quotient is rounded
+    to ``decimals`` because a groupBy's float sum order is
+    partition-dependent: rounding puts the ~1e-13 relative wobble far below
+    the emitted precision, so results are stable across engines and runs.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(value_col).asc())
+    nxt = F.lead(us).over(w)
+    seg = df.select(
+        F.col(key_col),
+        F.col(value_col).cast("double").alias("_v"),
+        us.alias("_t"),
+        nxt.alias("_nt"),
+    )
+    return (
+        seg.groupBy(key_col)
+        .agg(
+            F.sum(F.when(F.col("_nt").isNotNull(), F.col("_v") * (F.col("_nt") - F.col("_t")))).alias("_num"),
+            (F.max("_t") - F.min("_t")).alias("span_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            # zero-span fallback: min value (deterministic; F.first is
+            # partition-order-dependent under a groupBy)
+            F.min("_v").alias("_only"),
+        )
+        .select(
+            F.col(key_col),
+            F.round(
+                F.when(F.col("span_us") > 0, F.col("_num") / F.col("span_us"))
+                .otherwise(F.col("_only")),
+                decimals,
+            ).alias("twa"),
+            "span_us",
+            "n_events",
+        )
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Empirical Markov transitions between consecutive states per key.
+
+    Counts each observed ``(state → next_state)`` bigram within a key's
+    time-ordered sequence and normalizes per source state:
+    ``(from_state, to_state, n, p)``.  The sequence-model / user-journey
+    summary next to :func:`funnel` — and because ``p`` is a ratio of two
+    counts, every emitted float is a single correctly-rounded IEEE divide:
+    bit-identical in any engine, no rounding hedge needed.
+
+    One keyed window (lead over user-time order, tie-broken by
+    ``order_cols`` for total order) feeding a tiny ``(from, to)`` keyed agg
+    with map-side combine; the matrix is at most |states|² rows.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(F.col(state_col)).over(w).alias("to_state"),
+        )
+        .where(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_src = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_src)).alias("p"),
+    )
