@@ -3320,6 +3320,394 @@ _q(
 )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operator family: stream analytics, feature engineering, sampling,
+# warehouse history, corpus cards, embedding triage (x57-x66)
+# ---------------------------------------------------------------------------
+
+
+def _x57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands span coalescing: each event opens a 15-minute
+    activity interval; overlapping/touching intervals per user merge into
+    spans (ops/sessions.py merge_intervals — one keyed Exchange)."""
+    from dftly_spark.ops import merge_intervals
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        "user_id",
+        us.alias("s_us"),
+        (us + F.lit(15 * 60 * 1_000_000)).alias("e_us"),
+    )
+    return merge_intervals(iv, "user_id", "s_us", "e_us", count_col="n_events")
+
+
+_q(
+    "x57_merge_intervals",
+    _x57,
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 900000000 AS e
+      FROM events
+    ), ord AS (
+      SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM iv
+    ), brk AS (
+      SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS b FROM ord
+    ), isl AS (
+      SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM brk
+    )
+    SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+           count(*) AS n_events
+    FROM isl GROUP BY user_id, g
+    """,
+)
+
+
+def _x58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead rolling z-score anomaly flags per event_type
+    (ops/profile.py rolling_zscore — one keyed window, rows-bounded
+    frame)."""
+    from dftly_spark.ops import rolling_zscore
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    out = rolling_zscore(
+        ev, "event_type", ["ts", "event_id"], "value",
+        lookback=50, z_threshold=2.5, min_obs=10,
+    )
+    return out.select("event_id", "event_type", "value", "zscore", "is_anomaly")
+
+
+_q(
+    "x58_rolling_zscore",
+    _x58,
+    """
+    WITH w AS (
+      SELECT event_id, event_type, value,
+             avg(value) OVER win AS m,
+             stddev_samp(value) OVER win AS sd,
+             count(value) OVER win AS c
+      FROM events
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, value,
+           round(CASE WHEN c >= 10 AND sd > 0 THEN (value - m) / sd END, 6)
+             AS zscore,
+           coalesce(abs(round(CASE WHEN c >= 10 AND sd > 0
+                                   THEN (value - m) / sd END, 6)) > 2.5,
+                    false) AS is_anomaly
+    FROM w
+    """,
+)
+
+
+def _x59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from the event feed: per-user event_type
+    versions with validity intervals; heartbeat repeats collapse
+    (ops/cdc.py scd2_history — one keyed Exchange, two windows)."""
+    from dftly_spark.ops import scd2_history
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return scd2_history(
+        ev, "user_id", "ts", ["event_type"], order_cols=["event_id"]
+    )
+
+
+_q(
+    "x59_scd2_history",
+    _x59,
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_type, event_id,
+             lag(event_type) OVER w AS pv,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), v AS (
+      SELECT * FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM pv
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM v
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+
+
+def _x60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement, 20 docs per source, weight =
+    n_chars (ops/sampling.py weighted_sample_per_group — Efraimidis-
+    Spirakis keys off the deterministic LCG, one keyed window)."""
+    from dftly_spark.ops import weighted_sample_per_group
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample_per_group(
+        docs, "source", "doc_id", "n_chars", k=20, seed=7
+    )
+
+
+def _x60_oracle() -> str:
+    from dftly_spark.ops.sampling import _M, mix_sql
+
+    u = mix_sql("doc_id", 7)
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CASE WHEN n_chars > 0
+                             THEN -ln(({u} + 1) / {float(_M + 1)!r}) / n_chars
+                             ELSE CAST('infinity' AS DOUBLE) END,
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM keyed WHERE rn <= 20
+    """
+
+
+_q("x60_weighted_sample", _x60, _x60_oracle())
+
+
+def _x61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary by relative-frequency lift
+    (ops/retrieval.py distinctive_terms — shares the corpus term frame
+    with BM25/TF-IDF; lift is pure IEEE divides, engine-exact)."""
+    from dftly_spark.ops import distinctive_terms
+
+    _prep(spark)
+    return distinctive_terms(
+        _docs_tok(spark, sf_dir),
+        "source",
+        k=10,
+        min_group_tf=5,
+        tokens_col=_TOK,
+        cache_key=f"documents:{sf_dir}",
+    )
+
+
+_q(
+    "x61_distinctive_terms",
+    _x61,
+    r"""
+    WITH base AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, any_value(source) AS source, t AS term, count(*) AS tf
+      FROM (SELECT doc_id, source, unnest(w) AS t FROM base)
+      GROUP BY doc_id, t
+    ), gterm AS (
+      SELECT source, term, CAST(sum(tf) AS BIGINT) AS gtf
+      FROM tf GROUP BY source, term
+    ), gtot AS (
+      SELECT source, CAST(sum(gtf) AS BIGINT) AS gtot FROM gterm GROUP BY source
+    ), cterm AS (
+      SELECT term, CAST(sum(gtf) AS BIGINT) AS ctf FROM gterm GROUP BY term
+    ), ctot AS (
+      SELECT CAST(sum(gtf) AS BIGINT) AS ctot FROM gterm
+    ), scored AS (
+      SELECT g.source, g.term, g.gtf AS tf,
+             (CAST(g.gtf AS DOUBLE) / t.gtot) / (CAST(c.ctf AS DOUBLE) / x.ctot)
+               AS lift
+      FROM gterm g JOIN gtot t USING (source)
+      JOIN cterm c USING (term) CROSS JOIN ctot x
+      WHERE g.gtf >= 5
+    )
+    SELECT source, term, tf, lift
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY lift DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= 10
+    """,
+)
+
+
+def _x62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space triage: the 50 vectors farthest from the corpus
+    centroid by cosine (ops/similarity.py centroid_outliers — dim-wide
+    centroid agg + sanctioned 1-row broadcast + TakeOrdered)."""
+    from dftly_spark.ops import centroid_outliers
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, "vec_id", "embedding", k=50)
+
+
+_q(
+    "x62_centroid_outliers",
+    _x62,
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), d AS (
+      SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e
+    ), cent AS (
+      SELECT pos, avg(val) AS c FROM d GROUP BY pos
+    ), nb AS (
+      SELECT sqrt(sum(c * c)) AS nc FROM cent
+    ), sc AS (
+      SELECT d.vec_id,
+             sum(d.val * cent.c) AS dp,
+             sqrt(sum(d.val * d.val)) AS na
+      FROM d JOIN cent USING (pos) GROUP BY d.vec_id
+    )
+    SELECT vec_id, round(dp / (na * nc), 6) AS centroid_cos
+    FROM sc CROSS JOIN nb
+    ORDER BY centroid_cos ASC, vec_id ASC
+    LIMIT 50
+    """,
+)
+
+
+def _x63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rank features: decile bucket, percent_rank, cume_dist of
+    the event value (ops/profile.py ntile_features — one keyed window;
+    ranks are count ratios, engine-exact)."""
+    from dftly_spark.ops import ntile_features
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = ntile_features(ev, "event_type", "value", ["event_id"], buckets=10)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "pct_rank",
+        "cume",
+    )
+
+
+_q(
+    "x63_ntile_features",
+    _x63,
+    """
+    SELECT event_id, event_type, value,
+           ntile(10) OVER w AS bucket,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+
+
+def _x64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the carry-forward value signal
+    (ops/sessions.py time_weighted_avg — lead + agg on one keyed
+    Exchange)."""
+    from dftly_spark.ops import time_weighted_avg
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return time_weighted_avg(ev, "user_id", "ts", "value")
+
+
+_q(
+    "x64_time_weighted_avg",
+    _x64,
+    """
+    WITH s AS (
+      SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), value) AS nt
+      FROM events
+    )
+    SELECT user_id,
+           round(CASE WHEN max(t) - min(t) > 0
+                      THEN sum(CASE WHEN nt IS NOT NULL
+                                    THEN value * (nt - t) END)
+                           / (max(t) - min(t))
+                      ELSE min(value) END, 6) AS twa,
+           max(t) - min(t) AS span_us,
+           count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+
+
+def _x65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key heavy-hitter report for orders.o_custkey — the diagnostic
+    read before salting/AQE-skew decisions (ops/profile.py
+    key_skew_profile — keyed count + TakeOrdered + 1-row total
+    broadcast)."""
+    from dftly_spark.ops import key_skew_profile
+
+    _prep(spark)
+    return key_skew_profile(_t(spark, sf_dir, "orders"), "o_custkey", top_k=25)
+
+
+_q(
+    "x65_key_skew",
+    _x65,
+    """
+    WITH c AS (
+      SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS t FROM c
+    ), top AS (
+      SELECT key, n FROM c ORDER BY n DESC, key LIMIT 25
+    )
+    SELECT key, n, CAST(n AS DOUBLE) / t AS share,
+           CAST(sum(n) OVER (ORDER BY n DESC, key
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / t AS cum_share
+    FROM top CROSS JOIN tot
+    """,
+)
+
+
+def _x66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical Markov transition matrix over per-user event_type
+    sequences (ops/sessions.py transition_matrix — one keyed window into
+    a vocabulary-sized agg; probabilities are count ratios,
+    engine-exact)."""
+    from dftly_spark.ops import transition_matrix
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    return transition_matrix(
+        ev, "user_id", "ts", "event_type", order_cols=("event_id",)
+    )
+
+
+_q(
+    "x66_transition_matrix",
+    _x66,
+    """
+    WITH s AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    SELECT event_type AS from_state, nxt AS to_state,
+           count(*) AS n,
+           CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY event_type) AS p
+    FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -3333,6 +3721,16 @@ _q(
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x57_merge_intervals",
+    "x58_rolling_zscore",
+    "x59_scd2_history",
+    "x60_weighted_sample",
+    "x61_distinctive_terms",
+    "x62_centroid_outliers",
+    "x63_ntile_features",
+    "x64_time_weighted_avg",
+    "x65_key_skew",
+    "x66_transition_matrix",
     "q26_native_time",
     "q25_iso_week",
     "x56_ivf_kmeans_topk",

@@ -65,6 +65,7 @@ from .dedup import (
     word_shingles,
 )
 from .similarity import (
+    centroid_outliers,
     random_project,
     brute_force_topk,
     cosine,
@@ -78,18 +79,22 @@ from .similarity import (
 )
 from .joins import asof_join, asof_join_stream, lag_features, range_join
 from .jsonops import json_extract_fields, json_parse_typed
-from .retrieval import sparse_cosine_pairs, bm25_topk, tf_idf_vectors
+from .retrieval import sparse_cosine_pairs, bm25_topk, tf_idf_vectors, distinctive_terms
 from .sampling import (
     cap_per_group,
+    weighted_sample_per_group,
     hash_split,
     mixture_sample,
     pack_sequences,
     stratified_sample,
 )
-from .cdc import latest_changes, merge_upsert, snapshot_diff
+from .cdc import latest_changes, merge_upsert, scd2_history, snapshot_diff
 from .lm import bigram_frame, bigram_lm_scores
 from .profile import (
     histogram_fixed,
+    key_skew_profile,
+    ntile_features,
+    rolling_zscore,
     ks_drift,
     profile_table,
     quantile_stats,
@@ -108,7 +113,15 @@ from .scale import (
     write_zordered,
     zorder_key,
 )
-from .sessions import cohort_retention, funnel, sessionize, sessionize_stream
+from .sessions import (
+    cohort_retention,
+    funnel,
+    merge_intervals,
+    sessionize,
+    sessionize_stream,
+    time_weighted_avg,
+    transition_matrix,
+)
 from .multimodal import (
     audio_chunks,
     resize_images,

@@ -487,3 +487,50 @@ def lsh_bucket_topk(
     ).dropDuplicates([query_id_col, id_col])
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 50,
+    decimals: int = 6,
+) -> DataFrame:
+    """The ``k`` embeddings farthest (lowest cosine) from the corpus centroid.
+
+    The embedding-space triage view: mislabeled points, encoder failures,
+    and out-of-domain contamination all land in the far tail of
+    centroid similarity.  Output: ``(id, centroid_cos)`` for the ``k``
+    lowest, ranked ascending (ties broken by id on the ROUNDED score, so
+    the selected set is stable across engines and runs).
+
+    Plan: ONE per-dimension aggregation (posexplode → groupBy(dim) —
+    shuffle width is ``dim`` rows, not data), the 1-row centroid rides the
+    sanctioned tiny broadcast back over the corpus (same shape as BM25's
+    corpus stats), and the cut is a TakeOrdered — no full sort.  The
+    centroid's float sums are partition-order dependent at the 1e-13
+    level, hence scoring to ``decimals`` BEFORE ranking.
+    """
+    from pyspark.sql import Window
+
+    exploded = emb.select(
+        F.col(id_col), F.posexplode(F.col(vec_col).cast("array<double>")).alias("_pos", "_v")
+    )
+    cent = (
+        exploded.groupBy("_pos")
+        .agg(F.avg("_v").alias("_c"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_c"))),
+                lambda s: s["_c"],
+            ).alias("_cent")
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col("_cent")), decimals
+        ).alias("centroid_cos"),
+    )
+    return scored.orderBy(F.col("centroid_cos").asc(), F.col(id_col).asc()).limit(k)

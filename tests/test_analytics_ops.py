@@ -1,0 +1,294 @@
+"""Edge-case tests for the round-3 analytics family (x57-x66 surface):
+interval merging, rolling anomalies, SCD2 history, weighted sampling,
+rank features, skew profiling, transitions, time-weighted averages,
+distinctive terms, centroid outliers.
+
+The sf0.01 oracle gate proves value parity on the generated data; these
+tests pin the semantics the generated data never exercises — touching
+intervals, heartbeat collapse, cold starts, zero-span keys, weight
+proportionality, partition invariance.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rows(df, *cols):
+    return [tuple(r) for r in df.select(*cols).collect()]
+
+
+# ---------------------------------------------------------------------------
+# merge_intervals
+# ---------------------------------------------------------------------------
+
+
+def test_merge_intervals_overlap_touch_gap(spark):
+    from dftly_spark.ops import merge_intervals
+
+    df = spark.createDataFrame(
+        [
+            # overlapping pair -> one span
+            ("a", 0, 10),
+            ("a", 5, 20),
+            # touching (start == prior end) -> merges
+            ("a", 20, 30),
+            # gap -> new span
+            ("a", 40, 50),
+            # contained interval (running-max guard: [60,100] swallows [70,80])
+            ("b", 60, 100),
+            ("b", 70, 80),
+            ("b", 90, 110),
+        ],
+        "k string, s long, e long",
+    )
+    out = sorted(_rows(merge_intervals(df, "k", "s", "e"), "k", "span_start", "span_end", "n_rows"))
+    assert out == [("a", 0, 30, 3), ("a", 40, 50, 1), ("b", 60, 110, 3)]
+
+
+def test_merge_intervals_partition_invariance(spark):
+    from dftly_spark.ops import merge_intervals
+
+    df = spark.range(200).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 13 % 101).alias("s"),
+        (F.col("id") * 13 % 101 + 5).alias("e"),
+    )
+    a = sorted(_rows(merge_intervals(df, "k", "s", "e"), "k", "span_start", "span_end"))
+    b = sorted(
+        _rows(merge_intervals(df.repartition(17), "k", "s", "e"), "k", "span_start", "span_end")
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# scd2_history
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_collapses_heartbeats_and_versions_null_transitions(spark):
+    from dftly_spark.ops import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            ("u1", 1, "A", 1),
+            ("u1", 2, "A", 2),  # heartbeat: same state, no new version
+            ("u1", 3, "B", 3),  # change
+            ("u1", 4, None, 4),  # value -> NULL is a real transition
+            ("u1", 5, None, 5),  # repeated NULL collapses
+            ("u1", 6, "A", 6),  # NULL -> value is a real transition
+        ],
+        "k string, ts long, v string, seq long",
+    )
+    out = scd2_history(df, "k", "ts", ["v"], order_cols=["seq"])
+    got = sorted(_rows(out, "valid_from", "v", "valid_to", "is_current"))
+    assert got == [
+        (1, "A", 3, False),
+        (3, "B", 4, False),
+        (4, None, 6, False),
+        (6, "A", None, True),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_per_group
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_partition_invariant(spark):
+    from dftly_spark.ops import weighted_sample_per_group
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") % 97 + 1).alias("w"),
+    )
+    a = sorted(_rows(weighted_sample_per_group(df, "g", "doc_id", "w", k=10, seed=3), "g", "doc_id"))
+    b = sorted(
+        _rows(
+            weighted_sample_per_group(df.repartition(13), "g", "doc_id", "w", k=10, seed=3),
+            "g",
+            "doc_id",
+        )
+    )
+    assert a == b
+    assert len(a) == 50  # 5 groups x k=10
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    from dftly_spark.ops import weighted_sample_per_group
+
+    # one group: ids 0..199 weight 1, ids 200..219 weight 1000.  The 20
+    # heavy rows hold ~99% of total weight; a k=20 sample should be
+    # dominated by them (bound loose enough to be seed-robust).
+    df = spark.range(220).select(
+        F.col("id").alias("doc_id"),
+        F.lit("g").alias("g"),
+        F.when(F.col("id") >= 200, 1000).otherwise(1).alias("w"),
+    )
+    out = _rows(weighted_sample_per_group(df, "g", "doc_id", "w", k=20, seed=1), "doc_id")
+    heavy = sum(1 for (i,) in out if i >= 200)
+    assert heavy >= 15
+
+
+def test_weighted_sample_nonpositive_weights_lose(spark):
+    from dftly_spark.ops import weighted_sample_per_group
+
+    df = spark.createDataFrame(
+        [(1, "g", 5), (2, "g", 0), (3, "g", -4), (4, "g", None), (5, "g", 2)],
+        "doc_id long, g string, w int",
+    )
+    out = sorted(i for (i,) in _rows(weighted_sample_per_group(df, "g", "doc_id", "w", k=2, seed=0), "doc_id"))
+    assert out == [1, 5]
+
+
+# ---------------------------------------------------------------------------
+# rolling_zscore
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_zscore_cold_start_and_flag(spark):
+    from dftly_spark.ops import rolling_zscore
+
+    rows = [("k", i, 10.0) for i in range(12)] + [("k", 12, 1000.0)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = rolling_zscore(df, "k", ["i"], "v", lookback=50, z_threshold=3.0, min_obs=10)
+    got = {r["i"]: (r["zscore"], r["is_anomaly"]) for r in out.collect()}
+    # rows 0..9: fewer than min_obs predecessors -> null score, False flag
+    for i in range(10):
+        assert got[i] == (None, False)
+    # rows 10,11: 10+ predecessors but zero variance -> null score (sd==0)
+    assert got[10] == (None, False) and got[11] == (None, False)
+    # the jump row still has sd==0 history -> honest null, not +inf
+    assert got[12] == (None, False)
+
+
+def test_rolling_zscore_flags_outlier(spark):
+    from dftly_spark.ops import rolling_zscore
+
+    vals = [10.0, 12.0, 9.0, 11.0, 10.0, 13.0, 8.0, 11.0, 12.0, 9.0, 10.5, 500.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "k string, i long, v double"
+    )
+    out = rolling_zscore(df, "k", ["i"], "v", lookback=50, z_threshold=3.0, min_obs=10)
+    got = {r["i"]: r["is_anomaly"] for r in out.collect()}
+    assert got[11] is True
+    assert not any(got[i] for i in range(11))
+
+
+# ---------------------------------------------------------------------------
+# ntile_features / key_skew_profile / transition_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_ntile_buckets_and_rank_bounds(spark):
+    from dftly_spark.ops import ntile_features
+
+    df = spark.range(100).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    out = ntile_features(df, "g", "v", ["v"], buckets=4).collect()
+    sizes = {}
+    for r in out:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+        assert 0.0 <= r["pct_rank"] <= 1.0
+        assert 0.0 < r["cume"] <= 1.0
+    assert sizes == {1: 25, 2: 25, 3: 25, 4: 25}
+
+
+def test_key_skew_shares_sum_and_order(spark):
+    from dftly_spark.ops import key_skew_profile
+
+    df = spark.range(100).select(
+        F.when(F.col("id") < 60, "hot").otherwise((F.col("id") % 8).cast("string")).alias("k")
+    )
+    out = key_skew_profile(df, "k", top_k=3).collect()
+    assert out[0]["key"] == "hot" and out[0]["n"] == 60
+    assert abs(out[0]["share"] - 0.6) < 1e-12
+    # cum_share is nondecreasing and ends at the top-k coverage
+    cums = [r["cum_share"] for r in out]
+    assert cums == sorted(cums)
+    assert abs(cums[-1] - sum(r["n"] for r in out) / 100) < 1e-12
+
+
+def test_transition_matrix_probabilities(spark):
+    from dftly_spark.ops import transition_matrix
+
+    df = spark.createDataFrame(
+        [("u", 1, "a"), ("u", 2, "b"), ("u", 3, "a"), ("u", 4, "c"),
+         ("v", 1, "a"), ("v", 2, "b")],
+        "k string, ts long, s string",
+    )
+    out = {(r["from_state"], r["to_state"]): (r["n"], r["p"]) for r in
+           transition_matrix(df, "k", "ts", "s").collect()}
+    assert out[("a", "b")] == (2, 2 / 3)
+    assert out[("a", "c")] == (1, 1 / 3)
+    assert out[("b", "a")] == (1, 1.0)
+    # per-source probabilities sum to 1
+    assert abs(sum(p for (f, _), (_, p) in out.items() if f == "a") - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg
+# ---------------------------------------------------------------------------
+
+
+def test_time_weighted_avg_step_semantics(spark):
+    from dftly_spark.ops import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [
+            # value 10 holds 1s, value 20 holds 3s -> twa 17.5
+            ("a", "2024-01-01 00:00:00", 10.0),
+            ("a", "2024-01-01 00:00:01", 20.0),
+            ("a", "2024-01-01 00:00:04", 99.0),  # last value carries no weight
+            # single event -> value itself, zero span
+            ("b", "2024-01-01 00:00:00", 7.0),
+        ],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["k"]: (r["twa"], r["span_us"], r["n_events"]) for r in
+           time_weighted_avg(df, "k", "ts", "v").collect()}
+    assert got["a"] == (17.5, 4_000_000, 3)
+    assert got["b"] == (7.0, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# distinctive_terms / centroid_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_distinctive_terms_surfaces_group_vocab(spark):
+    from dftly_spark.ops import distinctive_terms
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "tech", "the kernel scheduler preempts the kernel thread"))
+    for i in range(30, 60):
+        rows.append((i, "food", "the recipe simmers the onion broth gently"))
+    df = spark.createDataFrame(rows, "doc_id long, g string, text string")
+    out = distinctive_terms(df, "g", "doc_id", "text", k=3, min_group_tf=5)
+    by_group = {}
+    for r in out.collect():
+        by_group.setdefault(r["g"], []).append(r["term"])
+        assert r["lift"] > 1.0  # distinctive terms always lift above corpus rate
+    assert "kernel" in by_group["tech"]
+    assert set(by_group["tech"]).isdisjoint(by_group["food"])
+    # the shared stop word never surfaces
+    assert "the" not in by_group["tech"] + by_group["food"]
+
+
+def test_centroid_outliers_finds_planted_outlier(spark):
+    from dftly_spark.ops import centroid_outliers
+
+    import math
+
+    rows = []
+    for i in range(50):
+        a = 0.02 * i
+        rows.append((i, [1.0, 0.05 * math.sin(a), 0.05 * math.cos(a), 0.0]))
+    rows.append((99, [-1.0, 0.0, 0.0, 0.0]))  # opposite the cluster
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = centroid_outliers(df, "vec_id", "embedding", k=3).collect()
+    assert out[0]["vec_id"] == 99
+    assert out[0]["centroid_cos"] < 0
+    # scores ranked ascending
+    scores = [r["centroid_cos"] for r in out]
+    assert scores == sorted(scores)

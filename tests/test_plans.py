@@ -112,6 +112,9 @@ def test_all_contract_queries_plan_invariants(spark):
         "x40_ks_drift",  # 1-row (n_a, n_b) totals broadcast
         "x45_bigram_lm",  # 1-row vocabulary-size (V) broadcast
         "x54_sparse_cosine",  # 1-row corpus-size (N) broadcast in tf_idf
+        "x61_distinctive_terms",  # 1-row corpus-total broadcast
+        "x62_centroid_outliers",  # 1-row centroid broadcast
+        "x65_key_skew",  # 1-row grand-total broadcast over top-k rows
     }
     arrow_allowed = {"x09_multimodal_decode"}  # sanctioned mapInPandas stub
     for name, fn in entry.queries().items():
