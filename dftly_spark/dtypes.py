@@ -185,4 +185,10 @@ def tag_of_spark(dt) -> str:
         return DURATION
     if name.startswith("decimal"):
         return F64
+    if name.startswith("time("):
+        # Spark 4.1 native TIME(n) (feature-flagged).  Tagged TIME: the
+        # engine converts to its micros-since-midnight long at the input
+        # boundary (nodes/base.py Column), so every accessor/@/strptime
+        # path works on native TIME inputs unchanged.
+        return TIME
     return UNKNOWN

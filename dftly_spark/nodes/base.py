@@ -50,14 +50,30 @@ class LoweringContext:
     back to Spark's default coercions.
     """
 
-    __slots__ = ("schema",)
+    __slots__ = ("schema", "native_time_cols")
 
-    def __init__(self, schema: dict[str, str] | None = None):
+    def __init__(
+        self,
+        schema: dict[str, str] | None = None,
+        native_time_cols: set[str] | None = None,
+    ):
         self.schema = schema
+        # Columns whose PHYSICAL type is Spark 4.1 native TIME(n): tagged
+        # TIME like everything else, but Column lowering must convert them
+        # to the engine's micros-since-midnight long at the input boundary
+        # (dftly_spark/timetype.py).
+        self.native_time_cols = native_time_cols or set()
 
     @classmethod
     def from_spark_schema(cls, spark_schema) -> "LoweringContext":
-        return cls({f.name: DT.tag_of_spark(f.dataType) for f in spark_schema.fields})
+        return cls(
+            {f.name: DT.tag_of_spark(f.dataType) for f in spark_schema.fields},
+            {
+                f.name
+                for f in spark_schema.fields
+                if f.dataType.simpleString().startswith("time(")
+            },
+        )
 
     def col_type(self, name: str) -> str:
         if self.schema is None:
@@ -350,6 +366,14 @@ class Column(Terminal):
         return ctx.col_type(self.name)
 
     def to_column(self, ctx: LoweringContext | None = None) -> SparkColumn:
+        if ctx is not None and self.name in ctx.native_time_cols:
+            # Native TIME(n) input (Spark 4.1): convert once at the input
+            # boundary to the engine's micros-since-midnight long; every
+            # downstream accessor / ``@`` / cast path is representation-
+            # agnostic from here.
+            from ..timetype import time_to_micros
+
+            return time_to_micros(F.col(self.name))
         return F.col(self.name)
 
 

@@ -132,6 +132,10 @@ from .multimodal import (
 )
 
 __all__ = [
+    "merge_intervals", "rolling_zscore", "scd2_history",
+    "weighted_sample_per_group", "distinctive_terms", "centroid_outliers",
+    "ntile_features", "time_weighted_avg", "key_skew_profile",
+    "transition_matrix",
     "tokens", "token_count", "bpe_token_count", "normalize_text",
     "TOKENS_COL", "tokenized_docs", "clear_token_cache", "doc_tokens", "memo_persist",
     "stopword_ratio", "punct_ratio", "quality_score", "language_id", "vocab_topk",

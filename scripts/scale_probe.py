@@ -60,14 +60,35 @@ def replicate_emb(emb: DataFrame, c: int) -> DataFrame:
     return out
 
 
+def replicate_events(ev, c):
+    """Disjoint user spaces per replica — per-key windows grow in key count,
+    never in per-key history, exactly how a larger event stream behaves."""
+    out = ev
+    for i in range(1, c):
+        out = out.unionByName(
+            ev.select(
+                (F.col("event_id") + 10_000_000 * i).alias("event_id"),
+                "ts",
+                (F.col("user_id") + 1_000_000 * i).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    return out
+
+
 def main() -> None:
     from dftly_spark.ops import (
         bm25_topk,
         containment_pairs,
         dup_ngram_fraction,
         embedding_dup_pairs,
+        merge_intervals,
         minhash_dup_pairs,
         ngram_jaccard_pairs,
+        rolling_zscore,
+        scd2_history,
     )
 
     spark = (
@@ -80,6 +101,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -150,17 +172,42 @@ def main() -> None:
         "dup_clusters": lambda d, e: _clusters(d),
         "sparse_cosine": lambda d, e: _sparse_cosine(d),
     }
+    def _intervals(ev):
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        iv = ev.select("user_id", us.alias("s"), (us + 900_000_000).alias("e"))
+        return merge_intervals(iv, "user_id", "s", "e")
+
+    EVENT_OPS = {
+        "merge_intervals": _intervals,
+        "rolling_zscore": lambda ev: rolling_zscore(
+            ev, "event_type", ["ts", "event_id"], "value", lookback=50
+        ),
+        "scd2_history": lambda ev: scd2_history(
+            ev.select("user_id", "ts", "event_type", "event_id"),
+            "user_id", "ts", ["event_type"], order_cols=["event_id"],
+        ),
+    }
+    # event ops replicate the event stream (disjoint user spaces), not docs
+    for _k, _f in EVENT_OPS.items():
+        OPS[_k] = (lambda d, e, c, _f=_f: _f(replicate_events(events, c)))
     wanted = sys.argv[1:] or list(OPS)
+
+    import inspect as _inspect
+
+    def _call(build, d, e, c):
+        if len(_inspect.signature(build).parameters) >= 3:
+            return build(d, e, c)
+        return build(d, e)
 
     for name in wanted:
         build = OPS[name]
         # warm codegen/JIT on the smallest scale so rates compare cleanly
-        build(docs, emb).write.format("noop").mode("overwrite").save()
+        _call(build, docs, emb, 1).write.format("noop").mode("overwrite").save()
         times = []
         for c in SCALES:
             d, e = replicate_docs(docs, c), replicate_emb(emb, c)
             t0 = time.perf_counter()
-            out = build(d, e)
+            out = _call(build, d, e, c)
             out.write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
         rates = [times[i] / times[0] for i in range(len(SCALES))]

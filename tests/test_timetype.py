@@ -67,3 +67,48 @@ def test_time_type_enabled_false_by_default():
         conf = FakeConf()
 
     assert time_type_enabled(FakeSpark()) is False
+
+
+def test_native_time_input_column_accessors(spark):
+    """A Spark 4.1 native time(6) INPUT column flows through the engine:
+    tagged TIME at inference, converted to micros at the input boundary,
+    so accessors / totals / @ all work unchanged."""
+    from pyspark.sql import functions as F
+
+    from dftly_spark import Parser
+
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    df = spark.createDataFrame(
+        [("13:45:12.123456",), ("00:00:01",)], "s string"
+    ).select(F.col("s").cast("time(6)").alias("t"), F.lit("2024-03-05").cast("date").alias("d"))
+    out = Parser.select(
+        df,
+        {
+            "h": "$t::hour_of_day::int64",
+            "m": "$t::minute_of_hour::int64",
+            "s": "$t::second_of_minute::int64",
+            # '@' requires a time LITERAL in the string grammar (reference
+            # parity); expression-valued time uses the node form.
+            "at": {"set_time": ["$d", "$t"]},
+        },
+    ).collect()
+    assert (out[0]["h"], out[0]["m"], out[0]["s"]) == (13, 45, 12)
+    assert (out[1]["h"], out[1]["m"], out[1]["s"]) == (0, 0, 1)
+    assert str(out[0]["at"]) == "2024-03-05 13:45:12.123456"
+
+
+def test_native_time_roundtrip_through_engine(spark):
+    """time(6) in -> engine micros -> micros_to_time out is the identity."""
+    from pyspark.sql import functions as F
+
+    from dftly_spark import Parser, micros_to_time
+
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    df = spark.createDataFrame([("07:08:09.5",)], "s string").select(
+        F.col("s").cast("time(6)").alias("t")
+    )
+    tagged = Parser.select(df, {"t_us": "$t"})
+    back = tagged.select(micros_to_time(F.col("t_us")).alias("t")).collect()
+    import datetime
+
+    assert back[0]["t"] == datetime.time(7, 8, 9, 500000)
