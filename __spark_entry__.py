@@ -3708,6 +3708,158 @@ _q(
 )
 
 
+
+
+def _x67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bidirectional customer-supplier trade graph
+    (ops/graph.py — per-iteration edge join + dst-keyed sum, fixed
+    iteration budget so the computation is a deterministic function of
+    the edge list; unnormalized GraphX-style formulation, mass sums to N;
+    DuckDB replays it with a recursive CTE)."""
+    from dftly_spark.ops import pagerank
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iters=5, damping=0.85)
+
+
+_q(
+    "x67_pagerank",
+    _x67,
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL SELECT s, c FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS n FROM edges
+    ), deg AS (
+      SELECT src, count(*) AS deg FROM edges GROUP BY src
+    )
+    SELECT n AS node, round(r, 6) AS rank FROM (
+      WITH RECURSIVE pr AS (
+        SELECT 0 AS it, n, CAST(1.0 AS DOUBLE) AS r FROM nodes
+        UNION ALL
+        SELECT pr.it + 1, e.dst AS n,
+               (1.0 - 0.85) + 0.85 * sum(pr.r / deg.deg) AS r
+        FROM pr JOIN edges e ON pr.n = e.src JOIN deg ON e.src = deg.src
+        WHERE pr.it < 5
+        GROUP BY pr.it, e.dst
+      )
+      SELECT * FROM pr WHERE it = 5
+    )
+    """,
+)
+
+
+def _x68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval harness: per-customer supplier rankings (by lineitem
+    count — exact integer ordering) scored against a ">=2 distinct orders"
+    relevance set via ops/retrieval.py ranking_metrics.  All three metrics
+    are count ratios — engine-exact."""
+    from pyspark.sql import Window
+
+    from dftly_spark.ops import ranking_metrics
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_custkey", "l_suppkey", "o_orderkey"
+    )
+    counts = joined.groupBy("o_custkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct("o_orderkey").alias("_n_ord"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("_n").desc(), F.col("l_suppkey").asc()
+    )
+    run = counts.select(
+        F.col("o_custkey").alias("query_id"),
+        F.col("l_suppkey").alias("doc_id"),
+        F.row_number().over(w).alias("rank"),
+    )
+    qrels = counts.where(F.col("_n_ord") >= 2).select(
+        F.col("o_custkey").alias("query_id"), F.col("l_suppkey").alias("doc_id")
+    )
+    return ranking_metrics(run, qrels, k=5)
+
+
+_q(
+    "x68_ranking_metrics",
+    _x68,
+    """
+    WITH counts AS (
+      SELECT o_custkey, l_suppkey, count(*) AS n,
+             count(DISTINCT o_orderkey) AS n_ord
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, l_suppkey
+    ), run AS (
+      SELECT o_custkey AS query_id, l_suppkey AS doc_id,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY n DESC, l_suppkey) AS rank
+      FROM counts
+    ), qrels AS (
+      SELECT o_custkey AS query_id, l_suppkey AS doc_id
+      FROM counts WHERE n_ord >= 2
+    ), truth AS (
+      SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY query_id
+    ), joined AS (
+      SELECT t.query_id, t.n_rel, r.doc_id, r.rank,
+             r.doc_id IN (SELECT doc_id FROM qrels q
+                          WHERE q.query_id = t.query_id) AS hit
+      FROM truth t LEFT JOIN run r ON t.query_id = r.query_id
+    )
+    SELECT query_id,
+           CAST(count(*) FILTER (WHERE hit AND rank <= 5) AS DOUBLE) / any_value(n_rel)
+             AS recall_at_k,
+           CAST(count(*) FILTER (WHERE hit AND rank <= 5) AS DOUBLE) / 5
+             AS precision_at_k,
+           coalesce(1.0 / min(rank) FILTER (WHERE hit), 0.0) AS mrr
+    FROM joined GROUP BY query_id
+    """,
+)
+
+
+def _x69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled embedding prototypes in long form
+    (ops/similarity.py pool_embeddings — one (group, dim)-keyed agg with
+    map-side combine)."""
+    from dftly_spark.ops import pool_embeddings
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return pool_embeddings(emb, "label", "embedding", how="mean")
+
+
+_q(
+    "x69_pool_embeddings",
+    _x69,
+    """
+    WITH d AS (
+      SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    )
+    SELECT label, pos, round(avg(v), 6) AS val FROM d GROUP BY label, pos
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -3721,6 +3873,9 @@ _q(
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x67_pagerank",
+    "x68_ranking_metrics",
+    "x69_pool_embeddings",
     "x57_merge_intervals",
     "x58_rolling_zscore",
     "x59_scd2_history",

@@ -64,8 +64,10 @@ from .dedup import (
     simhash_dup_pairs,
     word_shingles,
 )
+from .graph import pagerank, prepare_edges
 from .similarity import (
     centroid_outliers,
+    pool_embeddings,
     random_project,
     brute_force_topk,
     cosine,
@@ -79,7 +81,7 @@ from .similarity import (
 )
 from .joins import asof_join, asof_join_stream, lag_features, range_join
 from .jsonops import json_extract_fields, json_parse_typed
-from .retrieval import sparse_cosine_pairs, bm25_topk, tf_idf_vectors, distinctive_terms
+from .retrieval import sparse_cosine_pairs, bm25_topk, tf_idf_vectors, distinctive_terms, ranking_metrics
 from .sampling import (
     cap_per_group,
     weighted_sample_per_group,
@@ -132,6 +134,7 @@ from .multimodal import (
 )
 
 __all__ = [
+    "pagerank", "prepare_edges", "ranking_metrics", "pool_embeddings",
     "merge_intervals", "rolling_zscore", "scd2_history",
     "weighted_sample_per_group", "distinctive_terms", "centroid_outliers",
     "ntile_features", "time_weighted_avg", "key_skew_profile",

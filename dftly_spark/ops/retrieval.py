@@ -366,3 +366,57 @@ def distinctive_terms(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def ranking_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval quality: ``recall@k``, ``precision@k``, ``mrr``.
+
+    The eval half of the retrieval family: ``run`` is a ranked result list
+    (what :func:`bm25_topk` / ANN top-k emit), ``qrels`` the relevant-doc
+    set.  recall@k = relevant retrieved in the top ``k`` / total relevant;
+    precision@k divides by ``k``; MRR is 1/rank of the first relevant hit
+    (0 when none).  Queries with qrels but no run rows still appear (zero
+    scores) — silently dropping them inflates every metric, the classic
+    eval bug.
+
+    One query-keyed left join (qrels side aggregated first, so the join
+    ships one row per (query, doc)) and one keyed agg; all three metrics
+    are ratios of counts — exact rationals, engine-identical, no float
+    hedging.  ``rank`` must be 1-based.
+    """
+    q = F.col(query_col)
+    truth = qrels.groupBy(q.alias("_q")).agg(
+        F.collect_set(F.col(doc_col)).alias("_rel"),
+        F.count(F.lit(1)).alias("_n_rel"),
+    )
+    joined = truth.join(
+        run.select(
+            q.alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.col(rank_col).alias("_rk"),
+        ),
+        "_q",
+        "left",
+    ).withColumn("_hit", F.array_contains("_rel", F.col("_d")))
+    return (
+        joined.groupBy(F.col("_q").alias(query_col))
+        .agg(
+            F.max("_n_rel").alias("_n_rel"),
+            F.count(F.when(F.col("_hit") & (F.col("_rk") <= k), 1)).alias("_hits_k"),
+            F.min(F.when(F.col("_hit"), F.col("_rk"))).alias("_first"),
+        )
+        .select(
+            query_col,
+            (F.col("_hits_k").cast("double") / F.col("_n_rel")).alias("recall_at_k"),
+            (F.col("_hits_k").cast("double") / F.lit(k)).alias("precision_at_k"),
+            F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)).alias("mrr"),
+        )
+    )

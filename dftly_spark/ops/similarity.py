@@ -534,3 +534,36 @@ def centroid_outliers(
         ).alias("centroid_cos"),
     )
     return scored.orderBy(F.col("centroid_cos").asc(), F.col(id_col).asc()).limit(k)
+
+
+def pool_embeddings(
+    emb: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    *,
+    how: str = "mean",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group pooled embedding in long form: ``(group, pos, val)``.
+
+    Mean/max pooling over a group's vectors — class prototypes, document
+    embeddings from chunk embeddings, topic centroids for hand-off to the
+    IVF/topic ops.  Long (one row per dimension) rather than an array
+    column so downstream joins stay columnar and external engines can
+    replay it row-for-row.
+
+    ONE shuffle keyed on ``(group, dim)`` with map-side combine — shuffle
+    width is |groups|×dims rows regardless of corpus size.  Mean values are
+    rounded to ``decimals`` (float sum order); max pooling is order-free
+    and exact.
+    """
+    aggs = {"mean": F.avg, "max": F.max}
+    if how not in aggs:
+        raise ValueError(f"how must be one of {sorted(aggs)}, got {how!r}")
+    exploded = emb.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "_v"),
+    )
+    out = exploded.groupBy(group_col, "pos").agg(aggs[how]("_v").alias("_val"))
+    val = F.round(F.col("_val"), decimals) if how == "mean" else F.col("_val")
+    return out.select(group_col, "pos", val.alias("val"))

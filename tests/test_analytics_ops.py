@@ -292,3 +292,84 @@ def test_centroid_outliers_finds_planted_outlier(spark):
     # scores ranked ascending
     scores = [r["centroid_cos"] for r in out]
     assert scores == sorted(scores)
+
+
+# ---------------------------------------------------------------------------
+# pagerank / ranking_metrics / pool_embeddings
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_mass_and_hub(spark):
+    from dftly_spark.ops import pagerank
+
+    # star: everyone links to hub; hub links back to a
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iters=10).collect()}
+    assert abs(sum(out.values()) - len(out)) < 1e-4  # mass conserved at N
+    # hub and its backlink target dominate (their ranks oscillate between
+    # rounds on this 2-cycle-ish structure; either may lead at a given iter)
+    assert set(sorted(out, key=out.get)[-2:]) == {"hub", "a"}
+    assert out["a"] > out["b"] == out["c"]  # a gets the hub's backlink
+
+
+def test_pagerank_dangling_self_loop_repair(spark):
+    from dftly_spark.ops import pagerank
+
+    # d has no out-edges: without repair its mass would leak each round
+    edges = spark.createDataFrame([("a", "d"), ("d2", "d")], "src string, dst string")
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert abs(sum(out.values()) - len(out)) < 1e-4
+    assert out["d"] > 1.0  # sink + self-loop accumulates
+
+
+def test_pagerank_partition_invariance(spark):
+    from dftly_spark.ops import pagerank
+
+    edges = spark.range(300).select(
+        (F.col("id") % 37).cast("string").alias("src"),
+        ((F.col("id") * 7) % 37).cast("string").alias("dst"),
+    )
+    a = sorted((r["node"], r["rank"]) for r in pagerank(edges, iters=4).collect())
+    b = sorted(
+        (r["node"], r["rank"])
+        for r in pagerank(edges.repartition(13), iters=4).collect()
+    )
+    assert a == b
+
+
+def test_ranking_metrics_values(spark):
+    from dftly_spark.ops import ranking_metrics
+
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 11), (1, 99), (2, 77), (3, 5)], "query_id long, doc_id long"
+    )
+    got = {r["query_id"]: (r["recall_at_k"], r["precision_at_k"], r["mrr"])
+           for r in ranking_metrics(run, qrels, k=2).collect()}
+    assert got[1] == (0.5, 0.5, 0.5)   # doc 11 at rank 2 of 2 relevant
+    assert got[2] == (0.0, 0.0, 0.0)   # nothing relevant retrieved
+    assert got[3] == (0.0, 0.0, 0.0)   # query with qrels but NO run rows
+
+def test_pool_embeddings_mean_and_max(spark):
+    from dftly_spark.ops import pool_embeddings
+
+    df = spark.createDataFrame(
+        [("x", [1.0, 4.0]), ("x", [3.0, 0.0]), ("y", [5.0, 5.0])],
+        "g string, embedding array<double>",
+    )
+    mean = {(r["g"], r["pos"]): r["val"] for r in
+            pool_embeddings(df, "g", how="mean").collect()}
+    assert mean == {("x", 0): 2.0, ("x", 1): 2.0, ("y", 0): 5.0, ("y", 1): 5.0}
+    mx = {(r["g"], r["pos"]): r["val"] for r in
+          pool_embeddings(df, "g", how="max").collect()}
+    assert mx[("x", 0)] == 3.0 and mx[("x", 1)] == 4.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pool_embeddings(df, "g", how="median")
