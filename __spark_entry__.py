@@ -3721,18 +3721,27 @@ def _x67(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # integer node ids (customer = 2k, supplier = 2k+1): 8-byte shuffle
+    # keys where strings would triple the exchanged bytes over the 1.2M
+    # edges this graph produces
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank(edges, iters=5, damping=0.85)
+    # structural guarantees of this graph: pairs is distinct and the two
+    # directions cannot collide (even vs odd ids), so the edge list is
+    # distinct; symmetrization means every node has an out-edge.  Skipping
+    # the two guard shuffles is sound here.
+    return pagerank(
+        edges, iters=5, damping=0.85, assume_distinct=True, repair_dangling=False
+    )
 
 
 _q(
@@ -3740,7 +3749,7 @@ _q(
     _x67,
     """
     WITH pairs AS (
-      SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ), edges AS (
       SELECT c AS src, s AS dst FROM pairs

@@ -277,3 +277,58 @@ def hopping_agg(
         *keys,
         *aggs.keys(),
     )
+
+
+def stream_zscore(
+    stream: DataFrame,
+    baseline: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    z_threshold: float = 3.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Streaming anomaly scores against a static per-key baseline.
+
+    The deployment twin of :func:`dftly_spark.ops.rolling_zscore`: the
+    rolling form learns its reference window inline (a per-key ordered
+    window — illegal on unbounded streams), so production scoring splits
+    the job the standard way: FIT offline (``baseline_stats`` over
+    yesterday's data — mean/stddev per key), SCORE online as a stateless
+    stream-static broadcast join + row-local arithmetic.  No state store,
+    no watermark needed; refreshing the baseline is a restart (or a
+    Delta-backed static frame at cluster scale).
+
+    ``baseline`` must carry ``(key_col, mean, std)``.  Keys the baseline
+    has never seen emit null scores / False flags — same honest cold-start
+    contract as the rolling form.
+    """
+    b = F.broadcast(
+        baseline.select(
+            F.col(key_col).alias("_bk"),
+            F.col("mean").alias("_bmean"),
+            F.col("std").alias("_bstd"),
+        )
+    )
+    joined = stream.join(b, stream[key_col] == b["_bk"], "left").drop("_bk")
+    z = F.when(
+        F.col("_bstd") > 0, (F.col(value_col) - F.col("_bmean")) / F.col("_bstd")
+    )
+    return (
+        joined.withColumn("zscore", F.round(z, decimals))
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("zscore")) > z_threshold, F.lit(False)),
+        )
+        .drop("_bmean", "_bstd")
+    )
+
+
+def baseline_stats(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key ``(key, mean, std)`` fit for :func:`stream_zscore` — one
+    keyed aggregation over the reference window (run it on yesterday's
+    bounded slice, persist, hand to the stream job)."""
+    return df.groupBy(key_col).agg(
+        F.mean(value_col).alias("mean"),
+        F.stddev_samp(value_col).alias("std"),
+    )

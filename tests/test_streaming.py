@@ -289,3 +289,36 @@ def test_hopping_agg_matches_batch(spark):
     # every row lands in exactly window/slide = 2 windows
     n_events = _batch_events(spark).count()
     assert sum(r[-1] for r in got) == 2 * n_events
+
+
+def test_stream_zscore_matches_batch_and_cold_start(spark):
+    """Fit-offline/score-online anomaly twin: streaming scores equal the
+    same function applied to the bounded frame, and unseen keys emit
+    null/False instead of crashing or fake zeros."""
+    from dftly_spark.streaming import baseline_stats, stream_zscore
+
+    events = _batch_events(spark)
+    # fit on half the keys only -> the other half exercises cold-start
+    base = baseline_stats(
+        events.where(F.col("event_type").isin("click", "view")),
+        "event_type",
+        "value",
+    )
+    stream = stream_table(spark, SF_DIR, "events")
+    scored = stream_zscore(stream, base, "event_type", "value", z_threshold=1.5)
+    assert scored.isStreaming
+    got = _run_to_memory(
+        spark, scored.select("event_id", "zscore", "is_anomaly"), "stream_z"
+    )
+    batch = stream_zscore(events, base, "event_type", "value", z_threshold=1.5)
+    b = {r["event_id"]: (r["zscore"], r["is_anomaly"]) for r in
+         batch.select("event_id", "zscore", "is_anomaly").collect()}
+    g = {r["event_id"]: (r["zscore"], r["is_anomaly"]) for r in got.collect()}
+    assert g == b
+    # cold-start: keys outside the baseline are null/False
+    other = {r["event_id"] for r in
+             events.where(~F.col("event_type").isin("click", "view"))
+             .select("event_id").collect()}
+    assert other and all(g[i] == (None, False) for i in other)
+    # some baseline-covered rows actually flag at this threshold
+    assert any(flag for _, flag in g.values())
