@@ -3869,6 +3869,119 @@ _q(
 )
 
 
+
+
+def _x70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted equi-join (ops/scale.py salted_join): orders
+    fan out over 16 deterministic sub-keys, customers replicate
+    row-locally; results are exactly the plain join's (the oracle IS the
+    plain join), summarized per nation with exact aggregates."""
+    from dftly_spark.ops import salted_join
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    joined = salted_join(orders, cust, "custkey", salt=16, how="inner")
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("custkey").alias("n_custs"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+_q(
+    "x70_salted_join",
+    _x70,
+    """
+    SELECT c_nationkey, count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_custs,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+
+
+def _x71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization of the event value (ops/profile.py
+    winsorize) — exact percentile clamping; Spark's percentile
+    interpolation is bit-identical to DuckDB's quantile_cont, so no
+    rounding appears anywhere."""
+    from dftly_spark.ops import winsorize
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = winsorize(ev, "event_type", "value", lower=0.05, upper=0.95)
+    return out.select("event_id", "event_type", "value", "clamped", "was_clamped")
+
+
+_q(
+    "x71_winsorize",
+    _x71,
+    """
+    WITH b AS (
+      SELECT event_type AS g, quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, event_type, value,
+           least(greatest(value, lo), hi) AS clamped,
+           coalesce(value != least(greatest(value, lo), hi), false)
+             AS was_clamped
+    FROM events JOIN b ON event_type = b.g
+    """,
+)
+
+
+def _x72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise null imputation (ops/profile.py impute_nulls): median
+    fill for a numeric column, smallest-value-tie-break mode fill for a
+    categorical one, per event_type.  Nulls are planted deterministically
+    so the oracle plants the same ones."""
+    from dftly_spark.ops import impute_nulls
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("value_n"),
+        F.when(F.col("event_id") % 11 != 0, F.col("props")).alias("props_n"),
+    )
+    out = impute_nulls(
+        ev, "event_type", {"value_n": "median", "props_n": "mode"}
+    )
+    return out.select("event_id", "event_type", "value_n", "props_n")
+
+
+_q(
+    "x72_impute_nulls",
+    _x72,
+    """
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 != 0 THEN value END AS value_n,
+             CASE WHEN event_id % 11 != 0 THEN props END AS props_n
+      FROM events
+    ), med AS (
+      SELECT event_type AS g, quantile_cont(value_n, 0.5) AS fill_v
+      FROM ev GROUP BY event_type
+    ), mode_rank AS (
+      SELECT event_type AS g, props_n AS fill_p,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, props_n ASC) AS rk
+      FROM ev WHERE props_n IS NOT NULL GROUP BY event_type, props_n
+    ), md AS (
+      SELECT g, fill_p FROM mode_rank WHERE rk = 1
+    )
+    SELECT event_id, event_type,
+           coalesce(value_n, fill_v) AS value_n,
+           coalesce(props_n, fill_p) AS props_n
+    FROM ev JOIN med ON event_type = med.g JOIN md ON event_type = md.g
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -3882,6 +3995,9 @@ _q(
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x70_salted_join",
+    "x71_winsorize",
+    "x72_impute_nulls",
     "x67_pagerank",
     "x68_ranking_metrics",
     "x69_pool_embeddings",

@@ -94,6 +94,8 @@ from .cdc import latest_changes, merge_upsert, scd2_history, snapshot_diff
 from .lm import bigram_frame, bigram_lm_scores
 from .profile import (
     histogram_fixed,
+    impute_nulls,
+    winsorize,
     key_skew_profile,
     ntile_features,
     rolling_zscore,
@@ -104,6 +106,7 @@ from .profile import (
 )
 from .scale import (
     bloom_prune,
+    salted_join,
     compact_table,
     partitioned_cumsum,
     plan_summary,
@@ -135,6 +138,7 @@ from .multimodal import (
 
 __all__ = [
     "pagerank", "prepare_edges", "ranking_metrics", "pool_embeddings",
+    "salted_join", "winsorize", "impute_nulls",
     "merge_intervals", "rolling_zscore", "scd2_history",
     "weighted_sample_per_group", "distinctive_terms", "centroid_outliers",
     "ntile_features", "time_weighted_avg", "key_skew_profile",

@@ -327,3 +327,97 @@ def key_skew_profile(
             ),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Per-group percentile clamping (winsorization) with an audit flag.
+
+    The standard heavy-tail repair before scaling/averaging: values below
+    the group's ``lower`` or above its ``upper`` exact percentile clamp to
+    that percentile; ``was_clamped`` keeps the intervention auditable.
+    Appends ``clamped`` and ``was_clamped``.
+
+    One keyed percentile aggregation (map-side partial) over ≤|groups|
+    rows joined back to the frame — AQE broadcasts the tiny bounds side.
+    Spark's exact ``percentile`` interpolation is bit-identical to
+    DuckDB's ``quantile_cont`` (verified on doubles), so no rounding hedge
+    is needed anywhere.
+    """
+    v = F.col(value_col)
+    bounds = df.groupBy(F.col(group_col).alias("_wg")).agg(
+        F.percentile(v, F.lit(lower)).alias("_lo"),
+        F.percentile(v, F.lit(upper)).alias("_hi"),
+    )
+    joined = df.join(bounds, df[group_col] == bounds["_wg"], "left").drop("_wg")
+    clamped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return (
+        joined.withColumn("clamped", clamped)
+        .withColumn(
+            "was_clamped", F.coalesce(v != F.col("clamped"), F.lit(False))
+        )
+        .drop("_lo", "_hi")
+    )
+
+
+def impute_nulls(
+    df: DataFrame,
+    group_col: str,
+    strategy: dict[str, str],
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """Group-wise null imputation: ``{column: "mean" | "median" | "mode"}``.
+
+    Nulls in each listed column fill from the column's own group statistic
+    (a group whose statistic is itself null — all-null group — stays
+    null: inventing a global fallback silently crosses group semantics;
+    do that explicitly if wanted).  ``mode`` ties break on the smallest
+    value, so imputation is deterministic in every engine.
+
+    mean/median compute in ONE keyed aggregation; each mode column adds
+    one (group, value) count agg with a tiny rank window over distinct
+    values.  Everything joins back on the group key (broadcast-sized).
+    Mean fills are rounded to ``decimals`` (float sum order); median and
+    mode fills are engine-exact as-is.
+    """
+    from pyspark.sql import Window
+
+    agg_exprs = []
+    for c, how in strategy.items():
+        if how == "mean":
+            agg_exprs.append(F.round(F.avg(F.col(c)), decimals).alias(f"_fill_{c}"))
+        elif how == "median":
+            agg_exprs.append(
+                F.percentile(F.col(c), F.lit(0.5)).alias(f"_fill_{c}")
+            )
+        elif how != "mode":
+            raise ValueError(f"unknown strategy {how!r} for column {c!r}")
+    stats = None
+    if agg_exprs:
+        stats = df.groupBy(F.col(group_col).alias("_ig")).agg(*agg_exprs)
+    for c, how in strategy.items():
+        if how != "mode":
+            continue
+        w = Window.partitionBy("_ig").orderBy(
+            F.col("_cnt").desc(), F.col(f"_fill_{c}").asc()
+        )
+        mode_c = (
+            df.where(F.col(c).isNotNull())
+            .groupBy(F.col(group_col).alias("_ig"), F.col(c).alias(f"_fill_{c}"))
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .drop("_cnt", "_rk")
+        )
+        stats = mode_c if stats is None else stats.join(mode_c, "_ig", "left")
+    out = df.join(stats, df[group_col] == stats["_ig"], "left").drop("_ig")
+    for c in strategy:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"_fill_{c}")))
+    return out.drop(*[f"_fill_{c}" for c in strategy])

@@ -413,3 +413,40 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: the big side's hot keys fan out over ``salt``
+    sub-partitions; the small side replicates ``salt``× row-locally.
+
+    The join-side twin of :func:`salted_agg`, for when AQE's runtime skew
+    split isn't available (disabled, streaming-static, or a skew AQE can't
+    see because the hot key emerges mid-plan).  Results are EXACTLY the
+    plain join's: every (key, salt) bucket sees the full right-side row
+    set for its key, so matches are preserved and nothing duplicates —
+    the oracle replays it as the unsalted join.
+
+    ``left`` should be the BIG/skewed side.  Its per-row salt comes from
+    ``xxhash64`` over the whole row (deterministic across retries and
+    repartitionings — never ``rand()``); the right side's replication is a
+    row-local ``explode`` of ``salt`` literals, NOT a range crossJoin (no
+    nested-loop node, and the replicas fuse into the scan).  Supported
+    ``how``: inner / left (semantics preserved per bucket).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    sl = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l_s = left.withColumn("__salt", sl)
+    r_s = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = l_s.join(r_s, keys + ["__salt"], how)
+    return out.drop("__salt")

@@ -373,3 +373,85 @@ def test_pool_embeddings_mean_and_max(spark):
 
     with _pt.raises(ValueError):
         pool_embeddings(df, "g", how="median")
+
+
+# ---------------------------------------------------------------------------
+# salted_join / winsorize / impute_nulls
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    from dftly_spark.ops import salted_join
+
+    left = spark.range(500).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "c"), (9, "z")], "k long, rv string"
+    )
+    got = sorted(tuple(r) for r in salted_join(left, right, "k", salt=8).collect())
+    want = sorted(tuple(r) for r in left.join(right, "k").collect())
+    assert got == want
+
+    got_l = sorted(
+        tuple(r) for r in salted_join(left, right, "k", salt=8, how="left").collect()
+    )
+    want_l = sorted(tuple(r) for r in left.join(right, "k", "left").collect())
+    assert got_l == want_l
+
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
+
+
+def test_salted_join_plan_has_no_nested_loop(spark):
+    from dftly_spark.ops import salted_join
+
+    left = spark.range(100).select((F.col("id") % 3).alias("k"), F.col("id").alias("lv"))
+    right = spark.createDataFrame([(0, "a")], "k long, rv string")
+    plan = salted_join(left, right, "k", salt=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_winsorize_clamps_and_flags(spark):
+    from dftly_spark.ops import winsorize
+
+    vals = list(range(1, 100)) + [10_000]  # one huge outlier
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, v double")
+    out = winsorize(df, "g", "v", lower=0.01, upper=0.95)
+    rows = {r["v"]: (r["clamped"], r["was_clamped"]) for r in out.collect()}
+    assert rows[10_000.0][1] is True and rows[10_000.0][0] < 10_000
+    assert rows[50.0] == (50.0, False)
+    # a single-value group clamps nothing
+    one = winsorize(
+        spark.createDataFrame([("s", 7.0)], "g string, v double"), "g", "v"
+    ).collect()[0]
+    assert one["clamped"] == 7.0 and one["was_clamped"] is False
+
+
+def test_impute_nulls_strategies_and_all_null_group(spark):
+    from dftly_spark.ops import impute_nulls
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1.0, "x"), ("a", None, "x"), ("a", 3.0, None),
+            ("b", None, None),  # all-null group stays null
+            ("c", 5.0, "p"), ("c", None, "q"), ("c", 7.0, "q"),
+        ],
+        "g string, v double, s string",
+    )
+    out = impute_nulls(df, "g", {"v": "median", "s": "mode"})
+    rows = sorted(tuple(r) for r in out.collect())
+    assert ("a", 2.0, "x") in rows          # median of (1,3), mode x
+    assert ("b", None, None) in rows        # no statistic to fill from
+    assert ("c", 6.0, "q") in rows          # median of (5,7), mode q (2x)
+    # mode tie breaks on smallest value
+    tie = impute_nulls(
+        spark.createDataFrame(
+            [("t", "b"), ("t", "a"), ("t", None)], "g string, s string"
+        ),
+        "g",
+        {"s": "mode"},
+    )
+    assert {r["s"] for r in tie.collect()} == {"a", "b"}
+    with pytest.raises(ValueError):
+        impute_nulls(df, "g", {"v": "mad"})
