@@ -40,3 +40,34 @@ def test_pretraining_pipeline_end_to_end(spark, tmp_path):
     one = train.where(F.col("shard") == sums[0].shard)
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_event_feature_pipeline_end_to_end(spark):
+    import sys
+
+    sys.path.insert(0, "examples")
+    from event_feature_pipeline import build
+
+    outs = build(spark, "/root/testdata/sf0.001")
+    counts = {name: df.count() for name, df in outs.items()}
+    n_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    # row-preserving stages keep every event
+    assert counts["events_clean"] == n_events
+    assert counts["user_features"] == n_events
+    # per-user outputs have one row per user
+    n_users = outs["user_standing"].select("user_id").distinct().count()
+    assert counts["user_standing"] == n_users
+    # repaired value column has no nulls left in groups with any data
+    assert outs["events_clean"].where(F.col("value").isNull()).count() == 0
+    # winsorize flag exists and anomalies are a small subset
+    assert counts["anomalies"] < n_events / 10
+    # journey probabilities sum to 1 per source state
+    import collections
+
+    sums = collections.defaultdict(float)
+    for r in outs["journeys"].collect():
+        sums[r["from_state"]] += r["p"]
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+    # skew report covers at most 20 keys with valid shares
+    skew = outs["user_skew"].collect()
+    assert len(skew) <= 20 and all(0 < r["share"] <= 1 for r in skew)
