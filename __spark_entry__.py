@@ -3982,6 +3982,107 @@ _q(
 )
 
 
+
+
+def _x73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS engagement trend (ops/profile.py group_trend):
+    closed-form slope/intercept/r2 from one keyed sufficient-statistics
+    aggregation, x centered per key for conditioning."""
+    from dftly_spark.ops import group_trend
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(3_600_000_000.0)).alias("t_h"),
+        "value",
+    )
+    return group_trend(ev, "user_id", "t_h", "value")
+
+
+_q(
+    "x73_group_trend",
+    _x73,
+    """
+    WITH base AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0 AS x,
+             CAST(value AS DOUBLE) AS y
+      FROM events
+    ), c AS (
+      SELECT user_id, x - min(x) OVER (PARTITION BY user_id) AS x, y FROM base
+    ), s AS (
+      SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+             AS slope,
+           round((sy - (CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END)
+                       * sx) / n, 6) AS intercept,
+           round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                       AND n * syy - sy * sy > 0
+                      THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+             AS r2
+    FROM s
+    """,
+)
+
+
+def _x74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter estimates (ops/sketch.py): the sketch is a
+    (row, bucket, n) frame from ONE map-side-combined aggregation whose
+    width is depth x width cells regardless of key cardinality; estimates
+    never undercount (checked against exact counts in the output)."""
+    from dftly_spark.ops import cms_build, cms_estimate
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", depth=4, width=1024)
+    probes = spark.range(50).select(F.col("id").alias("user_id"))
+    est = cms_estimate(sketch, probes, "user_id", depth=4, width=1024)
+    exact = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    return est.join(exact, "key", "left").select(
+        "key", "est", F.coalesce("exact", F.lit(0)).alias("exact")
+    )
+
+
+_q(
+    "x74_cms_heavy_hitters",
+    _x74,
+    """
+    WITH rows(r) AS (SELECT unnest([0, 1, 2, 3])),
+    cells AS (
+      SELECT r.r AS row,
+             ((user_id * 1103515245 + 12345 + r.r * 1000 + 1) % 2147483648)
+               % 1024 AS bucket
+      FROM events CROSS JOIN rows r
+    ), sk AS (
+      SELECT row, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM cells GROUP BY row, bucket
+    ), probe_cells AS (
+      SELECT k.key, r.r AS row,
+             ((k.key * 1103515245 + 12345 + r.r * 1000 + 1) % 2147483648)
+               % 1024 AS bucket
+      FROM (SELECT unnest(range(50)) AS key) k CROSS JOIN rows r
+    ), est AS (
+      SELECT key, CAST(min(coalesce(n, 0)) AS BIGINT) AS est
+      FROM probe_cells LEFT JOIN sk USING (row, bucket) GROUP BY key
+    ), exact AS (
+      SELECT user_id AS key, CAST(count(*) AS BIGINT) AS exact
+      FROM events GROUP BY user_id
+    )
+    SELECT key, est, coalesce(exact, 0) AS exact
+    FROM est LEFT JOIN exact USING (key)
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -3995,6 +4096,8 @@ _q(
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x73_group_trend",
+    "x74_cms_heavy_hitters",
     "x70_salted_join",
     "x71_winsorize",
     "x72_impute_nulls",

@@ -65,6 +65,7 @@ from .dedup import (
     word_shingles,
 )
 from .graph import pagerank, prepare_edges
+from .sketch import cms_build, cms_estimate
 from .similarity import (
     centroid_outliers,
     pool_embeddings,
@@ -93,6 +94,7 @@ from .sampling import (
 from .cdc import latest_changes, merge_upsert, scd2_history, snapshot_diff
 from .lm import bigram_frame, bigram_lm_scores
 from .profile import (
+    group_trend,
     histogram_fixed,
     impute_nulls,
     winsorize,
@@ -138,7 +140,8 @@ from .multimodal import (
 
 __all__ = [
     "pagerank", "prepare_edges", "ranking_metrics", "pool_embeddings",
-    "salted_join", "winsorize", "impute_nulls",
+    "salted_join", "winsorize", "impute_nulls", "group_trend",
+    "cms_build", "cms_estimate",
     "merge_intervals", "rolling_zscore", "scd2_history",
     "weighted_sample_per_group", "distinctive_terms", "centroid_outliers",
     "ntile_features", "time_weighted_avg", "key_skew_profile",

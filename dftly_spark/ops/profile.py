@@ -421,3 +421,59 @@ def impute_nulls(
     for c in strategy:
         out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"_fill_{c}")))
     return out.drop(*[f"_fill_{c}" for c in strategy])
+
+
+def group_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-key OLS trend of ``y`` over ``x``: ``(key, n, slope, intercept,
+    r2)``.
+
+    The trend feature every activity/quality dashboard wants ("is this
+    user's engagement rising?"), computed closed-form from one keyed
+    aggregation of sufficient statistics — no iteration, no ML library.
+    ``x`` is CENTERED on the key's min before the sums (the classic
+    conditioning fix: epoch-scale x values square into 1e23 and eat the
+    double mantissa; slope/r2 are translation-invariant so results are
+    unchanged, just computable).  Keys with fewer than 2 points or zero x
+    variance report null slope/intercept/r2 rather than fake zeros.
+
+    All five sums come from ONE map-side-combined shuffle; the final
+    expressions are identical in the oracle, so after rounding (float sum
+    order) the numbers replay exactly.
+    """
+    x_raw = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.select(F.col(key_col), x_raw.alias("_x"), y.alias("_y"))
+    xmin = base.groupBy(key_col).agg(F.min("_x").alias("_x0"))
+    c = base.join(xmin, key_col).select(
+        F.col(key_col), (F.col("_x") - F.col("_x0")).alias("_x"), "_y"
+    )
+    sums = c.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = F.when((F.col("n") >= 2) & (den > 0), num / den)
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    syy_c = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    r2 = F.when((F.col("n") >= 2) & (den > 0) & (syy_c > 0),
+                (num * num) / (den * syy_c))
+    return sums.select(
+        key_col,
+        "n",
+        F.round(slope, decimals).alias("slope"),
+        F.round(intercept, decimals).alias("intercept"),
+        F.round(r2, decimals).alias("r2"),
+    )

@@ -455,3 +455,78 @@ def test_impute_nulls_strategies_and_all_null_group(spark):
     assert {r["s"] for r in tie.collect()} == {"a", "b"}
     with pytest.raises(ValueError):
         impute_nulls(df, "g", {"v": "mad"})
+
+
+# ---------------------------------------------------------------------------
+# group_trend / count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_group_trend_recovers_known_line(spark):
+    from dftly_spark.ops import group_trend
+
+    # y = 3x + 7 exactly; plus a single-point and a zero-variance group
+    rows = [("lin", float(x), 3.0 * x + 7.0) for x in range(10)]
+    rows += [("one", 5.0, 2.0)]
+    rows += [("flat", 4.0, 9.0), ("flat", 4.0, 11.0)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: r for r in group_trend(df, "k", "x", "y").collect()}
+    assert got["lin"]["slope"] == 3.0 and got["lin"]["intercept"] == 7.0
+    assert got["lin"]["r2"] == 1.0
+    assert got["one"]["slope"] is None and got["one"]["r2"] is None
+    assert got["flat"]["slope"] is None  # zero x variance
+
+
+def test_group_trend_centering_beats_epoch_scale(spark):
+    from dftly_spark.ops import group_trend
+
+    # epoch-microsecond x values: uncentered sums of x^2 (~1e35) destroy
+    # the mantissa; centering keeps the fit exact
+    base = 1_700_000_000_000_000
+    rows = [("k", float(base + i * 60_000_000), 2.0 * i + 1.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    # decimals=12: the slope is ~3e-8 per microsecond, below the default
+    # 1e-6 output rounding (callers fitting micro-scale x should rescale
+    # x or widen decimals, exactly as here)
+    out = group_trend(df, "k", "x", "y", decimals=12).collect()[0]
+    # slope per microsecond * 6e7 us per step = 2.0 per step
+    # 12-decimal output rounding keeps ~5 significant digits of a 3e-8
+    # slope; without centering the fit is garbage at the 1e0 level
+    assert abs(out["slope"] * 60_000_000 - 2.0) < 1e-3
+    assert out["r2"] == 1.0
+
+
+def test_cms_never_undercounts_and_is_exactish_when_sparse(spark):
+    from dftly_spark.ops import cms_build, cms_estimate
+
+    df = spark.range(2000).select((F.col("id") % 40).alias("k"))  # 50 each
+    sketch = cms_build(df, "k", depth=4, width=256)
+    probes = spark.range(45).select(F.col("id").alias("k"))
+    est = {r["key"]: r["est"] for r in
+           cms_estimate(sketch, probes, "k", depth=4, width=256).collect()}
+    for k in range(40):
+        assert est[k] >= 50  # never undercount
+    # 40 keys in 256 buckets: most estimates are exact
+    exact_hits = sum(1 for k in range(40) if est[k] == 50)
+    assert exact_hits >= 30
+    # absent keys can only report collision mass, never negative
+    for k in range(40, 45):
+        assert est[k] >= 0
+
+
+def test_cms_sketch_is_mergeable(spark):
+    from dftly_spark.ops import cms_build, cms_estimate
+
+    df = spark.range(1000).select((F.col("id") % 10).alias("k"))
+    a, b = df.where("id < 400"), df.where("id >= 400")
+    merged = (
+        cms_build(a, "k", depth=4, width=128)
+        .unionByName(cms_build(b, "k", depth=4, width=128))
+        .groupBy("row", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = cms_build(df, "k", depth=4, width=128)
+    probes = spark.range(10).select(F.col("id").alias("k"))
+    em = sorted(tuple(r) for r in cms_estimate(merged, probes, "k", depth=4, width=128).collect())
+    ew = sorted(tuple(r) for r in cms_estimate(whole, probes, "k", depth=4, width=128).collect())
+    assert em == ew
