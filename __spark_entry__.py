@@ -4083,6 +4083,82 @@ _q(
 )
 
 
+
+
+def _x75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem metrics
+    (ops/profile.py corr_matrix): k sums + k^2 cross-sums in ONE
+    map-side-combined pass, formula spelled from raw sums so the oracle
+    replays the identical expression structure."""
+    from dftly_spark.ops import corr_matrix
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _x75_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    sums = ["count(*) AS n"]
+    for c in cols:
+        sums.append(f"sum(CAST({c} AS DOUBLE)) AS s_{c}")
+        sums.append(f"sum(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)) AS ss_{c}")
+    pair_sql = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            sums.append(
+                f"sum(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE)) AS sp_{a}_{b}"
+            )
+            pair_sql.append(f"""
+      SELECT '{a}' AS col_x, '{b}' AS col_y,
+             round(CASE WHEN n * ss_{a} - s_{a} * s_{a} > 0
+                         AND n * ss_{b} - s_{b} * s_{b} > 0
+                        THEN (n * sp_{a}_{b} - s_{a} * s_{b})
+                             / sqrt((n * ss_{a} - s_{a} * s_{a})
+                                    * (n * ss_{b} - s_{b} * s_{b})) END, 6)
+               AS corr
+      FROM w""")
+    return (
+        "WITH w AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        + ", ".join(sums[1:])
+        + " FROM lineitem) "
+        + " UNION ALL ".join(pair_sql)
+    )
+
+
+_q("x75_corr_matrix", _x75, _x75_oracle())
+
+
+def _x76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: Shannon entropy of the event-type
+    distribution (ops/profile.py group_entropy — two keyed aggs, the
+    c*ln(c) fold rounded below cross-engine ln wobble)."""
+    from dftly_spark.ops import group_entropy
+
+    _prep(spark)
+    return group_entropy(_t(spark, sf_dir, "events"), "user_id", "event_type")
+
+
+_q(
+    "x76_group_entropy",
+    _x76,
+    """
+    WITH counts AS (
+      SELECT user_id, coalesce(event_type, chr(0) || 'null') AS cat,
+             count(*) AS c
+      FROM events GROUP BY user_id, cat
+    )
+    SELECT user_id, CAST(sum(c) AS BIGINT) AS n_rows,
+           count(*) AS n_cats,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+    FROM counts GROUP BY user_id
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -4096,6 +4172,8 @@ _q(
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x75_corr_matrix",
+    "x76_group_entropy",
     "x73_group_trend",
     "x74_cms_heavy_hitters",
     "x70_salted_join",

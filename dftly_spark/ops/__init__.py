@@ -94,6 +94,8 @@ from .sampling import (
 from .cdc import latest_changes, merge_upsert, scd2_history, snapshot_diff
 from .lm import bigram_frame, bigram_lm_scores
 from .profile import (
+    corr_matrix,
+    group_entropy,
     group_trend,
     histogram_fixed,
     impute_nulls,
@@ -141,7 +143,7 @@ from .multimodal import (
 __all__ = [
     "pagerank", "prepare_edges", "ranking_metrics", "pool_embeddings",
     "salted_join", "winsorize", "impute_nulls", "group_trend",
-    "cms_build", "cms_estimate",
+    "cms_build", "cms_estimate", "corr_matrix", "group_entropy",
     "merge_intervals", "rolling_zscore", "scd2_history",
     "weighted_sample_per_group", "distinctive_terms", "centroid_outliers",
     "ntile_features", "time_weighted_avg", "key_skew_profile",

@@ -477,3 +477,100 @@ def group_trend(
         F.round(intercept, decimals).alias("intercept"),
         F.round(r2, decimals).alias("r2"),
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations in long form: ``(col_x, col_y, corr)``.
+
+    The feature-redundancy triage view, computed from ONE aggregation of
+    sufficient statistics (k sums + k² cross-sums in a single map-side-
+    combined pass — never k² scans, never a driver-side loop over
+    ``df.stat.corr``).  Pairs with zero variance on either side report
+    null.  Only the upper triangle (``col_x < col_y`` by list order)
+    is emitted.
+
+    The formula is spelled from raw sums rather than a builtin ``corr``
+    so the oracle replays the exact expression structure; output rounds
+    below the float-sum wobble.
+    """
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        v = F.col(c).cast("double")
+        aggs.append(F.sum(v).alias(f"_s_{c}"))
+        aggs.append(F.sum(v * v).alias(f"_ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum(F.col(a).cast("double") * F.col(b).cast("double")).alias(
+                    f"_sp_{a}_{b}"
+                )
+            )
+    wide = df.agg(*aggs)
+    n = F.col("_n").cast("double")
+    parts = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            cov = n * F.col(f"_sp_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")
+            va = n * F.col(f"_ss_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")
+            vb = n * F.col(f"_ss_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")
+            corr = F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb))
+            parts.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.round(corr, decimals).alias("corr"),
+                )
+            )
+    return wide.select(F.explode(F.array(*parts)).alias("_p")).select("_p.*")
+
+
+def group_entropy(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """Shannon entropy of a categorical distribution per key (nats):
+    ``(key, n_rows, n_cats, entropy)``.
+
+    Behavioral-diversity / label-balance feature: 0 for single-category
+    keys, ``ln(n_cats)`` at uniform.  Null categories count as a category
+    of their own (they are a real outcome; silently dropping them skews
+    the distribution).
+
+    Two keyed aggregations on the same key — (key, cat) counts with
+    map-side combine, then the per-key fold — no windows, no data-sized
+    state.  ``p·ln p`` sums are rounded below cross-engine ``ln`` ulp
+    wobble.
+    """
+    cat = F.coalesce(F.col(cat_col).cast("string"), F.lit("\x00null"))
+    counts = df.groupBy(F.col(key_col), cat.alias("_cat")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        counts.groupBy(key_col)
+        .agg(
+            F.sum("_c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_cats"),
+            F.sum(F.col("_c") * F.log(F.col("_c").cast("double"))).alias("_clogc"),
+        )
+        .select(
+            key_col,
+            "n_rows",
+            "n_cats",
+            # H = ln(N) - (1/N)·Σ c·ln c  (exact algebra of -Σ p ln p)
+            F.round(
+                F.log(F.col("n_rows").cast("double"))
+                - F.col("_clogc") / F.col("n_rows"),
+                decimals,
+            ).alias("entropy"),
+        )
+    )

@@ -530,3 +530,40 @@ def test_cms_sketch_is_mergeable(spark):
     em = sorted(tuple(r) for r in cms_estimate(merged, probes, "k", depth=4, width=128).collect())
     ew = sorted(tuple(r) for r in cms_estimate(whole, probes, "k", depth=4, width=128).collect())
     assert em == ew
+
+
+def test_corr_matrix_known_values(spark):
+    from dftly_spark.ops import corr_matrix
+
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1, -3.0 * i, 5.0) for i in range(20)],
+        "a double, b double, c double, d double",
+    )
+    got = {(r["col_x"], r["col_y"]): r["corr"] for r in
+           corr_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert got[("a", "b")] == 1.0      # exact linear
+    assert got[("a", "c")] == -1.0     # exact anti-linear
+    assert got[("a", "d")] is None     # zero variance side -> null
+    assert len(got) == 6               # upper triangle only
+    with pytest.raises(ValueError):
+        corr_matrix(df, ["a"])
+
+
+def test_group_entropy_bounds_and_nulls(spark):
+    import math
+
+    from dftly_spark.ops import group_entropy
+
+    rows = (
+        [("uni", c) for c in "abcd" * 5]         # uniform over 4 cats
+        + [("one", "x")] * 7                      # single category
+        + [("mix", "a"), ("mix", None), ("mix", None)]  # null is a category
+    )
+    df = spark.createDataFrame(rows, "k string, c string")
+    got = {r["k"]: r for r in group_entropy(df, "k", "c").collect()}
+    assert abs(got["uni"]["entropy"] - math.log(4)) < 1e-6
+    assert got["uni"]["n_cats"] == 4
+    assert got["one"]["entropy"] == 0.0
+    assert got["mix"]["n_cats"] == 2  # null counted as its own category
+    expected = -(1 / 3) * math.log(1 / 3) - (2 / 3) * math.log(2 / 3)
+    assert abs(got["mix"]["entropy"] - expected) < 1e-6
