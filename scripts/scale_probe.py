@@ -87,6 +87,7 @@ def main() -> None:
         merge_intervals,
         minhash_dup_pairs,
         ngram_jaccard_pairs,
+        pagerank,
         rolling_zscore,
         scd2_history,
     )
@@ -96,6 +97,7 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -190,6 +192,31 @@ def main() -> None:
     # event ops replicate the event stream (disjoint user spaces), not docs
     for _k, _f in EVENT_OPS.items():
         OPS[_k] = (lambda d, e, c, _f=_f: _f(replicate_events(events, c)))
+
+    def _pr_edges(c: int):
+        """Disjoint customer-supplier subgraphs per replica: components
+        never merge, so rank mass and join volumes scale exactly with c."""
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        pairs = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .select((F.col("o_custkey") * 2).alias("c"),
+                    (F.col("l_suppkey") * 2 + 1).alias("s"))
+            .distinct()
+        )
+        out = None
+        for i in range(c):
+            off = 10_000_000 * i
+            rep = pairs.select((F.col("c") + off).alias("c"),
+                               (F.col("s") + off).alias("s"))
+            out = rep if out is None else out.unionByName(rep)
+        return out.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+            out.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+
+    OPS["pagerank"] = lambda d, e, c: pagerank(
+        _pr_edges(c), iters=5, assume_distinct=True, repair_dangling=False
+    )
     wanted = sys.argv[1:] or list(OPS)
 
     import inspect as _inspect
