@@ -33,7 +33,11 @@ class Token:
     end: int
 
 
-_TIME_BODY = r"[0-2]?\d:[0-5]\d(?::[0-5]\d)?(?:\ [AP]\.?M\.?)?"
+#: Trailing (?!\d) keeps the longest-match rule from eating slice bounds:
+#: `$x[3:100]` must lex as NUMBER 3, ':', NUMBER 100 — without the guard,
+#: TIME matched "3:10" and left a stray "0" (found by the expression
+#: fuzzer).  A real time literal is never directly followed by a digit.
+_TIME_BODY = r"[0-2]?\d:[0-5]\d(?::[0-5]\d)?(?:\ [AP]\.?M\.?)?(?!\d)"
 RE_DATETIME = re.compile(r"\d{4}-\d{2}-\d{2}[ T]" + _TIME_BODY, re.IGNORECASE)
 RE_DATE = re.compile(r"\d{4}-\d{2}-\d{2}")
 RE_TIME = re.compile(_TIME_BODY, re.IGNORECASE)

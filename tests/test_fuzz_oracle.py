@@ -165,3 +165,138 @@ def test_fuzzed_expressions_match_duckdb(spark, seed):
             f"column c{i} mismatch (seed {seed})\n"
             f"dftly: {spec[f'c{i}']}\nsql:   {sql_cols[i]}"
         )
+
+
+# ---------------------------------------------------------------------------
+# String / datetime surface: slices (Python semantics), concat, length,
+# dt accessors — the composition space of the reference's string nodes.
+# ---------------------------------------------------------------------------
+
+STR_COLS = ["pri", "stat", "pn"]  # pn carries planted nulls
+DT_ACCESSORS = [
+    ("year_of_date", "year({c})"),
+    ("month_of_year", "month({c})"),
+    ("day_of_month", "day({c})"),
+    ("day_of_week", "isodow({c})"),  # both are 1=Monday
+    ("quarter_of_year", "quarter({c})"),
+]
+
+
+def _frames2(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    sdf = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("stat"),
+        F.when(F.col("o_orderkey") % 5 != 0, F.col("o_orderpriority")).alias("pn"),
+        F.col("o_orderdate").alias("dt"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        CREATE VIEW fz2 AS
+        SELECT o_orderpriority AS pri, o_orderstatus AS stat,
+               CASE WHEN o_orderkey % 5 != 0 THEN o_orderpriority END AS pn,
+               o_orderdate AS dt
+        FROM '{SF_DIR}/orders.parquet'
+        """
+    )
+    return sdf, con
+
+
+def _slice_sql(col: str, a, b) -> str:
+    """Python slice s[a:b] in SQL: normalize both bounds against length,
+    then substr(start+1, max(stop-start, 0))."""
+
+    def norm(x):
+        if x is None:
+            return f"length({col})"
+        if x < 0:
+            return f"GREATEST(length({col}) + {x}, 0)"
+        return f"LEAST({x}, length({col}))"
+
+    return (
+        f"substr({col}, {norm(a)} + 1, GREATEST({norm(b)} - ({norm(a)}), 0))"
+    )
+
+
+class Gen2(Gen):
+    def str_(self, depth: int = 0) -> tuple[str, str]:
+        r = self.rng
+        if depth >= self.max_depth or r.random() < 0.3:
+            c = r.choice(STR_COLS)
+            return f"${c}", c
+        choice = r.randrange(4)
+        if choice == 0:  # Python slice on a base column
+            c = r.choice(STR_COLS)
+            a = r.choice([None, 0, 1, 2, 3, -1, -3, -5])
+            b = r.choice([None, 1, 2, 4, 6, 100, -1, -2])
+            if a is None:
+                a = 0
+            d = f"${c}[{a}:{'' if b is None else b}]"
+            return d, _slice_sql(c, a, b)
+        if choice == 1:  # concat via string `+`
+            a_d, a_s = self.str_(depth + 1)
+            b_d, b_s = self.str_(depth + 1)
+            return f"({a_d} + {b_d})", f"(({a_s}) || ({b_s}))"
+        if choice == 2:  # conditional
+            c_d, c_s = self.boolean2(depth + 1)
+            a_d, a_s = self.str_(depth + 1)
+            b_d, b_s = self.str_(depth + 1)
+            return (
+                f"({a_d} if {c_d} else {b_d})",
+                f"(CASE WHEN {c_s} THEN {a_s} ELSE {b_s} END)",
+            )
+        a_d, a_s = self.str_(depth + 1)
+        b_d, b_s = self.str_(depth + 1)
+        return f"({a_d} ?? {b_d})", f"coalesce({a_s}, {b_s})"
+
+    def num2(self, depth: int = 0) -> tuple[str, str]:
+        r = self.rng
+        if r.random() < 0.5:
+            a_d, a_s = self.str_(depth + 1)
+            return f"len_chars({a_d})", f"length({a_s})"
+        acc, sql_t = r.choice(DT_ACCESSORS)
+        return f"$dt::{acc}", sql_t.format(c="dt")
+
+    def boolean2(self, depth: int = 0) -> tuple[str, str]:
+        r = self.rng
+        if depth >= self.max_depth or r.random() < 0.5:
+            if r.random() < 0.5:
+                a_d, a_s = self.str_(depth + 1)
+                b_d, b_s = self.str_(depth + 1)
+            else:
+                a_d, a_s = self.num2(depth + 1)
+                b_d, b_s = self.num2(depth + 1)
+            op_d, op_s = r.choice([("==", "="), ("!=", "!="), ("<", "<"), (">", ">")])
+            return f"({a_d} {op_d} {b_d})", f"({a_s} {op_s} {b_s})"
+        op = r.choice(["and", "or"])
+        a_d, a_s = self.boolean2(depth + 1)
+        b_d, b_s = self.boolean2(depth + 1)
+        return f"({a_d} {op} {b_d})", f"({a_s} {op.upper()} {b_s})"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_string_datetime_match_duckdb(spark, seed):
+    rng = random.Random(7000 + seed)
+    gen = Gen2(rng, max_depth=3)
+    sdf, con = _frames2(spark)
+    spec, sql_cols = {}, []
+    makers = [gen.str_, gen.num2, gen.boolean2]
+    for i in range(6):
+        d, s = makers[i % 3]()
+        spec[f"c{i}"] = d
+        sql_cols.append(f"{s} AS c{i}")
+    sql = "SELECT " + ", ".join(sql_cols) + " FROM fz2"
+    try:
+        got = Parser.select(sdf, spec).collect()
+    except Exception as ex:  # pragma: no cover
+        raise AssertionError(f"spark failed for {spec}\n{ex}") from ex
+    want = con.execute(sql).fetchall()
+    assert len(got) == len(want)
+    for i in range(6):
+        g = _canon([r[f"c{i}"] for r in got])
+        w = _canon([r[i] for r in want])
+        assert g == w, (
+            f"column c{i} mismatch (seed {seed})\n"
+            f"dftly: {spec[f'c{i}']}\nsql:   {sql_cols[i]}"
+        )

@@ -260,3 +260,26 @@ def test_regex_binds_like_comparison():
     assert list(tree["conditional"]["then"]) == ["regex_extract"]
     assert list(parse_str(r"extract /\d+/ from $n::str")) == ["regex_extract"]
     assert list(parse_str(r"extract /\d+/ from $n as str")) == ["cast"]
+
+
+@pytest.mark.parametrize(
+    "expr, start, stop",
+    [
+        ("$x[3:100]", 3, 100),   # TIME lexer must not eat "3:10" (fuzzer find)
+        ("$x[1:234]", 1, 234),
+        ("$x[10:30]", 10, 30),   # the classic HH:MM-shaped slice still works
+        ("$x[0:59]", 0, 59),
+    ],
+)
+def test_slice_bounds_never_lex_as_time(expr, start, stop):
+    from dftly_spark.strform.parser import parse_str
+
+    sub = parse_str(expr)["substring"]
+    assert sub["start"] == {"literal": start}
+    assert sub["stop"] == {"literal": stop}
+
+
+def test_time_literal_after_at_still_lexes():
+    from dftly_spark.strform.parser import parse_str
+
+    assert "set_time" in parse_str("$d @ 12:30")
