@@ -94,10 +94,19 @@ class Gen:
                 f"({a_d} if {c_d} else {b_d})",
                 f"(CASE WHEN {c_s} THEN {a_s} ELSE {b_s} END)",
             )
-        if choice == 4:  # coalesce
+        if choice == 4:
+            if r.random() < 0.5:  # coalesce
+                a_d, a_s = self.num(depth + 1)
+                b_d, b_s = self.num(depth + 1)
+                return f"({a_d} ?? {b_d})", f"coalesce({a_s}, {b_s})"
+            # double -> int64 cast: Polars/Spark TRUNCATE where SQL CAST
+            # rounds — the mirror is CAST(TRUNC(x) AS BIGINT), then back
+            # to double so the column type stays uniform
             a_d, a_s = self.num(depth + 1)
-            b_d, b_s = self.num(depth + 1)
-            return f"({a_d} ?? {b_d})", f"coalesce({a_s}, {b_s})"
+            return (
+                f"(({a_d})::int64)::float64",
+                f"CAST(CAST(TRUNC({a_s}) AS BIGINT) AS DOUBLE)",
+            )
         # horizontal min/max (null-skipping on both engines)
         fn, sql_fn = r.choice([("min", "least"), ("max", "greatest")])
         a_d, a_s = self.num(depth + 1)
