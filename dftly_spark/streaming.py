@@ -332,3 +332,47 @@ def baseline_stats(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
         F.mean(value_col).alias("mean"),
         F.stddev_samp(value_col).alias("std"),
     )
+
+
+def session_spans(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    gap: str = "15 minutes",
+    watermark: str | None = None,
+    aggs: dict[str, SparkColumn] | None = None,
+) -> DataFrame:
+    """Merged activity spans per key via Spark's NATIVE session windows:
+    ``(key, span_start, span_end, n_events, ...aggs)``.
+
+    The built-in twin of :func:`dftly_spark.ops.merge_intervals`: treating
+    each event as an interval ``[ts, ts + gap)``, the two produce
+    IDENTICAL spans (pinned in tests) — ``session_window`` merges events
+    whose gap-extended intervals touch, exactly the gaps-and-islands
+    union.  Use merge_intervals when intervals have REAL per-row ends
+    (bounded frames only — it needs an ordered window); use this form when
+    the interval is "event + inactivity gap", because it runs UNCHANGED on
+    unbounded streams: pass ``watermark`` and Spark's session-window state
+    store merges and EVICTS closed sessions per watermark — O(open
+    sessions) state, the scalable default for streaming sessionization.
+
+    One keyed shuffle either way.  ``aggs`` adds extra per-span aggregates
+    (e.g. ``{"total": F.sum("value")}``).
+    """
+    src = df
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    extra = [v.alias(k) for k, v in (aggs or {}).items()]
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        src.groupBy(win, F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), *extra)
+        .select(
+            key_col,
+            F.col("session_window.start").alias("span_start"),
+            F.col("session_window.end").alias("span_end"),
+            "n_events",
+            *[F.col(k) for k in (aggs or {})],
+        )
+    )

@@ -322,3 +322,67 @@ def test_stream_zscore_matches_batch_and_cold_start(spark):
     assert other and all(g[i] == (None, False) for i in other)
     # some baseline-covered rows actually flag at this threshold
     assert any(flag for _, flag in g.values())
+
+
+def test_session_spans_native_matches_merge_intervals_and_streams(spark):
+    """Native session_window spans == merge_intervals over [ts, ts+gap)
+    intervals (batch), and the same helper runs on the unbounded stream
+    with watermarked state eviction."""
+    from dftly_spark.ops import merge_intervals
+    from dftly_spark.streaming import session_spans
+
+    events = _batch_events(spark)
+    gap_us = 15 * 60 * 1_000_000
+
+    native = session_spans(events, "user_id", "ts", gap="15 minutes")
+    us = F.unix_micros("ts")
+    manual = merge_intervals(
+        events.select("user_id", us.alias("s"), (us + gap_us).alias("e")),
+        "user_id",
+        "s",
+        "e",
+        count_col="n_events",
+    )
+    a = sorted(
+        (r["user_id"], r["ss"], r["se"], r["n_events"])
+        for r in native.select(
+            "user_id",
+            F.unix_micros("span_start").alias("ss"),
+            F.unix_micros("span_end").alias("se"),
+            "n_events",
+        ).collect()
+    )
+    b = sorted(
+        (r["user_id"], r["span_start"], r["span_end"], r["n_events"])
+        for r in manual.collect()
+    )
+    assert a == b
+
+    stream = session_spans(
+        stream_table(spark, SF_DIR, "events"),
+        "user_id",
+        "ts",
+        gap="15 minutes",
+        watermark="1 hour",
+    )
+    assert stream.isStreaming
+    got = _run_to_memory(spark, stream, "stream_sessions")
+    g = sorted(
+        (r["user_id"], r["ss"], r["se"], r["n_events"])
+        for r in got.select(
+            "user_id",
+            F.unix_micros("span_start").alias("ss"),
+            F.unix_micros("span_end").alias("se"),
+            "n_events",
+        ).collect()
+    )
+    # append mode emits a session only once the watermark passes its end:
+    # emitted sessions match the batch spans exactly, and the only ones
+    # withheld are those still inside the final 1-hour watermark horizon
+    assert set(g) <= set(a)
+    # final watermark = max EVENT time - 1h; span ends sit gap past their
+    # last event, so the eviction horizon in span-end terms is
+    # max(se) - gap - 1h
+    horizon = max(se for _, _, se, _ in a) - gap_us - 3_600_000_000
+    withheld = set(a) - set(g)
+    assert withheld and all(se > horizon for _, _, se, _ in withheld)
