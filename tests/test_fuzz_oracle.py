@@ -309,3 +309,135 @@ def test_fuzzed_string_datetime_match_duckdb(spark, seed):
             f"column c{i} mismatch (seed {seed})\n"
             f"dftly: {spec[f'c{i}']}\nsql:   {sql_cols[i]}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Duration / interval surface: timestamp differences (sign included),
+# duration arithmetic, unit literals, truncate-toward-zero totals,
+# timestamp shifting — the engine's hardest Polars<->Spark shims.
+# DuckDB mirror carries durations as MICROSECOND BIGINTS (exact integer
+# arithmetic), totals as explicit truncate-toward-zero integer division.
+# ---------------------------------------------------------------------------
+
+UNITS_US = {
+    "seconds": 1_000_000,
+    "minutes": 60_000_000,
+    "hours": 3_600_000_000,
+    "days": 86_400_000_000,
+}
+TOTALS = [
+    ("total_seconds", 1_000_000),
+    ("total_minutes", 60_000_000),
+    ("total_hours", 3_600_000_000),
+    ("total_days", 86_400_000_000),
+    ("total_microseconds", 1),
+]
+
+
+def _frames3(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    shift = (F.col("o_orderkey") % 5000 - 2500) * 60_000_000
+    dt = F.col("o_orderdate").cast("timestamp")  # parquet loads NTZ
+    sdf = o.select(
+        dt.alias("dt1"),
+        F.timestamp_micros(F.unix_micros(dt) + shift).alias("dt2"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        CREATE VIEW fz3 AS
+        SELECT o_orderdate AS dt1,
+               o_orderdate
+                 + to_microseconds((o_orderkey % 5000 - 2500) * 60000000)
+                 AS dt2
+        FROM '{SF_DIR}/orders.parquet'
+        """
+    )
+    return sdf, con
+
+
+def _trunc_div(x_sql: str, u: int) -> str:
+    if u == 1:
+        return f"({x_sql})"
+    return (
+        f"(CASE WHEN ({x_sql}) >= 0 THEN ({x_sql}) // {u} "
+        f"ELSE -((-({x_sql})) // {u}) END)"
+    )
+
+
+class Gen3:
+    def __init__(self, rng: random.Random, max_depth: int = 3):
+        self.rng = rng
+        self.max_depth = max_depth
+
+    def dur(self, depth: int = 0) -> tuple[str, str]:
+        r = self.rng
+        if depth >= self.max_depth or r.random() < 0.4:
+            if r.random() < 0.6:
+                a, b = r.sample(["dt1", "dt2"], 2)
+                return (
+                    f"(${a} - ${b})",
+                    f"date_diff('microsecond', {b}, {a})",
+                )
+            unit, us = r.choice(list(UNITS_US.items()))
+            n = r.randrange(1, 200)
+            return f"{n}::{unit}", f"(CAST({n} AS BIGINT) * {us})"
+        op = r.choice(["+", "-"])
+        a_d, a_s = self.dur(depth + 1)
+        b_d, b_s = self.dur(depth + 1)
+        return f"({a_d} {op} {b_d})", f"(({a_s}) {op} ({b_s}))"
+
+    def num3(self, depth: int = 0) -> tuple[str, str]:
+        acc, u = self.rng.choice(TOTALS)
+        d_d, d_s = self.dur(depth + 1)
+        return f"({d_d})::{acc}", _trunc_div(d_s, u)
+
+    def dt(self, depth: int = 0) -> tuple[str, str]:
+        r = self.rng
+        base = r.choice(["dt1", "dt2"])
+        if depth >= self.max_depth or r.random() < 0.4:
+            return f"${base}", base
+        op = r.choice(["+", "-"])
+        d_d, d_s = self.dur(depth + 1)
+        return (
+            f"(${base} {op} {d_d})",
+            f"({base} {op} to_microseconds(CAST({d_s} AS BIGINT)))",
+        )
+
+    def boolean3(self, depth: int = 0) -> tuple[str, str]:
+        r = self.rng
+        op_d, op_s = r.choice([("<", "<"), (">", ">"), ("==", "="), ("<=", "<=")])
+        if r.random() < 0.5:
+            a_d, a_s = self.dur(depth + 1)
+            b_d, b_s = self.dur(depth + 1)
+        else:
+            a_d, a_s = self.dt(depth + 1)
+            b_d, b_s = self.dt(depth + 1)
+        return f"({a_d} {op_d} {b_d})", f"(({a_s}) {op_s} ({b_s}))"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_durations_match_duckdb(spark, seed):
+    rng = random.Random(31000 + seed)
+    gen = Gen3(rng)
+    sdf, con = _frames3(spark)
+    spec, sql_cols = {}, []
+    makers = [gen.num3, gen.dt, gen.boolean3]
+    for i in range(6):
+        d, s = makers[i % 3]()
+        spec[f"c{i}"] = d
+        sql_cols.append(f"{s} AS c{i}")
+    sql = "SELECT " + ", ".join(sql_cols) + " FROM fz3"
+    try:
+        got = Parser.select(sdf, spec).collect()
+    except Exception as ex:  # pragma: no cover
+        raise AssertionError(f"spark failed for {spec}\n{ex}") from ex
+    want = con.execute(sql).fetchall()
+    assert len(got) == len(want)
+    for i in range(6):
+        g = _canon([r[f"c{i}"] for r in got])
+        w = _canon([r[i] for r in want])
+        assert g == w, (
+            f"column c{i} mismatch (seed {seed})\n"
+            f"dftly: {spec[f'c{i}']}\nsql:   {sql_cols[i]}"
+        )
