@@ -243,10 +243,17 @@ class Gen2(Gen):
                 a = 0
             d = f"${c}[{a}:{'' if b is None else b}]"
             return d, _slice_sql(c, a, b)
-        if choice == 1:  # concat via string `+`
+        if choice == 1:
             a_d, a_s = self.str_(depth + 1)
             b_d, b_s = self.str_(depth + 1)
-            return f"({a_d} + {b_d})", f"(({a_s}) || ({b_s}))"
+            if r.random() < 0.5:  # concat via string `+`
+                return f"({a_d} + {b_d})", f"(({a_s}) || ({b_s}))"
+            # f-string interpolation (null field -> null result, like ||)
+            sep = r.choice(["|", "-", "::"])
+            return (
+                f"f\"<{{{a_d}}}{sep}{{{b_d}}}>\"",
+                f"('<' || ({a_s}) || '{sep}' || ({b_s}) || '>')",
+            )
         if choice == 2:  # conditional
             c_d, c_s = self.boolean2(depth + 1)
             a_d, a_s = self.str_(depth + 1)
