@@ -448,3 +448,91 @@ def test_fuzzed_durations_match_duckdb(spark, seed):
             f"column c{i} mismatch (seed {seed})\n"
             f"dftly: {spec[f'c{i}']}\nsql:   {sql_cols[i]}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Regex surface: generated portable patterns (the Java∩RE2 subset the
+# strict-dialect lint enforces) through `extract [group N of] /re/ from`
+# and `/re/ in`, against DuckDB's RE2.  Pins the dialect bridge over
+# random patterns, not just the hand-written q17/q24 cases.
+# ---------------------------------------------------------------------------
+
+
+def _frames4(spark):
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    sdf = p.select(F.col("p_name").alias("name"), F.col("p_type").alias("typ"))
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        CREATE VIEW fz4 AS
+        SELECT p_name AS name, p_type AS typ
+        FROM '{SF_DIR}/part.parquet'
+        """
+    )
+    return sdf, con
+
+
+class GenRe:
+    ATOMS = ["[a-z]", "[0-9]", "[A-Z]", "[aeiou]", "[b-dr-t]", "s", "e", "r", " "]
+    QUANTS = ["", "+", "?", "{1,2}", "{2}"]
+
+    def __init__(self, rng: random.Random):
+        self.rng = rng
+
+    def pattern(self, with_group: bool = False) -> str:
+        r = self.rng
+        n = r.randrange(2, 5)
+        parts = [
+            r.choice(self.ATOMS) + r.choice(self.QUANTS) for _ in range(n)
+        ]
+        if with_group:
+            i = r.randrange(len(parts))
+            parts[i] = f"({parts[i]})"
+        return "".join(parts)
+
+    def produce(self) -> tuple[str, str]:
+        r = self.rng
+        col = r.choice(["name", "typ"])
+        kind = r.randrange(3)
+        if kind == 0:  # search
+            pat = self.pattern()
+            return f"/{pat}/ in ${col}", f"regexp_matches({col}, '{pat}')"
+        if kind == 1:  # whole-match extract
+            pat = self.pattern()
+            return (
+                f"extract /{pat}/ from ${col}",
+                f"CASE WHEN regexp_matches({col}, '{pat}') "
+                f"THEN regexp_extract({col}, '{pat}') END",
+            )
+        pat = self.pattern(with_group=True)  # group extract
+        return (
+            f"extract group 1 of /{pat}/ from ${col}",
+            f"CASE WHEN regexp_matches({col}, '{pat}') "
+            f"THEN regexp_extract({col}, '{pat}', 1) END",
+        )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_regex_match_duckdb(spark, seed):
+    rng = random.Random(91000 + seed)
+    gen = GenRe(rng)
+    sdf, con = _frames4(spark)
+    spec, sql_cols = {}, []
+    for i in range(6):
+        d, s = gen.produce()
+        spec[f"c{i}"] = d
+        sql_cols.append(f"{s} AS c{i}")
+    sql = "SELECT " + ", ".join(sql_cols) + " FROM fz4"
+    try:
+        got = Parser.select(sdf, spec).collect()
+    except Exception as ex:  # pragma: no cover
+        raise AssertionError(f"spark failed for {spec}\n{ex}") from ex
+    want = con.execute(sql).fetchall()
+    assert len(got) == len(want)
+    for i in range(6):
+        g = _canon([r[f"c{i}"] for r in got])
+        w = _canon([r[i] for r in want])
+        assert g == w, (
+            f"column c{i} mismatch (seed {seed})\n"
+            f"dftly: {spec[f'c{i}']}\nsql:   {sql_cols[i]}"
+        )
