@@ -268,9 +268,17 @@ class Gen2(Gen):
 
     def num2(self, depth: int = 0) -> tuple[str, str]:
         r = self.rng
-        if r.random() < 0.5:
+        roll = r.random()
+        if roll < 0.4:
             a_d, a_s = self.str_(depth + 1)
             return f"len_chars({a_d})", f"length({a_s})"
+        if roll < 0.55:
+            # non-strict cast of arbitrary text -> double (null on failure)
+            a_d, a_s = self.str_(depth + 1)
+            return (
+                f"(({a_d})::?float64 ?? 0.0)",
+                f"coalesce(TRY_CAST({a_s} AS DOUBLE), 0.0)",
+            )
         acc, sql_t = r.choice(DT_ACCESSORS)
         return f"$dt::{acc}", sql_t.format(c="dt")
 
