@@ -376,3 +376,60 @@ def session_spans(
             *[F.col(k) for k in (aggs or {})],
         )
     )
+
+
+def maintain_minhash_index(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    banded_path: str,
+    sets_path: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    checkpoint: str,
+    dedup_first: tuple[DataFrame, DataFrame] | None = None,
+    threshold: float = 0.7,
+):
+    """Keep the persisted MinHash index CURRENT from a document stream.
+
+    The write half of the incremental-dedup loop (:func:`stream_minhash_dedup`
+    is the read half): every micro-batch computes its banded signatures +
+    shingle sets with the row-local expression forms and APPENDS them to
+    the index's parquet tables via ``foreachBatch`` — so the next batch
+    (and every offline ingest) joins against a corpus that includes
+    everything already streamed.  With ``dedup_first=(banded, sets)`` the
+    batch is first screened against the CURRENT index and only novel
+    documents (no match ≥ ``threshold``) are admitted — the standard
+    "index admits no near-duplicate" invariant, maintained incrementally.
+
+    foreachBatch is the sanctioned Structured Streaming sink-extension
+    point; each batch write is tracked by the query checkpoint, giving the
+    standard at-least-once appends (pair that with the id column on read,
+    or rewrite into a bucketed table periodically via ``write_bucketed``
+    during compaction).  Returns the started StreamingQuery.
+    """
+    from .ops.dedup import minhash_index
+
+    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+        admit = batch
+        if dedup_first is not None:
+            idx_banded, idx_sets = dedup_first
+            matches = stream_minhash_dedup(
+                admit, idx_banded, idx_sets, id_col, text_col,
+                n=n, k=k, bands=bands, threshold=threshold,
+            ).select(F.col("new_id").alias("_dup_id")).distinct()
+            admit = admit.join(
+                matches, admit[id_col] == matches["_dup_id"], "left_anti"
+            )
+        banded, sets = minhash_index(admit, id_col, text_col, n=n, k=k, bands=bands)
+        banded.write.mode("append").parquet(banded_path)
+        sets.write.mode("append").parquet(sets_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

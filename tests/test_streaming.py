@@ -386,3 +386,61 @@ def test_session_spans_native_matches_merge_intervals_and_streams(spark):
     horizon = max(se for _, _, se, _ in a) - gap_us - 3_600_000_000
     withheld = set(a) - set(g)
     assert withheld and all(se > horizon for _, _, se, _ in withheld)
+
+
+def test_maintain_minhash_index_grows_and_screens(spark, tmp_path):
+    """foreachBatch index maintenance: streamed documents land in the
+    persisted index; with dedup_first, near-duplicates of the existing
+    corpus are refused admission."""
+    from dftly_spark.ops.dedup import minhash_index
+    from dftly_spark.streaming import maintain_minhash_index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    arriving = docs.where(F.col("doc_id") % 2 == 1)
+    # arriving stream also carries VERBATIM copies of 5 base docs
+    copies = base.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    arriving = arriving.unionByName(copies)
+
+    banded_path = str(tmp_path / "banded")
+    sets_path = str(tmp_path / "sets")
+    b0, s0 = minhash_index(base, "doc_id", "text")
+    b0.write.parquet(banded_path)
+    s0.write.parquet(sets_path)
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    arriving.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "batch1"))
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    q = maintain_minhash_index(
+        stream,
+        "doc_id",
+        "text",
+        banded_path=banded_path,
+        sets_path=sets_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        dedup_first=(
+            spark.read.parquet(banded_path),
+            spark.read.parquet(sets_path),
+        ),
+    )
+    q.awaitTermination(180)
+
+    indexed_ids = {
+        r["doc_id"] for r in spark.read.parquet(sets_path).select("doc_id").collect()
+    }
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    novel_ids = {r["doc_id"] for r in arriving.select("doc_id").collect()
+                 if r["doc_id"] < 1_000_000}
+    # all base docs still indexed, all novel arrivals admitted
+    assert base_ids <= indexed_ids
+    assert novel_ids <= indexed_ids
+    # the verbatim copies were screened out
+    assert not any(i >= 1_000_000 for i in indexed_ids)
