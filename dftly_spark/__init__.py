@@ -25,6 +25,7 @@ from .nodes import (  # noqa: F401
     Node,
 )
 from .parser import Parser  # noqa: F401
+from .sqlgen import SqlGenError, spec_to_duckdb_sql, to_duckdb_sql  # noqa: F401
 from .timetype import (  # noqa: F401
     micros_to_time,
     time_to_micros,
@@ -41,6 +42,9 @@ __all__ = [
     "UNARY_OPS",
     "DT_CAST_ACCESSORS",
     "LoweringContext",
+    "to_duckdb_sql",
+    "spec_to_duckdb_sql",
+    "SqlGenError",
     "micros_to_time",
     "time_to_micros",
     "time_type_enabled",

@@ -1,0 +1,445 @@
+"""dftly AST → DuckDB SQL emitter (the portable subset).
+
+The oracle story inverted: every contract query hand-writes a DuckDB
+mirror; this module GENERATES the mirror from the same AST the Spark
+lowering consumes, so any expression in the portable subset gets an
+external-engine cross-check for free.  The fuzz suites
+(``tests/test_fuzz_oracle.py`` / ``test_sqlgen.py``) validate the emitter
+the same way the engine itself is validated: value-for-value against
+DuckDB on real rows.
+
+Representation conventions (shared with every hand-written oracle):
+
+* **durations** are MICROSECOND BIGINTS — exact integer arithmetic that
+  any engine replays bit-for-bit; ``timestamp ± duration`` wraps through
+  ``to_microseconds``; ``total_*`` accessors are truncate-toward-zero
+  integer division (the engine's Polars-parity semantics — plain ``//``
+  floors and is WRONG for negative durations).
+* **time** values are micros-since-midnight BIGINTS, mirroring the
+  engine's tagged-long representation.
+* double→integer casts TRUNCATE (``CAST(TRUNC(x) AS ...)``) — SQL CAST
+  rounds, Polars/Spark truncate.
+
+Unsupported nodes (``hash``/``signed_hash`` — engine-specific values by
+design; ``strptime`` — per-format chrono translation; ``split`` — array
+results; double-typed interpolation fields — float formatting is not
+portable) raise :class:`SqlGenError` loudly rather than emitting
+something subtly wrong.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from . import dtypes as DT
+from .nodes import LoweringContext, Node
+from .parser import Parser
+
+__all__ = ["SqlGenError", "to_duckdb_sql", "spec_to_duckdb_sql"]
+
+_US = {
+    "total_nanoseconds": None,  # micros * 1000, handled specially
+    "total_microseconds": 1,
+    "total_milliseconds": 1_000,
+    "total_seconds": 1_000_000,
+    "total_minutes": 60_000_000,
+    "total_hours": 3_600_000_000,
+    "total_days": 86_400_000_000,
+}
+
+_ACCESSOR_SQL = {
+    "dt_year": "year({x})",
+    "dt_month_of_year": "month({x})",
+    "dt_day_of_month": "day({x})",
+    "dt_day_of_week": "isodow({x})",  # both 1=Monday
+    "dt_day_of_year": "dayofyear({x})",
+    "dt_hour_of_day": "hour({x})",
+    "dt_minute_of_hour": "minute({x})",
+    "dt_second_of_minute": "CAST(floor(second({x})) AS INTEGER)",
+    "dt_week_of_year": "weekofyear({x})",  # ISO weeks on both engines
+    "dt_quarter_of_year": "quarter({x})",
+}
+
+#: micros-per-parent-unit for accessors applied to tagged TIME values
+_TIME_ACC = {
+    "dt_hour_of_day": (3_600_000_000, 24),
+    "dt_minute_of_hour": (60_000_000, 60),
+    "dt_second_of_minute": (1_000_000, 60),
+}
+
+_DUCK_TYPE = {
+    DT.BOOL: "BOOLEAN",
+    DT.I8: "TINYINT",
+    DT.I16: "SMALLINT",
+    DT.I32: "INTEGER",
+    DT.I64: "BIGINT",
+    DT.I128: "HUGEINT",
+    DT.U8: "SMALLINT",
+    DT.U16: "INTEGER",
+    DT.U32: "BIGINT",
+    DT.U64: "HUGEINT",
+    DT.F32: "FLOAT",
+    DT.F64: "DOUBLE",
+    DT.STR: "VARCHAR",
+    DT.DATE: "DATE",
+    DT.DATETIME: "TIMESTAMP",
+}
+
+
+class SqlGenError(NotImplementedError):
+    """Raised for AST shapes outside the portable-SQL subset."""
+
+
+def _trunc_div(x: str, u: int) -> str:
+    if u == 1:
+        return f"({x})"
+    return f"(CASE WHEN ({x}) >= 0 THEN ({x}) // {u} ELSE -((-({x})) // {u}) END)"
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _is_dt(tag: str) -> bool:
+    return tag == DT.DATETIME or tag == DT.DATE
+
+
+def to_duckdb_sql(expr: Any, schema: dict[str, str] | Any | None = None) -> str:
+    """DuckDB SQL for one dftly expression (string/dict/Node form).
+
+    ``schema`` drives the same dtype dispatch the Spark lowering uses
+    (string concat vs numeric add, duration vs timestamp subtract);
+    pass the DataFrame or a ``{column: dtype-tag}`` dict.
+    """
+    ctx = _ctx(schema)
+    node = expr if isinstance(expr, Node) else Parser()(expr)
+    return _emit(node, ctx)
+
+
+def spec_to_duckdb_sql(
+    spec: Any, schema: dict[str, str] | Any | None = None
+) -> dict[str, str]:
+    """DuckDB SQL for every column of a dftly spec (``{name: expr}``)."""
+    ctx = _ctx(schema)
+    nodes = Parser.to_nodes(spec) if hasattr(Parser, "to_nodes") else None
+    if nodes is None:
+        out = {}
+        for name, e in dict(spec).items():
+            out[name] = to_duckdb_sql(e, schema)
+        return out
+    return {name: _emit(n, ctx) for name, n in nodes.items()}
+
+
+def _ctx(schema) -> LoweringContext:
+    if schema is None:
+        return LoweringContext()
+    if isinstance(schema, dict):
+        # accept either internal tags ("f64") or public dtype names
+        # ("float64"), matching the cast-target vocabulary
+        return LoweringContext(
+            {k: DT.NAMED_TYPES.get(v, v) for k, v in schema.items()}
+        )
+    # DataFrame or StructType
+    st = getattr(schema, "schema", schema)
+    return LoweringContext.from_spark_schema(st)
+
+
+def _emit(n: Node, ctx: LoweringContext) -> str:
+    key = n.KEY
+    fn = _EMITTERS.get(key)
+    if fn is None:
+        raise SqlGenError(
+            f"node {key!r} is outside the portable-SQL subset "
+            "(see dftly_spark/sqlgen.py docstring)"
+        )
+    return fn(n, ctx)
+
+
+# -- terminals ---------------------------------------------------------------
+
+
+def _emit_literal(n: Node, ctx: LoweringContext) -> str:
+    import datetime as _dt
+
+    v = n.args[0]
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return f"CAST({v} AS BIGINT)"
+    if isinstance(v, float):
+        return f"CAST({v!r} AS DOUBLE)"
+    if isinstance(v, str):
+        return _q(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, _dt.time):
+        us = ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000 + v.microsecond
+        return f"CAST({us} AS BIGINT)"
+    raise SqlGenError(f"unsupported literal type {type(v).__name__}")
+
+
+def _emit_column(n: Node, ctx: LoweringContext) -> str:
+    name = n.args[0]
+    return '"' + name.replace('"', '""') + '"'
+
+
+# -- boolean / arithmetic ----------------------------------------------------
+
+
+def _nary(op: str):
+    def emit(n: Node, ctx: LoweringContext) -> str:
+        return "(" + f" {op} ".join(_emit(a, ctx) for a in n.args) + ")"
+
+    return emit
+
+
+def _emit_not(n, ctx):
+    return f"(NOT {_emit(n.args[0], ctx)})"
+
+
+def _emit_negate(n, ctx):
+    return f"(- {_emit(n.args[0], ctx)})"
+
+
+def _emit_add(n, ctx):
+    tags = [a.out_type(ctx) for a in n.args]
+    if any(t == DT.STR for t in tags):
+        return "(" + " || ".join(_emit(a, ctx) for a in n.args) + ")"
+    if any(_is_dt(t) for t in tags):
+        # datetime + duration(s): shift through to_microseconds
+        if len(n.args) != 2:
+            raise SqlGenError("datetime add supports exactly two operands")
+        a, b = n.args
+        if _is_dt(a.out_type(ctx)):
+            dt_s, dur_s = _emit(a, ctx), _emit(b, ctx)
+        else:
+            dt_s, dur_s = _emit(b, ctx), _emit(a, ctx)
+        return f"({dt_s} + to_microseconds(CAST({dur_s} AS BIGINT)))"
+    return "(" + " + ".join(_emit(a, ctx) for a in n.args) + ")"
+
+
+def _emit_subtract(n, ctx):
+    a, b = n.args
+    ta, tb = a.out_type(ctx), b.out_type(ctx)
+    if _is_dt(ta) and _is_dt(tb):
+        return f"date_diff('microsecond', {_emit(b, ctx)}, {_emit(a, ctx)})"
+    if _is_dt(ta) and tb == DT.DURATION:
+        return f"({_emit(a, ctx)} - to_microseconds(CAST({_emit(b, ctx)} AS BIGINT)))"
+    return f"({_emit(a, ctx)} - {_emit(b, ctx)})"
+
+
+def _emit_mean(n, ctx):
+    parts = [_emit(a, ctx) for a in n.args]
+    total = " + ".join(f"coalesce(CAST({p} AS DOUBLE), 0)" for p in parts)
+    cnt = " + ".join(f"CAST(({p}) IS NOT NULL AS INTEGER)" for p in parts)
+    return f"(({total}) / nullif({cnt}, 0))"
+
+
+def _minmax(fn: str):
+    def emit(n, ctx):
+        return f"{fn}(" + ", ".join(_emit(a, ctx) for a in n.args) + ")"
+
+    return emit
+
+
+def _cmp(op: str):
+    def emit(n, ctx):
+        return f"({_emit(n.args[0], ctx)} {op} {_emit(n.args[1], ctx)})"
+
+    return emit
+
+
+def _emit_conditional(n, ctx):
+    when = _emit(n.kwargs["when"], ctx)
+    then = _emit(n.kwargs["then"], ctx)
+    if "otherwise" in n.kwargs:
+        other = _emit(n.kwargs["otherwise"], ctx)
+        return f"(CASE WHEN {when} THEN {then} ELSE {other} END)"
+    return f"(CASE WHEN {when} THEN {then} END)"
+
+
+# -- strings -----------------------------------------------------------------
+
+
+def _emit_len_chars(n, ctx):
+    return f"length({_emit(n.args[0], ctx)})"
+
+
+def _emit_substring(n, ctx):
+    src = _emit(n.kwargs["source"], ctx)
+    start = _emit(n.kwargs["start"], ctx)
+    ln = f"length({src})"
+
+    def norm(idx_sql: str) -> str:
+        shifted = f"(CASE WHEN ({idx_sql}) < 0 THEN ({idx_sql}) + {ln} ELSE ({idx_sql}) END)"
+        return f"GREATEST(LEAST({shifted}, {ln}), 0)"
+
+    lo = norm(start)
+    hi = norm(_emit(n.kwargs["stop"], ctx)) if "stop" in n.kwargs else ln
+    return f"substr({src}, {lo} + 1, GREATEST({hi} - ({lo}), 0))"
+
+
+def _stringify(a: Node, ctx: LoweringContext) -> str:
+    t = a.out_type(ctx)
+    s = _emit(a, ctx)
+    if t == DT.STR:
+        return s
+    if t in (DT.F32, DT.F64) or t == DT.TIME:
+        raise SqlGenError(
+            f"interpolation of {t} fields is not portable (float/time "
+            "formatting differs across engines)"
+        )
+    return f"CAST({s} AS VARCHAR)"
+
+
+def _emit_interpolate(n, ctx):
+    pattern = n.pattern
+    fields = list(n.args[1:])
+    segments = pattern.split("{}")
+    parts: list[str] = []
+    for i, seg in enumerate(segments):
+        if seg:
+            parts.append(_q(seg))
+        if i < len(fields):
+            parts.append(_stringify(fields[i], ctx))
+    if not parts:
+        return "''"
+    return "(" + " || ".join(parts) + ")"
+
+
+def _pattern_sql(p: Node, ctx: LoweringContext) -> str:
+    # literal patterns embed directly; expression patterns emit as string
+    # expressions (DuckDB's regexp functions accept either)
+    return _emit(p, ctx)
+
+
+def _emit_regex_match(n, ctx):
+    src = _emit(n.kwargs["source"], ctx)
+    pat = _pattern_sql(n.kwargs["pattern"], ctx)
+    return f"regexp_matches({src}, {pat})"
+
+
+def _emit_regex_extract(n, ctx):
+    src = _emit(n.kwargs["source"], ctx)
+    pat = _pattern_sql(n.kwargs["pattern"], ctx)
+    gi = 0
+    if "group_index" in n.kwargs:
+        gi_node = n.kwargs["group_index"]
+        if gi_node.KEY != "literal":
+            raise SqlGenError("regex_extract group_index must be a literal")
+        gi = int(gi_node.args[0])
+    return (
+        f"(CASE WHEN regexp_matches({src}, {pat}) "
+        f"THEN regexp_extract({src}, {pat}, {gi}) END)"
+    )
+
+
+# -- casts -------------------------------------------------------------------
+
+
+def _emit_cast(n, ctx):
+    t = n.target
+    src_node = n.kwargs["source"]
+    src_tag = src_node.out_type(ctx)
+    s = _emit(src_node, ctx)
+
+    if t in DT.DURATION_UNIT_SECONDS:
+        us = DT.DURATION_UNIT_SECONDS[t] * 1_000_000
+        if us == int(us):
+            return f"(CAST({s} AS BIGINT) * {int(us)})"
+        return f"CAST(CAST({s} AS DOUBLE) * {us!r} AS BIGINT)"
+    if t in DT.DATE_UNITS:  # "year"
+        return f"make_date(CAST({s} AS INTEGER), 1, 1)"
+
+    tag = DT.NAMED_TYPES[t]
+    cast_kw = "CAST" if n.strict else "TRY_CAST"
+    if tag == DT.DATETIME and DT.is_int(src_tag):
+        return f"make_timestamp(CAST({s} AS BIGINT))"  # µs since epoch
+    if tag == DT.DATE and DT.is_int(src_tag):
+        return f"(DATE '1970-01-01' + CAST({s} AS INTEGER))"
+    if tag == DT.TIME or src_tag == DT.TIME:
+        raise SqlGenError("time casts are outside the portable subset")
+    if tag == DT.DURATION:
+        raise SqlGenError("plain duration casts are outside the portable subset")
+    duck = _DUCK_TYPE.get(tag)
+    if duck is None:
+        raise SqlGenError(f"cast target {t!r} unsupported")
+    if DT.is_int(tag) and src_tag in (DT.F32, DT.F64, DT.UNKNOWN):
+        return f"{cast_kw}(TRUNC({s}) AS {duck})"  # Polars/Spark truncate
+    return f"{cast_kw}({s} AS {duck})"
+
+
+# -- datetimes ---------------------------------------------------------------
+
+
+def _emit_accessor(key: str):
+    def emit(n, ctx):
+        arg = n.args[0]
+        s = _emit(arg, ctx)
+        if arg.out_type(ctx) == DT.TIME and key in _TIME_ACC:
+            unit, per_parent = _TIME_ACC[key]
+            return f"(({s}) // {unit} % {per_parent})"
+        return _ACCESSOR_SQL[key].format(x=s)
+
+    return emit
+
+
+def _emit_total(key: str):
+    def emit(n, ctx):
+        s = _emit(n.args[0], ctx)
+        if key == "total_nanoseconds":
+            return f"(({s}) * 1000)"
+        return _trunc_div(s, _US[key])
+
+    return emit
+
+
+def _emit_set_time(n, ctx):
+    d = _emit(n.args[0], ctx)
+    t = _emit(n.args[1], ctx)  # tagged micros
+    return (
+        f"(CAST(CAST({d} AS DATE) AS TIMESTAMP)"
+        f" + to_microseconds(CAST({t} AS BIGINT)))"
+    )
+
+
+_EMITTERS = {
+    "literal": _emit_literal,
+    "column": _emit_column,
+    "not": _emit_not,
+    "negate": _emit_negate,
+    "and": _nary("AND"),
+    "or": _nary("OR"),
+    "add": _emit_add,
+    "subtract": _emit_subtract,
+    "multiply": _nary("*"),
+    "divide": _nary("/"),
+    "mean": _emit_mean,
+    "min": _minmax("least"),
+    "max": _minmax("greatest"),
+    "coalesce": lambda n, ctx: "coalesce("
+    + ", ".join(_emit(a, ctx) for a in n.args)
+    + ")",
+    "greater_than": _cmp(">"),
+    "less_than": _cmp("<"),
+    "equal": _cmp("="),
+    "not_equal": _cmp("!="),
+    "greater_than_or_equal": _cmp(">="),
+    "less_than_or_equal": _cmp("<="),
+    "conditional": _emit_conditional,
+    "len_chars": _emit_len_chars,
+    "substring": _emit_substring,
+    "string_interpolate": _emit_interpolate,
+    "regex_match": _emit_regex_match,
+    "regex_extract": _emit_regex_extract,
+    "cast": _emit_cast,
+    "set_time": _emit_set_time,
+}
+for _k in _ACCESSOR_SQL:
+    _EMITTERS[_k] = _emit_accessor(_k)
+for _k in _US:
+    _EMITTERS[f"dt_{_k}"] = _emit_total(_k)
