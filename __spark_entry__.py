@@ -4159,6 +4159,54 @@ _q(
 )
 
 
+
+
+#: The q27 spec is shared by the Spark builder AND the sqlgen oracle —
+#: the emitter (dftly_spark/sqlgen.py) generates the DuckDB mirror from
+#: the SAME AST the Spark lowering consumes, so this query gates the
+#: emitter itself through the driver's own correctness machinery.
+_Q27_SPEC = {
+    "ok": "$l_orderkey",
+    "ln": "$l_linenumber",
+    "rev": "$l_extendedprice * (1 - $l_discount)",
+    "qty_i": "$l_quantity::int64",
+    "grade": "('bulk' if $l_quantity >= 30 else 'retail')",
+    "code": 'f"{$l_returnflag}~{$l_linestatus}"',
+    "flag2": "$l_returnflag[0:1] + $l_linestatus[0:1]",
+    "ship_y": "$l_shipdate::year_of_date",
+    "ship_dow": "$l_shipdate::day_of_week",
+    "is_n": '/N/ in $l_returnflag',
+    "best": "max($l_discount, $l_tax)",
+    "d7": "($l_shipdate + 7::days)",
+}
+
+_Q27_SCHEMA = {
+    "l_orderkey": "int64",
+    "l_linenumber": "int32",
+    "l_quantity": "float64",
+    "l_extendedprice": "float64",
+    "l_discount": "float64",
+    "l_tax": "float64",
+    "l_returnflag": "str",
+    "l_linestatus": "str",
+    "l_shipdate": "datetime",
+}
+
+
+def _q27_oracle() -> str:
+    from dftly_spark.sqlgen import spec_to_duckdb_sql
+
+    cols = spec_to_duckdb_sql(_Q27_SPEC, _Q27_SCHEMA)
+    return (
+        "SELECT "
+        + ", ".join(f"{sql} AS {name}" for name, sql in cols.items())
+        + " FROM lineitem"
+    )
+
+
+_q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -4172,6 +4220,7 @@ _q(
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "q27_sqlgen_oracle",
     "x75_corr_matrix",
     "x76_group_entropy",
     "x73_group_trend",
