@@ -20,11 +20,13 @@ Representation conventions (shared with every hand-written oracle):
 * double→integer casts TRUNCATE (``CAST(TRUNC(x) AS ...)``) — SQL CAST
   rounds, Polars/Spark truncate.
 
-Unsupported nodes (``hash``/``signed_hash`` — engine-specific values by
-design; ``strptime`` — per-format chrono translation; ``split`` — array
-results; double-typed interpolation fields — float formatting is not
-portable) raise :class:`SqlGenError` loudly rather than emitting
-something subtly wrong.
+``strptime`` emits directly — DuckDB's strptime speaks the same chrono
+%-dialect the reference does, no translation needed (the Spark lowering
+is where the chrono→Java work lives).  Unsupported nodes
+(``hash``/``signed_hash`` — engine-specific values by design; ``split``
+— array results; ``%s`` epoch formats; double-typed interpolation
+fields — float formatting is not portable) raise :class:`SqlGenError`
+loudly rather than emitting something subtly wrong.
 """
 
 from __future__ import annotations
@@ -398,6 +400,29 @@ def _emit_total(key: str):
     return emit
 
 
+def _emit_strptime(n, ctx):
+    fmt = n.format_str
+    if "%s" in fmt:
+        raise SqlGenError("strptime %s (epoch seconds) is a Spark-side special path")
+    src = _emit(n.kwargs["source"], ctx)
+    f = _q(fmt)
+    # DuckDB shares chrono's %-code dialect, so the format embeds verbatim;
+    # strict -> strptime (errors abort, like the engine's raise_error guard),
+    # non-strict -> try_strptime (null on failure)
+    base = (
+        f"strptime({src}, {f})" if n.strict else f"try_strptime({src}, {f})"
+    )
+    kind = n.output_type
+    if kind == "date":
+        return f"CAST({base} AS DATE)"
+    if kind == "datetime":
+        return f"CAST({base} AS TIMESTAMP)"
+    # time -> micros since midnight (the engine's tagged-long convention)
+    return (
+        f"date_diff('microsecond', date_trunc('day', {base}), {base})"
+    )
+
+
 def _emit_set_time(n, ctx):
     d = _emit(n.args[0], ctx)
     t = _emit(n.args[1], ctx)  # tagged micros
@@ -437,6 +462,7 @@ _EMITTERS = {
     "regex_match": _emit_regex_match,
     "regex_extract": _emit_regex_extract,
     "cast": _emit_cast,
+    "strptime": _emit_strptime,
     "set_time": _emit_set_time,
 }
 for _k in _ACCESSOR_SQL:

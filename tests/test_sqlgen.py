@@ -118,3 +118,36 @@ def test_sqlgen_regex_fuzz(spark, seed):
         d, _ = gen.produce()
         spec[f"c{i}"] = d
     _check(spark, sdf, con, "fz4", spec, seed)
+
+
+def test_sqlgen_strptime_matches_engine(spark):
+    """strptime emits verbatim chrono formats; date/datetime/time kinds and
+    the non-strict null path all value-match the engine."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    sdf = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ds"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("dts"),
+        F.date_format("o_orderdate", "HH:mm:ss").alias("ts_s"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE VIEW fz5 AS
+        SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m-%d') AS ds,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS dts,
+               strftime(o_orderdate, '%H:%M:%S') AS ts_s
+        FROM '/root/testdata/sf0.001/orders.parquet'
+        """
+    )
+    spec = {
+        "d": "$ds::'%Y-%m-%d'",
+        "dt": "$dts::'%Y-%m-%d %H:%M:%S'",
+        "t_us": "$ts_s::'%H:%M:%S'",
+        "bad": "$ds::?'%d/%m/%Y'",
+    }
+    _check(spark, sdf, con, "fz5", spec, seed="strptime")
