@@ -50,7 +50,9 @@ def test_emitter_rejects_nonportable_nodes():
     with pytest.raises(SqlGenError):
         to_duckdb_sql("hash($a)", {"a": "str"})
     with pytest.raises(SqlGenError):
-        to_duckdb_sql('$a::\'%Y-%m-%d\'', {"a": "str"})  # strptime
+        to_duckdb_sql('split($a, "-")', {"a": "str"})  # array result
+    with pytest.raises(SqlGenError):
+        to_duckdb_sql("$a::'%s'", {"a": "str"})  # epoch-seconds special path
 
 
 def _check(spark, sdf, con, view, spec, seed):
