@@ -234,6 +234,16 @@ def _emit_subtract(n, ctx):
     return f"({_emit(a, ctx)} - {_emit(b, ctx)})"
 
 
+def _emit_power(n, ctx):
+    a, b = n.args
+    s = f"POWER({_emit(a, ctx)}, {_emit(b, ctx)})"
+    # engine recasts int ** int back to long (q02 convention); exact for
+    # results inside the double mantissa
+    if DT.is_int(a.out_type(ctx)) and DT.is_int(b.out_type(ctx)):
+        return f"CAST({s} AS BIGINT)"
+    return s
+
+
 def _emit_mean(n, ctx):
     parts = [_emit(a, ctx) for a in n.args]
     total = " + ".join(f"coalesce(CAST({p} AS DOUBLE), 0)" for p in parts)
@@ -443,6 +453,7 @@ _EMITTERS = {
     "subtract": _emit_subtract,
     "multiply": _nary("*"),
     "divide": _nary("/"),
+    "power": _emit_power,
     "mean": _emit_mean,
     "min": _minmax("least"),
     "max": _minmax("greatest"),

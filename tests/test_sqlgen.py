@@ -153,3 +153,21 @@ def test_sqlgen_strptime_matches_engine(spark):
         "bad": "$ds::?'%d/%m/%Y'",
     }
     _check(spark, sdf, con, "fz5", spec, seed="strptime")
+
+
+def test_sqlgen_power_int_recast(spark):
+    import duckdb
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sdf = li.select("l_orderkey", "l_linenumber", "l_discount")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW fz6 AS SELECT l_orderkey, l_linenumber, l_discount "
+        "FROM '/root/testdata/sf0.001/lineitem.parquet'"
+    )
+    spec = {
+        "sq": "$l_linenumber ** 2",
+        "cube": "$l_linenumber ** 3",
+        "dsq": "$l_discount ** 2",
+    }
+    _check(spark, sdf, con, "fz6", spec, seed="power")
