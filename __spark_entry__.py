@@ -4177,6 +4177,8 @@ _Q27_SPEC = {
     "ship_dow": "$l_shipdate::day_of_week",
     "is_n": '/N/ in $l_returnflag',
     "best": "max($l_discount, $l_tax)",
+    "mid": "mean($l_discount, $l_tax)",
+    "sq": "$l_linenumber ** 2",
     "d7": "($l_shipdate + 7::days)",
 }
 
