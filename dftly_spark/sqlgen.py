@@ -122,14 +122,7 @@ def spec_to_duckdb_sql(
     spec: Any, schema: dict[str, str] | Any | None = None
 ) -> dict[str, str]:
     """DuckDB SQL for every column of a dftly spec (``{name: expr}``)."""
-    ctx = _ctx(schema)
-    nodes = Parser.to_nodes(spec) if hasattr(Parser, "to_nodes") else None
-    if nodes is None:
-        out = {}
-        for name, e in dict(spec).items():
-            out[name] = to_duckdb_sql(e, schema)
-        return out
-    return {name: _emit(n, ctx) for name, n in nodes.items()}
+    return {name: to_duckdb_sql(e, schema) for name, e in dict(spec).items()}
 
 
 def _ctx(schema) -> LoweringContext:
