@@ -147,7 +147,7 @@ def _canon(values):
     return sorted(out, key=lambda x: (x is None, str(type(x)), x if x is not None else 0))
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(20))
 def test_fuzzed_expressions_match_duckdb(spark, seed):
     rng = random.Random(1000 + seed)
     gen = Gen(rng)
@@ -229,7 +229,7 @@ def _slice_sql(col: str, a, b) -> str:
 
 
 class Gen2(Gen):
-    def str_(self, depth: int = 0) -> tuple[str, str]:
+    def str_(self, depth: int = 0, in_fstring: bool = False) -> tuple[str, str]:
         r = self.rng
         if depth >= self.max_depth or r.random() < 0.3:
             c = r.choice(STR_COLS)
@@ -244,11 +244,15 @@ class Gen2(Gen):
             d = f"${c}[{a}:{'' if b is None else b}]"
             return d, _slice_sql(c, a, b)
         if choice == 1:
-            a_d, a_s = self.str_(depth + 1)
-            b_d, b_s = self.str_(depth + 1)
-            if r.random() < 0.5:  # concat via string `+`
+            if r.random() < 0.5 or in_fstring:  # concat via string `+`
+                a_d, a_s = self.str_(depth + 1, in_fstring)
+                b_d, b_s = self.str_(depth + 1, in_fstring)
                 return f"({a_d} + {b_d})", f"(({a_s}) || ({b_s}))"
-            # f-string interpolation (null field -> null result, like ||)
+            # f-string interpolation (null field -> null result, like ||);
+            # fields must not nest another same-quote f-string — the flat
+            # string grammar cannot express that (same as pre-3.12 Python)
+            a_d, a_s = self.str_(depth + 1, True)
+            b_d, b_s = self.str_(depth + 1, True)
             sep = r.choice(["|", "-", "::"])
             return (
                 f"f\"<{{{a_d}}}{sep}{{{b_d}}}>\"",
@@ -256,14 +260,14 @@ class Gen2(Gen):
             )
         if choice == 2:  # conditional
             c_d, c_s = self.boolean2(depth + 1)
-            a_d, a_s = self.str_(depth + 1)
-            b_d, b_s = self.str_(depth + 1)
+            a_d, a_s = self.str_(depth + 1, in_fstring)
+            b_d, b_s = self.str_(depth + 1, in_fstring)
             return (
                 f"({a_d} if {c_d} else {b_d})",
                 f"(CASE WHEN {c_s} THEN {a_s} ELSE {b_s} END)",
             )
-        a_d, a_s = self.str_(depth + 1)
-        b_d, b_s = self.str_(depth + 1)
+        a_d, a_s = self.str_(depth + 1, in_fstring)
+        b_d, b_s = self.str_(depth + 1, in_fstring)
         return f"({a_d} ?? {b_d})", f"coalesce({a_s}, {b_s})"
 
     def num2(self, depth: int = 0) -> tuple[str, str]:
@@ -299,7 +303,7 @@ class Gen2(Gen):
         return f"({a_d} {op} {b_d})", f"({a_s} {op.upper()} {b_s})"
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(20))
 def test_fuzzed_string_datetime_match_duckdb(spark, seed):
     rng = random.Random(7000 + seed)
     gen = Gen2(rng, max_depth=3)
@@ -431,7 +435,7 @@ class Gen3:
         return f"({a_d} {op_d} {b_d})", f"(({a_s}) {op_s} ({b_s}))"
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(20))
 def test_fuzzed_durations_match_duckdb(spark, seed):
     rng = random.Random(31000 + seed)
     gen = Gen3(rng)
@@ -520,7 +524,7 @@ class GenRe:
         )
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(20))
 def test_fuzzed_regex_match_duckdb(spark, seed):
     rng = random.Random(91000 + seed)
     gen = GenRe(rng)

@@ -72,7 +72,7 @@ def _check(spark, sdf, con, view, spec, seed):
         )
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(14))
 def test_sqlgen_arithmetic_fuzz(spark, seed):
     rng = random.Random(1000 + seed)  # same seeds as the paired fuzzer
     gen = Gen(rng)
@@ -84,7 +84,7 @@ def test_sqlgen_arithmetic_fuzz(spark, seed):
     _check(spark, sdf, con, "fz", spec, seed)
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(14))
 def test_sqlgen_string_datetime_fuzz(spark, seed):
     rng = random.Random(7000 + seed)
     gen = Gen2(rng, max_depth=3)
@@ -97,7 +97,7 @@ def test_sqlgen_string_datetime_fuzz(spark, seed):
     _check(spark, sdf, con, "fz2", spec, seed)
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(14))
 def test_sqlgen_duration_fuzz(spark, seed):
     rng = random.Random(31000 + seed)
     gen = Gen3(rng)
@@ -110,7 +110,7 @@ def test_sqlgen_duration_fuzz(spark, seed):
     _check(spark, sdf, con, "fz3", spec, seed)
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(14))
 def test_sqlgen_regex_fuzz(spark, seed):
     rng = random.Random(91000 + seed)
     gen = GenRe(rng)
