@@ -891,7 +891,8 @@ def _x04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     return simhash_dup_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, token_hash="md5_60"
+        _docs_tok(spark, sf_dir), "doc_id", "text", max_hamming=3,
+        token_hash="md5_60", tokens_col=_TOK,
     )
 
 

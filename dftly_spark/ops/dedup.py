@@ -646,6 +646,7 @@ def simhash_dup_pairs(
     max_hamming: int = 3,
     max_bucket_size: int = 1000,
     token_hash: str = "xxhash64",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash hamming distance ≤ ``max_hamming``.
 
@@ -678,7 +679,7 @@ def simhash_dup_pairs(
     # an interpreted higher-order fold — fine per-row, slow per-corpus.)
     ex = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
+        F.explode(doc_tokens(df, text_col, tokens_col)).alias("_t"),
     ).withColumn("_h", hash_col)
     vote_aggs = [
         F.sum(F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{i}")
