@@ -4160,6 +4160,219 @@ _q(
 )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _x77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity matrix (ops/reshape.py pivot_wide): pivot
+    event_type into one summed column per type.  Explicit ``values`` pins
+    the schema and keeps the plan at ONE keyed aggregation — the pivoted
+    columns are conditional aggregates with map-side combine, no second
+    pass, no driver-side distinct.  Sums rounded to 6 to absorb
+    cross-engine float addition order."""
+    from dftly_spark.ops import pivot_wide
+
+    _prep(spark)
+    wide = pivot_wide(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        "event_type",
+        "value",
+        values=_EVENT_TYPES,
+        agg="sum",
+    )
+    return wide.select(
+        "user_id", *[F.round(F.col(t), 6).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+_q(
+    "x77_pivot_events",
+    _x77,
+    "SELECT user_id, "
+    + ", ".join(
+        f"round(sum(CASE WHEN event_type = '{t}' THEN value END), 6) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+
+
+def _x78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form metric table (ops/reshape.py melt): unpivot four lineitem
+    metrics into (variable, value) rows.  Row-local Expand — each input
+    row fans out inside its task, no shuffle."""
+    from dftly_spark.ops import melt
+
+    _prep(spark)
+    return melt(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+_q(
+    "x78_melt_lineitem",
+    _x78,
+    " UNION ALL ".join(
+        f"SELECT l_orderkey, l_linenumber, '{c}' AS variable, "
+        f"CAST({c} AS DOUBLE) AS value FROM lineitem"
+        for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ),
+)
+
+
+def _x79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (ops/textops.py line_filter).  The
+    synthetic corpus has no newlines, so the query derives deterministic
+    multi-line documents first (every ' value ' becomes a line break —
+    same regexp_replace in the oracle), then applies the C4 rules:
+    ≥3 words per line, no banned substring, ≥2 surviving lines per doc.
+    Entirely row-local higher-order array functions — one scan, no
+    shuffle."""
+    from dftly_spark.ops import line_filter
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), " value ", "\n")
+    )
+    return line_filter(
+        docs, min_words=3, banned=("slow",), min_lines_kept=2
+    )
+
+
+_q(
+    "x79_line_filter",
+    _x79,
+    """
+    WITH ml AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, ' value ', chr(10), 'g'),
+                          chr(10)) AS lines
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             list_filter(lines,
+               x -> len(string_split(x, ' ')) >= 3
+                    AND NOT contains(lower(x), 'slow')) AS kept,
+             len(lines) AS n_lines
+      FROM ml
+    )
+    SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+           CAST(len(kept) AS INT) AS n_lines_kept,
+           CAST(n_lines - len(kept) AS INT) AS n_lines_dropped
+    FROM f WHERE len(kept) >= 2
+    """,
+)
+
+
+def _x80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association (ops/assoc.py cooccurrence_pmi): which
+    suppliers co-occur in the same order, with support/lift/PMI.  Distinct
+    (order, supplier) first (one keyed shuffle); pair emit is a self-join
+    keyed on the order — per-order work C(items,2), bounded by order size
+    (≤7 here; ``max_items_per_group`` caps monster groups at scale); the
+    1-row group total attaches via the sanctioned scalar-broadcast
+    pattern (plan-sweep allowlisted, like bm25's corpus stats)."""
+    from dftly_spark.ops import cooccurrence_pmi
+
+    _prep(spark)
+    return cooccurrence_pmi(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_suppkey",
+        min_pair_count=2,
+    )
+
+
+_q(
+    "x80_basket_pmi",
+    _x80,
+    """
+    WITH gi AS (
+      SELECT DISTINCT l_orderkey AS g, l_suppkey AS i FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ), ic AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS n FROM gi GROUP BY i
+    ), ng AS (
+      SELECT CAST(count(DISTINCT g) AS DOUBLE) AS n FROM gi
+    ), p AS (
+      SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_both
+      FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+      GROUP BY a.i, b.i
+      HAVING count(*) >= 2
+    )
+    SELECT p.item_a, p.item_b, p.n_both, ca.n AS n_a, cb.n AS n_b,
+           round(p.n_both / ng.n, 6) AS support,
+           round(p.n_both * ng.n / (ca.n * cb.n), 6) AS lift,
+           round(ln(p.n_both * ng.n / (ca.n * cb.n)), 6) AS pmi
+    FROM p
+    JOIN ic ca ON ca.i = p.item_a
+    JOIN ic cb ON cb.i = p.item_b
+    CROSS JOIN ng
+    """,
+)
+
+
+def _x81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality accounting (ops/profile.py distinct_counts, exact
+    mode): distinct users and distinct active days per event type — ONE
+    Expand + keyed aggregation with partial distinct.  The HLL++ twin
+    (``approx=True``) is the 100 TB default (mergeable sketches, shuffle
+    independent of value cardinality); its estimates are engine-specific,
+    so tests pin its relative error against this exact plan instead
+    (tests/test_analytics_ops.py)."""
+    from dftly_spark.ops import distinct_counts
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    return distinct_counts(ev, "event_type", ["user_id", "day"])
+
+
+_q(
+    "x81_distinct_counts",
+    _x81,
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user_id,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS nd_day
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+def _x82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped distribution profile (ops/profile.py quantile_stats with
+    ``by=``): p50/p90/p99 of event value per type.  Exact ``percentile``
+    (linear interpolation ≡ ANSI quantile_cont); rounded to 6 because the
+    interpolation arithmetic on doubles differs in the last bits across
+    engines.  x27 gates the global path; this gates the grouped one."""
+    from dftly_spark.ops import quantile_stats
+
+    _prep(spark)
+    qs = quantile_stats(
+        _t(spark, sf_dir, "events"), "value", by="event_type",
+        probs=(0.5, 0.9, 0.99),
+    )
+    return qs.select(
+        "event_type", "n", F.round("mean", 6).alias("mean"),
+        *[F.round(F.col(c), 6).alias(c) for c in ("q50", "q90", "q99")],
+    )
+
+
+_q(
+    "x82_group_quantiles",
+    _x82,
+    """
+    SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+           round(avg(value), 6) AS mean,
+           round(quantile_cont(value, 0.5), 6) AS q50,
+           round(quantile_cont(value, 0.9), 6) AS q90,
+           round(quantile_cont(value, 0.99), 6) AS q99
+    FROM events GROUP BY event_type
+    """,
+)
 
 
 #: The q27 spec is shared by the Spark builder AND the sqlgen oracle —
@@ -4223,6 +4436,12 @@ _q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x77_pivot_events",
+    "x78_melt_lineitem",
+    "x79_line_filter",
+    "x80_basket_pmi",
+    "x81_distinct_counts",
+    "x82_group_quantiles",
     "q27_sqlgen_oracle",
     "x75_corr_matrix",
     "x76_group_entropy",

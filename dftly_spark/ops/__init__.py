@@ -25,6 +25,7 @@ from .corpus import (
     tokenized_docs,
 )
 from .textops import (
+    line_filter,
     doc_tokens,
     gopher_rules,
     shared_affix_counts,
@@ -65,6 +66,8 @@ from .dedup import (
     word_shingles,
 )
 from .graph import pagerank, prepare_edges
+from .reshape import melt, pivot_wide
+from .assoc import cooccurrence_pmi
 from .sketch import cms_build, cms_estimate
 from .similarity import (
     centroid_outliers,
@@ -107,6 +110,7 @@ from .profile import (
     profile_table,
     quantile_stats,
     rollup_stats,
+    distinct_counts,
 )
 from .scale import (
     bloom_prune,
@@ -141,6 +145,7 @@ from .multimodal import (
 )
 
 __all__ = [
+    "melt", "pivot_wide", "cooccurrence_pmi", "distinct_counts", "line_filter",
     "pagerank", "prepare_edges", "ranking_metrics", "pool_embeddings",
     "salted_join", "winsorize", "impute_nulls", "group_trend",
     "cms_build", "cms_estimate", "corr_matrix", "group_entropy",

@@ -574,3 +574,43 @@ def group_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def distinct_counts(
+    df: DataFrame,
+    by: str | list[str] | None,
+    cols: list[str],
+    *,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Cardinality accounting: distinct values of each ``cols`` per group.
+
+    The dataset-accounting staple (distinct users per event type, distinct
+    URLs per source) in two modes sharing one code path:
+
+    * exact (default): ``count(DISTINCT col)`` — Spark plans one Expand +
+      keyed aggregation with partial (map-side) distinct, the same shape
+      the oracle replays.  Exact distinct over N keys shuffles the
+      (key, value) pairs once; fine whenever that set fits the cluster.
+    * ``approx=True``: HyperLogLog++ (``approx_count_distinct``, relative
+      error ``rsd``) — constant memory per group, ONE ordinary keyed agg
+      with partial sketches merged map-side.  At 100 TB this is the
+      default: sketches are mergeable, so the shuffle carries
+      O(groups × sketch_size), independent of value cardinality.
+      Estimates are engine-specific → no value oracle; tests pin the
+      relative error against the exact twin instead.
+
+    Returns the group keys + ``n_rows`` + one ``nd_<col>`` per input col.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    fn = (
+        (lambda c: F.approx_count_distinct(c, rsd))
+        if approx
+        else F.countDistinct
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        fn(F.col(c)).alias(f"nd_{c}") for c in cols
+    ]
+    g = df.groupBy(*[F.col(k) for k in keys]) if keys else df.groupBy()
+    return g.agg(*aggs)

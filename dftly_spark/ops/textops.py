@@ -610,3 +610,53 @@ def shared_affix_counts(
         .join(sc, "_suf")
         .select(id_col, "prefix_docs", "suffix_docs")
     )
+
+
+def line_filter(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sep: str = "\n",
+    min_words: int = 3,
+    banned: tuple[str, ...] = (),
+    require_terminal_punct: bool = False,
+    min_lines_kept: int = 1,
+):
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2).
+
+    Documents are split on ``sep`` and each line kept iff it (a) has at
+    least ``min_words`` whitespace words, (b) contains none of the
+    ``banned`` substrings (case-insensitive — the C4 "javascript"/"lorem
+    ipsum"/"cookie" rule), and (c) when ``require_terminal_punct``, ends
+    in ``.``/``!``/``?``/``"``.  Documents retaining fewer than
+    ``min_lines_kept`` lines are dropped.
+
+    Returns ``(id_col, text, n_lines_kept, n_lines_dropped)`` with
+    ``text`` the surviving lines re-joined by ``sep``.
+
+    100 TB: entirely row-local — ONE scan, higher-order array functions
+    (`filter`/`array_join`) inside whole-stage codegen, no shuffle, no
+    UDF.  The doc-level filter pushes into the same stage.
+    """
+    import re as _re
+
+    lines = F.split(F.col(text_col), _re.escape(sep), -1)
+
+    def _keep(x):
+        ok = F.size(F.split(x, " ", -1)) >= min_words
+        low = F.lower(x)
+        for b in banned:
+            ok = ok & ~low.contains(b.lower())
+        if require_terminal_punct:
+            ok = ok & x.rlike('[.!?"]$')
+        return ok
+
+    kept = F.filter(lines, _keep)
+    out = df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias(text_col),
+        F.size(kept).alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).alias("n_lines_dropped"),
+    )
+    return out.where(F.col("n_lines_kept") >= min_lines_kept)

@@ -115,6 +115,7 @@ def test_all_contract_queries_plan_invariants(spark):
         "x61_distinctive_terms",  # 1-row corpus-total broadcast
         "x62_centroid_outliers",  # 1-row centroid broadcast
         "x65_key_skew",  # 1-row grand-total broadcast over top-k rows
+        "x80_basket_pmi",  # 1-row group-total broadcast (scalar attach)
     }
     arrow_allowed = {"x09_multimodal_decode"}  # sanctioned mapInPandas stub
     for name, fn in entry.queries().items():

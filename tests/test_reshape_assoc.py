@@ -1,0 +1,240 @@
+"""Edge-case tests for the reshape/association/cardinality family
+(x77-x82 surface): pivot/melt round-trip, line-level cleaning, item
+co-occurrence, exact-vs-HLL distinct counts, grouped quantiles.
+
+The sf0.01 oracle gate proves value parity; these pin the semantics the
+generated data never exercises — absent pivot cells, null handling, the
+group-cap, HLL error bounds, and partition invariance.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rows(df, *cols):
+    return [tuple(r) for r in df.select(*cols).collect()]
+
+
+# ---------------------------------------------------------------------------
+# pivot_wide / melt
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_wide_absent_cells_and_fill(spark):
+    from dftly_spark.ops import pivot_wide
+
+    df = spark.createDataFrame(
+        [("u1", "a", 1.0), ("u1", "a", 2.0), ("u2", "b", 5.0)],
+        "k string, t string, v double",
+    )
+    out = pivot_wide(df, ["k"], "t", "v", values=["a", "b", "c"], agg="sum")
+    got = {r["k"]: (r["a"], r["b"], r["c"]) for r in out.collect()}
+    assert got["u1"] == (3.0, None, None)  # absent cell -> null
+    assert got["u2"] == (None, 5.0, None)
+
+    filled = pivot_wide(df, ["k"], "t", "v", values=["a", "b"], fill=0.0)
+    got = {r["k"]: (r["a"], r["b"]) for r in filled.collect()}
+    assert got["u1"] == (3.0, 0.0) and got["u2"] == (0.0, 5.0)
+
+
+def test_pivot_wide_values_out_of_domain_dropped(spark):
+    from dftly_spark.ops import pivot_wide
+
+    df = spark.createDataFrame(
+        [("u1", "zz", 9.0), ("u1", "a", 1.0)], "k string, t string, v double"
+    )
+    out = pivot_wide(df, ["k"], "t", "v", values=["a"])
+    assert out.columns == ["k", "a"]
+    assert out.collect()[0]["a"] == 1.0  # 'zz' contributes nowhere
+
+
+def test_pivot_wide_is_single_shuffle(spark):
+    from dftly_spark.ops import pivot_wide
+    from dftly_spark.ops import plan_summary
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("k"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("t"),
+        F.col("id").cast("double").alias("v"),
+    )
+    plan = plan_summary(
+        pivot_wide(df, ["k"], "t", "v", values=["t0", "t1", "t2"])
+    )
+    assert plan["n_exchanges"] <= 1  # pinned domain -> one keyed agg
+
+
+def test_melt_roundtrip_inverts_pivot(spark):
+    from dftly_spark.ops import melt, pivot_wide
+
+    df = spark.createDataFrame(
+        [("u1", "a", 1.0), ("u2", "b", 2.0)], "k string, t string, v double"
+    )
+    wide = pivot_wide(df, ["k"], "t", "v", values=["a", "b"])
+    long = melt(wide, ["k"], ["a", "b"], var_name="t", value_name="v")
+    back = sorted(_rows(long.where(F.col("v").isNotNull()), "k", "t", "v"))
+    assert back == [("u1", "a", 1.0), ("u2", "b", 2.0)]
+
+
+def test_melt_has_no_exchange(spark):
+    from dftly_spark.ops import melt, plan_summary
+
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("a"),
+        (F.col("id") * 2).cast("double").alias("b"),
+    )
+    plan = plan_summary(melt(df, ["k"], ["a", "b"]))
+    assert plan["n_exchanges"] == 0  # row-local Expand only
+
+
+# ---------------------------------------------------------------------------
+# line_filter
+# ---------------------------------------------------------------------------
+
+
+def test_line_filter_rules(spark):
+    from dftly_spark.ops import line_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "keep this line fine\nno\nthis has JavaScript inside\nalso a keeper."),
+            (2, "too short\nalso no"),
+            (3, "one good line here\nsecond good line here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_filter(
+            df, min_words=3, banned=("javascript",), min_lines_kept=1
+        ).collect()
+    }
+    assert out[1]["text"] == "keep this line fine\nalso a keeper."
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_dropped"] == 2
+    assert 2 not in out  # every line failed -> doc dropped
+    assert out[3]["n_lines_kept"] == 2
+
+
+def test_line_filter_terminal_punct(spark):
+    from dftly_spark.ops import line_filter
+
+    df = spark.createDataFrame(
+        [(1, "a proper sentence ends here.\nheader without punctuation")],
+        "doc_id long, text string",
+    )
+    out = line_filter(
+        df, min_words=3, require_terminal_punct=True, min_lines_kept=1
+    ).collect()
+    assert out[0]["text"] == "a proper sentence ends here."
+
+
+def test_line_filter_no_exchange(spark):
+    from dftly_spark.ops import line_filter, plan_summary
+
+    df = spark.createDataFrame([(1, "x y z\nq")], "doc_id long, text string")
+    assert plan_summary(line_filter(df))["n_exchanges"] == 0
+
+
+# ---------------------------------------------------------------------------
+# cooccurrence_pmi
+# ---------------------------------------------------------------------------
+
+
+def test_cooccurrence_pmi_known_values(spark):
+    from dftly_spark.ops import cooccurrence_pmi
+
+    # 4 groups: {a,b} {a,b} {a,c} {b}
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"), (4, "b"),
+         (1, "a")],  # duplicate observation collapses
+        "g long, i string",
+    )
+    out = {(r["item_a"], r["item_b"]): r for r in cooccurrence_pmi(df, "g", "i").collect()}
+    ab = out[("a", "b")]
+    assert (ab["n_both"], ab["n_a"], ab["n_b"]) == (2, 3, 3)
+    assert ab["support"] == 0.5
+    assert ab["lift"] == round(2 * 4 / (3 * 3), 6)
+    assert ab["pmi"] == round(math.log(8 / 9), 6)
+    ac = out[("a", "c")]
+    assert (ac["n_both"], ac["n_a"], ac["n_b"]) == (1, 3, 1)
+    assert ("b", "c") not in out  # never co-occur -> no row (count 0)
+
+
+def test_cooccurrence_group_cap_bounds_pairs(spark):
+    from dftly_spark.ops import cooccurrence_pmi
+
+    rows = [(1, f"i{j:02d}") for j in range(20)] + [(2, "i00"), (2, "i01")]
+    df = spark.createDataFrame(rows, "g long, i string")
+    capped = cooccurrence_pmi(df, "g", "i", max_items_per_group=5)
+    # group 1 contributes C(5,2)=10 pairs, group 2 C(2,2)=1 (i00,i01 again)
+    assert capped.count() == 10
+    full = cooccurrence_pmi(df, "g", "i")
+    assert full.count() == 190
+
+
+def test_cooccurrence_null_rows_ignored(spark):
+    from dftly_spark.ops import cooccurrence_pmi
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (None, "c"), (2, None)], "g long, i string"
+    )
+    out = cooccurrence_pmi(df, "g", "i").collect()
+    assert len(out) == 1 and out[0]["_n_groups" if False else "n_both"] == 1
+
+
+def test_cooccurrence_plan_shape(spark):
+    from dftly_spark.ops import cooccurrence_pmi
+
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "g long, i string")
+    plan = cooccurrence_pmi(df, "g", "i")._jdf.queryExecution().executedPlan().toString()
+    # marginals attach by broadcast HASH join; the only nested-loop is the
+    # sanctioned 1-row scalar attach of the group total
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+# ---------------------------------------------------------------------------
+# distinct_counts
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_counts_exact_and_global(spark):
+    from dftly_spark.ops import distinct_counts
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 3), ("b", None)],
+        "k string, v int",
+    )
+    per = {r["k"]: r for r in distinct_counts(df, "k", ["v"]).collect()}
+    assert per["a"]["n_rows"] == 3 and per["a"]["nd_v"] == 2
+    assert per["b"]["n_rows"] == 2 and per["b"]["nd_v"] == 1  # null not counted
+    glob = distinct_counts(df, None, ["v", "k"]).collect()[0]
+    assert glob["n_rows"] == 5 and glob["nd_v"] == 3 and glob["nd_k"] == 2
+
+
+def test_distinct_counts_hll_error_within_rsd(spark):
+    from dftly_spark.ops import distinct_counts
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 4).alias("k"), (F.col("id") % 5000).alias("v")
+    )
+    exact = {r["k"]: r["nd_v"] for r in distinct_counts(df, "k", ["v"]).collect()}
+    est = {
+        r["k"]: r["nd_v"]
+        for r in distinct_counts(df, "k", ["v"], approx=True, rsd=0.05).collect()
+    }
+    for k, e in exact.items():
+        assert abs(est[k] - e) / e < 0.15  # 3x the configured rsd
+
+
+def test_distinct_counts_hll_is_one_exchange(spark):
+    from dftly_spark.ops import distinct_counts, plan_summary
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("k"), F.col("id").alias("v")
+    )
+    plan = plan_summary(distinct_counts(df, "k", ["v"], approx=True))
+    assert plan["n_exchanges"] == 1  # sketches merge map-side, one keyed agg
