@@ -102,7 +102,7 @@ def _as_mapping(spec: str | Path | dict) -> dict:
 
 
 # Row-local ops (pure projections) that are legal on unbounded streams.
-_STREAM_SAFE_OPS = ("gopher_rules",)
+_STREAM_SAFE_OPS = ("gopher_rules", "line_filter", "melt")
 
 
 def _read_source(spark: SparkSession, src: dict, sf_dir: str | None) -> DataFrame:

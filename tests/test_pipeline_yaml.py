@@ -10,7 +10,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def test_registry_covers_frame_ops(spark):
     # spot-check the registry picked up frame-first ops and skipped helpers
-    for name in ("exact_dedup", "cap_per_group", "semantic_dedup", "sessionize"):
+    for name in ("exact_dedup", "cap_per_group", "semantic_dedup", "sessionize",
+                 "pivot_wide", "melt", "line_filter", "cooccurrence_pmi",
+                 "distinct_counts"):
         assert name in _OP_REGISTRY
     for name in ("dot", "cosine", "unit", "tokens", "mix_sql"):
         assert name not in _OP_REGISTRY
