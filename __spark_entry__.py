@@ -4375,6 +4375,83 @@ _q(
 )
 
 
+def _x83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window heavy hitters (streaming.py windowed_heavy_hitters,
+    gated on batch — the support-threshold path is the stream-safe one;
+    ``top_k`` ranks the finished windows, count desc / user asc tiebreak).
+    ONE windowed keyed agg + a rank over ≤ distinct-keys rows per
+    window."""
+    from dftly_spark.streaming import windowed_heavy_hitters
+
+    _prep(spark)
+    hh = windowed_heavy_hitters(
+        _t(spark, sf_dir, "events"), "ts", "user_id",
+        window="1 hour", min_count=2, top_k=5,
+    )
+    return hh.select(
+        F.unix_micros("window_start").alias("start_us"),
+        "user_id", "n", "rank",
+    )
+
+
+_q(
+    "x83_windowed_heavy_hitters",
+    _x83,
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT)
+               * 3600000000 AS start_us
+      FROM events
+    ), c AS (
+      SELECT start_us, user_id, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY start_us, user_id
+      HAVING count(*) >= 2
+    ), r AS (
+      SELECT start_us, user_id, n,
+             CAST(row_number() OVER (PARTITION BY start_us
+                                     ORDER BY n DESC, user_id) AS INT) AS rank
+      FROM c
+    )
+    SELECT start_us, user_id, n, rank FROM r WHERE rank <= 5
+    """,
+)
+
+
+def _x84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window cardinality (streaming.py windowed_cardinality, exact
+    batch mode — the streaming twin auto-selects HLL++, whose batch/stream
+    value parity is pinned in tests/test_streaming.py)."""
+    from dftly_spark.streaming import windowed_cardinality
+
+    _prep(spark)
+    wc = windowed_cardinality(
+        _t(spark, sf_dir, "events"), "ts", "user_id",
+        keys=["event_type"], window="1 hour",
+    )
+    return wc.select(
+        F.unix_micros("window_start").alias("start_us"),
+        "event_type", "n_rows", "nd_user_id",
+    )
+
+
+_q(
+    "x84_windowed_cardinality",
+    _x84,
+    """
+    WITH e AS (
+      SELECT event_type, user_id,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT)
+               * 3600000000 AS start_us
+      FROM events
+    )
+    SELECT start_us, event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user_id
+    FROM e GROUP BY start_us, event_type
+    """,
+)
+
+
 #: The q27 spec is shared by the Spark builder AND the sqlgen oracle —
 #: the emitter (dftly_spark/sqlgen.py) generates the DuckDB mirror from
 #: the SAME AST the Spark lowering consumes, so this query gates the
@@ -4436,6 +4513,8 @@ _q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x83_windowed_heavy_hitters",
+    "x84_windowed_cardinality",
     "x77_pivot_events",
     "x78_melt_lineitem",
     "x79_line_filter",

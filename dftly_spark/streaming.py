@@ -433,3 +433,89 @@ def maintain_minhash_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_heavy_hitters(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    min_count: int = 10,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-window heavy hitters: keys whose count reaches ``min_count``.
+
+    ONE watermarked tumbling-window aggregation (:func:`tumbling_agg`)
+    with the support threshold applied to the aggregate — streaming-safe
+    in append mode (rows emit when the watermark closes each window), and
+    the identical plan on bounded frames.  State is O(active windows ×
+    distinct keys), evicted by the watermark.
+
+    ``top_k`` additionally ranks within each window (count desc, key asc
+    tiebreak) — a rank over a finished aggregate, so it is batch-only;
+    streams should threshold with ``min_count`` (or post-process the
+    sink).  For cardinalities too large for exact per-key counts, screen
+    first with the count-min sketch (:func:`~dftly_spark.ops.cms_build`).
+    """
+    counts = tumbling_agg(
+        df, ts_col, window=window, watermark=watermark,
+        keys=[key_col], aggs={"n": F.count(F.lit(1))},
+    )
+    hh = counts.where(F.col("n") >= min_count)
+    if top_k is not None:
+        if df.isStreaming:
+            raise ValueError(
+                "top_k ranking needs the finished window (batch); streams "
+                "use min_count thresholding in append mode"
+            )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("window_start").orderBy(
+            F.col("n").desc(), F.col(key_col)
+        )
+        hh = (
+            hh.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+        )
+    return hh
+
+
+def windowed_cardinality(
+    df: DataFrame,
+    ts_col: str,
+    col: str,
+    *,
+    keys: list[str] | None = None,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    approx: bool | None = None,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Distinct values of ``col`` per (window, keys) — batch or stream.
+
+    ``approx=None`` auto-selects: HLL++ on streams (Structured Streaming
+    does not support exact distinct aggregates — and at unbounded scale
+    the mergeable constant-size sketch is the right answer anyway), exact
+    ``count(DISTINCT)`` on bounded frames (what the oracle replays).
+    HLL++ is deterministic for a given input multiset (register maxima
+    are order-independent), so the batch/stream parity test pins the
+    approx path to identical values on both.
+    """
+    if approx is None:
+        approx = df.isStreaming
+    if df.isStreaming and not approx:
+        raise ValueError(
+            "exact distinct aggregation is unsupported on streams; use "
+            "approx=True (HLL++, mergeable constant-size state)"
+        )
+    fn = (
+        (lambda c: F.approx_count_distinct(c, rsd))
+        if approx
+        else F.countDistinct
+    )
+    return tumbling_agg(
+        df, ts_col, window=window, watermark=watermark, keys=keys or [],
+        aggs={"n_rows": F.count(F.lit(1)), f"nd_{col}": fn(F.col(col))},
+    )

@@ -444,3 +444,83 @@ def test_maintain_minhash_index_grows_and_screens(spark, tmp_path):
     assert novel_ids <= indexed_ids
     # the verbatim copies were screened out
     assert not any(i >= 1_000_000 for i in indexed_ids)
+
+
+def test_windowed_heavy_hitters_stream_matches_batch(spark):
+    from dftly_spark.streaming import windowed_heavy_hitters
+
+    stream = stream_table(spark, SF_DIR, "events")
+    hh = windowed_heavy_hitters(
+        stream, "ts", "user_id", window="1 hour", watermark="2 hours",
+        min_count=2,
+    )
+    q = (
+        hh.writeStream.format("memory")
+        .queryName("stream_hh")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("stream_hh").collect()}
+
+    batch = windowed_heavy_hitters(
+        _batch_events(spark), "ts", "user_id", window="1 hour", min_count=2
+    )
+    assert got == {tuple(r) for r in batch.collect()}
+    assert len(got) > 0
+
+
+def test_windowed_heavy_hitters_topk_rejected_on_stream(spark):
+    from dftly_spark.streaming import windowed_heavy_hitters
+
+    stream = stream_table(spark, SF_DIR, "events")
+    with pytest.raises(ValueError, match="top_k"):
+        windowed_heavy_hitters(stream, "ts", "user_id", top_k=3)
+
+
+def test_windowed_cardinality_stream_matches_batch_hll(spark):
+    from dftly_spark.streaming import windowed_cardinality
+
+    stream = stream_table(spark, SF_DIR, "events")
+    # approx=None auto-selects HLL++ on the stream
+    wc = windowed_cardinality(
+        stream, "ts", "user_id", keys=["event_type"], window="1 hour",
+        watermark="2 hours",
+    )
+    q = (
+        wc.writeStream.format("memory")
+        .queryName("stream_card")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("stream_card").collect()}
+
+    # HLL registers are order-independent -> batch approx twin is identical
+    batch = windowed_cardinality(
+        _batch_events(spark), "ts", "user_id", keys=["event_type"],
+        window="1 hour", approx=True,
+    )
+    assert got == {tuple(r) for r in batch.collect()}
+    assert len(got) > 0
+    # and the exact batch mode stays within HLL error of the sketch
+    exact = {
+        (r["window_start"], r["event_type"]): r["nd_user_id"]
+        for r in windowed_cardinality(
+            _batch_events(spark), "ts", "user_id", keys=["event_type"],
+            window="1 hour", approx=False,
+        ).collect()
+    }
+    for r in spark.table("stream_card").collect():
+        e = exact[(r["window_start"], r["event_type"])]
+        assert abs(r["nd_user_id"] - e) <= max(2, 0.15 * e)
+
+
+def test_windowed_cardinality_exact_rejected_on_stream(spark):
+    from dftly_spark.streaming import windowed_cardinality
+
+    stream = stream_table(spark, SF_DIR, "events")
+    with pytest.raises(ValueError, match="exact distinct"):
+        windowed_cardinality(stream, "ts", "user_id", approx=False)
