@@ -4452,6 +4452,46 @@ _q(
 )
 
 
+def _x85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (ops/profile.py ewma): the recursive
+    smoother evaluated exactly over each row's last-20 window via
+    collect_list + higher-order aggregate fold — a codegen'd left fold,
+    no UDF, ONE keyed window shuffle.  DuckDB replays the identical fold
+    with list_reduce."""
+    from dftly_spark.ops import ewma
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return ewma(
+        ev, "user_id", ["ts_us", "event_id"], "value",
+        alpha=0.3, lookback=20,
+    )
+
+
+_q(
+    "x85_ewma",
+    _x85,
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events
+    ), w AS (
+      SELECT event_id, user_id, ts_us, value,
+             array_agg(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+      FROM e
+    )
+    SELECT event_id, user_id, ts_us, value,
+           round(CAST(list_reduce(xs, (acc, x) -> 0.3*x + 0.7*acc)
+                      AS DOUBLE), 6) AS ewma
+    FROM w
+    """,
+)
+
+
 #: The q27 spec is shared by the Spark builder AND the sqlgen oracle —
 #: the emitter (dftly_spark/sqlgen.py) generates the DuckDB mirror from
 #: the SAME AST the Spark lowering consumes, so this query gates the
@@ -4513,6 +4553,7 @@ _q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x85_ewma",
     "x83_windowed_heavy_hitters",
     "x84_windowed_cardinality",
     "x77_pivot_events",

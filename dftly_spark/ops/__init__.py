@@ -111,6 +111,7 @@ from .profile import (
     quantile_stats,
     rollup_stats,
     distinct_counts,
+    ewma,
 )
 from .scale import (
     bloom_prune,
@@ -146,6 +147,7 @@ from .multimodal import (
 
 __all__ = [
     "melt", "pivot_wide", "cooccurrence_pmi", "distinct_counts", "line_filter",
+    "ewma",
     "pagerank", "prepare_edges", "ranking_metrics", "pool_embeddings",
     "salted_join", "winsorize", "impute_nulls", "group_trend",
     "cms_build", "cms_estimate", "corr_matrix", "group_entropy",

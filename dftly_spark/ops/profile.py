@@ -614,3 +614,47 @@ def distinct_counts(
     ]
     g = df.groupBy(*[F.col(k) for k in keys]) if keys else df.groupBy()
     return g.agg(*aggs)
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    alpha: float = 0.2,
+    lookback: int = 50,
+    out_col: str = "ewma",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average over an ordered stream.
+
+    The standard recursive smoother ``y_i = α·x_i + (1-α)·y_{i-1}``
+    seeded at the window's first value, evaluated EXACTLY over each row's
+    last ``lookback`` observations (its own value included) — the
+    truncation is principled: weights beyond the window are
+    ``(1-α)^lookback`` (≈1e-5 at the defaults), and bounding the frame is
+    what keeps per-row state O(lookback) instead of O(history).
+
+    Not a UDF: the window's values are gathered with ``collect_list``
+    over a rows-bounded frame and folded with the higher-order
+    ``aggregate`` — a left fold inside codegen, bit-replayable by any
+    engine with list folds (the oracle uses DuckDB's ``list_reduce``).
+    ONE keyed window shuffle, shared with any other feature on the same
+    (key, order).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(c).asc() for c in order_cols]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    xs = F.collect_list(F.col(value_col).cast("double")).over(w)
+    folded = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return df.withColumn(out_col, F.round(folded, decimals))

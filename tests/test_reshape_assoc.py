@@ -238,3 +238,58 @@ def test_distinct_counts_hll_is_one_exchange(spark):
     )
     plan = plan_summary(distinct_counts(df, "k", ["v"], approx=True))
     assert plan["n_exchanges"] == 1  # sketches merge map-side, one keyed agg
+
+
+# ---------------------------------------------------------------------------
+# ewma
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_known_series(spark):
+    from dftly_spark.ops import ewma
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0)],
+        "k string, o int, v double",
+    )
+    got = {
+        (r["k"], r["o"]): r["ewma"]
+        for r in ewma(df, "k", ["o"], "v", alpha=0.5, lookback=10).collect()
+    }
+    assert got[("a", 1)] == 10.0          # cold start = first value
+    assert got[("a", 2)] == 15.0          # 0.5*20 + 0.5*10
+    assert got[("a", 3)] == 22.5          # 0.5*30 + 0.5*15
+    assert got[("b", 1)] == 5.0           # keys independent
+
+
+def test_ewma_lookback_truncates_history(spark):
+    from dftly_spark.ops import ewma
+
+    rows = [("a", i, float(i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "k string, o int, v double")
+    # lookback=2: row 5 sees only [4.0, 5.0] -> seed 4, then 0.5*5+0.5*4
+    got = {
+        r["o"]: r["ewma"]
+        for r in ewma(df, "k", ["o"], "v", alpha=0.5, lookback=2).collect()
+    }
+    assert got[5] == 4.5
+    assert got[1] == 1.0
+
+
+def test_ewma_alpha_one_is_identity(spark):
+    from dftly_spark.ops import ewma
+
+    df = spark.createDataFrame(
+        [("a", 1, 7.0), ("a", 2, 9.0)], "k string, o int, v double"
+    )
+    got = {r["o"]: r["ewma"] for r in ewma(df, "k", ["o"], "v", alpha=1.0).collect()}
+    assert got == {1: 7.0, 2: 9.0}
+
+
+def test_ewma_single_window_shuffle(spark):
+    from dftly_spark.ops import ewma, plan_summary
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0)], "k string, o int, v double"
+    )
+    assert plan_summary(ewma(df, "k", ["o"], "v"))["n_exchanges"] == 1
