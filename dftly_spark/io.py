@@ -11,7 +11,12 @@ defaults so every entry point behaves the same way:
   should still be passed explicitly on read — schema inference is a full
   extra pass over 100 TB;
 * csv is header-ful and requires an explicit schema on read (inference is
-  both a full pass AND lossy — everything nullable-string without it).
+  both a full pass AND lossy — everything nullable-string without it);
+* orc is the second columnar format (built into Spark, same pushdown and
+  pruning machinery as parquet) for warehouses already standardized on it;
+* ``text`` reads/writes raw line-per-row files as a single ``value``
+  string column — the raw-corpus ingestion format (wrap with a
+  ``line_filter``/``select`` step immediately after).
 
 ``FAILFAST`` is the default read mode: silently null-ing malformed rows
 (Spark's default PERMISSIVE) is the wrong default for training-data
@@ -23,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-_FORMATS = ("parquet", "csv", "jsonl")
+_FORMATS = ("parquet", "csv", "jsonl", "orc", "text")
 
 
 def read_table(
@@ -50,6 +55,9 @@ def read_table(
             )
     elif format == "jsonl":
         reader = reader.options(**{"mode": "FAILFAST", **options})
+    elif format == "text":
+        reader = reader.options(**options)
+        schema = None  # text is always a single `value` string column
     else:
         reader = reader.options(**options)
     if schema is not None:
@@ -69,6 +77,11 @@ def write_table(
 ) -> None:
     if format not in _FORMATS:
         raise ValueError(f"format must be one of {_FORMATS}, got {format!r}")
+    if format == "text" and [f.name for f in df.schema.fields] != ["value"]:
+        raise ValueError(
+            "text sinks take exactly one string column named 'value'; "
+            f"got {df.columns} (select/alias it first)"
+        )
     writer = df.write.mode(mode)
     if format == "csv":
         writer = writer.options(**{"header": "true", **options})

@@ -20,7 +20,7 @@ def frame(spark):
     return spark.createDataFrame(ROWS, SCHEMA)
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "jsonl"])
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "jsonl", "orc"])
 def test_round_trip_preserves_schema_and_values(spark, frame, tmp_path, fmt):
     path = str(tmp_path / fmt)
     write_table(frame, path, format=fmt)
@@ -77,3 +77,14 @@ def test_register_views(spark):
         "SELECT count(*) AS n FROM region JOIN nation ON r_regionkey = n_regionkey"
     ).collect()[0].n
     assert got == 25
+
+
+def test_text_round_trip_and_guard(spark, frame, tmp_path):
+    path = str(tmp_path / "txt")
+    write_table(frame.select(F.col("name").alias("value")), path, format="text")
+    back = read_table(spark, path, format="text")
+    assert back.columns == ["value"]
+    # text has no null encoding: None rows write as empty lines
+    assert sorted(r.value for r in back.collect()) == ["", "a", "b,with,commas"]
+    with pytest.raises(ValueError, match="one string column"):
+        write_table(frame, str(tmp_path / "bad"), format="text")
