@@ -220,3 +220,20 @@ def test_example_yaml_runs(spark):
     )
     assert out.columns == ["doc_id", "lang", "source", "n_tokens"]
     assert out.count() > 0
+
+
+def test_event_analytics_example_runs(spark):
+    from pathlib import Path
+
+    out = run_pipeline(
+        spark, Path("examples/event_analytics.yaml"), sf_dir=SF_DIR
+    )
+    assert out.columns == ["user_id", "event_type", "total_value"]
+    assert out.count() > 0
+    # pivot->melt round trip conserves the summed mass
+    from dftly_spark.io import normalize_event_ts
+
+    ev = normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    total = ev.where(F.col("value") >= 0).agg(F.sum("value")).collect()[0][0]
+    got = out.agg(F.sum("total_value")).collect()[0][0]
+    assert abs(got - total) < 1e-6
