@@ -4492,6 +4492,39 @@ _q(
 )
 
 
+def _x86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-string near-dup via SymSpell deletion-neighborhood join
+    (ops/dedup.py edit_distance_pairs): every string emits its ≤2-deletion
+    neighborhood, candidates equi-join on an 8-byte variant hash (linear,
+    never all-pairs), then the real levenshtein verifies.  The oracle IS
+    the all-pairs join — affordable at gate scale, which is exactly why
+    the neighborhood join must reproduce it bit-for-bit."""
+    from dftly_spark.ops import edit_distance_pairs
+
+    _prep(spark)
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("nid"))
+    )
+    return edit_distance_pairs(names, "nid", "p_name", max_dist=2)
+
+
+_q(
+    "x86_edit_distance_pairs",
+    _x86,
+    """
+    WITH n AS (
+      SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY p_name
+    )
+    SELECT a.nid AS id_l, b.nid AS id_r,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM n a JOIN n b
+      ON a.nid < b.nid AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    """,
+)
+
+
 #: The q27 spec is shared by the Spark builder AND the sqlgen oracle —
 #: the emitter (dftly_spark/sqlgen.py) generates the DuckDB mirror from
 #: the SAME AST the Spark lowering consumes, so this query gates the
@@ -4553,6 +4586,7 @@ _q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x86_edit_distance_pairs",
     "x85_ewma",
     "x83_windowed_heavy_hitters",
     "x84_windowed_cardinality",

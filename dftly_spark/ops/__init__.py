@@ -47,6 +47,7 @@ from .textops import (
     tokens,
 )
 from .dedup import (
+    edit_distance_pairs,
     containment_pairs,
     cross_corpus_dup_pairs,
     cross_corpus_embedding_pairs,
@@ -147,7 +148,7 @@ from .multimodal import (
 
 __all__ = [
     "melt", "pivot_wide", "cooccurrence_pmi", "distinct_counts", "line_filter",
-    "ewma",
+    "ewma", "edit_distance_pairs",
     "pagerank", "prepare_edges", "ranking_metrics", "pool_embeddings",
     "salted_join", "winsorize", "impute_nulls", "group_trend",
     "cms_build", "cms_estimate", "corr_matrix", "group_entropy",

@@ -997,3 +997,87 @@ def semantic_dedup(
     )
     victims = pairs.select(F.col("id_r").alias(id_col)).distinct()
     return corpus.join(victims, id_col, "left_anti")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_dist: int = 1,
+    max_len: int = 64,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate SHORT strings within Levenshtein ``max_dist`` (1 or 2).
+
+    The SymSpell deletion-neighborhood join: every string emits itself
+    plus all strings reachable by ``max_dist`` character deletions; two
+    strings within edit distance d always share a neighborhood member
+    (delete each side's substituted/inserted characters), so candidate
+    generation is a plain equi-join on an 8-byte variant hash — linear in
+    the corpus with per-string fan-out ``O(len^max_dist)``, never an
+    all-pairs comparison.  Shared membership can overshoot (i deletions
+    one side + j the other bounds distance by i+j), so every candidate is
+    verified with the real ``levenshtein``; identical strings (distance
+    0) are excluded — that's :func:`exact_dedup`'s job.
+
+    Designed for short strings — titles, names, codes.  Strings longer
+    than ``max_len`` are EXCLUDED from matching (the fan-out guard; two
+    long texts near each other belong to :func:`minhash_dup_pairs`).
+    ``max_bucket_size`` drops degenerate variant buckets (e.g. the empty
+    string for 1-char inputs) exactly like the LSH bucket cap.
+
+    Returns ``(id_l, id_r, dist)`` with ``id_l < id_r``.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
+    s = F.col(text_col)
+    base = df.select(F.col(id_col).alias("_id"), s.alias("_s")).where(
+        s.isNotNull() & (F.length(s) <= max_len) & (F.length(s) >= 1)
+    )
+    # one deletion per position, as a codegen'd higher-order transform
+    d1 = (
+        "transform(sequence(1, length({v})), i -> "
+        "concat(substring({v}, 1, i-1), substring({v}, i+1, {L})))"
+    )
+    v1 = F.array_union(F.array(F.col("_s")), F.expr(d1.format(v="_s", L=max_len)))
+    if max_dist == 2:
+        inner = d1.format(v="v", L=max_len)
+        v2 = F.expr(
+            f"array_distinct(flatten(transform(_v1, v -> "
+            f"case when length(v) < 1 then array(v) "
+            f"else array_union(array(v), {inner}) end)))"
+        )
+        varied = base.withColumn("_v1", v1).select(
+            "_id", "_s", v2.alias("_vars")
+        )
+    else:
+        varied = base.select("_id", "_s", v1.alias("_vars"))
+    inst = varied.select(
+        "_id", "_s", F.explode("_vars").alias("_v")
+    ).select("_id", "_s", F.xxhash64("_v").alias("_h"))
+    if max_bucket_size is not None:
+        hot = (
+            inst.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("_h")
+        )
+        inst = inst.join(hot, "_h", "left_anti")
+    l = inst.select(
+        F.col("_h"), F.col("_id").alias("id_l"), F.col("_s").alias("_sl")
+    )
+    r = inst.select(
+        F.col("_h"), F.col("_id").alias("id_r"), F.col("_s").alias("_sr")
+    )
+    cand = (
+        l.join(r, "_h")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", "_sl", "_sr")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("_sl"), F.col("_sr"))
+    return (
+        cand.select("id_l", "id_r", dist.alias("dist"))
+        .where((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+    )

@@ -179,8 +179,34 @@ def main() -> None:
         iv = ev.select("user_id", us.alias("s"), (us + 900_000_000).alias("e"))
         return merge_intervals(iv, "user_id", "s", "e")
 
+    def _hh(ev):
+        from dftly_spark.streaming import windowed_heavy_hitters
+
+        from dftly_spark.io import normalize_event_ts
+
+        return windowed_heavy_hitters(
+            normalize_event_ts(ev), "ts", "user_id",
+            window="1 hour", min_count=2, top_k=5,
+        )
+
+    def _coocc(ev):
+        from dftly_spark.ops import cooccurrence_pmi
+
+        return cooccurrence_pmi(
+            ev, "user_id", "event_type", max_items_per_group=10
+        )
+
+    def _ewma(ev):
+        from dftly_spark.ops import ewma
+
+        return ewma(ev, "user_id", ["ts", "event_id"], "value",
+                    alpha=0.3, lookback=20)
+
     EVENT_OPS = {
         "merge_intervals": _intervals,
+        "heavy_hitters": _hh,
+        "cooccurrence": _coocc,
+        "ewma": _ewma,
         "rolling_zscore": lambda ev: rolling_zscore(
             ev, "event_type", ["ts", "event_id"], "value", lookback=50
         ),

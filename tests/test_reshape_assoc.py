@@ -293,3 +293,70 @@ def test_ewma_single_window_shuffle(spark):
         [("a", 1, 1.0)], "k string, o int, v double"
     )
     assert plan_summary(ewma(df, "k", ["o"], "v"))["n_exchanges"] == 1
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    import itertools
+
+    from dftly_spark.ops import edit_distance_pairs
+
+    # small vocab with substitutions, insertions, deletions, transposition
+    words = ["cat", "bat", "cart", "ca", "dog", "dogs", "gods", "act", ""]
+    rows = [(i, w) for i, w in enumerate(words) if w]
+    df = spark.createDataFrame(rows, "id long, s string")
+
+    def lev(a, b):
+        @__import__("functools").lru_cache(None)
+        def d(i, j):
+            if i == 0 or j == 0:
+                return i + j
+            return min(
+                d(i - 1, j) + 1, d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+        return d(len(a), len(b))
+
+    for md in (1, 2):
+        got = sorted(
+            tuple(r) for r in edit_distance_pairs(df, "id", "s", max_dist=md).collect()
+        )
+        want = sorted(
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if 1 <= lev(a, b) <= md
+        )
+        assert got == want, f"max_dist={md}"
+
+
+def test_edit_distance_pairs_excludes_long_and_identical(spark):
+    from dftly_spark.ops import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaa"), (3, "aaab"), (4, "x" * 100), (5, "x" * 99)],
+        "id long, s string",
+    )
+    out = edit_distance_pairs(df, "id", "s", max_dist=1, max_len=64).collect()
+    pairs = {(r["id_l"], r["id_r"]) for r in out}
+    assert (1, 2) not in pairs        # identical -> exact_dedup's job
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)  # beyond max_len excluded
+
+
+def test_edit_distance_pairs_bucket_cap_drops_degenerate(spark):
+    from dftly_spark.ops import edit_distance_pairs
+
+    # 26 single letters: every pair is distance 1 via the "" variant bucket
+    df = spark.createDataFrame(
+        [(i, chr(97 + i)) for i in range(26)], "id long, s string"
+    )
+    full = edit_distance_pairs(df, "id", "s", max_dist=1).count()
+    assert full == 26 * 25 // 2
+    capped = edit_distance_pairs(
+        df, "id", "s", max_dist=1, max_bucket_size=10
+    ).count()
+    assert capped == 0  # the single shared bucket (>10) is dropped
