@@ -95,7 +95,7 @@ from .sampling import (
     pack_sequences,
     stratified_sample,
 )
-from .cdc import latest_changes, merge_upsert, scd2_history, snapshot_diff
+from .cdc import latest_changes, merge_upsert, scd2_history, schema_drift, snapshot_diff
 from .lm import bigram_frame, bigram_lm_scores
 from .profile import (
     corr_matrix,
@@ -181,7 +181,7 @@ __all__ = [
     "dup_ngram_fraction", "remove_dup_ngram_spans",
     "sessionize", "sessionize_stream", "funnel", "cohort_retention",
     "mixture_sample", "latest_changes", "merge_upsert", "snapshot_diff",
-    "semantic_dedup", "semantic_dedup_pairs",
+    "semantic_dedup", "semantic_dedup_pairs", "schema_drift",
     "bigram_frame", "bigram_lm_scores",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",
 ]

@@ -200,3 +200,41 @@ def scd2_history(
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Diff two snapshots' SCHEMAS: added/removed/retyped/renullabled columns.
+
+    The metadata companion to :func:`snapshot_diff` — run it FIRST when a
+    feed regenerates (the testdata here has already flipped a timestamp's
+    physical type once): catching ``retyped`` before the value diff saves
+    a full-table scan that would fail or, worse, silently coerce.
+
+    Pure metadata — reads both schemas, touches no data, runs no job.
+    Returns ``(column, change, old_type, new_type)`` with ``change`` ∈
+    ``added`` / ``removed`` / ``retyped`` / ``renullabled``; an empty
+    result means the schemas agree exactly.
+    """
+    spark = old.sparkSession
+    o = {f.name: f for f in old.schema.fields}
+    n = {f.name: f for f in new.schema.fields}
+    rows = []
+    for name in sorted(o.keys() | n.keys()):
+        fo, fn = o.get(name), n.get(name)
+        if fo is None:
+            rows.append((name, "added", None, fn.dataType.simpleString()))
+        elif fn is None:
+            rows.append((name, "removed", fo.dataType.simpleString(), None))
+        elif fo.dataType != fn.dataType:
+            rows.append(
+                (name, "retyped", fo.dataType.simpleString(),
+                 fn.dataType.simpleString())
+            )
+        elif fo.nullable != fn.nullable:
+            rows.append(
+                (name, "renullabled",
+                 f"nullable={fo.nullable}", f"nullable={fn.nullable}")
+            )
+    return spark.createDataFrame(
+        rows, "column string, change string, old_type string, new_type string"
+    )

@@ -360,3 +360,24 @@ def test_edit_distance_pairs_bucket_cap_drops_degenerate(spark):
         df, "id", "s", max_dist=1, max_bucket_size=10
     ).count()
     assert capped == 0  # the single shared bucket (>10) is dropped
+
+
+# ---------------------------------------------------------------------------
+# schema_drift
+# ---------------------------------------------------------------------------
+
+
+def test_schema_drift_detects_all_change_kinds(spark):
+    from dftly_spark.ops import schema_drift
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, v double")
+    new = spark.createDataFrame([(1, "a", 1)], "id long, name string, v int").withColumn(
+        "extra", F.lit(True)
+    )
+    got = {r["column"]: (r["change"], r["old_type"], r["new_type"])
+           for r in schema_drift(old, new).collect()}
+    assert got["v"] == ("retyped", "double", "int")
+    assert got["extra"][0] == "added"
+    drop = schema_drift(new, old).collect()
+    assert {r["column"]: r["change"] for r in drop}["extra"] == "removed"
+    assert schema_drift(old, old).count() == 0
