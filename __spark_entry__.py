@@ -4525,6 +4525,44 @@ _q(
 )
 
 
+def _x87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier flags (ops/profile.py mad_outliers): median
+    + MAD from two exact-percentile aggs broadcast back; score =
+    (x − med) / (1.4826·MAD).  Order-free (no window), heavy-tail-safe —
+    the batch complement to rolling_zscore."""
+    from dftly_spark.ops import mad_outliers
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return mad_outliers(ev, "event_type", "value", k=3.5)
+
+
+_q(
+    "x87_mad_outliers",
+    _x87,
+    """
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), d AS (
+      SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN m USING (event_type)
+    ), md AS (
+      SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           round(CASE WHEN md.mad > 0
+                      THEN (d.value - d.med) / (1.4826 * md.mad) END, 6)
+             AS mad_score,
+           coalesce(abs(CASE WHEN md.mad > 0
+                             THEN round((d.value - d.med) / (1.4826 * md.mad), 6)
+                        END) > 3.5, false) AS is_outlier
+    FROM d JOIN md USING (event_type)
+    """,
+)
+
+
 #: The q27 spec is shared by the Spark builder AND the sqlgen oracle —
 #: the emitter (dftly_spark/sqlgen.py) generates the DuckDB mirror from
 #: the SAME AST the Spark lowering consumes, so this query gates the
@@ -4586,6 +4624,7 @@ _q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x87_mad_outliers",
     "x86_edit_distance_pairs",
     "x85_ewma",
     "x83_windowed_heavy_hitters",

@@ -113,6 +113,7 @@ from .profile import (
     rollup_stats,
     distinct_counts,
     ewma,
+    mad_outliers,
 )
 from .scale import (
     bloom_prune,
@@ -148,7 +149,7 @@ from .multimodal import (
 
 __all__ = [
     "melt", "pivot_wide", "cooccurrence_pmi", "distinct_counts", "line_filter",
-    "ewma", "edit_distance_pairs",
+    "ewma", "edit_distance_pairs", "mad_outliers",
     "pagerank", "prepare_edges", "ranking_metrics", "pool_embeddings",
     "salted_join", "winsorize", "impute_nulls", "group_trend",
     "cms_build", "cms_estimate", "corr_matrix", "group_entropy",

@@ -658,3 +658,61 @@ def ewma(
         lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
     )
     return df.withColumn(out_col, F.round(folded, decimals))
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str | None,
+    value_col: str,
+    *,
+    k: float = 3.5,
+    consistency: float = 1.4826,
+    decimals: int = 6,
+) -> DataFrame:
+    """Robust per-group outlier flags via median absolute deviation.
+
+    The order-free, heavy-tail-safe cousin of :func:`rolling_zscore`:
+    score = (x − median) / (consistency · MAD) with MAD the median of
+    |x − median| per group; ``|score| > k`` flags.  Median/MAD shrug off
+    the very outliers a mean/stddev detector lets poison its own
+    baseline; 1.4826 rescales MAD to σ under normality (the standard
+    consistency constant), ``k=3.5`` is the textbook threshold.
+
+    Two exact-percentile aggregations (median, then MAD of the residuals)
+    joined back — both keyed on the group (broadcast when groups are few),
+    exact ``percentile`` ≡ ``quantile_cont``.  Groups with MAD = 0 (over
+    half the values identical) emit null scores and never flag — an
+    honest "scale-free" verdict, not a division blow-up.
+
+    Appends ``mad_score`` (rounded) and ``is_outlier``.
+    """
+    keys = [key_col] if key_col else []
+    v = F.col(value_col).cast("double")
+    med = (
+        df.groupBy(*keys).agg(F.expr(f"percentile({value_col}, 0.5)").alias("_med"))
+    )
+    with_med = df.join(F.broadcast(med), keys) if keys else df.crossJoin(
+        F.broadcast(med)
+    )
+    mad = (
+        with_med.groupBy(*keys)
+        .agg(
+            F.expr(f"percentile(abs(cast({value_col} as double) - _med), 0.5)").alias(
+                "_mad"
+            )
+        )
+    )
+    full = with_med.join(F.broadcast(mad), keys) if keys else with_med.crossJoin(
+        F.broadcast(mad)
+    )
+    score = F.when(
+        F.col("_mad") > 0, (v - F.col("_med")) / (F.lit(consistency) * F.col("_mad"))
+    )
+    return (
+        full.withColumn("mad_score", F.round(score, decimals))
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(F.col("mad_score")) > k, F.lit(False)),
+        )
+        .drop("_med", "_mad")
+    )

@@ -381,3 +381,41 @@ def test_schema_drift_detects_all_change_kinds(spark):
     drop = schema_drift(new, old).collect()
     assert {r["column"]: r["change"] for r in drop}["extra"] == "removed"
     assert schema_drift(old, old).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_flags_gross_outlier_and_resists_poisoning(spark):
+    from dftly_spark.ops import mad_outliers
+
+    vals = [10.0, 11.0, 12.0, 10.5, 11.5, 1000.0]
+    df = spark.createDataFrame([("a", i, v) for i, v in enumerate(vals)],
+                               "k string, i long, v double")
+    out = {r["i"]: r for r in mad_outliers(df, "k", "v", k=3.5).collect()}
+    assert out[5]["is_outlier"] is True
+    assert all(out[i]["is_outlier"] is False for i in range(5))
+    # median/MAD ignore the outlier: inlier scores stay near 0
+    assert all(abs(out[i]["mad_score"]) < 2 for i in range(5))
+
+
+def test_mad_outliers_zero_mad_never_flags(spark):
+    from dftly_spark.ops import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", i, 5.0) for i in range(4)] + [("a", 9, 6.0)],
+        "k string, i long, v double",
+    )
+    out = mad_outliers(df, "k", "v").collect()
+    assert all(r["mad_score"] is None for r in out)
+    assert all(r["is_outlier"] is False for r in out)
+
+
+def test_mad_outliers_global_mode(spark):
+    from dftly_spark.ops import mad_outliers
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(9)], "i long, v double")
+    out = mad_outliers(df, None, "v").collect()
+    assert len(out) == 9 and all(r["is_outlier"] is False for r in out)
