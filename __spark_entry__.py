@@ -4563,6 +4563,79 @@ _q(
 )
 
 
+def _x88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization fidelity audit (ops/similarity.py): per-dim
+    min/max codebook from ONE agg pass (2·dim collected doubles — the
+    sanctioned bounded plan-build action), int8 encode + decode as
+    row-local zip_with transforms against literal codebook arrays, and
+    the per-vector reconstruction cosine.  The first rung of the ANN
+    memory ladder: 4× smaller embedding store, fidelity measured before
+    committing."""
+    from dftly_spark.ops import fit_scalar_quantizer, quantization_fidelity
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, maxs = fit_scalar_quantizer(emb, "embedding", dim=64)
+    return quantization_fidelity(emb, "vec_id", "embedding", mins, maxs, bits=8)
+
+
+_X88_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _x88_oracle() -> str:
+    """DuckDB mirror with an INDEPENDENTLY fitted codebook: per-dim
+    min/max re-computed in numpy from the same parquet (exact — min/max
+    have no summation-order wobble), inlined as literals; encode, decode
+    and cosine replay in DuckDB list lambdas with the identical
+    floor(+0.5) convention."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+    if sf_dir in _X88_ORACLE_CACHE:
+        return _X88_ORACLE_CACHE[sf_dir]
+    vecs = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])[
+            "embedding"
+        ].to_pylist(),
+        dtype=np.float64,
+    )
+    mins, maxs = vecs.min(axis=0), vecs.max(axis=0)
+    levels = 255
+    scales = np.where(maxs > mins, levels / np.where(maxs > mins, maxs - mins, 1.0), 0.0)
+    invs = np.where(maxs > mins, np.where(maxs > mins, maxs - mins, 1.0) / levels, 0.0)
+    lit = lambda xs: "[" + ", ".join(repr(float(x)) for x in xs) + "]"
+    dim = vecs.shape[1]
+    sql = f"""
+    WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v,
+      list_transform(range(1, {dim + 1}), i ->
+        least(greatest(CAST(floor((v[i] - ({lit(mins)})[i])
+                             * ({lit(scales)})[i] + 0.5) AS INT), 0),
+              {levels})) AS codes
+      FROM p),
+    d AS (SELECT vec_id, v,
+      list_transform(range(1, {dim + 1}), i ->
+        codes[i] * ({lit(invs)})[i] + ({lit(mins)})[i]) AS dq
+      FROM c)
+    SELECT vec_id,
+           round(CASE WHEN sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(dq, dq)) > 0
+                      THEN list_dot_product(v, dq)
+                           / (sqrt(list_dot_product(v, v))
+                              * sqrt(list_dot_product(dq, dq))) END,
+                 6) AS recon_cos
+    FROM d
+    """
+    _X88_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+_q("x88_quantization_fidelity", _x88, _x88_oracle)
+
+
 #: The q27 spec is shared by the Spark builder AND the sqlgen oracle —
 #: the emitter (dftly_spark/sqlgen.py) generates the DuckDB mirror from
 #: the SAME AST the Spark lowering consumes, so this query gates the
@@ -4624,6 +4697,7 @@ _q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x88_quantization_fidelity",
     "x87_mad_outliers",
     "x86_edit_distance_pairs",
     "x85_ewma",

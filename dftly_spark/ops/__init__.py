@@ -71,6 +71,9 @@ from .reshape import melt, pivot_wide
 from .assoc import cooccurrence_pmi
 from .sketch import cms_build, cms_estimate
 from .similarity import (
+    fit_scalar_quantizer,
+    quantize_embeddings,
+    quantization_fidelity,
     centroid_outliers,
     pool_embeddings,
     random_project,
@@ -150,6 +153,7 @@ from .multimodal import (
 __all__ = [
     "melt", "pivot_wide", "cooccurrence_pmi", "distinct_counts", "line_filter",
     "ewma", "edit_distance_pairs", "mad_outliers",
+    "fit_scalar_quantizer", "quantize_embeddings", "quantization_fidelity",
     "pagerank", "prepare_edges", "ranking_metrics", "pool_embeddings",
     "salted_join", "winsorize", "impute_nulls", "group_trend",
     "cms_build", "cms_estimate", "corr_matrix", "group_entropy",

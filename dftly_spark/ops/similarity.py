@@ -567,3 +567,114 @@ def pool_embeddings(
     out = exploded.groupBy(group_col, "pos").agg(aggs[how]("_v").alias("_val"))
     val = F.round(F.col("_val"), decimals) if how == "mean" else F.col("_val")
     return out.select(group_col, "pos", val.alias("val"))
+
+
+def fit_scalar_quantizer(
+    df: DataFrame, vec_col: str, *, dim: int | None = None
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (mins, maxs) for scalar quantization — ONE agg pass.
+
+    2·dim aggregate expressions over ``element_at`` (no explode, no
+    shuffle beyond the single global agg); the collected result is
+    2·dim doubles — a bounded plan-build action in the same sanctioned
+    regime as ``kmeans_centroids`` / ``approxQuantile``, never O(rows).
+    """
+    d = dim or infer_dim(df, vec_col)
+    v = F.col(vec_col)
+    aggs = []
+    for i in range(d):
+        aggs.append(F.min(F.element_at(v, i + 1)).alias(f"_mn{i}"))
+        aggs.append(F.max(F.element_at(v, i + 1)).alias(f"_mx{i}"))
+    row = df.agg(*aggs).collect()[0]
+    mins = [float(row[f"_mn{i}"]) for i in range(d)]
+    maxs = [float(row[f"_mx{i}"]) for i in range(d)]
+    return mins, maxs
+
+
+def _quant_params(mins, maxs, bits):
+    levels = (1 << bits) - 1
+    scales = [
+        (levels / (mx - mn)) if mx > mn else 0.0 for mn, mx in zip(mins, maxs)
+    ]
+    invs = [
+        ((mx - mn) / levels) if mx > mn else 0.0 for mn, mx in zip(mins, maxs)
+    ]
+    return levels, scales, invs
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mins: list[float],
+    maxs: list[float],
+    *,
+    bits: int = 8,
+) -> DataFrame:
+    """Scalar-quantize vectors to ``bits``-bit codes: ``(id, codes)``.
+
+    ``code_i = clamp(floor((x_i − min_i)·scale_i + 0.5), 0, 2^bits−1)``
+    — floor(+0.5) instead of round() because banker's-rounding conventions
+    differ across engines while floor is universal.  At 8 bits this cuts
+    an embedding store 4× (int8 codes vs float32) with the (mins, maxs)
+    codebook as 2·dim floats of metadata — the standard first rung of the
+    ANN memory ladder (IVF cells + scalar codes).  Constant-dimension
+    degenerate dims (max = min) encode 0 and decode to the constant.
+
+    Row-local ``zip_with`` transforms against literal codebook arrays —
+    codegen, no shuffle, no UDF; fully replayable by the oracle because
+    the codebook is inlined as literals.
+    """
+    levels, scales, _ = _quant_params(mins, maxs, bits)
+    m_arr = F.array(*[F.lit(m) for m in mins])
+    s_arr = F.array(*[F.lit(s) for s in scales])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), m_arr, lambda x, m: x - m
+    )
+    codes = F.zip_with(
+        centered,
+        s_arr,
+        lambda d, s: F.least(
+            F.greatest(F.floor(d * s + 0.5).cast("int"), F.lit(0)),
+            F.lit(levels),
+        ),
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def quantization_fidelity(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mins: list[float],
+    maxs: list[float],
+    *,
+    bits: int = 8,
+    decimals: int = 6,
+) -> DataFrame:
+    """Reconstruction cosine per vector: ``(id, recon_cos)``.
+
+    Encodes, decodes (``min_i + code_i·inv_i``), and scores the
+    dequantized vector against the original — the per-item fidelity
+    audit run before committing a corpus to quantized storage.  Zero
+    vectors emit null (no direction to preserve).
+    """
+    levels, scales, invs = _quant_params(mins, maxs, bits)
+    m_arr = F.array(*[F.lit(m) for m in mins])
+    i_arr = F.array(*[F.lit(i) for i in invs])
+    codes = quantize_embeddings(df, id_col, vec_col, mins, maxs, bits=bits)
+    joined = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).join(codes, id_col)
+    deq = F.zip_with(
+        F.zip_with(F.col("codes"), i_arr, lambda c, i: c * i),
+        m_arr,
+        lambda d, m: d + m,
+    )
+    withd = joined.select(F.col(id_col), F.col("_v"), deq.alias("_d"))
+    num = dot(F.col("_v"), F.col("_d"))
+    den = l2_norm(F.col("_v")) * l2_norm(F.col("_d"))
+    return withd.select(
+        F.col(id_col),
+        F.round(F.when(den > 0, num / den), decimals).alias("recon_cos"),
+    )

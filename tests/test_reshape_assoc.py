@@ -419,3 +419,56 @@ def test_mad_outliers_global_mode(spark):
     df = spark.createDataFrame([(i, float(i)) for i in range(9)], "i long, v double")
     out = mad_outliers(df, None, "v").collect()
     assert len(out) == 9 and all(r["is_outlier"] is False for r in out)
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    from dftly_spark.ops import (
+        fit_scalar_quantizer,
+        quantization_fidelity,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), -float(i) * 2, 7.0]) for i in range(1, 33)],
+        "id long, v array<double>",
+    )
+    mins, maxs = fit_scalar_quantizer(df, "v", dim=3)
+    assert mins == [1.0, -64.0, 7.0] and maxs == [32.0, -2.0, 7.0]
+    codes = {r["id"]: r["codes"] for r in
+             quantize_embeddings(df, "id", "v", mins, maxs, bits=8).collect()}
+    assert codes[1] == [0, 255, 0]     # min -> 0, max -> 255, constant -> 0
+    assert codes[32] == [255, 0, 0]
+    fid = quantization_fidelity(df, "id", "v", mins, maxs, bits=8)
+    assert all(r["recon_cos"] > 0.999 for r in fid.collect())
+
+
+def test_quantize_bits_tradeoff(spark):
+    from dftly_spark.ops import fit_scalar_quantizer, quantization_fidelity
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7) % 13), float((i * 11) % 17)]) for i in range(64)],
+        "id long, v array<double>",
+    )
+    mins, maxs = fit_scalar_quantizer(df, "v", dim=2)
+
+    def mean_fid(bits):
+        rows = quantization_fidelity(
+            df, "id", "v", mins, maxs, bits=bits
+        ).collect()
+        vals = [r["recon_cos"] for r in rows if r["recon_cos"] is not None]
+        return sum(vals) / len(vals)
+
+    assert mean_fid(8) >= mean_fid(4) >= mean_fid(2)  # more bits, more faithful
+
+
+def test_quantize_zero_vector_null_fidelity(spark):
+    from dftly_spark.ops import quantization_fidelity
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "id long, v array<double>")
+    out = quantization_fidelity(df, "id", "v", [0.0, 0.0], [0.0, 0.0]).collect()
+    assert out[0]["recon_cos"] is None
