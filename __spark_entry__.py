@@ -4636,6 +4636,97 @@ def _x88_oracle() -> str:
 _q("x88_quantization_fidelity", _x88, _x88_oracle)
 
 
+def _x89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical OLAP aggregation —
+    ONE keyed agg with map-side combine over a date-filtered scan (filter
+    and the 7-column pruned ReadSchema push into the parquet scan).  Sums
+    rounded to 6 for cross-engine float addition order."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc), 6).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_q(
+    "x89_pricing_summary",
+    _x89,
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+             AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+def _x90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style regional volume: revenue per nation for one region.
+    The dimension chain region→nation→customer broadcasts down onto the
+    two fact tables (every dim side is F.broadcast — zero dim-side
+    Exchange), orders⋈lineitem co-partition on the order key; ONE fact
+    shuffle + one small final agg."""
+    _prep(spark)
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        nation.join(F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"])
+        .select("n_nationkey", "n_name")
+    )
+    cd = cust.join(F.broadcast(dims), cust["c_nationkey"] == dims["n_nationkey"])
+    ord_cd = orders.join(
+        F.broadcast(cd.select("c_custkey", "n_name")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(ord_cd.select("o_orderkey", "n_name"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 6).alias("revenue"))
+    )
+
+
+_q(
+    "x90_regional_revenue",
+    _x90,
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+
+
 #: The q27 spec is shared by the Spark builder AND the sqlgen oracle —
 #: the emitter (dftly_spark/sqlgen.py) generates the DuckDB mirror from
 #: the SAME AST the Spark lowering consumes, so this query gates the
@@ -4697,6 +4788,8 @@ _q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x89_pricing_summary",
+    "x90_regional_revenue",
     "x88_quantization_fidelity",
     "x87_mad_outliers",
     "x86_edit_distance_pairs",

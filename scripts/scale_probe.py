@@ -240,6 +240,27 @@ def main() -> None:
             out.select(F.col("s").alias("src"), F.col("c").alias("dst"))
         )
 
+    def _edit(c: int):
+        """Disjoint 3-char suffixes per replica: cross-replica distances
+        are >= 3 > max_dist, so true pair volume scales linearly with c."""
+        from dftly_spark.ops import edit_distance_pairs
+
+        part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+        names = part.groupBy("p_name").agg(F.min("p_partkey").alias("nid"))
+        out = names.select("nid", "p_name")
+        for i in range(1, c):
+            out = out.unionByName(
+                names.select(
+                    (F.col("nid") + 1_000_000 * i).alias("nid"),
+                    F.concat(F.col("p_name"), F.lit(f"~{i % 10}" * 3)).alias(
+                        "p_name"
+                    ),
+                )
+            )
+        return edit_distance_pairs(out, "nid", "p_name", max_dist=2)
+
+    OPS["edit_distance"] = lambda d, e, c: _edit(c)
+
     OPS["pagerank"] = lambda d, e, c: pagerank(
         _pr_edges(c), iters=5, assume_distinct=True, repair_dangling=False
     )
