@@ -71,3 +71,22 @@ def test_event_feature_pipeline_end_to_end(spark):
     # skew report covers at most 20 keys with valid shares
     skew = outs["user_skew"].collect()
     assert len(skew) <= 20 and all(0 < r["share"] <= 1 for r in skew)
+
+
+def test_similarity_pipeline_end_to_end(spark):
+    import sys
+
+    sys.path.insert(0, "examples")
+    from similarity_pipeline import build
+
+    outs = build(spark, "/root/testdata/sf0.001")
+    n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    n_corpus = outs["corpus"].count()
+    assert 0 < n_corpus <= n                      # prune never grows the corpus
+    assert outs["codes"].count() == n_corpus      # every kept vector encoded
+    fid = outs["fidelity"].agg(F.min("recon_cos")).collect()[0][0]
+    assert fid is None or fid > 0.99              # int8 on 64 dims is near-lossless
+    topk = outs["topk"]
+    assert topk.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 10
+    recall = outs["recall"].collect()[0]["recall_at_10"]
+    assert recall >= 0.7                          # nprobe=8/16 on structureless vectors
