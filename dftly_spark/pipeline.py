@@ -36,6 +36,11 @@ Step forms:
 * ``{select: SPEC}`` / ``{with_columns: SPEC}`` — a dftly transformation
   spec (string/dict forms, full expression grammar).
 * ``{filter: "expr"}`` — a dftly boolean expression.
+* ``{sql: "SELECT … FROM {t} …"}`` — raw Spark SQL over the current
+  frame (``{t}`` is the step's temp view).  The escape hatch for
+  aggregations/joins the step grammar doesn't spell; still one lazy
+  plan — the SQL composes into the same Catalyst tree, so pushdown and
+  fusion cross the boundary in both directions.
 * ``{op: name, args: {...}}`` — any allowlisted ``dftly_spark.ops``
   function; the current frame is passed as the first argument.  An
   optional ``where: "expr"`` filters the op's OUTPUT with a dftly
@@ -133,12 +138,21 @@ def _read_source(spark: SparkSession, src: dict, sf_dir: str | None) -> DataFram
 def _apply_step(df: DataFrame, step: dict, idx: int) -> DataFrame:
     if not isinstance(step, dict):
         raise ValueError(f"step {idx}: must be a mapping, got {type(step)}")
-    kind = [k for k in ("select", "with_columns", "filter", "op") if k in step]
+    kind = [k for k in ("select", "with_columns", "filter", "op", "sql") if k in step]
     if len(kind) != 1:
         raise ValueError(
-            f"step {idx}: exactly one of select/with_columns/filter/op, got {sorted(step)}"
+            f"step {idx}: exactly one of select/with_columns/filter/op/sql, "
+            f"got {sorted(step)}"
         )
     k = kind[0]
+    if k == "sql":
+        # Raw-SQL escape hatch: the incoming frame is visible as `t`.
+        # Still ONE lazy plan — spark.sql over a temp view composes into
+        # the same Catalyst tree the dftly steps build, so pushdown and
+        # fusion cross the boundary in both directions.
+        view = f"_dftly_step_{idx}"
+        df.createOrReplaceTempView(view)
+        return df.sparkSession.sql(step["sql"].format(t=view))
     if k == "select":
         return Parser.select(df, step["select"])
     if k == "with_columns":

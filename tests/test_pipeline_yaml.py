@@ -237,3 +237,24 @@ def test_event_analytics_example_runs(spark):
     total = ev.where(F.col("value") >= 0).agg(F.sum("value")).collect()[0][0]
     got = out.agg(F.sum("total_value")).collect()[0][0]
     assert abs(got - total) < 1e-6
+
+
+def test_sql_step_composes_with_expression_steps(spark):
+    out = run_pipeline(
+        spark,
+        """
+        source: {table: lineitem}
+        steps:
+          - with_columns:
+              revenue: "$l_extendedprice * (1 - $l_discount)"
+          - sql: |
+              SELECT l_returnflag, round(sum(revenue), 6) AS rev
+              FROM {t} GROUP BY l_returnflag
+          - filter: "$rev > 0"
+        """,
+        sf_dir=SF_DIR,
+    )
+    rows = {r["l_returnflag"]: r["rev"] for r in out.collect()}
+    assert set(rows) == {"A", "N", "R"} and all(v > 0 for v in rows.values())
+    # the dftly-derived column feeds the SQL agg; the post-filter applies
+    # to the SQL output — one composed plan end to end
