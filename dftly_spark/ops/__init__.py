@@ -47,6 +47,7 @@ from .textops import (
     tokens,
 )
 from .dedup import (
+    dedup_survivors,
     edit_distance_pairs,
     containment_pairs,
     cross_corpus_dup_pairs,
@@ -186,7 +187,7 @@ __all__ = [
     "dup_ngram_fraction", "remove_dup_ngram_spans",
     "sessionize", "sessionize_stream", "funnel", "cohort_retention",
     "mixture_sample", "latest_changes", "merge_upsert", "snapshot_diff",
-    "semantic_dedup", "semantic_dedup_pairs", "schema_drift",
+    "semantic_dedup", "semantic_dedup_pairs", "schema_drift", "dedup_survivors",
     "bigram_frame", "bigram_lm_scores",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",
 ]

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import Column as SparkColumn
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import cosine
@@ -1081,3 +1081,50 @@ def edit_distance_pairs(
         cand.select("id_l", "id_r", dist.alias("dist"))
         .where((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
     )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    order_col: str | None = None,
+    keep: str = "max",
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+) -> DataFrame:
+    """Collapse duplicate PAIRS to one surviving row per duplicate group.
+
+    The user-facing end of every pair generator (minhash / simhash /
+    embedding / edit-distance): transitive-close the pairs
+    (:func:`dup_clusters`), rank each cluster by ``order_col`` (``keep`` ∈
+    ``max``/``min``, id ascending as the deterministic tie-break — with no
+    ``order_col`` the lowest id wins), and return ``df`` filtered to
+    survivors.  Rows never mentioned in a pair survive untouched, so the
+    output is always a subset of ``df`` with exactly one row per group.
+
+    Cost = the label propagation (O(diameter) keyed shuffles on the PAIR
+    graph — usually tiny next to the corpus) + one window rank over
+    cluster members only + a left-anti join back; the corpus itself is
+    never shuffled on anything but the final membership probe.
+    """
+    if keep not in ("max", "min"):
+        raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
+    clusters = dup_clusters(pairs, id_l, id_r)  # (doc_id, cluster_id)
+    members = clusters.join(
+        df.select(F.col(id_col).alias("doc_id"),
+                  *( [F.col(order_col).alias("_ord")] if order_col else [] )),
+        "doc_id",
+    )
+    order = (
+        [F.col("_ord").desc() if keep == "max" else F.col("_ord").asc()]
+        if order_col
+        else []
+    ) + [F.col("doc_id").asc()]
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    losers = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

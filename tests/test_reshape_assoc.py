@@ -472,3 +472,37 @@ def test_quantize_zero_vector_null_fidelity(spark):
     df = spark.createDataFrame([(1, [0.0, 0.0])], "id long, v array<double>")
     out = quantization_fidelity(df, "id", "v", [0.0, 0.0], [0.0, 0.0]).collect()
     assert out[0]["recon_cos"] is None
+
+
+# ---------------------------------------------------------------------------
+# dedup_survivors
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_survivors_keeps_best_per_cluster(spark):
+    from dftly_spark.ops import dedup_survivors
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (4, 5.0), (5, 7.0), (9, 1.0)],
+        "id long, score double",
+    )
+    # {1,2,3} transitively linked; {4,5} linked; 9 untouched
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_l long, id_r long")
+    best = {r["id"] for r in dedup_survivors(df, pairs, "id", order_col="score").collect()}
+    assert best == {2, 5, 9}  # max of {1,2,3} is id 2; of {4,5} id 5; 9 singleton
+    worst = {
+        r["id"]
+        for r in dedup_survivors(df, pairs, "id", order_col="score", keep="min").collect()
+    }
+    assert worst == {1, 4, 9}
+
+
+def test_dedup_survivors_default_lowest_id_and_tiebreak(spark):
+    from dftly_spark.ops import dedup_survivors
+
+    df = spark.createDataFrame([(i, 1.0) for i in (1, 2, 3)], "id long, v double")
+    pairs = spark.createDataFrame([(2, 3), (1, 2)], "id_l long, id_r long")
+    no_order = {r["id"] for r in dedup_survivors(df, pairs, "id").collect()}
+    assert no_order == {1}
+    tied = {r["id"] for r in dedup_survivors(df, pairs, "id", order_col="v").collect()}
+    assert tied == {1}  # equal scores -> id asc tie-break
