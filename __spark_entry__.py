@@ -4485,8 +4485,8 @@ _q(
       FROM e
     )
     SELECT event_id, user_id, ts_us, value,
-           round(CAST(list_reduce(xs, (acc, x) -> 0.3*x + 0.7*acc)
-                      AS DOUBLE), 6) AS ewma
+           floor(CAST(list_reduce(xs, (acc, x) -> 0.3*x + 0.7*acc)
+                      AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS ewma
     FROM w
     """,
 )
@@ -4646,13 +4646,21 @@ def _x89(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp")
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def money(expr):
+        # exact: scale each row to integer ten-thousandths (identical
+        # double ops both engines -> identical bigint), sum exactly,
+        # rescale.  round(sum(double),6) is NOT enough at sf>=0.1: the
+        # partial-sum ORDER wobbles ~1e-3 absolute on 1e10-magnitude sums.
+        return F.sum(F.floor(expr * 10000 + F.lit(0.5)).cast("bigint")) / 10000.0
+
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(disc), 6).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.sum("l_quantity").alias("sum_qty"),  # whole numbers: exact
+            money(F.col("l_extendedprice")).alias("sum_base_price"),
+            money(disc).alias("sum_disc_price"),
+            money(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -4665,11 +4673,13 @@ _q(
     _x89,
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 6) AS sum_qty,
-           round(sum(l_extendedprice), 6) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
-             AS sum_charge,
+           sum(l_quantity) AS sum_qty,
+           sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) / 10000.0
+             AS sum_base_price,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) / 10000.0 AS sum_disc_price,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_charge,
            round(avg(l_quantity), 6) AS avg_qty,
            round(avg(l_discount), 6) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
@@ -4703,11 +4713,13 @@ def _x90(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders["o_custkey"] == F.col("c_custkey"),
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # integer-scaled exact money sum — see x89's rationale
+    rev_i = F.floor(rev * 10000 + F.lit(0.5)).cast("bigint")
     return (
         li.join(ord_cd.select("o_orderkey", "n_name"),
                 li["l_orderkey"] == F.col("o_orderkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(rev), 6).alias("revenue"))
+        .agg((F.sum(rev_i) / 10000.0).alias("revenue"))
     )
 
 
@@ -4715,7 +4727,9 @@ _q(
     "x90_regional_revenue",
     _x90,
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    SELECT n_name,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) / 10000.0 AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey

@@ -657,7 +657,14 @@ def ewma(
         F.element_at(xs, 1),
         lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
     )
-    return df.withColumn(out_col, F.round(folded, decimals))
+    # floor(x·10^d + 0.5) instead of round(): the fold is bit-identical
+    # across engines, but round() conventions differ exactly AT the
+    # half-boundary (Spark HALF_UP on the decimal expansion vs DuckDB's
+    # float-multiply round) — measured 6 knife-edge rows per 100k.  The
+    # floor form is one double multiply+add both engines do identically.
+    scale = float(10 ** decimals)
+    rounded = F.floor(folded * scale + 0.5) / scale
+    return df.withColumn(out_col, rounded)
 
 
 def mad_outliers(
