@@ -4741,6 +4741,53 @@ _q(
 )
 
 
+def _x91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-timestamp join (ops/joins.py nearest_join): snap each event
+    to its user's closest checkpoint (either side, ties backward).  Two
+    keyed union+window passes composed from asof_join — no pairwise join;
+    the oracle IS the per-key all-pairs min-gap join it must reproduce."""
+    from dftly_spark.ops import nearest_join
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    marks = (
+        ev.where(F.col("event_id") % 7 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("mark_val"))
+    )
+    out = nearest_join(ev, marks, on="ts", by="user_id", how="inner")
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"), "value",
+        F.unix_micros("ts_right").alias("mark_us"),
+        "mark_val_right",
+    )
+
+
+_q(
+    "x91_nearest_join",
+    _x91,
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events
+    ), marks AS (
+      SELECT user_id, ts_us AS mark_us, max(value) AS mark_val
+      FROM e WHERE event_id % 7 = 0 GROUP BY user_id, ts_us
+    ), j AS (
+      SELECT e.event_id, e.user_id, e.ts_us, e.value, m.mark_us, m.mark_val,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(e.ts_us - m.mark_us), m.mark_us) AS rn
+      FROM e JOIN marks m USING (user_id)
+    )
+    SELECT event_id, user_id, ts_us, value, mark_us,
+           mark_val AS mark_val_right
+    FROM j WHERE rn = 1
+    """,
+)
+
+
 #: The q27 spec is shared by the Spark builder AND the sqlgen oracle —
 #: the emitter (dftly_spark/sqlgen.py) generates the DuckDB mirror from
 #: the SAME AST the Spark lowering consumes, so this query gates the
@@ -4802,6 +4849,7 @@ _q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x91_nearest_join",
     "x89_pricing_summary",
     "x90_regional_revenue",
     "x88_quantization_fidelity",

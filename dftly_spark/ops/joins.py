@@ -353,3 +353,56 @@ def asof_join_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "ts",
+    by: str | list[str] | None = "user_id",
+    right_on: str | None = None,
+    tolerance_micros: int | None = None,
+    how: str = "inner",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Nearest-timestamp join: the closest right row per key, either side.
+
+    Composes the backward and forward :func:`asof_join` passes and keeps,
+    per left row, whichever match is temporally closer (ties go backward —
+    the earlier mark).  The "snap to nearest checkpoint" primitive that
+    ``direction='backward'`` alone can't express.
+
+    Two keyed union+window passes (one per direction) on the same ``by``
+    partitioning — the second pass reuses the first's key Exchange
+    layout; no pairwise join anywhere.  ``tolerance_micros`` bounds BOTH
+    directions; ``how='inner'`` drops left rows with no match either way.
+    """
+    r_on = right_on or on
+    r_payload = [c for c in right.columns if c != r_on and c not in (
+        [by] if isinstance(by, str) else (list(by) if by else [])
+    )]
+    back = asof_join(
+        left, right, on=on, by=by, right_on=right_on, direction="backward",
+        tolerance_micros=tolerance_micros, how="left", suffix="__b",
+    )
+    both = asof_join(
+        back, right, on=on, by=by, right_on=right_on, direction="forward",
+        tolerance_micros=tolerance_micros, how="left", suffix="__f",
+    )
+    ts_us = _micros(F.col(on))
+    bts, fts = F.col(f"{r_on}__b"), F.col(f"{r_on}__f")
+    gap_b = ts_us - _micros(bts)
+    gap_f = _micros(fts) - ts_us
+    use_b = fts.isNull() | (bts.isNotNull() & (gap_b <= gap_f))
+    pick = lambda c: F.when(use_b, F.col(f"{c}__b")).otherwise(F.col(f"{c}__f"))
+    out = both.select(
+        *[F.col(c) for c in left.columns],
+        pick(r_on).alias(f"{r_on}{suffix}"),
+        *[pick(c).alias(f"{c}{suffix}") for c in r_payload],
+    )
+    if how == "inner":
+        out = out.where(F.col(f"{r_on}{suffix}").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    return out

@@ -339,3 +339,76 @@ def test_range_join_composite_key(spark):
     out = range_join(pts, ivl, point_on="ts", start_on="start",
                      end_on="end", by=["k1", "k2"])
     assert {r.point_id for r in out.collect()} == {10}
+
+
+# ---------------------------------------------------------------------------
+# nearest_join
+# ---------------------------------------------------------------------------
+
+
+def _us(us):
+    import datetime as dt
+
+    return dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us)
+
+
+def test_nearest_join_picks_closer_side_and_ties_backward(spark):
+    from dftly_spark.ops import nearest_join
+
+    left = spark.createDataFrame(
+        [(1, "u", _us(100)), (2, "u", _us(205)), (3, "u", _us(390))],
+        "id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _us(0), "a"), ("u", _us(210), "b"), ("u", _us(400), "c")],
+        "user_id string, ts timestamp, tag string",
+    )
+    got = {r["id"]: r["tag_right"] for r in
+           nearest_join(left, right, on="ts", by="user_id").collect()}
+    assert got[1] == "a"   # 100 vs gaps (100, 110) -> backward a
+    assert got[2] == "b"   # gaps (205 back to 0, 5 fwd to 210) -> forward b
+    assert got[3] == "c"   # gaps (180, 10) -> forward c
+
+    # exact tie: left at 305 is 95 from b(210) and 95 from c(400) -> backward
+    tie = spark.createDataFrame(
+        [(9, "u", _us(305))], "id long, user_id string, ts timestamp"
+    )
+    t = nearest_join(tie, right, on="ts", by="user_id").collect()[0]
+    assert t["tag_right"] == "b"
+
+
+def test_nearest_join_tolerance_and_how(spark):
+    from dftly_spark.ops import nearest_join
+
+    left = spark.createDataFrame(
+        [(1, "u", _us(1_000_000)), (2, "x", _us(0))],
+        "id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _us(0), "a")], "user_id string, ts timestamp, tag string"
+    )
+    inner = nearest_join(
+        left, right, on="ts", by="user_id", tolerance_micros=100
+    ).collect()
+    assert inner == []  # 1s gap > 100us, and key x has no marks
+    outer = {
+        r["id"]: r["tag_right"]
+        for r in nearest_join(
+            left, right, on="ts", by="user_id", how="left"
+        ).collect()
+    }
+    assert outer == {1: "a", 2: None}
+
+
+def test_nearest_join_no_pairwise_plan(spark):
+    from dftly_spark.ops import nearest_join, plan_summary
+
+    left = spark.createDataFrame(
+        [(1, "u", _us(0))], "id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", _us(5), 1.0)], "user_id string, ts timestamp, v double"
+    )
+    plan = plan_summary(nearest_join(left, right, on="ts", by="user_id"))
+    assert plan["has_nested_loop"] is False
+    assert plan["has_python_eval"] is False
