@@ -4254,7 +4254,8 @@ _q(
     ), f AS (
       SELECT doc_id,
              list_filter(lines,
-               x -> len(string_split(x, ' ')) >= 3
+               x -> len(list_filter(string_split_regex(x, '\s+'),
+                                    w -> w <> '')) >= 3
                     AND NOT contains(lower(x), 'slow')) AS kept,
              len(lines) AS n_lines
       FROM ml
@@ -4479,9 +4480,10 @@ _q(
       FROM events
     ), w AS (
       SELECT event_id, user_id, ts_us, value,
-             array_agg(CAST(value AS DOUBLE)) OVER (
+             list_filter(array_agg(CAST(value AS DOUBLE)) OVER (
                PARTITION BY user_id ORDER BY ts_us, event_id
-               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+               x -> x IS NOT NULL) AS xs
       FROM e
     )
     SELECT event_id, user_id, ts_us, value,

@@ -56,8 +56,12 @@ def read_table(
     elif format == "jsonl":
         reader = reader.options(**{"mode": "FAILFAST", **options})
     elif format == "text":
+        if schema is not None:
+            raise ValueError(
+                "text sources are always a single `value` string column — "
+                "a schema cannot be applied (project/parse in a later step)"
+            )
         reader = reader.options(**options)
-        schema = None  # text is always a single `value` string column
     else:
         reader = reader.options(**options)
     if schema is not None:

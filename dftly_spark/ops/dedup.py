@@ -1116,8 +1116,14 @@ def dedup_survivors(
                   *( [F.col(order_col).alias("_ord")] if order_col else [] )),
         "doc_id",
     )
+    # nulls LAST either way: a row with no score must only survive when
+    # nothing scored exists (plain asc would let a null win keep='min')
     order = (
-        [F.col("_ord").desc() if keep == "max" else F.col("_ord").asc()]
+        [
+            F.col("_ord").desc_nulls_last()
+            if keep == "max"
+            else F.col("_ord").asc_nulls_last()
+        ]
         if order_col
         else []
     ) + [F.col("doc_id").asc()]

@@ -642,6 +642,12 @@ def ewma(
     engine with list folds (the oracle uses DuckDB's ``list_reduce``).
     ONE keyed window shuffle, shared with any other feature on the same
     (key, order).
+
+    NULL observations: ``collect_list`` drops them, so a null-valued row
+    smooths over its window's non-null values (and a window of all nulls
+    yields null).  The frame stays ROWS-based — null rows still consume
+    lookback slots — mirrored exactly by the oracle's pre-fold
+    ``list_filter``.
     """
     from pyspark.sql import Window
 
@@ -654,7 +660,7 @@ def ewma(
     xs = F.collect_list(F.col(value_col).cast("double")).over(w)
     folded = F.aggregate(
         F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
-        F.element_at(xs, 1),
+        F.get(xs, 0),  # null-tolerant seed: all-null window -> null EWMA
         lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
     )
     # floor(x·10^d + 0.5) instead of round(): the fold is bit-identical
@@ -695,23 +701,26 @@ def mad_outliers(
     """
     keys = [key_col] if key_col else []
     v = F.col(value_col).cast("double")
-    med = (
-        df.groupBy(*keys).agg(F.expr(f"percentile({value_col}, 0.5)").alias("_med"))
+
+    def _attach(base, agg):
+        # null-SAFE key equality: groupBy puts null keys in their own
+        # group, so the join back must match them too — a plain equi-join
+        # would silently DROP null-key rows (SQL null never equals null).
+        if not keys:
+            return base.crossJoin(F.broadcast(agg))
+        cond = [base[k].eqNullSafe(agg[f"_k_{k}"]) for k in keys]
+        return base.join(F.broadcast(agg), cond).drop(*[f"_k_{k}" for k in keys])
+
+    med = df.groupBy(*[F.col(k).alias(f"_k_{k}") for k in keys]).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
     )
-    with_med = df.join(F.broadcast(med), keys) if keys else df.crossJoin(
-        F.broadcast(med)
-    )
-    mad = (
-        with_med.groupBy(*keys)
-        .agg(
-            F.expr(f"percentile(abs(cast({value_col} as double) - _med), 0.5)").alias(
-                "_mad"
-            )
+    with_med = _attach(df, med)
+    mad = with_med.groupBy(*[F.col(k).alias(f"_k_{k}") for k in keys]).agg(
+        F.expr(f"percentile(abs(cast({value_col} as double) - _med), 0.5)").alias(
+            "_mad"
         )
     )
-    full = with_med.join(F.broadcast(mad), keys) if keys else with_med.crossJoin(
-        F.broadcast(mad)
-    )
+    full = _attach(with_med, mad)
     score = F.when(
         F.col("_mad") > 0, (v - F.col("_med")) / (F.lit(consistency) * F.col("_mad"))
     )

@@ -644,7 +644,10 @@ def line_filter(
     lines = F.split(F.col(text_col), _re.escape(sep), -1)
 
     def _keep(x):
-        ok = F.size(F.split(x, " ", -1)) >= min_words
+        # whitespace WORDS: split on \s+ and drop empties, so runs of
+        # spaces, tabs, and leading/trailing whitespace never count
+        words = F.filter(F.split(x, r"\s+", -1), lambda w: w != "")
+        ok = F.size(words) >= min_words
         low = F.lower(x)
         for b in banned:
             ok = ok & ~low.contains(b.lower())

@@ -80,9 +80,15 @@ from .parser import Parser, _load_yaml
 
 # Every public ops function whose first parameter is a DataFrame is
 # runnable as a pipeline step; anything else (column helpers, writers,
-# index loaders) must be composed in code.
+# index loaders) must be composed in code.  _NON_FRAME_OPS are excluded
+# despite a DataFrame-typed first parameter: they return non-frames
+# (a fitted codebook tuple) or need a second frame (schema diff) — a
+# YAML step invoking them would crash the next step with a non-frame.
+_NON_FRAME_OPS = {"fit_scalar_quantizer", "schema_drift"}
 _OP_REGISTRY: dict[str, Any] = {}
 for _name in _ops.__all__:
+    if _name in _NON_FRAME_OPS:
+        continue
     _fn = getattr(_ops, _name)
     if callable(_fn):
         try:
@@ -152,7 +158,9 @@ def _apply_step(df: DataFrame, step: dict, idx: int) -> DataFrame:
         # fusion cross the boundary in both directions.
         view = f"_dftly_step_{idx}"
         df.createOrReplaceTempView(view)
-        return df.sparkSession.sql(step["sql"].format(t=view))
+        # plain substring replace, NOT str.format — format would choke on
+        # every literal brace in real SQL (regex quantifiers, map literals)
+        return df.sparkSession.sql(step["sql"].replace("{t}", view))
     if k == "select":
         return Parser.select(df, step["select"])
     if k == "with_columns":

@@ -14,7 +14,8 @@ def test_registry_covers_frame_ops(spark):
                  "pivot_wide", "melt", "line_filter", "cooccurrence_pmi",
                  "distinct_counts"):
         assert name in _OP_REGISTRY
-    for name in ("dot", "cosine", "unit", "tokens", "mix_sql"):
+    for name in ("dot", "cosine", "unit", "tokens", "mix_sql",
+                 "fit_scalar_quantizer", "schema_drift"):
         assert name not in _OP_REGISTRY
 
 
@@ -258,3 +259,19 @@ def test_sql_step_composes_with_expression_steps(spark):
     assert set(rows) == {"A", "N", "R"} and all(v > 0 for v in rows.values())
     # the dftly-derived column feeds the SQL agg; the post-filter applies
     # to the SQL output — one composed plan end to end
+
+
+def test_sql_step_tolerates_literal_braces(spark):
+    out = run_pipeline(
+        spark,
+        """
+        source: {table: part}
+        steps:
+          - sql: |
+              SELECT p_partkey, regexp_extract(p_name, '[a-z]{3}', 0) AS tri
+              FROM {t} WHERE p_partkey <= 5
+        """,
+        sf_dir=SF_DIR,
+    )
+    rows = out.collect()
+    assert len(rows) > 0 and all(len(r["tri"]) in (0, 3) for r in rows)

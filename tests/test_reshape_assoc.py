@@ -506,3 +506,76 @@ def test_dedup_survivors_default_lowest_id_and_tiebreak(spark):
     assert no_order == {1}
     tied = {r["id"] for r in dedup_survivors(df, pairs, "id", order_col="v").collect()}
     assert tied == {1}  # equal scores -> id asc tie-break
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions (null keys, null scores, null observations,
+# whitespace words)
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_preserves_null_key_rows(spark):
+    from dftly_spark.ops import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0),
+         (None, 4, 10.0), (None, 5, 12.0), (None, 6, 11.0)],
+        "k string, i long, v double",
+    )
+    out = mad_outliers(df, "k", "v").collect()
+    assert len(out) == 6  # null-key rows form their OWN group, never dropped
+    null_grp = [r for r in out if r["i"] in (4, 5, 6)]
+    assert all(r["mad_score"] is not None for r in null_grp)
+
+
+def test_dedup_survivors_null_score_never_beats_scored(spark):
+    from dftly_spark.ops import dedup_survivors
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 1.0)], "id long, score double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_l long, id_r long")
+    assert {r["id"] for r in
+            dedup_survivors(df, pairs, "id", order_col="score", keep="min").collect()
+            } == {3}
+    assert {r["id"] for r in
+            dedup_survivors(df, pairs, "id", order_col="score", keep="max").collect()
+            } == {2}
+
+
+def test_ewma_null_values_are_transparent(spark):
+    from dftly_spark.ops import ewma
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 30.0)],
+        "k string, o int, v double",
+    )
+    got = {r["o"]: r["ewma"] for r in ewma(df, "k", ["o"], "v", alpha=0.5).collect()}
+    assert got[1] == 10.0
+    assert got[2] == 10.0          # null row smooths over prior non-nulls
+    assert got[3] == 20.0          # fold over [10, 30], null transparent
+    allnull = spark.createDataFrame([("b", 1, None)], "k string, o int, v double")
+    assert ewma(allnull, "k", ["o"], "v").collect()[0]["ewma"] is None
+
+
+def test_line_filter_whitespace_word_semantics(spark):
+    from dftly_spark.ops import line_filter
+
+    df = spark.createDataFrame(
+        [(1, "a  b\nw1\tw2\tw3\n   \nreal three words")],
+        "doc_id long, text string",
+    )
+    out = line_filter(df, min_words=3).collect()[0]
+    # 'a  b' is 2 words (double space), tabs separate words, blanks drop
+    assert out["text"] == "w1\tw2\tw3\nreal three words"
+
+
+def test_text_source_rejects_schema(spark, tmp_path):
+    from dftly_spark.io import read_table, write_table
+
+    write_table(
+        spark.createDataFrame([("x",)], "value string"),
+        str(tmp_path / "t"), format="text",
+    )
+    with pytest.raises(ValueError, match="single `value`"):
+        read_table(spark, str(tmp_path / "t"), format="text", schema="a string")
