@@ -202,8 +202,24 @@ def main() -> None:
         return ewma(ev, "user_id", ["ts", "event_id"], "value",
                     alpha=0.3, lookback=20)
 
+    def _nearest(ev):
+        from dftly_spark.io import normalize_event_ts
+        from dftly_spark.ops import nearest_join
+
+        ev = normalize_event_ts(ev)
+        marks = (
+            ev.where(F.col("event_id") % 7 == 0)
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("mark_val"))
+        )
+        return nearest_join(
+            ev.select("event_id", "user_id", "ts", "value"), marks,
+            on="ts", by="user_id",
+        )
+
     EVENT_OPS = {
         "merge_intervals": _intervals,
+        "nearest_join": _nearest,
         "heavy_hitters": _hh,
         "cooccurrence": _coocc,
         "ewma": _ewma,
