@@ -107,3 +107,46 @@ def test_cohort_retention_pre_1970_floors(spark):
         """
     ).fetchall()
     assert {(r[0], r[1]): r[2] for r in got} == out
+
+
+def test_stream_sessionize_tws_matches_batch(spark):
+    """transformWithStateInPandas twin (Spark 4 API, RocksDB state)."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    # the transformWithState state-server protocol runs over protobuf;
+    # this container ships no google.protobuf, so the twin is exercised
+    # only where the dependency exists (any real Spark 4 deployment)
+    pytest.importorskip("google.protobuf")
+    from dftly_spark.ops.sessions import sessionize_stream_tws
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        batch = {
+            tuple(r)
+            for r in sessionize(_batch_events(spark), gap_micros=GAP).collect()
+        }
+        stream = sessionize_stream_tws(
+            stream_table(spark, SF_DIR, "events"), gap_micros=GAP
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("sessions_tws")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {tuple(r) for r in spark.table("sessions_tws").collect()}
+        assert got == batch
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
