@@ -4790,6 +4790,73 @@ _q(
 )
 
 
+def _x92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keywords (ops/retrieval.py tf_idf_vectors + window
+    top-k): the 3 highest-TF-IDF terms per document, tf_idf-desc with
+    term-asc tie-break.  Gates the TF-IDF postings builder directly
+    (x54 gates it only through the cosine-pair composition); the rank
+    window partitions on doc_id — the same key as the postings agg, so
+    it reuses that Exchange."""
+    from pyspark.sql import Window
+
+    from dftly_spark.ops import tf_idf_vectors
+
+    _prep(spark)
+    vec = tf_idf_vectors(
+        _docs_tok(spark, sf_dir), min_df=2, tokens_col=_TOK,
+        cache_key=f"documents:{sf_dir}",
+    )
+    # rank on the ROUNDED score: ranking on raw doubles while the oracle
+    # ranks rounded ones would flip order whenever two terms round equal
+    vec = vec.withColumn("tf_idf", F.round("tf_idf", 6))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf_idf").desc(), F.col("term").asc()
+    )
+    return (
+        vec.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id", "term", "tf",
+            F.col("df").cast("long").alias("df"),
+            "tf_idf",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+_q(
+    "x92_doc_keywords",
+    _x92,
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(w) AS t FROM base)
+      GROUP BY doc_id, t
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+      HAVING COUNT(*) >= 2
+    ),
+    post AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * ln(n.n_docs::DOUBLE / dfreq.df), 6) AS tf_idf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tf_idf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tf_idf DESC, term) AS INT) AS rank
+    FROM post
+    QUALIFY rank <= 3
+    """,
+)
+
+
 #: The q27 spec is shared by the Spark builder AND the sqlgen oracle —
 #: the emitter (dftly_spark/sqlgen.py) generates the DuckDB mirror from
 #: the SAME AST the Spark lowering consumes, so this query gates the
@@ -4851,6 +4918,7 @@ _q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x92_doc_keywords",
     "x91_nearest_join",
     "x89_pricing_summary",
     "x90_regional_revenue",
