@@ -579,3 +579,53 @@ def test_text_source_rejects_schema(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="single `value`"):
         read_table(spark, str(tmp_path / "t"), format="text", schema="a string")
+
+
+# ---------------------------------------------------------------------------
+# seeded pivot/melt fuzz vs pandas ground truth
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_fuzz_matches_pandas(spark):
+    import random
+
+    import pandas as pd
+
+    from dftly_spark.ops import melt, pivot_wide
+
+    rng = random.Random(20260814)
+    for case in range(8):
+        n_keys = rng.randint(1, 6)
+        domain = [f"c{j}" for j in range(rng.randint(1, 5))]
+        agg = rng.choice(["sum", "count", "min", "max", "avg"])
+        rows = [
+            (
+                f"k{rng.randint(0, n_keys - 1)}",
+                rng.choice(domain + ["out_of_domain"]),
+                round(rng.uniform(-50, 50), 3),
+            )
+            for _ in range(rng.randint(5, 60))
+        ]
+        df = spark.createDataFrame(rows, "k string, t string, v double")
+        got = pivot_wide(df, ["k"], "t", "v", values=domain, agg=agg)
+        gp = got.toPandas().set_index("k").sort_index()
+
+        pdf = pd.DataFrame(rows, columns=["k", "t", "v"])
+        pdf = pdf[pdf["t"].isin(domain)]
+        fn = {"sum": "sum", "count": "count", "min": "min", "max": "max",
+              "avg": "mean"}[agg]
+        want = pdf.pivot_table(index="k", columns="t", values="v",
+                               aggfunc=fn, dropna=False)
+        for v in domain:
+            for k in gp.index:
+                g = gp.loc[k, v]
+                w = want[v].get(k) if v in want.columns else None
+                if w is None or pd.isna(w):
+                    assert g is None or pd.isna(g), (case, k, v, g, w)
+                else:
+                    assert abs(g - w) < 1e-9, (case, k, v, g, w)
+
+        # melt inverts: non-null long rows == non-null wide cells
+        long = melt(got, ["k"], domain, var_name="t", value_name="v")
+        n_long = long.where(F.col("v").isNotNull()).count()
+        assert n_long == int(gp.notna().sum().sum())
