@@ -4857,6 +4857,47 @@ _q(
 )
 
 
+def _x93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event debounce (ops/sessions.py debounce): drop rows repeating the
+    previous event's type within 30 minutes per user — ONE keyed lag
+    window, null-safe comparisons, chains collapse by consecutive gap."""
+    from dftly_spark.ops import debounce
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = debounce(
+        ev, "user_id", "ts", value_cols=["event_type"],
+        within_micros=1_800_000_000, order_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+
+
+_q(
+    "x93_debounce",
+    _x93,
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_type,
+             lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_ts,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+    )
+    SELECT event_id, user_id, ts_us, event_type
+    FROM e
+    WHERE prev_ts IS NULL
+       OR event_type IS DISTINCT FROM prev_type
+       OR ts_us - prev_ts > 1800000000
+    """,
+)
+
+
 #: The q27 spec is shared by the Spark builder AND the sqlgen oracle —
 #: the emitter (dftly_spark/sqlgen.py) generates the DuckDB mirror from
 #: the SAME AST the Spark lowering consumes, so this query gates the
@@ -4918,6 +4959,7 @@ _q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x93_debounce",
     "x92_doc_keywords",
     "x91_nearest_join",
     "x89_pricing_summary",

@@ -452,3 +452,47 @@ def sessionize_stream_tws(
         outputMode="append",
         timeMode="none",
     )
+
+
+def debounce(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    value_cols: list[str] | None = None,
+    within_micros: int = 1_000_000,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Drop duplicate-burst events: keep a row unless it repeats the
+    previous row's ``value_cols`` within ``within_micros`` per key.
+
+    The event-stream debounce (double-clicks, retry storms, at-least-once
+    delivery): a row survives iff it is its key's first event, differs
+    from the immediately previous event in ANY of ``value_cols``
+    (null-safe comparison), or arrives more than ``within_micros`` after
+    it.  Chains collapse to their first element — a 5-click burst keeps
+    one row even if each gap is under the window — which is the
+    debounce contract (contrast :func:`sessionize`, which renumbers).
+
+    ONE keyed window (lag over ``key_col`` ordered by event time +
+    ``order_cols`` tie-break); row-local comparisons, no second shuffle.
+    """
+    from pyspark.sql import Window
+
+    vals = value_cols if value_cols is not None else [
+        c for c in df.columns if c not in (key_col, ts_col)
+    ]
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_ts = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    changed = F.lit(False)
+    for c in vals:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    keep = (
+        prev_ts.isNull()
+        | changed
+        | (F.unix_micros(F.col(ts_col)) - prev_ts > within_micros)
+    )
+    return df.withColumn("__keep", keep).where(F.col("__keep")).drop("__keep")

@@ -150,3 +150,47 @@ def test_stream_sessionize_tws_matches_batch(spark):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_debounce_chain_and_value_change(spark):
+    import datetime as dt
+
+    from dftly_spark.ops import debounce
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    df = spark.createDataFrame(
+        [
+            (1, 7, at(0), "click"),    # first -> keep
+            (2, 7, at(0.5), "click"),  # repeat within 1s -> drop
+            (3, 7, at(0.9), "click"),  # chain: gap vs PREVIOUS row < 1s -> drop
+            (4, 7, at(2.5), "click"),  # gap > 1s -> keep
+            (5, 7, at(2.6), "view"),   # value changed -> keep
+            (6, 8, at(2.6), "view"),   # other key -> keep
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    kept = {r["event_id"] for r in
+            debounce(df, "user_id", "ts", value_cols=["event_type"],
+                     within_micros=1_000_000).collect()}
+    assert kept == {1, 4, 5, 6}
+
+
+def test_debounce_null_values_compare_null_safe(spark):
+    import datetime as dt
+
+    from dftly_spark.ops import debounce
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 1, t0, None), (2, 1, t0 + dt.timedelta(seconds=0.1), None),
+         (3, 1, t0 + dt.timedelta(seconds=0.2), "x")],
+        "event_id long, user_id long, ts timestamp, v string",
+    )
+    kept = {r["event_id"] for r in
+            debounce(df, "user_id", "ts", value_cols=["v"],
+                     within_micros=1_000_000).collect()}
+    assert kept == {1, 3}  # null == null within window -> drop; null -> 'x' keeps
