@@ -30,8 +30,13 @@ _CHRONO_TO_JAVA: dict[str, str | None] = {
     "B": "MMMM",
     "d": "dd",
     "e": "d",
-    "a": "EEE",
-    "A": "EEEE",
+    # Day-of-week NAMES: Spark's CORRECTED parser accepts E/EEE only for
+    # formatting — using them in a parse pattern throws at runtime — so
+    # they reject loudly at lowering time instead.  The one common carrier,
+    # the fixed C-locale %c layout, has a dedicated strip-weekday parse
+    # plan in Strptime (the weekday token is redundant for the date).
+    "a": None,
+    "A": None,
     "w": None,  # weekday 0=Sun — no parse equivalent
     "u": None,  # ISO weekday — Java 'e' is week-based, rejected by Spark
     "j": "DDD",
@@ -39,7 +44,11 @@ _CHRONO_TO_JAVA: dict[str, str | None] = {
     "W": None,
     "V": None,  # ISO week number — Java 'ww' is week-based, rejected by Spark
     "D": "MM/dd/yy",
-    "x": None,  # locale date
+    # chrono "locale" codes are FIXED C-locale layouts without the
+    # unstable-locales feature (which Polars does not enable), so they
+    # expand to their documented equivalents before translation:
+    # %c = "%a %b %e %H:%M:%S %Y", %x = %D = "%m/%d/%y", %X = %T.
+    "x": "MM/dd/yy",
     "F": "yyyy-MM-dd",
     "v": "d-MMM-yyyy",
     "H": "HH",
@@ -57,13 +66,13 @@ _CHRONO_TO_JAVA: dict[str, str | None] = {
     "r": "hh:mm:ss a",
     "R": "HH:mm",
     "T": "HH:mm:ss",
-    "X": None,  # locale time
+    "X": "HH:mm:ss",
     "z": "xx",
     ":z": "xxx",
     "::z": None,
     ":::z": "x",
     "Z": "zzz",
-    "c": None,  # locale datetime
+    "c": None,  # fixed C-locale layout; Strptime lowers exact "%c" itself
     "+": "yyyy-MM-dd'T'HH:mm:ssxxx",
     "s": None,  # unix seconds — handled as a special case by Strptime
     "%": "%",  # literal percent

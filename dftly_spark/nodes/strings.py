@@ -374,7 +374,19 @@ class Strptime(Node):
         kind = self.output_type
 
         week_plan = chrono.week_based_plan(fmt) if kind == "date" else None
-        if "%s" in fmt and kind == "datetime":
+        if fmt.strip() == "%c":
+            # chrono's %c is the FIXED C-locale layout "%a %b %e %H:%M:%S %Y"
+            # (no unstable-locales in Polars).  Spark cannot PARSE
+            # day-of-week names, but the weekday token is redundant for the
+            # date, so the plan normalizes whitespace (%e is space-padded),
+            # strips the leading weekday word, and parses the remainder.
+            # Divergence (documented in README): chrono REJECTS a weekday
+            # name inconsistent with the date; this plan ignores it.
+            norm = F.regexp_replace(F.trim(src), r"\s+", " ")
+            stripped = F.regexp_replace(norm, r"^[A-Za-z]+ ", "")
+            out = F.try_to_timestamp(stripped, F.lit("MMM d HH:mm:ss yyyy"))
+            spark_t = "timestamp"
+        elif "%s" in fmt and kind == "datetime":
             out = F.timestamp_seconds(src.try_cast("bigint"))
             spark_t = "timestamp"
         elif week_plan is not None:
@@ -382,12 +394,27 @@ class Strptime(Node):
             spark_t = "date"
         else:
             java = chrono.to_java(fmt)
+            codes = {c for k, c in chrono._scan(fmt) if k == "code"}
+            # chrono/POSIX two-digit-year pivot: 69-99 → 19xx, 00-68 → 20xx
+            # (%y, and the %D/%x layouts that embed it).  Java's reduced
+            # "yy" parses everything into 2000-2099, so post-adjust: a
+            # parsed year ≥ 2069 really meant the 1900s.
+            needs_pivot = bool(codes & {"y", "D", "x"}) and not (
+                codes & {"Y", "G", "F", "v", "+"}
+            )
+
+            def _pivot(ts):
+                if not needs_pivot:
+                    return ts
+                return F.when(
+                    F.year(ts) >= 2069, ts - F.expr("INTERVAL 100 YEARS")
+                ).otherwise(ts)
+
             if kind == "date":
-                out = F.try_to_timestamp(src, F.lit(java))
-                out = F.to_date(out)
+                out = F.to_date(_pivot(F.try_to_timestamp(src, F.lit(java))))
                 spark_t = "date"
             elif kind == "datetime":
-                out = F.try_to_timestamp(src, F.lit(java))
+                out = _pivot(F.try_to_timestamp(src, F.lit(java)))
                 spark_t = "timestamp"
             else:  # time → micros since midnight (tz-invariant: the
                 # midnight term cancels the session-timezone offset that

@@ -19,16 +19,17 @@ UNSUPPORTED = [
     "%V",   # ISO week (alone via to_java; supported via the week plan)
     "%G",   # ISO year (alone via to_java; supported via the week plan)
     "%g",   # ISO week-based year, 2-digit
-    "%x",   # locale date
-    "%X",   # locale time
-    "%c",   # locale datetime
+    "%a",   # weekday name: Spark cannot parse E/EEE (only format)
+    "%A",
+    "%c",   # fixed C layout: rejected by to_java alone — Strptime owns the
+            # strip-weekday plan for the exact "%c" format
     "%::z",
 ]
 
 
 @pytest.mark.parametrize("code", UNSUPPORTED)
 def test_unsupported_codes_raise_at_lowering(code):
-    fmt = f"%Y {code}" if code not in ("%x", "%X", "%c") else code
+    fmt = f"%Y {code}" if code != "%c" else code
     with pytest.raises(ValueError, match="no Java DateTimeFormatter equivalent"):
         chrono.to_java(fmt)
 
@@ -168,3 +169,48 @@ def test_supported_translations(fmt, java):
             chrono.to_java(fmt)
     else:
         assert chrono.to_java(fmt) == java
+
+
+# ---------------------------------------------------------------------------
+# fixed C-locale layouts (%x, %X, %c) and the two-digit-year pivot
+# ---------------------------------------------------------------------------
+
+
+def test_locale_codes_fixed_layouts(run1):
+    import datetime as dt
+
+    # chrono without unstable-locales: %x == %D, %X == %T, %c == C layout
+    assert run1('strptime($s, "%x")', s="12/31/99") == dt.date(1999, 12, 31)
+    assert run1('strptime($s, "%X")', s="23:13:48") == (23 * 3600 + 13 * 60 + 48) * 1_000_000
+    assert run1('strptime($s, "%c")', s="Thu Mar  3 23:05:25 2005") == dt.datetime(
+        2005, 3, 3, 23, 5, 25
+    )
+    # %e single-space form parses too
+    assert run1('strptime($s, "%c")', s="Sun Mar 3 12:00:00 2024") == dt.datetime(
+        2024, 3, 3, 12, 0, 0
+    )
+
+
+def test_two_digit_year_pivot_matches_posix(run1):
+    import datetime as dt
+
+    # chrono/POSIX: 69-99 -> 19xx, 00-68 -> 20xx (Python strptime agrees)
+    for s, want in [
+        ("12/31/99", dt.date(1999, 12, 31)),
+        ("01/01/69", dt.date(1969, 1, 1)),
+        ("12/31/68", dt.date(2068, 12, 31)),
+        ("06/15/00", dt.date(2000, 6, 15)),
+    ]:
+        got = run1('strptime($s, "%D")', s=s)
+        assert got == want, (s, got)
+        assert want == dt.datetime.strptime(s, "%m/%d/%y").date()
+
+
+def test_day_of_week_names_reject_loudly(run1):
+    import pytest as _pytest
+
+    # Spark cannot PARSE E/EEE; chrono can.  Loud lowering-time rejection
+    # (the %c fixed layout has its own strip-weekday plan).
+    for fmt in ("%a %d %b %Y", "%A, %d %B %Y"):
+        with _pytest.raises(Exception, match="no Java DateTimeFormatter"):
+            run1(f'strptime($s, "{fmt}")', s="Thu 03 Mar 2005")
