@@ -4487,8 +4487,10 @@ _q(
       FROM e
     )
     SELECT event_id, user_id, ts_us, value,
-           floor(CAST(list_reduce(xs, (acc, x) -> 0.3*x + 0.7*acc)
-                      AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS ewma
+           CASE WHEN len(xs) = 0 THEN NULL
+                ELSE floor(CAST(list_reduce(xs, (acc, x) -> 0.3*x + 0.7*acc)
+                           AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+           END AS ewma
     FROM w
     """,
 )

@@ -81,6 +81,25 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def _session_loop(user_id, pdfs, last_ts, idx, gap_micros):
+    """The per-event sessionization loop SHARED by both streaming twins
+    (legacy applyInPandasWithState and transformWithStateInPandas) — one
+    definition, so gap semantics and timestamp conversion cannot drift
+    between the APIs.  Returns (rows, last_ts, idx)."""
+    import pandas as pd
+
+    out_rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ev, ts in zip(pdf["event_id"], pdf["ts"]):
+            micros = int(pd.Timestamp(ts).value // 1000)
+            if last_ts is None or micros - last_ts > gap_micros:
+                idx += 1
+            last_ts = micros
+            out_rows.append((int(ev), int(user_id), idx))
+    return out_rows, last_ts, idx
+
+
 def _session_func(gap_micros: int):
     def func(
         key: Tuple[Any, ...], pdfs: Iterator, state: GroupState
@@ -92,15 +111,9 @@ def _session_func(gap_micros: int):
             last_ts, idx = state.get
         else:
             last_ts, idx = None, 0
-        out_rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ev, ts in zip(pdf["event_id"], pdf["ts"]):
-                micros = int(pd.Timestamp(ts).value // 1000)
-                if last_ts is None or micros - last_ts > gap_micros:
-                    idx += 1
-                last_ts = micros
-                out_rows.append((int(ev), int(user_id), idx))
+        out_rows, last_ts, idx = _session_loop(
+            user_id, pdfs, last_ts, idx, gap_micros
+        )
         state.update((last_ts, idx))
         yield pd.DataFrame(out_rows, columns=["event_id", "user_id", "session_idx"])
 
@@ -424,15 +437,9 @@ def sessionize_stream_tws(
                 last_ts, idx = self._st.get()
             else:
                 last_ts, idx = None, 0
-            out_rows = []
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"])
-                for ev, ts in zip(pdf["event_id"], pdf["ts"]):
-                    micros = int(pd.Timestamp(ts).value // 1000)
-                    if last_ts is None or micros - last_ts > gap:
-                        idx += 1
-                    last_ts = micros
-                    out_rows.append((int(ev), int(user_id), idx))
+            out_rows, last_ts, idx = _session_loop(
+                user_id, rows, last_ts, idx, gap
+            )
             self._st.update((last_ts, idx))
             yield pd.DataFrame(
                 out_rows, columns=["event_id", "user_id", "session_idx"]
@@ -480,8 +487,15 @@ def debounce(
     from pyspark.sql import Window
 
     vals = value_cols if value_cols is not None else [
-        c for c in df.columns if c not in (key_col, ts_col)
+        c
+        for c in df.columns
+        if c not in (key_col, ts_col) and c not in (order_cols or [])
     ]
+    if not vals:
+        raise ValueError(
+            "debounce has no value columns to compare (key/ts/order columns "
+            "are excluded) — pass value_cols explicitly"
+        )
     order = [F.col(ts_col).asc()] + [
         F.col(c).asc() for c in (order_cols or [])
     ]

@@ -78,13 +78,22 @@ from . import ops as _ops
 from .io import normalize_event_ts, read_table, write_table
 from .parser import Parser, _load_yaml
 
-# Every public ops function whose first parameter is a DataFrame is
-# runnable as a pipeline step; anything else (column helpers, writers,
-# index loaders) must be composed in code.  _NON_FRAME_OPS are excluded
-# despite a DataFrame-typed first parameter: they return non-frames
-# (a fitted codebook tuple) or need a second frame (schema diff) — a
-# YAML step invoking them would crash the next step with a non-frame.
+# Every public ops function whose FIRST AND ONLY required DataFrame
+# parameter is the leading one is runnable as a pipeline step; anything
+# else must be composed in code:
+# * non-frame returns (a fitted codebook tuple) — _NON_FRAME_OPS;
+# * ops needing a SECOND frame (joins, diffs, top-k with a query set) —
+#   detected from the signature, so a YAML step naming one gets the
+#   clean "unknown op" error instead of a TypeError at apply time.
 _NON_FRAME_OPS = {"fit_scalar_quantizer", "schema_drift"}
+
+
+def _is_frame_param(p) -> bool:
+    return p.annotation in ("DataFrame", DataFrame) or p.name in (
+        "df", "left", "right", "old", "new", "edges", "pairs",
+    )
+
+
 _OP_REGISTRY: dict[str, Any] = {}
 for _name in _ops.__all__:
     if _name in _NON_FRAME_OPS:
@@ -95,11 +104,21 @@ for _name in _ops.__all__:
             _params = list(inspect.signature(_fn).parameters.values())
         except (TypeError, ValueError):  # pragma: no cover - builtins
             continue
-        if _params and (
+        if not _params or not (
             _params[0].annotation in ("DataFrame", DataFrame)
             or _params[0].name == "df"
         ):
-            _OP_REGISTRY[_name] = _fn
+            continue
+        # a second required frame parameter disqualifies the op for YAML
+        later_frames = [
+            p for p in _params[1:]
+            if p.default is inspect.Parameter.empty
+            and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            and _is_frame_param(p)
+        ]
+        if later_frames:
+            continue
+        _OP_REGISTRY[_name] = _fn
 
 
 def _as_mapping(spec: str | Path | dict) -> dict:

@@ -407,15 +407,18 @@ def _emit_strptime(n, ctx):
     fmt = n.format_str
     if "%s" in fmt:
         raise SqlGenError("strptime %s (epoch seconds) is a Spark-side special path")
-    for code in ("%x", "%X", "%c"):
-        if code in fmt:
-            # chrono fixes these as C-locale layouts (%x=%m/%d/%y, %X=%T,
-            # %c="%a %b %e %T %Y"); DuckDB's are ISO layouts — emitting
-            # verbatim would be subtly wrong, so spell the expansion instead.
-            raise SqlGenError(
-                f"strptime {code} diverges between chrono (C layout) and "
-                f"DuckDB (ISO layout) — write the expanded format explicitly"
-            )
+    from . import chrono as _chrono
+
+    fmt_codes = {c for k, c in _chrono._scan(fmt) if k == "code"}
+    if fmt_codes & {"x", "X", "c"}:
+        # chrono fixes these as C-locale layouts (%x=%m/%d/%y, %X=%T,
+        # %c="%a %b %e %T %Y"); DuckDB's are ISO layouts — emitting
+        # verbatim would be subtly wrong, so spell the expansion instead.
+        # (A real code scan, not a substring test: '%%x' is a literal.)
+        raise SqlGenError(
+            "strptime %x/%X/%c diverge between chrono (C layout) and "
+            "DuckDB (ISO layout) — write the expanded format explicitly"
+        )
     src = _emit(n.kwargs["source"], ctx)
     f = _q(fmt)
     # DuckDB shares chrono's %-code dialect, so the format embeds verbatim;

@@ -15,7 +15,10 @@ def test_registry_covers_frame_ops(spark):
                  "distinct_counts"):
         assert name in _OP_REGISTRY
     for name in ("dot", "cosine", "unit", "tokens", "mix_sql",
-                 "fit_scalar_quantizer", "schema_drift"):
+                 "fit_scalar_quantizer", "schema_drift",
+                 # two-frame ops can't run from a one-frame YAML step
+                 "snapshot_diff", "merge_upsert", "asof_join",
+                 "nearest_join", "range_join", "bm25_topk"):
         assert name not in _OP_REGISTRY
 
 

@@ -194,3 +194,24 @@ def test_debounce_null_values_compare_null_safe(spark):
             debounce(df, "user_id", "ts", value_cols=["v"],
                      within_micros=1_000_000).collect()}
     assert kept == {1, 3}  # null == null within window -> drop; null -> 'x' keeps
+
+
+def test_debounce_order_cols_not_compared(spark):
+    import datetime as dt
+
+    from dftly_spark.ops import debounce
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 1, t0, "x"), (2, 1, t0 + dt.timedelta(seconds=0.1), "x")],
+        "event_id long, user_id long, ts timestamp, v string",
+    )
+    # event_id is a unique tie-break, NOT a compared value: default
+    # value_cols must exclude it, so the second burst row drops
+    kept = {r["event_id"] for r in
+            debounce(df, "user_id", "ts", within_micros=1_000_000,
+                     order_cols=["event_id"]).collect()}
+    assert kept == {1}
+    with pytest.raises(ValueError, match="no value columns"):
+        debounce(df.select("event_id", "user_id", "ts"), "user_id", "ts",
+                 order_cols=["event_id"])

@@ -171,3 +171,18 @@ def test_sqlgen_power_int_recast(spark):
         "dsq": "$l_discount ** 2",
     }
     _check(spark, sdf, con, "fz6", spec, seed="power")
+
+
+def test_sqlgen_literal_percent_x_is_not_locale_code():
+    from dftly_spark.parser import Parser
+    from dftly_spark.sqlgen import SqlGenError, to_duckdb_sql
+
+    node = Parser()({"strptime": {"source": {"column": "s"},
+                                  "format": {"literal": "%H:%M %%x"}}})
+    sql = to_duckdb_sql(node, {"s": "str"})
+    assert "%%x" in sql  # literal percent survives; no false rejection
+    bad = Parser()({"strptime": {"source": {"column": "s"},
+                                 "format": {"literal": "%x"}}})
+    import pytest as _pytest
+    with _pytest.raises(SqlGenError, match="diverge"):
+        to_duckdb_sql(bad, {"s": "str"})
