@@ -27,6 +27,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -510,3 +511,88 @@ def debounce(
         | (F.unix_micros(F.col(ts_col)) - prev_ts > within_micros)
     )
     return df.withColumn("__keep", keep).where(F.col("__keep")).drop("__keep")
+
+
+def debounce_stream(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    *,
+    value_cols: list[str],
+    within_micros: int = 1_000_000,
+) -> DataFrame:
+    """Streaming :func:`debounce`: per-key (last_ts, last_values) state.
+
+    Same contract as the batch op — a row survives iff it is its key's
+    first event, differs from the PREVIOUS event in any ``value_cols``
+    (null-safe), or arrives more than ``within_micros`` later — carried
+    across micro-batches by ``applyInPandasWithState`` exactly like
+    :func:`sessionize_stream`.  State is O(1) per key: one timestamp plus
+    the compared values (stringified with a null sentinel — comparison
+    state, not payload).  Events must arrive time-ordered per key across
+    batches (sorted within each batch here); output carries
+    ``(id, key, ts)`` — semi-join back for full rows.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts_micros", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts_micros", LongType()),
+            StructField("last_vals", StringType()),
+        ]
+    )
+    NULL = "\x00null\x00"
+    SEP = "\x1f"
+
+    def func(key, pdfs, state):  # pragma: no cover - executor side
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            last_ts, last_vals = state.get
+        else:
+            last_ts, last_vals = None, None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for rec in pdf.itertuples(index=False):
+                micros = int(pd.Timestamp(rec.ts).value // 1000)
+                vals = SEP.join(
+                    NULL if getattr(rec, c) is None or (
+                        isinstance(getattr(rec, c), float)
+                        and pd.isna(getattr(rec, c))
+                    ) else str(getattr(rec, c))
+                    for c in value_cols
+                )
+                keep = (
+                    last_ts is None
+                    or vals != last_vals
+                    or micros - last_ts > within_micros
+                )
+                if keep:
+                    rows.append((int(rec.event_id), int(user_id), micros))
+                last_ts, last_vals = micros, vals
+        state.update((last_ts, last_vals))
+        yield pd.DataFrame(rows, columns=["event_id", "user_id", "ts_micros"])
+
+    cols = df.select(
+        F.col(id_col).alias("event_id"),
+        F.col(key_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        *[F.col(c) for c in value_cols],
+    )
+    return cols.groupBy("user_id").applyInPandasWithState(
+        func,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -524,3 +524,25 @@ def test_windowed_cardinality_exact_rejected_on_stream(spark):
     stream = stream_table(spark, SF_DIR, "events")
     with pytest.raises(ValueError, match="exact distinct"):
         windowed_cardinality(stream, "ts", "user_id", approx=False)
+
+
+def test_debounce_stream_matches_batch(spark):
+    from dftly_spark.ops import debounce, debounce_stream
+
+    stream = stream_table(spark, SF_DIR, "events")
+    out = debounce_stream(
+        stream, "user_id", "ts", "event_id",
+        value_cols=["event_type"], within_micros=1_800_000_000,
+    )
+    got = {
+        (r["event_id"], r["user_id"])
+        for r in _run_to_memory(spark, out, "stream_debounce").collect()
+    }
+    batch = debounce(
+        _batch_events(spark).select("event_id", "user_id", "ts", "event_type"),
+        "user_id", "ts", value_cols=["event_type"],
+        within_micros=1_800_000_000, order_cols=["event_id"],
+    )
+    want = {(r["event_id"], r["user_id"]) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
