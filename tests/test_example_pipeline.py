@@ -90,3 +90,29 @@ def test_similarity_pipeline_end_to_end(spark):
     assert topk.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 10
     recall = outs["recall"].collect()[0]["recall_at_10"]
     assert recall >= 0.7                          # nprobe=8/16 on structureless vectors
+
+
+def test_streaming_pipeline_example_end_to_end(spark):
+    import sys
+
+    sys.path.insert(0, "examples")
+    from streaming_pipeline import build
+
+    outs = build(spark, "/root/testdata/sf0.001")
+    n_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    counts = {}
+    for name, sdf in outs.items():
+        mode = "append" if name in ("debounced", "sessions") else "complete"
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(f"ex_{name}")
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        counts[name] = spark.table(f"ex_{name}").count()
+    assert 0 < counts["debounced"] <= n_events
+    assert counts["sessions"] == n_events        # sessionize is row-preserving
+    assert counts["activity"] > 0
+    assert counts["hot_users"] >= 0
