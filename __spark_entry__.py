@@ -4900,6 +4900,63 @@ _q(
 )
 
 
+def _x94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (ops/quality.py expect): a declarative
+    rule list compiles to ONE conditional-count aggregation pass (+ one
+    keyed agg for the uniqueness rule); custom rules are dftly boolean
+    expressions — the reference's language IS the rule language."""
+    from dftly_spark.ops import expect
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return expect(li, [
+        {"rule": "not_null", "col": "l_orderkey"},
+        {"rule": "in_range", "col": "l_quantity", "min": 1, "max": 30},
+        {"rule": "in_set", "col": "l_returnflag", "values": ["A", "N", "R"]},
+        {"rule": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+        {"rule": "expr", "name": "positive_revenue",
+         "expr": "$l_extendedprice * (1 - $l_discount) > 0"},
+    ])
+
+
+_q(
+    "x94_expectations",
+    _x94,
+    """
+    SELECT 'not_null(l_orderkey)' AS rule,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS n_violations,
+           count(*) FILTER (l_orderkey IS NULL) = 0 AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_range(l_quantity)', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 30) AS BIGINT),
+           count(*) FILTER (l_quantity < 1 OR l_quantity > 30) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_set(l_returnflag)', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (l_returnflag IS NOT NULL
+                                 AND l_returnflag NOT IN ('A','N','R')) AS BIGINT),
+           count(*) FILTER (l_returnflag IS NOT NULL
+                            AND l_returnflag NOT IN ('A','N','R')) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'expr(positive_revenue)', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (NOT coalesce(
+             l_extendedprice * (1 - l_discount) > 0, false)) AS BIGINT),
+           count(*) FILTER (NOT coalesce(
+             l_extendedprice * (1 - l_discount) > 0, false)) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique(l_orderkey,l_linenumber)', CAST(sum(n) AS BIGINT),
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN n > 1 THEN n ELSE 0 END) = 0
+    FROM (SELECT count(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber)
+    """,
+)
+
+
 #: The q27 spec is shared by the Spark builder AND the sqlgen oracle —
 #: the emitter (dftly_spark/sqlgen.py) generates the DuckDB mirror from
 #: the SAME AST the Spark lowering consumes, so this query gates the
@@ -4961,6 +5018,7 @@ _q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x94_expectations",
     "x93_debounce",
     "x92_doc_keywords",
     "x91_nearest_join",

@@ -1,0 +1,126 @@
+"""Declarative data-quality expectations (Great-Expectations-lite).
+
+A rule list compiles to ONE aggregation pass over the frame (row-local
+rules become conditional-count aggregate columns — no per-rule scans)
+plus one keyed aggregation per ``unique`` rule; the output is a tidy
+violations report, not an exception, so pipelines can gate on it, write
+it to a monitoring table, or ``where: "$passed"`` it in YAML.
+
+Rule forms (each a mapping):
+
+* ``{rule: not_null, col: c}`` — null values violate.
+* ``{rule: in_range, col: c, min: x, max: y}`` — outside [x, y] (either
+  bound optional) violates; nulls are NOT violations (compose with
+  not_null to forbid them).
+* ``{rule: in_set, col: c, values: [...]}`` — value outside the set
+  violates; nulls pass.
+* ``{rule: matches, col: c, pattern: re}`` — non-matching non-null
+  strings violate (Java/RE2-shared subset recommended).
+* ``{rule: unique, cols: [a, b]}`` — rows whose key occurs more than
+  once ALL count as violations (so n_violations is the number of rows
+  involved in duplicates).
+* ``{rule: expr, name: label, expr: "$a > $b"}`` — any dftly boolean
+  expression; rows where it is false or null violate.  The reference's
+  expression language IS the custom-rule language.
+
+100 TB: the row-local rules share one scan with map-side combine; each
+``unique`` rule adds one keyed aggregation on its columns.  Nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["expect"]
+
+
+def _rule_cols(df: DataFrame, rules: list[dict]):
+    """(label, violation-indicator Column) per row-local rule."""
+    out = []
+    for i, r in enumerate(rules):
+        kind = r.get("rule")
+        if kind == "unique":
+            continue
+        if kind == "not_null":
+            c = F.col(r["col"])
+            out.append((f"not_null({r['col']})", c.isNull()))
+        elif kind == "in_range":
+            c = F.col(r["col"])
+            bad = F.lit(False)
+            if "min" in r:
+                bad = bad | (c < F.lit(r["min"]))
+            if "max" in r:
+                bad = bad | (c > F.lit(r["max"]))
+            out.append((f"in_range({r['col']})", F.coalesce(bad, F.lit(False))))
+        elif kind == "in_set":
+            c = F.col(r["col"])
+            bad = ~c.isin(*r["values"]) & c.isNotNull()
+            out.append((f"in_set({r['col']})", bad))
+        elif kind == "matches":
+            c = F.col(r["col"])
+            bad = c.isNotNull() & ~c.rlike(r["pattern"])
+            out.append((f"matches({r['col']})", bad))
+        elif kind == "expr":
+            from ..parser import Parser
+
+            col = Parser.expr_to_spark(r["expr"], schema=df)
+            name = r.get("name") or f"expr_{i}"
+            out.append((f"expr({name})", ~F.coalesce(col, F.lit(False))))
+        else:
+            raise ValueError(
+                f"unknown rule {kind!r} (rules: not_null, in_range, in_set, "
+                "matches, unique, expr)"
+            )
+    return out
+
+
+def expect(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Evaluate expectation ``rules``; return one report row per rule:
+    ``(rule, n_rows, n_violations, passed)``."""
+    row_rules = _rule_cols(df, rules)
+    frames = []
+    if row_rules:
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(ind.cast("bigint")).alias(f"_v{i}")
+            for i, (_, ind) in enumerate(row_rules)
+        ]
+        wide = df.agg(*aggs)
+        stacked = " , ".join(
+            f"'{label}', _v{i}" for i, (label, _) in enumerate(row_rules)
+        )
+        frames.append(
+            wide.selectExpr(
+                "n_rows", f"stack({len(row_rules)}, {stacked}) AS (rule, n_violations)"
+            ).select("rule", "n_rows", "n_violations")
+        )
+    for r in rules:
+        if r.get("rule") != "unique":
+            continue
+        cols = r["cols"] if isinstance(r["cols"], list) else [r["cols"]]
+        label = f"unique({','.join(cols)})"
+        dup = (
+            df.groupBy(*[F.col(c) for c in cols])
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_n") > 1, F.col("_n")).otherwise(0)),
+                    F.lit(0),
+                ).alias("n_violations"),
+            )
+            .select(F.lit(label).alias("rule"), "n_rows", "n_violations")
+        )
+        frames.append(dup)
+    if not frames:
+        raise ValueError("expect() needs at least one rule")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "rule",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

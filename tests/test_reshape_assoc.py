@@ -629,3 +629,66 @@ def test_pivot_fuzz_matches_pandas(spark):
         long = melt(got, ["k"], domain, var_name="t", value_name="v")
         n_long = long.where(F.col("v").isNotNull()).count()
         assert n_long == int(gp.notna().sum().sum())
+
+
+# ---------------------------------------------------------------------------
+# expect (data-quality rules)
+# ---------------------------------------------------------------------------
+
+
+def test_expect_all_rule_kinds(spark):
+    from dftly_spark.ops import expect
+
+    df = spark.createDataFrame(
+        [(1, "a@x.com", 5.0, "A"), (2, None, -1.0, "B"),
+         (3, "bad", 99.0, "Z"), (1, "c@y.org", 3.0, "A")],
+        "id long, email string, score double, grade string",
+    )
+    rep = {r["rule"]: r for r in expect(df, [
+        {"rule": "not_null", "col": "email"},
+        {"rule": "in_range", "col": "score", "min": 0, "max": 10},
+        {"rule": "in_set", "col": "grade", "values": ["A", "B", "C"]},
+        {"rule": "matches", "col": "email", "pattern": r"^[^@]+@[^@]+\.[a-z]+$"},
+        {"rule": "unique", "cols": ["id"]},
+        {"rule": "expr", "name": "pos_or_b", "expr": "($score > 0) or ($grade == 'B')"},
+    ]).collect()}
+    assert rep["not_null(email)"]["n_violations"] == 1
+    assert rep["in_range(score)"]["n_violations"] == 2      # -1 and 99
+    assert rep["in_set(grade)"]["n_violations"] == 1        # Z
+    assert rep["matches(email)"]["n_violations"] == 1       # 'bad'
+    assert rep["unique(id)"]["n_violations"] == 2           # both id=1 rows
+    assert rep["expr(pos_or_b)"]["n_violations"] == 0
+    assert rep["expr(pos_or_b)"]["passed"] is True
+    assert all(r["n_rows"] == 4 for r in rep.values())
+
+
+def test_expect_null_semantics_and_errors(spark):
+    from dftly_spark.ops import expect
+
+    df = spark.createDataFrame([(None,)], "v double")
+    rep = {r["rule"]: r for r in expect(df, [
+        {"rule": "in_range", "col": "v", "min": 0},   # null is NOT a range violation
+        {"rule": "in_set", "col": "v", "values": [1.0]},  # null passes in_set
+        {"rule": "expr", "expr": "$v > 0"},           # null expr -> violation
+    ]).collect()}
+    assert rep["in_range(v)"]["n_violations"] == 0
+    assert rep["in_set(v)"]["n_violations"] == 0
+    assert rep["expr(expr_2)"]["n_violations"] == 1
+    with pytest.raises(ValueError, match="unknown rule"):
+        expect(df, [{"rule": "nope", "col": "v"}])
+    with pytest.raises(ValueError, match="at least one rule"):
+        expect(df, [])
+
+
+def test_expect_single_agg_pass_for_row_rules(spark):
+    from dftly_spark.ops import expect, plan_summary
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    rep = expect(df, [
+        {"rule": "not_null", "col": "v"},
+        {"rule": "in_range", "col": "v", "min": 0, "max": 5},
+        {"rule": "expr", "expr": "$id >= 0"},
+    ])
+    # all row-local rules share ONE global aggregation (a single exchange
+    # pair for partial/final agg, no per-rule scans)
+    assert plan_summary(rep)["n_exchanges"] <= 1
