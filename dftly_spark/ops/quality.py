@@ -60,7 +60,9 @@ def _rule_cols(df: DataFrame, rules: list[dict]):
             out.append((f"in_set({r['col']})", bad))
         elif kind == "matches":
             c = F.col(r["col"])
-            bad = c.isNotNull() & ~c.rlike(r["pattern"])
+            # FULL-match semantics (as documented): rlike alone is a
+            # substring search, which would silently pass partial matches
+            bad = c.isNotNull() & ~c.rlike(f"^(?:{r['pattern']})$")
             out.append((f"matches({r['col']})", bad))
         elif kind == "expr":
             from ..parser import Parser
@@ -82,13 +84,18 @@ def expect(df: DataFrame, rules: list[dict]) -> DataFrame:
     row_rules = _rule_cols(df, rules)
     frames = []
     if row_rules:
+        # coalesce: sum over an EMPTY frame is null — an empty input must
+        # report 0 violations / passed, not a null verdict
         aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-            F.sum(ind.cast("bigint")).alias(f"_v{i}")
+            F.coalesce(F.sum(ind.cast("bigint")), F.lit(0)).alias(f"_v{i}")
             for i, (_, ind) in enumerate(row_rules)
         ]
         wide = df.agg(*aggs)
         stacked = " , ".join(
-            f"'{label}', _v{i}" for i, (label, _) in enumerate(row_rules)
+            # labels embed user text (rule names, column names) in SQL —
+            # escape quotes rather than crash the stack() parse
+            "'{}', _v{}".format(label.replace("'", "''"), i)
+            for i, (label, _) in enumerate(row_rules)
         )
         frames.append(
             wide.selectExpr(

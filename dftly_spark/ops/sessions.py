@@ -89,10 +89,17 @@ def _session_loop(user_id, pdfs, last_ts, idx, gap_micros):
     between the APIs.  Returns (rows, last_ts, idx)."""
     import pandas as pd
 
+    # Concatenate BEFORE sorting: a key with more rows than Arrow's
+    # maxRecordsPerBatch arrives as several chunks, and sorting each chunk
+    # independently would process events out of time order (state could
+    # even regress).  Memory is bounded by the key's rows per micro-batch
+    # — the same bound the output buffer already has.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
     out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for ev, ts in zip(pdf["event_id"], pdf["ts"]):
+    if chunks:
+        whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        whole = whole.sort_values(["ts", "event_id"])
+        for ev, ts in zip(whole["event_id"], whole["ts"]):
             micros = int(pd.Timestamp(ts).value // 1000)
             if last_ts is None or micros - last_ts > gap_micros:
                 idx += 1
@@ -536,10 +543,12 @@ def debounce_stream(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # key/id schemas come from the INPUT (string device ids work, not
+    # just integer keys); only the emitted timestamp is a fixed long.
     out_schema = StructType(
         [
-            StructField("event_id", LongType()),
-            StructField("user_id", LongType()),
+            StructField("event_id", df.schema[id_col].dataType),
+            StructField("user_id", df.schema[key_col].dataType),
             StructField("ts_micros", LongType()),
         ]
     )
@@ -549,8 +558,25 @@ def debounce_stream(
             StructField("last_vals", StringType()),
         ]
     )
-    NULL = "\x00null\x00"
-    SEP = "\x1f"
+
+    def _ser(rec):
+        # Collision-proof comparison state: length-prefixed pieces (no
+        # separator to collide with) and distinct markers for null vs NaN
+        # — Spark's eqNullSafe treats NaN == NaN but NULL != NaN, and the
+        # batch twin must agree.
+        import pandas as pd
+
+        parts = []
+        for c in value_cols:
+            v = getattr(rec, c)
+            if v is None:
+                parts.append("N!")
+            elif isinstance(v, float) and pd.isna(v):
+                parts.append("F!")
+            else:
+                sv = str(v)
+                parts.append(f"{len(sv)}:{sv}")
+        return "".join(parts)
 
     def func(key, pdfs, state):  # pragma: no cover - executor side
         import pandas as pd
@@ -561,24 +587,21 @@ def debounce_stream(
         else:
             last_ts, last_vals = None, None
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for rec in pdf.itertuples(index=False):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            # concat before sorting — see _session_loop's chunk note
+            whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            whole = whole.sort_values(["ts", "event_id"])
+            for rec in whole.itertuples(index=False):
                 micros = int(pd.Timestamp(rec.ts).value // 1000)
-                vals = SEP.join(
-                    NULL if getattr(rec, c) is None or (
-                        isinstance(getattr(rec, c), float)
-                        and pd.isna(getattr(rec, c))
-                    ) else str(getattr(rec, c))
-                    for c in value_cols
-                )
+                vals = _ser(rec)
                 keep = (
                     last_ts is None
                     or vals != last_vals
                     or micros - last_ts > within_micros
                 )
                 if keep:
-                    rows.append((int(rec.event_id), int(user_id), micros))
+                    rows.append((rec.event_id, user_id, micros))
                 last_ts, last_vals = micros, vals
         state.update((last_ts, last_vals))
         yield pd.DataFrame(rows, columns=["event_id", "user_id", "ts_micros"])

@@ -1,13 +1,16 @@
-"""End-to-end streaming pipeline over the event feed.
+"""Streaming consumers over one event feed — the streaming-twin catalog.
 
-The Structured-Streaming composition story in one flow, built from the
-batch ops' streaming twins — each stage is watermark-bounded or O(1)
-state per key, so the pipeline runs forever without state growth:
+FOUR INDEPENDENT streaming queries over the same readStream (not a
+chained pipeline: Spark restricts chaining arbitrary-state operators
+like debounce→sessionize inside one query, so production deployments
+run them as parallel consumers of the feed, each with its own sink and
+checkpoint — exactly what this builds).  Each is watermark-bounded or
+O(1) state per key, so all four run forever without state growth:
 
-    readStream → debounce (drop duplicate bursts; O(1)/key state) →
-    sessionize (per-key session ids; O(1)/key state) →
-    tumbling window aggregation (watermarked counts per event type) →
-    heavy hitters (support threshold, append-mode safe)
+    debounce    — drop duplicate bursts (O(1)/key state)
+    sessionize  — per-key session ids (O(1)/key state)
+    tumbling    — watermarked per-type counts, 1-hour windows
+    heavy hitters — per-window support threshold, append-safe
 
 Run:  python examples/streaming_pipeline.py [sf_dir]   (availableNow —
 drains the table as a stream, prints each output table, exits)
@@ -32,13 +35,14 @@ def build(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     events = stream_table(spark, sf_dir, "events")
 
-    # 1. Debounce: drop retry storms before they inflate session state.
+    # 1. Debounce: surviving event ids (semi-join downstream tables
+    #    against this to exclude retry storms).
     clean_ids = debounce_stream(
         events, "user_id", "ts", "event_id",
         value_cols=["event_type"], within_micros=60_000_000,
     )
 
-    # 2. Sessionize the full feed (session ids per user, O(1) state).
+    # 2. Sessionize the feed (session ids per user, O(1) state).
     sessions = sessionize_stream(events, gap_micros=1_800_000_000)
 
     # 3. Watermarked per-type activity counts, 1-hour tumbling windows.

@@ -546,3 +546,26 @@ def test_debounce_stream_matches_batch(spark):
     want = {(r["event_id"], r["user_id"]) for r in batch.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_debounce_stream_string_keys_and_ids(spark, tmp_path):
+    import datetime as dt
+
+    from dftly_spark.ops import debounce_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = spark.createDataFrame(
+        [("e1", "dev-a", t0, "x"), ("e2", "dev-a", t0 + dt.timedelta(seconds=0.1), "x"),
+         ("e3", "dev-b", t0, "x")],
+        "event_id string, user_id string, ts timestamp, v string",
+    )
+    path = str(tmp_path / "sk")
+    src.write.parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    out = debounce_stream(
+        stream, "user_id", "ts", "event_id",
+        value_cols=["v"], within_micros=1_000_000,
+    )
+    got = {(r["event_id"], r["user_id"]) for r in
+           _run_to_memory(spark, out, "stream_deb_str").collect()}
+    assert got == {("e1", "dev-a"), ("e3", "dev-b")}  # e2 is a burst repeat
