@@ -12,7 +12,7 @@ script is the first command of a round:
 Exit code 0 = all green; anything else = fix the environment delta before
 building.  Usage::
 
-    python scripts/round_start.py [round_tag]   # e.g. r04
+    python scripts/round_start.py [round_tag] [--deep]   # --deep adds the sf0.1 gate
 """
 
 from __future__ import annotations
@@ -67,6 +67,21 @@ def main() -> int:
         )
     tail = gate_log.read_text().strip().splitlines()[-1:]
     print(f"gate: {tail[0] if tail else '(no output)'} -> {gate_log}")
+
+    if "--deep" in sys.argv and rc == 0:
+        # sf0.1 pass too: the 10x run is what catches round()/big-sum
+        # float knife-edges invisible at sf0.01 (see round-3 x85/x89/x90)
+        import os
+
+        deep_log = out_dir / f"{tag}_start_gate_sf0.1.log"
+        env = dict(os.environ, SPARK_GRAFT_GATE_SF_DIR="/root/testdata/sf0.1")
+        with deep_log.open("w") as fh:
+            rc = subprocess.call(
+                [sys.executable, "scripts/driver_gate.py"],
+                stdout=fh, stderr=subprocess.STDOUT, env=env,
+            )
+        tail = deep_log.read_text().strip().splitlines()[-1:]
+        print(f"deep gate (sf0.1): {tail[0] if tail else '(no output)'} -> {deep_log}")
     return rc
 
 
