@@ -4957,6 +4957,88 @@ _q(
 )
 
 
+def _x95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (ops/textops.py canonical_url): derive
+    messy-but-deterministic URLs from the documents table (case noise,
+    default ports, tracking params, fragments, trailing slashes), then
+    account duplicates per canonical form.  The normalizer is a pure
+    regex pipeline in the Java∩RE2 subset, so the oracle replays every
+    step byte-for-byte — no parse_url dependency on either engine."""
+    from dftly_spark.ops.textops import canonical_url
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    # deterministic mess: 4 surface variants of the same logical URL
+    v = (F.col("doc_id") % 4).cast("int")
+    base = F.concat(
+        F.lit("://"), F.col("source"), F.lit(".example.com"),
+        F.lit("/docs/"), (F.col("doc_id") % 50).cast("string"),
+    )
+    url = (
+        F.when(v == 0, F.concat(F.lit("https"), base))
+        .when(v == 1, F.concat(F.lit("HTTPS"), base, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https"), base, F.lit("?utm_source=mail&fbclid=abc")))
+        .otherwise(F.concat(F.lit("https"), base, F.lit("#section-2")))
+    )
+    # re-insert the default port on variant 2 for port-stripping coverage
+    url = F.when(
+        v == 2,
+        F.regexp_replace(url, r"\.example\.com", ".example.com:443"),
+    ).otherwise(url)
+    return (
+        docs.select(F.col("doc_id"), url.alias("url"))
+        .select("doc_id", "url", canonical_url(F.col("url")).alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_forms"),
+        )
+    )
+
+
+def _x95_oracle() -> str:
+    track = "(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)"
+    expr = "trim(url)"
+    expr = (
+        f"CASE WHEN regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) = '' "
+        f"THEN {expr} ELSE lower(regexp_extract({expr}, "
+        f"'^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) || "
+        f"regexp_replace({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') END"
+    )
+    for pat, rep, flag in [
+        ("#.*$", "", ""),
+        (f"&{track}=[^&#]*", "", "g"),
+        (f"\\?{track}=[^&#]*&", "?", ""),
+        (f"\\?{track}=[^&#]*$", "", ""),
+        ("^(http://[^/?#:]*):80($|[/?#].*)", r"\1\2", ""),
+        ("^(https://[^/?#:]*):443($|[/?#].*)", r"\1\2", ""),
+        (r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+/[^?#]*[^/?#])/(\?.*)?$", r"\1\2", ""),
+    ]:
+        f = f", '{flag}'" if flag else ""
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}'{f})"
+    return f"""
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://' || source || '.example.com/docs/' || (doc_id % 50)
+               WHEN 1 THEN 'HTTPS://' || source || '.example.com/docs/' || (doc_id % 50) || '/'
+               WHEN 2 THEN 'https://' || source || '.example.com:443/docs/' || (doc_id % 50)
+                           || '?utm_source=mail&fbclid=abc'
+               ELSE 'https://' || source || '.example.com/docs/' || (doc_id % 50)
+                    || '#section-2'
+             END AS url
+      FROM documents
+    )
+    SELECT {expr} AS canon,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
+    FROM u GROUP BY canon
+    """
+
+
+_q("x95_url_canonical_dedup", _x95, _x95_oracle)
+
+
 #: The q27 spec is shared by the Spark builder AND the sqlgen oracle —
 #: the emitter (dftly_spark/sqlgen.py) generates the DuckDB mirror from
 #: the SAME AST the Spark lowering consumes, so this query gates the
@@ -5018,6 +5100,7 @@ _q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # -- round-3 additions (no driver row yet) --
+    "x95_url_canonical_dedup",
     "x94_expectations",
     "x93_debounce",
     "x92_doc_keywords",

@@ -25,6 +25,7 @@ from .corpus import (
     tokenized_docs,
 )
 from .textops import (
+    canonical_url,
     line_filter,
     doc_tokens,
     gopher_rules,
@@ -170,7 +171,7 @@ __all__ = [
     "TOKENS_COL", "tokenized_docs", "clear_token_cache", "doc_tokens", "memo_persist",
     "stopword_ratio", "punct_ratio", "quality_score", "language_id", "vocab_topk",
     "gopher_rules", "shared_affix_counts",
-    "scrub_text", "chunk_text", "dup_clusters",
+    "scrub_text", "chunk_text", "dup_clusters", "canonical_url",
     "doc_fingerprint",
     "doc_fingerprints",
     "repetition_signals",

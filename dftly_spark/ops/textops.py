@@ -663,3 +663,42 @@ def line_filter(
         (F.size(lines) - F.size(kept)).alias("n_lines_dropped"),
     )
     return out.where(F.col("n_lines_kept") >= min_lines_kept)
+
+
+def canonical_url(col: SparkColumn) -> SparkColumn:
+    """Canonicalize a URL for dedup keys: the web-corpus normalizer.
+
+    Deterministic regex pipeline (Java∩RE2 subset — the oracle replays it
+    verbatim; deliberately NOT Spark's ``parse_url``, which DuckDB lacks):
+
+    1. trim; lowercase the scheme and host (userinfo/path case kept);
+    2. drop the fragment (``#…``);
+    3. drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``,
+       ``msclkid``, ``ref``), wherever they sit in the query;
+    4. drop default ports (``:80`` for http, ``:443`` for https);
+    5. drop a now-empty ``?`` and a trailing ``/`` on a non-root path.
+
+    Malformed inputs pass through steps harmlessly (each regex just
+    fails to match); null stays null.
+    """
+    u = F.trim(col)
+    # 1. lowercase scheme://host[:port] prefix only
+    head = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    tail = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    u = F.when(head == "", u).otherwise(F.concat(head, tail))
+    # 2. fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 3. tracking params, separator-aware: drop '&param=v' outright, turn
+    #    a leading '?param=v&' into '?', drop a lone '?param=v'
+    _TRACK = r"(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)"
+    u = F.regexp_replace(u, rf"&{_TRACK}=[^&#]*", "")
+    u = F.regexp_replace(u, rf"\?{_TRACK}=[^&#]*&", "?")
+    u = F.regexp_replace(u, rf"\?{_TRACK}=[^&#]*$", "")
+    # 4. default ports (no lookarounds — RE2/DuckDB must replay these)
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80($|[/?#].*)", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443($|[/?#].*)", "$1$2")
+    # 5. trailing slash on a non-root path (root "host/" is kept)
+    u = F.regexp_replace(
+        u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+/[^?#]*[^/?#])/(\?.*)?$", "$1$2"
+    )
+    return u

@@ -692,3 +692,43 @@ def test_expect_single_agg_pass_for_row_rules(spark):
     # all row-local rules share ONE global aggregation (a single exchange
     # pair for partial/final agg, no per-rule scans)
     assert plan_summary(rep)["n_exchanges"] <= 1
+
+
+# ---------------------------------------------------------------------------
+# canonical_url
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_url_rules(spark):
+    from dftly_spark.ops.textops import canonical_url
+
+    cases = {
+        "HTTP://Example.COM:80/Path/?utm_source=x&q=1#frag": "http://example.com/Path?q=1",
+        "https://a.b:443/x/y/?fbclid=zz": "https://a.b/x/y",
+        "http://h/p?q=1&ref=rss&r=2": "http://h/p?q=1&r=2",
+        "http://h/p?ref=rss&r=2&utm_x=9": "http://h/p?r=2",
+        "https://Host.com/": "https://host.com/",   # root slash kept
+        "http://h:8080/keep:port": "http://h:8080/keep:port",  # non-default port kept
+        "not a url": "not a url",                   # malformed passes through
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {r["u"]: r["c"] for r in df.select(
+        "u", canonical_url(F.col("u")).alias("c")).collect()}
+    for raw, want in cases.items():
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_canonical_url_null_and_patterns_are_re2_safe(spark):
+    import re
+
+    from dftly_spark.ops.textops import canonical_url
+
+    df = spark.createDataFrame([(None,)], "u string")
+    assert df.select(canonical_url(F.col("u")).alias("c")).collect()[0]["c"] is None
+    # the x95 oracle replays every pattern in DuckDB/RE2: no lookarounds
+    import inspect
+
+    from dftly_spark.ops import textops
+
+    src = inspect.getsource(textops.canonical_url)
+    assert not re.search(r"\(\?[=!<]", src), "lookaround would break the RE2 oracle"
