@@ -4999,10 +4999,15 @@ def _x95(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _x95_oracle() -> str:
     track = "(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)"
     expr = "trim(url)"
+    # scheme lowered, userinfo (…@) case kept, host[:port] lowered — the
+    # byte-for-byte replay of canonical_url step 1
     expr = (
-        f"CASE WHEN regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) = '' "
-        f"THEN {expr} ELSE lower(regexp_extract({expr}, "
-        f"'^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) || "
+        f"CASE WHEN regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*://)', 1) = '' "
+        f"THEN {expr} ELSE "
+        f"lower(regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*://)', 1)) || "
+        f"regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*@)', 1) || "
+        f"lower(regexp_extract({expr}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1)) || "
         f"regexp_replace({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') END"
     )
     for pat, rep, flag in [
@@ -5099,58 +5104,11 @@ _q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
 # x15-x27 block (driver-green in both r01 and r02) fills the tail.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # -- round-3 additions (no driver row yet) --
-    "x95_url_canonical_dedup",
-    "x94_expectations",
-    "x93_debounce",
-    "x92_doc_keywords",
-    "x91_nearest_join",
-    "x89_pricing_summary",
-    "x90_regional_revenue",
-    "x88_quantization_fidelity",
-    "x87_mad_outliers",
-    "x86_edit_distance_pairs",
-    "x85_ewma",
-    "x83_windowed_heavy_hitters",
-    "x84_windowed_cardinality",
-    "x77_pivot_events",
-    "x78_melt_lineitem",
-    "x79_line_filter",
-    "x80_basket_pmi",
-    "x81_distinct_counts",
-    "x82_group_quantiles",
-    "q27_sqlgen_oracle",
-    "x75_corr_matrix",
-    "x76_group_entropy",
-    "x73_group_trend",
-    "x74_cms_heavy_hitters",
-    "x70_salted_join",
-    "x71_winsorize",
-    "x72_impute_nulls",
-    "x67_pagerank",
-    "x68_ranking_metrics",
-    "x69_pool_embeddings",
-    "x57_merge_intervals",
-    "x58_rolling_zscore",
-    "x59_scd2_history",
-    "x60_weighted_sample",
-    "x61_distinctive_terms",
-    "x62_centroid_outliers",
-    "x63_ntile_features",
-    "x64_time_weighted_avg",
-    "x65_key_skew",
-    "x66_transition_matrix",
-    "q26_native_time",
-    "q25_iso_week",
-    "x56_ivf_kmeans_topk",
-    # -- never driver-verified (registered at positions >50 in r02) --
-    "x14_corpus_clean_pipeline",
-    "x28_chunk_text",
-    "x29_scrub_text",
-    "x30_dup_clusters",
-    "x31_bm25_topk",
-    "x32_dup_ngram_spans",
-    "x33_cap_per_group",
+    # -- x34-x55: the driver's ~50-query window has skipped these for three
+    #    consecutive rounds (r01 sampled the first 38, r02 the first 50, r03
+    #    the 50 newest).  Green under the builder/judge driver-faithful gate
+    #    all three rounds, but a driver-issued rows/schema/hash row still
+    #    doesn't exist for any of them -- so they go FIRST this round.
     "x34_rollup_stats",
     "x35_contamination_containment",
     "x36_incremental_embedding_dedup",
@@ -5173,6 +5131,59 @@ _PRIORITY = [
     "x53_hopping_agg",
     "x54_sparse_cosine",
     "x55_cohort_retention",
+    # -- round-4 additions (no driver row yet) --
+    # (new queries register here)
+    # -- r03 driver-green; keep inside the window as regression canaries --
+    "q27_sqlgen_oracle",
+    "q26_native_time",
+    "q25_iso_week",
+    "x56_ivf_kmeans_topk",
+    "x67_pagerank",
+    "x93_debounce",
+    "x94_expectations",
+    "x95_url_canonical_dedup",
+    "x88_quantization_fidelity",
+    "x86_edit_distance_pairs",
+    "x83_windowed_heavy_hitters",
+    "x84_windowed_cardinality",
+    "x77_pivot_events",
+    "x78_melt_lineitem",
+    "x80_basket_pmi",
+    "x82_group_quantiles",
+    "x91_nearest_join",
+    "x89_pricing_summary",
+    "x90_regional_revenue",
+    "x92_doc_keywords",
+    "x85_ewma",
+    "x87_mad_outliers",
+    "x79_line_filter",
+    "x81_distinct_counts",
+    "x75_corr_matrix",
+    "x76_group_entropy",
+    "x73_group_trend",
+    "x74_cms_heavy_hitters",
+    "x70_salted_join",
+    "x71_winsorize",
+    "x72_impute_nulls",
+    "x68_ranking_metrics",
+    "x69_pool_embeddings",
+    "x57_merge_intervals",
+    "x58_rolling_zscore",
+    "x59_scd2_history",
+    "x60_weighted_sample",
+    "x61_distinctive_terms",
+    "x62_centroid_outliers",
+    "x63_ntile_features",
+    "x64_time_weighted_avg",
+    "x65_key_skew",
+    "x66_transition_matrix",
+    "x14_corpus_clean_pipeline",
+    "x28_chunk_text",
+    "x29_scrub_text",
+    "x30_dup_clusters",
+    "x31_bm25_topk",
+    "x32_dup_ngram_spans",
+    "x33_cap_per_group",
     # -- driver-green twice but historically red in r01 / most complex --
     "q24_dynamic_patterns",
     "q20_split",

@@ -93,8 +93,12 @@ def expect(df: DataFrame, rules: list[dict]) -> DataFrame:
         wide = df.agg(*aggs)
         stacked = " , ".join(
             # labels embed user text (rule names, column names) in SQL —
-            # escape quotes rather than crash the stack() parse
-            "'{}', _v{}".format(label.replace("'", "''"), i)
+            # escape backslashes FIRST (Spark string literals treat '\' as
+            # an escape char, so a label ending in '\' would swallow the
+            # closing quote), then quotes
+            "'{}', _v{}".format(
+                label.replace("\\", "\\\\").replace("'", "\\'"), i
+            )
             for i, (label, _) in enumerate(row_rules)
         )
         frames.append(

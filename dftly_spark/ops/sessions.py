@@ -491,9 +491,17 @@ def debounce(
 
     ONE keyed window (lag over ``key_col`` ordered by event time +
     ``order_cols`` tie-break); row-local comparisons, no second shuffle.
+
+    Batch/stream parity: rows sharing a ``(key, ts)`` need a total order
+    or the keep/drop choice is nondeterministic.  ``order_cols`` defaults
+    to ``["event_id"]`` when that column exists — the same tiebreak
+    :func:`debounce_stream` hard-wires — so the twins agree out of the
+    box; pass ``order_cols`` explicitly for other id columns.
     """
     from pyspark.sql import Window
 
+    if order_cols is None and "event_id" in df.columns:
+        order_cols = ["event_id"]
     vals = value_cols if value_cols is not None else [
         c
         for c in df.columns

@@ -583,9 +583,18 @@ def fit_scalar_quantizer(
     v = F.col(vec_col)
     aggs = []
     for i in range(d):
-        aggs.append(F.min(F.element_at(v, i + 1)).alias(f"_mn{i}"))
-        aggs.append(F.max(F.element_at(v, i + 1)).alias(f"_mx{i}"))
+        # try_element_at: a vector shorter than dim yields null (caught
+        # below with a descriptive error) instead of an ANSI index crash
+        aggs.append(F.min(F.try_element_at(v, F.lit(i + 1))).alias(f"_mn{i}"))
+        aggs.append(F.max(F.try_element_at(v, F.lit(i + 1))).alias(f"_mx{i}"))
     row = df.agg(*aggs).collect()[0]
+    bad = [i for i in range(d) if row[f"_mn{i}"] is None or row[f"_mx{i}"] is None]
+    if bad:
+        raise ValueError(
+            f"fit_scalar_quantizer: no non-null values for dimension(s) "
+            f"{bad[:5]}{'...' if len(bad) > 5 else ''} of {d} — empty corpus, "
+            f"all-null column, or vectors shorter than dim={d}"
+        )
     mins = [float(row[f"_mn{i}"]) for i in range(d)]
     maxs = [float(row[f"_mx{i}"]) for i in range(d)]
     return mins, maxs

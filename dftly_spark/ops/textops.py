@@ -682,10 +682,19 @@ def canonical_url(col: SparkColumn) -> SparkColumn:
     fails to match); null stays null.
     """
     u = F.trim(col)
-    # 1. lowercase scheme://host[:port] prefix only
-    head = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    # 1. lowercase scheme:// and host[:port] only; the userinfo segment
+    #    (user:Pass@) keeps its case — credentials are case-sensitive.
+    #    Host starts after the LAST '@' of the authority (greedy match),
+    #    matching how RFC-3986 parsers split userinfo from host.
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://)", 1))
+    userinfo = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*@)", 1)
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)", 1)
+    )
     tail = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    u = F.when(head == "", u).otherwise(F.concat(head, tail))
+    u = F.when(scheme == "", u).otherwise(
+        F.concat(scheme, userinfo, hostport, tail)
+    )
     # 2. fragment
     u = F.regexp_replace(u, r"#.*$", "")
     # 3. tracking params, separator-aware: drop '&param=v' outright, turn

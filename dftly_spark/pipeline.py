@@ -69,6 +69,7 @@ checkpoint, and output mode are deployment decisions).
 from __future__ import annotations
 
 import inspect
+import itertools
 from pathlib import Path
 from typing import Any
 
@@ -134,6 +135,10 @@ def _as_mapping(spec: str | Path | dict) -> dict:
 # Row-local ops (pure projections) that are legal on unbounded streams.
 _STREAM_SAFE_OPS = ("gopher_rules", "line_filter", "melt")
 
+# monotonic suffix for sql-step temp views: unique across concurrent
+# pipeline runs sharing one SparkSession
+_SQL_VIEW_COUNTER = itertools.count()
+
 
 def _read_source(spark: SparkSession, src: dict, sf_dir: str | None) -> DataFrame:
     if not isinstance(src, dict):
@@ -174,12 +179,19 @@ def _apply_step(df: DataFrame, step: dict, idx: int) -> DataFrame:
         # Raw-SQL escape hatch: the incoming frame is visible as `t`.
         # Still ONE lazy plan — spark.sql over a temp view composes into
         # the same Catalyst tree the dftly steps build, so pushdown and
-        # fusion cross the boundary in both directions.
-        view = f"_dftly_step_{idx}"
+        # fusion cross the boundary in both directions.  The view name is
+        # unique per invocation (concurrent pipelines in one session must
+        # not clobber each other) and dropped immediately: spark.sql()
+        # analyzes eagerly, so the returned frame no longer needs it.
+        view = f"_dftly_step_{idx}_{next(_SQL_VIEW_COUNTER)}"
         df.createOrReplaceTempView(view)
-        # plain substring replace, NOT str.format — format would choke on
-        # every literal brace in real SQL (regex quantifiers, map literals)
-        return df.sparkSession.sql(step["sql"].replace("{t}", view))
+        try:
+            # plain substring replace, NOT str.format — format would choke
+            # on every literal brace in real SQL (regex quantifiers, map
+            # literals)
+            return df.sparkSession.sql(step["sql"].replace("{t}", view))
+        finally:
+            df.sparkSession.catalog.dropTempView(view)
     if k == "select":
         return Parser.select(df, step["select"])
     if k == "with_columns":

@@ -278,3 +278,21 @@ def test_sql_step_tolerates_literal_braces(spark):
     )
     rows = out.collect()
     assert len(rows) > 0 and all(len(r["tri"]) in (0, 3) for r in rows)
+
+
+def test_sql_step_view_is_unique_and_dropped(spark):
+    # two runs of the same pipeline (same step index) must not clobber each
+    # other's view, and no temp view may leak after the run
+    before = {v.name for v in spark.catalog.listTempViews()}
+    yaml_src = """
+    source: {table: region}
+    steps:
+      - sql: "SELECT count(*) AS n FROM {t}"
+    """
+    a = run_pipeline(spark, yaml_src, sf_dir=SF_DIR)
+    b = run_pipeline(spark, yaml_src, sf_dir=SF_DIR)
+    # both frames stay usable after their views were dropped (analysis is
+    # eager — the plan no longer references the view)
+    assert a.collect()[0]["n"] == b.collect()[0]["n"] == 5
+    after = {v.name for v in spark.catalog.listTempViews()}
+    assert not {v for v in after - before if v.startswith("_dftly_step_")}

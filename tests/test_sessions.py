@@ -215,3 +215,24 @@ def test_debounce_order_cols_not_compared(spark):
     with pytest.raises(ValueError, match="no value columns"):
         debounce(df.select("event_id", "user_id", "ts"), "user_id", "ts",
                  order_cols=["event_id"])
+
+
+def test_debounce_default_tiebreak_matches_stream(spark):
+    # rows sharing (key, ts): without explicit order_cols, batch debounce
+    # must tiebreak by event_id (the debounce_stream hard-wired order) so
+    # the twins agree
+    import datetime as dt
+
+    from dftly_spark.ops import debounce
+
+    t0 = dt.datetime(2024, 1, 1)
+    # in event_id order the values run a, a, b: id-2 repeats id-1 at the
+    # same ts -> drop; under the old ts-only order this was a coin flip
+    df = spark.createDataFrame(
+        [(2, 1, t0, "a"), (1, 1, t0, "a"), (3, 1, t0, "b")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    kept = {r["event_id"] for r in
+            debounce(df, "user_id", "ts", value_cols=["event_type"],
+                     within_micros=1_000_000).collect()}
+    assert kept == {1, 3}
