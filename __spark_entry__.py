@@ -5092,6 +5092,85 @@ def _q27_oracle() -> str:
 _q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
 
 
+def _q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chrono residue closed in round 4 (dftly_spark/chrono.py; reference
+    /root/reference/src/dftly/nodes/str.py:594-649): %C%y century pairing
+    (rewrite_century), leading/trailing %a/%A day-name strip plans
+    (dayname_plan), and %::z offset-with-seconds (Java xxxxx).  Strings are
+    built deterministically from orders dates, parsed back through the
+    engine's strptime surface; DuckDB replays %a/%A natively, %C%y via the
+    %Y equivalence (zero-padded 4-digit year), %::z via offset arithmetic.
+    """
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.to_date("o_orderdate")  # testdata dates load as timestamp_ntz
+    ts = F.timestamp_seconds(
+        F.unix_date(d).cast("bigint") * 86400
+        + (k % 24) * 3600 + (k % 60) * 60 + (k * 7) % 60
+    )
+    ohh, omm, oss = (k % 12) + 1, (k % 4) * 15, (k % 2) * 30
+    sig = F.when(k % 3 == 0, F.lit("-")).otherwise(F.lit("+"))
+    o2 = o.select(
+        k.alias("ok"),
+        F.date_format(d, "yyyyMMdd").alias("cent_s"),
+        F.date_format(ts, "EEE, dd MMM yyyy HH:mm:ss").alias("rfc_s"),
+        F.date_format(d, "yyyy-MM-dd EEEE").alias("trail_s"),
+        F.concat(
+            F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), sig,
+            F.lpad(ohh.cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(omm.cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(oss.cast("string"), 2, "0"),
+        ).alias("offs_s"),
+    )
+    parsed = Parser.select(
+        o2,
+        {
+            "ok": "$ok",
+            "cent_d": "$cent_s::'%C%y%m%d'",
+            "rfc_t": "$rfc_s::'%a, %d %b %Y %H:%M:%S'",
+            "trail_d": "$trail_s::'%Y-%m-%d %A'",
+            "offs_t": "$offs_s::'%Y-%m-%dT%H:%M:%S%::z'",
+        },
+    )
+    return parsed.select(
+        "ok",
+        "cent_d",
+        F.unix_micros("rfc_t").alias("rfc_us"),
+        "trail_d",
+        F.unix_micros("offs_t").alias("offs_us"),
+    )
+
+
+_q(
+    "q28_chrono_residue",
+    _q28,
+    """
+    WITH b AS (
+      SELECT o_orderkey AS ok,
+             o_orderdate AS d,
+             CAST(o_orderdate AS TIMESTAMP)
+               + to_seconds((o_orderkey % 24)*3600 + (o_orderkey % 60)*60
+                            + (o_orderkey * 7) % 60) AS ts,
+             CASE WHEN o_orderkey % 3 = 0 THEN -1 ELSE 1 END AS sig,
+             (o_orderkey % 12) + 1 AS ohh,
+             (o_orderkey % 4) * 15 AS omm,
+             (o_orderkey % 2) * 30 AS oss
+      FROM orders
+    )
+    SELECT ok,
+           CAST(strptime(strftime(d, '%Y%m%d'), '%Y%m%d') AS DATE) AS cent_d,
+           epoch_us(strptime(strftime(ts, '%a, %d %b %Y %H:%M:%S'),
+                             '%a, %d %b %Y %H:%M:%S')) AS rfc_us,
+           CAST(strptime(strftime(d, '%Y-%m-%d %A'), '%Y-%m-%d %A') AS DATE)
+             AS trail_d,
+           epoch_us(ts) - sig * CAST(ohh*3600 + omm*60 + oss AS BIGINT) * 1000000
+             AS offs_us
+    FROM b
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -5132,7 +5211,7 @@ _PRIORITY = [
     "x54_sparse_cosine",
     "x55_cohort_retention",
     # -- round-4 additions (no driver row yet) --
-    # (new queries register here)
+    "q28_chrono_residue",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

@@ -22,7 +22,10 @@ _CHRONO_TO_JAVA: dict[str, str | None] = {
     # map to None for a clear lowering-time error instead of an executor crash.
     "G": None,
     "g": None,
-    "C": None,  # century — no Java equivalent
+    # century — no Java letter, but %C%y (adjacent, the chrono print form
+    # "%C%y" == zero-padded 4-digit year) rewrites to %Y before translation
+    # (rewrite_century); a %C not immediately followed by %y still rejects.
+    "C": None,
     "q": "Q",
     "m": "MM",
     "b": "MMM",
@@ -32,9 +35,10 @@ _CHRONO_TO_JAVA: dict[str, str | None] = {
     "e": "d",
     # Day-of-week NAMES: Spark's CORRECTED parser accepts E/EEE only for
     # formatting — using them in a parse pattern throws at runtime — so
-    # they reject loudly at lowering time instead.  The one common carrier,
-    # the fixed C-locale %c layout, has a dedicated strip-weekday parse
-    # plan in Strptime (the weekday token is redundant for the date).
+    # they map to None here.  But a weekday NAME is redundant for the date,
+    # so dayname_plan() lowers leading/trailing %a/%A to a strip-the-token
+    # regex + parse-the-remainder plan (the %c fixed-layout plan is the
+    # special case); only a MID-format day name still rejects loudly.
     "a": None,
     "A": None,
     "w": None,  # weekday 0=Sun — no parse equivalent
@@ -69,7 +73,7 @@ _CHRONO_TO_JAVA: dict[str, str | None] = {
     "X": "HH:mm:ss",
     "z": "xx",
     ":z": "xxx",
-    "::z": None,
+    "::z": "xxxxx",  # +HH:MM:SS — Java's five-letter offset-x form
     ":::z": "x",
     "Z": "zzz",
     "c": None,  # fixed C-locale layout; Strptime lowers exact "%c" itself
@@ -153,6 +157,86 @@ def _quote_literal(text: str) -> str:
             out.append(ch)
     # Collapse adjacent quoted runs like 'a''b' → keep simple; Java accepts it.
     return "".join(out)
+
+
+def rewrite_century(fmt: str) -> str:
+    """Rewrite ``%C%y`` (century + 2-digit year, adjacent) to ``%Y``.
+
+    chrono prints ``%C`` as the zero-padded upper two digits of the year
+    (year // 100) and ``%y`` as the lower two, so the adjacent pair is
+    byte-identical to the zero-padded 4-digit ``%Y`` — parse it as such
+    (century×100 + yy arithmetic folded into one numeric field; reference
+    /root/reference/src/dftly/nodes/str.py:594-649 routes both through
+    chrono's year_div_100/year_mod_100).  A ``%C`` *not* immediately
+    followed by ``%y`` would need free-standing century arithmetic chrono
+    itself only resolves via the same pairing — reject it loudly.
+    """
+    toks = list(_scan(fmt))
+    if not any(k == "code" and c == "C" for k, c in toks):
+        return fmt
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        kind, item = toks[i]
+        if kind == "code" and item == "C":
+            if i + 1 < len(toks) and toks[i + 1] == ("code", "y"):
+                out.append("%Y")
+                i += 2
+                continue
+            raise ValueError(
+                f"chrono format code %C (century) is only supported when "
+                f"immediately followed by %y (together a 4-digit year); "
+                f"cannot translate {fmt!r}"
+            )
+        out.append(f"%{item}" if kind == "code" else item)
+        i += 1
+    return "".join(out)
+
+
+# Parse-time day-name token: chrono accepts the short name with an optional
+# full-name tail, case-insensitively, for both %a and %A.
+_DAYNAME_RX = (
+    "(?i:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?"
+    "|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)"
+)
+
+
+def dayname_plan(fmt: str) -> dict | None:
+    """Strip plan for leading/trailing ``%a``/``%A`` day-name codes, or None.
+
+    A weekday name is redundant for the date, so the plan removes the name
+    token from the input (anchored regex — only a real day name matches;
+    anything else fails the downstream parse and nulls/raises) and parses
+    the remainder with the format minus the day code.  Divergence shared
+    with the ``%c`` plan (and with DuckDB's own ``%a``): a *valid but
+    inconsistent* weekday name is ignored, where chrono would reject it.
+
+    Returns ``{"fmt": remainder_format, "strips": [regex, ...]}``.  A
+    day-name code in the *middle* of a format (ambiguous against adjacent
+    name-like tokens) raises the loud translation error.
+    """
+    toks = [t for t in _scan(fmt) if t != ("lit", "")]
+    day_idx = [i for i, (k, c) in enumerate(toks) if k == "code" and c in ("a", "A")]
+    if not day_idx:
+        return None
+    strips: list[str] = []
+    for i in day_idx:
+        if i == 0:
+            strips.append(f"^{_DAYNAME_RX}")
+        elif i == len(toks) - 1:
+            strips.append(f"{_DAYNAME_RX}$")
+        else:
+            raise ValueError(
+                f"chrono day-name code %{toks[i][1]} is only supported at the "
+                f"start or end of a format (the token is stripped before "
+                f"parsing); cannot translate {fmt!r}"
+            )
+    remainder = "".join(
+        (f"%{c}" if k == "code" else c)
+        for i, (k, c) in enumerate(toks)
+        if i not in day_idx
+    )
+    return {"fmt": remainder, "strips": strips}
 
 
 def week_based_plan(fmt: str) -> dict | None:

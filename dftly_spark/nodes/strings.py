@@ -373,7 +373,18 @@ class Strptime(Node):
         fmt = self.format_str
         kind = self.output_type
 
-        week_plan = chrono.week_based_plan(fmt) if kind == "date" else None
+        # %C%y → %Y rewrite (century pairing), then leading/trailing %a/%A
+        # day-name codes become strip-the-token regexes — the name is
+        # redundant for the date.  Both raise loudly for the unsupported
+        # residue (%C without adjacent %y, mid-format day names).
+        fmt_eff = chrono.rewrite_century(fmt)
+        day_plan = chrono.dayname_plan(fmt_eff) if fmt.strip() != "%c" else None
+        if day_plan is not None:
+            for rx in day_plan["strips"]:
+                src = F.regexp_replace(src, rx, "")
+            fmt_eff = day_plan["fmt"]
+
+        week_plan = chrono.week_based_plan(fmt_eff) if kind == "date" else None
         if fmt.strip() == "%c":
             # chrono's %c is the FIXED C-locale layout "%a %b %e %H:%M:%S %Y"
             # (no unstable-locales in Polars).  Spark cannot PARSE
@@ -386,15 +397,15 @@ class Strptime(Node):
             stripped = F.regexp_replace(norm, r"^[A-Za-z]+ ", "")
             out = F.try_to_timestamp(stripped, F.lit("MMM d HH:mm:ss yyyy"))
             spark_t = "timestamp"
-        elif "%s" in fmt and kind == "datetime":
+        elif "%s" in fmt_eff and kind == "datetime":
             out = F.timestamp_seconds(src.try_cast("bigint"))
             spark_t = "timestamp"
         elif week_plan is not None:
             out = self._week_based_date(src, week_plan)
             spark_t = "date"
         else:
-            java = chrono.to_java(fmt)
-            codes = {c for k, c in chrono._scan(fmt) if k == "code"}
+            java = chrono.to_java(fmt_eff)
+            codes = {c for k, c in chrono._scan(fmt_eff) if k == "code"}
             # chrono/POSIX two-digit-year pivot: 69-99 → 19xx, 00-68 → 20xx
             # (%y, and the %D/%x layouts that embed it).  Java's reduced
             # "yy" parses everything into 2000-2099, so post-adjust: a

@@ -13,17 +13,16 @@ import pytest
 from dftly_spark import chrono
 
 UNSUPPORTED = [
-    "%C",   # century
+    "%C",   # century: rejected by to_java alone — rewrite_century owns %C%y
     "%w",   # weekday 0=Sun (alone, without %U/%W/%V)
     "%u",   # ISO weekday (alone; supported inside a %G/%V plan)
     "%V",   # ISO week (alone via to_java; supported via the week plan)
     "%G",   # ISO year (alone via to_java; supported via the week plan)
     "%g",   # ISO week-based year, 2-digit
-    "%a",   # weekday name: Spark cannot parse E/EEE (only format)
-    "%A",
+    "%a",   # weekday names: rejected by to_java alone — dayname_plan owns
+    "%A",   # leading/trailing positions
     "%c",   # fixed C layout: rejected by to_java alone — Strptime owns the
             # strip-weekday plan for the exact "%c" format
-    "%::z",
 ]
 
 
@@ -206,11 +205,51 @@ def test_two_digit_year_pivot_matches_posix(run1):
         assert want == dt.datetime.strptime(s, "%m/%d/%y").date()
 
 
-def test_day_of_week_names_reject_loudly(run1):
+def test_day_of_week_names_parse_via_strip_plan(run1):
+    import datetime as dt
+
+    # Leading / trailing day names are stripped (redundant for the date);
+    # the remainder parses natively.  Matches DuckDB's %a: a valid but
+    # INCONSISTENT weekday is ignored (chrono would reject — documented).
+    cases = [
+        ("%a %d %b %Y", "Thu 03 Mar 2005", dt.date(2005, 3, 3)),
+        ("%A, %d %B %Y", "Thursday, 03 March 2005", dt.date(2005, 3, 3)),
+        ("%Y-%m-%d %a", "2005-03-03 Thu", dt.date(2005, 3, 3)),
+        ("%a %d %b %Y", "Mon 03 Mar 2005", dt.date(2005, 3, 3)),  # ignored
+        ("%a, %d %b %Y %H:%M:%S", "Thu, 03 Mar 2005 10:30:00",
+         dt.datetime(2005, 3, 3, 10, 30)),
+    ]
+    for fmt, s, want in cases:
+        assert run1(f'strptime($s, "{fmt}")', s=s) == want, (fmt, s)
+    # a non-day-name word does NOT strip -> strict raises / lax nulls
+    assert run1("$s::?'%a %d %b %Y'", s="Xyz 03 Mar 2005") is None
+
+
+def test_day_name_mid_format_rejects_loudly(run1):
     import pytest as _pytest
 
-    # Spark cannot PARSE E/EEE; chrono can.  Loud lowering-time rejection
-    # (the %c fixed layout has its own strip-weekday plan).
-    for fmt in ("%a %d %b %Y", "%A, %d %B %Y"):
-        with _pytest.raises(Exception, match="no Java DateTimeFormatter"):
-            run1(f'strptime($s, "{fmt}")', s="Thu 03 Mar 2005")
+    with _pytest.raises(Exception, match="start or end"):
+        run1('strptime($s, "%d %a %b %Y")', s="03 Thu Mar 2005")
+
+
+def test_century_pairs_with_two_digit_year(run1):
+    import datetime as dt
+
+    assert run1("strptime($s, '%C%y-%m-%d')", s="2024-06-15") == dt.date(2024, 6, 15)
+    assert run1("strptime($s, '%C%y%m%d')", s="19991231") == dt.date(1999, 12, 31)
+    # century explicit -> NO two-digit-year pivot: 0069 is year 69, not 1969
+    assert run1("strptime($s, '%C%y-%m-%d')", s="0069-01-01") == dt.date(69, 1, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="immediately followed by %y"):
+        run1("strptime($s, '%C-%m-%d')", s="20-06-15")
+
+
+def test_offset_with_seconds(run1):
+    import datetime as dt
+
+    got = run1(
+        "strptime($s, '%Y-%m-%dT%H:%M:%S%::z')", s="2024-06-15T10:30:45+05:30:00"
+    )
+    assert got == dt.datetime(2024, 6, 15, 5, 0, 45)
+    assert chrono.to_java("%::z") == "xxxxx"
