@@ -5171,6 +5171,51 @@ _q(
 )
 
 
+_Q29_SPEC = {
+    "pk": "$p_partkey",
+    "words": "split($p_name, ' ')",
+    "brand_bits": "split($p_brand, '#')",
+    "type_first": "split($p_type[0:8], ' ')",
+    "by_expr": "split($p_name, $p_name[4:5])",
+    "t_epoch": "f\"{$p_partkey}\"::'%s'",
+}
+
+_Q29_SCHEMA = {
+    "p_partkey": "int64",
+    "p_name": "str",
+    "p_brand": "str",
+    "p_type": "str",
+}
+
+
+def _q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array columns end-to-end through the machine-generated oracle
+    (round-3 verdict ask #3): split / split-of-slice / expression-separator
+    splits plus the exact-%s epoch format, all emitted by
+    dftly_spark/sqlgen.py with ``canonical_lists=True`` — list results
+    project to chr(31)-joined strings on BOTH engines (the q20 convention,
+    now owned by the emitter via canonicalize_list_columns)."""
+    from dftly_spark.sqlgen import canonicalize_list_columns
+
+    _prep(spark)
+    out = Parser.select(_t(spark, sf_dir, "part"), _Q29_SPEC)
+    return canonicalize_list_columns(out)
+
+
+def _q29_oracle() -> str:
+    from dftly_spark.sqlgen import spec_to_duckdb_sql
+
+    cols = spec_to_duckdb_sql(_Q29_SPEC, _Q29_SCHEMA, canonical_lists=True)
+    return (
+        "SELECT "
+        + ", ".join(f"{sql} AS {name}" for name, sql in cols.items())
+        + " FROM part"
+    )
+
+
+_q("q29_sqlgen_arrays", _q29, _q29_oracle)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -5212,6 +5257,7 @@ _PRIORITY = [
     "x55_cohort_retention",
     # -- round-4 additions (no driver row yet) --
     "q28_chrono_residue",
+    "q29_sqlgen_arrays",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

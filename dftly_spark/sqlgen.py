@@ -22,11 +22,19 @@ Representation conventions (shared with every hand-written oracle):
 
 ``strptime`` emits directly — DuckDB's strptime speaks the same chrono
 %-dialect the reference does, no translation needed (the Spark lowering
-is where the chrono→Java work lives).  Unsupported nodes
-(``hash``/``signed_hash`` — engine-specific values by design; ``split``
-— array results; ``%s`` epoch formats; double-typed interpolation
-fields — float formatting is not portable) raise :class:`SqlGenError`
-loudly rather than emitting something subtly wrong.
+is where the chrono→Java work lives); the exact-``%s`` epoch format
+emits ``make_timestamp(seconds * 1e6)``, mirroring the engine's
+``timestamp_seconds`` special path.  ``split`` emits ``string_split``
+(trailing empties kept on both engines; a NULL expression separator is
+guarded to NULL because DuckDB would return the unsplit string) — list
+results compare value-for-value in Python, and for hash-based harnesses
+that cannot digest list cells (the driver's pandas canonicalizer),
+``canonical_lists=True`` / :func:`canonicalize_list_columns` project
+them to ``chr(31)``-joined strings on BOTH engines, the q20 convention.
+Unsupported nodes (``hash``/``signed_hash`` — engine-specific values by
+design; empty-separator splits — engines disagree; double-typed
+interpolation fields — float formatting is not portable) raise
+:class:`SqlGenError` loudly rather than emitting something subtly wrong.
 """
 
 from __future__ import annotations
@@ -34,10 +42,20 @@ from __future__ import annotations
 from typing import Any
 
 from . import dtypes as DT
-from .nodes import LoweringContext, Node
+from .nodes import LoweringContext, Node, NotConst
 from .parser import Parser
 
-__all__ = ["SqlGenError", "to_duckdb_sql", "spec_to_duckdb_sql"]
+__all__ = [
+    "SqlGenError",
+    "to_duckdb_sql",
+    "spec_to_duckdb_sql",
+    "canonicalize_list_columns",
+    "LIST_SEP",
+]
+
+#: list-cell join separator for hash-based comparisons (q20 convention):
+#: \x1f cannot appear in the data, so element fidelity is preserved.
+LIST_SEP = "\x1f"
 
 _US = {
     "total_nanoseconds": None,  # micros * 1000, handled specially
@@ -106,23 +124,64 @@ def _is_dt(tag: str) -> bool:
     return tag == DT.DATETIME or tag == DT.DATE
 
 
-def to_duckdb_sql(expr: Any, schema: dict[str, str] | Any | None = None) -> str:
+def to_duckdb_sql(
+    expr: Any,
+    schema: dict[str, str] | Any | None = None,
+    *,
+    canonical_lists: bool = False,
+) -> str:
     """DuckDB SQL for one dftly expression (string/dict/Node form).
 
     ``schema`` drives the same dtype dispatch the Spark lowering uses
     (string concat vs numeric add, duration vs timestamp subtract);
     pass the DataFrame or a ``{column: dtype-tag}`` dict.
+    ``canonical_lists=True`` projects a list-typed result to a
+    ``chr(31)``-joined string (pair with :func:`canonicalize_list_columns`
+    on the Spark frame).
     """
     ctx = _ctx(schema)
     node = expr if isinstance(expr, Node) else Parser()(expr)
-    return _emit(node, ctx)
+    sql = _emit(node, ctx)
+    if canonical_lists and node.out_type(ctx) == DT.LIST_STR:
+        # NULL list stays NULL (array_to_string propagates); the Spark
+        # companion null-guards concat_ws to match.
+        return f"array_to_string({sql}, chr(31))"
+    return sql
 
 
 def spec_to_duckdb_sql(
-    spec: Any, schema: dict[str, str] | Any | None = None
+    spec: Any,
+    schema: dict[str, str] | Any | None = None,
+    *,
+    canonical_lists: bool = False,
 ) -> dict[str, str]:
     """DuckDB SQL for every column of a dftly spec (``{name: expr}``)."""
-    return {name: to_duckdb_sql(e, schema) for name, e in dict(spec).items()}
+    return {
+        name: to_duckdb_sql(e, schema, canonical_lists=canonical_lists)
+        for name, e in dict(spec).items()
+    }
+
+
+def canonicalize_list_columns(df):
+    """Project every ``array<string>`` column of a Spark frame to a
+    ``chr(31)``-joined string — the Spark companion of
+    ``canonical_lists=True`` (NULL array → NULL, matching
+    ``array_to_string``; ``concat_ws`` alone would yield ``''``)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, ArrayType) and isinstance(
+            f.dataType.elementType, StringType
+        ):
+            c = F.col(f.name)
+            cols.append(
+                F.when(c.isNotNull(), F.concat_ws(LIST_SEP, c)).alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
 
 
 def _ctx(schema) -> LoweringContext:
@@ -403,13 +462,56 @@ def _emit_total(key: str):
     return emit
 
 
+def _emit_split(n, ctx):
+    src = _emit(n.kwargs["source"], ctx)
+    by = n.kwargs["by"]
+    try:
+        sep = by.fold()
+    except NotConst:
+        sep = None
+    if isinstance(sep, str):
+        if sep == "":
+            raise SqlGenError(
+                "split on an empty separator diverges across engines "
+                "(Spark keeps a trailing empty element, DuckDB does not)"
+            )
+        return f"string_split({src}, {_q(sep)})"
+    # expression separator: the engine nulls the result when the separator
+    # is NULL (a NULL regex pattern); DuckDB's string_split would return
+    # the UNSPLIT string instead — guard explicitly.
+    sep_sql = _emit(by, ctx)
+    return (
+        f"(CASE WHEN ({sep_sql}) IS NULL THEN NULL "
+        f"ELSE string_split({src}, {sep_sql}) END)"
+    )
+
+
 def _emit_strptime(n, ctx):
     fmt = n.format_str
-    if "%s" in fmt:
-        raise SqlGenError("strptime %s (epoch seconds) is a Spark-side special path")
     from . import chrono as _chrono
 
+    if "%s" in fmt:
+        # the engine's %s special path fires on any format CONTAINING %s
+        # and reads the whole source as epoch seconds; only the exact-'%s'
+        # format is honestly portable, so the emitter supports just that.
+        if list(_chrono._scan(fmt)) != [("code", "s")]:
+            raise SqlGenError(
+                "strptime %s is only portable as the exact '%s' format"
+            )
+        src = _emit(n.kwargs["source"], ctx)
+        cast_kw = "CAST" if n.strict else "TRY_CAST"
+        # engine: timestamp_seconds(try_cast(src as bigint)) [+ strict
+        # raise guard]; DuckDB mirror: micros since epoch via make_timestamp
+        return f"make_timestamp({cast_kw}({src} AS BIGINT) * 1000000)"
+
+    # DuckDB has no %C; replay the engine's %C%y → %Y equivalence here too
+    fmt = _chrono.rewrite_century(fmt)
     fmt_codes = {c for k, c in _chrono._scan(fmt) if k == "code"}
+    if "::z" in fmt_codes:
+        raise SqlGenError(
+            "strptime %::z (offset with seconds) has no DuckDB strptime "
+            "equivalent — write the offset arithmetic explicitly"
+        )
     if fmt_codes & {"x", "X", "c"}:
         # chrono fixes these as C-locale layouts (%x=%m/%d/%y, %X=%T,
         # %c="%a %b %e %T %Y"); DuckDB's are ISO layouts — emitting
@@ -480,6 +582,7 @@ _EMITTERS = {
     "cast": _emit_cast,
     "strptime": _emit_strptime,
     "set_time": _emit_set_time,
+    "split": _emit_split,
 }
 for _k in _ACCESSOR_SQL:
     _EMITTERS[_k] = _emit_accessor(_k)

@@ -50,9 +50,33 @@ def test_emitter_rejects_nonportable_nodes():
     with pytest.raises(SqlGenError):
         to_duckdb_sql("hash($a)", {"a": "str"})
     with pytest.raises(SqlGenError):
-        to_duckdb_sql('split($a, "-")', {"a": "str"})  # array result
+        to_duckdb_sql('split($a, "")', {"a": "str"})  # empty sep diverges
     with pytest.raises(SqlGenError):
-        to_duckdb_sql("$a::'%s'", {"a": "str"})  # epoch-seconds special path
+        # %s embedded in a larger format: engine reads the WHOLE source as
+        # epoch seconds — only exact-'%s' is honestly portable
+        to_duckdb_sql("$a::'t=%s'", {"a": "str"})
+    with pytest.raises(SqlGenError):
+        to_duckdb_sql("$a::'%Y-%m-%dT%H:%M:%S%::z'", {"a": "str"})
+
+
+def test_emitter_split_and_epoch_forms():
+    sql = to_duckdb_sql('split($a, "-")', {"a": "str"})
+    assert sql == 'string_split("a", \'-\')'
+    # expression separator: NULL separator must null the result (engine
+    # semantics), not return the unsplit string (DuckDB's default)
+    sql = to_duckdb_sql("split($a, $b)", {"a": "str", "b": "str"})
+    assert "CASE WHEN" in sql and "IS NULL THEN NULL" in sql
+    # canonical_lists projects the list to a chr(31)-joined string
+    sql = to_duckdb_sql('split($a, "-")', {"a": "str"}, canonical_lists=True)
+    assert sql.startswith("array_to_string(") and "chr(31)" in sql
+    # exact-%s epoch format
+    sql = to_duckdb_sql("$a::'%s'", {"a": "str"})
+    assert sql == 'make_timestamp(CAST("a" AS BIGINT) * 1000000)'
+    sql = to_duckdb_sql("$a::?'%s'", {"a": "str"})
+    assert "TRY_CAST" in sql
+    # %C%y rewrites for DuckDB exactly like the engine does
+    sql = to_duckdb_sql("$a::'%C%y-%m-%d'", {"a": "str"})
+    assert "'%Y-%m-%d'" in sql
 
 
 def _check(spark, sdf, con, view, spec, seed):
@@ -186,3 +210,57 @@ def test_sqlgen_literal_percent_x_is_not_locale_code():
     import pytest as _pytest
     with _pytest.raises(SqlGenError, match="diverge"):
         to_duckdb_sql(bad, {"s": "str"})
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_sqlgen_split_fuzz(spark, seed):
+    """split / split-of-slice value parity: lists compare value-for-value
+    via the chr(31) canonical projection on BOTH engines (q20 convention,
+    now owned by the emitter)."""
+    from dftly_spark.sqlgen import canonicalize_list_columns
+
+    rng = random.Random(53000 + seed)
+    gen = Gen2(rng, max_depth=2)
+    sdf, con = _frames2(spark)
+    spec = {}
+    for i in range(5):
+        src_d, _ = gen.str_()
+        if i == 4:  # expression separator (status char; appears in data)
+            spec[f"c{i}"] = f"split({src_d}, $stat)"
+        else:
+            sep = rng.choice(["-", "R", "E", " ", "1"])
+            spec[f"c{i}"] = f'split({src_d}, "{sep}")'
+    sql_cols = [
+        f"{to_duckdb_sql(d, sdf, canonical_lists=True)} AS {n}"
+        for n, d in spec.items()
+    ]
+    got = canonicalize_list_columns(Parser.select(sdf, spec)).collect()
+    want = con.execute("SELECT " + ", ".join(sql_cols) + " FROM fz2").fetchall()
+    assert len(got) == len(want)
+    for i, name in enumerate(spec):
+        g = _canon([r[name] for r in got])
+        w = _canon([r[i] for r in want])
+        assert g == w, f"column {name} mismatch (seed {seed})\n{spec[name]}"
+
+
+def test_sqlgen_epoch_seconds_matches_engine(spark):
+    import duckdb
+
+    sdf = spark.createDataFrame(
+        [("0",), ("86400",), ("-1",), ("1718409600",), ("not a number",), (None,)],
+        "es string",
+    )
+    spec = {"t": "$es::?'%s'"}
+    got = sorted(
+        (str(r["t"]) for r in Parser.select(sdf, spec).collect()),
+    )
+    con = duckdb.connect()
+    sql = to_duckdb_sql(spec["t"], sdf)
+    want = sorted(
+        str(r[0])
+        for r in con.execute(
+            f"SELECT {sql} AS t FROM (VALUES ('0'), ('86400'), ('-1'), "
+            "('1718409600'), ('not a number'), (NULL)) v(es)"
+        ).fetchall()
+    )
+    assert got == want
