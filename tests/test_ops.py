@@ -1041,3 +1041,37 @@ def test_doc_tokens_rejects_missing_column(spark, docs):
     qdf = spark.createDataFrame([(1, "probe")], "query_id int, query string")
     with pytest.raises(ValueError, match="tokens_col"):
         bm25_topk(docs, qdf, k=3, tokens_col="nope")
+
+
+def test_kmeans_fit_collects_once(spark, monkeypatch):
+    """Round-4 contract: Lloyd refinement is DataFrame-resident — the
+    centroid matrix rides py4j exactly once (the final collect), never per
+    iteration.  With an explicit init there is no init-time collect, so
+    total collect() calls must be 1 regardless of iters."""
+    # pyspark 4: the session builds classic.DataFrame instances whose
+    # collect overrides the pyspark.sql.DataFrame abstract — patch the
+    # concrete class
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    from dftly_spark.ops.similarity import kmeans_centroids
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    calls = {"n": 0}
+    orig = _DF.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(_DF, "collect", counting)
+    cents = kmeans_centroids(
+        df, n_centroids=3, iters=4, init=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    )
+    assert calls["n"] == 1
+    assert len(cents) == 3 and all(len(c) == 3 for c in cents)
+    # unit length
+    for c in cents:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
