@@ -276,6 +276,33 @@ _ASOF_STATE = StructType(
 )
 
 
+def _asof_loop(user_id, pdfs, rts, rval):
+    """The per-event as-of loop SHARED by both streaming twins (legacy
+    applyInPandasWithState and transformWithStateInPandas) — one
+    definition, so ordering and state semantics cannot drift between the
+    APIs.  Concatenates chunks BEFORE sorting (a key with more rows than
+    Arrow's maxRecordsPerBatch arrives in several chunks; sorting each
+    independently could regress state).  Returns (rows, rts, rval)."""
+    import pandas as pd
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    out = []
+    if chunks:
+        whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        whole = whole.sort_values(["__ts", "__side", "__id"])
+        for side, ts, ev, val in zip(
+            whole["__side"], whole["__ts"], whole["__id"], whole["__val"]
+        ):
+            if side == 0:
+                rts, rval = int(ts), float(val)
+            else:
+                out.append((int(ev), int(user_id), int(ts), rts, rval))
+    return out, rts, rval
+
+
+_ASOF_OUT_COLS = ["event_id", "user_id", "ts_us", "right_ts_us", "right_value"]
+
+
 def _asof_stream_func(
     key: Tuple[Any, ...], pdfs: Iterator, state: GroupState
 ) -> Iterator:  # pragma: no cover - executor side
@@ -283,21 +310,30 @@ def _asof_stream_func(
 
     (user_id,) = key
     rts, rval = state.get if state.exists else (None, None)
-    out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["__ts", "__side", "__id"])
-        for side, ts, ev, val in zip(
-            pdf["__side"], pdf["__ts"], pdf["__id"], pdf["__val"]
-        ):
-            if side == 0:
-                rts, rval = int(ts), float(val)
-            else:
-                out.append((int(ev), int(user_id), int(ts), rts, rval))
+    out, rts, rval = _asof_loop(user_id, pdfs, rts, rval)
     if rts is not None:
         state.update((rts, rval))
-    yield pd.DataFrame(
-        out, columns=["event_id", "user_id", "ts_us", "right_ts_us", "right_value"]
+    yield pd.DataFrame(out, columns=_ASOF_OUT_COLS)
+
+
+def _asof_tagged_union(left, right, on, by, left_id, right_val):
+    """Tag and union both streams for per-key stateful processing: right
+    rows sort before left rows at equal timestamps (backward as-of)."""
+    l_side = left.select(
+        F.col(by).alias("__key"),
+        _micros(F.col(on)).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.col(left_id).cast("long").alias("__id"),
+        F.lit(None).cast("double").alias("__val"),
     )
+    r_side = right.where(F.col(by).isNotNull()).select(
+        F.col(by).alias("__key"),
+        _micros(F.col(on)).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast("long").alias("__id"),
+        F.col(right_val).cast("double").alias("__val"),
+    )
+    return l_side.unionByName(r_side)
 
 
 def asof_join_stream(
@@ -319,8 +355,8 @@ def asof_join_stream(
     sides within a watermark; an as-of needs only the latest right row,
     forever).  Same Spark-4.x API note as ``sessionize_stream``: one
     value-state per key, no timers — ``applyInPandasWithState`` is the
-    smaller supported surface; ``transformWithStateInPandas`` (RocksDB
-    state) is the mechanical migration target.  Like :func:`~dftly_spark.ops.sessions.sessionize_stream`,
+    smaller supported surface; :func:`asof_join_stream_tws` is the
+    ``transformWithStateInPandas`` twin.  Like :func:`~dftly_spark.ops.sessions.sessionize_stream`,
     events must arrive time-ordered per key ACROSS micro-batches (sorted
     within each batch here); a production deployment would add a timeout to
     expire idle keys.
@@ -328,22 +364,8 @@ def asof_join_stream(
     Emits ``(event_id, user_id, ts_us, right_ts_us, right_value)`` with
     nulls when no right event has been seen yet (left-join semantics).
     """
-    l_side = left.select(
-        F.col(by).alias("__key"),
-        _micros(F.col(on)).alias("__ts"),
-        F.lit(1).alias("__side"),
-        F.col(left_id).cast("long").alias("__id"),
-        F.lit(None).cast("double").alias("__val"),
-    )
-    r_side = right.where(F.col(by).isNotNull()).select(
-        F.col(by).alias("__key"),
-        _micros(F.col(on)).alias("__ts"),
-        F.lit(0).alias("__side"),
-        F.lit(None).cast("long").alias("__id"),
-        F.col(right_val).cast("double").alias("__val"),
-    )
     return (
-        l_side.unionByName(r_side)
+        _asof_tagged_union(left, right, on, by, left_id, right_val)
         .groupBy("__key")
         .applyInPandasWithState(
             _asof_stream_func,
@@ -351,6 +373,66 @@ def asof_join_stream(
             stateStructType=_ASOF_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def asof_join_stream_tws(
+    left,
+    right,
+    *,
+    on: str = "ts",
+    by: str = "user_id",
+    left_id: str = "event_id",
+    right_val: str = "value",
+):
+    """Streaming backward as-of join on the Spark 4
+    ``transformWithStateInPandas`` API — the same contract (and the same
+    per-event loop, :func:`_asof_loop`) as :func:`asof_join_stream`,
+    carried by a ``StatefulProcessor`` with one ``ValueState`` instead of
+    the legacy ``applyInPandasWithState`` tuple.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass = …RocksDBStateStoreProvider``)
+    and ``protobuf`` (the state-server wire protocol; absent in this test
+    container, so the parity test auto-skips here and runs on any real
+    Spark 4 deployment).  Both paths stay supported; this one is the
+    forward-looking default where RocksDB state is already standard (it
+    adds named state, timers, and TTL for free when the op grows into
+    them — an idle-key timeout is the natural next step here).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _AsofProcessor(StatefulProcessor):  # pragma: no cover - executor
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "asof", "right_ts_us LONG, right_value DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            (user_id,) = key
+            if self._st.exists():
+                rts, rval = self._st.get()
+            else:
+                rts, rval = None, None
+            out, rts, rval = _asof_loop(user_id, rows, rts, rval)
+            if rts is not None:
+                self._st.update((rts, rval))
+            yield pd.DataFrame(out, columns=_ASOF_OUT_COLS)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        _asof_tagged_union(left, right, on, by, left_id, right_val)
+        .groupBy("__key")
+        .transformWithStateInPandas(
+            statefulProcessor=_AsofProcessor(),
+            outputStructType=_ASOF_OUT,
+            outputMode="append",
+            timeMode="none",
         )
     )
 

@@ -569,3 +569,65 @@ def test_debounce_stream_string_keys_and_ids(spark, tmp_path):
     got = {(r["event_id"], r["user_id"]) for r in
            _run_to_memory(spark, out, "stream_deb_str").collect()}
     assert got == {("e1", "dev-a"), ("e3", "dev-b")}  # e2 is a burst repeat
+
+
+def test_asof_join_stream_tws_matches_batch(spark):
+    """transformWithStateInPandas twin of the streaming as-of (Spark 4 API,
+    RocksDB state), mirroring the sessionize twin's parity test."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    # the transformWithState state-server protocol runs over protobuf;
+    # absent in this container, so the twin runs only on real deployments
+    pytest.importorskip("google.protobuf")
+    from dftly_spark.ops import asof_join, asof_join_stream_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev_stream = stream_table(spark, SF_DIR, "events")
+        got = _run_to_memory(
+            spark,
+            asof_join_stream_tws(
+                ev_stream.where(F.col("event_type") == "purchase"),
+                ev_stream.where(F.col("event_type") == "click"),
+                on="ts", by="user_id", left_id="event_id", right_val="value",
+            ),
+            "stream_asof_tws",
+        )
+        ev = _batch_events(spark)
+        batch = asof_join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "ts"
+            ),
+            ev.where(F.col("event_type") == "click").select(
+                "user_id", "ts", "value"
+            ),
+            on="ts", by="user_id", how="left",
+        )
+        b = {
+            r.event_id: (
+                None if r.ts_right is None else int(r.ts_right.timestamp() * 1e6),
+                r.value_right,
+            )
+            for r in batch.collect()
+        }
+        g = {r.event_id: (r.right_ts_us, r.right_value) for r in got.collect()}
+        assert g == b
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_asof_stream_twins_share_one_loop():
+    """Both state APIs must route through _asof_loop — one definition, so
+    ordering/state semantics cannot drift between the twins."""
+    import inspect
+
+    from dftly_spark.ops import joins
+
+    assert "_asof_loop(" in inspect.getsource(joins._asof_stream_func)
+    assert "_asof_loop(" in inspect.getsource(joins.asof_join_stream_tws)
