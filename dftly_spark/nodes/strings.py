@@ -602,7 +602,10 @@ class Split(Node):
         if sep is not None:
             return F.split(src, re.escape(sep), -1)
         sep_col = self.kwargs["by"].to_column(ctx)
-        return F.split(src, F.concat(F.lit("\\Q"), sep_col, F.lit("\\E")), F.lit(-1))
+        # a literal "\E" inside the separator would terminate the \Q...\E
+        # quoting early; re-quote it the standard Java way (\E + \\E + \Q)
+        safe = F.replace(sep_col, F.lit("\\E"), F.lit("\\E\\\\E\\Q"))
+        return F.split(src, F.concat(F.lit("\\Q"), safe, F.lit("\\E")), F.lit(-1))
 
     @classmethod
     def from_str_args(cls, items: Any) -> dict[str, Any]:

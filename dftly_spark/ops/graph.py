@@ -74,6 +74,7 @@ def pagerank(
     checkpoint_every: int | None = 8,
     assume_distinct: bool = False,
     repair_dangling: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank: ``(node, rank)`` after ``iters`` rounds.
 
@@ -94,31 +95,48 @@ def pagerank(
     folded into the checkpointed edge frame once, so an iteration adds no
     degree join.
     ``checkpoint_every`` truncates plan lineage on long runs exactly like
-    ``dup_clusters``; at cluster scale point it at a real checkpoint dir.
+    ``dup_clusters``.  ``checkpoint_dir`` switches the truncation from
+    ``localCheckpoint`` (executor block store — spills when the edge frame
+    outgrows the in-memory store, the one-time storage step SCALING.md's
+    2× probe recorded) to a DURABLE ``checkpoint()`` against that
+    directory: writes land on stable storage, iteration cost stops
+    depending on block-store headroom, and executor loss is survivable —
+    the cluster-production mode (probed @8×, SCALING.md).
     """
     # Loop-invariant frames are referenced in EVERY iteration's subtree;
     # without truncation Spark re-executes prepare_edges (and the caller's
-    # whole edge build) once per reference.  localCheckpoint materializes
-    # each once on first use (lazy, so plan introspection still works); on
-    # a real cluster use checkpoint() against a fault-tolerant dir.
-    # Measured at sf0.1 (1.2M edges, iters=5): 27.5s -> 5.4s steady-state
-    # together with the degree fold below and integer node ids.
-    e = prepare_edges(
-        edges,
-        src,
-        dst,
-        assume_distinct=assume_distinct,
-        repair_dangling=repair_dangling,
-    ).localCheckpoint(eager=False)
+    # whole edge build) once per reference.  Both checkpoint flavors
+    # materialize each once on first use (lazy, so plan introspection
+    # still works).  Measured at sf0.1 (1.2M edges, iters=5): 27.5s ->
+    # 5.4s steady-state together with the degree fold below and integer
+    # node ids.
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=False)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=False)
+
+    e = _ckpt(
+        prepare_edges(
+            edges,
+            src,
+            dst,
+            assume_distinct=assume_distinct,
+            repair_dangling=repair_dangling,
+        )
+    )
     # out-degree folded INTO the edge frame ONCE (map-side-combined count +
     # one join here, instead of a count join inside every iteration; not a
     # per-_src window, which would put a hub supernode's whole edge list on
     # one reducer)
     outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    e2 = e.join(outdeg, "_src").localCheckpoint(eager=False)
-    nodes = e.select(F.col("_src").alias("_n")).distinct().localCheckpoint(
-        eager=False
-    )
+    e2 = _ckpt(e.join(outdeg, "_src"))
+    nodes = _ckpt(e.select(F.col("_src").alias("_n")).distinct())
     ranks = nodes.select("_n", F.lit(1.0).alias("_r"))
     for i in range(iters):
         # distinct column names per join side: the iterated frames all
@@ -146,5 +164,5 @@ def pagerank(
             ).alias("_r"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = _ckpt(ranks)
     return ranks.select(F.col("_n").alias("node"), F.round("_r", decimals).alias("rank"))

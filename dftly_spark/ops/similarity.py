@@ -268,19 +268,25 @@ def kmeans_centroids(
             ).alias("_vr"),
             F.max(F.col("_new")).alias("_had"),
         )
-        norm = F.sqrt(
-            F.aggregate(
-                F.transform(F.col("_vr"), lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+        # materialize the fold into a COLUMN first: HOF lambdas get no
+        # codegen subexpression elimination, so embedding the O(dim) fold
+        # inside the per-element divide would make normalization O(dim²)
+        with_norm = per_cell.withColumn(
+            "_norm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("_vr"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
         )
         cdf = (
-            per_cell.select(
+            with_norm.select(
                 "_cell",
                 F.when(
-                    F.col("_had") & (norm > 0),
-                    F.transform(F.col("_vr"), lambda x: x / norm),
+                    F.col("_had") & (F.col("_norm") > 0),
+                    F.transform(F.col("_vr"), lambda x: x / F.col("_norm")),
                 )
                 .otherwise(F.col("_vr"))
                 .alias("_vu"),
@@ -661,19 +667,31 @@ def fit_scalar_quantizer(
     """
     d = dim or infer_dim(df, vec_col)
     v = F.col(vec_col)
-    aggs = []
+    # try_element_at instead of ANSI element_at so the short-vector count
+    # below owns the error (descriptive, names the row count) — but the
+    # check must be LOUD per-corpus, not skipped per-row: min/max silently
+    # ignoring a truncated vector would fit the quantizer to corrupt data.
+    aggs = [
+        F.sum(
+            (F.coalesce(F.size(v), F.lit(-1)) < d).cast("bigint")
+        ).alias("_short")
+    ]
     for i in range(d):
-        # try_element_at: a vector shorter than dim yields null (caught
-        # below with a descriptive error) instead of an ANSI index crash
         aggs.append(F.min(F.try_element_at(v, F.lit(i + 1))).alias(f"_mn{i}"))
         aggs.append(F.max(F.try_element_at(v, F.lit(i + 1))).alias(f"_mx{i}"))
     row = df.agg(*aggs).collect()[0]
+    if row["_short"]:
+        raise ValueError(
+            f"fit_scalar_quantizer: {row['_short']} row(s) have a null "
+            f"vector or fewer than dim={d} elements — clean the corpus or "
+            f"pass the true dim"
+        )
     bad = [i for i in range(d) if row[f"_mn{i}"] is None or row[f"_mx{i}"] is None]
     if bad:
         raise ValueError(
             f"fit_scalar_quantizer: no non-null values for dimension(s) "
-            f"{bad[:5]}{'...' if len(bad) > 5 else ''} of {d} — empty corpus, "
-            f"all-null column, or vectors shorter than dim={d}"
+            f"{bad[:5]}{'...' if len(bad) > 5 else ''} of {d} — empty corpus "
+            f"or all-null column"
         )
     mins = [float(row[f"_mn{i}"]) for i in range(d)]
     maxs = [float(row[f"_mx{i}"]) for i in range(d)]

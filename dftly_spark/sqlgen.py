@@ -476,12 +476,19 @@ def _emit_split(n, ctx):
                 "(Spark keeps a trailing empty element, DuckDB does not)"
             )
         return f"string_split({src}, {_q(sep)})"
-    # expression separator: the engine nulls the result when the separator
-    # is NULL (a NULL regex pattern); DuckDB's string_split would return
-    # the UNSPLIT string instead — guard explicitly.
+    # expression separator: two runtime divergences to guard.  (1) NULL
+    # separator: the engine nulls the result (a NULL regex pattern);
+    # DuckDB's string_split would return the UNSPLIT string.  (2) EMPTY
+    # separator: the engine (split on the empty \\Q\\E regex, limit -1)
+    # yields chars PLUS a trailing '' — 'ab' -> [a, b, '']; DuckDB's
+    # string_split yields just the chars, so append the trailing '' (with
+    # a NULL-source guard: list_append(NULL, '') is [''], not NULL).
     sep_sql = _emit(by, ctx)
     return (
         f"(CASE WHEN ({sep_sql}) IS NULL THEN NULL "
+        f"WHEN ({sep_sql}) = '' THEN "
+        f"(CASE WHEN ({src}) IS NULL THEN NULL "
+        f"ELSE list_append(string_split({src}, ''), '') END) "
         f"ELSE string_split({src}, {sep_sql}) END)"
     )
 

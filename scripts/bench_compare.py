@@ -26,6 +26,19 @@ RATIO = 1.5
 MIN_SECONDS = 1.0
 
 
+def _with_queries(obj) -> dict | None:
+    """The metrics dict with per-query data, or None."""
+    if not isinstance(obj, dict):
+        return None
+    parsed = obj.get("parsed", obj)
+    if isinstance(parsed, dict) and "queries" in parsed:
+        return parsed
+    # driver BENCH_r*.json files can carry parsed: null — not usable
+    if "queries" in obj:
+        return obj
+    return None
+
+
 def load(path_or_stream) -> dict:
     text = (
         sys.stdin.read()
@@ -35,28 +48,48 @@ def load(path_or_stream) -> dict:
     # Accept a whole-file JSON document (BENCH_r*.json wraps the metrics
     # under "parsed") or bench.py terminal output ending in one JSON line.
     try:
-        obj = json.loads(text)
-        return obj.get("parsed", obj)
+        got = _with_queries(json.loads(text))
+        if got is not None:
+            return got
     except json.JSONDecodeError:
         pass
     for line in reversed(text.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:
-                obj = json.loads(line)
+                got = _with_queries(json.loads(line))
             except json.JSONDecodeError:
                 continue
-            return obj.get("parsed", obj)
-    raise SystemExit(f"no JSON found in {path_or_stream}")
+            if got is not None:
+                return got
+    raise SystemExit(
+        f"no bench JSON with per-query data found in {path_or_stream} "
+        "(driver BENCH_r*.json files may carry parsed: null — use a "
+        "gate_logs/*bench_snapshot*.json instead)"
+    )
 
 
 def latest_round_baseline() -> str:
     # Prefer the builder's own full bench snapshots (gate_logs/*_bench_
     # snapshot.json): the driver's BENCH_r*.json truncates the JSON line
     # into "tail" and may carry parsed=null, which has no per-query data.
+    # "Round-over-round" means the PREVIOUS round: once the current round
+    # has written its own snapshots, naively taking the newest file would
+    # compare the round against itself and incremental drift would never
+    # trip — so group by the rNN prefix and take the newest file of the
+    # second-highest round when two or more rounds are present.
+    import os
+    import re
+
     snaps = sorted(glob.glob("gate_logs/*bench_snapshot*.json"))
     if snaps:
-        return snaps[-1]
+        by_round: dict[str, list[str]] = {}
+        for s in snaps:
+            m = re.search(r"r(\d+)", os.path.basename(s))
+            by_round.setdefault(m.group(1) if m else "", []).append(s)
+        rounds = sorted(by_round)
+        pick = rounds[-2] if len(rounds) >= 2 else rounds[-1]
+        return by_round[pick][-1]
     rounds = sorted(glob.glob("BENCH_r*.json"))
     if not rounds:
         raise SystemExit("no bench baseline found; pass one explicitly")

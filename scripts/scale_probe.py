@@ -277,8 +277,15 @@ def main() -> None:
 
     OPS["edit_distance"] = lambda d, e, c: _edit(c)
 
+    # SPARK_GRAFT_PR_CKPT_DIR switches PageRank's lineage truncation from
+    # executor block store to a durable checkpoint dir (the cluster mode;
+    # the 8x probe runs this way — SCALING.md)
     OPS["pagerank"] = lambda d, e, c: pagerank(
-        _pr_edges(c), iters=5, assume_distinct=True, repair_dangling=False
+        _pr_edges(c),
+        iters=5,
+        assume_distinct=True,
+        repair_dangling=False,
+        checkpoint_dir=_os.environ.get("SPARK_GRAFT_PR_CKPT_DIR"),
     )
     wanted = sys.argv[1:] or list(OPS)
 

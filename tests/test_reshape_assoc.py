@@ -776,5 +776,13 @@ def test_fit_scalar_quantizer_empty_or_null_raises(spark):
     with pytest.raises(ValueError, match="no non-null values"):
         fit_scalar_quantizer(empty, "emb", dim=4)
     short = spark.createDataFrame([(1, [0.1, 0.2])], "id long, emb array<double>")
-    with pytest.raises(ValueError, match="no non-null values"):
+    with pytest.raises(ValueError, match="fewer than dim"):
         fit_scalar_quantizer(short, "emb", dim=4)
+    # a SINGLE truncated vector in an otherwise-clean corpus must be loud
+    # (min/max silently skipping its nulls would fit corrupt data)
+    mixed = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3]), (2, [0.4, 0.5, 0.6]), (3, [0.7])],
+        "id long, emb array<double>",
+    )
+    with pytest.raises(ValueError, match="1 row"):
+        fit_scalar_quantizer(mixed, "emb", dim=3)

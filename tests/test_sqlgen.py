@@ -264,3 +264,32 @@ def test_sqlgen_epoch_seconds_matches_engine(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_sqlgen_split_runtime_edge_separators(spark):
+    """Expression separators that are '' or contain a literal backslash-E
+    at RUNTIME must still value-match: '' yields chars + trailing empty on
+    both engines (list_append mirror), backslash-E survives the engine's
+    re-quoting, NULL source/separator stay NULL."""
+    import duckdb
+
+    from dftly_spark.sqlgen import canonicalize_list_columns
+
+    df = spark.createDataFrame(
+        [("ab", ""), ("ab", "a"), ("x\\Ey", "\\E"), (None, "x"), ("ab", None)],
+        "s string, sep string",
+    )
+    spec = {"r": "split($s, $sep)"}
+    got = sorted(
+        str(r["r"])
+        for r in canonicalize_list_columns(Parser.select(df, spec)).collect()
+    )
+    sql = to_duckdb_sql(spec["r"], df, canonical_lists=True)
+    want = sorted(
+        str(r[0])
+        for r in duckdb.sql(
+            "SELECT " + sql + " FROM (VALUES ('ab',''),('ab','a'),"
+            "('x\\Ey','\\E'),(NULL,'x'),('ab',NULL)) v(s, sep)"
+        ).fetchall()
+    )
+    assert got == want
