@@ -2429,6 +2429,51 @@ _q(
 )
 
 
+def _x97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift (ops/profile.py psi_drift): per-bucket population-
+    stability contributions between click and purchase value
+    distributions — uniform clamped buckets, Laplace smoothing, one keyed
+    agg + k-row spine + 1-row totals broadcast.  The psi column uses the
+    convention-free floor-scale rounding because ln differs across
+    engines in the last ulp; p_a/p_b are correctly-rounded divisions and
+    stay full-precision."""
+    from dftly_spark.ops import psi_drift
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return psi_drift(
+        ev, "value", "event_type", "click", "purchase",
+        lo=0.0, hi=500.0, n_buckets=10,
+    )
+
+
+_q(
+    "x97_psi_drift",
+    _x97,
+    """
+    WITH t AS (
+      SELECT GREATEST(0, LEAST(9,
+               CAST(floor((value - 0.0) / 50.0) AS BIGINT))) AS bucket,
+             CAST(event_type = 'click' AS BIGINT) AS ia,
+             CAST(event_type = 'purchase' AS BIGINT) AS ib
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    c AS (SELECT bucket, SUM(ia) AS ca, SUM(ib) AS cb FROM t GROUP BY bucket),
+    spine AS (SELECT range AS bucket FROM range(10)),
+    tot AS (SELECT SUM(ia) AS na, SUM(ib) AS nb FROM t)
+    SELECT s.bucket,
+           CAST(coalesce(ca, 0) AS BIGINT) AS n_a,
+           CAST(coalesce(cb, 0) AS BIGINT) AS n_b,
+           (coalesce(ca, 0) + 0.5) / (na + 5.0) AS p_a,
+           (coalesce(cb, 0) + 0.5) / (nb + 5.0) AS p_b,
+           floor((p_a - p_b) * ln(p_a / p_b) * 1000000.0 + 0.5) / 1000000.0
+             AS psi
+    FROM spine s LEFT JOIN c ON s.bucket = c.bucket CROSS JOIN tot
+    """,
+)
+
+
 def _x39(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lag features per user over the event stream."""
     from dftly_spark.ops import lag_features
@@ -5216,6 +5261,52 @@ def _q29_oracle() -> str:
 _q("q29_sqlgen_arrays", _q29, _q29_oracle)
 
 
+def _x96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed quantiles (dftly_spark/streaming.py windowed_quantiles):
+    hourly p50/p90/p99 of event value per event_type — the latency-
+    dashboard aggregate, completing the windowed trio next to x83/x84.
+    Gated on the batch path (exact percentile ≡ DuckDB quantile_cont, the
+    x27/x82 parity); the streaming twin (mergeable percentile_approx
+    state) shares this code path and is pinned in tests/test_streaming.py."""
+    from dftly_spark.streaming import windowed_quantiles
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_quantiles(
+        ev, "ts", "value", keys=["event_type"], window="1 hour",
+        watermark="2 hours", probs=(0.5, 0.9, 0.99),
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("start_us"),
+        F.unix_micros("window_end").alias("end_us"),
+        "event_type",
+        "n",
+        "p50",
+        "p90",
+        "p99",
+    )
+
+
+_q(
+    "x96_windowed_quantiles",
+    _x96,
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT)
+               * 3600000000 AS start_us
+      FROM events
+    )
+    SELECT start_us, start_us + 3600000000 AS end_us, event_type,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM e GROUP BY start_us, event_type
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -5258,6 +5349,8 @@ _PRIORITY = [
     # -- round-4 additions (no driver row yet) --
     "q28_chrono_residue",
     "q29_sqlgen_arrays",
+    "x96_windowed_quantiles",
+    "x97_psi_drift",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

@@ -121,6 +121,7 @@ from .profile import (
     ntile_features,
     rolling_zscore,
     ks_drift,
+    psi_drift,
     profile_table,
     quantile_stats,
     rollup_stats,
@@ -192,7 +193,7 @@ __all__ = [
     "asof_join", "asof_join_stream", "asof_join_stream_tws", "nearest_join", "lag_features", "range_join",
     "salted_agg", "write_bucketed", "read_bucketed", "bloom_prune", "semi_prune",
     "write_partitioned", "write_zordered", "zorder_key", "profile_table", "json_extract_fields", "json_parse_typed",
-    "compact_table", "plan_summary", "partitioned_cumsum", "ks_drift",
+    "compact_table", "plan_summary", "partitioned_cumsum", "ks_drift", "psi_drift",
     "histogram_fixed",
     "hash_split", "stratified_sample", "pack_sequences", "quantile_stats",
     "bm25_topk", "tf_idf_vectors", "sparse_cosine_pairs", "cap_per_group", "rollup_stats",

@@ -173,6 +173,79 @@ def ks_drift(
     )
 
 
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    a,
+    b,
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    smooth: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Population Stability Index contributions between two slices.
+
+    The model-monitoring companion to :func:`ks_drift` (PSI is what credit
+    /ranking pipelines alarm on: <0.1 stable, 0.1-0.25 moderate, >0.25
+    shifted): ``value_col`` is bucketed into ``n_buckets`` uniform buckets
+    over ``[lo, hi)`` (out-of-range values clamp into the end buckets —
+    the standard PSI treatment of range drift; nulls drop), and each
+    bucket row carries ``psi = (p_a - p_b) · ln(p_a / p_b)`` with
+    Laplace-smoothed proportions ``p = (c + smooth) / (N + smooth·k)`` so
+    empty buckets stay finite.  Total PSI = ``sum(psi)`` — left to the
+    caller's report layer: the emitted rows are per-bucket and
+    per-row-deterministic (a cross-bucket float sum would be
+    partial-order dependent).  ``psi`` is rounded by the convention-free
+    floor-scale (``ln`` differs between engines in the last ulp; division
+    and subtraction are correctly rounded and stay full-precision).
+
+    Scale shape: ONE keyed aggregation over the tagged rows (bucket index
+    is row-local arithmetic), a ``k``-row spine outer join, totals as a
+    1-row broadcast — no window, no shuffle beyond the single groupBy.
+    """
+    width = (hi - lo) / n_buckets
+    idx = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("bigint")
+    bucket = F.greatest(F.lit(0).cast("bigint"), F.least(F.lit(n_buckets - 1).cast("bigint"), idx))
+    tagged = df.where(
+        F.col(group_col).isin(a, b) & F.col(value_col).isNotNull()
+    ).select(
+        bucket.alias("bucket"),
+        (F.col(group_col) == a).cast("bigint").alias("_ia"),
+        (F.col(group_col) == b).cast("bigint").alias("_ib"),
+    )
+    counts = tagged.groupBy("bucket").agg(
+        F.sum("_ia").alias("_ca"), F.sum("_ib").alias("_cb")
+    )
+    spine = df.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    totals = tagged.groupBy().agg(
+        F.sum("_ia").alias("_na"), F.sum("_ib").alias("_nb")
+    )
+    full = (
+        spine.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("_ca"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("_cb"), F.lit(0)).alias("n_b"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    p_a = (F.col("n_a") + F.lit(smooth)) / (F.col("_na") + F.lit(smooth * n_buckets))
+    p_b = (F.col("n_b") + F.lit(smooth)) / (F.col("_nb") + F.lit(smooth * n_buckets))
+    psi_raw = (p_a - p_b) * F.log(p_a / p_b)
+    scale = float(10 ** decimals)
+    return full.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        (F.floor(psi_raw * scale + F.lit(0.5)) / scale).alias("psi"),
+    )
+
+
 def quantile_stats(
     df: DataFrame,
     value_col: str,

@@ -519,3 +519,53 @@ def windowed_cardinality(
         df, ts_col, window=window, watermark=watermark, keys=keys or [],
         aggs={"n_rows": F.count(F.lit(1)), f"nd_{col}": fn(F.col(col))},
     )
+
+
+def _prob_label(p: float) -> str:
+    """0.5 -> p50, 0.99 -> p99, 0.999 -> p99_9."""
+    s = f"{p * 100:g}".replace(".", "_")
+    return f"p{s}"
+
+
+def windowed_quantiles(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    keys: list[str] | None = None,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    approx: bool | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-window quantiles of ``value_col`` (latency dashboards: p50/p90/
+    p99 per hour per service) — batch or stream, one column per prob.
+
+    ``approx=None`` auto-selects: ``percentile_approx`` on streams (exact
+    percentile is an ordered-set aggregate Structured Streaming cannot run
+    incrementally; the Greenwald-Khanna summary is mergeable bounded-size
+    state with rank error ≤ 1/``accuracy``), exact ``percentile`` on
+    bounded frames — the linear-interpolation definition DuckDB's
+    ``quantile_cont`` shares (the x27/x82 parity).  Completes the windowed
+    trio next to :func:`windowed_heavy_hitters` / :func:`windowed_cardinality`.
+    """
+    if approx is None:
+        approx = df.isStreaming
+    if df.isStreaming and not approx:
+        raise ValueError(
+            "exact percentile is unsupported on streams; use approx=True "
+            "(mergeable bounded-size quantile summary)"
+        )
+    v = F.col(value_col)
+    if approx:
+        aggs = {
+            _prob_label(p): F.percentile_approx(v, p, accuracy) for p in probs
+        }
+    else:
+        aggs = {_prob_label(p): F.percentile(v, p) for p in probs}
+    aggs = {"n": F.count(v), **aggs}
+    return tumbling_agg(
+        df, ts_col, window=window, watermark=watermark, keys=keys or [],
+        aggs=aggs,
+    )

@@ -567,3 +567,49 @@ def test_group_entropy_bounds_and_nulls(spark):
     assert got["mix"]["n_cats"] == 2  # null counted as its own category
     expected = -(1 / 3) * math.log(1 / 3) - (2 / 3) * math.log(2 / 3)
     assert abs(got["mix"]["entropy"] - expected) < 1e-6
+
+
+def test_psi_drift_hand_computed(spark):
+    """PSI contributions against a hand-computed example: 2 buckets of
+    [0, 10), smoothing 0.5, known counts."""
+    import math
+
+    from dftly_spark.ops import psi_drift
+
+    rows = (
+        [("a", 1.0)] * 6 + [("a", 7.0)] * 2      # a: 6 low, 2 high
+        + [("b", 2.0)] * 3 + [("b", 8.0)] * 5    # b: 3 low, 5 high
+        + [("c", 1.0)] * 9                       # other group: ignored
+        + [("a", None)]                          # null: dropped
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["bucket"]: r for r in psi_drift(
+        df, "v", "g", "a", "b", lo=0.0, hi=10.0, n_buckets=2
+    ).collect()}
+    assert set(out) == {0, 1}
+    # p = (c + 0.5) / (N + 0.5*2)
+    pa0, pb0 = (6 + 0.5) / 9.0, (3 + 0.5) / 9.0
+    pa1, pb1 = (2 + 0.5) / 9.0, (5 + 0.5) / 9.0
+    assert out[0]["n_a"] == 6 and out[0]["n_b"] == 3
+    assert abs(out[0]["p_a"] - pa0) < 1e-12 and abs(out[0]["p_b"] - pb0) < 1e-12
+    want0 = (pa0 - pb0) * math.log(pa0 / pb0)
+    want1 = (pa1 - pb1) * math.log(pa1 / pb1)
+    assert abs(out[0]["psi"] - want0) < 1e-6
+    assert abs(out[1]["psi"] - want1) < 1e-6
+    assert out[0]["psi"] >= 0 and out[1]["psi"] >= 0
+
+
+def test_psi_drift_clamps_and_empty_buckets(spark):
+    from dftly_spark.ops import psi_drift
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 99.0), ("b", 3.0)], "g string, v double"
+    )
+    out = {r["bucket"]: r for r in psi_drift(
+        df, "v", "g", "a", "b", lo=0.0, hi=10.0, n_buckets=5
+    ).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}          # full spine, empties present
+    assert out[0]["n_a"] == 1                    # -5 clamped low
+    assert out[4]["n_a"] == 1                    # 99 clamped high
+    assert out[1]["n_b"] == 1                    # 3.0 -> bucket 1
+    assert all(out[i]["psi"] is not None for i in out)  # smoothing: finite

@@ -631,3 +631,68 @@ def test_asof_stream_twins_share_one_loop():
 
     assert "_asof_loop(" in inspect.getsource(joins._asof_stream_func)
     assert "_asof_loop(" in inspect.getsource(joins.asof_join_stream_tws)
+
+
+def test_windowed_quantiles_stream_twin(spark):
+    """Stream path (mergeable percentile_approx state) vs batch exact:
+    identical windows/keys/counts, and each approx quantile within the
+    Greenwald-Khanna rank-error bound of the exact value (at the default
+    accuracy and these window sizes the summary never compresses, so the
+    values are exact order statistics — assert closeness, pin structure)."""
+    from dftly_spark.streaming import windowed_quantiles
+
+    ev = _batch_events(spark)
+    batch = windowed_quantiles(
+        ev, "ts", "value", keys=["event_type"], window="1 hour",
+        probs=(0.5, 0.9), approx=False,
+    )
+    stream = windowed_quantiles(
+        stream_table(spark, SF_DIR, "events"), "ts", "value",
+        keys=["event_type"], window="1 hour", probs=(0.5, 0.9),
+    )
+    # complete mode: append would hold back the final (never-closed)
+    # window — same convention as test_windowed_agg_matches_batch
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_wq")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("stream_wq")
+    b = {
+        (r["window_start"], r["event_type"]): r for r in batch.collect()
+    }
+    g = {(r["window_start"], r["event_type"]): r for r in got.collect()}
+    assert set(b) == set(g) and len(b) > 0
+    # percentile_approx returns an actual data point whose RANK is within
+    # the summary's error of the target — assert exactly that, against the
+    # window's own sorted values
+    import math
+
+    vals_by_win = {}
+    for r in ev.select(
+        F.window("ts", "1 hour").alias("w"), "event_type", "value"
+    ).collect():
+        vals_by_win.setdefault((r["w"]["start"], r["event_type"]), []).append(
+            r["value"]
+        )
+    for k in b:
+        assert b[k]["n"] == g[k]["n"]
+        vals = sorted(v for v in vals_by_win[k] if v is not None)
+        n = len(vals)
+        for p, q in ((0.5, "p50"), (0.9, "p90")):
+            assert g[k][q] in vals, (k, q)
+            rank = vals.index(g[k][q])
+            target = p * (n - 1)
+            assert abs(rank - target) <= max(2, math.ceil(n * 0.01)), (k, q)
+
+
+def test_windowed_quantiles_exact_rejected_on_stream(spark):
+    from dftly_spark.streaming import windowed_quantiles
+
+    with pytest.raises(ValueError, match="unsupported on streams"):
+        windowed_quantiles(
+            stream_table(spark, SF_DIR, "events"), "ts", "value", approx=False
+        )
