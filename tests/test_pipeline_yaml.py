@@ -283,7 +283,7 @@ def test_sql_step_tolerates_literal_braces(spark):
 def test_sql_step_view_is_unique_and_dropped(spark):
     # two runs of the same pipeline (same step index) must not clobber each
     # other's view, and no temp view may leak after the run
-    before = {v.name for v in spark.catalog.listTempViews()}
+    before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
     yaml_src = """
     source: {table: region}
     steps:
@@ -294,5 +294,5 @@ def test_sql_step_view_is_unique_and_dropped(spark):
     # both frames stay usable after their views were dropped (analysis is
     # eager — the plan no longer references the view)
     assert a.collect()[0]["n"] == b.collect()[0]["n"] == 5
-    after = {v.name for v in spark.catalog.listTempViews()}
+    after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
     assert not {v for v in after - before if v.startswith("_dftly_step_")}
