@@ -2474,6 +2474,61 @@ _q(
 )
 
 
+def _x98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-window features (ops/joins.py rolling_time_features):
+    per-event count/sum/min/max/mean of the last hour of each user's
+    values — ONE keyed RANGE-frame window, all aggregates in one pass.
+    Exactness: the value is integer-scaled (floor-scale to 1e-4 units,
+    the convention-free rounding) BEFORE the window, so the trailing sums
+    are order-independent bigint sums on both engines and the mean is one
+    exact IEEE division."""
+    from dftly_spark.ops import rolling_time_features
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("vi"),
+    )
+    out = rolling_time_features(
+        ev, "user_id", "ts", "vi", lookback_micros=3_600_000_000
+    )
+    return out.select(
+        "event_id",
+        F.col("vi_trail_n").alias("n_tr"),
+        F.col("vi_trail_sum").alias("sum_tr"),
+        F.col("vi_trail_min").alias("min_tr"),
+        F.col("vi_trail_max").alias("max_tr"),
+        (F.col("vi_trail_sum").cast("double") / F.col("vi_trail_n")).alias(
+            "mean_tr"
+        ),
+    )
+
+
+_q(
+    "x98_rolling_features",
+    _x98,
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi
+      FROM events
+    )
+    SELECT event_id,
+           CAST(COUNT(vi) OVER w AS BIGINT) AS n_tr,
+           CAST(SUM(vi) OVER w AS BIGINT) AS sum_tr,
+           MIN(vi) OVER w AS min_tr,
+           MAX(vi) OVER w AS max_tr,
+           CAST(SUM(vi) OVER w AS DOUBLE) / (COUNT(vi) OVER w) AS mean_tr
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+
+
 def _x39(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lag features per user over the event stream."""
     from dftly_spark.ops import lag_features
@@ -5351,6 +5406,7 @@ _PRIORITY = [
     "q29_sqlgen_arrays",
     "x96_windowed_quantiles",
     "x97_psi_drift",
+    "x98_rolling_features",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

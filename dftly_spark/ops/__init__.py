@@ -95,6 +95,7 @@ from .joins import (
     asof_join_stream,
     asof_join_stream_tws,
     lag_features,
+    rolling_time_features,
     nearest_join,
     range_join,
 )
@@ -190,7 +191,7 @@ __all__ = [
     "embedding_dup_pairs",
     "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk", "random_project", "kmeans_centroids", "topic_assign",
-    "asof_join", "asof_join_stream", "asof_join_stream_tws", "nearest_join", "lag_features", "range_join",
+    "asof_join", "asof_join_stream", "asof_join_stream_tws", "nearest_join", "lag_features", "rolling_time_features", "range_join",
     "salted_agg", "write_bucketed", "read_bucketed", "bloom_prune", "semi_prune",
     "write_partitioned", "write_zordered", "zorder_key", "profile_table", "json_extract_fields", "json_parse_typed",
     "compact_table", "plan_summary", "partitioned_cumsum", "ks_drift", "psi_drift",

@@ -74,6 +74,58 @@ def lag_features(
     return out
 
 
+def rolling_time_features(
+    df,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    lookback_micros: int,
+    include_current: bool = True,
+    prefix: str | None = None,
+):
+    """Trailing TIME-window features per key: for each row, the count /
+    sum / min / max / mean of ``value_col`` over the last
+    ``lookback_micros`` of event time (``[ts - lookback, ts]``; rows
+    sharing a timestamp are all frame peers, so ties need no tiebreak —
+    the other feature-store staple next to :func:`lag_features`, which is
+    ROW-based).  ``include_current=False`` makes the frame
+    ``[ts - lookback, ts)`` — strictly-before features for leakage-free
+    training labels.
+
+    ONE keyed window shuffle with a RANGE frame over ``unix_micros(ts)``;
+    all five aggregates share the frame, one pass per sorted partition.
+    Cost note: Spark's sliding-frame aggregates re-evaluate the buffered
+    frame per row (no retraction), so work is O(rows × avg window
+    occupancy) — the right plan for bounded lookbacks (minutes/hours of
+    per-key history); for day-scale windows over hot keys, pre-aggregate
+    to tumbling buckets first (:func:`~dftly_spark.streaming.tumbling_agg`)
+    and roll over the buckets.
+
+    New columns: ``<prefix>_n/_sum/_min/_max/_mean`` (prefix defaults to
+    ``<value_col>_trail``); nulls in ``value_col`` are skipped by every
+    aggregate (mean = null where the trailing window holds no values).
+    """
+    from pyspark.sql import Window
+
+    p = prefix or f"{value_col}_trail"
+    upper = 0 if include_current else -1
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-lookback_micros, upper)
+    )
+    v = F.col(value_col)
+    return df.select(
+        *df.columns,
+        F.count(v).over(w).alias(f"{p}_n"),
+        F.sum(v).over(w).alias(f"{p}_sum"),
+        F.min(v).over(w).alias(f"{p}_min"),
+        F.max(v).over(w).alias(f"{p}_max"),
+        F.avg(v).over(w).alias(f"{p}_mean"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -412,3 +412,58 @@ def test_nearest_join_no_pairwise_plan(spark):
     plan = plan_summary(nearest_join(left, right, on="ts", by="user_id"))
     assert plan["has_nested_loop"] is False
     assert plan["has_python_eval"] is False
+
+
+def test_rolling_time_features_values(spark):
+    """Trailing 10s window per key: hand-checked counts/sums, null value
+    skipped, include_current=False excludes the row itself."""
+    import datetime as dt
+
+    from dftly_spark.ops import rolling_time_features
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda k: t0 + dt.timedelta(seconds=k)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, 1, s(0), 10.0),
+            (2, 1, s(5), 20.0),
+            (3, 1, s(12), None),   # null: counted by nothing
+            (4, 1, s(14), 40.0),   # window [4,14]: t=5,12,14 -> n=2 (null skipped)
+            (5, 2, s(5), 7.0),     # other key
+        ],
+        "event_id long, user_id long, ts timestamp, v double",
+    )
+    out = {r["event_id"]: r for r in rolling_time_features(
+        df, "user_id", "ts", "v", lookback_micros=10_000_000
+    ).collect()}
+    assert out[1]["v_trail_n"] == 1 and out[1]["v_trail_sum"] == 10.0
+    assert out[2]["v_trail_n"] == 2 and out[2]["v_trail_sum"] == 30.0
+    assert out[3]["v_trail_n"] == 1 and out[3]["v_trail_sum"] == 20.0  # 20 in [2,12]
+    assert out[4]["v_trail_n"] == 2 and out[4]["v_trail_sum"] == 60.0
+    assert out[4]["v_trail_min"] == 20.0 and out[4]["v_trail_mean"] == 30.0
+    assert out[5]["v_trail_n"] == 1 and out[5]["v_trail_sum"] == 7.0
+    # leakage-free variant: frame excludes the current row
+    out2 = {r["event_id"]: r for r in rolling_time_features(
+        df, "user_id", "ts", "v", lookback_micros=10_000_000,
+        include_current=False,
+    ).collect()}
+    assert out2[1]["v_trail_n"] == 0 and out2[1]["v_trail_sum"] is None
+    assert out2[2]["v_trail_n"] == 1 and out2[2]["v_trail_sum"] == 10.0
+
+
+def test_rolling_time_features_single_window_shuffle(spark):
+    """All five aggregates share ONE RANGE-frame window — a single keyed
+    Exchange, one Window node."""
+    import datetime as dt
+
+    from dftly_spark.ops import rolling_time_features
+
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), 1.0)],
+        "event_id long, user_id long, ts timestamp, v double",
+    )
+    plan = rolling_time_features(
+        df, "user_id", "ts", "v", lookback_micros=1_000_000
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 1 or \
+        plan.count("hashpartitioning(user_id") <= 1
