@@ -253,3 +253,26 @@ def test_offset_with_seconds(run1):
     )
     assert got == dt.datetime(2024, 6, 15, 5, 0, 45)
     assert chrono.to_java("%::z") == "xxxxx"
+
+
+def test_dayname_century_roundtrip_property(run1):
+    """Property: for a spread of dates, any supported day-name/century
+    format produced by Python's own C-locale strftime parses back to the
+    same date through the engine's strip/rewrite plans."""
+    import datetime as dt
+
+    fmts = [
+        "%a %d %b %Y",
+        "%A, %d %B %Y",
+        "%Y-%m-%d %a",
+        "%C%y-%m-%d",
+        "%a, %C%y/%m/%d",
+    ]
+    d0 = dt.date(1999, 11, 20)
+    for off in range(0, 700, 37):  # crosses two year boundaries + leap year
+        day = d0 + dt.timedelta(days=off)
+        for fmt in fmts:
+            py_fmt = fmt.replace("%C%y", "%Y")  # CPython lacks %C; equal bytes
+            s = day.strftime(py_fmt)
+            got = run1(f"strptime($s, '{fmt}')", s=s)
+            assert got == day, (fmt, s, got)
