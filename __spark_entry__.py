@@ -2529,6 +2529,48 @@ _q(
 )
 
 
+def _x99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ROC-AUC (ops/quality.py roc_auc): does event
+    value separate purchases from the rest?  Mann-Whitney rank-sum with
+    average-rank ties in ALL-INTEGER decimal(38,0) arithmetic — exact and
+    order-independent at any corpus size, one double division at the end,
+    cumulative ranks via the two-level partitioned_cumsum (never a
+    single-reducer window)."""
+    from dftly_spark.ops import roc_auc
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_type") == "purchase").alias("is_purchase"), "value"
+    )
+    return roc_auc(ev, "is_purchase", "value")
+
+
+_q(
+    "x99_roc_auc",
+    _x99,
+    """
+    WITH t AS (
+      SELECT CAST(value AS DOUBLE) AS s,
+             CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    g AS (SELECT s, SUM(y) AS np, COUNT(*) AS nt FROM t GROUP BY s),
+    c AS (SELECT np, nt, SUM(nt) OVER (ORDER BY s) AS cumnt FROM g),
+    x AS (
+      SELECT SUM(np * (2 * (cumnt - nt) + nt + 1)) AS rs2,
+             SUM(np) AS npos, SUM(nt) - SUM(np) AS nneg
+      FROM c
+    )
+    SELECT CASE WHEN npos > 0 AND nneg > 0 THEN
+             CAST(rs2 - npos * (npos + 1) AS DOUBLE) / (2.0 * npos * nneg)
+           END AS auc,
+           CAST(npos AS BIGINT) AS n_pos,
+           CAST(nneg AS BIGINT) AS n_neg
+    FROM x
+    """,
+)
+
+
 def _x39(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lag features per user over the event stream."""
     from dftly_spark.ops import lag_features
@@ -5407,6 +5449,7 @@ _PRIORITY = [
     "x96_windowed_quantiles",
     "x97_psi_drift",
     "x98_rolling_features",
+    "x99_roc_auc",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expect"]
+__all__ = ["expect", "roc_auc"]
 
 
 def _rule_cols(df: DataFrame, rules: list[dict]):
@@ -134,4 +134,79 @@ def expect(df: DataFrame, rules: list[dict]) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("n_violations").cast("bigint").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    *,
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact distributed ROC-AUC of a binary ``label_col`` against
+    ``score_col`` — the quality-classifier evaluation at corpus scale.
+
+    Rank-sum (Mann-Whitney) formulation with average ranks for ties,
+    carried in ALL-INTEGER arithmetic: doubling the rank sum makes every
+    per-score-group term ``n⁺_g · (2·before_g + n_g + 1)`` an integer,
+    summed as ``decimal(38,0)`` — exact and order-independent at any
+    corpus size, finished by ONE double division:
+    ``AUC = (2S − n⁺(n⁺+1) · … ) / (2·n⁺·n⁻)`` — so any engine reproduces
+    the value bit-for-bit; no sampling, no sketch.
+
+    Scale shape: one keyed aggregation to per-distinct-score (n_pos,
+    n_tot) counts, cumulative positions via
+    :func:`~dftly_spark.ops.scale.partitioned_cumsum` (two-level scan —
+    never a single-reducer global window), one tiny final agg.  Rows with
+    a null label or score are dropped.  Returns one row
+    ``(auc, n_pos, n_neg)``; ``auc`` is null when either class is empty.
+    """
+    from .scale import partitioned_cumsum
+
+    tagged = df.where(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("boolean").cast("bigint").alias("_y"),
+    )
+    grp = tagged.groupBy("_s").agg(
+        F.sum("_y").alias("_np"), F.count(F.lit(1)).alias("_nt")
+    )
+    cum = partitioned_cumsum(grp, "_s", ["_nt"], buckets=buckets)
+    # twice the rank-sum contribution of a tied score group: positives ×
+    # (2·rows-before + group-size + 1) — integer, summed exactly
+    contrib = cum.select(
+        "_np",
+        "_nt",
+        (
+            F.col("_np")
+            * (
+                2 * (F.col("cum__nt") - F.col("_nt"))
+                + F.col("_nt")
+                + F.lit(1)
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("_rs2"),
+    )
+    agg = contrib.agg(
+        F.sum("_rs2").alias("_ranksum2"),
+        F.sum("_np").alias("n_pos"),
+        (F.sum("_nt") - F.sum("_np")).alias("n_neg"),
+    )
+    num = (
+        F.col("_ranksum2")
+        - (
+            F.col("n_pos").cast("decimal(38,0)")
+            * (F.col("n_pos") + F.lit(1)).cast("decimal(38,0)")
+        )
+    ).cast("double")
+    den = 2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    return agg.select(
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), num / den).alias(
+            "auc"
+        ),
+        "n_pos",
+        "n_neg",
     )

@@ -786,3 +786,56 @@ def test_fit_scalar_quantizer_empty_or_null_raises(spark):
     )
     with pytest.raises(ValueError, match="1 row"):
         fit_scalar_quantizer(mixed, "emb", dim=3)
+
+
+def test_roc_auc_matches_reference(spark):
+    """AUC vs a pure-Python average-rank Mann-Whitney reference, ties and
+    null rows included; degenerate one-class frame yields null."""
+    import random
+
+    from dftly_spark.ops import roc_auc
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        y = rng.random() < 0.3
+        # scores correlate with the label and carry heavy ties
+        s = round(rng.gauss(1.0 if y else 0.0, 1.0), 1)
+        rows.append((y, s))
+    rows += [(None, 1.0), (True, None)]  # dropped
+    df = spark.createDataFrame(rows, "y boolean, s double")
+    got = roc_auc(df, "y", "s").collect()[0]
+
+    clean = [(y, s) for y, s in rows if y is not None and s is not None]
+    srt = sorted(clean, key=lambda t: t[1])
+    # average ranks (1-based) per tied block
+    ranks, i = {}, 0
+    while i < len(srt):
+        j = i
+        while j < len(srt) and srt[j][1] == srt[i][1]:
+            j += 1
+        r = (i + 1 + j) / 2.0
+        ranks.setdefault(srt[i][1], r)
+        i = j
+    npos = sum(1 for y, _ in clean if y)
+    nneg = len(clean) - npos
+    ranksum = sum(ranks[s] for y, s in clean if y)
+    want = (ranksum - npos * (npos + 1) / 2.0) / (npos * nneg)
+    assert got["n_pos"] == npos and got["n_neg"] == nneg
+    assert abs(got["auc"] - want) < 1e-12
+    # AUC of the label against itself as a score: perfect separation
+    perfect = roc_auc(
+        df.where(F.col("y").isNotNull()).select(
+            "y", F.col("y").cast("double").alias("sc")
+        ),
+        "y",
+        "sc",
+    ).collect()[0]
+    # all ties within each class: AUC = 1 - overlap = exactly 1.0? ties at
+    # 0/1 only -> AUC = 1 - (tie correction) = 1.0 since classes separate
+    assert perfect["auc"] == 1.0
+    # one-class frame -> null
+    onecls = roc_auc(
+        df.where(F.col("y") == True), "y", "s"  # noqa: E712
+    ).collect()[0]
+    assert onecls["auc"] is None
