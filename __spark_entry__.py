@@ -2571,6 +2571,55 @@ _q(
 )
 
 
+def _x100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice exact ROC-AUC (ops/quality.py roc_auc_by_group): the
+    x99 metric computed per user shard — a global AUC hides a slice where
+    the classifier is broken.  Same all-integer decimal(38,0) rank sums;
+    cumulative ranks from ONE keyed window whose partitions carry a
+    group's DISTINCT scores (deduped before the window)."""
+    from dftly_spark.ops import roc_auc_by_group
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ev = ev.select(
+        (F.col("user_id") % 8).alias("shard"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+        "value",
+    )
+    return roc_auc_by_group(ev, "shard", "is_purchase", "value")
+
+
+_q(
+    "x100_group_auc",
+    _x100,
+    """
+    WITH t AS (
+      SELECT user_id % 8 AS g, CAST(value AS DOUBLE) AS s,
+             CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+        AND user_id IS NOT NULL
+    ),
+    g2 AS (SELECT g, s, SUM(y) AS np, COUNT(*) AS nt FROM t GROUP BY g, s),
+    c AS (SELECT g, np, nt,
+                 SUM(nt) OVER (PARTITION BY g ORDER BY s) AS cum
+          FROM g2),
+    x AS (
+      SELECT g, SUM(np * (2 * (cum - nt) + nt + 1)) AS rs2,
+             SUM(np) AS npos, SUM(nt) - SUM(np) AS nneg
+      FROM c GROUP BY g
+    )
+    SELECT g AS shard,
+           CASE WHEN npos > 0 AND nneg > 0 THEN
+             CAST(rs2 - npos * (npos + 1) AS DOUBLE) / (2.0 * npos * nneg)
+           END AS auc,
+           CAST(npos AS BIGINT) AS n_pos,
+           CAST(nneg AS BIGINT) AS n_neg
+    FROM x
+    """,
+)
+
+
 def _x39(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lag features per user over the event stream."""
     from dftly_spark.ops import lag_features
@@ -5450,6 +5499,7 @@ _PRIORITY = [
     "x97_psi_drift",
     "x98_rolling_features",
     "x99_roc_auc",
+    "x100_group_auc",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

@@ -69,7 +69,7 @@ from .dedup import (
     word_shingles,
 )
 from .graph import pagerank, prepare_edges
-from .quality import expect, roc_auc
+from .quality import expect, roc_auc, roc_auc_by_group
 from .reshape import melt, pivot_wide
 from .assoc import cooccurrence_pmi
 from .sketch import cms_build, cms_estimate
@@ -167,7 +167,7 @@ from .multimodal import (
 
 __all__ = [
     "melt", "pivot_wide", "cooccurrence_pmi", "distinct_counts", "line_filter",
-    "ewma", "edit_distance_pairs", "mad_outliers", "expect", "roc_auc",
+    "ewma", "edit_distance_pairs", "mad_outliers", "expect", "roc_auc", "roc_auc_by_group",
     "fit_scalar_quantizer", "quantize_embeddings", "quantization_fidelity",
     "pagerank", "prepare_edges", "ranking_metrics", "pool_embeddings",
     "salted_join", "winsorize", "impute_nulls", "group_trend",

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expect", "roc_auc"]
+__all__ = ["expect", "roc_auc", "roc_auc_by_group"]
 
 
 def _rule_cols(df: DataFrame, rules: list[dict]):
@@ -204,6 +204,78 @@ def roc_auc(
     ).cast("double")
     den = 2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
     return agg.select(
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), num / den).alias(
+            "auc"
+        ),
+        "n_pos",
+        "n_neg",
+    )
+
+
+def roc_auc_by_group(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Per-slice exact ROC-AUC: one row ``(group, auc, n_pos, n_neg)`` per
+    ``group_col`` value — the per-source / per-language model-eval shape
+    (a global AUC hides a slice where the classifier is broken).
+
+    Same all-integer Mann-Whitney formulation as :func:`roc_auc` (doubled
+    rank sums are integers, summed as ``decimal(38,0)`` — bit-exact in
+    any engine).  Cumulative ranks come from ONE keyed window over the
+    per-(group, score) distinct counts: the window partition carries a
+    group's DISTINCT scores (bounded by value cardinality, not row count
+    — dedup happens in the keyed aggregation before the window), so a
+    hot group costs its score cardinality, not its row count, on one
+    reducer.  For a single global slice use :func:`roc_auc`, whose
+    two-level cumsum avoids even that.
+    """
+    from pyspark.sql import Window
+
+    tagged = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("boolean").cast("bigint").alias("_y"),
+    )
+    grp = tagged.groupBy("_g", "_s").agg(
+        F.sum("_y").alias("_np"), F.count(F.lit(1)).alias("_nt")
+    )
+    w = Window.partitionBy("_g").orderBy("_s")
+    cum = grp.select(
+        "_g",
+        "_np",
+        "_nt",
+        F.sum("_nt").over(w).alias("_cum"),
+    )
+    contrib = cum.select(
+        "_g",
+        "_np",
+        "_nt",
+        (F.col("_np") * (2 * (F.col("_cum") - F.col("_nt")) + F.col("_nt") + F.lit(1)))
+        .cast("decimal(38,0)")
+        .alias("_rs2"),
+    )
+    agg = contrib.groupBy("_g").agg(
+        F.sum("_rs2").alias("_ranksum2"),
+        F.sum("_np").alias("n_pos"),
+        (F.sum("_nt") - F.sum("_np")).alias("n_neg"),
+    )
+    num = (
+        F.col("_ranksum2")
+        - (
+            F.col("n_pos").cast("decimal(38,0)")
+            * (F.col("n_pos") + F.lit(1)).cast("decimal(38,0)")
+        )
+    ).cast("double")
+    den = 2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    return agg.select(
+        F.col("_g").alias(group_col),
         F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), num / den).alias(
             "auc"
         ),

@@ -839,3 +839,26 @@ def test_roc_auc_matches_reference(spark):
         df.where(F.col("y") == True), "y", "s"  # noqa: E712
     ).collect()[0]
     assert onecls["auc"] is None
+
+
+def test_roc_auc_by_group_matches_global_per_slice(spark):
+    """Per-group AUC over a frame with two disjoint slices equals the
+    global roc_auc computed on each slice alone."""
+    import random
+
+    from dftly_spark.ops import roc_auc, roc_auc_by_group
+
+    rng = random.Random(5)
+    rows = []
+    for g in ("a", "b"):
+        sep = 2.0 if g == "a" else 0.2  # slice 'a' separates well, 'b' barely
+        for _ in range(150):
+            y = rng.random() < 0.4
+            rows.append((g, y, round(rng.gauss(sep if y else 0.0, 1.0), 1)))
+    df = spark.createDataFrame(rows, "g string, y boolean, s double")
+    per = {r["g"]: r for r in roc_auc_by_group(df, "g", "y", "s").collect()}
+    for g in ("a", "b"):
+        solo = roc_auc(df.where(F.col("g") == g), "y", "s").collect()[0]
+        assert per[g]["auc"] == solo["auc"], g
+        assert per[g]["n_pos"] == solo["n_pos"]
+    assert per["a"]["auc"] > per["b"]["auc"]  # separation order preserved
