@@ -112,7 +112,9 @@ def rolling_time_features(
     upper = 0 if include_current else -1
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.unix_micros(F.col(ts_col)))
+        # _micros: same timestamp coercion as asof/range/nearest joins, so
+        # the accepted ts input types are consistent across this module
+        .orderBy(_micros(F.col(ts_col)))
         .rangeBetween(-lookback_micros, upper)
     )
     v = F.col(value_col)

@@ -206,6 +206,13 @@ def psi_drift(
     is row-local arithmetic), a ``k``-row spine outer join, totals as a
     1-row broadcast — no window, no shuffle beyond the single groupBy.
     """
+    if n_buckets < 1:
+        raise ValueError(f"psi_drift needs n_buckets >= 1, got {n_buckets}")
+    if not hi > lo:
+        raise ValueError(
+            f"psi_drift needs hi > lo, got lo={lo!r} hi={hi!r} (a zero-width "
+            "range would silently clamp every row into the top bucket)"
+        )
     width = (hi - lo) / n_buckets
     idx = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("bigint")
     bucket = F.greatest(F.lit(0).cast("bigint"), F.least(F.lit(n_buckets - 1).cast("bigint"), idx))
@@ -220,8 +227,12 @@ def psi_drift(
         F.sum("_ia").alias("_ca"), F.sum("_ib").alias("_cb")
     )
     spine = df.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
-    totals = tagged.groupBy().agg(
-        F.sum("_ia").alias("_na"), F.sum("_ib").alias("_nb")
+    # totals fold the <= k bucket-count rows, NOT the tagged frame — a
+    # second full scan would double the op's I/O; coalesce keeps an
+    # all-empty slice finite (smoothed proportions, psi 0), as documented
+    totals = counts.agg(
+        F.coalesce(F.sum("_ca"), F.lit(0)).alias("_na"),
+        F.coalesce(F.sum("_cb"), F.lit(0)).alias("_nb"),
     )
     full = (
         spine.join(counts, "bucket", "left")

@@ -175,17 +175,20 @@ def roc_auc(
     )
     cum = partitioned_cumsum(grp, "_s", ["_nt"], buckets=buckets)
     # twice the rank-sum contribution of a tied score group: positives ×
-    # (2·rows-before + group-size + 1) — integer, summed exactly
+    # (2·rows-before + group-size + 1) — integer, summed exactly.  BOTH
+    # factors go to decimal BEFORE the multiply: their bigint product
+    # overflows int64 near ~4e9 rows on a degenerate (constant-score)
+    # column — exactly the broken-classifier case this op must survive.
     contrib = cum.select(
         "_np",
         "_nt",
         (
-            F.col("_np")
+            F.col("_np").cast("decimal(38,0)")
             * (
                 2 * (F.col("cum__nt") - F.col("_nt"))
                 + F.col("_nt")
                 + F.lit(1)
-            )
+            ).cast("decimal(38,0)")
         )
         .cast("decimal(38,0)")
         .alias("_rs2"),
@@ -257,7 +260,12 @@ def roc_auc_by_group(
         "_g",
         "_np",
         "_nt",
-        (F.col("_np") * (2 * (F.col("_cum") - F.col("_nt")) + F.col("_nt") + F.lit(1)))
+        (
+            F.col("_np").cast("decimal(38,0)")
+            * (2 * (F.col("_cum") - F.col("_nt")) + F.col("_nt") + F.lit(1)).cast(
+                "decimal(38,0)"
+            )
+        )
         .cast("decimal(38,0)")
         .alias("_rs2"),
     )

@@ -613,3 +613,21 @@ def test_psi_drift_clamps_and_empty_buckets(spark):
     assert out[4]["n_a"] == 1                    # 99 clamped high
     assert out[1]["n_b"] == 1                    # 3.0 -> bucket 1
     assert all(out[i]["psi"] is not None for i in out)  # smoothing: finite
+
+
+def test_psi_drift_validates_and_handles_empty(spark):
+    import pytest as _pytest
+
+    from dftly_spark.ops import psi_drift
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with _pytest.raises(ValueError, match="hi > lo"):
+        psi_drift(df, "v", "g", "a", "b", lo=10.0, hi=10.0)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        psi_drift(df, "v", "g", "a", "b", lo=0.0, hi=1.0, n_buckets=0)
+    # all-empty slice: smoothed proportions stay finite, psi = 0 per bucket
+    empty = df.where(F.col("g") == "zzz")
+    out = psi_drift(empty, "v", "g", "a", "b", lo=0.0, hi=1.0, n_buckets=4).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["p_a"] == r["p_b"] == 0.25 and r["psi"] == 0.0

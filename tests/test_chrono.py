@@ -260,7 +260,19 @@ def test_dayname_century_roundtrip_property(run1):
     format produced by Python's own C-locale strftime parses back to the
     same date through the engine's strip/rewrite plans."""
     import datetime as dt
+    import locale
 
+    # the engine parses C-locale names; Python strftime follows LC_TIME —
+    # pin it so the test is environment-independent
+    prev = locale.setlocale(locale.LC_TIME)
+    locale.setlocale(locale.LC_TIME, "C")
+    try:
+        _dayname_century_cases(run1, dt)
+    finally:
+        locale.setlocale(locale.LC_TIME, prev)
+
+
+def _dayname_century_cases(run1, dt):
     fmts = [
         "%a %d %b %Y",
         "%A, %d %B %Y",
