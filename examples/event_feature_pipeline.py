@@ -7,9 +7,10 @@ from dftly-spark operators:
     read → engine expressions (derived columns) → null repair
     (impute_nulls) → outlier repair (winsorize) → anomaly flags
     (rolling_zscore) → sessions (sessionize + merge_intervals) → per-user
-    features (lag_features, time_weighted_avg, ntile_features) → state
-    history (scd2_history) → journey model (transition_matrix) → cohort &
-    funnel reporting → skew diagnostics (key_skew_profile)
+    features (lag_features, rolling_time_features, time_weighted_avg,
+    ntile_features) → state history (scd2_history) → journey model
+    (transition_matrix) → cohort & funnel reporting → skew diagnostics
+    (key_skew_profile) → eval & drift (roc_auc_by_group, psi_drift)
 
 Every stage is a DataFrame → DataFrame transformation keyed on the SAME
 user/type keys, so at 100 TB the plan is a handful of keyed Exchanges that
@@ -36,6 +37,9 @@ from dftly_spark.ops import (
     lag_features,
     merge_intervals,
     ntile_features,
+    psi_drift,
+    roc_auc_by_group,
+    rolling_time_features,
     rolling_zscore,
     scd2_history,
     sessionize,
@@ -113,6 +117,24 @@ def build(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # 7. Ops diagnostics: is user_id safe to shuffle on?
     skew = key_skew_profile(ev, "user_id", top_k=20)
 
+    # 8. Eval & drift monitoring: trailing-hour activity as of each event
+    #    (strictly-before frame -> leakage-free as a training feature),
+    #    does value separate purchases per hour-of-day slice (a global AUC
+    #    hides a broken slice), and has the purchase value distribution
+    #    drifted away from clicks?
+    trailing = rolling_time_features(
+        ev.select("event_id", "user_id", "ts", "clamped"),
+        "user_id",
+        "ts",
+        "clamped",
+        lookback_micros=3_600_000_000,
+        include_current=False,
+    )
+    auc_by_hour = roc_auc_by_group(ev, "hour", "is_purchase", "clamped")
+    drift = psi_drift(
+        ev, "clamped", "event_type", "click", "purchase", lo=0.0, hi=500.0
+    )
+
     return {
         "events_clean": ev,
         "anomalies": flagged.where("is_anomaly"),
@@ -123,6 +145,9 @@ def build(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "state_history": history,
         "journeys": journeys,
         "user_skew": skew,
+        "trailing_features": trailing,
+        "auc_by_hour": auc_by_hour,
+        "value_drift": drift,
     }
 
 
