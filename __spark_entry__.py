@@ -5453,6 +5453,310 @@ _q(
 )
 
 
+def _x101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping-priority top-k: unshipped revenue per order
+    for one market segment.  The segment-filtered customer key list and the
+    date-filtered orders are dimension inputs to the lineitem fact scan;
+    joins stay UNFORCED equi-joins so AQE picks broadcast at test scale and
+    shuffle-hash at cluster scale (customer is fact-sized at 100 TB — a
+    hardcoded broadcast() would be the scale bug).  The final top-10 lowers
+    to TakeOrderedAndProject: per-partition heaps, no global sort.  Revenue
+    uses the x89 integer-scaled exact-money sum so the DESC order (and thus
+    the LIMIT set) is engine-independent; o_orderkey breaks ties."""
+    _prep(spark)
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    rev_i = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("bigint")
+    o = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "o_orderdate"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg((F.sum(rev_i) / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "revenue",
+        )
+    )
+
+
+_q(
+    "x101_shipping_priority",
+    _x101,
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) / 10000.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+
+
+def _x102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check: orders from one quarter with at
+    least one lineitem shipped >60 days after the order date, counted per
+    priority.  The EXISTS lowers to a LEFT SEMI hash join on the order key
+    (each order emitted at most once, no post-join dedup); the extra
+    non-equi ship-lag predicate rides on the same semi join as a join-side
+    filter.  Both scans prune to 2-3 columns."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (orders["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_q(
+    "x102_order_priority",
+    _x102,
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+def _x103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report: top-20 customers by revenue
+    lost to returns in one quarter, with nation name attached.  lineitem
+    filters on the return flag at the scan; orders⋈lineitem is the one
+    fact-fact shuffle (order key); customer and nation attach as unforced
+    equi-joins (AQE broadcasts them at test scale).  Exact integer-scaled
+    revenue keeps the top-20 cut engine-independent; c_custkey ties."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev_i = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(rev_i) / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_q(
+    "x103_returned_items",
+    _x103,
+    """
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+
+def _x104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier diversity: distinct suppliers able to ship
+    selected part shapes, excluding flagged (negative-balance) suppliers.
+    The exclusion is a LEFT ANTI hash join against the tiny flagged-key
+    list (the NOT-IN shape, null-safe because keys are non-null); the
+    part-shape filter prunes at the part scan before the fact join; one
+    distinct-agg on (brand, size, suppkey) then a count — both collapse
+    into a two-phase partial/final agg with map-side combine."""
+    _prep(spark)
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    flagged = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(flagged, li["l_suppkey"] == flagged["s_suppkey"], "left_anti")
+        .join(
+            part.select("p_partkey", "p_brand", "p_size"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_q(
+    "x104_supplier_diversity",
+    _x104,
+    """
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+
+
+def _x105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: orders whose total quantity
+    exceeds 150, with customer attached.  The HAVING is ONE keyed agg over
+    lineitem whose output (~2% of orders) then drives the orders join —
+    agg and join both partition on the order key, so the join reuses the
+    agg's Exchange.  Quantities are whole numbers: sums are exact."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+_q(
+    "x105_large_orders",
+    _x105,
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           o_totalprice, sum_qty
+    FROM orders
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 150) big ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+
+
+def _x106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style dormant high-value accounts: customers whose balance
+    beats the positive-balance average but who placed no order since 1999,
+    counted per nation.  The global average attaches as a 1-row broadcast
+    (sanctioned scalar-attach pattern, allowlisted in tests/test_plans.py);
+    the threshold compare is PURE INTEGER — cents×count > total-cents, no
+    float average anywhere, so no knife-edge rows at any scale.  The
+    no-recent-orders test is a LEFT ANTI join on the customer key against
+    the date-pruned orders scan."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    pos = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(cents).alias("total_cents"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .where(cents * F.col("n_pos") > F.col("total_cents"))
+        .select("c_custkey", "c_nationkey", cents.alias("c_cents"))
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("c_cents") / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+_q(
+    "x106_dormant_accounts",
+    _x106,
+    """
+    WITH pos AS (
+      SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_pos
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0
+             AS totacctbal
+    FROM customer, pos
+    WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n_pos > total_cents
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -5500,6 +5804,12 @@ _PRIORITY = [
     "x98_rolling_features",
     "x99_roc_auc",
     "x100_group_auc",
+    "x101_shipping_priority",
+    "x102_order_priority",
+    "x103_returned_items",
+    "x104_supplier_diversity",
+    "x105_large_orders",
+    "x106_dormant_accounts",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

@@ -118,6 +118,7 @@ def test_all_contract_queries_plan_invariants(spark):
         "x80_basket_pmi",  # 1-row group-total broadcast (scalar attach)
         "x92_doc_keywords",  # 1-row corpus-size (N) broadcast in tf_idf
         "x97_psi_drift",  # 1-row (n_a, n_b) totals broadcast over k buckets
+        "x106_dormant_accounts",  # 1-row positive-balance avg broadcast
     }
     arrow_allowed = {"x09_multimodal_decode"}  # sanctioned mapInPandas stub
     for name, fn in entry.queries().items():
