@@ -5757,6 +5757,53 @@ _q(
 )
 
 
+def _x107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (ops/graph.py triangle_count) over the part
+    co-purchase graph: parts are linked when they share an order.  The
+    operator orients edges by (degree, id) so each triangle is enumerated
+    once from its lowest-degree corner and the wedge join's fanout is
+    O(sqrt(m))-bounded — the hub defense; counts are orientation-invariant,
+    so the oracle replays them with plain id-ordered enumeration."""
+    from dftly_spark.ops import triangle_count
+
+    _prep(spark)
+    items = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    o2 = items.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_partkey").alias("_pk2")
+    )
+    edges = (
+        items.join(
+            o2,
+            (items["l_orderkey"] == o2["_ok2"])
+            & (items["l_partkey"] < o2["_pk2"]),
+        )
+        .select(F.col("l_partkey").alias("src"), F.col("_pk2").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+_q(
+    "x107_triangle_count",
+    _x107,
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM e e1
+            JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles
+    FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+    GROUP BY node
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -5810,6 +5857,7 @@ _PRIORITY = [
     "x104_supplier_diversity",
     "x105_large_orders",
     "x106_dormant_accounts",
+    "x107_triangle_count",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

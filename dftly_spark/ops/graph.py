@@ -63,6 +63,100 @@ def prepare_edges(
     )
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts: ``(node, triangles)`` for an undirected graph.
+
+    Degree-oriented wedge closing (the MapReduce-classic node-iterator++
+    layout): edges are canonicalized undirected, then ORIENTED from the
+    lower-(degree, id) endpoint to the higher, so every triangle is
+    enumerated exactly once from its lowest-ranked corner AND the oriented
+    out-degree is bounded by O(sqrt(m)) — the hub-supernode defense that
+    keeps the wedge self-join's fanout polynomial-free at web scale, where
+    orienting by raw id would put a celebrity node's full neighbor list on
+    one side of the join.  Three shuffles total: degree agg, wedge
+    self-join (equi on the wedge corner, the rank predicate rides along),
+    and the closing equi-join; per-node counts are one final explode+agg.
+    Counts are orientation-invariant, so any engine can replay them with
+    plain id-ordered enumeration.
+    """
+    ab = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")).where(
+        F.col(src) != F.col(dst)
+    )
+    # The canonical edge frame is referenced four times (two degree joins +
+    # the orientation) and the oriented frame three times (both wedge sides
+    # + the closer) — without lineage truncation the caller's whole edge
+    # build re-executes (and re-broadcasts) once per reference, which is
+    # both 5× the work and the actual heap blowup on small executors.
+    und = (
+        ab.select(
+            F.least("_a", "_b").alias("_u"), F.greatest("_a", "_b").alias("_v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("_u").alias("_n"))
+        .unionByName(und.select(F.col("_v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    du = deg.select(F.col("_n").alias("_un"), F.col("_d").alias("_ud"))
+    dv = deg.select(F.col("_n").alias("_vn"), F.col("_d").alias("_vd"))
+    with_deg = und.join(du, und["_u"] == du["_un"]).join(
+        dv, und["_v"] == dv["_vn"]
+    )
+    u_first = F.struct(F.col("_ud"), F.col("_u")) < F.struct(
+        F.col("_vd"), F.col("_v")
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
+        F.when(u_first, F.col("_v")).otherwise(F.col("_u")).alias("_t"),
+        F.when(u_first, F.col("_vd")).otherwise(F.col("_ud")).alias("_td"),
+    ).localCheckpoint(eager=False)
+    e1 = oriented.select(
+        F.col("_s").alias("_w1s"), F.col("_t").alias("_w1t"), F.col("_td").alias("_w1d")
+    )
+    e2 = oriented.select(
+        F.col("_s").alias("_w2s"), F.col("_t").alias("_w2t"), F.col("_td").alias("_w2d")
+    )
+    # SHUFFLE_HASH hints building the EDGE side of both joins: the wedge
+    # list is O(m·d_max) rows — the dominant intermediate — and must only
+    # ever be STREAMED, never sorted and never built into a hash map.  A
+    # sort-merge plan here sorts the wedge stream; under a small executor
+    # heap that sort degenerates into hundreds of spill files whose merge
+    # read-ahead buffers alone exhaust the heap (observed at sf0.1 / 1 GiB
+    # heap).  The edge side is m/num_partitions rows per task — a few MB
+    # of hash map — so shuffled-hash keeps peak memory flat regardless of
+    # wedge count.
+    wedges = e1.join(
+        e2.hint("shuffle_hash"),
+        (e1["_w1s"] == e2["_w2s"])
+        & (
+            F.struct(F.col("_w1d"), F.col("_w1t"))
+            < F.struct(F.col("_w2d"), F.col("_w2t"))
+        ),
+    ).select("_w1s", "_w1t", "_w2t")
+    closer = oriented.select(
+        F.col("_s").alias("_cs"), F.col("_t").alias("_ct")
+    )
+    tris = wedges.join(
+        closer.hint("shuffle_hash"),
+        (wedges["_w1t"] == closer["_cs"]) & (wedges["_w2t"] == closer["_ct"]),
+        "left_semi",
+    )
+    return (
+        tris.select(
+            F.explode(F.array("_w1s", "_w1t", "_w2t")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -315,6 +315,42 @@ def test_pagerank_mass_and_hub(spark):
     assert out["a"] > out["b"] == out["c"]  # a gets the hub's backlink
 
 
+def test_triangle_count_known_graph(spark):
+    from dftly_spark.ops import triangle_count
+
+    # K4 on {a,b,c,d} (4 triangles, each node in 3) plus a pendant edge
+    # d-e (e touches no triangle and must be absent from the output).
+    # Edges arrive in mixed orientation with a duplicate and a self-loop —
+    # canonicalization must absorb all three.
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    noisy = k4 + [("c", "b"), ("e", "d"), ("a", "a")]
+    edges = spark.createDataFrame(noisy, "src string, dst string")
+    out = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_count_partition_invariance(spark):
+    from dftly_spark.ops import triangle_count
+
+    import random
+    from itertools import combinations
+
+    rng = random.Random(7)
+    raw = [(rng.randrange(14), rng.randrange(14)) for _ in range(70)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    a = sorted(map(tuple, triangle_count(edges).collect()))
+    b = sorted(map(tuple, triangle_count(edges.repartition(17)).collect()))
+    # brute-force reference on the same edge set
+    und = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+    expected: dict[int, int] = {}
+    nodes = {n for e in und for n in e}
+    for x, y, z in combinations(sorted(nodes), 3):
+        if {(x, y), (x, z), (y, z)} <= und:
+            for n in (x, y, z):
+                expected[n] = expected.get(n, 0) + 1
+    assert a == b == sorted(expected.items()) and len(a) > 0
+
+
 def test_pagerank_dangling_self_loop_repair(spark):
     from dftly_spark.ops import pagerank
 
