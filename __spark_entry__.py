@@ -5804,6 +5804,59 @@ _q(
 )
 
 
+def _x108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-interval resample + forward fill (ops/sessions.py
+    resample_ffill): each user's irregular event series regularized to a
+    6-hour grid carrying the last observed value — the gap-filling half of
+    pandas resample().ffill(), shaped for scale: raw events collapse to
+    one row per (user, bucket) in a single keyed agg (deterministic
+    in-bucket last via max_by over (ts, event_id)), and the fill window
+    runs over the bucket-level frame only, so grid cost is span/interval ×
+    keys, independent of event count."""
+    from dftly_spark.ops import resample_ffill
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = resample_ffill(
+        ev, "user_id", "ts", "value", interval="6 hours", order_col="event_id"
+    )
+    return out.select("user_id", "bucket", "bucket_start_us", "value")
+
+
+_q(
+    "x108_resample_ffill",
+    _x108,
+    """
+    WITH e AS (
+      SELECT user_id, value, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 21600000000.0)
+                  AS BIGINT) AS bucket
+      FROM events
+    ), b AS (
+      SELECT user_id, bucket, value AS v FROM (
+        SELECT user_id, bucket, value,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY us DESC, event_id DESC) AS rn
+        FROM e) WHERE rn = 1
+    ), spans AS (
+      SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM b
+      GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx)) AS bucket FROM spans
+    ), j AS (
+      SELECT g.user_id, g.bucket, b.v
+      FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+    )
+    SELECT user_id, bucket, bucket * 21600000000 AS bucket_start_us,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM j
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -5858,6 +5911,7 @@ _PRIORITY = [
     "x105_large_orders",
     "x106_dormant_accounts",
     "x107_triangle_count",
+    "x108_resample_ffill",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

@@ -146,6 +146,7 @@ from .scale import (
 )
 from .sessions import (
     debounce,
+    resample_ffill,
     debounce_stream,
     sessionize_stream_tws,
     cohort_retention,
@@ -199,7 +200,7 @@ __all__ = [
     "hash_split", "stratified_sample", "pack_sequences", "quantile_stats",
     "bm25_topk", "tf_idf_vectors", "sparse_cosine_pairs", "cap_per_group", "rollup_stats",
     "dup_ngram_fraction", "remove_dup_ngram_spans",
-    "sessionize", "sessionize_stream", "sessionize_stream_tws", "funnel", "cohort_retention", "debounce", "debounce_stream",
+    "sessionize", "sessionize_stream", "sessionize_stream_tws", "funnel", "cohort_retention", "debounce", "debounce_stream", "resample_ffill",
     "mixture_sample", "latest_changes", "merge_upsert", "snapshot_diff",
     "semantic_dedup", "semantic_dedup_pairs", "schema_drift", "dedup_survivors",
     "bigram_frame", "bigram_lm_scores",

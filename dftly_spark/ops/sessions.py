@@ -363,6 +363,71 @@ def time_weighted_avg(
     )
 
 
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    interval: str = "1 hour",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-key fixed-interval resample with forward fill.
+
+    Downsamples an irregular event series to a regular grid: one row per
+    ``interval``-sized bucket from each key's first to last event bucket,
+    carrying the key's LAST observed value at or before the bucket's end
+    (``null`` only before a key's first observation — which cannot happen
+    here because the grid starts at the first event's bucket).  The
+    gap-filling half of pandas ``resample().ffill()`` for feature matrices
+    and dashboard series.
+
+    Scale shape: ONE keyed agg collapses raw events to at most one row per
+    (key, bucket) — ``max_by`` over the (ts, order) struct picks the
+    in-bucket last event deterministically (``order_col`` breaks exact ts
+    ties; REQUIRED when (key, ts) can repeat).  Everything after operates
+    on the bucket-level frame, whose size is span/interval × keys —
+    independent of event count: the per-key grid explodes from a
+    ``sequence()`` of the min..max bucket ids, and the fill is one
+    ``last(ignorenulls)`` window over the SAME key partitioning the agg
+    produced.  Events never meet a window function directly, so a key with
+    a billion events costs the agg, not a sort of the raw series.
+    """
+    ivl = F.expr(f"INTERVAL {interval}")
+    ivl_us = F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + ivl)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ordc = F.col(order_col) if order_col is not None else F.lit(0)
+    bucketed = (
+        df.select(
+            F.col(key_col),
+            F.floor(us / ivl_us).cast("bigint").alias("bucket"),
+            F.struct(us.alias("_u"), ordc.alias("_o")).alias("_ord"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(F.max_by("_v", "_ord").alias("_bv"))
+    )
+    spans = bucketed.groupBy(key_col).agg(
+        F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx")
+    )
+    grid = spans.select(
+        F.col(key_col),
+        F.explode(F.sequence("_mn", "_mx")).alias("bucket"),
+    )
+    joined = grid.join(bucketed, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key_col),
+        "bucket",
+        (F.col("bucket") * ivl_us).alias("bucket_start_us"),
+        F.last("_bv", ignorenulls=True).over(w).alias(value_col),
+    )
+
+
 def transition_matrix(
     df: DataFrame,
     key_col: str,

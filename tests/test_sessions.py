@@ -236,3 +236,51 @@ def test_debounce_default_tiebreak_matches_stream(spark):
             debounce(df, "user_id", "ts", value_cols=["event_type"],
                      within_micros=1_000_000).collect()}
     assert kept == {1, 3}
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    import datetime as dt
+
+    from dftly_spark.ops import resample_ffill
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # user 1: events in hours 0 and 3 -> grid buckets 0..3 with buckets
+    # 1,2 forward-filled from hour 0; in-bucket last (10:30 beats 10:05).
+    # user 2: single event -> single-bucket grid, no fill needed.
+    df = spark.createDataFrame(
+        [
+            (1, 1, t(10, 5), 1.0),
+            (2, 1, t(10, 30), 2.0),
+            (3, 1, t(13, 59), 9.0),
+            (4, 2, t(0), 5.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = resample_ffill(
+        df, "user_id", "ts", "value", interval="1 hour", order_col="event_id"
+    )
+    rows = {(r["user_id"], r["bucket"]): r["value"] for r in out.collect()}
+    h = 473362  # bucket index of 2024-01-01 10:00 at 1-hour grid
+    assert rows == {
+        (1, h): 2.0,
+        (1, h + 1): 2.0,
+        (1, h + 2): 2.0,
+        (1, h + 3): 9.0,
+        (2, h - 10): 5.0,
+    }
+
+
+def test_resample_ffill_ts_tiebreak_is_order_col(spark):
+    import datetime as dt
+
+    from dftly_spark.ops import resample_ffill
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 1, t0, 1.0), (3, 1, t0, 3.0), (2, 1, t0, 2.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = resample_ffill(
+        df, "user_id", "ts", "value", interval="1 hour", order_col="event_id"
+    )
+    assert [r["value"] for r in out.collect()] == [3.0]
