@@ -5857,6 +5857,67 @@ _q(
 )
 
 
+def _x109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (ops/lm.py dsir_weights): log p_target −
+    log p_raw per document under add-1-smoothed hashed bag-of-bigrams
+    models, target = English docs — the importance-resampling data-
+    selection score (Xie et al. 2023).  Portable md5-60 bucket hash, the
+    B-row log-ratio table quantized floor-scale at 1e-6 (ln differs
+    across engines in the last ulp), per-doc terms folded in bucket
+    order — bit-reproducible end to end."""
+    from dftly_spark.ops import dsir_weights
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs, "doc_id", "text",
+        target_filter=F.col("lang") == "en", n_buckets=1024,
+    )
+
+
+_q(
+    "x109_dsir_weights",
+    _x109,
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), inst AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS s
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM base WHERE len(w) >= 2)
+    ), hb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) % 1024 AS b
+      FROM inst
+    ), dc AS (
+      SELECT doc_id, b, count(*) AS c FROM hb GROUP BY doc_id, b
+    ), raw AS (
+      SELECT b, sum(c) AS rc FROM dc GROUP BY b
+    ), tgt AS (
+      SELECT b, sum(c) AS tc FROM dc
+      WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+      GROUP BY b
+    ), model AS (
+      SELECT raw.b, rc, COALESCE(tc, 0) AS tc
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+    ), tot AS (
+      SELECT sum(rc) AS R, sum(tc) AS T FROM model
+    ), lr AS (
+      SELECT b,
+             floor((ln((tc + 1.0) / (T + 1024.0))
+                    - ln((rc + 1.0) / (R + 1024.0))) * 1000000 + 0.5)
+               / 1000000 AS lr
+      FROM model, tot
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           list_reduce(list(c * lr ORDER BY b), (a, x) -> a + x) AS logw
+    FROM dc JOIN lr USING (b) GROUP BY doc_id
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -5912,6 +5973,7 @@ _PRIORITY = [
     "x106_dormant_accounts",
     "x107_triangle_count",
     "x108_resample_ffill",
+    "x109_dsir_weights",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

@@ -102,3 +102,99 @@ def bigram_lm_scores(
         "logprob",
         (F.col("logprob") / F.col("n_bigrams")).alias("avg_logprob"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    target_filter,
+    n_buckets: int = 1024,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Hashed-bigram importance weights for data selection (DSIR).
+
+    Scores every document by ``log p_target(x) − log p_raw(x)`` under two
+    add-1-smoothed hashed bag-of-bigrams models: the target model fit on
+    the rows matching ``target_filter``, the raw model on the whole frame
+    — the importance-resampling recipe of Xie et al. 2023 ("Data Selection
+    for Language Models via Importance Resampling"), where raw documents
+    are then resampled proportionally to ``exp(logw)`` to match a target
+    distribution (a high-quality or in-domain corpus).  Output:
+    ``(id_col, n_bigrams, logw)``; documents with <2 tokens get no row.
+
+    Scale shape: bigram instances hash into ``n_buckets`` via the portable
+    60-bit md5 (so any engine replays the exact bucket ids), doc-bucket
+    counts are ONE keyed agg (map-side combined), and both models are
+    aggregates OF THAT FRAME — B-bounded, so the log-ratio table is tiny
+    and BROADCASTS onto the per-doc counts regardless of corpus size.  The
+    model totals attach to the B-row frame as a 1-row scalar (never to
+    data-sized frames).  No UDFs, no driver-side model state: the whole
+    fit+score is five keyed aggs and one broadcast join.
+    """
+    from .textops import _md5_60
+
+    bg = bigram_frame(df, id_col, text_col, tokens_col)
+    inst = bg.select(
+        "_id",
+        F.pmod(
+            _md5_60(F.concat_ws(" ", "_w1", "_w2")), F.lit(n_buckets)
+        ).alias("_b"),
+    )
+    dc = inst.groupBy("_id", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    raw = dc.groupBy("_b").agg(F.sum("_c").alias("_rc"))
+    target_ids = df.where(target_filter).select(F.col(id_col).alias("_tid"))
+    tgt = (
+        dc.join(target_ids, dc["_id"] == F.col("_tid"), "left_semi")
+        .groupBy("_b")
+        .agg(F.sum("_c").alias("_tc"))
+    )
+    model = raw.join(tgt, "_b", "left").select(
+        "_b", "_rc", F.coalesce("_tc", F.lit(0)).alias("_tc")
+    )
+    totals = model.agg(
+        F.sum("_rc").alias("_R"), F.sum("_tc").alias("_T")
+    )
+    # The per-bucket log-ratio is QUANTIZED (floor-scale, 1e-6) at the
+    # B-row model table: engines disagree on ln() in the last ulp on ~7%
+    # of inputs, so every downstream float op must start from a shared
+    # grid value or doc-level sums drift past any rounding convention.
+    # Quantizing B values once bounds the cross-engine risk to the model
+    # table (~1e-9 per bucket) instead of every document.
+    scale = F.lit(1_000_000.0)
+    lr = model.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.floor(
+                (
+                    F.log((F.col("_tc") + 1.0) / (F.col("_T") + F.lit(float(n_buckets))))
+                    - F.log((F.col("_rc") + 1.0) / (F.col("_R") + F.lit(float(n_buckets))))
+                )
+                * scale
+                + F.lit(0.5)
+            )
+            / scale
+        ).alias("_lr"),
+    )
+    # Deterministic per-doc fold: terms sorted by bucket id and summed
+    # sequentially (a groupBy float sum is partition-order dependent; the
+    # ordered fold is bit-reproducible and DuckDB replays it with
+    # list_reduce(list(... ORDER BY b))).  Arrays are ≤ n_buckets long.
+    return (
+        dc.join(F.broadcast(lr), "_b")
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("n_bigrams"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_b"), (F.col("_c") * F.col("_lr")).alias("_t"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_t"],
+            ).alias("logw"),
+        )
+        .select(F.col("_id").alias(id_col), "n_bigrams", "logw")
+    )

@@ -1075,3 +1075,55 @@ def test_kmeans_fit_collects_once(spark, monkeypatch):
     # unit length
     for c in cents:
         assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+
+def test_dsir_weights_separates_target_like_docs(spark):
+    from dftly_spark.ops import dsir_weights
+
+    import pyspark.sql.functions as F
+
+    # target style: "alpha beta" vocabulary; off-target: "gamma delta".
+    # a raw doc written in target vocabulary must outscore one that isn't.
+    rows = [
+        (1, "alpha beta alpha beta alpha", "en"),
+        (2, "beta alpha beta alpha beta", "en"),
+        (3, "gamma delta gamma delta", "xx"),
+        (4, "alpha beta alpha beta", "xx"),
+        (5, "delta gamma delta gamma", "xx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_weights(
+            df, "doc_id", "text", target_filter=F.col("lang") == "en",
+            n_buckets=64,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # target-vocabulary raw doc outscores the off-target raw docs; the
+    # absolute sign is smoothing-dominated at toy scale, so only the
+    # ORDERING is asserted
+    assert out[4] > out[3] and out[4] > out[5]
+    assert min(out[1], out[2]) > max(out[3], out[5])
+
+
+def test_dsir_weights_partition_invariance(spark):
+    from dftly_spark.ops import dsir_weights
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("tok"), (F.col("id") % 7).cast("string"),
+            F.lit("tok"), (F.col("id") % 5).cast("string"),
+            F.lit("tok"), (F.col("id") % 3).cast("string"),
+        ).alias("text"),
+        (F.col("id") % 2 == 0).alias("is_t"),
+    )
+    a = sorted(map(tuple, dsir_weights(df, "doc_id", "text",
+                                       target_filter=F.col("is_t")).collect()))
+    b = sorted(map(tuple, dsir_weights(df.repartition(13), "doc_id", "text",
+                                       target_filter=F.col("is_t")).collect()))
+    assert a == b and len(a) == 60
