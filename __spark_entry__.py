@@ -5918,6 +5918,68 @@ _q(
 )
 
 
+def _x110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (ops/joins.py interval_join): per-user pairs
+    of overlapping half-open spans built from the event stream (even
+    event_ids span 90 min, odd span 2 h).  The theta overlap condition
+    never reaches the optimizer — both sides explode into 30-min buckets
+    and equi-join on (user, bucket); each pair emits exactly once in the
+    bucket containing max(start, start_right), so there is NO post-join
+    dedup shuffle.  The oracle IS the per-user all-pairs theta join the
+    bucket plan must reproduce."""
+    from dftly_spark.ops import interval_join
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("start"),
+    )
+    a = ev.where(F.col("event_id") % 2 == 0).withColumn(
+        "end", F.col("start") + F.expr("INTERVAL 90 MINUTES")
+    )
+    bside = ev.where(F.col("event_id") % 2 == 1).withColumn(
+        "end", F.col("start") + F.expr("INTERVAL 2 HOURS")
+    )
+    out = interval_join(
+        a, bside,
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        by="user_id",
+    )
+    ov = F.least(F.unix_micros("end"), F.unix_micros("end_right")) - F.greatest(
+        F.unix_micros("start"), F.unix_micros("start_right")
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("left_id"),
+        F.col("event_id_right").alias("right_id"),
+        ov.alias("overlap_us"),
+    )
+
+
+_q(
+    "x110_interval_join",
+    _x110,
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s
+      FROM events
+    ), a AS (
+      SELECT event_id, user_id, s, s + 5400000000 AS e FROM e
+      WHERE event_id % 2 = 0
+    ), b AS (
+      SELECT event_id, user_id, s, s + 7200000000 AS e FROM e
+      WHERE event_id % 2 = 1
+    )
+    SELECT a.user_id,
+           a.event_id AS left_id,
+           b.event_id AS right_id,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+    FROM a JOIN b ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -5974,6 +6036,7 @@ _PRIORITY = [
     "x107_triangle_count",
     "x108_resample_ffill",
     "x109_dsir_weights",
+    "x110_interval_join",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

@@ -98,6 +98,7 @@ from .joins import (
     rolling_time_features,
     nearest_join,
     range_join,
+    interval_join,
 )
 from .jsonops import json_extract_fields, json_parse_typed
 from .retrieval import sparse_cosine_pairs, bm25_topk, tf_idf_vectors, distinctive_terms, ranking_metrics
@@ -192,7 +193,7 @@ __all__ = [
     "embedding_dup_pairs",
     "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk", "random_project", "kmeans_centroids", "topic_assign",
-    "asof_join", "asof_join_stream", "asof_join_stream_tws", "nearest_join", "lag_features", "rolling_time_features", "range_join",
+    "asof_join", "asof_join_stream", "asof_join_stream_tws", "nearest_join", "lag_features", "rolling_time_features", "range_join", "interval_join",
     "salted_agg", "write_bucketed", "read_bucketed", "bloom_prune", "semi_prune",
     "write_partitioned", "write_zordered", "zorder_key", "profile_table", "json_extract_fields", "json_parse_typed",
     "compact_table", "plan_summary", "partitioned_cumsum", "ks_drift", "psi_drift",

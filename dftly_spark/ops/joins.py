@@ -542,3 +542,73 @@ def nearest_join(
     elif how != "left":
         raise ValueError(f"how must be inner|left, got {how!r}")
     return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    by: str | list[str] | None = None,
+    bucket_micros: int = 30 * 60 * 1_000_000,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Overlap-join two interval sets: one row per (left, right) pair whose
+    half-open spans intersect (``ls < re AND rs < le``, plus ``by`` key
+    equality).  Right columns clashing with left names get ``suffix``.
+
+    Scale shape: the theta condition never reaches the optimizer.  Both
+    sides explode into the fixed-width time buckets they cover and the
+    join is a plain (bucket [, by]) hash equi-join refined by the exact
+    overlap test.  A pair can share many buckets; instead of a
+    dedup-distinct over the join output, each pair is emitted ONLY in the
+    bucket containing ``max(ls, rs)`` — a point every overlapping pair
+    covers on both sides by construction — so the output is exact with
+    zero post-join shuffles.  Explode factor is span/bucket per row: pick
+    ``bucket_micros`` near the typical interval length (same tuning rule
+    as ``range_join``); AQE's skew split handles hot (key, bucket) cells.
+    """
+    bys = [by] if isinstance(by, str) else (list(by) if by else [])
+    b = F.lit(bucket_micros)
+
+    def burst(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(_micros(F.col(s)) / b),
+                    # half-open end: a bucket-aligned end adds no bucket
+                    F.floor((_micros(F.col(e)) - 1) / b),
+                )
+            ),
+        )
+
+    lf, rf = burst(left, left_start, left_end).alias("__l"), (
+        burst(right, right_start, right_end).alias("__r")
+    )
+    lc = lambda c: F.col(f"__l.`{c}`")  # noqa: E731
+    rc = lambda c: F.col(f"__r.`{c}`")  # noqa: E731
+    ls, le = _micros(lc(left_start)), _micros(lc(left_end))
+    rs, re_ = _micros(rc(right_start)), _micros(rc(right_end))
+    cond = lc("__bucket") == rc("__bucket")
+    for bk in bys:
+        cond = cond & (lc(bk) == rc(bk))
+    cond = (
+        cond
+        & (ls < re_)
+        & (rs < le)
+        # first-overlap-bucket guard: emit each pair exactly once
+        & (lc("__bucket") == F.floor(F.greatest(ls, rs) / b))
+    )
+    joined = lf.join(rf, cond, "inner")
+    keep = [lc(c).alias(c) for c in left.columns]
+    taken = set(left.columns)
+    keep += [
+        rc(c).alias(c + suffix if c in taken else c)
+        for c in right.columns
+        if c not in bys  # by keys are equal on both sides; keep left's
+    ]
+    return joined.select(*keep)

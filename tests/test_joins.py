@@ -467,3 +467,56 @@ def test_rolling_time_features_single_window_shuffle(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") - plan.count("WindowGroupLimit") <= 1 or \
         plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_interval_join_overlap_cases(spark):
+    import datetime as dt
+
+    from dftly_spark.ops import interval_join
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", t(10), t(12)), (2, "u", t(15), t(16)), (3, "v", t(10), t(12))],
+        "lid long, user string, start timestamp, end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u", t(11), t(13)),   # overlaps lid=1 (partial)
+            (11, "u", t(12), t(14)),   # touches lid=1 end only: half-open, NO overlap
+            (12, "u", t(9), t(18)),    # spans lid=1 AND lid=2
+            (13, "v", t(11, 30), t(11, 45)),  # nested inside lid=3
+            (14, "w", t(10), t(12)),   # wrong key
+        ],
+        "rid long, user string, start timestamp, end timestamp",
+    )
+    out = interval_join(left, right, by="user")
+    pairs = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert pairs == [(1, 10), (1, 12), (2, 12), (3, 13)]
+    # each pair exactly once even when it shares many 30-min buckets
+    assert len(pairs) == out.count()
+
+
+def test_interval_join_bucket_width_invariance(spark):
+    import datetime as dt
+
+    from dftly_spark.ops import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, dt.timedelta(minutes=7 * i % 300), dt.timedelta(minutes=7 * i % 300 + 11 * (i % 5) + 1))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        [(i, base + s, base + e) for i, s, e in rows],
+        "id long, start timestamp, end timestamp",
+    )
+    r = df.select(F.col("id").alias("rid"), "start", "end")
+    a = sorted(
+        (x["id"], x["rid"])
+        for x in interval_join(df, r, bucket_micros=60_000_000).collect()
+    )
+    b = sorted(
+        (x["id"], x["rid"])
+        for x in interval_join(df, r, bucket_micros=3_600_000_000).collect()
+    )
+    assert a == b and len(a) > 80
