@@ -67,6 +67,8 @@ def triangle_count(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    *,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-node triangle counts: ``(node, triangles)`` for an undirected graph.
 
@@ -83,6 +85,19 @@ def triangle_count(
     Counts are orientation-invariant, so any engine can replay them with
     plain id-ordered enumeration.
     """
+    # ``checkpoint_dir`` mirrors pagerank: durable checkpoint() for
+    # cluster runs (survives executor loss), localCheckpoint otherwise.
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=False)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=False)
+
     ab = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")).where(
         F.col(src) != F.col(dst)
     )
@@ -91,12 +106,10 @@ def triangle_count(
     # + the closer) — without lineage truncation the caller's whole edge
     # build re-executes (and re-broadcasts) once per reference, which is
     # both 5× the work and the actual heap blowup on small executors.
-    und = (
+    und = _ckpt(
         ab.select(
             F.least("_a", "_b").alias("_u"), F.greatest("_a", "_b").alias("_v")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+        ).distinct()
     )
     deg = (
         und.select(F.col("_u").alias("_n"))
@@ -112,11 +125,13 @@ def triangle_count(
     u_first = F.struct(F.col("_ud"), F.col("_u")) < F.struct(
         F.col("_vd"), F.col("_v")
     )
-    oriented = with_deg.select(
-        F.when(u_first, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
-        F.when(u_first, F.col("_v")).otherwise(F.col("_u")).alias("_t"),
-        F.when(u_first, F.col("_vd")).otherwise(F.col("_ud")).alias("_td"),
-    ).localCheckpoint(eager=False)
+    oriented = _ckpt(
+        with_deg.select(
+            F.when(u_first, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
+            F.when(u_first, F.col("_v")).otherwise(F.col("_u")).alias("_t"),
+            F.when(u_first, F.col("_vd")).otherwise(F.col("_ud")).alias("_td"),
+        )
+    )
     e1 = oriented.select(
         F.col("_s").alias("_w1s"), F.col("_t").alias("_w1t"), F.col("_td").alias("_w1d")
     )

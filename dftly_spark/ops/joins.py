@@ -42,6 +42,24 @@ def _micros(c: F.Column) -> F.Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
+def _burst_buckets(df: DataFrame, start_col: str, end_col: str, bucket_micros) -> DataFrame:
+    """Explode each row into the fixed-width bucket ids its half-open span
+    ``[start, end)`` covers (shared by ``range_join`` / ``interval_join``).
+
+    Empty or inverted spans (``end <= start``) cover no point and are
+    DROPPED here — besides matching nothing under half-open semantics,
+    they would otherwise feed ``sequence()`` a descending range (Spark
+    auto-steps −1) and burst into garbage buckets.
+    """
+    b = F.lit(bucket_micros)
+    s, e = _micros(F.col(start_col)), _micros(F.col(end_col))
+    return df.where(s < e).withColumn(
+        "__bucket",
+        # end is exclusive: a bucket-aligned end needs no extra bucket
+        F.explode(F.sequence(F.floor(s / b), F.floor((e - 1) / b))),
+    )
+
+
 def lag_features(
     df,
     key_col: str,
@@ -269,17 +287,7 @@ def range_join(
         raise ValueError(f"how must be inner|left_outer, got {how!r}")
     bys = [by] if isinstance(by, str) else (list(by) if by else [])
     b = F.lit(bucket_micros)
-    ivl = intervals.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(_micros(F.col(start_on)) / b),
-                # end is exclusive: a zero-length or bucket-aligned end needs
-                # no extra bucket
-                F.floor((_micros(F.col(end_on)) - 1) / b),
-            )
-        ),
-    )
+    ivl = _burst_buckets(intervals, start_on, end_on, bucket_micros)
     pts = points.withColumn("__bucket", F.floor(_micros(F.col(point_on)) / b))
     # alias-qualified refs: both sides may share lineage (intervals derived
     # from the points table is the common case) — df["col"] refs would be
@@ -557,8 +565,9 @@ def interval_join(
     suffix: str = "_right",
 ) -> DataFrame:
     """Overlap-join two interval sets: one row per (left, right) pair whose
-    half-open spans intersect (``ls < re AND rs < le``, plus ``by`` key
-    equality).  Right columns clashing with left names get ``suffix``.
+    half-open spans intersect (``max(starts) < min(ends)``, plus ``by``
+    key equality; empty or inverted spans match nothing and are dropped).
+    Right columns clashing with left names get ``suffix``.
 
     Scale shape: the theta condition never reaches the optimizer.  Both
     sides explode into the fixed-width time buckets they cover and the
@@ -573,22 +582,8 @@ def interval_join(
     """
     bys = [by] if isinstance(by, str) else (list(by) if by else [])
     b = F.lit(bucket_micros)
-
-    def burst(df: DataFrame, s: str, e: str) -> DataFrame:
-        return df.withColumn(
-            "__bucket",
-            F.explode(
-                F.sequence(
-                    F.floor(_micros(F.col(s)) / b),
-                    # half-open end: a bucket-aligned end adds no bucket
-                    F.floor((_micros(F.col(e)) - 1) / b),
-                )
-            ),
-        )
-
-    lf, rf = burst(left, left_start, left_end).alias("__l"), (
-        burst(right, right_start, right_end).alias("__r")
-    )
+    lf = _burst_buckets(left, left_start, left_end, bucket_micros).alias("__l")
+    rf = _burst_buckets(right, right_start, right_end, bucket_micros).alias("__r")
     lc = lambda c: F.col(f"__l.`{c}`")  # noqa: E731
     rc = lambda c: F.col(f"__r.`{c}`")  # noqa: E731
     ls, le = _micros(lc(left_start)), _micros(lc(left_end))
@@ -598,8 +593,9 @@ def interval_join(
         cond = cond & (lc(bk) == rc(bk))
     cond = (
         cond
-        & (ls < re_)
-        & (rs < le)
+        # canonical half-open overlap: max(starts) < min(ends) — empty or
+        # inverted spans match nothing (burst already dropped them)
+        & (F.greatest(ls, rs) < F.least(le, re_))
         # first-overlap-bucket guard: emit each pair exactly once
         & (lc("__bucket") == F.floor(F.greatest(ls, rs) / b))
     )

@@ -394,7 +394,13 @@ def resample_ffill(
     a billion events costs the agg, not a sort of the raw series.
     """
     ivl = F.expr(f"INTERVAL {interval}")
-    ivl_us = F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + ivl)
+    # interval width in micros: the DIFFERENCE cancels the epoch literal's
+    # session-timezone offset (unix_micros of the shifted epoch alone would
+    # embed it — under tz=Asia/Tokyo a '1 hour' interval would come out
+    # NEGATIVE; same hazard class as nodes/datetimes.py's midnight-term
+    # cancellation)
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    ivl_us = F.unix_micros(epoch + ivl) - F.unix_micros(epoch)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     ordc = F.col(order_col) if order_col is not None else F.lit(0)
     bucketed = (

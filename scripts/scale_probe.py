@@ -287,6 +287,73 @@ def main() -> None:
         repair_dangling=False,
         checkpoint_dir=_os.environ.get("SPARK_GRAFT_PR_CKPT_DIR"),
     )
+    def _tri_edges(c: int):
+        """Disjoint part-id spaces per replica: components never connect, so
+        edge, wedge, and triangle volumes all scale exactly with c."""
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        items = li.select("l_orderkey", "l_partkey").distinct()
+        o2 = items.select(
+            F.col("l_orderkey").alias("_ok2"), F.col("l_partkey").alias("_pk2")
+        )
+        edges = (
+            items.join(
+                o2,
+                (items["l_orderkey"] == o2["_ok2"])
+                & (items["l_partkey"] < o2["_pk2"]),
+            )
+            .select(F.col("l_partkey").alias("src"), F.col("_pk2").alias("dst"))
+            .distinct()
+        )
+        out = None
+        for i in range(c):
+            off = 1_000_000 * i
+            rep = edges.select(
+                (F.col("src") + off).alias("src"), (F.col("dst") + off).alias("dst")
+            )
+            out = rep if out is None else out.unionByName(rep)
+        return out
+
+    def _triangles(c: int):
+        from dftly_spark.ops import triangle_count
+
+        return triangle_count(_tri_edges(c))
+
+    OPS["triangles"] = lambda d, e, c: _triangles(c)
+
+    def _interval(ev):
+        from dftly_spark.ops import interval_join
+
+        iv = ev.select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("start")
+        )
+        a = iv.where(F.col("event_id") % 2 == 0).withColumn(
+            "end", F.col("start") + F.expr("INTERVAL 90 MINUTES")
+        )
+        b = iv.where(F.col("event_id") % 2 == 1).withColumn(
+            "end", F.col("start") + F.expr("INTERVAL 2 HOURS")
+        )
+        return interval_join(a, b, by="user_id")
+
+    OPS["interval_join"] = lambda d, e, c: _interval(replicate_events(events, c))
+
+    def _resample(ev):
+        from dftly_spark.ops import resample_ffill
+
+        return resample_ffill(
+            ev, "user_id", "ts", "value", interval="6 hours", order_col="event_id"
+        )
+
+    OPS["resample_ffill"] = lambda d, e, c: _resample(replicate_events(events, c))
+
+    def _dsir(d):
+        from dftly_spark.ops import dsir_weights
+
+        return dsir_weights(
+            d, "doc_id", "text", target_filter=F.col("lang") == "en"
+        )
+
+    OPS["dsir"] = lambda d, e: _dsir(d)
+
     wanted = sys.argv[1:] or list(OPS)
 
     import inspect as _inspect

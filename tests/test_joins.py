@@ -520,3 +520,50 @@ def test_interval_join_bucket_width_invariance(spark):
         for x in interval_join(df, r, bucket_micros=3_600_000_000).collect()
     )
     assert a == b and len(a) > 80
+
+
+def test_interval_join_degenerate_spans_match_nothing(spark):
+    import datetime as dt
+
+    from dftly_spark.ops import interval_join
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(12), t(12)), (2, t(14), t(13)), (3, t(10), t(11))],
+        "lid long, start timestamp, end timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, t(9), t(18))], "rid long, start timestamp, end timestamp"
+    )
+    # zero-length (lid=1) and inverted (lid=2) spans pair with nothing,
+    # even against a covering interval; the real span (lid=3) pairs
+    out = interval_join(left, right)
+    assert [(r["lid"], r["rid"]) for r in out.collect()] == [(3, 10)]
+
+
+def test_resample_ffill_timezone_independent(spark):
+    import datetime as dt
+
+    from dftly_spark.ops import resample_ffill
+
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1, 10, 5), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        a = resample_ffill(df, "user_id", "ts", "value", interval="1 hour").collect()
+        # non-UTC session tz must not change the interval WIDTH (the naive
+        # epoch literal alone would embed the tz offset — negative east of
+        # Greenwich); bucket ids shift with the wall-clock reading of the
+        # naive timestamp, but the grid step stays one hour
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        b = resample_ffill(df, "user_id", "ts", "value", interval="1 hour").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # timestamps are instants: session tz must change NOTHING — under the
+    # old epoch-literal width derivation the Tokyo run produced a NEGATIVE
+    # interval width and garbage buckets
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 1 and a[0]["value"] == 1.0
