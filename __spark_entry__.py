@@ -5980,6 +5980,62 @@ _q(
 )
 
 
+def _x111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction (ops/graph.py kcore): nodes of the 80-core of the
+    part co-purchase graph after 8 peeling rounds (converges in 6 on this
+    data — asserted in tests — so this IS the exact 80-core).  Per round
+    ONE degree agg + one semi-join per endpoint over the shrinking
+    symmetric edge frame, lineage checkpointed; the oracle replays the
+    peel with a recursive CTE whose rounds filter on windowed degrees."""
+    from dftly_spark.ops import kcore
+
+    _prep(spark)
+    items = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    o2 = items.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_partkey").alias("_pk2")
+    )
+    edges = (
+        items.join(
+            o2,
+            (items["l_orderkey"] == o2["_ok2"])
+            & (items["l_partkey"] < o2["_pk2"]),
+        )
+        .select(F.col("l_partkey").alias("src"), F.col("_pk2").alias("dst"))
+        .distinct()
+    )
+    return kcore(edges, 80, max_rounds=8)
+
+
+_q(
+    "x111_kcore",
+    _x111,
+    """
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), und AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (
+      SELECT u AS s, v AS t FROM und UNION ALL SELECT v, u FROM und
+    ), peel AS (
+      SELECT 0 AS it, s, t FROM e
+      UNION ALL
+      SELECT it + 1, s, t FROM (
+        SELECT it, s, t,
+               count(*) OVER (PARTITION BY it, s) AS ds,
+               count(*) OVER (PARTITION BY it, t) AS dt
+        FROM peel WHERE it < 8
+      ) WHERE ds >= 80 AND dt >= 80
+    )
+    SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM peel WHERE it = 8 GROUP BY s
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -6037,6 +6093,7 @@ _PRIORITY = [
     "x108_resample_ffill",
     "x109_dsir_weights",
     "x110_interval_join",
+    "x111_kcore",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

@@ -68,7 +68,7 @@ from .dedup import (
     simhash_dup_pairs,
     word_shingles,
 )
-from .graph import pagerank, prepare_edges, triangle_count
+from .graph import kcore, pagerank, prepare_edges, triangle_count
 from .quality import expect, roc_auc, roc_auc_by_group
 from .reshape import melt, pivot_wide
 from .assoc import cooccurrence_pmi
@@ -171,7 +171,7 @@ __all__ = [
     "melt", "pivot_wide", "cooccurrence_pmi", "distinct_counts", "line_filter",
     "ewma", "edit_distance_pairs", "mad_outliers", "expect", "roc_auc", "roc_auc_by_group",
     "fit_scalar_quantizer", "quantize_embeddings", "quantization_fidelity",
-    "pagerank", "prepare_edges", "triangle_count", "ranking_metrics", "pool_embeddings",
+    "kcore", "pagerank", "prepare_edges", "triangle_count", "ranking_metrics", "pool_embeddings",
     "salted_join", "winsorize", "impute_nulls", "group_trend",
     "cms_build", "cms_estimate", "corr_matrix", "group_entropy",
     "merge_intervals", "rolling_zscore", "scd2_history",

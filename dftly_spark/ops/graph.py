@@ -172,6 +172,77 @@ def triangle_count(
     )
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_rounds: int = 8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Nodes of the ``k``-core after ``max_rounds`` of peeling:
+    ``(node, degree)`` within the surviving subgraph.
+
+    Iteratively removes nodes of degree < ``k`` (and their edges) from the
+    undirected graph — the standard dense-subgraph / spam-farm / community
+    filter.  Peeling is run a FIXED ``max_rounds`` times so the result is
+    a deterministic function of the edge list that any engine replays
+    verbatim (the pagerank convention); when the peel converges within the
+    budget — extra rounds are no-ops — the output IS the exact k-core.
+    Callers wanting guaranteed convergence can re-run with a larger budget
+    and compare (cheap: each round is ONE degree agg + ONE semi-join over
+    the shrinking edge frame).
+
+    Scale shape: the symmetric edge frame is the only data-sized object;
+    per round, degrees come from one map-side-combined count on ``_src``
+    and survivors from one left-semi hash join per endpoint against the
+    (≤ nodes)-sized survivor list.  Lineage is truncated per round
+    (durable ``checkpoint_dir`` for clusters, ``localCheckpoint``
+    otherwise) so the iterated plan never re-executes the caller's build.
+    """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=False)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=False)
+
+    ab = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")).where(
+        F.col(src) != F.col(dst)
+    )
+    und = ab.select(
+        F.least("_a", "_b").alias("_u"), F.greatest("_a", "_b").alias("_v")
+    ).distinct()
+    # symmetric orientation: node degree == out-degree of _s
+    e = _ckpt(
+        und.select(F.col("_u").alias("_s"), F.col("_v").alias("_t")).unionByName(
+            und.select(F.col("_v").alias("_s"), F.col("_u").alias("_t"))
+        )
+    )
+    for _ in range(max_rounds):
+        good = (
+            e.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .where(F.col("_d") >= k)
+            .select(F.col("_s").alias("_g"))
+        )
+        e = _ckpt(
+            e.join(good, e["_s"] == good["_g"], "left_semi").join(
+                good, e["_t"] == good["_g"], "left_semi"
+            )
+        )
+    return (
+        e.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("_s").alias("node"), "degree")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -667,3 +667,41 @@ def test_psi_drift_validates_and_handles_empty(spark):
     assert len(out) == 4
     for r in out:
         assert r["p_a"] == r["p_b"] == 0.25 and r["psi"] == 0.0
+
+
+def test_kcore_known_graph_and_convergence(spark):
+    from dftly_spark.ops import kcore
+
+    # K4 {a,b,c,d} + a tail d-e-f: the 3-core is exactly the K4 (e,f peel
+    # in cascading rounds — f first, then e), each surviving node at
+    # degree 3
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("e", "f")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["node"]: r["degree"] for r in kcore(df, 3, max_rounds=4).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # k above the densest core peels everything
+    assert kcore(df, 4, max_rounds=4).count() == 0
+
+
+def test_kcore_gate_budget_converges(spark):
+    """The x111 gate claims 8 rounds converge at k=80; pin it on the
+    sf0.001 co-purchase graph: one extra round must change nothing."""
+    from dftly_spark.ops import kcore
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    o2 = items.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2")
+    )
+    edges = (
+        items.join(
+            o2,
+            (items["l_orderkey"] == o2["ok2"]) & (items["l_partkey"] < o2["pk2"]),
+        )
+        .select(F.col("l_partkey").alias("src"), F.col("pk2").alias("dst"))
+        .distinct()
+    )
+    a = sorted(map(tuple, kcore(edges, 12, max_rounds=8).collect()))
+    b = sorted(map(tuple, kcore(edges, 12, max_rounds=9).collect()))
+    assert a == b and len(a) > 0
