@@ -6036,6 +6036,170 @@ _q(
 )
 
 
+def _x112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence n-gram novelty (ops/dedup.py novelty_scores): the
+    fraction of each document's distinct 3-grams first introduced by that
+    document, doc_id order — the streaming-corpus freshness signal.  One
+    shingle-keyed min agg + the same-key join back + one doc roll-up;
+    linear, nothing pairwise."""
+    from dftly_spark.ops import novelty_scores
+
+    _prep(spark)
+    return novelty_scores(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
+_q(
+    "x112_novelty",
+    _x112,
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN w[p] || ' ' || w[p + 1] || ' ' || w[p + 2]
+                  ELSE array_to_string(w, ' ') END AS s
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS p
+            FROM base)
+    ), h AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) AS g
+      FROM sh
+    ), fown AS (
+      SELECT g, min(doc_id) AS own FROM h GROUP BY g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN own = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(sum(CASE WHEN own = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS novelty
+    FROM h JOIN fown USING (g)
+    GROUP BY doc_id
+    """,
+)
+
+
+def _x113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level source overlap (ops/dedup.py source_overlap): exact
+    shingle-set Jaccard + directional containment for every source pair —
+    the before-you-mix-corpora accounting.  Distinct (source, shingle)
+    incidence, per-shingle pair fanout ≤ C(sources,2)."""
+    from dftly_spark.ops import source_overlap
+
+    _prep(spark)
+    return source_overlap(_t(spark, sf_dir, "documents"), "source", "text", n=3)
+
+
+_q(
+    "x113_source_overlap",
+    _x113,
+    r"""
+    WITH base AS (
+      SELECT source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), sh AS (
+      SELECT source,
+             CASE WHEN len(w) >= 3
+                  THEN w[p] || ' ' || w[p + 1] || ' ' || w[p + 2]
+                  ELSE array_to_string(w, ' ') END AS s
+      FROM (SELECT source, w,
+                   unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS p
+            FROM base)
+    ), h AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) AS g
+      FROM sh
+    ), sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS sz FROM h GROUP BY source
+    ), inter AS (
+      SELECT a.source AS ga, b.source AS gb, CAST(count(*) AS BIGINT) AS i
+      FROM h a JOIN h b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT ga AS group_a, gb AS group_b, i AS inter,
+           sa.sz AS size_a, sb.sz AS size_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard,
+           CAST(i AS DOUBLE) / sa.sz AS containment_a,
+           CAST(i AS DOUBLE) / sb.sz AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.source = ga
+    JOIN sizes sb ON sb.source = gb
+    """,
+)
+
+
+_X114_MERGES = 8
+_X114_PASSES = 3
+
+
+def _x114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (ops/bpe.py bpe_learn): the top-8
+    merge rules of a byte-pair-encoding vocabulary fit on the documents
+    corpus — tokenizer induction as relational algebra.  Iteration cost is
+    |vocab|-bounded (the word-count table, built once); each round is one
+    pair-count agg, a deterministic 1-row argmax, and a row-local
+    string-replace rewrite identical in every engine.  The oracle is
+    MACHINE-UNROLLED: a Python loop emits one (pair-count, argmax,
+    rewrite) CTE triple per round."""
+    from dftly_spark.ops import bpe_learn
+
+    _prep(spark)
+    return bpe_learn(
+        _t(spark, sf_dir, "documents"), "text",
+        n_merges=_X114_MERGES, replace_passes=_X114_PASSES,
+    )
+
+
+def _x114_oracle() -> str:
+    sep = "chr(31)"
+    ctes = [
+        r"""wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        FROM documents WHERE length(trim(text)) > 0)
+      WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w
+    )""",
+        f"v0 AS (SELECT array_to_string(string_split(w, ''), {sep}) AS s, c FROM wc)",
+    ]
+    for i in range(_X114_MERGES):
+        ctes.append(
+            f"""p{i} AS (
+      SELECT sp[j] AS pa, sp[j + 1] AS pb, CAST(sum(c) AS BIGINT) AS cnt
+      FROM (SELECT string_split(s, {sep}) AS sp, c,
+                   unnest(generate_series(1, len(string_split(s, {sep})) - 1)) AS j
+            FROM v{i} WHERE len(string_split(s, {sep})) >= 2)
+      GROUP BY pa, pb
+    )"""
+        )
+        ctes.append(
+            f"r{i} AS (SELECT pa, pb, cnt FROM p{i} ORDER BY cnt DESC, pa, pb LIMIT 1)"
+        )
+        merged = f"{sep} || s || {sep}"
+        pat = f"{sep} || pa || {sep} || pb || {sep}"
+        rep = f"{sep} || pa || pb || {sep}"
+        for _ in range(_X114_PASSES):
+            merged = f"replace({merged}, {pat}, {rep})"
+        ctes.append(
+            f"""v{i + 1} AS (
+      SELECT substr(x, 2, length(x) - 2) AS s, c
+      FROM (SELECT {merged} AS x, c FROM v{i}, r{i})
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS rank, pa AS merge_left, pb AS merge_right, cnt AS pair_count FROM r{i}"
+        for i in range(_X114_MERGES)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+_q("x114_bpe_learn", _x114, _x114_oracle)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -6094,6 +6258,9 @@ _PRIORITY = [
     "x109_dsir_weights",
     "x110_interval_join",
     "x111_kcore",
+    "x112_novelty",
+    "x113_source_overlap",
+    "x114_bpe_learn",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

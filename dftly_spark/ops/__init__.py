@@ -61,7 +61,9 @@ from .dedup import (
     minhash_join_index,
     minhash_signature,
     ngram_jaccard_pairs,
+    novelty_scores,
     shingle_hashes,
+    source_overlap,
     simhash64,
     semantic_dedup,
     semantic_dedup_pairs,
@@ -111,6 +113,7 @@ from .sampling import (
     stratified_sample,
 )
 from .cdc import latest_changes, merge_upsert, scd2_history, schema_drift, snapshot_diff
+from .bpe import bpe_learn
 from .lm import bigram_frame, bigram_lm_scores, dsir_weights
 from .profile import (
     corr_matrix,
@@ -188,7 +191,7 @@ __all__ = [
     "repetition_signals",
     "exact_dedup", "word_shingles", "minhash_signature", "minhash_dup_pairs",
     "minhash_index", "minhash_join_index", "shingle_hashes",
-    "simhash64", "simhash_dup_pairs", "ngram_jaccard_pairs", "cross_corpus_dup_pairs",
+    "simhash64", "simhash_dup_pairs", "ngram_jaccard_pairs", "cross_corpus_dup_pairs", "novelty_scores", "source_overlap",
     "containment_pairs", "cross_corpus_embedding_pairs",
     "embedding_dup_pairs",
     "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "lsh_bucket_topk",
@@ -204,6 +207,6 @@ __all__ = [
     "sessionize", "sessionize_stream", "sessionize_stream_tws", "funnel", "cohort_retention", "debounce", "debounce_stream", "resample_ffill",
     "mixture_sample", "latest_changes", "merge_upsert", "snapshot_diff",
     "semantic_dedup", "semantic_dedup_pairs", "schema_drift", "dedup_survivors",
-    "bigram_frame", "bigram_lm_scores", "dsir_weights",
+    "bigram_frame", "bigram_lm_scores", "dsir_weights", "bpe_learn",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",
 ]

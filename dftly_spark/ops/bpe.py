@@ -1,0 +1,119 @@
+"""Distributed BPE merge-rule learning (tokenizer induction).
+
+Training-data pipelines learn a byte-pair-encoding vocabulary from the
+corpus before tokenizing it (Sennrich et al. 2016, the GPT-2/LLaMA
+tokenizer recipe).  The classic implementation is a single-machine loop
+over a word-count dictionary; this is the same algorithm as relational
+algebra over a DataFrame of (symbol-sequence, count) rows:
+
+* the word-count table is built ONCE (tokens explode → keyed agg) and is
+  corpus-compressed: iteration cost scales with |vocab|, not corpus size;
+* each merge round is one pair-count aggregation (adjacent symbol pairs
+  weighted by word count, map-side combined), one deterministic argmax
+  (count desc, then lexicographic — a 1-row frame, never a driver
+  object), and one row-local rewrite of the sequences;
+* sequences live as separator-joined STRINGS, and the merge rewrite is
+  ``replace_passes`` passes of plain ``replace(SEP+a+SEP+b+SEP →
+  SEP+ab+SEP)``.  Plain leftmost non-overlapping replace is identical in
+  every engine, which is what lets an external engine replay the whole
+  fit exactly; P passes equal greedy BPE except on runs of the same
+  merged pair longer than 2^P — vanishing at word granularity.
+
+At 100 TB the vocab table is still tiny (≤ millions of distinct words);
+the only corpus-sized work is the initial word count.  The merge loop's
+1-row rule frames attach via broadcast (the sanctioned scalar-attach
+pattern) and the vocab lineage is checkpointed so round N's plan does not
+replay rounds 0..N-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import tokens
+
+SEP = "\x1f"
+
+
+def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, count) over the normalized whitespace tokens; empty words
+    dropped."""
+    return (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
+        # the 0x1f unit separator is the sequence delimiter; a word
+        # containing it would corrupt its own symbol encoding
+        .where((F.col("_w") != "") & ~F.col("_w").contains(SEP))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 8,
+    replace_passes: int = 3,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Learn the top ``n_merges`` BPE merge rules from a text column.
+
+    Returns ``(rank, merge_left, merge_right, pair_count)`` — rule ``rank``
+    merged the adjacent symbol pair (left, right) that was most frequent
+    (weighted by word count; ties broken lexicographically) AFTER applying
+    rules ``0..rank-1``.  Symbols start as single characters, so rule
+    outputs compose exactly like the reference algorithm.
+    """
+    wc = _word_counts(df, text_col)
+    vocab = wc.select(
+        F.array_join(F.split(F.col("_w"), ""), SEP).alias("_s"), F.col("_c")
+    ).localCheckpoint(eager=False)
+    rules: list[DataFrame] = []
+    for i in range(n_merges):
+        sp = F.split(F.col("_s"), SEP)
+        pairs = F.arrays_zip(
+            F.slice(sp, 1, F.size(sp) - 1).alias("_pa"),
+            F.slice(sp, 2, F.size(sp) - 1).alias("_pb"),
+        )
+        counted = (
+            vocab.where(F.size(sp) >= 2)
+            .select(F.col("_c"), F.explode(pairs).alias("_p"))
+            .groupBy(F.col("_p._pa").alias("_pa"), F.col("_p._pb").alias("_pb"))
+            .agg(F.sum("_c").alias("_cnt"))
+        )
+        # the 1-row rule is referenced twice (result list + vocab rewrite);
+        # checkpoint so the argmax job runs once, not once per reference
+        rule = (
+            counted.orderBy(F.col("_cnt").desc(), F.col("_pa"), F.col("_pb"))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        rules.append(rule.select(F.lit(i).alias("rank"), "_pa", "_pb", "_cnt"))
+        wrapped = F.concat(F.lit(SEP), F.col("_s"), F.lit(SEP))
+        pat = F.concat(
+            F.lit(SEP), F.col("_pa"), F.lit(SEP), F.col("_pb"), F.lit(SEP)
+        )
+        rep = F.concat(F.lit(SEP), F.col("_pa"), F.col("_pb"), F.lit(SEP))
+        merged = wrapped
+        for _ in range(replace_passes):
+            merged = F.replace(merged, pat, rep)
+        vocab = (
+            vocab.crossJoin(F.broadcast(rule))
+            .select(
+                merged.substr(F.lit(2), F.length(merged) - 2).alias("_s"),
+                "_c",
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_merges:
+            vocab = vocab.localCheckpoint(eager=False)
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "rank",
+        F.col("_pa").alias("merge_left"),
+        F.col("_pb").alias("merge_right"),
+        F.col("_cnt").alias("pair_count"),
+    )

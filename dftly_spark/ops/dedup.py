@@ -1134,3 +1134,134 @@ def dedup_survivors(
         .select(F.col("doc_id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def _md5_shingle_sets(df, id_col: str, text_col: str, n: int):
+    """Distinct ``(_id, _g)`` portable-hash shingle incidence rows.
+
+    Row-local :func:`word_shingles` (already per-document distinct) hashed
+    with the 60-bit md5 — the replayable-hash twin of
+    ``_shingle_instance_frames``; empty documents contribute nothing.  The
+    builder is row-local (explode of a per-row array) so the FIRST shuffle
+    a consumer pays is its own shingle-keyed aggregation.
+    """
+    from .textops import _md5_60
+
+    return (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
+        )
+        .select("_id", _md5_60(F.col("_s")).alias("_g"))
+    )
+
+
+def novelty_scores(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-document n-gram novelty against everything EARLIER in the corpus.
+
+    For each document: the fraction of its distinct word ``n``-grams whose
+    FIRST corpus occurrence (by ``order_col``, default the id itself; ties
+    to the smallest id) is this document.  High novelty = fresh content;
+    near-zero = boilerplate or near-dup of earlier material — the
+    streaming-corpus freshness signal next to ``dup_ngram_fraction``'s
+    symmetric repetition fraction.  Output: ``(id_col, n_shingles,
+    n_novel, novelty)``.
+
+    Scale shape: ONE shingle-keyed agg finds each shingle's first owner
+    (min over a (order, id) struct — deterministic under ties), the join
+    back is on the SAME shingle key (Exchange reused), and the per-doc
+    roll-up is a second keyed agg.  Linear in corpus shingles; no
+    pairwise anything.
+    """
+    order = F.col(order_col) if order_col is not None else F.col(id_col)
+    base = df.select(
+        F.col(id_col).alias("__nid"), F.col(text_col).alias("__ntext"),
+        order.alias("__no"),
+    )
+    sets = _md5_shingle_sets(base, "__nid", "__ntext", n)
+    keyed = sets.join(
+        base.select(F.col("__nid").alias("_id"), "__no"), "_id"
+    ).select("_id", "_g", F.col("__no").alias("_o"))
+    first = keyed.groupBy("_g").agg(
+        F.min(F.struct(F.col("_o"), F.col("_id"))).alias("_f")
+    )
+    novel = (
+        keyed.join(first, "_g")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(
+                    (F.col("_f._o") == F.col("_o"))
+                    & (F.col("_f._id") == F.col("_id")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return novel.select(
+        F.col("_id").alias(id_col),
+        "n_shingles",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_shingles")).alias("novelty"),
+    )
+
+
+def source_overlap(
+    df,
+    group_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-level overlap between groups (sources): exact shingle-set
+    Jaccard and directional containment per group pair.
+
+    The between-corpora analog of the per-document dedup ops: "how much of
+    source A's n-gram vocabulary is inside source B" — the first question
+    before mixing corpora or hunting cross-source contamination.  Output:
+    one row per unordered group pair that shares ≥1 shingle —
+    ``(group_a, group_b, inter, size_a, size_b, jaccard, containment_a,
+    containment_b)``.
+
+    Scale shape: distinct (group, shingle) incidence (one agg), group
+    sizes (one agg of that), and the pair counts from the shingle-keyed
+    self-join — per-shingle fanout is ≤ C(groups, 2), so with a handful
+    of sources the join output is ~the incidence size, never corpus².
+    """
+    sets = _md5_shingle_sets(df, group_col, text_col, n).distinct()
+    sizes = sets.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = sets.select(F.col("_id").alias("_ga"), "_g")
+    b = sets.select(F.col("_id").alias("_gb"), F.col("_g").alias("_g2"))
+    inter = (
+        a.join(b, (F.col("_g") == F.col("_g2")) & (F.col("_ga") < F.col("_gb")))
+        .groupBy("_ga", "_gb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("_ga"), F.col("_sz").alias("size_a"))
+    sb = sizes.select(F.col("_id").alias("_gb"), F.col("_sz").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "_ga")
+        .join(F.broadcast(sb), "_gb")
+        .select(
+            F.col("_ga").alias("group_a"),
+            F.col("_gb").alias("group_b"),
+            "inter",
+            "size_a",
+            "size_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).alias("jaccard"),
+            (F.col("inter").cast("double") / F.col("size_a")).alias("containment_a"),
+            (F.col("inter").cast("double") / F.col("size_b")).alias("containment_b"),
+        )
+    )

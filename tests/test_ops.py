@@ -1127,3 +1127,123 @@ def test_dsir_weights_partition_invariance(spark):
     b = sorted(map(tuple, dsir_weights(df.repartition(13), "doc_id", "text",
                                        target_filter=F.col("is_t")).collect()))
     assert a == b and len(a) == 60
+
+
+def test_novelty_scores_first_owner_semantics(spark):
+    from dftly_spark.ops import novelty_scores
+
+    # doc 1 introduces "a b c" and "b c d"; doc 2 repeats "a b c" and adds
+    # one new shingle; doc 3 is a pure copy of doc 1 -> novelty 0
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # shingles {a b c, b c d}: both novel
+            (2, "a b c e"),      # {a b c, b c e}: 1 of 2 novel
+            (3, "a b c d"),      # copy of doc 1: 0 of 2 novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+           for r in novelty_scores(df, "doc_id", "text", n=3).collect()}
+    assert out[1] == (2, 2, 1.0)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (2, 0, 0.0)
+
+
+def test_novelty_scores_order_col_overrides_id(spark):
+    from dftly_spark.ops import novelty_scores
+
+    # doc 9 is OLDER (order 1) than doc 1 (order 2): the copy penalty
+    # flips to doc 1
+    df = spark.createDataFrame(
+        [(9, "a b c", 1), (1, "a b c", 2)],
+        "doc_id long, text string, o long",
+    )
+    out = {r["doc_id"]: r["n_novel"]
+           for r in novelty_scores(df, "doc_id", "text", n=3,
+                                   order_col="o").collect()}
+    assert out == {9: 1, 1: 0}
+
+
+def test_source_overlap_exact_jaccard(spark):
+    from dftly_spark.ops import source_overlap
+
+    # A: {x y z, y z w} ; B: {x y z, q r s} ; C disjoint
+    df = spark.createDataFrame(
+        [
+            ("A", "x y z w"),
+            ("B", "x y z"), ("B", "q r s"),
+            ("C", "m n o"),
+        ],
+        "source string, text string",
+    )
+    out = {(r["group_a"], r["group_b"]): r for r in
+           source_overlap(df, "source", "text", n=3).collect()}
+    ab = out[("A", "B")]
+    assert (ab["inter"], ab["size_a"], ab["size_b"]) == (1, 2, 2)
+    assert abs(ab["jaccard"] - 1 / 3) < 1e-12
+    assert ab["containment_a"] == 0.5 and ab["containment_b"] == 0.5
+    # disjoint pairs are absent
+    assert ("A", "C") not in out and ("B", "C") not in out
+
+
+def _reference_bpe(word_counts, n_merges):
+    """Single-machine greedy BPE (Sennrich et al.) for cross-checking."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    rules = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (pa, pb), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((pa, pb, cnt))
+        merged = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == pa and syms[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            merged[key] = merged.get(key, 0) + c
+        vocab = merged
+    return rules
+
+
+def test_bpe_learn_matches_reference(spark):
+    from dftly_spark.ops import bpe_learn
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the rat chat",
+        "that hat on that cat",
+        "matter chatter patter",
+    ] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = sorted(
+        (r["rank"], r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in bpe_learn(df, "text", n_merges=6).collect()
+    )
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    ref = [(i, a, b, c) for i, (a, b, c) in
+           enumerate(_reference_bpe(wc, 6))]
+    assert out == ref
+
+
+def test_bpe_learn_merged_symbols_compose(spark):
+    from dftly_spark.ops import bpe_learn
+
+    # 'aab' x N: round 0 merges (a,a); round 1 must see the COMPOSED
+    # symbol 'aa' next to 'b'
+    df = spark.createDataFrame([("aab aab aab",)] * 2, "text string")
+    out = {r["rank"]: (r["merge_left"], r["merge_right"])
+           for r in bpe_learn(df, "text", n_merges=2).collect()}
+    assert out == {0: ("a", "a"), 1: ("aa", "b")}

@@ -120,6 +120,7 @@ def test_all_contract_queries_plan_invariants(spark):
         "x97_psi_drift",  # 1-row (n_a, n_b) totals broadcast over k buckets
         "x106_dormant_accounts",  # 1-row positive-balance avg broadcast
         "x109_dsir_weights",  # 1-row model-totals broadcast over B buckets
+        "x114_bpe_learn",  # 1-row merge-rule broadcast per round
     }
     arrow_allowed = {"x09_multimodal_decode"}  # sanctioned mapInPandas stub
     for name, fn in entry.queries().items():
