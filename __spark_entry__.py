@@ -6155,7 +6155,10 @@ def _x114(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _x114_oracle() -> str:
+def _bpe_fit_ctes() -> list[str]:
+    """Machine-unrolled DuckDB CTE chain replaying the bpe_learn fit:
+    wc → v0, then one (pair-count p{i}, argmax r{i}, rewrite v{i+1})
+    triple per merge round.  Shared by the x114 and x115 oracles."""
     sep = "chr(31)"
     ctes = [
         r"""wc AS (
@@ -6190,14 +6193,74 @@ def _x114_oracle() -> str:
       FROM (SELECT {merged} AS x, c FROM v{i}, r{i})
     )"""
         )
+    return ctes
+
+
+def _x114_oracle() -> str:
     finals = " UNION ALL ".join(
         f"SELECT {i} AS rank, pa AS merge_left, pb AS merge_right, cnt AS pair_count FROM r{i}"
         for i in range(_X114_MERGES)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + finals
+    return "WITH " + ",\n".join(_bpe_fit_ctes()) + "\n" + finals
 
 
 _q("x114_bpe_learn", _x114, _x114_oracle)
+
+
+def _x115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding counts (ops/bpe.py bpe_encode_counts): per-document
+    token counts under the x114-learned vocabulary — the real
+    sequence-length metric for packing/budgeting.  The 8-rule merge table
+    is tokenizer metadata and compiles into ONE literal codegen'd
+    replace-chain expression; the only shuffle is the per-doc count agg.
+    The oracle refits the rules with the shared machine-unrolled CTE
+    chain, then encodes with the same nested replaces."""
+    from dftly_spark.ops import bpe_encode_counts, bpe_learn
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_learn(
+        docs, "text", n_merges=_X114_MERGES, replace_passes=_X114_PASSES
+    )
+    return bpe_encode_counts(docs, "doc_id", "text", merges,
+                             replace_passes=_X114_PASSES)
+
+
+def _x115_oracle() -> str:
+    sep = "chr(31)"
+    ctes = _bpe_fit_ctes()
+    ctes.append(
+        r"""dw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        FROM documents WHERE length(trim(text)) > 0)
+      WHERE w <> '' AND NOT contains(w, chr(31))
+    )"""
+    )
+    enc = f"{sep} || array_to_string(string_split(w, ''), {sep}) || {sep}"
+    for i in range(_X114_MERGES):
+        pat = f"{sep} || r{i}.pa || {sep} || r{i}.pb || {sep}"
+        rep = f"{sep} || r{i}.pa || r{i}.pb || {sep}"
+        for _ in range(_X114_PASSES):
+            enc = f"replace({enc}, {pat}, {rep})"
+    rules = ", ".join(f"r{i}" for i in range(_X114_MERGES))
+    ctes.append(
+        f"""enc AS (
+      SELECT doc_id,
+             length(x) - length(replace(x, {sep}, '')) - 1 AS n_tok
+      FROM (SELECT doc_id, {enc} AS x FROM dw, {rules})
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        + "CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM enc GROUP BY doc_id"
+    )
+
+
+_q("x115_bpe_encode", _x115, _x115_oracle)
 
 
 # ---------------------------------------------------------------------------
@@ -6261,6 +6324,7 @@ _PRIORITY = [
     "x112_novelty",
     "x113_source_overlap",
     "x114_bpe_learn",
+    "x115_bpe_encode",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

@@ -117,3 +117,60 @@ def bpe_learn(
         F.col("_pb").alias("merge_right"),
         F.col("_cnt").alias("pair_count"),
     )
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges,
+    *,
+    replace_passes: int = 3,
+) -> DataFrame:
+    """Per-document token counts under a learned BPE vocabulary.
+
+    ``merges`` is the frame :func:`bpe_learn` returns (or a pre-collected
+    ``[(rank, left, right), ...]`` list).  Rules are applied in rank order
+    to every word; the output is ``(id_col, n_words, n_tokens)`` — the
+    real sequence-length/cost metric for packing and budgeting, as opposed
+    to the whitespace/regex proxies in ``token_count``.
+
+    The merge table is tokenizer METADATA (n_merges rows — the same class
+    as the scalar-quantizer codebook), so it materializes once into a
+    LITERAL expression tree: encoding is R×P nested ``replace`` calls,
+    fully codegen'd and row-local.  The only shuffle is the final per-doc
+    count aggregation.
+    """
+    if isinstance(merges, DataFrame):
+        rows = merges.select("rank", "merge_left", "merge_right").collect()
+        rules = [(r["rank"], r["merge_left"], r["merge_right"]) for r in rows]
+    else:
+        rules = list(merges)
+    rules.sort(key=lambda t: t[0])
+    words = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"),
+        )
+        .where((F.col("_w") != "") & ~F.col("_w").contains(SEP))
+    )
+    enc = F.concat(
+        F.lit(SEP), F.array_join(F.split(F.col("_w"), ""), SEP), F.lit(SEP)
+    )
+    for _, pa, pb in rules:
+        pat = F.lit(f"{SEP}{pa}{SEP}{pb}{SEP}")
+        rep = F.lit(f"{SEP}{pa}{pb}{SEP}")
+        for _ in range(replace_passes):
+            enc = F.replace(enc, pat, rep)
+    # tokens in a word = separators - 1 on the wrapped form
+    n_tok = F.length(enc) - F.length(F.replace(enc, F.lit(SEP), F.lit(""))) - 1
+    return (
+        words.select("_id", n_tok.alias("_n"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n").alias("n_tokens"),
+        )
+        .select(F.col("_id").alias(id_col), "n_words", "n_tokens")
+    )

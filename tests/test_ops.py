@@ -1247,3 +1247,23 @@ def test_bpe_learn_merged_symbols_compose(spark):
     out = {r["rank"]: (r["merge_left"], r["merge_right"])
            for r in bpe_learn(df, "text", n_merges=2).collect()}
     assert out == {0: ("a", "a"), 1: ("aa", "b")}
+
+
+def test_bpe_encode_counts_shrink_with_merges(spark):
+    from dftly_spark.ops import bpe_encode_counts, bpe_learn
+
+    df = spark.createDataFrame(
+        [(1, "banana bandana"), (2, "an an an banana")],
+        "doc_id long, text string",
+    )
+    merges = bpe_learn(df, "text", n_merges=3)
+    out = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in bpe_encode_counts(df, "doc_id", "text", merges).collect()}
+    # raw char counts: doc1 = 6+7=13, doc2 = 2+2+2+6=12; with ('a','n')
+    # merged (6+4 occurrences) every 'an' halves
+    assert out[1][0] == 2 and out[2][0] == 4
+    assert out[1][1] < 13 and out[2][1] < 12
+    # no merges -> pure char counts
+    base = {r["doc_id"]: r["n_tokens"]
+            for r in bpe_encode_counts(df, "doc_id", "text", []).collect()}
+    assert base == {1: 13, 2: 12}
