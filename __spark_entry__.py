@@ -6263,6 +6263,40 @@ def _x115_oracle() -> str:
 _q("x115_bpe_encode", _x115, _x115_oracle)
 
 
+def _x116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE corpus accounting (ops/profile.py cube_stats): rows and chars
+    by lang, by source, by (lang, source), and overall — the
+    non-hierarchical sibling of x34's ROLLUP, all 2^|dims| grouping sets
+    from ONE scan + ONE shuffle via the native Expand."""
+    from dftly_spark.ops import cube_stats
+
+    _prep(spark)
+    out = cube_stats(
+        _t(spark, sf_dir, "documents"),
+        ["lang", "source"],
+        {"total_chars": F.sum("n_chars")},
+    )
+    return out.select(
+        "lang",
+        "source",
+        F.col("grouping_id").cast("bigint").alias("grouping_id"),
+        "n_rows",
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+_q(
+    "x116_cube_stats",
+    _x116,
+    """
+    SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS grouping_id,
+           COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE(lang, source)
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -6325,6 +6359,7 @@ _PRIORITY = [
     "x113_source_overlap",
     "x114_bpe_learn",
     "x115_bpe_encode",
+    "x116_cube_stats",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

@@ -130,6 +130,7 @@ from .profile import (
     profile_table,
     quantile_stats,
     rollup_stats,
+    cube_stats,
     distinct_counts,
     ewma,
     mad_outliers,
@@ -202,7 +203,7 @@ __all__ = [
     "compact_table", "plan_summary", "partitioned_cumsum", "ks_drift", "psi_drift",
     "histogram_fixed",
     "hash_split", "stratified_sample", "pack_sequences", "quantile_stats",
-    "bm25_topk", "tf_idf_vectors", "sparse_cosine_pairs", "cap_per_group", "rollup_stats",
+    "bm25_topk", "tf_idf_vectors", "sparse_cosine_pairs", "cap_per_group", "rollup_stats", "cube_stats",
     "dup_ngram_fraction", "remove_dup_ngram_spans",
     "sessionize", "sessionize_stream", "sessionize_stream_tws", "funnel", "cohort_retention", "debounce", "debounce_stream", "resample_ffill",
     "mixture_sample", "latest_changes", "merge_upsert", "snapshot_diff",

@@ -90,6 +90,33 @@ def rollup_stats(
     )
 
 
+def cube_stats(
+    df: DataFrame,
+    dims: list[str],
+    metrics: dict[str, "F.Column"] | None = None,
+    *,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """All-subsets subtotals over ``dims`` (``CUBE``) in one aggregation.
+
+    :func:`rollup_stats`' sibling for NON-hierarchical dimensions — "rows
+    by lang, by source, by (lang, source), and overall" — where rollup's
+    prefix levels would miss the by-source-alone cut.  Native ``cube``:
+    one scan + one shuffle, the Expand fanning each row to its 2^|dims|
+    grouping sets; same ``grouping_id`` disambiguation contract as
+    rollup_stats.  Keep |dims| small (fanout is 2^|dims| — at 100 TB
+    three dims means an 8× Expand, the knob to watch).
+    """
+    aggs = [F.count(F.lit(1)).alias(count_col)]
+    for name, col in (metrics or {}).items():
+        aggs.append(col.alias(name))
+    return (
+        df.cube(*dims)
+        .agg(F.grouping_id().alias("grouping_id"), *aggs)
+        .select(*dims, "grouping_id", count_col, *(metrics or {}))
+    )
+
+
 def histogram_fixed(
     df: DataFrame,
     value_col: str,
