@@ -6297,6 +6297,66 @@ _q(
 )
 
 
+def _x117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimation (ops/sketch.py cms_join_size):
+    |lineitem ⋈ filtered-part| estimated from the count-min inner product
+    — the planner's cardinality question answered without shuffling
+    either table — next to the exact count for calibration.  Both
+    sketches are depth×width cells built in one pass each; the estimate
+    never undercounts (collisions only add)."""
+    from dftly_spark.ops import cms_build, cms_join_size
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    pt = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 25)
+        .select("p_partkey")
+    )
+    sa = cms_build(li, "l_partkey", depth=4, width=1024)
+    sb = cms_build(pt, "p_partkey", depth=4, width=1024)
+    est = cms_join_size(sa, sb, depth=4)
+    exact = li.join(pt, li["l_partkey"] == pt["p_partkey"]).agg(
+        F.count(F.lit(1)).alias("join_size_exact")
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+_q(
+    "x117_join_size_sketch",
+    _x117,
+    """
+    WITH rows(r) AS (SELECT unnest([0, 1, 2, 3])),
+    sa AS (
+      SELECT r, b, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT r.r AS r,
+               ((l_partkey * 1103515245 + 12345 + r.r * 1000 + 1) % 2147483648)
+                 % 1024 AS b
+        FROM lineitem CROSS JOIN rows r)
+      GROUP BY r, b
+    ), sb AS (
+      SELECT r, b, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT r.r AS r,
+               ((p_partkey * 1103515245 + 12345 + r.r * 1000 + 1) % 2147483648)
+                 % 1024 AS b
+        FROM part CROSS JOIN rows r WHERE p_size <= 25)
+      GROUP BY r, b
+    ), prods AS (
+      SELECT rows.r AS r, CAST(coalesce(p, 0) AS BIGINT) AS p
+      FROM rows LEFT JOIN (
+        SELECT sa.r AS pr, sum(sa.n * sb.n) AS p
+        FROM sa JOIN sb ON sa.r = sb.r AND sa.b = sb.b GROUP BY sa.r
+      ) ON pr = rows.r
+    ), exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS join_size_exact
+      FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size <= 25
+    )
+    SELECT (SELECT min(p) FROM prods) AS join_size_est, join_size_exact
+    FROM exact
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -6360,6 +6420,7 @@ _PRIORITY = [
     "x114_bpe_learn",
     "x115_bpe_encode",
     "x116_cube_stats",
+    "x117_join_size_sketch",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

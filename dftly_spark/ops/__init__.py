@@ -74,7 +74,7 @@ from .graph import kcore, pagerank, prepare_edges, triangle_count
 from .quality import expect, roc_auc, roc_auc_by_group
 from .reshape import melt, pivot_wide
 from .assoc import cooccurrence_pmi
-from .sketch import cms_build, cms_estimate
+from .sketch import cms_build, cms_estimate, cms_join_size
 from .similarity import (
     fit_scalar_quantizer,
     quantize_embeddings,
@@ -177,7 +177,7 @@ __all__ = [
     "fit_scalar_quantizer", "quantize_embeddings", "quantization_fidelity",
     "kcore", "pagerank", "prepare_edges", "triangle_count", "ranking_metrics", "pool_embeddings",
     "salted_join", "winsorize", "impute_nulls", "group_trend",
-    "cms_build", "cms_estimate", "corr_matrix", "group_entropy",
+    "cms_build", "cms_estimate", "cms_join_size", "corr_matrix", "group_entropy",
     "merge_intervals", "rolling_zscore", "scd2_history",
     "weighted_sample_per_group", "distinctive_terms", "centroid_outliers",
     "ntile_features", "time_weighted_avg", "key_skew_profile",

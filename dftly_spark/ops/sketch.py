@@ -94,3 +94,41 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
     )
+
+
+def cms_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    *,
+    depth: int = 4,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches: the
+    classic sketch inner product (Cormode & Muthukrishnan 2005, §4.2).
+
+    ``est = min over sketch rows of Σ_bucket n_a·n_b`` — an UPPER bound on
+    ``|A ⋈ B|`` (collisions only add), tight to within ``ε·|A|·|B|`` with
+    the usual width/depth guarantees.  Both sketches must share depth,
+    width, and the seed family (build both with :func:`cms_build`).
+
+    This is the planner's question — "how big would this join be?" —
+    answered WITHOUT running the join or shuffling either table: each
+    side was compressed to depth×width cells in one pass, and the
+    estimate is a cell-aligned join of two tiny frames.  Sketches persist
+    and merge (union + re-agg), so per-partition or per-day sketches
+    roll up into the estimate for any slice combination.
+    """
+    a = sketch_a.select("row", "bucket", F.col("n").alias("_na"))
+    b = sketch_b.select("row", "bucket", F.col("n").alias("_nb"))
+    prods = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_p"))
+    )
+    spine = sketch_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("row")
+    )
+    return (
+        spine.join(prods, "row", "left")
+        .select(F.coalesce(F.col("_p"), F.lit(0)).alias("_p"))
+        .agg(F.min("_p").alias("join_size_est"))
+    )

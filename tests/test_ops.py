@@ -1267,3 +1267,35 @@ def test_bpe_encode_counts_shrink_with_merges(spark):
     base = {r["doc_id"]: r["n_tokens"]
             for r in bpe_encode_counts(df, "doc_id", "text", []).collect()}
     assert base == {1: 13, 2: 12}
+
+
+def test_cms_join_size_bounds(spark):
+    from dftly_spark.ops import cms_build, cms_join_size
+
+    a = spark.range(2000).select((F.col("id") % 500).alias("k"))
+    b = spark.range(300).select((F.col("id") % 100).alias("k"))
+    # exact join size: keys 0..99 -> (2000/500=4 copies) x 3 copies = 12
+    # per key x 100 keys = 1200
+    exact = a.join(b, "k").count()
+    est = cms_join_size(
+        cms_build(a, "k", depth=4, width=1024),
+        cms_build(b, "k", depth=4, width=1024),
+        depth=4,
+    ).collect()[0]["join_size_est"]
+    assert exact == 1200
+    # CMS inner product never undercounts; with width >> keys it is tight
+    assert est >= exact
+    assert est <= exact * 1.2
+
+
+def test_cms_join_size_disjoint_keys(spark):
+    from dftly_spark.ops import cms_build, cms_join_size
+
+    a = spark.range(50).select(F.col("id").alias("k"))
+    b = spark.range(50).select((F.col("id") + 10_000_000).alias("k"))
+    est = cms_join_size(
+        cms_build(a, "k"), cms_build(b, "k")
+    ).collect()[0]["join_size_est"]
+    # disjoint key sets: only hash collisions contribute; min over rows
+    # keeps it near zero at this width
+    assert est <= 10
