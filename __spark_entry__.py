@@ -6357,6 +6357,88 @@ _q(
 )
 
 
+_X118_ITERS = 40
+
+
+def _x118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA top-component projection (ops/pca.py pca_top_component):
+    MLlib's tall-skinny architecture — distributed exact-integer Gramian
+    (vectors quantized to 1e-6 ticks so Σx·xᵀ is order-independent
+    bigint), driver-side power iteration over the d²-cell summary with
+    every float op sequenced (sequential folds, max-abs round scaling),
+    row-local projection.  The oracle replays the ENTIRE fit in one
+    recursive CTE — the component is bit-identical across engines."""
+    from dftly_spark.ops import pca_top_component
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_top_component(
+        emb, "vec_id", "embedding", dim=64, power_iters=_X118_ITERS
+    )
+
+
+_q(
+    "x118_pca_project",
+    _x118,
+    f"""
+    WITH RECURSIVE q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xq,
+             embedding
+      FROM embeddings
+    ), cells AS (
+      SELECT ii.i AS i, jj.j AS j, CAST(sum(xq[ii.i] * xq[jj.j]) AS BIGINT) AS sp
+      FROM q,
+           unnest(generate_series(1, 64)) ii(i),
+           unnest(generate_series(1, 64)) jj(j)
+      GROUP BY ii.i, jj.j
+    ), svec AS (
+      SELECT ii.i AS i, CAST(sum(xq[ii.i]) AS BIGINT) AS s
+      FROM q, unnest(generate_series(1, 64)) ii(i) GROUP BY ii.i
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM q
+    ), cmat AS (
+      SELECT c.i - 1 AS i, c.j - 1 AS j,
+             (CAST(sp AS DOUBLE) / n)
+               - (CAST(sa.s AS DOUBLE) / n) * (CAST(sb.s AS DOUBLE) / n) AS v
+      FROM cells c
+      JOIN svec sa ON sa.i = c.i
+      JOIN svec sb ON sb.i = c.j
+      CROSS JOIN nn
+    ), pw AS (
+      SELECT 0 AS it, i,
+             CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS DOUBLE) AS v
+      FROM (SELECT DISTINCT i FROM cmat)
+      UNION ALL
+      SELECT it + 1, i, w / mx FROM (
+        SELECT it, i, w, max(abs(w)) OVER () AS mx FROM (
+          SELECT pw.it AS it, c.i AS i,
+                 list_reduce(list(c.v * pw.v ORDER BY c.j), (a, b) -> a + b) AS w
+          FROM pw JOIN cmat c ON c.j = pw.i
+          WHERE pw.it < {_X118_ITERS}
+          GROUP BY pw.it, c.i))
+    ), vfin AS (
+      SELECT i, v FROM pw WHERE it = {_X118_ITERS}
+    ), vn AS (
+      SELECT sqrt(list_reduce(list(v * v ORDER BY i), (a, b) -> a + b)) AS nrm
+      FROM vfin
+    ), proj AS (
+      SELECT vec_id,
+             list_reduce(
+               list(CAST(e[t.i] AS DOUBLE) * vf.v ORDER BY t.i),
+               (a, b) -> a + b) AS dt
+      FROM (SELECT vec_id, embedding AS e,
+                   unnest(generate_series(1, 64)) AS i
+            FROM embeddings) t(vec_id, e, i)
+      JOIN vfin vf ON vf.i = t.i - 1
+      GROUP BY vec_id
+    )
+    SELECT vec_id, dt / nrm AS pc1 FROM proj CROSS JOIN vn
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -6421,6 +6503,7 @@ _PRIORITY = [
     "x115_bpe_encode",
     "x116_cube_stats",
     "x117_join_size_sketch",
+    "x118_pca_project",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

@@ -1,0 +1,126 @@
+"""Distributed PCA: top principal component, bit-reproducibly.
+
+The architecture is the one Spark MLlib itself uses for tall-skinny
+matrices (``RowMatrix.computePrincipalComponents``): the Gramian /
+covariance is aggregated DISTRIBUTED (d²-bounded result, one pass over
+the vectors), the eigen-solve happens on the DRIVER over that d²-cell
+summary (dimension-bounded metadata, the same class as the k-means
+centroid matrix or the quantizer codebook), and the projection is a
+row-local expression over the corpus.
+
+What this module adds over "call numpy" is REPLAYABILITY — every float
+op is pinned so an external engine reproduces the component bit-for-bit:
+
+* sufficient statistics are EXACT integers: vectors quantize to 1e-6
+  ticks (numerically irrelevant at feature scale, exactness-critical),
+  so Σx and Σx·xᵀ are order-independent bigint sums;
+* covariance entries derive by a FIXED float expression
+  ``sp/n − (s_i/n)·(s_j/n)``;
+* the driver-side power iteration uses explicit sequential folds (first
+  element as seed, ascending index — the ``list_reduce`` convention) and
+  scales each round by ``max(abs(w))`` (an order-independent reduction,
+  no mid-iteration square-root sums);
+* the final normalization and the per-vector projection are single
+  ordered folds.
+
+A recursive CTE replays the whole fit (see the x118 oracle).  Top-1 only:
+further components would deflate and repeat; at that point use the same
+Gramian with a driver-side eigh and accept engine-specific last-ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000.0
+
+
+def _exact_stats(df: DataFrame, vec_col: str, dim: int):
+    """n, s[i], sp[i][j] from one aggregation of quantized vectors."""
+    xq = F.transform(
+        F.col(vec_col), lambda v: F.floor(v * QUANT + F.lit(0.5)).cast("bigint")
+    )
+    pairs = df.select(F.posexplode(xq).alias("_i", "_xi"), xq.alias("_q"))
+    cells = pairs.select(
+        "_i", "_xi", F.posexplode("_q").alias("_j", "_xj")
+    )
+    stats = (
+        cells.groupBy("_i", "_j")
+        .agg(
+            F.sum(F.col("_xi") * F.col("_xj")).alias("_sp"),
+            F.sum(F.when(F.col("_j") == 0, F.col("_xi")).otherwise(0)).alias("_srow"),
+            F.count(F.when(F.col("_j") == 0, F.lit(1))).alias("_nrow"),
+        )
+        .collect()
+    )
+    n = 0
+    s = [0] * dim
+    sp = [[0] * dim for _ in range(dim)]
+    for r in stats:
+        sp[r["_i"]][r["_j"]] = r["_sp"]
+        if r["_j"] == 0:
+            s[r["_i"]] = r["_srow"]
+            if r["_i"] == 0:
+                n = r["_nrow"]
+    return n, s, sp
+
+
+def _fold(terms):
+    """Sequential no-init fold (the list_reduce convention)."""
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def pca_top_component(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    power_iters: int = 40,
+) -> DataFrame:
+    """Project every vector onto the corpus' top principal component.
+
+    Returns ``(id_col, pc1)`` where ``pc1 = ⟨x, v⟩ / ‖v‖`` for the
+    component ``v`` of the (1e-6-quantized) covariance, fit by
+    ``power_iters`` rounds of max-abs-scaled power iteration from the
+    deterministic ``e₀`` start.  Every float op is sequenced so the whole
+    fit+projection replays exactly in any engine (module docstring).
+    """
+    n, s, sp = _exact_stats(df, vec_col, dim)
+    if n < 2:
+        raise ValueError(f"pca_top_component needs >=2 vectors, got {n}")
+    # float() BEFORE dividing: Python's int/int is correctly rounded over
+    # the exact rationals, but SQL casts each bigint to double first —
+    # for sp beyond 2^53 the two differ in the last ulp.  Mirror SQL.
+    nf = float(n)
+    cov = [
+        [
+            (float(sp[i][j]) / nf) - (float(s[i]) / nf) * (float(s[j]) / nf)
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+    v = [1.0] + [0.0] * (dim - 1)
+    for _ in range(power_iters):
+        w = [_fold([cov[i][j] * v[j] for j in range(dim)]) for i in range(dim)]
+        mx = max(abs(x) for x in w)
+        if mx == 0.0:
+            raise ValueError("power iteration collapsed (zero covariance?)")
+        v = [x / mx for x in w]
+    norm = _fold([x * x for x in v]) ** 0.5
+    # projection: ordered fold of x_i * v_i over the RAW (unquantized)
+    # vector, then one divide — the same fold both engines run
+    varr = F.array(*[F.lit(float(x)) for x in v])
+    terms = F.zip_with(
+        F.col(vec_col).cast("array<double>"), varr, lambda x, y: x * y
+    )
+    score = F.aggregate(
+        F.slice(terms, 2, dim - 1),
+        F.element_at(terms, 1),
+        lambda acc, t: acc + t,
+    ) / F.lit(float(norm))
+    return df.select(F.col(id_col), score.alias("pc1"))

@@ -1299,3 +1299,35 @@ def test_cms_join_size_disjoint_keys(spark):
     # disjoint key sets: only hash collisions contribute; min over rows
     # keeps it near zero at this width
     assert est <= 10
+
+
+def test_pca_top_component_matches_numpy(spark):
+    import numpy as np
+
+    from dftly_spark.ops import pca_top_component
+
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: strong direction u with noise
+    u = rng.randn(16); u /= np.linalg.norm(u)
+    x = np.outer(rng.randn(400) * 5.0, u) + rng.randn(400, 16) * 0.3
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pca_top_component(df, "vec_id", "embedding", dim=16).toPandas()
+    scores = out.sort_values("vec_id")["pc1"].to_numpy()
+    xc = x - x.mean(axis=0)
+    evals, evecs = np.linalg.eigh(np.cov(xc.T, bias=True))
+    v_np = evecs[:, -1]
+    ref = x @ v_np
+    # scores match the numpy projection up to global sign
+    c = np.corrcoef(scores, ref)[0, 1]
+    assert abs(c) > 0.9999
+
+
+def test_pca_top_component_rejects_tiny_input(spark):
+    from dftly_spark.ops import pca_top_component
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match=">=2 vectors"):
+        pca_top_component(df, "vec_id", "embedding", dim=2)
