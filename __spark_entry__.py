@@ -5982,8 +5982,9 @@ _q(
 
 def _x111(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core extraction (ops/graph.py kcore): nodes of the 80-core of the
-    part co-purchase graph after 8 peeling rounds (converges in 6 on this
-    data — asserted in tests — so this IS the exact 80-core).  Per round
+    part co-purchase graph after 8 peeling rounds (convergence within the
+    budget is asserted at gate scale in tests, so this IS the exact
+    80-core).  Per round
     ONE degree agg + one semi-join per endpoint over the shrinking
     symmetric edge frame, lineage checkpointed; the oracle replays the
     peel with a recursive CTE whose rounds filter on windowed degrees."""
@@ -6315,7 +6316,7 @@ def _x117(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = cms_build(li, "l_partkey", depth=4, width=1024)
     sb = cms_build(pt, "p_partkey", depth=4, width=1024)
-    est = cms_join_size(sa, sb, depth=4)
+    est = cms_join_size(sa, sb)
     exact = li.join(pt, li["l_partkey"] == pt["p_partkey"]).agg(
         F.count(F.lit(1)).alias("join_size_exact")
     )

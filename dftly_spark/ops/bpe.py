@@ -145,7 +145,9 @@ def bpe_encode_counts(
         rows = merges.select("rank", "merge_left", "merge_right").collect()
         rules = [(r["rank"], r["merge_left"], r["merge_right"]) for r in rows]
     else:
-        rules = list(merges)
+        # accept bare (rank, left, right) tuples AND the 4-field rows a
+        # caller gets from bpe_learn(...).collect()
+        rules = [(t[0], t[1], t[2]) for t in merges]
     rules.sort(key=lambda t: t[0])
     words = (
         df.where(F.length(F.trim(F.col(text_col))) > 0)

@@ -30,6 +30,8 @@ Gramian with a driver-side eigh and accept engine-specific last-ulp.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,6 +51,7 @@ def _exact_stats(df: DataFrame, vec_col: str, dim: int):
         cells.groupBy("_i", "_j")
         .agg(
             F.sum(F.col("_xi") * F.col("_xj")).alias("_sp"),
+            F.max(F.abs(F.col("_xi"))).alias("_mx"),
             F.sum(F.when(F.col("_j") == 0, F.col("_xi")).otherwise(0)).alias("_srow"),
             F.count(F.when(F.col("_j") == 0, F.lit(1))).alias("_nrow"),
         )
@@ -57,12 +60,23 @@ def _exact_stats(df: DataFrame, vec_col: str, dim: int):
     n = 0
     s = [0] * dim
     sp = [[0] * dim for _ in range(dim)]
+    mx = 0
     for r in stats:
         sp[r["_i"]][r["_j"]] = r["_sp"]
+        mx = max(mx, r["_mx"] or 0)
         if r["_j"] == 0:
             s[r["_i"]] = r["_srow"]
             if r["_i"] == 0:
                 n = r["_nrow"]
+    # Spark's non-ANSI bigint sum WRAPS silently on overflow (DuckDB's
+    # hugeint sum would error or disagree) — reject before the component
+    # silently points somewhere wrong.  Conservative bound: every cell
+    # satisfies |sp| <= n * mx^2.
+    if mx and n and n * mx * mx >= 2**62:
+        raise ValueError(
+            f"Gramian cells may overflow int64 (n={n}, max|x_q|={mx}): "
+            "rescale the vectors or fit on a sample"
+        )
     return n, s, sp
 
 
@@ -111,7 +125,10 @@ def pca_top_component(
         if mx == 0.0:
             raise ValueError("power iteration collapsed (zero covariance?)")
         v = [x / mx for x in w]
-    norm = _fold([x * x for x in v]) ** 0.5
+    # math.sqrt mirrors SQL sqrt() (IEEE-exact); `** 0.5` goes through
+    # libm pow, which is NOT guaranteed correctly rounded — a 1-ulp norm
+    # difference would shift every score off the oracle
+    norm = math.sqrt(_fold([x * x for x in v]))
     # projection: ordered fold of x_i * v_i over the RAW (unquantized)
     # vector, then one divide — the same fold both engines run
     varr = F.array(*[F.lit(float(x)) for x in v])

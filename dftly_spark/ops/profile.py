@@ -80,14 +80,7 @@ def rollup_stats(
     standard disambiguator between a genuine null dim value and a
     subtotal), the count, and the metric columns.
     """
-    aggs = [F.count(F.lit(1)).alias(count_col)]
-    for name, col in (metrics or {}).items():
-        aggs.append(col.alias(name))
-    return (
-        df.rollup(*dims)
-        .agg(F.grouping_id().alias("grouping_id"), *aggs)
-        .select(*dims, "grouping_id", count_col, *(metrics or {}))
-    )
+    return _grouped_stats(df.rollup(*dims), dims, metrics, count_col)
 
 
 def cube_stats(
@@ -107,12 +100,16 @@ def cube_stats(
     rollup_stats.  Keep |dims| small (fanout is 2^|dims| — at 100 TB
     three dims means an 8× Expand, the knob to watch).
     """
+    return _grouped_stats(df.cube(*dims), dims, metrics, count_col)
+
+
+def _grouped_stats(grouped, dims, metrics, count_col) -> DataFrame:
+    """Shared agg/select tail of rollup_stats and cube_stats."""
     aggs = [F.count(F.lit(1)).alias(count_col)]
     for name, col in (metrics or {}).items():
         aggs.append(col.alias(name))
     return (
-        df.cube(*dims)
-        .agg(F.grouping_id().alias("grouping_id"), *aggs)
+        grouped.agg(F.grouping_id().alias("grouping_id"), *aggs)
         .select(*dims, "grouping_id", count_col, *(metrics or {}))
     )
 

@@ -99,8 +99,6 @@ def cms_estimate(
 def cms_join_size(
     sketch_a: DataFrame,
     sketch_b: DataFrame,
-    *,
-    depth: int = 4,
 ) -> DataFrame:
     """Equi-join cardinality estimate from two count-min sketches: the
     classic sketch inner product (Cormode & Muthukrishnan 2005, §4.2).
@@ -108,7 +106,10 @@ def cms_join_size(
     ``est = min over sketch rows of Σ_bucket n_a·n_b`` — an UPPER bound on
     ``|A ⋈ B|`` (collisions only add), tight to within ``ε·|A|·|B|`` with
     the usual width/depth guarantees.  Both sketches must share depth,
-    width, and the seed family (build both with :func:`cms_build`).
+    width, and the seed family (build both with :func:`cms_build`).  The
+    row spine derives from the sketch itself — a caller-supplied depth
+    mismatching the build would have injected phantom zero rows and
+    silently broken the never-undercount guarantee.
 
     This is the planner's question — "how big would this join be?" —
     answered WITHOUT running the join or shuffling either table: each
@@ -124,9 +125,7 @@ def cms_join_size(
         .groupBy("row")
         .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_p"))
     )
-    spine = sketch_a.sparkSession.range(depth).select(
-        F.col("id").cast("int").alias("row")
-    )
+    spine = sketch_a.select("row").distinct()
     return (
         spine.join(prods, "row", "left")
         .select(F.coalesce(F.col("_p"), F.lit(0)).alias("_p"))

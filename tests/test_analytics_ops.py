@@ -705,3 +705,30 @@ def test_kcore_gate_budget_converges(spark):
     a = sorted(map(tuple, kcore(edges, 12, max_rounds=8).collect()))
     b = sorted(map(tuple, kcore(edges, 12, max_rounds=9).collect()))
     assert a == b and len(a) > 0
+
+
+def test_kcore_x111_gate_budget_converges_at_gate_scale(spark):
+    """Pin the x111 claim AT GATE SCALE: the k=80 peel over the sf0.01
+    co-purchase graph converges within the 8-round budget (round 9 is a
+    no-op), so the gate output IS the exact 80-core.  A testdata regen
+    that densifies the graph past the budget fails HERE, not silently
+    inside a green-but-wrong oracle pair."""
+    from dftly_spark.ops import kcore
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    o2 = items.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2")
+    )
+    edges = (
+        items.join(
+            o2,
+            (items["l_orderkey"] == o2["ok2"]) & (items["l_partkey"] < o2["pk2"]),
+        )
+        .select(F.col("l_partkey").alias("src"), F.col("pk2").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a = sorted(map(tuple, kcore(edges, 80, max_rounds=8).collect()))
+    b = sorted(map(tuple, kcore(edges, 80, max_rounds=9).collect()))
+    assert a == b and len(a) > 0

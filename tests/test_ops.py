@@ -1280,7 +1280,6 @@ def test_cms_join_size_bounds(spark):
     est = cms_join_size(
         cms_build(a, "k", depth=4, width=1024),
         cms_build(b, "k", depth=4, width=1024),
-        depth=4,
     ).collect()[0]["join_size_est"]
     assert exact == 1200
     # CMS inner product never undercounts; with width >> keys it is tight
@@ -1331,3 +1330,12 @@ def test_pca_top_component_rejects_tiny_input(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match=">=2 vectors"):
         pca_top_component(df, "vec_id", "embedding", dim=2)
+
+
+def test_bpe_encode_counts_accepts_collected_rows(spark):
+    from dftly_spark.ops import bpe_encode_counts, bpe_learn
+
+    df = spark.createDataFrame([(1, "banana bandana")], "doc_id long, text string")
+    rows = bpe_learn(df, "text", n_merges=2).collect()  # 4-field Rows
+    out = bpe_encode_counts(df, "doc_id", "text", rows).collect()
+    assert out[0]["n_words"] == 2 and out[0]["n_tokens"] < 13
