@@ -4,8 +4,9 @@ Shows how the pieces compose into the standard corpus-preparation flow:
 
     read → quality filter (engine expressions) → exact dedup → near-dedup
     (MinHash-LSH) → duplicated-span removal → benchmark decontamination →
-    per-source cap → language mix (stratified sample) → train/val/test
-    split → sequence packing → partitioned shard layout → rollup accounting
+    DSIR target-likeness gate → per-source cap → language mix (stratified
+    sample) → train/val/test split → sequence packing → partitioned shard
+    layout → rollup accounting + learned-BPE token budget
 
 Every stage is a DataFrame transformation — the whole pipeline is ONE lazy
 plan per output split, so Catalyst fuses the row-local stages (filters,
@@ -26,8 +27,11 @@ from pyspark.sql import functions as F
 
 from dftly_spark import Parser
 from dftly_spark.ops import (
+    bpe_encode_counts,
+    bpe_learn,
     cap_per_group,
     containment_pairs,
+    dsir_weights,
     exact_dedup,
     hash_split,
     minhash_dup_pairs,
@@ -86,10 +90,26 @@ def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id")).distinct()
     clean = clean.join(contaminated, "doc_id", "left_anti")
 
-    # 6. Per-source cap — no host dominates the token budget.
+    # Lineage checkpoint at the dedup/selection boundary: the scoring
+    # stages below reference the cleaned frame several times, and
+    # re-optimizing (let alone re-executing) the whole dedup plan per
+    # reference is both slow and a driver plan-tree blowup.
+    clean = clean.localCheckpoint(eager=False)
+
+    # 6. DSIR target-likeness gate: score every survivor against the
+    #    English subcorpus as the target distribution and drop the
+    #    bottom tail (the importance-resampling selection step; here a
+    #    hard floor keeps the example deterministic).
+    w = dsir_weights(clean, "doc_id", "text",
+                     target_filter=F.col("lang") == "en", n_buckets=512)
+    floor_w = w.approxQuantile("logw", [0.05], 0.001)[0]
+    keep_ids = w.where(F.col("logw") >= floor_w).select("doc_id")
+    clean = clean.join(keep_ids, "doc_id", "left_semi")
+
+    # 7. Per-source cap — no host dominates the token budget.
     clean = cap_per_group(clean, "source", k=100_000, order_col="doc_id")
 
-    # 7. Language mix, then deterministic splits — both row-local gates.
+    # 8. Language mix, then deterministic splits — both row-local gates.
     mixed = stratified_sample(
         clean, "lang", {"en": 1.0, "de": 0.8, "fr": 0.8}, "doc_id",
         default_rate=0.5, seed=13,
@@ -130,6 +150,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out_dir: str = "/tmp/corpus") -
         {"tokens": F.sum("n_tok")},
     )
     acct.orderBy("grouping_id", "split", "lang").show(30, truncate=False)
+    # Token budget under a LEARNED tokenizer: fit BPE merges on the train
+    # split, then report real token counts (whitespace/char proxies
+    # under-count multi-byte scripts and over-count English).
+    train = corpus.where(F.col("split") == "train")
+    merges = bpe_learn(train, "text", n_merges=16)
+    bpe_tok = bpe_encode_counts(train, "doc_id", "text", merges)
+    bpe_tok.agg(
+        F.sum("n_tokens").alias("bpe_tokens"), F.sum("n_words").alias("words")
+    ).show()
     stats = (
         spark.read.parquet(f"{out_dir}/train")
         .agg(
