@@ -6440,6 +6440,105 @@ _q(
 )
 
 
+def _x119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session engagement stats (ops/sessions.py session_stats):
+    duration, depth, bounce flag, and distinct event types per gap-based
+    session — the analytics layer over x13's sessionize, computed with
+    the same user-keyed windows plus ONE same-partitioning agg (no join
+    back to the event table)."""
+    from dftly_spark.ops import session_stats
+
+    _prep(spark)
+    return session_stats(
+        _t(spark, sf_dir, "events"),
+        gap_micros=1_800_000_000,
+        type_col="event_type",
+    )
+
+
+_q(
+    "x119_session_stats",
+    _x119,
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), b AS (
+      SELECT user_id, event_type, event_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS prev_us
+      FROM e
+    ), s AS (
+      SELECT user_id, event_type, us,
+             CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM b
+    )
+    SELECT user_id, session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(us) AS start_us, max(us) AS end_us,
+           max(us) - min(us) AS duration_us,
+           count(*) = 1 AS is_bounce,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+
+
+def _x120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 time travel (ops/cdc.py scd2_snapshot): the per-user dimension
+    state as of 2024-01-15 from the x59 history — a row-local validity
+    filter that pushes into the scan of a stored history table; no window
+    or join at read time."""
+    from dftly_spark.ops import scd2_history, scd2_snapshot
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    hist = scd2_history(ev, "user_id", "ts", ["event_type"],
+                        order_cols=["event_id"])
+    snap = scd2_snapshot(hist, "2024-01-15 00:00:00")
+    return snap.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("to_us"),
+    )
+
+
+_q(
+    "x120_scd2_snapshot",
+    _x120,
+    """
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), m AS (
+      SELECT user_id, event_type, us,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS prev_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS rn
+      FROM e
+    ), v AS (
+      SELECT user_id, event_type, us AS from_us,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, rn) AS to_us
+      FROM m
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id, event_type, from_us, to_us
+    FROM v
+    WHERE from_us <= 1705276800000000
+      AND (to_us IS NULL OR to_us > 1705276800000000)
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -6505,6 +6604,8 @@ _PRIORITY = [
     "x116_cube_stats",
     "x117_join_size_sketch",
     "x118_pca_project",
+    "x119_session_stats",
+    "x120_scd2_snapshot",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

@@ -113,7 +113,7 @@ from .sampling import (
     pack_sequences,
     stratified_sample,
 )
-from .cdc import latest_changes, merge_upsert, scd2_history, schema_drift, snapshot_diff
+from .cdc import latest_changes, merge_upsert, scd2_history, scd2_snapshot, schema_drift, snapshot_diff
 from .bpe import bpe_encode_counts, bpe_learn
 from .lm import bigram_frame, bigram_lm_scores, dsir_weights
 from .profile import (
@@ -158,6 +158,7 @@ from .sessions import (
     cohort_retention,
     funnel,
     merge_intervals,
+    session_stats,
     sessionize,
     sessionize_stream,
     time_weighted_avg,
@@ -208,7 +209,7 @@ __all__ = [
     "dup_ngram_fraction", "remove_dup_ngram_spans",
     "sessionize", "sessionize_stream", "sessionize_stream_tws", "funnel", "cohort_retention", "debounce", "debounce_stream", "resample_ffill",
     "mixture_sample", "latest_changes", "merge_upsert", "snapshot_diff",
-    "semantic_dedup", "semantic_dedup_pairs", "schema_drift", "dedup_survivors",
+    "semantic_dedup", "semantic_dedup_pairs", "schema_drift", "dedup_survivors", "scd2_snapshot", "session_stats",
     "bigram_frame", "bigram_lm_scores", "dsir_weights", "bpe_learn", "bpe_encode_counts",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",
 ]

@@ -238,3 +238,25 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "column string, change string, old_type string, new_type string"
     )
+
+
+def scd2_snapshot(
+    history: DataFrame,
+    at,
+    *,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Time travel over an SCD2 history: the dimension state as of ``at``.
+
+    Row-local validity filter — ``valid_from <= at < valid_to`` (open
+    current versions qualify via the null ``valid_to``) — so the snapshot
+    pushes into the scan of a stored history table and costs one
+    filtered read, never a window or join.  ``at`` is a timestamp-castable
+    literal (string or datetime).
+    """
+    ts = F.lit(at).cast("timestamp")
+    return history.where(
+        (F.col(from_col).cast("timestamp") <= ts)
+        & (F.col(to_col).isNull() | (F.col(to_col).cast("timestamp") > ts))
+    ).drop("is_current")

@@ -698,3 +698,50 @@ def debounce_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_stats(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_micros: int = GAP_MICROS_DEFAULT,
+    type_col: str | None = None,
+) -> DataFrame:
+    """Per-session summary rows: the analytics layer over :func:`sessionize`.
+
+    ``(user, session_idx, n_events, start_us, end_us, duration_us,
+    is_bounce[, n_types])`` — session duration, depth, and bounce flag
+    (single-event sessions), the standard engagement rollup.
+
+    The session index is computed with the same two windows as
+    :func:`sessionize` but ``ts`` is carried through, so the per-session
+    aggregation that follows groups on the SAME user-hash partitioning
+    the windows established — one keyed Exchange end to end, no join
+    back to the event table.
+    """
+    order = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(F.col(ts_col)).over(order)
+    is_break = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_micros),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = df.select(
+        F.col(user_col),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.sum(is_break).over(running).cast("bigint").alias("session_idx"),
+        *([F.col(type_col)] if type_col else []),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+        (F.max("_us") - F.min("_us")).alias("duration_us"),
+        (F.count(F.lit(1)) == 1).alias("is_bounce"),
+    ]
+    if type_col:
+        aggs.append(F.count_distinct(F.col(type_col)).alias("n_types"))
+    return base.groupBy(user_col, "session_idx").agg(*aggs)

@@ -284,3 +284,52 @@ def test_resample_ffill_ts_tiebreak_is_order_col(spark):
         df, "user_id", "ts", "value", interval="1 hour", order_col="event_id"
     )
     assert [r["value"] for r in out.collect()] == [3.0]
+
+
+def test_session_stats_duration_depth_bounce(spark):
+    import datetime as dt
+
+    from dftly_spark.ops import session_stats
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            # user 1, session 1: three events over 20 min, two types
+            (1, 1, t(0), "a"), (2, 1, t(10), "b"), (3, 1, t(20), "a"),
+            # user 1, session 2 (after a >30min gap): single bounce event
+            (4, 1, t(59), "a"),
+            # user 2: one event
+            (5, 2, t(0), "c"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    out = {(r["user_id"], r["session_idx"]):
+           (r["n_events"], r["duration_us"], r["is_bounce"], r["n_types"])
+           for r in session_stats(df, gap_micros=30 * 60 * 1_000_000,
+                                  type_col="event_type").collect()}
+    assert out[(1, 1)] == (3, 20 * 60 * 1_000_000, False, 2)
+    assert out[(1, 2)] == (1, 0, True, 1)
+    assert out[(2, 1)] == (1, 0, True, 1)
+
+
+def test_scd2_snapshot_time_travel(spark):
+    import datetime as dt
+
+    from dftly_spark.ops import scd2_history, scd2_snapshot
+
+    d = lambda day: dt.datetime(2024, 1, day)  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, d(1), "A", 1), (1, d(10), "B", 2), (2, d(5), "X", 3)],
+        "k long, ts timestamp, v string, seq long",
+    )
+    hist = scd2_history(df, "k", "ts", ["v"], order_cols=["seq"])
+    # at day 7: key 1 still in state A, key 2 in X
+    snap = {r["k"]: r["v"]
+            for r in scd2_snapshot(hist, "2024-01-07 00:00:00").collect()}
+    assert snap == {1: "A", 2: "X"}
+    # at day 12: key 1 moved to B (current, open valid_to)
+    snap2 = {r["k"]: r["v"]
+             for r in scd2_snapshot(hist, "2024-01-12 00:00:00").collect()}
+    assert snap2 == {1: "B", 2: "X"}
+    # before any version: empty
+    assert scd2_snapshot(hist, "2023-12-31 00:00:00").count() == 0
