@@ -569,3 +569,46 @@ def windowed_quantiles(
         df, ts_col, window=window, watermark=watermark, keys=keys or [],
         aggs=aggs,
     )
+
+
+def session_window_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    *,
+    keys: list[str] | None = None,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-session aggregates via Spark's NATIVE session window.
+
+    ``F.session_window(ts, gap)`` is the built-in merging-window operator:
+    a session extends ``gap`` past each event and windows that touch
+    merge — the engine-managed (and on streams, state-store-backed,
+    watermark-expired) counterpart of the custom sessionize operators in
+    ``ops/sessions.py``.  Output per (keys, session): ``session_start_us``
+    / ``session_end_us`` (end = last event + gap, the session-window
+    convention) and ``n_events``.
+
+    Boundary note vs :func:`ops.sessions.sessionize`: the custom operator
+    keeps an event at EXACTLY ``gap`` distance in the same session
+    (``>`` break test) while the native window starts a new one
+    (half-open ``[ts, ts+gap)`` extension) — identical everywhere else,
+    pinned by the batch parity test.
+
+    Batch and stream share this code path; on streams pass ``watermark``
+    so closed sessions finalize and their state expires.
+    """
+    keys = list(keys or [])
+    src = df
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    grouped = src.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("_sw"),
+        *[F.col(k) for k in keys],
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return grouped.select(
+        *keys,
+        F.unix_micros(F.col("_sw.start")).alias("session_start_us"),
+        F.unix_micros(F.col("_sw.end")).alias("session_end_us"),
+        "n_events",
+    )

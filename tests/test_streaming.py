@@ -702,3 +702,76 @@ def test_windowed_quantiles_exact_rejected_on_stream(spark):
         windowed_quantiles(
             stream_table(spark, SF_DIR, "events"), "ts", "value", approx=False
         )
+
+
+def test_session_window_stats_batch_parity_and_merge(spark):
+    """The native session_window twin: merged sessions agree with the
+    custom sessionize-based session_stats on span and depth (away from
+    the exact-gap boundary, where the two conventions differ by design)."""
+    import datetime as dt
+
+    from dftly_spark.ops import session_stats
+    from dftly_spark.streaming import session_window_stats
+
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 10, m, s)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, 1, t(0)), (2, 1, t(10)), (3, 1, t(20)),   # one session
+            (4, 1, t(59)),                                 # new session
+            (5, 2, t(0)), (6, 2, t(5)),                    # user 2
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    native = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["session_end_us"])
+        for r in session_window_stats(
+            df, "ts", keys=["user_id"], gap="30 minutes"
+        ).collect()
+    }
+    custom = {
+        (r["user_id"], r["start_us"]): (r["n_events"], r["end_us"])
+        for r in session_stats(df, gap_micros=30 * 60 * 1_000_000).collect()
+    }
+    assert set(native) == set(custom)
+    gap_us = 30 * 60 * 1_000_000
+    for k, (n_native, end_native) in native.items():
+        n_custom, end_custom = custom[k]
+        assert n_native == n_custom
+        # native end = last event + gap; custom end = last event
+        assert end_native == end_custom + gap_us
+
+
+def test_session_window_stats_streaming(spark, tmp_path):
+    """The same aggregation runs as a watermarked stream (availableNow)."""
+    import datetime as dt
+
+    from dftly_spark.streaming import session_window_stats
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    src = spark.createDataFrame(
+        [(1, 1, t(0)), (2, 1, t(10)), (3, 1, t(59)), (4, 2, t(0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    path = str(tmp_path / "events")
+    src.write.parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    out = session_window_stats(
+        stream, "ts", keys=["user_id"], gap="30 minutes", watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sw_stats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.table("sw_stats").collect()
+    }
+    # append mode emits only watermark-closed sessions: with zero
+    # watermark delay everything ending before the max event time (10:59)
+    # closes — user 1's first session (2 events) and user 2's singleton;
+    # the session still open at 10:59 is correctly withheld
+    assert got == {(1, 2), (2, 1)}
