@@ -255,6 +255,13 @@ def scd2_snapshot(
     filtered read, never a window or join.  ``at`` is a timestamp-castable
     literal (string or datetime).
     """
+    if isinstance(at, str):
+        # parse driver-side so a typo'd timestamp fails LOUDLY — under
+        # non-ANSI configs a bad string casts to NULL and every validity
+        # comparison silently drops all rows ("empty snapshot")
+        import datetime as _dt
+
+        _dt.datetime.fromisoformat(at)
     ts = F.lit(at).cast("timestamp")
     return history.where(
         (F.col(from_col).cast("timestamp") <= ts)

@@ -50,6 +50,17 @@ def sessionize(
     previous event exceeds ``gap_micros``.  Returns
     ``(id_col, user_col, session_idx)``.
     """
+    return df.select(
+        F.col(id_col),
+        F.col(user_col),
+        _session_idx(user_col, ts_col, id_col, gap_micros).alias("session_idx"),
+    )
+
+
+def _session_idx(user_col: str, ts_col: str, id_col: str, gap_micros: int):
+    """The gap-break running-sum session index column — the ONE definition
+    of the batch gap semantics, shared by sessionize and session_stats so
+    the boundary convention cannot drift between them."""
     order = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     prev = F.lag(F.col(ts_col)).over(order)
     is_break = F.when(
@@ -57,14 +68,8 @@ def sessionize(
         | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_micros),
         F.lit(1),
     ).otherwise(F.lit(0))
-    running = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return df.select(
-        F.col(id_col),
-        F.col(user_col),
-        F.sum(is_break).over(running).cast("bigint").alias("session_idx"),
-    )
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return F.sum(is_break).over(running).cast("bigint")
 
 
 _OUT_SCHEMA = StructType(
@@ -721,18 +726,10 @@ def session_stats(
     the windows established — one keyed Exchange end to end, no join
     back to the event table.
     """
-    order = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    prev = F.lag(F.col(ts_col)).over(order)
-    is_break = F.when(
-        prev.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_micros),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base = df.select(
         F.col(user_col),
         F.unix_micros(F.col(ts_col)).alias("_us"),
-        F.sum(is_break).over(running).cast("bigint").alias("session_idx"),
+        _session_idx(user_col, ts_col, id_col, gap_micros).alias("session_idx"),
         *([F.col(type_col)] if type_col else []),
     )
     aggs = [

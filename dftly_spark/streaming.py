@@ -336,7 +336,7 @@ def baseline_stats(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
 
 def session_spans(
     df: DataFrame,
-    key_col: str,
+    key_col,
     ts_col: str,
     *,
     gap: str = "15 minutes",
@@ -360,16 +360,17 @@ def session_spans(
     One keyed shuffle either way.  ``aggs`` adds extra per-span aggregates
     (e.g. ``{"total": F.sum("value")}``).
     """
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     src = df
     if watermark is not None:
         src = src.withWatermark(ts_col, watermark)
     extra = [v.alias(k) for k, v in (aggs or {}).items()]
     win = F.session_window(F.col(ts_col), gap)
     return (
-        src.groupBy(win, F.col(key_col))
+        src.groupBy(win, *[F.col(k) for k in keys])
         .agg(F.count(F.lit(1)).alias("n_events"), *extra)
         .select(
-            key_col,
+            *keys,
             F.col("session_window.start").alias("span_start"),
             F.col("session_window.end").alias("span_end"),
             "n_events",
@@ -599,16 +600,17 @@ def session_window_stats(
     so closed sessions finalize and their state expires.
     """
     keys = list(keys or [])
-    src = df
-    if watermark is not None:
-        src = src.withWatermark(ts_col, watermark)
-    grouped = src.groupBy(
-        F.session_window(F.col(ts_col), gap).alias("_sw"),
-        *[F.col(k) for k in keys],
-    ).agg(F.count(F.lit(1)).alias("n_events"))
-    return grouped.select(
+    if df.isStreaming and not keys:
+        # fail LOUDLY at build time: Spark rejects a global session-window
+        # aggregation on streams only once the query thread is running
+        raise ValueError(
+            "session_window_stats on a stream needs at least one key "
+            "(global session windows are unsupported in streaming)"
+        )
+    spans = session_spans(df, keys, ts_col, gap=gap, watermark=watermark)
+    return spans.select(
         *keys,
-        F.unix_micros(F.col("_sw.start")).alias("session_start_us"),
-        F.unix_micros(F.col("_sw.end")).alias("session_end_us"),
+        F.unix_micros(F.col("span_start")).alias("session_start_us"),
+        F.unix_micros(F.col("span_end")).alias("session_end_us"),
         "n_events",
     )

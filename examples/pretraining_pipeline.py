@@ -103,8 +103,10 @@ def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = dsir_weights(clean, "doc_id", "text",
                      target_filter=F.col("lang") == "en", n_buckets=512)
     floor_w = w.approxQuantile("logw", [0.05], 0.001)[0]
-    keep_ids = w.where(F.col("logw") >= floor_w).select("doc_id")
-    clean = clean.join(keep_ids, "doc_id", "left_semi")
+    # anti-join the DROP list: documents with no weight row (<2 tokens)
+    # are NOT dsir-scorable and must pass through, not vanish
+    drop_ids = w.where(F.col("logw") < floor_w).select("doc_id")
+    clean = clean.join(drop_ids, "doc_id", "left_anti")
 
     # 7. Per-source cap — no host dominates the token budget.
     clean = cap_per_group(clean, "source", k=100_000, order_col="doc_id")
@@ -153,7 +155,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out_dir: str = "/tmp/corpus") -
     # Token budget under a LEARNED tokenizer: fit BPE merges on the train
     # split, then report real token counts (whitespace/char proxies
     # under-count multi-byte scripts and over-count English).
-    train = corpus.where(F.col("split") == "train")
+    # read the train split BACK from the written shards: deriving it from
+    # the lazy corpus plan would re-run everything past the checkpoint
+    # (DSIR scoring, caps, sampling) once per BPE aggregation below
+    # (shards hold one row per chunk — dedupe back to documents)
+    train = (
+        spark.read.parquet(f"{out_dir}/train")
+        .select("doc_id", "text")
+        .dropDuplicates(["doc_id"])
+    )
     merges = bpe_learn(train, "text", n_merges=16)
     bpe_tok = bpe_encode_counts(train, "doc_id", "text", merges)
     bpe_tok.agg(

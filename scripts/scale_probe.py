@@ -354,6 +354,48 @@ def main() -> None:
 
     OPS["dsir"] = lambda d, e: _dsir(d)
 
+    def _kcore(c: int):
+        from dftly_spark.ops import kcore
+
+        # k scales with the replica count? No: disjoint replicas keep
+        # per-node degree constant, so the SAME k peels identically in
+        # every component — work scales with edges only.
+        return kcore(_tri_edges(c), 80, max_rounds=8)
+
+    OPS["kcore"] = lambda d, e, c: _kcore(c)
+
+    def _novelty(d):
+        from dftly_spark.ops import novelty_scores
+
+        return novelty_scores(d, "doc_id", "text", n=3)
+
+    OPS["novelty"] = lambda d, e: _novelty(d)
+
+    def _source_overlap(d):
+        from dftly_spark.ops import source_overlap
+
+        return source_overlap(d, "source", "text", n=3)
+
+    OPS["source_overlap"] = lambda d, e: _source_overlap(d)
+
+    def _session_stats(ev):
+        from dftly_spark.io import normalize_event_ts
+        from dftly_spark.ops import session_stats
+
+        return session_stats(
+            normalize_event_ts(ev), gap_micros=1_800_000_000,
+            type_col="event_type",
+        )
+
+    OPS["session_stats"] = lambda d, e, c: _session_stats(replicate_events(events, c))
+
+    def _bpe(d):
+        from dftly_spark.ops import bpe_learn
+
+        return bpe_learn(d, "text", n_merges=8)
+
+    OPS["bpe_learn"] = lambda d, e: _bpe(d)
+
     wanted = sys.argv[1:] or list(OPS)
 
     import inspect as _inspect
@@ -374,6 +416,10 @@ def main() -> None:
             out = _call(build, d, e, c)
             out.write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
+            # iterative ops cache per-round generations (localCheckpoint);
+            # without clearing, scale N+1 measures scale N's block-store
+            # churn too (observed: kcore 4x read 56s polluted vs 46s clean)
+            spark.catalog.clearCache()
         rates = [times[i] / times[0] for i in range(len(SCALES))]
         print(
             f"{name:16s} "
