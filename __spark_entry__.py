@@ -6539,6 +6539,108 @@ _q(
 )
 
 
+def _x121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: suppliers whose quarterly revenue
+    equals the maximum — the argmax-vs-scalar-aggregate shape.  The
+    revenue view computes once and is referenced twice (per-supplier
+    rows + the 1-row max); integer-scaled exact money makes the equality
+    join safe — a float max would tie-break on ulps."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev_i = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("bigint")
+    revenue = (
+        li.groupBy("l_suppkey").agg(F.sum(rev_i).alias("_rc"))
+    ).localCheckpoint(eager=False)
+    mx = revenue.agg(F.max("_rc").alias("_mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx), revenue["_rc"] == mx["_mx"])
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("_rc") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+_q(
+    "x121_top_supplier",
+    _x121,
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                      AS BIGINT)) AS rc
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, rc / 10000.0 AS total_revenue
+    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rc = (SELECT max(rc) FROM revenue)
+    """,
+)
+
+
+def _x122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: parts whose share of one nation's
+    shipped value exceeds 1/1000 of the total — the HAVING-against-a-
+    global-scalar shape, in PURE INTEGER arithmetic (cents × 1000 vs
+    total-cents: no float share, no knife edges at any corpus size).
+    The 1-row total attaches by broadcast (sanctioned scalar attach)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 1)
+        .select("s_suppkey")
+    )
+    val_i = F.floor(
+        F.col("l_extendedprice") * F.col("l_quantity") * 100 + F.lit(0.5)
+    ).cast("bigint")
+    base = li.join(supp, li["l_suppkey"] == supp["s_suppkey"]).select(
+        "l_partkey", val_i.alias("_v")
+    )
+    per_part = base.groupBy("l_partkey").agg(F.sum("_v").alias("_pv"))
+    total = per_part.agg(
+        F.sum("_pv").alias("_tv"), F.count(F.lit(1)).alias("_np")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("_pv") * F.col("_np") > 2 * F.col("_tv"))
+        .select("l_partkey", (F.col("_pv") / 100.0).alias("part_value"))
+    )
+
+
+_q(
+    "x122_important_stock",
+    _x122,
+    """
+    WITH base AS (
+      SELECT l_partkey,
+             CAST(floor(l_extendedprice * l_quantity * 100 + 0.5) AS BIGINT)
+               AS v
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey = 1
+    ), per_part AS (
+      SELECT l_partkey, sum(v) AS pv FROM base GROUP BY l_partkey
+    ), tot AS (
+      SELECT sum(pv) AS tv, CAST(count(*) AS BIGINT) AS np FROM per_part
+    )
+    SELECT l_partkey, pv / 100.0 AS part_value
+    FROM per_part, tot
+    WHERE pv * np > 2 * tv
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -6606,6 +6708,8 @@ _PRIORITY = [
     "x118_pca_project",
     "x119_session_stats",
     "x120_scd2_snapshot",
+    "x121_top_supplier",
+    "x122_important_stock",
     # -- r03 driver-green; keep inside the window as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",

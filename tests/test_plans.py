@@ -121,6 +121,9 @@ def test_all_contract_queries_plan_invariants(spark):
         "x106_dormant_accounts",  # 1-row positive-balance avg broadcast
         "x109_dsir_weights",  # 1-row model-totals broadcast over B buckets
         "x114_bpe_learn",  # 1-row merge-rule broadcast per round
+        "x117_join_size_sketch",  # 1-row est x 1-row exact attach
+        "x121_top_supplier",  # 1-row max-revenue broadcast
+        "x122_important_stock",  # 1-row totals broadcast
     }
     arrow_allowed = {"x09_multimodal_decode"}  # sanctioned mapInPandas stub
     for name, fn in entry.queries().items():
