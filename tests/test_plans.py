@@ -135,3 +135,25 @@ def test_all_contract_queries_plan_invariants(spark):
         if name not in nl_allowed:
             assert "CartesianProduct" not in plan, f"{name} goes cartesian"
             assert "BroadcastNestedLoopJoin" not in plan, f"{name} nested-loops"
+
+
+def test_tpch_pack_join_strategies(spark):
+    """The TPC-H-style pack must keep its intended physical shapes: top-k
+    lowers to TakeOrderedAndProject (per-partition heaps, no global
+    sort), EXISTS/NOT-IN lower to semi/anti joins (never a dedup join),
+    and the argmax equality stays a plain equi-join."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        return qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+    assert "TakeOrderedAndProject" in plan("x101_shipping_priority")
+    assert "TakeOrderedAndProject" in plan("x103_returned_items")
+    assert "LeftSemi" in plan("x102_order_priority")
+    assert "LeftAnti" in plan("x104_supplier_diversity")
+    assert "LeftAnti" in plan("x106_dormant_accounts")
+    p121 = plan("x121_top_supplier")
+    assert "CartesianProduct" not in p121
