@@ -567,3 +567,49 @@ def test_resample_ffill_timezone_independent(spark):
     # interval width and garbage buckets
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == 1 and a[0]["value"] == 1.0
+
+
+def test_interval_join_randomized_vs_brute_force(spark):
+    """Property check: the bucket-burst plan reproduces the all-pairs
+    overlap join on randomized interval sets (several bucket widths,
+    spans from sub-bucket to many-bucket, degenerate rows mixed in)."""
+    import datetime as dt
+    import random
+
+    from dftly_spark.ops import interval_join
+
+    rng = random.Random(23)
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(n, key_space):
+        rows = []
+        for i in range(n):
+            start = rng.randrange(0, 72 * 60)  # minutes over 3 days
+            length = rng.choice([0, 1, 7, 45, 300, 1500])  # 0 → degenerate
+            rows.append(
+                (i, rng.randrange(key_space),
+                 base + dt.timedelta(minutes=start),
+                 base + dt.timedelta(minutes=start + length))
+            )
+        return rows
+
+    left_rows, right_rows = mk(120, 4), mk(150, 4)
+    left = spark.createDataFrame(
+        left_rows, "lid long, k long, start timestamp, end timestamp")
+    right = spark.createDataFrame(
+        right_rows, "rid long, k long, start timestamp, end timestamp")
+
+    expected = set()
+    for lid, lk, ls, le in left_rows:
+        for rid, rk, rs, re in right_rows:
+            if lk == rk and max(ls, rs) < min(le, re):
+                expected.add((lid, rid))
+
+    for bucket_s in (300, 1800, 7200):
+        got = {
+            (r["lid"], r["rid"])
+            for r in interval_join(
+                left, right, by="k", bucket_micros=bucket_s * 1_000_000
+            ).collect()
+        }
+        assert got == expected, f"bucket={bucket_s}s"
