@@ -71,7 +71,7 @@ from .dedup import (
     word_shingles,
 )
 from .graph import kcore, pagerank, prepare_edges, triangle_count
-from .quality import expect, roc_auc, roc_auc_by_group
+from .quality import expect, expect_observed, roc_auc, roc_auc_by_group
 from .pca import pca_top_component
 from .reshape import melt, pivot_wide
 from .assoc import cooccurrence_pmi
@@ -175,7 +175,7 @@ from .multimodal import (
 
 __all__ = [
     "melt", "pivot_wide", "pca_top_component", "cooccurrence_pmi", "distinct_counts", "line_filter",
-    "ewma", "edit_distance_pairs", "mad_outliers", "expect", "roc_auc", "roc_auc_by_group",
+    "ewma", "edit_distance_pairs", "mad_outliers", "expect", "expect_observed", "roc_auc", "roc_auc_by_group",
     "fit_scalar_quantizer", "quantize_embeddings", "quantization_fidelity",
     "kcore", "pagerank", "prepare_edges", "triangle_count", "ranking_metrics", "pool_embeddings",
     "salted_join", "winsorize", "impute_nulls", "group_trend",

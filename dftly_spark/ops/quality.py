@@ -290,3 +290,55 @@ def roc_auc_by_group(
         "n_pos",
         "n_neg",
     )
+
+
+def expect_observed(df: DataFrame, rules: list[dict], *, name: str = "expect"):
+    """Attach expectation metrics to the CALLER'S job via ``df.observe``.
+
+    Returns ``(df_observed, observation)``: run any action on
+    ``df_observed`` (typically the production write), then
+    ``observation.get`` holds ``n_rows`` and one violation counter per
+    rule — quality metrics for FREE on the pass the pipeline already
+    pays for, where :func:`expect` costs a second full scan.  This is
+    the 100 TB form of the quality gate: validate-while-writing instead
+    of validate-then-write.
+
+    Row-local rules only (``unique`` needs its own aggregation — use
+    :func:`expect` for it; passing one here raises).  Aggregates inside
+    ``observe`` are computed per task and merged, so counters are exact
+    regardless of partitioning; the same call works on streaming frames
+    (metrics per micro-batch via the streaming listener).
+    """
+    from pyspark.sql import Observation
+
+    if any(r.get("rule") == "unique" for r in rules):
+        raise ValueError(
+            "expect_observed is row-local; 'unique' needs its own "
+            "aggregation — check it with expect()"
+        )
+    row_rules = _rule_cols(df, rules)
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.coalesce(F.sum(ind.cast("bigint")), F.lit(0)).alias(f"violations_{i}")
+        for i, (_, ind) in enumerate(row_rules)
+    ]
+    observed = df.observe(obs, *metrics)
+    labels = [label for label, _ in row_rules]
+    return observed, _ObservedExpectations(obs, labels)
+
+
+class _ObservedExpectations:
+    """Reader for :func:`expect_observed` metrics: ``.report()`` after the
+    caller's action returns ``[(rule, n_rows, n_violations, passed)]``."""
+
+    def __init__(self, observation, labels):
+        self.observation = observation
+        self.labels = labels
+
+    def report(self) -> list[tuple]:
+        got = self.observation.get
+        n = got["n_rows"]
+        return [
+            (label, n, got[f"violations_{i}"], got[f"violations_{i}"] == 0)
+            for i, label in enumerate(self.labels)
+        ]

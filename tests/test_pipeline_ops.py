@@ -205,3 +205,37 @@ def test_bigram_lm_no_python_eval(spark, docs):
 
     plan = bigram_lm_scores(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_expect_observed_free_metrics_on_write(spark, tmp_path):
+    from dftly_spark.ops import expect_observed
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 500.0)], "id long, v double"
+    )
+    observed, exp = expect_observed(
+        df,
+        [
+            {"rule": "not_null", "col": "v"},
+            {"rule": "in_range", "col": "v", "min": 0, "max": 100},
+        ],
+    )
+    # the production action IS the metrics pass — no second scan
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    rep = {r[0]: (r[1], r[2], r[3]) for r in exp.report()}
+    nn = [k for k in rep if "not_null" in k][0]
+    rg = [k for k in rep if "in_range" in k][0]
+    assert rep[nn] == (3, 1, False)     # one null
+    assert rep[rg] == (3, 1, False)     # 500 out of range (null not counted)
+    # round-trip: the written data is intact
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 3
+
+
+def test_expect_observed_rejects_unique(spark):
+    import pytest as _pytest
+
+    from dftly_spark.ops import expect_observed
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError, match="row-local"):
+        expect_observed(df, [{"rule": "unique", "cols": "id"}])
