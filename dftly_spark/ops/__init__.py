@@ -60,6 +60,7 @@ from .dedup import (
     minhash_index,
     minhash_join_index,
     minhash_signature,
+    hamming_pairs,
     ngram_jaccard_pairs,
     novelty_scores,
     shingle_hashes,
@@ -166,6 +167,8 @@ from .sessions import (
 )
 from .multimodal import (
     audio_chunks,
+    media_ahash,
+    media_dup_pairs,
     resize_images,
     MEDIA_SCHEMA,
     attach_fake_media,
@@ -211,5 +214,5 @@ __all__ = [
     "mixture_sample", "latest_changes", "merge_upsert", "snapshot_diff",
     "semantic_dedup", "semantic_dedup_pairs", "schema_drift", "dedup_survivors", "scd2_snapshot", "session_stats",
     "bigram_frame", "bigram_lm_scores", "dsir_weights", "bpe_learn", "bpe_encode_counts",
-    "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks",
+    "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks", "media_ahash", "media_dup_pairs", "hamming_pairs",
 ]

@@ -693,7 +693,38 @@ def simhash_dup_pairs(
             F.lit(0).cast("long")
         )
     fp = votes.select("_id", fp_col.alias("_fp"))
-    chunks = fp.select(
+    return hamming_pairs(
+        fp,
+        id_col="_id",
+        fp_col="_fp",
+        nbits=nbits,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_pairs(
+    fp,
+    id_col: str = "_id",
+    fp_col: str = "_fp",
+    *,
+    nbits: int = 64,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Pairs of rows whose bit-fingerprints differ by ≤ ``max_hamming``.
+
+    The pigeonhole chunk join shared by every 64-bit-fingerprint family
+    (text SimHash, media perceptual hashes): fingerprints band into 4
+    chunks — any pair within hamming ≤ 3 agrees exactly on at least one
+    chunk — candidates come from the (chunk index, chunk value)
+    equi-join (hot buckets capped), verified with ``bit_count(xor)``.
+    Returns ``(id_l, id_r, hamming)``.
+    """
+    band_bits = nbits // 4
+    band_mask = (1 << band_bits) - 1
+    base = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    chunks = base.select(
         "_id",
         "_fp",
         F.explode(

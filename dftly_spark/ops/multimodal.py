@@ -244,3 +244,92 @@ def sample_frames(df: DataFrame, every: int = 4, id_col: str = "doc_id") -> Data
             F.sequence(F.lit(0), F.col("media_meta.n_frames") - 1, F.lit(every))
         ).alias("frame_index"),
     )
+
+
+_AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ahash", LongType()),
+        StructField("hasher", StringType()),
+    ]
+)
+
+
+def _ahash_batch(batches: Iterator, id_name: str):  # pragma: no cover - executor side
+    import hashlib
+
+    import pandas as pd
+
+    try:
+        from PIL import Image  # noqa: F401
+
+        hasher = "pil"
+    except ImportError:
+        hasher = "fake"
+
+    def pixels64(b: bytes):
+        if hasher == "pil":
+            import io
+
+            img = Image.open(io.BytesIO(b)).convert("L").resize((8, 8))
+            return list(img.getdata())
+        # Deterministic fake "decode": 64 pseudo-pixels from the payload
+        # digest — identical payloads hash identically (planted duplicate
+        # media collide), and near-duplicate payloads do NOT (the fake
+        # cannot model visual similarity; the PLUMBING — schema, batching,
+        # banding join — is what this path exercises for real).
+        d = hashlib.sha256(b).digest() + hashlib.sha256(b[::-1]).digest()
+        return list(d[:64])
+
+    def ahash(b: bytes) -> int:
+        px = pixels64(b)
+        mean = sum(px) / 64.0
+        bits = 0
+        for i, p in enumerate(px):
+            if p > mean:
+                bits |= 1 << i
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf[id_name],
+                "ahash": pdf["media_bytes"].map(ahash).astype("int64"),
+                "hasher": hasher,
+            }
+        )
+
+
+def media_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit average perceptual hash per media payload (``mapInPandas``).
+
+    The standard aHash recipe on the real path (PIL: grayscale 8×8
+    downsample, bit per pixel above the mean — robust to rescaling and
+    mild recompression); the fake path hashes payload digests so exact
+    duplicate payloads still collide.  Arrow-batched like the other media
+    stubs — the one sanctioned Python touchpoint.
+    """
+    cols = df.select(F.col(id_col), "media_bytes")
+    return cols.mapInPandas(
+        lambda it: _ahash_batch(it, id_col), schema=_AHASH_SCHEMA
+    )
+
+
+def media_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate media pairs: perceptual hash + the shared pigeonhole
+    chunk join (``ops/dedup.py hamming_pairs`` — the same banding machinery
+    text SimHash uses).  Returns ``(id_l, id_r, hamming)``; hashing is the
+    only Python touchpoint, the candidate join is pure JVM."""
+    from .dedup import hamming_pairs
+
+    fp = media_ahash(df, id_col)
+    return hamming_pairs(
+        fp, id_col="doc_id", fp_col="ahash",
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+    )

