@@ -29,6 +29,7 @@ def prepare_edges(
     src: str = "src",
     dst: str = "dst",
     *,
+    weight: str | None = None,
     assume_distinct: bool = False,
     repair_dangling: bool = True,
 ) -> DataFrame:
@@ -45,9 +46,19 @@ def prepare_edges(
     (e.g. a symmetrized/bidirectional graph).  Wrong claims silently skew
     ranks — only pass them when the property is structural.
     """
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    if not assume_distinct:
-        e = e.distinct()
+    if weight is not None:
+        e = edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+            F.col(weight).cast("double").alias("_w"),
+        )
+        if not assume_distinct:
+            # parallel weighted edges COMBINE (sum), the weighted analog of
+            # the unweighted distinct
+            e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
+    else:
+        e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        if not assume_distinct:
+            e = e.distinct()
     if not repair_dangling:
         return e
     nodes = (
@@ -58,9 +69,10 @@ def prepare_edges(
     dangling = nodes.join(
         e.select("_src").distinct(), nodes["_n"] == F.col("_src"), "left_anti"
     )
-    return e.unionByName(
-        dangling.select(F.col("_n").alias("_src"), F.col("_n").alias("_dst"))
-    )
+    loop_cols = [F.col("_n").alias("_src"), F.col("_n").alias("_dst")]
+    if weight is not None:
+        loop_cols.append(F.lit(1.0).alias("_w"))
+    return e.unionByName(dangling.select(*loop_cols))
 
 
 def triangle_count(
@@ -267,6 +279,7 @@ def pagerank(
     iters: int = 5,
     damping: float = 0.85,
     decimals: int = 6,
+    weight: str | None = None,
     checkpoint_every: int | None = 8,
     assume_distinct: bool = False,
     repair_dangling: bool = True,
@@ -322,6 +335,7 @@ def pagerank(
             edges,
             src,
             dst,
+            weight=weight,
             assume_distinct=assume_distinct,
             repair_dangling=repair_dangling,
         )
@@ -329,8 +343,12 @@ def pagerank(
     # out-degree folded INTO the edge frame ONCE (map-side-combined count +
     # one join here, instead of a count join inside every iteration; not a
     # per-_src window, which would put a hub supernode's whole edge list on
-    # one reducer)
-    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # one reducer).  Weighted: out-STRENGTH (Σw) replaces the count, and a
+    # contribution ships rank·w/strength — the weighted-PageRank update.
+    if weight is not None:
+        outdeg = e.groupBy("_src").agg(F.sum("_w").alias("_deg"))
+    else:
+        outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     e2 = _ckpt(e.join(outdeg, "_src"))
     nodes = _ckpt(e.select(F.col("_src").alias("_n")).distinct())
     ranks = nodes.select("_n", F.lit(1.0).alias("_r"))
@@ -345,7 +363,11 @@ def pagerank(
             e2.join(r_side, e2["_src"] == r_side["_rsrc"])
             .select(
                 F.col("_dst").alias("_cn"),
-                (F.col("_rval") / F.col("_deg")).alias("_c"),
+                (
+                    (F.col("_rval") * F.col("_w") / F.col("_deg"))
+                    if weight is not None
+                    else (F.col("_rval") / F.col("_deg"))
+                ).alias("_c"),
             )
             .groupBy("_cn")
             .agg(F.sum("_c").alias("_sum"))

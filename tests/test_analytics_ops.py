@@ -732,3 +732,40 @@ def test_kcore_x111_gate_budget_converges_at_gate_scale(spark):
     a = sorted(map(tuple, kcore(edges, 80, max_rounds=8).collect()))
     b = sorted(map(tuple, kcore(edges, 80, max_rounds=9).collect()))
     assert a == b and len(a) > 0
+
+
+def test_pagerank_weighted_uniform_equals_unweighted(spark):
+    from dftly_spark.ops import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 2.0), ("c", "a", 2.0), ("a", "c", 2.0)],
+        "src string, dst string, w double",
+    )
+    plain = sorted(map(tuple, pagerank(edges, iters=6).collect()))
+    weighted = sorted(map(tuple, pagerank(edges, iters=6, weight="w").collect()))
+    # uniform weights cancel in w/strength: identical ranks
+    assert plain == weighted
+
+
+def test_pagerank_weighted_prefers_heavy_edge(spark):
+    from dftly_spark.ops import pagerank
+
+    # hub splits its rank 9:1 between b and c; b must outrank c
+    edges = spark.createDataFrame(
+        [("hub", "b", 9.0), ("hub", "c", 1.0), ("b", "hub", 1.0),
+         ("c", "hub", 1.0)],
+        "src string, dst string, w double",
+    )
+    out = {r["node"]: r["rank"]
+           for r in pagerank(edges, iters=10, weight="w").collect()}
+    assert out["b"] > out["c"]
+    # parallel weighted edges combine: duplicating the heavy edge as
+    # two 4.5-weight rows changes nothing
+    edges2 = spark.createDataFrame(
+        [("hub", "b", 4.5), ("hub", "b", 4.5), ("hub", "c", 1.0),
+         ("b", "hub", 1.0), ("c", "hub", 1.0)],
+        "src string, dst string, w double",
+    )
+    out2 = {r["node"]: r["rank"]
+            for r in pagerank(edges2, iters=10, weight="w").collect()}
+    assert out == out2
