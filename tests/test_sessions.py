@@ -333,3 +333,46 @@ def test_scd2_snapshot_time_travel(spark):
     assert snap2 == {1: "B", 2: "X"}
     # before any version: empty
     assert scd2_snapshot(hist, "2023-12-31 00:00:00").count() == 0
+
+
+def test_resample_ffill_randomized_vs_pandas(spark):
+    """Property check: resample_ffill equals pandas resample().last().ffill()
+    on randomized per-key event sets (pandas is the semantics donor)."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from dftly_spark.ops import resample_ffill
+
+    rng = random.Random(31)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for user in range(6):
+        for _ in range(rng.randrange(1, 40)):
+            eid += 1
+            rows.append(
+                (eid, user,
+                 base + dt.timedelta(minutes=rng.randrange(0, 5000)),
+                 float(rng.randrange(1000)))
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        (r["user_id"], r["bucket"]): r["value"]
+        for r in resample_ffill(
+            df, "user_id", "ts", "value", interval="1 hour",
+            order_col="event_id",
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    expected = {}
+    for user, g in pdf.groupby("user_id"):
+        # in-bucket last by (ts, event_id) — sort then resample-last + ffill
+        g = g.sort_values(["ts", "event_id"]).set_index("ts")
+        ser = g["value"].resample("1h").last().ffill()
+        for ts, v in ser.items():
+            expected[(user, int(ts.timestamp()) // 3600)] = v
+    assert got == expected
