@@ -670,8 +670,6 @@ def simhash_dup_pairs(
         hash_col = F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
     else:
         raise ValueError(f"unknown token_hash {token_hash!r}")
-    band_bits = nbits // 4
-    band_mask = (1 << band_bits) - 1
 
     # Explode + nbits codegen'd sum-aggregates: one token-hash pass, map-side
     # partial aggregation, nbits longs per document over the shuffle.  (The
@@ -715,14 +713,23 @@ def hamming_pairs(
     """Pairs of rows whose bit-fingerprints differ by ≤ ``max_hamming``.
 
     The pigeonhole chunk join shared by every 64-bit-fingerprint family
-    (text SimHash, media perceptual hashes): fingerprints band into 4
-    chunks — any pair within hamming ≤ 3 agrees exactly on at least one
-    chunk — candidates come from the (chunk index, chunk value)
-    equi-join (hot buckets capped), verified with ``bit_count(xor)``.
-    Returns ``(id_l, id_r, hamming)``.
+    (text SimHash, media perceptual hashes): fingerprints band into
+    ``max_hamming + 1`` chunks — a pair within the hamming budget cannot
+    differ in EVERY chunk, so it agrees exactly on at least one —
+    candidates come from the (chunk index, chunk value) equi-join (hot
+    buckets capped), verified with ``bit_count(xor)``.  The band count
+    DERIVES from ``max_hamming`` (a fixed 4-band split would silently
+    lose recall for budgets > 3).  Returns ``(id_l, id_r, hamming)``.
     """
-    band_bits = nbits // 4
-    band_mask = (1 << band_bits) - 1
+    n_bands = max_hamming + 1
+    if n_bands > nbits:
+        raise ValueError(f"max_hamming={max_hamming} needs more bands than {nbits} bits")
+    base_bits, rem = divmod(nbits, n_bands)
+    widths = [base_bits + (1 if b < rem else 0) for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+    # a 64-bit band's mask is all-ones — that is -1 in the signed long
+    # Spark literals use ((1<<64)-1 overflows)
+    masks = [((1 << w) - 1) if w < 64 else -1 for w in widths]
     base = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
     chunks = base.select(
         "_id",
@@ -732,11 +739,11 @@ def hamming_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("_fp"), b * band_bits)
-                        .bitwiseAND(F.lit(band_mask))
+                        F.shiftrightunsigned(F.col("_fp"), offsets[b])
+                        .bitwiseAND(F.lit(masks[b]))
                         .alias("bucket"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("_bb"),

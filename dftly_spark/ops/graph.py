@@ -51,6 +51,11 @@ def prepare_edges(
             F.col(src).alias("_src"), F.col(dst).alias("_dst"),
             F.col(weight).cast("double").alias("_w"),
         )
+        # the weighted update divides by out-strength: null or non-positive
+        # weights would null contributions (non-ANSI divide) or flip signs,
+        # silently destroying rank mass — drop them here (a node whose
+        # edges ALL drop becomes dangling and gets the self-loop repair)
+        e = e.where(F.col("_w") > 0)
         if not assume_distinct:
             # parallel weighted edges COMBINE (sum), the weighted analog of
             # the unweighted distinct

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expect", "roc_auc", "roc_auc_by_group"]
+__all__ = ["expect", "expect_observed", "roc_auc", "roc_auc_by_group"]
 
 
 def _rule_cols(df: DataFrame, rules: list[dict]):
@@ -292,6 +292,11 @@ def roc_auc_by_group(
     )
 
 
+import itertools as _itertools
+
+_OBS_COUNTER = _itertools.count()
+
+
 def expect_observed(df: DataFrame, rules: list[dict], *, name: str = "expect"):
     """Attach expectation metrics to the CALLER'S job via ``df.observe``.
 
@@ -306,18 +311,29 @@ def expect_observed(df: DataFrame, rules: list[dict], *, name: str = "expect"):
     Row-local rules only (``unique`` needs its own aggregation — use
     :func:`expect` for it; passing one here raises).  Aggregates inside
     ``observe`` are computed per task and merged, so counters are exact
-    regardless of partitioning; the same call works on streaming frames
-    (metrics per micro-batch via the streaming listener).
+    regardless of partitioning.  BATCH frames only: PySpark's
+    ``Observation`` does not support streaming datasets (a streaming
+    quality feed would use the string-name ``observe`` +
+    ``StreamingQueryListener`` pair, not this helper) — a streaming
+    input raises here rather than at plan time.  Each call gets a
+    unique metrics name, so several observed frames can meet in one
+    query (Spark requires per-query uniqueness).
     """
     from pyspark.sql import Observation
 
+    if df.isStreaming:
+        raise ValueError(
+            "expect_observed is batch-only (pyspark Observation does not "
+            "support streaming datasets); use expect() per micro-batch or "
+            "a StreamingQueryListener"
+        )
     if any(r.get("rule") == "unique" for r in rules):
         raise ValueError(
             "expect_observed is row-local; 'unique' needs its own "
             "aggregation — check it with expect()"
         )
     row_rules = _rule_cols(df, rules)
-    obs = Observation(name)
+    obs = Observation(f"{name}_{next(_OBS_COUNTER)}")
     metrics = [F.count(F.lit(1)).alias("n_rows")] + [
         F.coalesce(F.sum(ind.cast("bigint")), F.lit(0)).alias(f"violations_{i}")
         for i, (_, ind) in enumerate(row_rules)

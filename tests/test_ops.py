@@ -1370,3 +1370,18 @@ def test_simhash_still_matches_after_hamming_pairs_refactor(spark, docs):
     rows = out.collect()
     assert all(r["hamming"] <= 3 for r in rows)
     assert len(rows) > 0
+
+
+def test_hamming_pairs_band_count_tracks_budget(spark):
+    """Recall guarantee beyond hamming 3: a pair differing by 4 bits, one
+    per 16-bit quarter, collides on NO 4-band chunk — the band count must
+    derive from the budget (5 bands) to find it."""
+    from dftly_spark.ops import hamming_pairs
+
+    a = 0
+    b = (1 << 3) | (1 << 19) | (1 << 35) | (1 << 51)  # one bit per quarter
+    fp = spark.createDataFrame([(1, a), (2, b)], "id long, f long")
+    got4 = hamming_pairs(fp, "id", "f", max_hamming=4).collect()
+    assert [(r["id_l"], r["id_r"], r["hamming"]) for r in got4] == [(1, 2, 4)]
+    # and the same pair is correctly EXCLUDED at budget 3
+    assert hamming_pairs(fp, "id", "f", max_hamming=3).count() == 0
