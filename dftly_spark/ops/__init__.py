@@ -116,7 +116,7 @@ from .sampling import (
 )
 from .cdc import latest_changes, merge_upsert, scd2_history, scd2_snapshot, schema_drift, snapshot_diff
 from .bpe import bpe_encode_counts, bpe_learn
-from .lm import bigram_frame, bigram_lm_scores, dsir_weights
+from .lm import bigram_frame, bigram_lm_scores, dsir_model, dsir_score, dsir_weights
 from .profile import (
     corr_matrix,
     group_entropy,
@@ -213,6 +213,6 @@ __all__ = [
     "sessionize", "sessionize_stream", "sessionize_stream_tws", "funnel", "cohort_retention", "debounce", "debounce_stream", "resample_ffill",
     "mixture_sample", "latest_changes", "merge_upsert", "snapshot_diff",
     "semantic_dedup", "semantic_dedup_pairs", "schema_drift", "dedup_survivors", "scd2_snapshot", "session_stats",
-    "bigram_frame", "bigram_lm_scores", "dsir_weights", "bpe_learn", "bpe_encode_counts",
+    "bigram_frame", "bigram_lm_scores", "dsir_weights", "dsir_model", "dsir_score", "bpe_learn", "bpe_encode_counts",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks", "media_ahash", "media_dup_pairs", "hamming_pairs",
 ]

@@ -198,3 +198,103 @@ def dsir_weights(
         )
         .select(F.col("_id").alias(id_col), "n_bigrams", "logw")
     )
+
+
+def _dsir_buckets(df: DataFrame, id_col: str, text_col: str, n_buckets: int,
+                  tokens_col: str | None = None) -> DataFrame:
+    """Per-document hashed-bigram bucket counts ``(_id, _b, _c)``."""
+    from .textops import _md5_60
+
+    bg = bigram_frame(df, id_col, text_col, tokens_col)
+    inst = bg.select(
+        "_id",
+        F.pmod(
+            _md5_60(F.concat_ws(" ", "_w1", "_w2")), F.lit(n_buckets)
+        ).alias("_b"),
+    )
+    return inst.groupBy("_id", "_b").agg(F.count(F.lit(1)).alias("_c"))
+
+
+def dsir_model(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    target_filter,
+    n_buckets: int = 1024,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Fit the DSIR log-ratio model: ``(_b, _lr)``, B rows.
+
+    The fit half of :func:`dsir_weights`, separated so the deployment
+    shape works: fit on a SAMPLE (or a reference corpus), persist the
+    B-row frame like any other model artifact, then :func:`dsir_score`
+    the full corpus — the fit never has to touch the 100 TB side.  Same
+    quantized-ln arithmetic as the fused op.
+    """
+    dc = _dsir_buckets(df, id_col, text_col, n_buckets, tokens_col)
+    raw = dc.groupBy("_b").agg(F.sum("_c").alias("_rc"))
+    target_ids = df.where(target_filter).select(F.col(id_col).alias("_tid"))
+    tgt = (
+        dc.join(target_ids, dc["_id"] == F.col("_tid"), "left_semi")
+        .groupBy("_b")
+        .agg(F.sum("_c").alias("_tc"))
+    )
+    model = raw.join(tgt, "_b", "left").select(
+        "_b", "_rc", F.coalesce("_tc", F.lit(0)).alias("_tc")
+    )
+    totals = model.agg(F.sum("_rc").alias("_R"), F.sum("_tc").alias("_T"))
+    scale = F.lit(1_000_000.0)
+    return model.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.floor(
+                (
+                    F.log((F.col("_tc") + 1.0) / (F.col("_T") + F.lit(float(n_buckets))))
+                    - F.log((F.col("_rc") + 1.0) / (F.col("_R") + F.lit(float(n_buckets))))
+                )
+                * scale
+                + F.lit(0.5)
+            )
+            / scale
+        ).alias("_lr"),
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    *,
+    n_buckets: int = 1024,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Score any frame against a fitted :func:`dsir_model`.
+
+    ``(id_col, n_bigrams, logw)`` with the same deterministic bucket-order
+    fold as :func:`dsir_weights`; ``n_buckets`` must match the fit.
+    Buckets absent from the model (never seen at fit time) contribute the
+    model's strongest negative evidence honestly: they are simply absent
+    from the join, so the document's count there scores 0 — callers
+    wanting an explicit unseen-bucket penalty can union one onto the
+    model frame.
+    """
+    dc = _dsir_buckets(df, id_col, text_col, n_buckets, tokens_col)
+    return (
+        dc.join(F.broadcast(model), "_b")
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("n_bigrams"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_b"), (F.col("_c") * F.col("_lr")).alias("_t"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_t"],
+            ).alias("logw"),
+        )
+        .select(F.col("_id").alias(id_col), "n_bigrams", "logw")
+    )

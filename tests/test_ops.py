@@ -1385,3 +1385,44 @@ def test_hamming_pairs_band_count_tracks_budget(spark):
     assert [(r["id_l"], r["id_r"], r["hamming"]) for r in got4] == [(1, 2, 4)]
     # and the same pair is correctly EXCLUDED at budget 3
     assert hamming_pairs(fp, "id", "f", max_hamming=3).count() == 0
+
+
+def test_dsir_fit_score_split_matches_fused(spark):
+    """dsir_model + dsir_score on the fit corpus reproduces dsir_weights
+    exactly (n_bigrams can differ only for docs hitting unseen buckets —
+    impossible when scoring the fit corpus itself)."""
+    from dftly_spark.ops import dsir_model, dsir_score, dsir_weights
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 5} tok{i % 3} tok{i % 2}", i % 2 == 0)
+         for i in range(80)],
+        "doc_id long, text string, is_t boolean",
+    )
+    fused = sorted(map(tuple, dsir_weights(
+        df, "doc_id", "text", target_filter=F.col("is_t"), n_buckets=256
+    ).collect()))
+    model = dsir_model(df, "doc_id", "text",
+                       target_filter=F.col("is_t"), n_buckets=256)
+    split = sorted(map(tuple, dsir_score(
+        df, "doc_id", "text", model, n_buckets=256
+    ).collect()))
+    assert fused == split
+
+
+def test_dsir_score_new_documents_against_fitted_model(spark):
+    from dftly_spark.ops import dsir_model, dsir_score
+
+    fit = spark.createDataFrame(
+        [(1, "alpha beta alpha beta", True), (2, "gamma delta gamma", False)],
+        "doc_id long, text string, is_t boolean",
+    )
+    model = dsir_model(fit, "doc_id", "text",
+                       target_filter=F.col("is_t"), n_buckets=64)
+    new = spark.createDataFrame(
+        [(10, "alpha beta alpha"), (11, "gamma delta gamma")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["logw"]
+           for r in dsir_score(new, "doc_id", "text", model,
+                               n_buckets=64).collect()}
+    assert out[10] > out[11]  # target-like new doc outscores off-target
