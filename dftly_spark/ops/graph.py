@@ -85,6 +85,7 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     *,
+    partitions: int | None = None,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-node triangle counts: ``(node, triangles)`` for an undirected graph.
@@ -164,6 +165,13 @@ def triangle_count(
     # heap).  The edge side is m/num_partitions rows per task — a few MB
     # of hash map — so shuffled-hash keeps peak memory flat regardless of
     # wedge count.
+    # ``partitions``: the forced-hash build's per-task budget is
+    # m/partitions and it CANNOT spill — size partitions so an edge
+    # slice fits executor memory (measured: 19M edges over 32 partitions
+    # fails the build on an 8 GiB heap; over 128 it runs linear —
+    # SCALING.md).  None = the session's shuffle.partitions.
+    if partitions is not None:
+        e2 = e2.repartition(partitions, "_w2s")
     wedges = e1.join(
         e2.hint("shuffle_hash"),
         (e1["_w1s"] == e2["_w2s"])
@@ -175,6 +183,8 @@ def triangle_count(
     closer = oriented.select(
         F.col("_s").alias("_cs"), F.col("_t").alias("_ct")
     )
+    if partitions is not None:
+        closer = closer.repartition(partitions, "_cs", "_ct")
     tris = wedges.join(
         closer.hint("shuffle_hash"),
         (wedges["_w1t"] == closer["_cs"]) & (wedges["_w2t"] == closer["_ct"]),
