@@ -5982,9 +5982,9 @@ _q(
 
 def _x111(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core extraction (ops/graph.py kcore): nodes of the 80-core of the
-    part co-purchase graph after 8 peeling rounds (convergence within the
-    budget is asserted at gate scale in tests, so this IS the exact
-    80-core).  Per round
+    part co-purchase graph after 8 peeling rounds; the in-band
+    ``converged`` scalar (gated by the oracle's own min-degree check)
+    certifies the budget sufficed, so this IS the exact 80-core.  Per round
     ONE degree agg + one semi-join per endpoint over the shrinking
     symmetric edge frame, lineage checkpointed; the oracle replays the
     peel with a recursive CTE whose rounds filter on windowed degrees."""
@@ -6031,8 +6031,11 @@ _q(
         FROM peel WHERE it < 8
       ) WHERE ds >= 80 AND dt >= 80
     )
-    SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
-    FROM peel WHERE it = 8 GROUP BY s
+    SELECT node, degree, (min(degree) OVER ()) >= 80 AS converged
+    FROM (
+      SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM peel WHERE it = 8 GROUP BY s
+    ) core
     """,
 )
 
@@ -6589,11 +6592,12 @@ _q(
 
 
 def _x122(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11-style important stock: parts whose share of one nation's
-    shipped value exceeds 1/1000 of the total — the HAVING-against-a-
-    global-scalar shape, in PURE INTEGER arithmetic (cents × 1000 vs
-    total-cents: no float share, no knife edges at any corpus size).
-    The 1-row total attaches by broadcast (sanctioned scalar attach)."""
+    """TPC-H Q11-style important stock: parts whose shipped value from one
+    nation's suppliers exceeds TWICE the per-part mean (``_pv * _np >
+    2 * _tv``) — the HAVING-against-a-global-scalar shape, in PURE INTEGER
+    arithmetic (cents scaled by the part count vs twice total-cents: no
+    float share, no knife edges at any corpus size).  The 1-row total
+    attaches by broadcast (sanctioned scalar attach)."""
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
     supp = (

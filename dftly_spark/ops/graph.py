@@ -211,17 +211,18 @@ def kcore(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Nodes of the ``k``-core after ``max_rounds`` of peeling:
-    ``(node, degree)`` within the surviving subgraph.
+    ``(node, degree, converged)`` within the surviving subgraph.
 
     Iteratively removes nodes of degree < ``k`` (and their edges) from the
     undirected graph — the standard dense-subgraph / spam-farm / community
     filter.  Peeling is run a FIXED ``max_rounds`` times so the result is
     a deterministic function of the edge list that any engine replays
-    verbatim (the pagerank convention); when the peel converges within the
-    budget — extra rounds are no-ops — the output IS the exact k-core.
-    Callers wanting guaranteed convergence can re-run with a larger budget
-    and compare (cheap: each round is ONE degree agg + ONE semi-join over
-    the shrinking edge frame).
+    verbatim (the pagerank convention); ``converged`` (same value on every
+    row, a 1-row scalar attach) is TRUE iff no surviving node has degree
+    < ``k`` — i.e. the budget sufficed and the output IS the exact
+    k-core.  A FALSE flag means the peel was truncated: re-run with a
+    larger ``max_rounds`` (cheap: each round is ONE degree agg + ONE
+    semi-join per endpoint over the shrinking edge frame).
 
     Scale shape: the symmetric edge frame is the only data-sized object;
     per round, degrees come from one map-side-combined count on ``_src``
@@ -279,11 +280,22 @@ def kcore(
         )
         if (r + 1) % every == 0 and r + 1 < max_rounds:
             e = _ckpt(e)
-    return (
+    # Final degrees are referenced twice (output rows + the convergence
+    # scalar) — truncate lineage once so the peeled plan does not
+    # re-execute per reference.  ``converged`` = no surviving node is
+    # below k (min over an empty core is NULL → vacuously converged);
+    # a (≤1)-row frame, attached by sanctioned broadcast scalar.
+    deg = _ckpt(
         e.groupBy("_s")
         .agg(F.count(F.lit(1)).alias("degree"))
         .select(F.col("_s").alias("node"), "degree")
     )
+    flag = deg.agg(
+        F.coalesce(F.min(F.col("degree") >= F.lit(k)), F.lit(True)).alias(
+            "converged"
+        )
+    )
+    return deg.crossJoin(F.broadcast(flag))
 
 
 def pagerank(

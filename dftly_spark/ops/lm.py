@@ -269,27 +269,33 @@ def dsir_score(
     *,
     n_buckets: int = 1024,
     tokens_col: str | None = None,
+    unseen_penalty: float = 0.0,
 ) -> DataFrame:
     """Score any frame against a fitted :func:`dsir_model`.
 
     ``(id_col, n_bigrams, logw)`` with the same deterministic bucket-order
     fold as :func:`dsir_weights`; ``n_buckets`` must match the fit.
-    Buckets absent from the model (never seen at fit time) contribute the
-    model's strongest negative evidence honestly: they are simply absent
-    from the join, so the document's count there scores 0 — callers
-    wanting an explicit unseen-bucket penalty can union one onto the
-    model frame.
+
+    The fit-on-sample deployment shape means buckets unseen at fit time
+    are the NORM at score time, so the model join is a LEFT join: every
+    document keeps its row, ``n_bigrams`` is always the document's true
+    bigram count, and each unseen bucket contributes
+    ``count * unseen_penalty`` to ``logw`` (default 0.0 — neutral
+    evidence; pass a negative value to down-weight out-of-model mass).
+    With ``unseen_penalty=0.0``, scoring the fit corpus against its own
+    model reproduces :func:`dsir_weights` exactly.
     """
     dc = _dsir_buckets(df, id_col, text_col, n_buckets, tokens_col)
+    lr = F.coalesce(F.col("_lr"), F.lit(float(unseen_penalty)))
     return (
-        dc.join(F.broadcast(model), "_b")
+        dc.join(F.broadcast(model), "_b", "left")
         .groupBy("_id")
         .agg(
             F.sum("_c").alias("n_bigrams"),
             F.aggregate(
                 F.array_sort(
                     F.collect_list(
-                        F.struct(F.col("_b"), (F.col("_c") * F.col("_lr")).alias("_t"))
+                        F.struct(F.col("_b"), (F.col("_c") * lr).alias("_t"))
                     )
                 ),
                 F.lit(0.0),

@@ -181,17 +181,21 @@ def _apply_step(df: DataFrame, step: dict, idx: int) -> DataFrame:
         # the same Catalyst tree the dftly steps build, so pushdown and
         # fusion cross the boundary in both directions.  The view name is
         # unique per invocation (concurrent pipelines in one session must
-        # not clobber each other) and dropped immediately: spark.sql()
-        # analyzes eagerly, so the returned frame no longer needs it.
+        # not clobber each other).  Classic Spark analyzes spark.sql()
+        # eagerly, so the view can be dropped as soon as the frame comes
+        # back; Spark Connect defers analysis to execution AND re-resolves
+        # the plan on every action, so the view must OUTLIVE the returned
+        # frame there — leave the uniquely-named view registered (session
+        # temp views are metadata-only; they die with the session).
         view = f"_dftly_step_{idx}_{next(_SQL_VIEW_COUNTER)}"
         df.createOrReplaceTempView(view)
-        try:
-            # plain substring replace, NOT str.format — format would choke
-            # on every literal brace in real SQL (regex quantifiers, map
-            # literals)
-            return df.sparkSession.sql(step["sql"].replace("{t}", view))
-        finally:
+        # plain substring replace, NOT str.format — format would choke
+        # on every literal brace in real SQL (regex quantifiers, map
+        # literals)
+        out = df.sparkSession.sql(step["sql"].replace("{t}", view))
+        if not type(df).__module__.startswith("pyspark.sql.connect"):
             df.sparkSession.catalog.dropTempView(view)
+        return out
     if k == "select":
         return Parser.select(df, step["select"])
     if k == "with_columns":

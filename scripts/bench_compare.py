@@ -83,13 +83,15 @@ def latest_round_baseline() -> str:
 
     snaps = sorted(glob.glob("gate_logs/*bench_snapshot*.json"))
     if snaps:
-        by_round: dict[str, list[str]] = {}
+        by_round: dict[int, list[str]] = {}
         for s in snaps:
             m = re.search(r"r(\d+)", os.path.basename(s))
-            by_round.setdefault(m.group(1) if m else "", []).append(s)
-        rounds = sorted(by_round)
-        pick = rounds[-2] if len(rounds) >= 2 else rounds[-1]
-        return by_round[pick][-1]
+            if m:  # filenames with no rNN tag have no round to group by
+                by_round.setdefault(int(m.group(1)), []).append(s)
+        if by_round:
+            rounds = sorted(by_round)  # numeric: r9 < r10 < r100
+            pick = rounds[-2] if len(rounds) >= 2 else rounds[-1]
+            return by_round[pick][-1]
     rounds = sorted(glob.glob("BENCH_r*.json"))
     if not rounds:
         raise SystemExit("no bench baseline found; pass one explicitly")

@@ -678,10 +678,26 @@ def test_kcore_known_graph_and_convergence(spark):
     edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
              ("c", "d"), ("d", "e"), ("e", "f")]
     df = spark.createDataFrame(edges, "src string, dst string")
-    out = {r["node"]: r["degree"] for r in kcore(df, 3, max_rounds=4).collect()}
+    rows = kcore(df, 3, max_rounds=4).collect()
+    out = {r["node"]: r["degree"] for r in rows}
     assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+    assert all(r["converged"] for r in rows)
     # k above the densest core peels everything
     assert kcore(df, 4, max_rounds=4).count() == 0
+
+
+def test_kcore_truncated_budget_reports_not_converged(spark):
+    """A budget too small for the peel must say so in-band: a 10-node
+    path at k=2 loses only its two endpoints per round, so 2 rounds
+    leave a shorter path whose endpoints still have degree 1 < 2."""
+    from dftly_spark.ops import kcore
+
+    path = [(f"n{i}", f"n{i+1}") for i in range(9)]
+    df = spark.createDataFrame(path, "src string, dst string")
+    rows = kcore(df, 2, max_rounds=2).collect()
+    assert len(rows) == 6 and all(not r["converged"] for r in rows)
+    # a sufficient budget empties the frame (a path has no 2-core)
+    assert kcore(df, 2, max_rounds=5).count() == 0
 
 
 def test_kcore_gate_budget_converges(spark):

@@ -1426,3 +1426,39 @@ def test_dsir_score_new_documents_against_fitted_model(spark):
            for r in dsir_score(new, "doc_id", "text", model,
                                n_buckets=64).collect()}
     assert out[10] > out[11]  # target-like new doc outscores off-target
+
+
+def test_dsir_score_unseen_buckets_keep_rows_and_counts(spark):
+    """Score-corpus buckets absent from the fit corpus must not drop rows
+    or shrink n_bigrams (fit-on-sample is the deployment path)."""
+    from dftly_spark.ops import dsir_model, dsir_score
+
+    fit = spark.createDataFrame(
+        [(1, "alpha beta alpha beta", True), (2, "gamma delta gamma", False)],
+        "doc_id long, text string, is_t boolean",
+    )
+    model = dsir_model(fit, "doc_id", "text",
+                       target_filter=F.col("is_t"), n_buckets=4096)
+    new = spark.createDataFrame(
+        [
+            # doc 20: every bigram unseen at fit time — must still get a row
+            (20, "zzz yyy xxx www"),
+            # doc 21: mix of seen ("alpha beta") and unseen bigrams
+            (21, "alpha beta qqq rrr"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dsir_score(
+        new, "doc_id", "text", model, n_buckets=4096).collect()}
+    assert set(rows) == {20, 21}            # (a) no rows vanish
+    assert rows[20]["n_bigrams"] == 3       # (b) true bigram counts
+    assert rows[21]["n_bigrams"] == 3
+    assert rows[20]["logw"] == 0.0          # all-unseen doc scores neutral 0
+
+    # an explicit unseen penalty applies per unseen bigram instance
+    pen = {r["doc_id"]: r for r in dsir_score(
+        new, "doc_id", "text", model, n_buckets=4096,
+        unseen_penalty=-2.0).collect()}
+    assert pen[20]["logw"] == -6.0          # 3 unseen instances * -2.0
+    assert pen[20]["n_bigrams"] == 3
+    assert pen[21]["logw"] < rows[21]["logw"]
