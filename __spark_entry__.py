@@ -6645,6 +6645,227 @@ _q(
 )
 
 
+def _x123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank (ops/graph.py pagerank weight=): the x67 trade
+    graph with each customer↔supplier edge weighted by how many lineitems
+    connect the pair, so heavy trading relationships carry more rank.
+    Contributions ship rank·w/out-strength; weights are small INTEGER
+    counts, so the per-source strength sum is float-exact regardless of
+    partition order (the per-destination sum is order-wobbly at ~1e-15 —
+    absorbed by the 1e-6 output rounding, same as x67)."""
+    from dftly_spark.ops import pagerank
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    # grouped pairs are distinct and even/odd ids cannot collide across
+    # directions; symmetrization gives every node an out-edge
+    return pagerank(
+        edges, iters=5, damping=0.85, weight="w",
+        assume_distinct=True, repair_dangling=False,
+    )
+
+
+_q(
+    "x123_weighted_pagerank",
+    _x123,
+    """
+    WITH pairs AS (
+      SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+             CAST(count(*) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT c AS src, s AS dst, w FROM pairs
+      UNION ALL SELECT s, c, w FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS n FROM edges
+    ), strength AS (
+      SELECT src, CAST(sum(w) AS DOUBLE) AS st FROM edges GROUP BY src
+    )
+    SELECT n AS node, round(r, 6) AS rank FROM (
+      WITH RECURSIVE pr AS (
+        SELECT 0 AS it, n, CAST(1.0 AS DOUBLE) AS r FROM nodes
+        UNION ALL
+        SELECT pr.it + 1, e.dst AS n,
+               (1.0 - 0.85) + 0.85 * sum(pr.r * CAST(e.w AS DOUBLE) / st.st) AS r
+        FROM pr JOIN edges e ON pr.n = e.src JOIN strength st ON e.src = st.src
+        WHERE pr.it < 5
+        GROUP BY pr.it, e.dst
+      )
+      SELECT * FROM pr WHERE it = 5
+    )
+    """,
+)
+
+
+def _x124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup pairs (ops/multimodal.py media_dup_pairs):
+    perceptual-hash the fake media payloads, then the SAME pigeonhole
+    chunk join text SimHash uses (ops/dedup.py hamming_pairs) finds pairs
+    within hamming ≤ 3.  Twenty duplicate payloads are PLANTED (doc_id +
+    1_000_000 copies) so the gate has guaranteed collisions at every SF;
+    the fake decode is sha256-derived, so DuckDB recomputes the exact
+    64-bit fingerprints and finds the pairs by brute force — checking the
+    banded join's recall as well as its precision."""
+    from dftly_spark.ops import attach_fake_media, media_dup_pairs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    media = attach_fake_media(docs.unionByName(planted), "text")
+    return media_dup_pairs(media, "doc_id", max_hamming=3)
+
+
+_q(
+    "x124_media_dup_pairs",
+    _x124,
+    """
+    WITH alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+    ), hh AS (
+      -- fake decode: 64 pseudo-pixels = sha256(payload) || sha256(reversed)
+      -- (documents are pure ASCII, so reverse(text) reverses the bytes)
+      SELECT doc_id, sha256(text) || sha256(reverse(text)) AS h FROM alldocs
+    ), px AS (
+      SELECT doc_id, i,
+             ('0x' || substr(h, 2 * i + 1, 2))::INTEGER AS p
+      FROM hh, range(64) t(i)
+    ), bits AS (
+      SELECT doc_id, i, p, sum(p) OVER (PARTITION BY doc_id) AS total
+      FROM px
+    ), fp AS (
+      -- aHash bit i set when pixel > mean (64*p > sum, integer-exact);
+      -- signed-64 reconstruction puts bit 63 in as -2^63
+      SELECT doc_id,
+             CAST(sum(CASE WHEN 64 * p <= total THEN 0
+                           WHEN i = 63 THEN -9223372036854775808
+                           ELSE (1::BIGINT << i) END) AS BIGINT) AS ahash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    """,
+)
+
+
+def _x125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validate-while-writing quality gate (ops/quality.py expect_observed):
+    expectation counters ride the caller's OWN action via df.observe —
+    per-task aggregates merged exactly, no second scan (expect() costs
+    one).  The action here is a count over documents; the returned frame
+    is the ≤3-row report table (report-table-sized createDataFrame, like
+    the other model artifacts)."""
+    from dftly_spark.ops import expect_observed
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    observed, obs = expect_observed(
+        docs,
+        [
+            {"rule": "not_null", "col": "text"},
+            {"rule": "in_range", "col": "n_chars", "min": 1, "max": 5000},
+            {"rule": "in_set", "col": "lang", "values": ["en", "de", "fr"]},
+        ],
+    )
+    observed.count()  # the caller's action; metrics piggyback on it
+    report = obs.report()
+    return spark.createDataFrame(
+        report, "rule string, n_rows bigint, n_violations bigint, passed boolean"
+    )
+
+
+_q(
+    "x125_expect_observed",
+    _x125,
+    """
+    SELECT 'not_null(text)' AS rule,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(CASE WHEN text IS NULL THEN 1 END), 0) AS BIGINT)
+             AS n_violations,
+           coalesce(sum(CASE WHEN text IS NULL THEN 1 END), 0) = 0 AS passed
+    FROM documents
+    UNION ALL
+    SELECT 'in_range(n_chars)',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN n_chars < 1 OR n_chars > 5000 THEN 1 END), 0)
+             AS BIGINT),
+           coalesce(sum(CASE WHEN n_chars < 1 OR n_chars > 5000 THEN 1 END), 0) = 0
+    FROM documents
+    UNION ALL
+    SELECT 'in_set(lang)',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN lang IS NOT NULL
+                                   AND lang NOT IN ('en', 'de', 'fr')
+                                  THEN 1 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN lang IS NOT NULL
+                              AND lang NOT IN ('en', 'de', 'fr')
+                             THEN 1 END), 0) = 0
+    FROM documents
+    """,
+)
+
+
+def _x126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (streaming.py session_window_stats):
+    per-user activity sessions via Spark's built-in merging
+    ``F.session_window`` — the state-store-backed streaming sessionizer,
+    here on the batch path the parity tests pin.  Half-open semantics: an
+    event at EXACTLY gap distance starts a NEW session (the custom
+    ops/sessions.py sessionize keeps it — that `>` variant is x119's
+    gate).  One keyed shuffle; the oracle replays gaps-and-islands with
+    a `>=` break."""
+    from dftly_spark.streaming import session_window_stats
+
+    _prep(spark)
+    return session_window_stats(
+        _t(spark, sf_dir, "events"), "ts", keys=["user_id"], gap="30 minutes"
+    )
+
+
+_q(
+    "x126_session_window_spans",
+    _x126,
+    """
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), g AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -6657,16 +6878,33 @@ _q(
 # x15-x27 block (driver-green in both r01 and r02) fills the tail.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # -- x34-x55: the driver's ~50-query window has skipped these for three
-    #    consecutive rounds (r01 sampled the first 38, r02 the first 50, r03
-    #    the 50 newest).  Green under the builder/judge driver-faithful gate
-    #    all three rounds, but a driver-issued rows/schema/hash row still
-    #    doesn't exist for any of them -- so they go FIRST this round.
-    "x34_rollup_stats",
-    "x35_contamination_containment",
-    "x36_incremental_embedding_dedup",
-    "x37_remove_dup_spans",
-    "x38_tumbling_agg",
+    # ROTATION RULE (applies every round): the driver samples only the
+    # first ~50 entries of this list, so order = (1) queries ADDED or
+    # MATERIALLY CHANGED this round, (2) queries with NO driver-issued
+    # CORRECTNESS row yet, (3) the rest of the window back-filled with the
+    # LEAST-RECENTLY-sampled green queries as regression canaries.
+    # Veterans holding >= 3 consecutive driver-green rows rotate OUT of
+    # the window (to the tail) to make room -- adding a query without
+    # displacing one leaves it permanently unsampled (x122 sat at index 50
+    # for four rounds).
+    #
+    # -- round-7 additions (never driver-sampled) --
+    "x123_weighted_pagerank",
+    "x124_media_dup_pairs",
+    "x125_expect_observed",
+    "x126_session_window_spans",
+    "x122_important_stock",
+    # -- materially changed in round 7 (new converged column / left-join fix) --
+    "x111_kcore",
+    "x109_dsir_weights",
+    # -- r06 driver-green once; keep in-window as canaries --
+    "q28_chrono_residue",
+    "q29_sqlgen_arrays",
+    # -- rotated OUT of the window this round (>= 3 driver-green rows
+    #    r04+r05+r06): x34_rollup_stats, x35_contamination_containment,
+    #    x36_incremental_embedding_dedup, x37_remove_dup_spans,
+    #    x38_tumbling_agg, x53_hopping_agg, x54_sparse_cosine,
+    #    x55_cohort_retention (moved to the tail block below).
     "x39_lag_features",
     "x40_ks_drift",
     "x41_histogram",
@@ -6681,12 +6919,7 @@ _PRIORITY = [
     "x50_topic_mix",
     "x51_gopher_rules",
     "x52_shared_affixes",
-    "x53_hopping_agg",
-    "x54_sparse_cosine",
-    "x55_cohort_retention",
-    # -- round-4 additions (no driver row yet) --
-    "q28_chrono_residue",
-    "q29_sqlgen_arrays",
+    # -- round-4 additions, r06 driver-green --
     "x96_windowed_quantiles",
     "x97_psi_drift",
     "x98_rolling_features",
@@ -6700,9 +6933,7 @@ _PRIORITY = [
     "x106_dormant_accounts",
     "x107_triangle_count",
     "x108_resample_ffill",
-    "x109_dsir_weights",
     "x110_interval_join",
-    "x111_kcore",
     "x112_novelty",
     "x113_source_overlap",
     "x114_bpe_learn",
@@ -6713,8 +6944,8 @@ _PRIORITY = [
     "x119_session_stats",
     "x120_scd2_snapshot",
     "x121_top_supplier",
-    "x122_important_stock",
-    # -- r03 driver-green; keep inside the window as regression canaries --
+    # -- r03 driver-green, least-recently-sampled: these back-fill the
+    #    remaining window slots as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",
     "q25_iso_week",
@@ -6778,6 +7009,16 @@ _PRIORITY = [
     "q15_strptime",
     "q16_time_type",
     "q22_flagship",
+    # -- rotated OUT with >= 3 consecutive driver-green rows (r04+r05+r06);
+    #    sampled again only if the driver's window widens or they change --
+    "x34_rollup_stats",
+    "x35_contamination_containment",
+    "x36_incremental_embedding_dedup",
+    "x37_remove_dup_spans",
+    "x38_tumbling_agg",
+    "x53_hopping_agg",
+    "x54_sparse_cosine",
+    "x55_cohort_retention",
     # everything else keeps its source order after these
 ]
 

@@ -120,6 +120,7 @@ def test_all_contract_queries_plan_invariants(spark):
         "x97_psi_drift",  # 1-row (n_a, n_b) totals broadcast over k buckets
         "x106_dormant_accounts",  # 1-row positive-balance avg broadcast
         "x109_dsir_weights",  # 1-row model-totals broadcast over B buckets
+        "x111_kcore",  # 1-row converged-flag broadcast (scalar attach)
         "x114_bpe_learn",  # 1-row merge-rule broadcast per round
         "x117_join_size_sketch",  # 1-row est x 1-row exact attach
         "x121_top_supplier",  # 1-row max-revenue broadcast
