@@ -5407,6 +5407,61 @@ def _q29_oracle() -> str:
 _q("q29_sqlgen_arrays", _q29, _q29_oracle)
 
 
+def _q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chrono mid-format residue closed in round 7 (dftly_spark/chrono.py;
+    reference /root/reference/src/dftly/nodes/str.py:594-649): day-name
+    codes in the MIDDLE of a format (stripped via the ^-anchored
+    non-greedy prefix capture) and %C separated from %y by literal text
+    (the separator splices out of the input, then the %Y equivalence).
+    Strings are built deterministically from orders dates and parsed back
+    through the engine's strptime surface; DuckDB replays %a/%A natively
+    and the spliced century via the SAME RE2-safe regexp_replace."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.to_date("o_orderdate")
+    yyyy = F.date_format(d, "yyyy")
+    o2 = o.select(
+        k.alias("ok"),
+        F.date_format(d, "dd-EEE-MM-yyyy").alias("mid_s"),
+        F.date_format(d, "dd EEEE MM yyyy").alias("midfull_s"),
+        F.concat(
+            F.substring(yyyy, 1, 2), F.lit("|"), F.date_format(d, "yy-MM-dd")
+        ).alias("csep_s"),
+    )
+    parsed = Parser.select(
+        o2,
+        {
+            "ok": "$ok",
+            "mid_d": "$mid_s::'%d-%a-%m-%Y'",
+            "midfull_d": "$midfull_s::'%d %A %m %Y'",
+            "csep_d": "$csep_s::'%C|%y-%m-%d'",
+        },
+    )
+    return parsed
+
+
+_q(
+    "q30_chrono_midformat",
+    _q30,
+    r"""
+    WITH b AS (SELECT o_orderkey AS ok, o_orderdate AS d FROM orders)
+    SELECT ok,
+           CAST(strptime(strftime(d, '%d-%a-%m-%Y'), '%d-%a-%m-%Y') AS DATE)
+             AS mid_d,
+           CAST(strptime(strftime(d, '%d %A %m %Y'), '%d %A %m %Y') AS DATE)
+             AS midfull_d,
+           CAST(strptime(
+                  regexp_replace(
+                    substr(strftime(d, '%Y'), 1, 2) || '|'
+                      || strftime(d, '%y-%m-%d'),
+                    '^(.*?\d{2})\|(\d{2})', '\1\2'),
+                  '%Y-%m-%d') AS DATE) AS csep_d
+    FROM b
+    """,
+)
+
+
 def _x96(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed quantiles (dftly_spark/streaming.py windowed_quantiles):
     hourly p50/p90/p99 of event value per event_type — the latency-
@@ -6889,6 +6944,7 @@ _PRIORITY = [
     # for four rounds).
     #
     # -- round-7 additions (never driver-sampled) --
+    "q30_chrono_midformat",
     "x123_weighted_pagerank",
     "x124_media_dup_pairs",
     "x125_expect_observed",

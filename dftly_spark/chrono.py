@@ -167,9 +167,11 @@ def rewrite_century(fmt: str) -> str:
     byte-identical to the zero-padded 4-digit ``%Y`` — parse it as such
     (century×100 + yy arithmetic folded into one numeric field; reference
     /root/reference/src/dftly/nodes/str.py:594-649 routes both through
-    chrono's year_div_100/year_mod_100).  A ``%C`` *not* immediately
-    followed by ``%y`` would need free-standing century arithmetic chrono
-    itself only resolves via the same pairing — reject it loudly.
+    chrono's year_div_100/year_mod_100).  A ``%C`` separated from its
+    ``%y`` by literal text needs an input transform as well — that is
+    :func:`century_plan`; a ``%C`` with no ``%y`` pairing at all would
+    need free-standing century arithmetic chrono itself only resolves via
+    the pairing — reject it loudly.
     """
     toks = list(_scan(fmt))
     if not any(k == "code" and c == "C" for k, c in toks):
@@ -185,12 +187,65 @@ def rewrite_century(fmt: str) -> str:
                 continue
             raise ValueError(
                 f"chrono format code %C (century) is only supported when "
-                f"immediately followed by %y (together a 4-digit year); "
+                f"paired with %y (together a 4-digit year); "
                 f"cannot translate {fmt!r}"
             )
         out.append(f"%{item}" if kind == "code" else item)
         i += 1
     return "".join(out)
+
+
+def century_plan(fmt: str) -> dict | None:
+    """Full ``%C``/``%y`` pairing plan, or None when ``%C`` is absent.
+
+    Generalizes :func:`rewrite_century` to a ``%C`` separated from its
+    ``%y`` by LITERAL text (``"%C|%y"``): the intervening literal is
+    removed from the *input* so the two 2-digit fields become the adjacent
+    4-digit ``%Y``.  The strip pattern is engine-portable (no lookaround —
+    RE2-safe): it captures everything through the century digits plus the
+    two year digits and splices out the literal between them, anchored at
+    ``^`` so exactly one (the first) pairing is rewritten per strip.
+
+    Returns ``{"fmt": rewritten, "strips": [(pattern, replacement), ...]}``
+    with Java-style ``$n`` group references in the replacement (callers
+    emitting for RE2 engines translate ``$n`` → ``\\n``).  A ``%C`` with
+    no ``%y`` pairing raises the loud translation error.
+    """
+    import re as _re
+
+    toks = [t for t in _scan(fmt) if t != ("lit", "")]
+    if not any(k == "code" and c == "C" for k, c in toks):
+        return None
+    out: list[str] = []
+    strips: list[tuple[str, str]] = []
+    i = 0
+    while i < len(toks):
+        kind, item = toks[i]
+        if kind == "code" and item == "C":
+            if i + 1 < len(toks) and toks[i + 1] == ("code", "y"):
+                out.append("%Y")
+                i += 2
+                continue
+            if (
+                i + 2 < len(toks)
+                and toks[i + 1][0] == "lit"
+                and toks[i + 2] == ("code", "y")
+            ):
+                lit = toks[i + 1][1]
+                strips.append(
+                    (r"^(.*?\d{2})" + _re.escape(lit) + r"(\d{2})", "$1$2")
+                )
+                out.append("%Y")
+                i += 3
+                continue
+            raise ValueError(
+                f"chrono format code %C (century) is only supported when "
+                f"paired with %y (adjacent, or separated by literal text); "
+                f"cannot translate {fmt!r}"
+            )
+        out.append(f"%{item}" if kind == "code" else item)
+        i += 1
+    return {"fmt": "".join(out), "strips": strips}
 
 
 # Parse-time day-name token: chrono accepts the short name with an optional
@@ -202,35 +257,37 @@ _DAYNAME_RX = (
 
 
 def dayname_plan(fmt: str) -> dict | None:
-    """Strip plan for leading/trailing ``%a``/``%A`` day-name codes, or None.
+    """Strip plan for ``%a``/``%A`` day-name codes anywhere, or None.
 
     A weekday name is redundant for the date, so the plan removes the name
-    token from the input (anchored regex — only a real day name matches;
-    anything else fails the downstream parse and nulls/raises) and parses
-    the remainder with the format minus the day code.  Divergence shared
-    with the ``%c`` plan (and with DuckDB's own ``%a``): a *valid but
-    inconsistent* weekday name is ignored, where chrono would reject it.
+    token from the input (only a real day name matches; anything else
+    fails the downstream parse and nulls/raises) and parses the remainder
+    with the format minus the day code.  A MID-format day name strips via
+    a ``^``-anchored non-greedy prefix capture (``^(.*?)NAME`` → ``$1``):
+    the anchor means exactly ONE — the leftmost — name is removed per
+    strip, so sequential strips consume successive day-name codes left to
+    right; no lookaround, so the pattern is RE2-portable too.  Divergence
+    shared with the ``%c`` plan (and with DuckDB's own ``%a``): a *valid
+    but inconsistent* weekday name is ignored, where chrono would reject
+    it; and a day-name-shaped word produced by an ADJACENT text field
+    could in principle be stripped instead of the real one (no such
+    collision exists among chrono's month/era name tables).
 
-    Returns ``{"fmt": remainder_format, "strips": [regex, ...]}``.  A
-    day-name code in the *middle* of a format (ambiguous against adjacent
-    name-like tokens) raises the loud translation error.
+    Returns ``{"fmt": remainder_format, "strips": [(pattern, repl), ...]}``
+    with Java-style ``$n`` replacements.
     """
     toks = [t for t in _scan(fmt) if t != ("lit", "")]
     day_idx = [i for i, (k, c) in enumerate(toks) if k == "code" and c in ("a", "A")]
     if not day_idx:
         return None
-    strips: list[str] = []
+    strips: list[tuple[str, str]] = []
     for i in day_idx:
         if i == 0:
-            strips.append(f"^{_DAYNAME_RX}")
+            strips.append((f"^{_DAYNAME_RX}", ""))
         elif i == len(toks) - 1:
-            strips.append(f"{_DAYNAME_RX}$")
+            strips.append((f"{_DAYNAME_RX}$", ""))
         else:
-            raise ValueError(
-                f"chrono day-name code %{toks[i][1]} is only supported at the "
-                f"start or end of a format (the token is stripped before "
-                f"parsing); cannot translate {fmt!r}"
-            )
+            strips.append((f"^(.*?){_DAYNAME_RX}", "$1"))
     remainder = "".join(
         (f"%{c}" if k == "code" else c)
         for i, (k, c) in enumerate(toks)

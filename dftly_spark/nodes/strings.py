@@ -373,15 +373,22 @@ class Strptime(Node):
         fmt = self.format_str
         kind = self.output_type
 
-        # %C%y → %Y rewrite (century pairing), then leading/trailing %a/%A
-        # day-name codes become strip-the-token regexes — the name is
-        # redundant for the date.  Both raise loudly for the unsupported
-        # residue (%C without adjacent %y, mid-format day names).
-        fmt_eff = chrono.rewrite_century(fmt)
+        # %C..%y → %Y pairing (adjacent = pure format rewrite; literal-
+        # separated = input splice via century_plan strips), then %a/%A
+        # day-name codes anywhere become strip-the-token regexes — the
+        # name is redundant for the date.  Both raise loudly for the
+        # unsupported residue (%C with no %y pairing at all).
+        cent_plan = chrono.century_plan(fmt)
+        if cent_plan is not None:
+            for rx, repl in cent_plan["strips"]:
+                src = F.regexp_replace(src, rx, repl)
+            fmt_eff = cent_plan["fmt"]
+        else:
+            fmt_eff = fmt
         day_plan = chrono.dayname_plan(fmt_eff) if fmt.strip() != "%c" else None
         if day_plan is not None:
-            for rx in day_plan["strips"]:
-                src = F.regexp_replace(src, rx, "")
+            for rx, repl in day_plan["strips"]:
+                src = F.regexp_replace(src, rx, repl)
             fmt_eff = day_plan["fmt"]
 
         week_plan = chrono.week_based_plan(fmt_eff) if kind == "date" else None

@@ -23,6 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Edge rows per forced-shuffle-hash build task in triangle_count.  The
+# build side holds m/partitions (src, dst[, deg]) rows in an in-memory
+# hash map that cannot spill; ~150k rows is ~10-15 MB of map — the ratio
+# the 19M-edge/128-partition SCALING.md probe ran linear at, with
+# comfortable headroom on a 1 GiB executor heap.
+_EDGES_PER_BUILD_TASK = 150_000
+
 
 def prepare_edges(
     edges: DataFrame,
@@ -169,9 +176,21 @@ def triangle_count(
     # m/partitions and it CANNOT spill — size partitions so an edge
     # slice fits executor memory (measured: 19M edges over 32 partitions
     # fails the build on an 8 GiB heap; over 128 it runs linear —
-    # SCALING.md).  None = the session's shuffle.partitions.
-    if partitions is not None:
-        e2 = e2.repartition(partitions, "_w2s")
+    # SCALING.md).  None = DERIVED from the edge count: one count on the
+    # already-checkpointed oriented frame (materializes the checkpoint the
+    # joins need anyway, so the extra job is a cache scan), targeting
+    # ``_EDGES_PER_BUILD_TASK`` edge rows per hash build — never below the
+    # session's shuffle.partitions, so small graphs keep full parallelism.
+    if partitions is None:
+        m = oriented.count()
+        try:
+            sess = int(
+                oriented.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            sess = 200
+        partitions = max(sess, -(-m // _EDGES_PER_BUILD_TASK))
+    e2 = e2.repartition(partitions, "_w2s")
     wedges = e1.join(
         e2.hint("shuffle_hash"),
         (e1["_w1s"] == e2["_w2s"])
@@ -182,9 +201,7 @@ def triangle_count(
     ).select("_w1s", "_w1t", "_w2t")
     closer = oriented.select(
         F.col("_s").alias("_cs"), F.col("_t").alias("_ct")
-    )
-    if partitions is not None:
-        closer = closer.repartition(partitions, "_cs", "_ct")
+    ).repartition(partitions, "_cs", "_ct")
     tris = wedges.join(
         closer.hint("shuffle_hash"),
         (wedges["_w1t"] == closer["_cs"]) & (wedges["_w2t"] == closer["_ct"]),

@@ -39,35 +39,64 @@ QUANT = 1_000_000.0
 
 
 def _exact_stats(df: DataFrame, vec_col: str, dim: int):
-    """n, s[i], sp[i][j] from one aggregation of quantized vectors."""
+    """n, s[i], sp[i][j] from two aggregations of quantized vectors.
+
+    The Gramian is symmetric, so only the UPPER TRIANGLE is computed:
+    each row contributes a flattened d(d+1)/2-cell product array (built
+    with codegen'd collection expressions — ``transform`` with index +
+    dynamic ``slice``, no Python), exploded ONCE on a single flat int key
+    and map-side-combined — half the rows and a cheaper agg key than the
+    (i, j) full-matrix explode this replaces.  The d linear cells (Σx,
+    max|x|, n) ride a separate n·d pass instead of being threaded through
+    the quadratic one.  Integer sums stay order-independent-exact, which
+    is what lets the x118 recursive-CTE oracle replay the fit verbatim.
+    (A per-partition numpy gemm would cut the explode entirely but needs
+    int64 matmul through Arrow — a new Python-on-data surface — and BLAS
+    float gemm is not exact past 2^53; the triangle explode keeps the
+    whole fit JVM-side and spill-safe.)
+    """
     xq = F.transform(
         F.col(vec_col), lambda v: F.floor(v * QUANT + F.lit(0.5)).cast("bigint")
     )
-    pairs = df.select(F.posexplode(xq).alias("_i", "_xi"), xq.alias("_q"))
-    cells = pairs.select(
-        "_i", "_xi", F.posexplode("_q").alias("_j", "_xj")
-    )
-    stats = (
-        cells.groupBy("_i", "_j")
+    base = df.select(xq.alias("_q"))
+    lin = (
+        base.select(F.posexplode("_q").alias("_i", "_xi"))
+        .groupBy("_i")
         .agg(
-            F.sum(F.col("_xi") * F.col("_xj")).alias("_sp"),
+            F.sum("_xi").alias("_s"),
             F.max(F.abs(F.col("_xi"))).alias("_mx"),
-            F.sum(F.when(F.col("_j") == 0, F.col("_xi")).otherwise(0)).alias("_srow"),
-            F.count(F.when(F.col("_j") == 0, F.lit(1))).alias("_nrow"),
+            F.count(F.lit(1)).alias("_n"),
         )
+        .collect()
+    )
+    # flat key k enumerates (i, j >= i) row-major: k = i*d - i(i-1)/2 + (j-i)
+    tri = F.flatten(
+        F.transform(
+            F.col("_q"),
+            lambda xi, i: F.transform(
+                F.slice(F.col("_q"), i + 1, F.lit(dim) - i), lambda xj: xi * xj
+            ),
+        )
+    )
+    gram = (
+        base.select(F.posexplode(tri).alias("_k", "_p"))
+        .groupBy("_k")
+        .agg(F.sum("_p").alias("_sp"))
         .collect()
     )
     n = 0
     s = [0] * dim
     sp = [[0] * dim for _ in range(dim)]
     mx = 0
-    for r in stats:
-        sp[r["_i"]][r["_j"]] = r["_sp"]
+    for r in lin:
+        s[r["_i"]] = r["_s"]
         mx = max(mx, r["_mx"] or 0)
-        if r["_j"] == 0:
-            s[r["_i"]] = r["_srow"]
-            if r["_i"] == 0:
-                n = r["_nrow"]
+        n = r["_n"]
+    ij = [(i, j) for i in range(dim) for j in range(i, dim)]
+    for r in gram:
+        i, j = ij[r["_k"]]
+        sp[i][j] = r["_sp"]
+        sp[j][i] = r["_sp"]
     # Spark's non-ANSI bigint sum WRAPS silently on overflow (DuckDB's
     # hugeint sum would error or disagree) — reject before the component
     # silently points somewhere wrong.  Conservative bound: every cell

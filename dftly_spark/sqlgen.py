@@ -511,8 +511,14 @@ def _emit_strptime(n, ctx):
         # raise guard]; DuckDB mirror: micros since epoch via make_timestamp
         return f"make_timestamp({cast_kw}({src} AS BIGINT) * 1000000)"
 
-    # DuckDB has no %C; replay the engine's %C%y → %Y equivalence here too
-    fmt = _chrono.rewrite_century(fmt)
+    # DuckDB has no %C; replay the engine's %C..%y → %Y pairing here too.
+    # The literal-separated form splices the input with the SAME RE2-safe
+    # strip the engine applies ($n group refs become DuckDB's \n).
+    cent_strips: list[tuple[str, str]] = []
+    cent_plan = _chrono.century_plan(fmt)
+    if cent_plan is not None:
+        fmt = cent_plan["fmt"]
+        cent_strips = cent_plan["strips"]
     fmt_codes = {c for k, c in _chrono._scan(fmt) if k == "code"}
     if "::z" in fmt_codes:
         raise SqlGenError(
@@ -529,6 +535,12 @@ def _emit_strptime(n, ctx):
             "DuckDB (ISO layout) — write the expanded format explicitly"
         )
     src = _emit(n.kwargs["source"], ctx)
+    import re as _re2
+
+    for rx, repl in cent_strips:
+        rx_sql = rx.replace("'", "''")
+        repl_sql = _re2.sub(r"\$(\d)", r"\\\1", repl).replace("'", "''")
+        src = f"regexp_replace({src}, '{rx_sql}', '{repl_sql}')"
     f = _q(fmt)
     # DuckDB shares chrono's %-code dialect, so the format embeds verbatim;
     # strict -> strptime (errors abort, like the engine's raise_error guard),

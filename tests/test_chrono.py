@@ -225,11 +225,23 @@ def test_day_of_week_names_parse_via_strip_plan(run1):
     assert run1("$s::?'%a %d %b %Y'", s="Xyz 03 Mar 2005") is None
 
 
-def test_day_name_mid_format_rejects_loudly(run1):
-    import pytest as _pytest
+def test_day_name_mid_format_strips(run1):
+    import datetime as dt
 
-    with _pytest.raises(Exception, match="start or end"):
-        run1('strptime($s, "%d %a %b %Y")', s="03 Thu Mar 2005")
+    # mid-format day name: stripped via the ^-anchored non-greedy prefix
+    # capture, remainder parses (was a loud reject through round 6)
+    assert run1('strptime($s, "%d %a %b %Y")', s="03 Thu Mar 2005") == dt.date(
+        2005, 3, 3
+    )
+    assert run1('strptime($s, "%d-%A-%m-%Y")', s="28-Friday-02-2020") == dt.date(
+        2020, 2, 28
+    )
+    # two day-name codes: sequential strips consume left to right
+    assert run1('strptime($s, "%a %d %a %b %Y")', s="Thu 03 Thu Mar 2005") == dt.date(
+        2005, 3, 3
+    )
+    # a non-day-name word in the mid slot does NOT strip -> lax nulls
+    assert run1("$s::?'%d %a %b %Y'", s="03 Xyz Mar 2005") is None
 
 
 def test_century_pairs_with_two_digit_year(run1):
@@ -239,9 +251,16 @@ def test_century_pairs_with_two_digit_year(run1):
     assert run1("strptime($s, '%C%y%m%d')", s="19991231") == dt.date(1999, 12, 31)
     # century explicit -> NO two-digit-year pivot: 0069 is year 69, not 1969
     assert run1("strptime($s, '%C%y-%m-%d')", s="0069-01-01") == dt.date(69, 1, 1)
+    # literal-separated pairing: the separator splices out of the input
+    # (was a loud reject through round 6)
+    assert run1("strptime($s, '%C|%y')", s="20|24") == dt.date(2024, 1, 1)
+    assert run1("strptime($s, '%C|%y-%m-%d')", s="19|99-12-31") == dt.date(
+        1999, 12, 31
+    )
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="immediately followed by %y"):
+    # %C with no %y pairing anywhere still rejects loudly
+    with _pytest.raises(Exception, match="paired with %y"):
         run1("strptime($s, '%C-%m-%d')", s="20-06-15")
 
 
