@@ -57,6 +57,7 @@ def bpe_learn(
     n_merges: int = 8,
     replace_passes: int = 3,
     checkpoint_every: int = 2,
+    batch: int = 1,
 ) -> DataFrame:
     """Learn the top ``n_merges`` BPE merge rules from a text column.
 
@@ -65,7 +66,29 @@ def bpe_learn(
     (weighted by word count; ties broken lexicographically) AFTER applying
     rules ``0..rank-1``.  Symbols start as single characters, so rule
     outputs compose exactly like the reference algorithm.
+
+    **Vocabulary ceiling.**  ``batch=1`` (the default) is EXACT greedy
+    BPE, but each merge costs one driver round (a pair-count job + an
+    argmax job); the per-round floor is ~160 ms on a warm local session
+    (SCALING.md), so a production-sized vocabulary (30k-50k merges) is
+    hours of driver-sequential latency.  ``batch=K`` amortizes the floor:
+    per round the top candidates are collected (a ≤4K-row merge-table
+    read, the bpe_encode class of driver object) and a maximal
+    SYMBOL-DISJOINT prefix of up to K pairs is applied simultaneously —
+    disjoint symbols mean no selected merge can create or destroy another
+    selected pair's occurrences, so all K counts from the shared snapshot
+    are individually exact.  The batch ranking can differ from pure
+    greedy's (a batch member would not see an earlier member's effect on
+    the NEXT round's counts in true greedy), which is the standard
+    parallel-BPE approximation; the gate queries pin ``batch=1``.  The
+    batched loop also STOPS when the corpus runs out of mergeable pairs,
+    where the exact path idles through the remaining budget.
     """
+    if batch > 1:
+        return _bpe_learn_batched(
+            df, text_col, n_merges=n_merges, replace_passes=replace_passes,
+            batch=batch,
+        )
     wc = _word_counts(df, text_col)
     vocab = wc.select(
         F.array_join(F.split(F.col("_w"), ""), SEP).alias("_s"), F.col("_c")
@@ -116,6 +139,73 @@ def bpe_learn(
         F.col("_pa").alias("merge_left"),
         F.col("_pb").alias("merge_right"),
         F.col("_cnt").alias("pair_count"),
+    )
+
+
+def _bpe_learn_batched(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int,
+    replace_passes: int,
+    batch: int,
+) -> DataFrame:
+    """Disjoint-batch merge loop (see :func:`bpe_learn` ``batch=``)."""
+    spark = df.sparkSession
+    wc = _word_counts(df, text_col)
+    vocab = wc.select(
+        F.array_join(F.split(F.col("_w"), ""), SEP).alias("_s"), F.col("_c")
+    ).localCheckpoint(eager=False)
+    out_rows: list[tuple] = []
+    while len(out_rows) < n_merges:
+        k = min(batch, n_merges - len(out_rows))
+        sp = F.split(F.col("_s"), SEP)
+        pairs = F.arrays_zip(
+            F.slice(sp, 1, F.size(sp) - 1).alias("_pa"),
+            F.slice(sp, 2, F.size(sp) - 1).alias("_pb"),
+        )
+        cands = (
+            vocab.where(F.size(sp) >= 2)
+            .select(F.col("_c"), F.explode(pairs).alias("_p"))
+            .groupBy(F.col("_p._pa").alias("_pa"), F.col("_p._pb").alias("_pb"))
+            .agg(F.sum("_c").alias("_cnt"))
+            .orderBy(F.col("_cnt").desc(), F.col("_pa"), F.col("_pb"))
+            .limit(max(4 * k, 16))
+            .collect()
+        )
+        if not cands:
+            break  # corpus fully merged — no pairs left anywhere
+        chosen: list = []
+        used: set[str] = set()
+        for r in cands:
+            if len(chosen) >= k:
+                break
+            # the NEW symbol participates in the disjointness check too: a
+            # later candidate mentioning the just-created string would
+            # collide with it under the string encoding
+            syms = {r["_pa"], r["_pb"], r["_pa"] + r["_pb"]}
+            if used & syms:
+                continue
+            used |= syms
+            chosen.append(r)
+        if not chosen:
+            chosen = [cands[0]]  # every candidate interacts: take the top
+        merged = F.concat(F.lit(SEP), F.col("_s"), F.lit(SEP))
+        for r in chosen:
+            pat = F.lit(f"{SEP}{r['_pa']}{SEP}{r['_pb']}{SEP}")
+            rep = F.lit(f"{SEP}{r['_pa']}{r['_pb']}{SEP}")
+            for _ in range(replace_passes):
+                merged = F.replace(merged, pat, rep)
+        vocab = vocab.select(
+            merged.substr(F.lit(2), F.length(merged) - 2).alias("_s"), "_c"
+        ).localCheckpoint(eager=False)
+        out_rows += [
+            (len(out_rows) + i, r["_pa"], r["_pb"], r["_cnt"])
+            for i, r in enumerate(chosen)
+        ]
+    return spark.createDataFrame(
+        out_rows,
+        "rank int, merge_left string, merge_right string, pair_count bigint",
     )
 
 

@@ -1238,6 +1238,43 @@ def test_bpe_learn_matches_reference(spark):
     assert out == ref
 
 
+def test_bpe_learn_batched_disjoint_and_exhaustion(spark):
+    from dftly_spark.ops import bpe_learn
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the rat chat",
+        "that hat on that cat",
+        "matter chatter patter",
+    ] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    exact0 = bpe_learn(df, "text", n_merges=1).collect()[0]
+    batched = bpe_learn(df, "text", n_merges=6, batch=3).collect()
+    assert len(batched) == 6
+    # within each round's batch the selected pairs are symbol-disjoint
+    # (the invariant that makes the shared-snapshot counts exact)
+    for lo in range(0, 6, 3):
+        syms = []
+        for r in sorted(batched, key=lambda r: r["rank"])[lo:lo + 3]:
+            syms += [r["merge_left"], r["merge_right"],
+                     r["merge_left"] + r["merge_right"]]
+        assert len(syms) == len(set(syms))
+    # the top candidate is always selected first, so rank 0 MUST agree
+    # with exact greedy's first rule (count included); later ranks may
+    # diverge — the documented parallel-BPE approximation
+    b0 = min(batched, key=lambda r: r["rank"])
+    assert (b0["merge_left"], b0["merge_right"], b0["pair_count"]) == (
+        exact0["merge_left"], exact0["merge_right"], exact0["pair_count"]
+    )
+    # exhaustion: a tiny corpus runs out of pairs and the loop STOPS
+    # instead of idling through the budget
+    tiny = spark.createDataFrame([("ab ab",)], "text string")
+    got = bpe_learn(tiny, "text", n_merges=50, batch=8).collect()
+    assert [(r["rank"], r["merge_left"], r["merge_right"]) for r in got] == [
+        (0, "a", "b")
+    ]
+
+
 def test_bpe_learn_merged_symbols_compose(spark):
     from dftly_spark.ops import bpe_learn
 

@@ -775,3 +775,21 @@ def test_session_window_stats_streaming(spark, tmp_path):
     # closes — user 1's first session (2 events) and user 2's singleton;
     # the session still open at 10:59 is correctly withheld
     assert got == {(1, 2), (2, 1)}
+
+
+def test_stateful_soak_state_plateaus(spark):
+    """Short-haul twin of scripts/streaming_soak.py (the committed
+    100-batch r07 soak log): over a FIXED key universe the O(1)-per-key
+    stateful operators' state stores PLATEAU at n_keys rows while
+    micro-batches keep flowing — max(numRowsTotal) never exceeds the key
+    count and the tail is flat."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import streaming_soak as soak
+
+    for fn in (soak.soak_asof, soak.soak_sessionize):
+        totals = fn(spark, 8)
+        assert len(totals) == 8
+        assert max(totals) <= soak.N_KEYS, totals
+        assert len(set(totals[-2:])) == 1, totals
