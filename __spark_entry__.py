@@ -66,6 +66,44 @@ def _spec_query(table: str, spec: dict[str, str]):
     return run
 
 
+
+def _pq_schema(table: str) -> dict[str, str]:
+    """dftly dtype tags for a testdata table, read from the parquet footer
+    (no Spark session needed — oracle callables resolve driver-side)."""
+    import os
+    import pyarrow.parquet as pq
+
+    sf = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+    ar = {"int64": "int64", "int32": "int32", "double": "float64",
+          "float": "float32", "string": "str", "large_string": "str",
+          "bool": "bool", "date32[day]": "date"}
+    out = {}
+    for f in pq.read_schema(f"{sf}/{table}.parquet"):
+        t = str(f.type)
+        out[f.name] = "datetime" if t.startswith("timestamp") else ar.get(t, t)
+    return out
+
+
+def _spec_oracle(table: str, spec: dict[str, str]):
+    """Machine-generated DuckDB oracle for a ``_spec_query`` entry: the
+    SAME spec the Spark side consumes, emitted through sqlgen — one
+    definition per query, no hand-mirrored scalar anywhere (round 7;
+    q23's uint-widening spec stays hand-written: DuckDB's HUGEINT
+    widening diverges from the engine's documented recast)."""
+
+    def gen() -> str:
+        from dftly_spark.sqlgen import spec_to_duckdb_sql
+
+        cols = spec_to_duckdb_sql(spec, _pq_schema(table))
+        return (
+            "SELECT "
+            + ", ".join(f"{sql} AS {name}" for name, sql in cols.items())
+            + f" FROM {table}"
+        )
+
+    return gen
+
+
 # ---------------------------------------------------------------------------
 # Query definitions: (spark builder, oracle SQL)
 # ---------------------------------------------------------------------------
@@ -81,11 +119,7 @@ def _q(name: str, builder: Callable, oracle) -> None:
     _DEFS[name] = (builder, oracle)
 
 
-_q(
-    "q01_project_arith",
-    _spec_query(
-        "lineitem",
-        {
+_Q01_SPEC = {
             "ok": "$l_orderkey",
             "ln": "$l_linenumber",
             "revenue": "$l_extendedprice * (1 - $l_discount)",
@@ -93,66 +127,43 @@ _q(
             "qty_plus_line": "$l_quantity + $l_linenumber",
             "price_minus_disc": "$l_extendedprice - $l_discount",
             "unit_price": "$l_extendedprice / $l_quantity",
-        },
-    ),
-    """
-    SELECT l_orderkey AS ok, l_linenumber AS ln,
-           l_extendedprice * (1 - l_discount) AS revenue,
-           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS total_plus_tax,
-           l_quantity + l_linenumber AS qty_plus_line,
-           l_extendedprice - l_discount AS price_minus_disc,
-           l_extendedprice / l_quantity AS unit_price
-    FROM lineitem
-    """,
-)
+        }
 
 _q(
-    "q02_power",
-    _spec_query(
-        "lineitem",
-        {
+    "q01_project_arith",
+    _spec_query("lineitem", _Q01_SPEC),
+    _spec_oracle("lineitem", _Q01_SPEC),
+)
+
+_Q02_SPEC = {
             "ok": "$l_orderkey",
             "ln": "$l_linenumber",
             "sq_int": "$l_linenumber ** 2",
             "sq_disc": "$l_discount ** 2",
             "root_price": "$l_extendedprice ** 0.5",
-        },
-    ),
-    """
-    SELECT l_orderkey AS ok, l_linenumber AS ln,
-           CAST(POWER(l_linenumber, 2) AS BIGINT) AS sq_int,
-           POWER(l_discount, 2) AS sq_disc,
-           POWER(l_extendedprice, 0.5) AS root_price
-    FROM lineitem
-    """,
-)
+        }
 
 _q(
-    "q03_unary_bool",
-    _spec_query(
-        "lineitem",
-        {
+    "q02_power",
+    _spec_query("lineitem", _Q02_SPEC),
+    _spec_oracle("lineitem", _Q02_SPEC),
+)
+
+_Q03_SPEC = {
             "ok": "$l_orderkey",
             "ln": "$l_linenumber",
             "neg_qty": "-$l_quantity",
             "not_a": "not ($l_returnflag == 'A')",
             "combo": "$l_discount > 0.02 and $l_tax < 0.06 or $l_quantity > 30",
-        },
-    ),
-    """
-    SELECT l_orderkey AS ok, l_linenumber AS ln,
-           -l_quantity AS neg_qty,
-           NOT (l_returnflag = 'A') AS not_a,
-           (l_discount > 0.02 AND l_tax < 0.06) OR l_quantity > 30 AS combo
-    FROM lineitem
-    """,
-)
+        }
 
 _q(
-    "q04_comparisons",
-    _spec_query(
-        "lineitem",
-        {
+    "q03_unary_bool",
+    _spec_query("lineitem", _Q03_SPEC),
+    _spec_oracle("lineitem", _Q03_SPEC),
+)
+
+_Q04_SPEC = {
             "ok": "$l_orderkey",
             "ln": "$l_linenumber",
             "gt": "$l_extendedprice > 20000",
@@ -161,70 +172,43 @@ _q(
             "ne": "$l_linestatus != 'O'",
             "ge": "$l_quantity >= 25",
             "le": "$l_tax <= 0.03",
-        },
-    ),
-    """
-    SELECT l_orderkey AS ok, l_linenumber AS ln,
-           l_extendedprice > 20000 AS gt,
-           l_discount < 0.05 AS lt,
-           l_returnflag = 'R' AS eq,
-           l_linestatus <> 'O' AS ne,
-           l_quantity >= 25 AS ge,
-           l_tax <= 0.03 AS le
-    FROM lineitem
-    """,
-)
+        }
 
 _q(
-    "q05_minmax_mean",
-    _spec_query(
-        "lineitem",
-        {
+    "q04_comparisons",
+    _spec_query("lineitem", _Q04_SPEC),
+    _spec_oracle("lineitem", _Q04_SPEC),
+)
+
+_Q05_SPEC = {
             "ok": "$l_orderkey",
             "ln": "$l_linenumber",
             "lo": "min($l_discount, $l_tax, 0.04)",
             "hi": "max($l_discount, $l_tax, 0.04)",
             "avg2": "mean($l_discount, $l_tax)",
-        },
-    ),
-    """
-    SELECT l_orderkey AS ok, l_linenumber AS ln,
-           LEAST(l_discount, l_tax, 0.04) AS lo,
-           GREATEST(l_discount, l_tax, 0.04) AS hi,
-           (COALESCE(l_discount, 0) + COALESCE(l_tax, 0))
-             / ((l_discount IS NOT NULL)::INT + (l_tax IS NOT NULL)::INT) AS avg2
-    FROM lineitem
-    """,
-)
+        }
 
 _q(
-    "q06_conditional_coalesce",
-    _spec_query(
-        "lineitem",
-        {
+    "q05_minmax_mean",
+    _spec_query("lineitem", _Q05_SPEC),
+    _spec_oracle("lineitem", _Q05_SPEC),
+)
+
+_Q06_SPEC = {
             "ok": "$l_orderkey",
             "ln": "$l_linenumber",
             "maybe_disc": "$l_discount if $l_discount > 0.05",
             "disc_or_tax": "($l_discount if $l_discount > 0.05) ?? $l_tax",
             "bucket": "'high' if $l_extendedprice > 30000 else ('mid' if $l_extendedprice > 10000 else 'low')",
-        },
-    ),
-    """
-    SELECT l_orderkey AS ok, l_linenumber AS ln,
-           CASE WHEN l_discount > 0.05 THEN l_discount END AS maybe_disc,
-           COALESCE(CASE WHEN l_discount > 0.05 THEN l_discount END, l_tax) AS disc_or_tax,
-           CASE WHEN l_extendedprice > 30000 THEN 'high'
-                ELSE CASE WHEN l_extendedprice > 10000 THEN 'mid' ELSE 'low' END
-           END AS bucket
-    FROM lineitem
-    """,
-)
+        }
 
 _q(
-    "q07_casts",
-    _spec_query(
-        "lineitem",
-        {
+    "q06_conditional_coalesce",
+    _spec_query("lineitem", _Q06_SPEC),
+    _spec_oracle("lineitem", _Q06_SPEC),
+)
+
+_Q07_SPEC = {
             "ok": "$l_orderkey",
             "ln": "$l_linenumber",
             "qty_int": "$l_quantity::int",
@@ -233,42 +217,27 @@ _q(
             "ln_bool": "($l_linenumber - 1)::bool",
             "roundtrip": "$l_linenumber::str::float64",
             "bad_float": "$l_returnflag::?float64",
-        },
-    ),
-    """
-    SELECT l_orderkey AS ok, l_linenumber AS ln,
-           CAST(TRUNC(l_quantity) AS INTEGER) AS qty_int,
-           CAST(TRUNC(l_quantity) AS BIGINT) AS qty_long,
-           CAST(l_linenumber AS VARCHAR) AS ln_str,
-           CAST(l_linenumber - 1 AS BOOLEAN) AS ln_bool,
-           CAST(CAST(l_linenumber AS VARCHAR) AS DOUBLE) AS roundtrip,
-           TRY_CAST(l_returnflag AS DOUBLE) AS bad_float
-    FROM lineitem
-    """,
-)
+        }
 
 _q(
-    "q08_year_date",
-    _spec_query(
-        "lineitem",
-        {
+    "q07_casts",
+    _spec_query("lineitem", _Q07_SPEC),
+    _spec_oracle("lineitem", _Q07_SPEC),
+)
+
+_Q08_SPEC = {
             "ok": "$l_orderkey",
             "ln": "$l_linenumber",
             "yr_date": "(1990 + $l_linenumber)::year",
-        },
-    ),
-    """
-    SELECT l_orderkey AS ok, l_linenumber AS ln,
-           make_date(CAST(1990 + l_linenumber AS INTEGER), 1, 1) AS yr_date
-    FROM lineitem
-    """,
-)
+        }
 
 _q(
-    "q09_duration_units",
-    _spec_query(
-        "lineitem",
-        {
+    "q08_year_date",
+    _spec_query("lineitem", _Q08_SPEC),
+    _spec_oracle("lineitem", _Q08_SPEC),
+)
+
+_Q09_SPEC = {
             "ok": "$l_orderkey",
             "ln": "$l_linenumber",
             "min_s": "$l_linenumber::minutes::total_seconds",
@@ -279,27 +248,15 @@ _q(
             "ms_us": "$l_linenumber::milliseconds::total_microseconds",
             "us_ns": "$l_linenumber::microseconds::total_nanoseconds",
             "s_ms": "$l_linenumber::seconds::total_milliseconds",
-        },
-    ),
-    """
-    SELECT l_orderkey AS ok, l_linenumber AS ln,
-           CAST(l_linenumber * 60 AS BIGINT) AS min_s,
-           CAST(l_linenumber * 3600 AS BIGINT) AS hr_s,
-           CAST(l_linenumber * 7 AS BIGINT) AS wk_d,
-           CAST(l_linenumber * 2629800 AS BIGINT) AS mo_s,
-           CAST(l_linenumber * 31557600 AS BIGINT) AS yr_s,
-           CAST(l_linenumber * 1000 AS BIGINT) AS ms_us,
-           CAST(l_linenumber * 1000 AS BIGINT) AS us_ns,
-           CAST(l_linenumber * 1000 AS BIGINT) AS s_ms
-    FROM lineitem
-    """,
-)
+        }
 
 _q(
-    "q10_dt_components",
-    _spec_query(
-        "orders",
-        {
+    "q09_duration_units",
+    _spec_query("lineitem", _Q09_SPEC),
+    _spec_oracle("lineitem", _Q09_SPEC),
+)
+
+_Q10_SPEC = {
             "ok": "$o_orderkey",
             "y": "$o_orderdate::year_of_date::int64",
             "m": "$o_orderdate::month_of_year::int64",
@@ -308,55 +265,36 @@ _q(
             "doy": "$o_orderdate::day_of_year::int64",
             "woy": "$o_orderdate::week_of_year::int64",
             "q": "$o_orderdate::quarter_of_year::int64",
-        },
-    ),
-    """
-    SELECT o_orderkey AS ok,
-           year(o_orderdate) AS y,
-           month(o_orderdate) AS m,
-           day(o_orderdate) AS d,
-           isodow(o_orderdate) AS dow,
-           dayofyear(o_orderdate) AS doy,
-           weekofyear(o_orderdate) AS woy,
-           quarter(o_orderdate) AS q
-    FROM orders
-    """,
-)
+        }
 
 _q(
-    "q11_time_components",
-    _spec_query(
-        "events",
-        {
+    "q10_dt_components",
+    _spec_query("orders", _Q10_SPEC),
+    _spec_oracle("orders", _Q10_SPEC),
+)
+
+_Q11_SPEC = {
             "ev": "$event_id",
             "h": "$ts::hour_of_day::int64",
             "mi": "$ts::minute_of_hour::int64",
             "s": "$ts::second_of_minute::int64",
-        },
-    ),
-    """
-    SELECT event_id AS ev,
-           hour(ts) AS h,
-           minute(ts) AS mi,
-           CAST(FLOOR(second(ts)) AS BIGINT) AS s
-    FROM events
-    """,
+        }
+
+_q(
+    "q11_time_components",
+    _spec_query("events", _Q11_SPEC),
+    _spec_oracle("events", _Q11_SPEC),
 )
+
+_Q12_SPEC = {
+            "ok": "$o_orderkey",
+            "at_1845": "$o_orderdate @ 18:45",
+        }
 
 _q(
     "q12_set_time",
-    _spec_query(
-        "orders",
-        {
-            "ok": "$o_orderkey",
-            "at_1845": "$o_orderdate @ 18:45",
-        },
-    ),
-    """
-    SELECT o_orderkey AS ok,
-           date_trunc('day', o_orderdate) + INTERVAL 1125 MINUTE AS at_1845
-    FROM orders
-    """,
+    _spec_query("orders", _Q12_SPEC),
+    _spec_oracle("orders", _Q12_SPEC),
 )
 
 
@@ -394,22 +332,16 @@ _q(
     """,
 )
 
-_q(
-    "q14_add_duration",
-    _spec_query(
-        "orders",
-        {
+_Q14_SPEC = {
             "ok": "$o_orderkey",
             "due30": "$o_orderdate + 30::days",
             "due_var": "$o_orderdate + ($o_custkey::int)::minutes",
-        },
-    ),
-    """
-    SELECT o_orderkey AS ok,
-           o_orderdate + INTERVAL 30 DAY AS due30,
-           o_orderdate + to_microseconds(CAST(o_custkey * 60000000 AS BIGINT)) AS due_var
-    FROM orders
-    """,
+        }
+
+_q(
+    "q14_add_duration",
+    _spec_query("orders", _Q14_SPEC),
+    _spec_oracle("orders", _Q14_SPEC),
 )
 
 
@@ -472,36 +404,21 @@ _q(
     """,
 )
 
-_q(
-    "q17_regex",
-    _spec_query(
-        "part",
-        {
+_Q17_SPEC = {
             "pk": "$p_partkey",
             "has_digit": "/[0-9]+/ in $p_name",
             "first_word": "extract /[a-z]+/ from $p_name",
             "brand_num": "extract group 1 of /Brand#([0-9]+)/ from $p_brand",
             "no_match": "extract /[0-9]{5}/ from $p_name",
-        },
-    ),
-    """
-    SELECT p_partkey AS pk,
-           regexp_matches(p_name, '[0-9]+') AS has_digit,
-           CASE WHEN regexp_matches(p_name, '[a-z]+')
-                THEN regexp_extract(p_name, '[a-z]+') END AS first_word,
-           CASE WHEN regexp_matches(p_brand, 'Brand#([0-9]+)')
-                THEN regexp_extract(p_brand, 'Brand#([0-9]+)', 1) END AS brand_num,
-           CASE WHEN regexp_matches(p_name, '[0-9]{5}')
-                THEN regexp_extract(p_name, '[0-9]{5}') END AS no_match
-    FROM part
-    """,
-)
+        }
 
 _q(
-    "q18_substring",
-    _spec_query(
-        "part",
-        {
+    "q17_regex",
+    _spec_query("part", _Q17_SPEC),
+    _spec_oracle("part", _Q17_SPEC),
+)
+
+_Q18_SPEC = {
             "pk": "$p_partkey",
             "s1": "$p_name[0:5]",
             "s2": "$p_name[-3:]",
@@ -510,41 +427,26 @@ _q(
             "chain": "$p_name[0:6][1:3]",
             "func": "substring($p_name, 1, 4)",
             "func_long": "substring($p_name, 1, 100)",
-        },
-    ),
-    """
-    SELECT p_partkey AS pk,
-           substr(p_name, 1, 5) AS s1,
-           substr(p_name, GREATEST(length(p_name) - 3, 0) + 1) AS s2,
-           substr(p_name, 3, GREATEST(length(p_name) - 4, 0)) AS s3,
-           substr(p_name, 2) AS s4,
-           substr(substr(p_name, 1, 6), 2, 2) AS chain,
-           substr(p_name, 2, 3) AS func,
-           substr(p_name, 2, GREATEST(LEAST(100, length(p_name)) - 1, 0)) AS func_long
-    FROM part
-    """,
-)
+        }
 
 _q(
-    "q19_interp_len",
-    _spec_query(
-        "part",
-        {
+    "q18_substring",
+    _spec_query("part", _Q18_SPEC),
+    _spec_oracle("part", _Q18_SPEC),
+)
+
+_Q19_SPEC = {
             "pk": "$p_partkey",
             "label": 'f"{$p_brand}//{$p_type}"',
             "braced": 'f"{{{$p_brand}}}"',
             "name_len": "len_chars($p_name)::int64",
             "mixed": 'f"{$p_size} x {$p_name}"',
-        },
-    ),
-    """
-    SELECT p_partkey AS pk,
-           p_brand || '//' || p_type AS label,
-           '{' || p_brand || '}' AS braced,
-           length(p_name) AS name_len,
-           CAST(p_size AS VARCHAR) || ' x ' || p_name AS mixed
-    FROM part
-    """,
+        }
+
+_q(
+    "q19_interp_len",
+    _spec_query("part", _Q19_SPEC),
+    _spec_oracle("part", _Q19_SPEC),
 )
 
 def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,27 +507,19 @@ _q(
     """,
 )
 
-_q(
-    "q22_flagship",
-    _spec_query(
-        "lineitem",
-        {
+_Q22_SPEC = {
             "ok": "$l_orderkey",
             "ln": "$l_linenumber",
             "revenue": "$l_extendedprice * (1 - $l_discount)",
             "bucket": "'high' if $l_extendedprice > 30000 else 'low'",
             "ship_year": "$l_shipdate::year_of_date::int64",
             "flag_code": 'f"{$l_returnflag}//{$l_linestatus}"',
-        },
-    ),
-    """
-    SELECT l_orderkey AS ok, l_linenumber AS ln,
-           l_extendedprice * (1 - l_discount) AS revenue,
-           CASE WHEN l_extendedprice > 30000 THEN 'high' ELSE 'low' END AS bucket,
-           year(l_shipdate) AS ship_year,
-           l_returnflag || '//' || l_linestatus AS flag_code
-    FROM lineitem
-    """,
+        }
+
+_q(
+    "q22_flagship",
+    _spec_query("lineitem", _Q22_SPEC),
+    _spec_oracle("lineitem", _Q22_SPEC),
 )
 
 
@@ -2483,13 +2377,14 @@ def _x98(spark: SparkSession, sf_dir: str) -> DataFrame:
     are order-independent bigint sums on both engines and the mean is one
     exact IEEE division."""
     from dftly_spark.ops import rolling_time_features
+    from dftly_spark.sqlgen import exact_quant
 
     _prep(spark)
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         "ts",
-        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("vi"),
+        exact_quant(F.col("value")).alias("vi"),
     )
     out = rolling_time_features(
         ev, "user_id", "ts", "vi", lookback_micros=3_600_000_000
@@ -2506,14 +2401,14 @@ def _x98(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_q(
-    "x98_rolling_features",
-    _x98,
-    """
+def _x98_oracle() -> str:
+    from dftly_spark.sqlgen import exact_quant_sql
+
+    return f"""
     WITH e AS (
       SELECT event_id, user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi
+             {exact_quant_sql("value")} AS vi
       FROM events
     )
     SELECT event_id,
@@ -2525,8 +2420,10 @@ _q(
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY us
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-    """,
-)
+    """
+
+
+_q("x98_rolling_features", _x98, _x98_oracle)
 
 
 def _x99(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4831,31 +4728,51 @@ def _x88_oracle() -> str:
 _q("x88_quantization_fidelity", _x88, _x88_oracle)
 
 
+# ONE definition of the discounted-revenue scalars, consumed by BOTH
+# engines (round 7): the Spark builders lower them via Parser.expr_to_spark
+# and the oracles emit them via sqlgen.to_duckdb_sql — paired with the
+# exact_sum/exact_quant convention helpers from dftly_spark.sqlgen, so the
+# money arithmetic and the integer-scaling convention each live in exactly
+# one place instead of 17 hand-mirrored copies.
+_REV_EXPR = "$l_extendedprice * (1 - $l_discount)"
+_CHARGE_EXPR = "$l_extendedprice * (1 - $l_discount) * (1 + $l_tax)"
+
+
+def _rev_col(df: DataFrame):
+    return Parser.expr_to_spark(_REV_EXPR, schema=df)
+
+
+def _rev_sql() -> str:
+    from dftly_spark.sqlgen import to_duckdb_sql
+
+    return to_duckdb_sql(_REV_EXPR, _pq_schema("lineitem"))
+
+
 def _x89(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: the canonical OLAP aggregation —
     ONE keyed agg with map-side combine over a date-filtered scan (filter
-    and the 7-column pruned ReadSchema push into the parquet scan).  Sums
-    rounded to 6 for cross-engine float addition order."""
+    and the 7-column pruned ReadSchema push into the parquet scan).
+    Money sums use the shared exact_sum convention (sqlgen): scale each
+    row to integer ten-thousandths with the one multiply+add every engine
+    performs identically, sum exactly, rescale — round(sum(double),6) is
+    NOT enough at sf>=0.1 (partial-sum order wobbles ~1e-3 on
+    1e10-magnitude sums).  The revenue/charge scalars are the SAME dftly
+    expression strings the oracle emits through sqlgen."""
+    from dftly_spark.sqlgen import exact_sum
+
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp")
     )
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-
-    def money(expr):
-        # exact: scale each row to integer ten-thousandths (identical
-        # double ops both engines -> identical bigint), sum exactly,
-        # rescale.  round(sum(double),6) is NOT enough at sf>=0.1: the
-        # partial-sum ORDER wobbles ~1e-3 absolute on 1e10-magnitude sums.
-        return F.sum(F.floor(expr * 10000 + F.lit(0.5)).cast("bigint")) / 10000.0
-
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),  # whole numbers: exact
-            money(F.col("l_extendedprice")).alias("sum_base_price"),
-            money(disc).alias("sum_disc_price"),
-            money(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            exact_sum(_rev_col(li)).alias("sum_disc_price"),
+            exact_sum(Parser.expr_to_spark(_CHARGE_EXPR, schema=li)).alias(
+                "sum_charge"
+            ),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -4863,26 +4780,26 @@ def _x89(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_q(
-    "x89_pricing_summary",
-    _x89,
-    """
+def _x89_oracle() -> str:
+    from dftly_spark.sqlgen import exact_sum_sql, to_duckdb_sql
+
+    charge = to_duckdb_sql(_CHARGE_EXPR, _pq_schema("lineitem"))
+    return f"""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
-           sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) / 10000.0
-             AS sum_base_price,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
-                    AS BIGINT)) / 10000.0 AS sum_disc_price,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                          * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_charge,
+           {exact_sum_sql("l_extendedprice")} AS sum_base_price,
+           {exact_sum_sql(_rev_sql())} AS sum_disc_price,
+           {exact_sum_sql(charge)} AS sum_charge,
            round(avg(l_quantity), 6) AS avg_qty,
            round(avg(l_discount), 6) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2024-09-01'
     GROUP BY l_returnflag, l_linestatus
-    """,
-)
+    """
+
+
+_q("x89_pricing_summary", _x89, _x89_oracle)
 
 
 def _x90(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4907,24 +4824,22 @@ def _x90(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cd.select("c_custkey", "n_name")),
         orders["o_custkey"] == F.col("c_custkey"),
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # integer-scaled exact money sum — see x89's rationale
-    rev_i = F.floor(rev * 10000 + F.lit(0.5)).cast("bigint")
+    from dftly_spark.sqlgen import exact_sum
+
     return (
         li.join(ord_cd.select("o_orderkey", "n_name"),
                 li["l_orderkey"] == F.col("o_orderkey"))
         .groupBy("n_name")
-        .agg((F.sum(rev_i) / 10000.0).alias("revenue"))
+        .agg(exact_sum(_rev_col(li)).alias("revenue"))
     )
 
 
-_q(
-    "x90_regional_revenue",
-    _x90,
-    """
+def _x90_oracle() -> str:
+    from dftly_spark.sqlgen import exact_sum_sql
+
+    return f"""
     SELECT n_name,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
-                    AS BIGINT)) / 10000.0 AS revenue
+           {exact_sum_sql(_rev_sql())} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -4932,7 +4847,13 @@ _q(
     JOIN region   ON n_regionkey = r_regionkey
     WHERE r_name = 'ASIA'
     GROUP BY n_name
-    """,
+    """
+
+
+_q(
+    "x90_regional_revenue",
+    _x90,
+    _x90_oracle,
 )
 
 
@@ -5527,16 +5448,15 @@ def _x101(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
-    rev_i = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
-    ).cast("bigint")
+    from dftly_spark.sqlgen import exact_sum
+
     o = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
         "o_orderkey", "o_orderdate"
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_orderkey", "o_orderdate")
-        .agg((F.sum(rev_i) / 10000.0).alias("revenue"))
+        .agg(exact_sum(_rev_col(li)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
         .select(
@@ -5547,14 +5467,13 @@ def _x101(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_q(
-    "x101_shipping_priority",
-    _x101,
-    """
+def _x101_oracle() -> str:
+    from dftly_spark.sqlgen import exact_sum_sql
+
+    return f"""
     SELECT o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS odate,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
-                    AS BIGINT)) / 10000.0 AS revenue
+           {exact_sum_sql(_rev_sql())} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -5564,8 +5483,10 @@ _q(
     GROUP BY o_orderkey, o_orderdate
     ORDER BY revenue DESC, o_orderkey
     LIMIT 10
-    """,
-)
+    """
+
+
+_q("x101_shipping_priority", _x101, _x101_oracle)
 
 
 def _x102(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5622,9 +5543,8 @@ def _x103(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    rev_i = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
-    ).cast("bigint")
+    from dftly_spark.sqlgen import exact_sum
+
     return (
         li.join(
             orders.select("o_orderkey", "o_custkey"),
@@ -5633,19 +5553,18 @@ def _x103(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == cust["c_custkey"])
         .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg((F.sum(rev_i) / 10000.0).alias("revenue"))
+        .agg(exact_sum(_rev_col(li)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
 
 
-_q(
-    "x103_returned_items",
-    _x103,
-    """
+def _x103_oracle() -> str:
+    from dftly_spark.sqlgen import exact_sum_sql
+
+    return f"""
     SELECT c_custkey, c_name, c_acctbal, n_name,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
-                    AS BIGINT)) / 10000.0 AS revenue
+           {exact_sum_sql(_rev_sql())} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -5656,8 +5575,10 @@ _q(
     GROUP BY c_custkey, c_name, c_acctbal, n_name
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
-    """,
-)
+    """
+
+
+_q("x103_returned_items", _x103, _x103_oracle)
 
 
 def _x104(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5760,9 +5681,11 @@ def _x106(spark: SparkSession, sf_dir: str) -> DataFrame:
     float average anywhere, so no knife-edge rows at any scale.  The
     no-recent-orders test is a LEFT ANTI join on the customer key against
     the date-pruned orders scan."""
+    from dftly_spark.sqlgen import exact_quant
+
     _prep(spark)
     cust = _t(spark, sf_dir, "customer")
-    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    cents = exact_quant(F.col("c_acctbal"), scale=100)
     pos = (
         cust.where(F.col("c_acctbal") > 0)
         .agg(
@@ -5790,26 +5713,29 @@ def _x106(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_q(
-    "x106_dormant_accounts",
-    _x106,
-    """
+def _x106_oracle() -> str:
+    from dftly_spark.sqlgen import exact_quant_sql
+
+    cents = exact_quant_sql("c_acctbal", scale=100)
+    return f"""
     WITH pos AS (
-      SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS total_cents,
+      SELECT sum({cents}) AS total_cents,
              CAST(count(*) AS BIGINT) AS n_pos
       FROM customer WHERE c_acctbal > 0
     )
     SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
-           sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0
+           sum({cents}) / 100.0
              AS totacctbal
     FROM customer, pos
-    WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n_pos > total_cents
+    WHERE {cents} * n_pos > total_cents
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '1999-01-01')
     GROUP BY c_nationkey
-    """,
-)
+    """
+
+
+_q("x106_dormant_accounts", _x106, _x106_oracle)
 
 
 def _x107(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6608,11 +6534,10 @@ def _x121(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    rev_i = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
-    ).cast("bigint")
+    from dftly_spark.sqlgen import exact_quant
+
     revenue = (
-        li.groupBy("l_suppkey").agg(F.sum(rev_i).alias("_rc"))
+        li.groupBy("l_suppkey").agg(F.sum(exact_quant(_rev_col(li))).alias("_rc"))
     ).localCheckpoint(eager=False)
     mx = revenue.agg(F.max("_rc").alias("_mx"))
     supp = _t(spark, sf_dir, "supplier")
@@ -6626,14 +6551,13 @@ def _x121(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_q(
-    "x121_top_supplier",
-    _x121,
-    """
+def _x121_oracle() -> str:
+    from dftly_spark.sqlgen import exact_quant_sql
+
+    return f"""
     WITH revenue AS (
       SELECT l_suppkey,
-             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
-                      AS BIGINT)) AS rc
+             sum({exact_quant_sql(_rev_sql())}) AS rc
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1997-04-01'
@@ -6642,8 +6566,10 @@ _q(
     SELECT s_suppkey, s_name, rc / 10000.0 AS total_revenue
     FROM revenue JOIN supplier ON l_suppkey = s_suppkey
     WHERE rc = (SELECT max(rc) FROM revenue)
-    """,
-)
+    """
+
+
+_q("x121_top_supplier", _x121, _x121_oracle)
 
 
 def _x122(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6660,9 +6586,11 @@ def _x122(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s_nationkey") == 1)
         .select("s_suppkey")
     )
-    val_i = F.floor(
-        F.col("l_extendedprice") * F.col("l_quantity") * 100 + F.lit(0.5)
-    ).cast("bigint")
+    from dftly_spark.sqlgen import exact_quant
+
+    val_i = exact_quant(
+        F.col("l_extendedprice") * F.col("l_quantity"), scale=100
+    )
     base = li.join(supp, li["l_suppkey"] == supp["s_suppkey"]).select(
         "l_partkey", val_i.alias("_v")
     )
@@ -6677,13 +6605,14 @@ def _x122(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_q(
-    "x122_important_stock",
-    _x122,
-    """
+def _x122_oracle() -> str:
+    from dftly_spark.sqlgen import exact_quant_sql
+
+    v = exact_quant_sql("l_extendedprice * l_quantity", scale=100)
+    return f"""
     WITH base AS (
       SELECT l_partkey,
-             CAST(floor(l_extendedprice * l_quantity * 100 + 0.5) AS BIGINT)
+             {v}
                AS v
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
@@ -6696,8 +6625,10 @@ _q(
     SELECT l_partkey, pv / 100.0 AS part_value
     FROM per_part, tot
     WHERE pv * np > 2 * tv
-    """,
-)
+    """
+
+
+_q("x122_important_stock", _x122, _x122_oracle)
 
 
 def _x123(spark: SparkSession, sf_dir: str) -> DataFrame:

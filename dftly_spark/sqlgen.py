@@ -607,3 +607,145 @@ for _k in _ACCESSOR_SQL:
     _EMITTERS[_k] = _emit_accessor(_k)
 for _k in _US:
     _EMITTERS[f"dt_{_k}"] = _emit_total(_k)
+
+
+# ---------------------------------------------------------------------------
+# Portable aggregate conventions (round 7).
+#
+# Every contract query that sums money-scale doubles or rounds a float
+# aggregate used to hand-copy the same two conventions into BOTH its Spark
+# builder and its DuckDB oracle (17 copies by round 6) — every copy a place
+# the two engines could agree on the wrong thing, or drift apart.  These
+# paired helpers are the ONE definition of each convention; the *_sql form
+# emits the DuckDB text, the plain form builds the identical Spark column.
+#
+# * exact_sum: scale each row to integer units with the one multiply+add
+#   every engine performs identically, sum EXACTLY (integer sums are
+#   order-independent; double sums of ~1e10 magnitudes wobble ~1e-3 with
+#   partition order at sf0.1), rescale once.
+# * portable_round: floor-scale rounding — Spark's HALF_UP round() and
+#   DuckDB's float-multiply round() differ exactly at the .5*10^-d
+#   boundary (~6 rows per 100k on window-fold outputs).
+# ---------------------------------------------------------------------------
+
+
+def exact_sum_sql(expr_sql: str, *, scale: int = 10000) -> str:
+    """DuckDB text of the exact integer-scaled sum convention."""
+    return (
+        f"CAST(sum(CAST(floor(({expr_sql}) * {scale} + 0.5) AS BIGINT)) "
+        f"AS BIGINT) / {scale}.0"
+    )
+
+
+def exact_sum(expr, *, scale: int = 10000):
+    """Spark column of the exact integer-scaled sum convention."""
+    from pyspark.sql import functions as F
+
+    return F.sum(
+        F.floor(expr * F.lit(scale) + F.lit(0.5)).cast("bigint")
+    ) / float(scale)
+
+
+def portable_round_sql(expr_sql: str, d: int = 6) -> str:
+    """DuckDB text of the floor-scale rounding convention."""
+    p = 10 ** d
+    return f"floor(({expr_sql}) * {p} + 0.5) / {p}"
+
+
+def portable_round(expr, d: int = 6):
+    """Spark column of the floor-scale rounding convention."""
+    from pyspark.sql import functions as F
+
+    p = float(10 ** d)
+    return F.floor(expr * p + F.lit(0.5)) / p
+
+
+def agg_oracle_sql(
+    from_sql: str,
+    select,
+    schema=None,
+    *,
+    where: str | None = None,
+    group_by: tuple[str, ...] | list[str] = (),
+    having: str | None = None,
+    order_by: str | None = None,
+    limit: int | None = None,
+) -> str:
+    """Assemble a DuckDB oracle for the keyed-aggregate shape.
+
+    The relational skeleton (``from_sql`` — a table name or literal join
+    text — plus GROUP BY/ORDER BY/LIMIT) stays declarative data; every
+    SCALAR comes out of :func:`to_duckdb_sql`, i.e. the same AST the Spark
+    lowering consumes, so the expression layer — where the cast/rounding/
+    null-semantics bugs live — is machine-generated instead of
+    hand-mirrored.  ``select`` maps output name → one of::
+
+        ("expr",  dftly_expr)           plain scalar (group key or constant)
+        ("sum" | "min" | "max" | "avg", dftly_expr)
+        ("count", None | dftly_expr)    count(*) / count(expr)
+        ("count_distinct", dftly_expr)
+        ("exact_sum", dftly_expr)       the integer-scaled money convention
+        ("round6_avg", dftly_expr)      avg under portable 1e-6 rounding
+        ("raw", sql_text)               escape hatch, used sparingly
+
+    Integer ``sum``/``count`` results are cast to BIGINT so pandas-side
+    dtypes match Spark's long (DuckDB widens integer sums to HUGEINT).
+    ``where``/``having`` are dftly expressions compiled the same way
+    (``having`` may reference output names emitted before it).
+    """
+    ctx = _ctx(schema)
+    parts = []
+    for name, item in dict(select).items():
+        kind, arg = item[0], item[1]
+        if kind == "raw":
+            sql = arg
+        elif kind == "expr":
+            sql = to_duckdb_sql(arg, schema)
+        elif kind == "exact_sum":
+            sql = exact_sum_sql(to_duckdb_sql(arg, schema))
+        elif kind == "round6_avg":
+            sql = portable_round_sql(f"avg({to_duckdb_sql(arg, schema)})")
+        elif kind == "count":
+            inner = "*" if arg is None else to_duckdb_sql(arg, schema)
+            sql = f"CAST(count({inner}) AS BIGINT)"
+        elif kind == "count_distinct":
+            sql = f"CAST(count(DISTINCT {to_duckdb_sql(arg, schema)}) AS BIGINT)"
+        elif kind in ("sum", "min", "max", "avg"):
+            node = arg if isinstance(arg, Node) else Parser()(arg)
+            sql = f"{kind}({_emit(node, ctx)})"
+            if kind == "sum":
+                try:
+                    tag = node.out_type(ctx)
+                except Exception:
+                    tag = None
+                if tag in (DT.I8, DT.I16, DT.I32, DT.I64):
+                    sql = f"CAST({sql} AS BIGINT)"  # DuckDB widens to HUGEINT
+        else:
+            raise SqlGenError(f"unknown agg kind {kind!r} for {name!r}")
+        parts.append(f"{sql} AS {name}")
+    out = f"SELECT {', '.join(parts)}\nFROM {from_sql}"
+    if where is not None:
+        out += f"\nWHERE {to_duckdb_sql(where, schema)}"
+    if group_by:
+        out += f"\nGROUP BY {', '.join(group_by)}"
+    if having is not None:
+        out += f"\nHAVING {having}"
+    if order_by is not None:
+        out += f"\nORDER BY {order_by}"
+    if limit is not None:
+        out += f"\nLIMIT {limit}"
+    return out
+
+
+def exact_quant_sql(expr_sql: str, *, scale: int = 10000) -> str:
+    """DuckDB text of the row-level integer quantization convention
+    (floor-scale to 1/scale units — the input form of :func:`exact_sum`,
+    used standalone when the integer rides through windows/joins)."""
+    return f"CAST(floor(({expr_sql}) * {scale} + 0.5) AS BIGINT)"
+
+
+def exact_quant(expr, *, scale: int = 10000):
+    """Spark column of the row-level integer quantization convention."""
+    from pyspark.sql import functions as F
+
+    return F.floor(expr * F.lit(scale) + F.lit(0.5)).cast("bigint")

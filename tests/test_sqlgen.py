@@ -293,3 +293,79 @@ def test_sqlgen_split_runtime_edge_separators(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_portable_convention_pairs_agree(spark):
+    """The round-7 convention helpers: the Spark column and DuckDB text of
+    each pair must produce IDENTICAL values on the same rows — one
+    definition of the exact-sum / quantization / rounding conventions."""
+    import duckdb
+
+    from dftly_spark.sqlgen import (
+        exact_quant,
+        exact_quant_sql,
+        exact_sum,
+        exact_sum_sql,
+        portable_round,
+        portable_round_sql,
+    )
+
+    from pyspark.sql import functions as F
+
+    vals = [0.12345, 10000.5, -3.14159, 12345.00005, 0.0000005, -0.5]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    con = duckdb.connect()
+    rows = ",".join(f"({v!r})" for v in vals)
+
+    s_spark = df.agg(exact_sum(F.col("x")).alias("s")).collect()[0]["s"]
+    s_duck = con.sql(
+        f"SELECT {exact_sum_sql('x')} FROM (VALUES {rows}) v(x)"
+    ).fetchone()[0]
+    assert s_spark == s_duck
+
+    q_spark = [r["q"] for r in df.select(exact_quant(F.col("x")).alias("q")).collect()]
+    q_duck = [r[0] for r in con.sql(
+        f"SELECT {exact_quant_sql('x')} FROM (VALUES {rows}) v(x)"
+    ).fetchall()]
+    assert sorted(q_spark) == sorted(q_duck)
+
+    r_spark = [r["r"] for r in df.select(portable_round(F.col("x"), 4).alias("r")).collect()]
+    r_duck = [r[0] for r in con.sql(
+        f"SELECT {portable_round_sql('x', 4)} FROM (VALUES {rows}) v(x)"
+    ).fetchall()]
+    assert sorted(r_spark) == sorted(r_duck)
+
+
+def test_agg_oracle_sql_assembles_and_runs(spark):
+    """agg_oracle_sql: scalars machine-emitted from dftly expressions,
+    skeleton declarative; the assembled SQL must match the Spark frame."""
+    import duckdb
+
+    from dftly_spark.sqlgen import agg_oracle_sql, exact_sum
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    got = sorted(
+        map(tuple, li.groupBy("l_returnflag").agg(
+            exact_sum(Parser.expr_to_spark(
+                "$l_extendedprice * (1 - $l_discount)", schema=li)).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect())
+    )
+    sql = agg_oracle_sql(
+        "lineitem",
+        {
+            "l_returnflag": ("expr", "$l_returnflag"),
+            "rev": ("exact_sum", "$l_extendedprice * (1 - $l_discount)"),
+            "n": ("count", None),
+        },
+        {"l_returnflag": "str", "l_extendedprice": "float64",
+         "l_discount": "float64"},
+        group_by=("l_returnflag",),
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
