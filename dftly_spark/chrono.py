@@ -202,9 +202,13 @@ def century_plan(fmt: str) -> dict | None:
     ``%y`` by LITERAL text (``"%C|%y"``): the intervening literal is
     removed from the *input* so the two 2-digit fields become the adjacent
     4-digit ``%Y``.  The strip pattern is engine-portable (no lookaround —
-    RE2-safe): it captures everything through the century digits plus the
-    two year digits and splices out the literal between them, anchored at
-    ``^`` so exactly one (the first) pairing is rewritten per strip.
+    RE2-safe) and POSITION-ANCHORED: ``^`` plus the input shapes of every
+    token already emitted (:func:`_prefix_rx` over the rewritten stream, so
+    a second pairing sees the first one's spliced ``%Y``) leads up to the
+    century digits, so a shape-coincident run EARLIER in the input (e.g.
+    ``'%d|%m|%C|%y'`` where ``15|08`` also looks like ``\\d{2}|\\d{2}``)
+    cannot be spliced by mistake.  A preceding code with no entry in
+    :data:`_CODE_RX` rejects loudly rather than anchoring by guess.
 
     Returns ``{"fmt": rewritten, "strips": [(pattern, replacement), ...]}``
     with Java-style ``$n`` group references in the replacement (callers
@@ -217,6 +221,7 @@ def century_plan(fmt: str) -> dict | None:
     if not any(k == "code" and c == "C" for k, c in toks):
         return None
     out: list[str] = []
+    done: list[tuple[str, str]] = []  # rewritten tokens emitted so far
     strips: list[tuple[str, str]] = []
     i = 0
     while i < len(toks):
@@ -224,6 +229,7 @@ def century_plan(fmt: str) -> dict | None:
         if kind == "code" and item == "C":
             if i + 1 < len(toks) and toks[i + 1] == ("code", "y"):
                 out.append("%Y")
+                done.append(("code", "Y"))
                 i += 2
                 continue
             if (
@@ -232,10 +238,15 @@ def century_plan(fmt: str) -> dict | None:
                 and toks[i + 2] == ("code", "y")
             ):
                 lit = toks[i + 1][1]
+                prefix = _prefix_rx(done, fmt)
                 strips.append(
-                    (r"^(.*?\d{2})" + _re.escape(lit) + r"(\d{2})", "$1$2")
+                    (
+                        "^(" + prefix + r"\d{2})" + _re.escape(lit) + r"(\d{2})",
+                        "$1$2",
+                    )
                 )
                 out.append("%Y")
+                done.append(("code", "Y"))
                 i += 3
                 continue
             raise ValueError(
@@ -244,6 +255,7 @@ def century_plan(fmt: str) -> dict | None:
                 f"cannot translate {fmt!r}"
             )
         out.append(f"%{item}" if kind == "code" else item)
+        done.append((kind, item))
         i += 1
     return {"fmt": "".join(out), "strips": strips}
 
@@ -255,6 +267,76 @@ _DAYNAME_RX = (
     "|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)"
 )
 
+# Input-shape regex per chrono code, used to ANCHOR a mid-format strip at
+# the exact code position: a strip pattern prefixed with the shapes of the
+# codes BEFORE it cannot splice at an earlier coincidental match (a lazy
+# ``^(.*?)`` prefix can — it grabs the first shape-compatible run in the
+# INPUT, e.g. '%d|%m|%C|%y' on '15|08|20|26' spliced at '15|08').  All
+# fragments are RE2-safe (no lookaround, no capturing groups) so the same
+# pattern runs under Java regex and DuckDB's RE2.  Codes absent here
+# (timezones, week numbers, locale layouts) make a prefix un-anchorable
+# and the plan rejects loudly instead of guessing.
+_CODE_RX: dict[str, str] = {
+    "Y": r"\d{4}",
+    "y": r"\d{2}",
+    "m": r"\d{2}",
+    "d": r"\d{2}",
+    "e": r"\s?\d{1,2}",
+    "q": r"\d",
+    "j": r"\d{3}",
+    "H": r"\d{2}",
+    "k": r"\s?\d{1,2}",
+    "I": r"\d{2}",
+    "l": r"\s?\d{1,2}",
+    "M": r"\d{2}",
+    "S": r"\d{2}",
+    "f": r"\d+",
+    "3f": r"\d{3}",
+    "6f": r"\d{6}",
+    "9f": r"\d{9}",
+    "b": r"[A-Za-z]{3}",
+    "h": r"[A-Za-z]{3}",
+    "B": r"[A-Za-z]+",
+    "p": r"[APap][Mm]",
+    "P": r"[APap][Mm]",
+    "D": r"\d{2}/\d{2}/\d{2}",
+    "x": r"\d{2}/\d{2}/\d{2}",
+    "F": r"\d{4}-\d{2}-\d{2}",
+    "v": r"\s?\d{1,2}-[A-Za-z]{3}-\d{4}",
+    "R": r"\d{2}:\d{2}",
+    "T": r"\d{2}:\d{2}:\d{2}",
+    "X": r"\d{2}:\d{2}:\d{2}",
+    "r": r"\d{2}:\d{2}:\d{2} [APap][Mm]",
+    "%": "%",
+}
+
+
+def _prefix_rx(toks: list[tuple[str, str]], fmt: str) -> str:
+    """Regex matching exactly the input text the given format tokens print.
+
+    Used to anchor a strip at a code's true position.  Raises the loud
+    translation error when a preceding code has no input shape in
+    :data:`_CODE_RX` (anchoring would be a guess).
+    """
+    import re as _re
+
+    parts: list[str] = []
+    for kind, item in toks:
+        if kind == "lit":
+            parts.append(_re.escape(item))
+        elif item in ("a", "A"):
+            parts.append(_DAYNAME_RX)
+        else:
+            rx = _CODE_RX.get(item)
+            if rx is None:
+                raise ValueError(
+                    f"chrono format code %{item} before a mid-format %C/%a/%A "
+                    f"cannot be position-anchored for the input-splice plan; "
+                    f"cannot translate {fmt!r}"
+                )
+            parts.append(rx)
+    return "".join(parts)
+
 
 def dayname_plan(fmt: str) -> dict | None:
     """Strip plan for ``%a``/``%A`` day-name codes anywhere, or None.
@@ -263,15 +345,16 @@ def dayname_plan(fmt: str) -> dict | None:
     token from the input (only a real day name matches; anything else
     fails the downstream parse and nulls/raises) and parses the remainder
     with the format minus the day code.  A MID-format day name strips via
-    a ``^``-anchored non-greedy prefix capture (``^(.*?)NAME`` → ``$1``):
-    the anchor means exactly ONE — the leftmost — name is removed per
-    strip, so sequential strips consume successive day-name codes left to
-    right; no lookaround, so the pattern is RE2-portable too.  Divergence
-    shared with the ``%c`` plan (and with DuckDB's own ``%a``): a *valid
-    but inconsistent* weekday name is ignored, where chrono would reject
-    it; and a day-name-shaped word produced by an ADJACENT text field
-    could in principle be stripped instead of the real one (no such
-    collision exists among chrono's month/era name tables).
+    a ``^``-anchored POSITION-ANCHORED prefix capture: the group before
+    the name is :func:`_prefix_rx` over the tokens preceding the day code
+    (minus earlier day codes, which prior strips in the sequence already
+    removed), so the strip can only fire at the day code's true position —
+    a day-name-shaped word inside an earlier format LITERAL (``'Sunday %d
+    %a'``) or text field is never the one removed.  No lookaround, so the
+    pattern is RE2-portable; a preceding code with no :data:`_CODE_RX`
+    shape rejects loudly.  Divergence shared with the ``%c`` plan (and
+    with DuckDB's own ``%a``): a *valid but inconsistent* weekday name is
+    ignored, where chrono would reject it.
 
     Returns ``{"fmt": remainder_format, "strips": [(pattern, repl), ...]}``
     with Java-style ``$n`` replacements.
@@ -287,7 +370,11 @@ def dayname_plan(fmt: str) -> dict | None:
         elif i == len(toks) - 1:
             strips.append((f"{_DAYNAME_RX}$", ""))
         else:
-            strips.append((f"^(.*?){_DAYNAME_RX}", "$1"))
+            prefix = _prefix_rx(
+                [t for j, t in enumerate(toks) if j < i and j not in day_idx],
+                fmt,
+            )
+            strips.append((f"^({prefix}){_DAYNAME_RX}", "$1"))
     remainder = "".join(
         (f"%{c}" if k == "code" else c)
         for i, (k, c) in enumerate(toks)
