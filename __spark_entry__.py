@@ -69,11 +69,21 @@ def _spec_query(table: str, spec: dict[str, str]):
 
 def _pq_schema(table: str) -> dict[str, str]:
     """dftly dtype tags for a testdata table, read from the parquet footer
-    (no Spark session needed — oracle callables resolve driver-side)."""
+    (no Spark session needed — oracle callables resolve driver-side).
+
+    The oracle API carries no sf_dir, so the dataset is resolved from the
+    gate env var, falling back to the bench-wide one, then the driver's
+    sf0.01 default.  A runner pairing queries()[name](spark, other_dir)
+    with oracle_sql() must export one of these so both sides are typed
+    from the SAME parquet footers (regenerated data has flipped dtypes
+    between rounds before)."""
     import os
     import pyarrow.parquet as pq
 
-    sf = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+    sf = os.environ.get(
+        "SPARK_GRAFT_GATE_SF_DIR",
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
     ar = {"int64": "int64", "int32": "int32", "double": "float64",
           "float": "float32", "string": "str", "large_string": "str",
           "bool": "bool", "date32[day]": "date"}
@@ -4758,7 +4768,7 @@ def _x89(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT enough at sf>=0.1 (partial-sum order wobbles ~1e-3 on
     1e10-magnitude sums).  The revenue/charge scalars are the SAME dftly
     expression strings the oracle emits through sqlgen."""
-    from dftly_spark.sqlgen import exact_sum
+    from dftly_spark.sqlgen import exact_sum, portable_round
 
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem").where(
@@ -4773,15 +4783,17 @@ def _x89(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(Parser.expr_to_spark(_CHARGE_EXPR, schema=li)).alias(
                 "sum_charge"
             ),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # portable_round, not round(): Spark HALF_UP vs DuckDB's
+            # float-multiply round differ exactly at the .5e-6 boundary
+            portable_round(F.avg("l_quantity")).alias("avg_qty"),
+            portable_round(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
 def _x89_oracle() -> str:
-    from dftly_spark.sqlgen import exact_sum_sql, to_duckdb_sql
+    from dftly_spark.sqlgen import exact_sum_sql, portable_round_sql, to_duckdb_sql
 
     charge = to_duckdb_sql(_CHARGE_EXPR, _pq_schema("lineitem"))
     return f"""
@@ -4790,8 +4802,8 @@ def _x89_oracle() -> str:
            {exact_sum_sql("l_extendedprice")} AS sum_base_price,
            {exact_sum_sql(_rev_sql())} AS sum_disc_price,
            {exact_sum_sql(charge)} AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_discount), 6) AS avg_disc,
+           {portable_round_sql("avg(l_quantity)")} AS avg_qty,
+           {portable_round_sql("avg(l_discount)")} AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2024-09-01'
@@ -5362,10 +5374,18 @@ def _q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed
 
 
-_q(
-    "q30_chrono_midformat",
-    _q30,
-    r"""
+def _q30_oracle_sql() -> str:
+    # The %C strip is GENERATED from the same chrono.century_plan the
+    # engine lowers through (ADVICE r7): one shared position-anchored
+    # pattern, with Java-style $n group refs translated to DuckDB/RE2 \n.
+    from dftly_spark.chrono import century_plan
+
+    plan = century_plan("%C|%y-%m-%d")
+    (pat, repl), = plan["strips"]
+    repl = repl.replace("$1", r"\1").replace("$2", r"\2")
+    pat_sql = pat.replace("\\", "\\\\").replace("'", "''")
+    repl_sql = repl.replace("\\", "\\\\").replace("'", "''")
+    return rf"""
     WITH b AS (SELECT o_orderkey AS ok, o_orderdate AS d FROM orders)
     SELECT ok,
            CAST(strptime(strftime(d, '%d-%a-%m-%Y'), '%d-%a-%m-%Y') AS DATE)
@@ -5376,11 +5396,13 @@ _q(
                   regexp_replace(
                     substr(strftime(d, '%Y'), 1, 2) || '|'
                       || strftime(d, '%y-%m-%d'),
-                    '^(.*?\d{2})\|(\d{2})', '\1\2'),
-                  '%Y-%m-%d') AS DATE) AS csep_d
+                    E'{pat_sql}', E'{repl_sql}'),
+                  '{plan["fmt"]}') AS DATE) AS csep_d
     FROM b
-    """,
-)
+    """
+
+
+_q("q30_chrono_midformat", _q30, _q30_oracle_sql())
 
 
 def _x96(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6874,39 +6896,29 @@ _PRIORITY = [
     # displacing one leaves it permanently unsampled (x122 sat at index 50
     # for four rounds).
     #
-    # -- round-7 additions (never driver-sampled) --
+    # -- materially changed in round 8 (q30 oracle regenerated from
+    #    century_plan; x89 avgs moved to portable_round on both sides;
+    #    x118 gained the ragged-vector guard; x48's sql step was
+    #    restructured for the Connect view registry) --
     "q30_chrono_midformat",
+    "x89_pricing_summary",
+    "x118_pca_project",
+    "x48_pipeline_yaml",
+    # -- one driver-green row so far (r07) --
     "x123_weighted_pagerank",
     "x124_media_dup_pairs",
     "x125_expect_observed",
     "x126_session_window_spans",
     "x122_important_stock",
-    # -- materially changed in round 7 (new converged column / left-join fix) --
+    # -- two rows (r06+r07); keep in-window as canaries --
     "x111_kcore",
     "x109_dsir_weights",
-    # -- r06 driver-green once; keep in-window as canaries --
     "q28_chrono_residue",
     "q29_sqlgen_arrays",
-    # -- rotated OUT of the window this round (>= 3 driver-green rows
-    #    r04+r05+r06): x34_rollup_stats, x35_contamination_containment,
-    #    x36_incremental_embedding_dedup, x37_remove_dup_spans,
-    #    x38_tumbling_agg, x53_hopping_agg, x54_sparse_cosine,
-    #    x55_cohort_retention (moved to the tail block below).
-    "x39_lag_features",
-    "x40_ks_drift",
-    "x41_histogram",
-    "x42_funnel",
-    "x43_merge_upsert",
-    "x44_mixture_sample",
-    "x45_bigram_lm",
-    "x46_semantic_dedup",
-    "x47_snapshot_diff",
-    "x48_pipeline_yaml",
-    "x49_analytics_join",
-    "x50_topic_mix",
-    "x51_gopher_rules",
-    "x52_shared_affixes",
-    # -- round-4 additions, r06 driver-green --
+    # -- rotated OUT this round (4 consecutive driver-green rows
+    #    r04-r07): x39-x47 and x49-x52 (x48 stays — changed above);
+    #    moved to the tail block below.
+    # -- round-4 additions, r06+r07 driver-green --
     "x96_windowed_quantiles",
     "x97_psi_drift",
     "x98_rolling_features",
@@ -6927,7 +6939,6 @@ _PRIORITY = [
     "x115_bpe_encode",
     "x116_cube_stats",
     "x117_join_size_sketch",
-    "x118_pca_project",
     "x119_session_stats",
     "x120_scd2_snapshot",
     "x121_top_supplier",
@@ -6950,7 +6961,6 @@ _PRIORITY = [
     "x80_basket_pmi",
     "x82_group_quantiles",
     "x91_nearest_join",
-    "x89_pricing_summary",
     "x90_regional_revenue",
     "x92_doc_keywords",
     "x85_ewma",
@@ -7006,6 +7016,20 @@ _PRIORITY = [
     "x53_hopping_agg",
     "x54_sparse_cosine",
     "x55_cohort_retention",
+    # -- rotated OUT round 8 (4 consecutive rows r04-r07) --
+    "x39_lag_features",
+    "x40_ks_drift",
+    "x41_histogram",
+    "x42_funnel",
+    "x43_merge_upsert",
+    "x44_mixture_sample",
+    "x45_bigram_lm",
+    "x46_semantic_dedup",
+    "x47_snapshot_diff",
+    "x49_analytics_join",
+    "x50_topic_mix",
+    "x51_gopher_rules",
+    "x52_shared_affixes",
     # everything else keeps its source order after these
 ]
 

@@ -160,39 +160,27 @@ def _quote_literal(text: str) -> str:
 
 
 def rewrite_century(fmt: str) -> str:
-    """Rewrite ``%C%y`` (century + 2-digit year, adjacent) to ``%Y``.
+    """Rewrite ``%C``/``%y`` pairings to ``%Y``, format text only.
 
     chrono prints ``%C`` as the zero-padded upper two digits of the year
     (year // 100) and ``%y`` as the lower two, so the adjacent pair is
-    byte-identical to the zero-padded 4-digit ``%Y`` — parse it as such
-    (century×100 + yy arithmetic folded into one numeric field; reference
+    byte-identical to the zero-padded 4-digit ``%Y`` (reference
     /root/reference/src/dftly/nodes/str.py:594-649 routes both through
-    chrono's year_div_100/year_mod_100).  A ``%C`` separated from its
-    ``%y`` by literal text needs an input transform as well — that is
-    :func:`century_plan`; a ``%C`` with no ``%y`` pairing at all would
-    need free-standing century arithmetic chrono itself only resolves via
-    the pairing — reject it loudly.
+    chrono's year_div_100/year_mod_100).  Thin wrapper over
+    :func:`century_plan` — ONE implementation of the pairing rules — for
+    callers that only need the rewritten format; a pairing separated by
+    literal text additionally needs the plan's input strips, so requiring
+    them here raises rather than returning a format the input won't match.
     """
-    toks = list(_scan(fmt))
-    if not any(k == "code" and c == "C" for k, c in toks):
+    plan = century_plan(fmt)
+    if plan is None:
         return fmt
-    out: list[str] = []
-    i = 0
-    while i < len(toks):
-        kind, item = toks[i]
-        if kind == "code" and item == "C":
-            if i + 1 < len(toks) and toks[i + 1] == ("code", "y"):
-                out.append("%Y")
-                i += 2
-                continue
-            raise ValueError(
-                f"chrono format code %C (century) is only supported when "
-                f"paired with %y (together a 4-digit year); "
-                f"cannot translate {fmt!r}"
-            )
-        out.append(f"%{item}" if kind == "code" else item)
-        i += 1
-    return "".join(out)
+    if plan["strips"]:
+        raise ValueError(
+            f"chrono format {fmt!r} pairs %C and %y across literal text: "
+            "the input must be spliced too — use century_plan's strips"
+        )
+    return plan["fmt"]
 
 
 def century_plan(fmt: str) -> dict | None:

@@ -188,8 +188,9 @@ def _bpe_learn_batched(
                 continue
             used |= syms
             chosen.append(r)
-        if not chosen:
-            chosen = [cands[0]]  # every candidate interacts: take the top
+        # cands[0] always survives (used is empty on its iteration), so
+        # chosen is never empty here
+        assert chosen, "disjoint-batch selection must keep the top candidate"
         merged = F.concat(F.lit(SEP), F.col("_s"), F.lit(SEP))
         for r in chosen:
             pat = F.lit(f"{SEP}{r['_pa']}{SEP}{r['_pb']}{SEP}")

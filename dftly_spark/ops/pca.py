@@ -58,7 +58,23 @@ def _exact_stats(df: DataFrame, vec_col: str, dim: int):
     xq = F.transform(
         F.col(vec_col), lambda v: F.floor(v * QUANT + F.lit(0.5)).cast("bigint")
     )
-    base = df.select(xq.alias("_q"))
+    # The flat-key triangle explode is only correct when EVERY vector has
+    # exactly `dim` cells — a short row's slice() truncates silently and
+    # its flattened positions shift onto other (i, j) cells (and the
+    # per-index counts diverge, making n arbitrary).  Reject ragged input
+    # loudly, mirroring the overflow guard below; NULL vectors stay
+    # allowed (both passes drop them consistently at posexplode).
+    ok = F.col(vec_col).isNull() | (F.size(vec_col) == F.lit(dim))
+    guarded = F.when(ok, xq).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pca: vector length != dim={dim} (got "),
+                F.size(vec_col).cast("string"),
+                F.lit("): fix the embedding column or pass the true dim"),
+            )
+        )
+    )
+    base = df.select(guarded.alias("_q"))
     lin = (
         base.select(F.posexplode("_q").alias("_i", "_xi"))
         .groupBy("_i")

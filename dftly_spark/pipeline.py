@@ -139,6 +139,32 @@ _STREAM_SAFE_OPS = ("gopher_rules", "line_filter", "melt")
 # pipeline runs sharing one SparkSession
 _SQL_VIEW_COUNTER = itertools.count()
 
+# Temp views the sql step had to leave registered (Spark Connect defers
+# analysis, so the view must outlive the returned frame).  A long-lived
+# Connect session running many sql steps can call drop_sql_views() once
+# the frames built on them have been collected.
+_PENDING_SQL_VIEWS: list[str] = []
+
+
+def drop_sql_views(spark) -> int:
+    """Drop the temp views sql steps left behind on Spark Connect.
+
+    Only safe once every DataFrame returned by those sql steps has been
+    fully consumed (Connect re-resolves the plan on each action, so a
+    live frame still needs its view).  Returns the number dropped.
+    Classic Spark never accumulates views, so this is a no-op there.
+    """
+    dropped = 0
+    while _PENDING_SQL_VIEWS:
+        name = _PENDING_SQL_VIEWS.pop()
+        try:
+            # returns False (no raise) when the view is already gone
+            if spark.catalog.dropTempView(name) is not False:
+                dropped += 1
+        except Exception:
+            pass  # already gone (session restart) — keep draining
+    return dropped
+
 
 def _read_source(spark: SparkSession, src: dict, sf_dir: str | None) -> DataFrame:
     if not isinstance(src, dict):
@@ -189,13 +215,20 @@ def _apply_step(df: DataFrame, step: dict, idx: int) -> DataFrame:
         # temp views are metadata-only; they die with the session).
         view = f"_dftly_step_{idx}_{next(_SQL_VIEW_COUNTER)}"
         df.createOrReplaceTempView(view)
-        # plain substring replace, NOT str.format — format would choke
-        # on every literal brace in real SQL (regex quantifiers, map
-        # literals)
-        out = df.sparkSession.sql(step["sql"].replace("{t}", view))
-        if not type(df).__module__.startswith("pyspark.sql.connect"):
+        if type(df).__module__.startswith("pyspark.sql.connect"):
+            out = df.sparkSession.sql(step["sql"].replace("{t}", view))
+            _PENDING_SQL_VIEWS.append(view)  # reclaim via drop_sql_views()
+            return out
+        # classic path: analysis is eager, so the view is droppable the
+        # moment spark.sql returns — and must be dropped even when the
+        # SQL fails analysis (finally), or each failed retry leaks one
+        try:
+            # plain substring replace, NOT str.format — format would
+            # choke on every literal brace in real SQL (regex
+            # quantifiers, map literals)
+            return df.sparkSession.sql(step["sql"].replace("{t}", view))
+        finally:
             df.sparkSession.catalog.dropTempView(view)
-        return out
     if k == "select":
         return Parser.select(df, step["select"])
     if k == "with_columns":

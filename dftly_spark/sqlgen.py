@@ -690,8 +690,11 @@ def agg_oracle_sql(
 
     Integer ``sum``/``count`` results are cast to BIGINT so pandas-side
     dtypes match Spark's long (DuckDB widens integer sums to HUGEINT).
-    ``where``/``having`` are dftly expressions compiled the same way
-    (``having`` may reference output names emitted before it).
+    ``where`` is a dftly expression compiled through :func:`to_duckdb_sql`
+    like every ``select`` scalar.  ``having`` is RAW DuckDB SQL text,
+    interpolated verbatim — it must reference the output aliases emitted
+    by ``select`` (e.g. ``"rev > 3"``), which the dftly compiler cannot
+    resolve because they are not input-schema columns.
     """
     ctx = _ctx(schema)
     parts = []

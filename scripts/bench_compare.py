@@ -92,10 +92,19 @@ def latest_round_baseline() -> str:
             rounds = sorted(by_round)  # numeric: r9 < r10 < r100
             pick = rounds[-2] if len(rounds) >= 2 else rounds[-1]
             return by_round[pick][-1]
-    rounds = sorted(glob.glob("BENCH_r*.json"))
-    if not rounds:
+    # Fallback: driver BENCH_rNN.json files.  NUMERIC sort (a lexicographic
+    # sort puts r100 before r99).  Unlike the builder's own snapshots above
+    # (written MID-round, so the newest is the current round), the driver
+    # writes BENCH_rNN at round N's CLOSE — during round N+1 the highest-
+    # numbered file already IS the previous round, so take it directly.
+    by_n: dict[int, str] = {}
+    for s in glob.glob("BENCH_r*.json"):
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(s))
+        if m:
+            by_n[int(m.group(1))] = s
+    if not by_n:
         raise SystemExit("no bench baseline found; pass one explicitly")
-    return rounds[-1]
+    return by_n[max(by_n)]
 
 
 def main() -> int:

@@ -150,6 +150,10 @@ def soak_index(spark, n_rounds):
 def main() -> int:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 15
+    # the plateau check needs batches past ramp-up and the flat check
+    # needs >= 2 index rounds — tiny manual args would FAIL vacuously
+    if n_batches < 3 or n_rounds < 2:
+        raise SystemExit("usage: streaming_soak.py [n_batches>=3] [n_rounds>=2]")
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -163,7 +167,7 @@ def main() -> int:
 
     for name, fn in (("asof", soak_asof), ("sessionize", soak_sessionize)):
         totals = fn(spark, n_batches)
-        tail = totals[-(len(totals) // 3):]
+        tail = totals[-max(1, len(totals) // 3):]
         plateau = max(totals) <= N_KEYS and len(set(tail)) == 1
         ok &= plateau
         print(

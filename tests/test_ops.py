@@ -1369,6 +1369,38 @@ def test_pca_top_component_rejects_tiny_input(spark):
         pca_top_component(df, "vec_id", "embedding", dim=2)
 
 
+def test_pca_rejects_ragged_vectors(spark):
+    # A vector shorter than dim used to truncate silently in the flat-key
+    # triangle explode, misattributing its products onto wrong (i, j)
+    # cells — silently wrong components.  Must raise loudly instead.
+    from dftly_spark.ops.pca import _exact_stats
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="vector length != dim"):
+        _exact_stats(df, "embedding", 3)
+    # NULL vectors stay allowed: both passes drop them consistently
+    df2 = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    n, s, sp = _exact_stats(df2, "embedding", 2)
+    assert n == 2 and s[0] == 4_000_000 and sp[0][1] == 14_000_000_000_000
+
+
+def test_rewrite_century_delegates_to_century_plan():
+    from dftly_spark.chrono import rewrite_century
+
+    assert rewrite_century("%C%y-%m-%d") == "%Y-%m-%d"
+    assert rewrite_century("%d/%m/%Y") == "%d/%m/%Y"  # no %C: unchanged
+    # literal-separated pairing needs input strips — format-only callers
+    # must get a loud error, not a format the input won't match
+    with pytest.raises(ValueError, match="strips"):
+        rewrite_century("%C|%y-%m-%d")
+
+
 def test_bpe_encode_counts_accepts_collected_rows(spark):
     from dftly_spark.ops import bpe_encode_counts, bpe_learn
 

@@ -296,3 +296,22 @@ def test_sql_step_view_is_unique_and_dropped(spark):
     assert a.collect()[0]["n"] == b.collect()[0]["n"] == 5
     after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
     assert not {v for v in after - before if v.startswith("_dftly_step_")}
+
+
+def test_drop_sql_views_drains_pending_registry(spark):
+    # Classic Spark drops views eagerly, so the Connect-only registry is
+    # empty and the hook is a no-op; a stale name left in the registry
+    # (e.g. after a Connect session restart) is drained without raising.
+    from dftly_spark import pipeline as plmod
+
+    yaml_src = """
+    source: {table: region}
+    steps:
+      - sql: "SELECT count(*) AS n FROM {t}"
+    """
+    run_pipeline(spark, yaml_src, sf_dir=SF_DIR).collect()
+    assert plmod._PENDING_SQL_VIEWS == []
+    assert plmod.drop_sql_views(spark) == 0
+    plmod._PENDING_SQL_VIEWS.append("_dftly_step_0_999999")  # never created
+    assert plmod.drop_sql_views(spark) in (0, 1)
+    assert plmod._PENDING_SQL_VIEWS == []
