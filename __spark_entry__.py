@@ -5766,23 +5766,16 @@ def _x107(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator orients edges by (degree, id) so each triangle is enumerated
     once from its lowest-degree corner and the wedge join's fanout is
     O(sqrt(m))-bounded — the hub defense; counts are orientation-invariant,
-    so the oracle replays them with plain id-ordered enumeration."""
-    from dftly_spark.ops import triangle_count
+    so the oracle replays them with plain id-ordered enumeration.  The
+    edge build is the basket explode (ops/assoc.py basket_pairs): one
+    keyed shuffle into per-order item sets + two generators — no
+    self-join (same edge set; the oracle keeps the declarative join)."""
+    from dftly_spark.ops import basket_pairs, triangle_count
 
     _prep(spark)
-    items = (
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    )
-    o2 = items.select(
-        F.col("l_orderkey").alias("_ok2"), F.col("l_partkey").alias("_pk2")
-    )
     edges = (
-        items.join(
-            o2,
-            (items["l_orderkey"] == o2["_ok2"])
-            & (items["l_partkey"] < o2["_pk2"]),
-        )
-        .select(F.col("l_partkey").alias("src"), F.col("_pk2").alias("dst"))
+        basket_pairs(_t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
         .distinct()
     )
     return triangle_count(edges)
@@ -5990,23 +5983,15 @@ def _x111(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the budget sufficed, so this IS the exact 80-core.  Per round
     ONE degree agg + one semi-join per endpoint over the shrinking
     symmetric edge frame, lineage checkpointed; the oracle replays the
-    peel with a recursive CTE whose rounds filter on windowed degrees."""
-    from dftly_spark.ops import kcore
+    peel with a recursive CTE whose rounds filter on windowed degrees.
+    Edge build via the basket explode (ops/assoc.py basket_pairs) — one
+    keyed shuffle, no self-join; the oracle keeps the declarative join."""
+    from dftly_spark.ops import basket_pairs, kcore
 
     _prep(spark)
-    items = (
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    )
-    o2 = items.select(
-        F.col("l_orderkey").alias("_ok2"), F.col("l_partkey").alias("_pk2")
-    )
     edges = (
-        items.join(
-            o2,
-            (items["l_orderkey"] == o2["_ok2"])
-            & (items["l_partkey"] < o2["_pk2"]),
-        )
-        .select(F.col("l_partkey").alias("src"), F.col("_pk2").alias("dst"))
+        basket_pairs(_t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
         .distinct()
     )
     return kcore(edges, 80, max_rounds=8)
@@ -6904,6 +6889,10 @@ _PRIORITY = [
     "x89_pricing_summary",
     "x118_pca_project",
     "x48_pipeline_yaml",
+    # (also round 8: basket-explode pair emit + kcore boundary early-exit)
+    "x80_basket_pmi",
+    "x107_triangle_count",
+    "x111_kcore",
     # -- one driver-green row so far (r07) --
     "x123_weighted_pagerank",
     "x124_media_dup_pairs",
@@ -6911,7 +6900,6 @@ _PRIORITY = [
     "x126_session_window_spans",
     "x122_important_stock",
     # -- two rows (r06+r07); keep in-window as canaries --
-    "x111_kcore",
     "x109_dsir_weights",
     "q28_chrono_residue",
     "q29_sqlgen_arrays",
@@ -6930,7 +6918,6 @@ _PRIORITY = [
     "x104_supplier_diversity",
     "x105_large_orders",
     "x106_dormant_accounts",
-    "x107_triangle_count",
     "x108_resample_ffill",
     "x110_interval_join",
     "x112_novelty",
@@ -6958,7 +6945,6 @@ _PRIORITY = [
     "x84_windowed_cardinality",
     "x77_pivot_events",
     "x78_melt_lineitem",
-    "x80_basket_pmi",
     "x82_group_quantiles",
     "x91_nearest_join",
     "x90_regional_revenue",

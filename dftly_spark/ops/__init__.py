@@ -75,7 +75,7 @@ from .graph import kcore, pagerank, prepare_edges, triangle_count
 from .quality import expect, expect_observed, roc_auc, roc_auc_by_group
 from .pca import pca_top_component
 from .reshape import melt, pivot_wide
-from .assoc import cooccurrence_pmi
+from .assoc import basket_pairs, cooccurrence_pmi
 from .sketch import cms_build, cms_estimate, cms_join_size
 from .similarity import (
     fit_scalar_quantizer,
@@ -177,7 +177,7 @@ from .multimodal import (
 )
 
 __all__ = [
-    "melt", "pivot_wide", "pca_top_component", "cooccurrence_pmi", "distinct_counts", "line_filter",
+    "melt", "pivot_wide", "pca_top_component", "basket_pairs", "cooccurrence_pmi", "distinct_counts", "line_filter",
     "ewma", "edit_distance_pairs", "mad_outliers", "expect", "expect_observed", "roc_auc", "roc_auc_by_group",
     "fit_scalar_quantizer", "quantize_embeddings", "quantization_fidelity",
     "kcore", "pagerank", "prepare_edges", "triangle_count", "ranking_metrics", "pool_embeddings",

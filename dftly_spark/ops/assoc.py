@@ -9,11 +9,15 @@ the standard association strengths (support, lift, PMI).
 * The input collapses to DISTINCT (group, item) first: one keyed shuffle,
   map-side combine.  All later joins key on ``item`` (the small domain)
   or reuse the group partitioning.
-* Pair generation is a self-join keyed on ``group`` — per-group work is
-  C(items_in_group, 2), so a ``max_items_per_group`` cap (deterministic
-  keep-first-k, same regime as LSH's ``max_bucket_size``) bounds monster
-  groups.  The cap is surfaced, never silent: capped groups still emit
-  pairs from their first k items.
+* Pair generation collects each group's (small) item set once and emits
+  ordered pairs with two chained generators — NO self-join: the group's
+  rows shuffle once into the collect, and each intermediate row holds
+  only an O(items_in_group) slice, never the O(C(n,2)) pair set.
+  Per-group work is still C(items_in_group, 2), so a
+  ``max_items_per_group`` cap (deterministic keep-first-k, same regime
+  as LSH's ``max_bucket_size``) bounds monster groups.  The cap is
+  surfaced, never silent: capped groups still emit pairs from their
+  first k items.
 * The scalar total (number of groups) is a 1-row ungrouped aggregate
   broadcast over the pair frame — the sanctioned scalar-attach pattern
   (same as bm25's corpus stats); allowlisted in the plan sweep.
@@ -24,7 +28,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cooccurrence_pmi"]
+__all__ = ["basket_pairs", "cooccurrence_pmi"]
+
+
+def basket_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    max_items_per_group: int | None = None,
+) -> DataFrame:
+    """Ordered item pairs co-occurring in a group: ``(_g, item_a, item_b)``
+    with ``item_a < item_b``, one row per distinct (group, pair).
+
+    The basket explode that replaces the classic pair self-join: collect
+    each group's sorted distinct items (ONE keyed shuffle, map-side
+    combine), then two chained generators — ``posexplode`` picks the
+    anchor, ``explode(slice(...))`` emits its later partners — so no join
+    build, no second shuffle of the input, and each intermediate row
+    carries at most an O(items_in_group) array (the full C(n, 2) pair set
+    is never materialized in one row).  Co-purchase edge lists, PMI pair
+    counts, and any groupwise-cooccurrence graph build on this.
+    """
+    g, i = F.col(group_col), F.col(item_col)
+    gi = (
+        df.select(g.alias("_g"), i.alias("_i"))
+        .where(g.isNotNull() & i.isNotNull())
+        .distinct()
+    )
+    if max_items_per_group is not None:
+        w = Window.partitionBy("_g").orderBy("_i")
+        gi = (
+            gi.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_items_per_group)
+            .drop("_rn")
+        )
+    return (
+        gi.groupBy("_g")
+        .agg(F.sort_array(F.collect_list("_i")).alias("_is"))
+        .select("_g", F.posexplode("_is").alias("_ix", "item_a"), F.col("_is"))
+        .select(
+            "_g",
+            "item_a",
+            F.explode(
+                F.slice(F.col("_is"), F.col("_ix") + 2, F.size("_is"))
+            ).alias("item_b"),
+        )
+    )
 
 
 def cooccurrence_pmi(
@@ -62,11 +112,11 @@ def cooccurrence_pmi(
     item_counts = gi.groupBy("_i").agg(F.count("*").alias("_n_item"))
     totals = gi.agg(F.countDistinct("_g").alias("_n_groups"))
 
-    a = gi.select(F.col("_g"), F.col("_i").alias("item_a"))
-    b = gi.select(F.col("_g"), F.col("_i").alias("item_b"))
+    # Pair emit via the basket explode (see basket_pairs): gi is already
+    # distinct + capped, so feed it through directly (the helper's own
+    # distinct is a no-op on it and keeps one code path).
     pairs = (
-        a.join(b, "_g")
-        .where(F.col("item_a") < F.col("item_b"))
+        basket_pairs(gi, "_g", "_i")
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_both"))
         .where(F.col("n_both") >= min_pair_count)

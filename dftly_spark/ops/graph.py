@@ -283,6 +283,18 @@ def kcore(
     # whose per-round survivor list itself exceeds broadcast size
     # (billions of nodes).
     every = checkpoint_every if broadcast_survivors else 1
+    # Fixed-point early exit at checkpoint boundaries: surviving-edge
+    # counts are monotonically non-increasing, so an UNCHANGED count
+    # across a whole checkpoint window proves no round in the window
+    # removed anything — every remaining round is the identity and the
+    # full-budget output is already in hand (bit-identical result, so
+    # oracles replaying the whole budget still match).  The count rides
+    # the materialization the checkpoint performs anyway; checking MORE
+    # often is a loss (a mid-window count re-derives every agg since the
+    # last checkpoint — measured at sf0.1, per-round counts gave back
+    # everything they saved), so graphs that die mid-window are only
+    # caught at the next boundary.
+    prev_edges: int | None = None
     for r in range(max_rounds):
         good = (
             e.groupBy("_s")
@@ -297,6 +309,10 @@ def kcore(
         )
         if (r + 1) % every == 0 and r + 1 < max_rounds:
             e = _ckpt(e)
+            cnt = e.count()
+            if cnt == prev_edges:
+                break
+            prev_edges = cnt
     # Final degrees are referenced twice (output rows + the convergence
     # scalar) — truncate lineage once so the peeled plan does not
     # re-execute per reference.  ``converged`` = no surviving node is

@@ -184,6 +184,29 @@ def test_cooccurrence_null_rows_ignored(spark):
     assert len(out) == 1 and out[0]["_n_groups" if False else "n_both"] == 1
 
 
+def test_basket_pairs_matches_self_join(spark):
+    # the basket explode must emit exactly the ordered pairs the classic
+    # group-keyed self-join would — including cross-group duplicates
+    from dftly_spark.ops import basket_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "b"), (2, "c"), (3, "x"),
+         (1, "a"), (None, "z"), (4, None)],  # dup row, null group/item
+        "g long, i string",
+    )
+    got = sorted(
+        (r["_g"], r["item_a"], r["item_b"])
+        for r in basket_pairs(df, "g", "i").collect()
+    )
+    assert got == [(1, "a", "b"), (1, "a", "c"), (1, "b", "c"), (2, "b", "c")]
+    # cap keeps the first k items per group (deterministic by item order)
+    capped = sorted(
+        (r["_g"], r["item_a"], r["item_b"])
+        for r in basket_pairs(df, "g", "i", max_items_per_group=2).collect()
+    )
+    assert capped == [(1, "a", "b"), (2, "b", "c")]
+
+
 def test_cooccurrence_plan_shape(spark):
     from dftly_spark.ops import cooccurrence_pmi
 
