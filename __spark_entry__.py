@@ -6889,10 +6889,13 @@ _PRIORITY = [
     "x89_pricing_summary",
     "x118_pca_project",
     "x48_pipeline_yaml",
-    # (also round 8: basket-explode pair emit + kcore boundary early-exit)
+    # (also round 8: basket-explode pair emit + kcore boundary early-exit;
+    #  novelty first-owner via window, source_overlap via basket explode)
     "x80_basket_pmi",
     "x107_triangle_count",
     "x111_kcore",
+    "x112_novelty",
+    "x113_source_overlap",
     # -- one driver-green row so far (r07) --
     "x123_weighted_pagerank",
     "x124_media_dup_pairs",
@@ -6920,8 +6923,6 @@ _PRIORITY = [
     "x106_dormant_accounts",
     "x108_resample_ffill",
     "x110_interval_join",
-    "x112_novelty",
-    "x113_source_overlap",
     "x114_bpe_learn",
     "x115_bpe_encode",
     "x116_cube_stats",

@@ -1213,37 +1213,36 @@ def novelty_scores(
     symmetric repetition fraction.  Output: ``(id_col, n_shingles,
     n_novel, novelty)``.
 
-    Scale shape: ONE shingle-keyed agg finds each shingle's first owner
-    (min over a (order, id) struct — deterministic under ties), the join
-    back is on the SAME shingle key (Exchange reused), and the per-doc
-    roll-up is a second keyed agg.  Linear in corpus shingles; no
-    pairwise anything.
+    Scale shape: each shingle's first owner comes from a min WINDOW over
+    the shingle key (min over a (order, id) struct — deterministic under
+    ties; a bare ``min(id)`` when the order IS the id), so the corpus
+    shingle-instance frame is built ONCE and shuffles ONCE — no join
+    back, and nothing corpus-shingle-sized is ever broadcast (the
+    groupBy-then-join formulation this replaces let Catalyst broadcast
+    the per-shingle aggregate: a driver OOM at real corpus sizes and
+    measurably slower even at sf0.1).  The per-doc roll-up is one keyed
+    agg.  Linear in corpus shingles; no pairwise anything.
     """
-    order = F.col(order_col) if order_col is not None else F.col(id_col)
-    base = df.select(
-        F.col(id_col).alias("__nid"), F.col(text_col).alias("__ntext"),
-        order.alias("__no"),
-    )
+    base = df.select(F.col(id_col).alias("__nid"), F.col(text_col).alias("__ntext"))
     sets = _md5_shingle_sets(base, "__nid", "__ntext", n)
-    keyed = sets.join(
-        base.select(F.col("__nid").alias("_id"), "__no"), "_id"
-    ).select("_id", "_g", F.col("__no").alias("_o"))
-    first = keyed.groupBy("_g").agg(
-        F.min(F.struct(F.col("_o"), F.col("_id"))).alias("_f")
-    )
-    novel = (
-        keyed.join(first, "_g")
-        .groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                F.when(
-                    (F.col("_f._o") == F.col("_o"))
-                    & (F.col("_f._id") == F.col("_id")),
-                    1,
-                ).otherwise(0)
-            ).alias("n_novel"),
+    w = Window.partitionBy("_g")
+    if order_col is None:
+        # order == id: first owner is simply the smallest id
+        keyed = sets.withColumn("_f", F.min("_id").over(w))
+        is_first = F.col("_f") == F.col("_id")
+    else:
+        omap = df.select(
+            F.col(id_col).alias("_id"), F.col(order_col).alias("_o")
         )
+        keyed = sets.join(omap, "_id").withColumn(
+            "_f", F.min(F.struct(F.col("_o"), F.col("_id"))).over(w)
+        )
+        is_first = (F.col("_f._o") == F.col("_o")) & (
+            F.col("_f._id") == F.col("_id")
+        )
+    novel = keyed.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(is_first, 1).otherwise(0)).alias("n_novel"),
     )
     return novel.select(
         F.col("_id").alias(id_col),
@@ -1271,18 +1270,23 @@ def source_overlap(
     containment_b)``.
 
     Scale shape: distinct (group, shingle) incidence (one agg), group
-    sizes (one agg of that), and the pair counts from the shingle-keyed
-    self-join — per-shingle fanout is ≤ C(groups, 2), so with a handful
-    of sources the join output is ~the incidence size, never corpus².
+    sizes (one agg of that), and the pair counts from the basket explode
+    (ops/assoc.py ``basket_pairs``) keyed on the shingle — each shingle's
+    group set is at most #sources wide, so the collect is tiny and the
+    incidence frame shuffles ONCE instead of twice through a self-join;
+    pair fanout is ≤ C(groups, 2) per shingle, never corpus².
     """
+    from .assoc import basket_pairs
+
     sets = _md5_shingle_sets(df, group_col, text_col, n).distinct()
     sizes = sets.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    a = sets.select(F.col("_id").alias("_ga"), "_g")
-    b = sets.select(F.col("_id").alias("_gb"), F.col("_g").alias("_g2"))
     inter = (
-        a.join(b, (F.col("_g") == F.col("_g2")) & (F.col("_ga") < F.col("_gb")))
-        .groupBy("_ga", "_gb")
+        basket_pairs(sets, "_g", "_id")
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            F.col("item_a").alias("_ga"), F.col("item_b").alias("_gb"), "inter"
+        )
     )
     sa = sizes.select(F.col("_id").alias("_ga"), F.col("_sz").alias("size_a"))
     sb = sizes.select(F.col("_id").alias("_gb"), F.col("_sz").alias("size_b"))
