@@ -6859,6 +6859,37 @@ _q(
 )
 
 
+def _x127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groupwise ordered item pairs (ops/assoc.py basket_pairs): the
+    basket explode that backs cooccurrence_pmi, source_overlap, and the
+    co-purchase edge builds, gated on its raw surface — one row per
+    (order, supplier pair).  ONE keyed shuffle collects each order's
+    sorted supplier set; two chained generators emit the pairs, each
+    intermediate row holding at most one order's array (the self-join
+    this replaces shuffled the incidence frame twice); the oracle keeps
+    the declarative self-join."""
+    from dftly_spark.ops import basket_pairs
+
+    _prep(spark)
+    return basket_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_suppkey"
+    ).select(F.col("_g").alias("g"), "item_a", "item_b")
+
+
+_q(
+    "x127_basket_pairs",
+    _x127,
+    """
+    WITH gi AS (
+      SELECT DISTINCT l_orderkey AS g, l_suppkey AS i FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+    )
+    SELECT a.g AS g, a.i AS item_a, b.i AS item_b
+    FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -6890,7 +6921,9 @@ _PRIORITY = [
     "x118_pca_project",
     "x48_pipeline_yaml",
     # (also round 8: basket-explode pair emit + kcore boundary early-exit;
-    #  novelty first-owner via window, source_overlap via basket explode)
+    #  novelty first-owner via window, source_overlap via basket explode;
+    #  x127 gates the new basket_pairs op on its raw surface)
+    "x127_basket_pairs",
     "x80_basket_pmi",
     "x107_triangle_count",
     "x111_kcore",

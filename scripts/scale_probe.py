@@ -397,6 +397,26 @@ def main() -> None:
 
     OPS["bpe_learn"] = lambda d, e: _bpe(d)
 
+    def _basket(c: int):
+        """Disjoint order/part id spaces per replica: baskets never merge,
+        so pair volume scales exactly with c."""
+        from dftly_spark.ops import basket_pairs
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        )
+        out = None
+        for i in range(c):
+            off = 10_000_000 * i
+            rep = li.select(
+                (F.col("l_orderkey") + off).alias("l_orderkey"),
+                (F.col("l_partkey") + off).alias("l_partkey"),
+            )
+            out = rep if out is None else out.unionByName(rep)
+        return basket_pairs(out, "l_orderkey", "l_partkey")
+
+    OPS["basket_pairs"] = lambda d, e, c: _basket(c)
+
     wanted = sys.argv[1:] or list(OPS)
 
     import inspect as _inspect
