@@ -4369,11 +4369,13 @@ _q(
 def _x80(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association (ops/assoc.py cooccurrence_pmi): which
     suppliers co-occur in the same order, with support/lift/PMI.  Distinct
-    (order, supplier) first (one keyed shuffle); pair emit is a self-join
-    keyed on the order — per-order work C(items,2), bounded by order size
-    (≤7 here; ``max_items_per_group`` caps monster groups at scale); the
-    1-row group total attaches via the sanctioned scalar-broadcast
-    pattern (plan-sweep allowlisted, like bm25's corpus stats)."""
+    (order, supplier) first (one keyed shuffle); pair emit is the basket
+    explode (basket_pairs: collect each order's sorted supplier set, two
+    chained generators — no self-join) — per-order work C(items,2),
+    bounded by order size (≤7 here; ``max_items_per_group`` caps monster
+    groups at scale); the 1-row group total attaches via the sanctioned
+    scalar-broadcast pattern (plan-sweep allowlisted, like bm25's corpus
+    stats)."""
     from dftly_spark.ops import cooccurrence_pmi
 
     _prep(spark)
@@ -6032,8 +6034,10 @@ def _x112(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-occurrence n-gram novelty (ops/dedup.py novelty_scores): the
     fraction of each document's distinct 3-grams first introduced by that
     document, doc_id order — the streaming-corpus freshness signal.  One
-    shingle-keyed min agg + the same-key join back + one doc roll-up;
-    linear, nothing pairwise."""
+    min WINDOW over the shingle key (no join back, nothing
+    corpus-shingle-sized broadcast) + one doc roll-up; the shingle
+    instance frame is built once and shuffles once; linear, nothing
+    pairwise."""
     from dftly_spark.ops import novelty_scores
 
     _prep(spark)
