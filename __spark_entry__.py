@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dftly_spark import Parser
+from dftly_spark.sqlgen import portable_round
 
 
 def _prep(spark: SparkSession) -> None:
@@ -1596,7 +1597,7 @@ def _x21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            portable_round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
 
@@ -1606,7 +1607,7 @@ _q(
     _x21,
     """
     SELECT c.c_nationkey, COUNT(*) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS total_price
+           floor((SUM(o.o_totalprice)) * 100 + 0.5) / 100 AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_mktsegment = 'AUTOMOBILE'
     GROUP BY c.c_nationkey
@@ -3025,8 +3026,8 @@ def _x49(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "ship_year")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("revenue"), 2).alias("revenue"),
-            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            portable_round(F.sum("revenue"), 2).alias("revenue"),
+            portable_round(F.sum("l_quantity"), 2).alias("qty"),
         )
     )
 
@@ -3037,8 +3038,8 @@ _q(
     """
     SELECT n.n_name, year(l.l_shipdate) AS ship_year,
            COUNT(*) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           ROUND(SUM(l.l_quantity), 2) AS qty
+           floor((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue,
+           floor((SUM(l.l_quantity)) * 100 + 0.5) / 100 AS qty
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -3501,10 +3502,10 @@ _q(
                      ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
     )
     SELECT event_id, event_type, value,
-           round(CASE WHEN c >= 10 AND sd > 0 THEN (value - m) / sd END, 6)
+           floor((CASE WHEN c >= 10 AND sd > 0 THEN (value - m) / sd END) * 1000000 + 0.5) / 1000000
              AS zscore,
-           coalesce(abs(round(CASE WHEN c >= 10 AND sd > 0
-                                   THEN (value - m) / sd END, 6)) > 2.5,
+           coalesce(abs(floor((CASE WHEN c >= 10 AND sd > 0
+                                   THEN (value - m) / sd END) * 1000000 + 0.5) / 1000000) > 2.5,
                     false) AS is_anomaly
     FROM w
     """,
@@ -3667,7 +3668,7 @@ _q(
              sqrt(sum(d.val * d.val)) AS na
       FROM d JOIN cent USING (pos) GROUP BY d.vec_id
     )
-    SELECT vec_id, round(dp / (na * nc), 6) AS centroid_cos
+    SELECT vec_id, floor((dp / (na * nc)) * 1000000 + 0.5) / 1000000 AS centroid_cos
     FROM sc CROSS JOIN nb
     ORDER BY centroid_cos ASC, vec_id ASC
     LIMIT 50
@@ -3731,11 +3732,11 @@ _q(
       FROM events
     )
     SELECT user_id,
-           round(CASE WHEN max(t) - min(t) > 0
+           floor((CASE WHEN max(t) - min(t) > 0
                       THEN sum(CASE WHEN nt IS NOT NULL
                                     THEN value * (nt - t) END)
                            / (max(t) - min(t))
-                      ELSE min(value) END, 6) AS twa,
+                      ELSE min(value) END) * 1000000 + 0.5) / 1000000 AS twa,
            max(t) - min(t) AS span_us,
            count(*) AS n_events
     FROM s GROUP BY user_id
@@ -3858,7 +3859,7 @@ _q(
     ), deg AS (
       SELECT src, count(*) AS deg FROM edges GROUP BY src
     )
-    SELECT n AS node, round(r, 6) AS rank FROM (
+    SELECT n AS node, floor((r) * 1000000 + 0.5) / 1000000 AS rank FROM (
       WITH RECURSIVE pr AS (
         SELECT 0 AS it, n, CAST(1.0 AS DOUBLE) AS r FROM nodes
         UNION ALL
@@ -3963,7 +3964,7 @@ _q(
              generate_subscripts(embedding, 1) - 1 AS pos
       FROM embeddings
     )
-    SELECT label, pos, round(avg(v), 6) AS val FROM d GROUP BY label, pos
+    SELECT label, pos, floor((avg(v)) * 1000000 + 0.5) / 1000000 AS val FROM d GROUP BY label, pos
     """,
 )
 
@@ -4115,16 +4116,16 @@ _q(
       FROM c GROUP BY user_id
     )
     SELECT user_id, n,
-           round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
-                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+           floor((CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * 1000000 + 0.5) / 1000000
              AS slope,
-           round((sy - (CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+           floor(((sy - (CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
                              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END)
-                       * sx) / n, 6) AS intercept,
-           round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                       * sx) / n) * 1000000 + 0.5) / 1000000 AS intercept,
+           floor((CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
                        AND n * syy - sy * sy > 0
                       THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END) * 1000000 + 0.5) / 1000000
              AS r2
     FROM s
     """,
@@ -4212,11 +4213,11 @@ def _x75_oracle() -> str:
             )
             pair_sql.append(f"""
       SELECT '{a}' AS col_x, '{b}' AS col_y,
-             round(CASE WHEN n * ss_{a} - s_{a} * s_{a} > 0
+             floor((CASE WHEN n * ss_{a} - s_{a} * s_{a} > 0
                          AND n * ss_{b} - s_{b} * s_{b} > 0
                         THEN (n * sp_{a}_{b} - s_{a} * s_{b})
                              / sqrt((n * ss_{a} - s_{a} * s_{a})
-                                    * (n * ss_{b} - s_{b} * s_{b})) END, 6)
+                                    * (n * ss_{b} - s_{b} * s_{b})) END) * 1000000 + 0.5) / 1000000
                AS corr
       FROM w""")
     return (
@@ -4251,8 +4252,8 @@ _q(
     )
     SELECT user_id, CAST(sum(c) AS BIGINT) AS n_rows,
            count(*) AS n_cats,
-           round(ln(CAST(sum(c) AS DOUBLE))
-                 - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+           floor((ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(CAST(c AS DOUBLE))) / sum(c)) * 1000000 + 0.5) / 1000000 AS entropy
     FROM counts GROUP BY user_id
     """,
 )
@@ -4280,7 +4281,7 @@ def _x77(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg="sum",
     )
     return wide.select(
-        "user_id", *[F.round(F.col(t), 6).alias(t) for t in _EVENT_TYPES]
+        "user_id", *[portable_round(F.col(t), 6).alias(t) for t in _EVENT_TYPES]
     )
 
 
@@ -4289,7 +4290,7 @@ _q(
     _x77,
     "SELECT user_id, "
     + ", ".join(
-        f"round(sum(CASE WHEN event_type = '{t}' THEN value END), 6) AS {t}"
+        f"floor((sum(CASE WHEN event_type = '{t}' THEN value END)) * 1000000 + 0.5) / 1000000 AS {t}"
         for t in _EVENT_TYPES
     )
     + " FROM events GROUP BY user_id",
@@ -4403,9 +4404,9 @@ _q(
       HAVING count(*) >= 2
     )
     SELECT p.item_a, p.item_b, p.n_both, ca.n AS n_a, cb.n AS n_b,
-           round(p.n_both / ng.n, 6) AS support,
-           round(p.n_both * ng.n / (ca.n * cb.n), 6) AS lift,
-           round(ln(p.n_both * ng.n / (ca.n * cb.n)), 6) AS pmi
+           floor((p.n_both / ng.n) * 1000000 + 0.5) / 1000000 AS support,
+           floor((p.n_both * ng.n / (ca.n * cb.n)) * 1000000 + 0.5) / 1000000 AS lift,
+           floor((ln(p.n_both * ng.n / (ca.n * cb.n))) * 1000000 + 0.5) / 1000000 AS pmi
     FROM p
     JOIN ic ca ON ca.i = p.item_a
     JOIN ic cb ON cb.i = p.item_b
@@ -4457,8 +4458,8 @@ def _x82(spark: SparkSession, sf_dir: str) -> DataFrame:
         probs=(0.5, 0.9, 0.99),
     )
     return qs.select(
-        "event_type", "n", F.round("mean", 6).alias("mean"),
-        *[F.round(F.col(c), 6).alias(c) for c in ("q50", "q90", "q99")],
+        "event_type", "n", portable_round(F.col("mean"), 6).alias("mean"),
+        *[portable_round(F.col(c), 6).alias(c) for c in ("q50", "q90", "q99")],
     )
 
 
@@ -4467,10 +4468,10 @@ _q(
     _x82,
     """
     SELECT event_type, CAST(count(value) AS BIGINT) AS n,
-           round(avg(value), 6) AS mean,
-           round(quantile_cont(value, 0.5), 6) AS q50,
-           round(quantile_cont(value, 0.9), 6) AS q90,
-           round(quantile_cont(value, 0.99), 6) AS q99
+           floor((avg(value)) * 1000000 + 0.5) / 1000000 AS mean,
+           floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS q50,
+           floor((quantile_cont(value, 0.9)) * 1000000 + 0.5) / 1000000 AS q90,
+           floor((quantile_cont(value, 0.99)) * 1000000 + 0.5) / 1000000 AS q99
     FROM events GROUP BY event_type
     """,
 )
@@ -4656,11 +4657,11 @@ _q(
       FROM d GROUP BY event_type
     )
     SELECT d.event_id, d.event_type, d.value,
-           round(CASE WHEN md.mad > 0
-                      THEN (d.value - d.med) / (1.4826 * md.mad) END, 6)
+           floor((CASE WHEN md.mad > 0
+                      THEN (d.value - d.med) / (1.4826 * md.mad) END) * 1000000 + 0.5) / 1000000
              AS mad_score,
            coalesce(abs(CASE WHEN md.mad > 0
-                             THEN round((d.value - d.med) / (1.4826 * md.mad), 6)
+                             THEN floor(((d.value - d.med) / (1.4826 * md.mad)) * 1000000 + 0.5) / 1000000
                         END) > 3.5, false) AS is_outlier
     FROM d JOIN md USING (event_type)
     """,
@@ -4725,12 +4726,11 @@ def _x88_oracle() -> str:
         codes[i] * ({lit(invs)})[i] + ({lit(mins)})[i]) AS dq
       FROM c)
     SELECT vec_id,
-           round(CASE WHEN sqrt(list_dot_product(v, v))
+           floor((CASE WHEN sqrt(list_dot_product(v, v))
                            * sqrt(list_dot_product(dq, dq)) > 0
                       THEN list_dot_product(v, dq)
                            / (sqrt(list_dot_product(v, v))
-                              * sqrt(list_dot_product(dq, dq))) END,
-                 6) AS recon_cos
+                              * sqrt(list_dot_product(dq, dq))) END) * 1000000 + 0.5) / 1000000 AS recon_cos
     FROM d
     """
     _X88_ORACLE_CACHE[sf_dir] = sql
@@ -4936,7 +4936,7 @@ def _x92(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rank on the ROUNDED score: ranking on raw doubles while the oracle
     # ranks rounded ones would flip order whenever two terms round equal
-    vec = vec.withColumn("tf_idf", F.round("tf_idf", 6))
+    vec = vec.withColumn("tf_idf", portable_round(F.col("tf_idf"), 6))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf_idf").desc(), F.col("term").asc()
     )
@@ -4973,7 +4973,7 @@ _q(
     ),
     post AS (
       SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-             round(tf.tf * ln(n.n_docs::DOUBLE / dfreq.df), 6) AS tf_idf
+             floor((tf.tf * ln(n.n_docs::DOUBLE / dfreq.df)) * 1000000 + 0.5) / 1000000 AS tf_idf
       FROM tf JOIN dfreq USING (term) CROSS JOIN n
     )
     SELECT doc_id, term, tf, df, tf_idf,
@@ -6691,7 +6691,7 @@ _q(
     ), strength AS (
       SELECT src, CAST(sum(w) AS DOUBLE) AS st FROM edges GROUP BY src
     )
-    SELECT n AS node, round(r, 6) AS rank FROM (
+    SELECT n AS node, floor((r) * 1000000 + 0.5) / 1000000 AS rank FROM (
       WITH RECURSIVE pr AS (
         SELECT 0 AS it, n, CAST(1.0 AS DOUBLE) AS r FROM nodes
         UNION ALL
@@ -6916,37 +6916,49 @@ _PRIORITY = [
     # displacing one leaves it permanently unsampled (x122 sat at index 50
     # for four rounds).
     #
-    # -- materially changed in round 8 (q30 oracle regenerated from
-    #    century_plan; x89 avgs moved to portable_round on both sides;
-    #    x118 gained the ragged-vector guard; x48's sql step was
-    #    restructured for the Connect view registry) --
+    # -- round-8 changed: q30 oracle regenerated from century_plan; x89
+    #    avgs + the 16-query portable-round sweep (round() on both sides
+    #    replaced by the floor-scale convention, killing the HALF_UP vs
+    #    float-multiply .5e-9 knife-edge class); x118 ragged guard;
+    #    x48 sql-step restructure; x127 gates the new basket_pairs;
+    #    basket-explode pair emit (x80/x107/x111/x113); novelty window
+    #    first-owner (x112); kcore boundary early-exit (x111) --
     "q30_chrono_midformat",
     "x89_pricing_summary",
     "x118_pca_project",
     "x48_pipeline_yaml",
-    # (also round 8: basket-explode pair emit + kcore boundary early-exit;
-    #  novelty first-owner via window, source_overlap via basket explode;
-    #  x127 gates the new basket_pairs op on its raw surface)
     "x127_basket_pairs",
     "x80_basket_pmi",
     "x107_triangle_count",
     "x111_kcore",
     "x112_novelty",
     "x113_source_overlap",
-    # -- one driver-green row so far (r07) --
+    "x21_bloom_pruned_join",
+    "x49_analytics_join",
+    "x58_rolling_zscore",
+    "x62_centroid_outliers",
+    "x64_time_weighted_avg",
+    "x67_pagerank",
     "x123_weighted_pagerank",
+    "x69_pool_embeddings",
+    "x73_group_trend",
+    "x75_corr_matrix",
+    "x76_group_entropy",
+    "x77_pivot_events",
+    "x82_group_quantiles",
+    "x87_mad_outliers",
+    "x88_quantization_fidelity",
+    "x92_doc_keywords",
+    # -- one driver-green row so far (r07) --
     "x124_media_dup_pairs",
     "x125_expect_observed",
     "x126_session_window_spans",
     "x122_important_stock",
-    # -- two rows (r06+r07); keep in-window as canaries --
+    # -- two rows (r06+r07); in-window canaries --
     "x109_dsir_weights",
     "q28_chrono_residue",
     "q29_sqlgen_arrays",
-    # -- rotated OUT this round (4 consecutive driver-green rows
-    #    r04-r07): x39-x47 and x49-x52 (x48 stays — changed above);
-    #    moved to the tail block below.
-    # -- round-4 additions, r06+r07 driver-green --
+    # -- back-fill to the ~50 window, least-recently-sampled first --
     "x96_windowed_quantiles",
     "x97_psi_drift",
     "x98_rolling_features",
@@ -6964,50 +6976,37 @@ _PRIORITY = [
     "x115_bpe_encode",
     "x116_cube_stats",
     "x117_join_size_sketch",
+    # -- tail: >= 3 consecutive driver-green rows, or displaced; sampled
+    #    again only if the window widens or they change --
     "x119_session_stats",
     "x120_scd2_snapshot",
     "x121_top_supplier",
-    # -- r03 driver-green, least-recently-sampled: these back-fill the
-    #    remaining window slots as regression canaries --
     "q27_sqlgen_oracle",
     "q26_native_time",
     "q25_iso_week",
     "x56_ivf_kmeans_topk",
-    "x67_pagerank",
     "x93_debounce",
     "x94_expectations",
     "x95_url_canonical_dedup",
-    "x88_quantization_fidelity",
     "x86_edit_distance_pairs",
     "x83_windowed_heavy_hitters",
     "x84_windowed_cardinality",
-    "x77_pivot_events",
     "x78_melt_lineitem",
-    "x82_group_quantiles",
     "x91_nearest_join",
     "x90_regional_revenue",
-    "x92_doc_keywords",
     "x85_ewma",
-    "x87_mad_outliers",
     "x79_line_filter",
     "x81_distinct_counts",
-    "x75_corr_matrix",
-    "x76_group_entropy",
-    "x73_group_trend",
     "x74_cms_heavy_hitters",
     "x70_salted_join",
     "x71_winsorize",
     "x72_impute_nulls",
     "x68_ranking_metrics",
-    "x69_pool_embeddings",
     "x57_merge_intervals",
-    "x58_rolling_zscore",
     "x59_scd2_history",
     "x60_weighted_sample",
     "x61_distinctive_terms",
-    "x62_centroid_outliers",
     "x63_ntile_features",
-    "x64_time_weighted_avg",
     "x65_key_skew",
     "x66_transition_matrix",
     "x14_corpus_clean_pipeline",
@@ -7017,7 +7016,6 @@ _PRIORITY = [
     "x31_bm25_topk",
     "x32_dup_ngram_spans",
     "x33_cap_per_group",
-    # -- driver-green twice but historically red in r01 / most complex --
     "q24_dynamic_patterns",
     "q20_split",
     "x04_simhash_pairs",
@@ -7030,8 +7028,6 @@ _PRIORITY = [
     "q15_strptime",
     "q16_time_type",
     "q22_flagship",
-    # -- rotated OUT with >= 3 consecutive driver-green rows (r04+r05+r06);
-    #    sampled again only if the driver's window widens or they change --
     "x34_rollup_stats",
     "x35_contamination_containment",
     "x36_incremental_embedding_dedup",
@@ -7040,7 +7036,6 @@ _PRIORITY = [
     "x53_hopping_agg",
     "x54_sparse_cosine",
     "x55_cohort_retention",
-    # -- rotated OUT round 8 (4 consecutive rows r04-r07) --
     "x39_lag_features",
     "x40_ks_drift",
     "x41_histogram",
@@ -7050,11 +7045,9 @@ _PRIORITY = [
     "x45_bigram_lm",
     "x46_semantic_dedup",
     "x47_snapshot_diff",
-    "x49_analytics_join",
     "x50_topic_mix",
     "x51_gopher_rules",
     "x52_shared_affixes",
-    # everything else keeps its source order after these
 ]
 
 

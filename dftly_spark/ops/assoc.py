@@ -146,6 +146,11 @@ def cooccurrence_pmi(
         F.col("n_b").cast("double"),
         F.col("_n_groups").cast("double"),
     )
+    # portable floor-scale rounding, not round(): Spark HALF_UP and
+    # DuckDB's float-multiply round disagree exactly at the .5*10^-d
+    # boundary, and regenerated data can land a knife-edge row any round
+    from ..sqlgen import portable_round
+
     lift = n * ng / (na * nb)
     return joined.select(
         "item_a",
@@ -153,7 +158,7 @@ def cooccurrence_pmi(
         "n_both",
         "n_a",
         "n_b",
-        F.round(n / ng, round_to).alias("support"),
-        F.round(lift, round_to).alias("lift"),
-        F.round(F.log(lift), round_to).alias("pmi"),
+        portable_round(n / ng, round_to).alias("support"),
+        portable_round(lift, round_to).alias("lift"),
+        portable_round(F.log(lift), round_to).alias("pmi"),
     )

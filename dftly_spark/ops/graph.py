@@ -443,4 +443,9 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = _ckpt(ranks)
-    return ranks.select(F.col("_n").alias("node"), F.round("_r", decimals).alias("rank"))
+    from ..sqlgen import portable_round
+
+    return ranks.select(
+        F.col("_n").alias("node"),
+        portable_round(F.col("_r"), decimals).alias("rank"),
+    )

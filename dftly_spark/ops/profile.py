@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sqlgen import portable_round
+
 
 def profile_table(
     df: DataFrame,
@@ -359,7 +361,7 @@ def rolling_zscore(
         (n_prev >= min_obs) & (sd > 0),
         (F.col(value_col) - mean) / sd,
     )
-    return df.withColumn("zscore", F.round(z, decimals)).withColumn(
+    return df.withColumn("zscore", portable_round(z, decimals)).withColumn(
         "is_anomaly", F.coalesce(F.abs(F.col("zscore")) > z_threshold, F.lit(False))
     )
 
@@ -581,9 +583,9 @@ def group_trend(
     return sums.select(
         key_col,
         "n",
-        F.round(slope, decimals).alias("slope"),
-        F.round(intercept, decimals).alias("intercept"),
-        F.round(r2, decimals).alias("r2"),
+        portable_round(slope, decimals).alias("slope"),
+        portable_round(intercept, decimals).alias("intercept"),
+        portable_round(r2, decimals).alias("r2"),
     )
 
 
@@ -633,7 +635,7 @@ def corr_matrix(
                 F.struct(
                     F.lit(a).alias("col_x"),
                     F.lit(b).alias("col_y"),
-                    F.round(corr, decimals).alias("corr"),
+                    portable_round(corr, decimals).alias("corr"),
                 )
             )
     return wide.select(F.explode(F.array(*parts)).alias("_p")).select("_p.*")
@@ -675,7 +677,7 @@ def group_entropy(
             "n_rows",
             "n_cats",
             # H = ln(N) - (1/N)·Σ c·ln c  (exact algebra of -Σ p ln p)
-            F.round(
+            portable_round(
                 F.log(F.col("n_rows").cast("double"))
                 - F.col("_clogc") / F.col("n_rows"),
                 decimals,
@@ -833,7 +835,7 @@ def mad_outliers(
         F.col("_mad") > 0, (v - F.col("_med")) / (F.lit(consistency) * F.col("_mad"))
     )
     return (
-        full.withColumn("mad_score", F.round(score, decimals))
+        full.withColumn("mad_score", portable_round(score, decimals))
         .withColumn(
             "is_outlier",
             F.coalesce(F.abs(F.col("mad_score")) > k, F.lit(False)),

@@ -337,6 +337,8 @@ def time_weighted_avg(
     the emitted precision, so results are stable across engines and runs.
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    from ..sqlgen import portable_round
+
     w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(value_col).asc())
     nxt = F.lead(us).over(w)
     seg = df.select(
@@ -357,7 +359,7 @@ def time_weighted_avg(
         )
         .select(
             F.col(key_col),
-            F.round(
+            portable_round(
                 F.when(F.col("span_us") > 0, F.col("_num") / F.col("span_us"))
                 .otherwise(F.col("_only")),
                 decimals,

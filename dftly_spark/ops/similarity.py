@@ -613,9 +613,11 @@ def centroid_outliers(
             ).alias("_cent")
         )
     )
+    from ..sqlgen import portable_round
+
     scored = emb.crossJoin(F.broadcast(cent)).select(
         F.col(id_col),
-        F.round(
+        portable_round(
             cosine(F.col(vec_col).cast("array<double>"), F.col("_cent")), decimals
         ).alias("centroid_cos"),
     )
@@ -650,8 +652,10 @@ def pool_embeddings(
         F.col(group_col),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "_v"),
     )
+    from ..sqlgen import portable_round
+
     out = exploded.groupBy(group_col, "pos").agg(aggs[how]("_v").alias("_val"))
-    val = F.round(F.col("_val"), decimals) if how == "mean" else F.col("_val")
+    val = portable_round(F.col("_val"), decimals) if how == "mean" else F.col("_val")
     return out.select(group_col, "pos", val.alias("val"))
 
 
@@ -781,7 +785,9 @@ def quantization_fidelity(
     withd = joined.select(F.col(id_col), F.col("_v"), deq.alias("_d"))
     num = dot(F.col("_v"), F.col("_d"))
     den = l2_norm(F.col("_v")) * l2_norm(F.col("_d"))
+    from ..sqlgen import portable_round
+
     return withd.select(
         F.col(id_col),
-        F.round(F.when(den > 0, num / den), decimals).alias("recon_cos"),
+        portable_round(F.when(den > 0, num / den), decimals).alias("recon_cos"),
     )

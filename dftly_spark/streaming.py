@@ -314,8 +314,10 @@ def stream_zscore(
     z = F.when(
         F.col("_bstd") > 0, (F.col(value_col) - F.col("_bmean")) / F.col("_bstd")
     )
+    from .sqlgen import portable_round
+
     return (
-        joined.withColumn("zscore", F.round(z, decimals))
+        joined.withColumn("zscore", portable_round(z, decimals))
         .withColumn(
             "is_anomaly",
             F.coalesce(F.abs(F.col("zscore")) > z_threshold, F.lit(False)),
