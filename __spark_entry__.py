@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dftly_spark import Parser
-from dftly_spark.sqlgen import portable_round
+from dftly_spark.sqlgen import exact_sum, portable_round
 
 
 def _prep(spark: SparkSession) -> None:
@@ -1597,7 +1597,10 @@ def _x21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_orders"),
-            portable_round(F.sum("o_totalprice"), 2).alias("total_price"),
+            # exact_sum, not sum(double): partial-sum order wobble on
+            # 1e9-magnitude money sums crosses the 2-dec rounding step
+            # as SF grows; integer sums are exact and order-independent
+            exact_sum(F.col("o_totalprice"), scale=100).alias("total_price"),
         )
     )
 
@@ -1607,7 +1610,8 @@ _q(
     _x21,
     """
     SELECT c.c_nationkey, COUNT(*) AS n_orders,
-           floor((SUM(o.o_totalprice)) * 100 + 0.5) / 100 AS total_price
+           CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0 AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_mktsegment = 'AUTOMOBILE'
     GROUP BY c.c_nationkey
@@ -3026,8 +3030,9 @@ def _x49(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "ship_year")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            portable_round(F.sum("revenue"), 2).alias("revenue"),
-            portable_round(F.sum("l_quantity"), 2).alias("qty"),
+            # exact_sum (see x21): order-independent integer money sums
+            exact_sum(F.col("revenue")).alias("revenue"),
+            exact_sum(F.col("l_quantity"), scale=100).alias("qty"),
         )
     )
 
@@ -3038,8 +3043,11 @@ _q(
     """
     SELECT n.n_name, year(l.l_shipdate) AS ship_year,
            COUNT(*) AS n_items,
-           floor((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue,
-           floor((SUM(l.l_quantity)) * 100 + 0.5) / 100 AS qty
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0
+             AS revenue,
+           CAST(SUM(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0 AS qty
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
