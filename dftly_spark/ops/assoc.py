@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sqlgen import portable_round
+
 __all__ = ["basket_pairs", "cooccurrence_pmi"]
 
 
@@ -149,8 +151,6 @@ def cooccurrence_pmi(
     # portable floor-scale rounding, not round(): Spark HALF_UP and
     # DuckDB's float-multiply round disagree exactly at the .5*10^-d
     # boundary, and regenerated data can land a knife-edge row any round
-    from ..sqlgen import portable_round
-
     lift = n * ng / (na * nb)
     return joined.select(
         "item_a",

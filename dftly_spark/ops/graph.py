@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sqlgen import portable_round
+
 # Edge rows per forced-shuffle-hash build task in triangle_count.  The
 # build side holds m/partitions (src, dst[, deg]) rows in an in-memory
 # hash map that cannot spill; ~150k rows is ~10-15 MB of map — the ratio
@@ -443,8 +445,6 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = _ckpt(ranks)
-    from ..sqlgen import portable_round
-
     return ranks.select(
         F.col("_n").alias("node"),
         portable_round(F.col("_r"), decimals).alias("rank"),

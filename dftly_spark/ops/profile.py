@@ -502,7 +502,9 @@ def impute_nulls(
     agg_exprs = []
     for c, how in strategy.items():
         if how == "mean":
-            agg_exprs.append(F.round(F.avg(F.col(c)), decimals).alias(f"_fill_{c}"))
+            agg_exprs.append(
+                portable_round(F.avg(F.col(c)), decimals).alias(f"_fill_{c}")
+            )
         elif how == "median":
             agg_exprs.append(
                 F.percentile(F.col(c), F.lit(0.5)).alias(f"_fill_{c}")

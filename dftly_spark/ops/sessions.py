@@ -33,6 +33,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..sqlgen import portable_round
+
 GAP_MICROS_DEFAULT = 30 * 60 * 1_000_000  # 30 minutes
 
 
@@ -337,8 +339,6 @@ def time_weighted_avg(
     the emitted precision, so results are stable across engines and runs.
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    from ..sqlgen import portable_round
-
     w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(value_col).asc())
     nxt = F.lead(us).over(w)
     seg = df.select(

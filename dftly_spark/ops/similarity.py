@@ -21,6 +21,8 @@ from pyspark.sql import Column as SparkColumn
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sqlgen import portable_round
+
 
 def dot(a: SparkColumn, b: SparkColumn, dim: int | None = None) -> SparkColumn:
     """Elementwise dot product of two array columns (double).
@@ -613,8 +615,6 @@ def centroid_outliers(
             ).alias("_cent")
         )
     )
-    from ..sqlgen import portable_round
-
     scored = emb.crossJoin(F.broadcast(cent)).select(
         F.col(id_col),
         portable_round(
@@ -652,8 +652,6 @@ def pool_embeddings(
         F.col(group_col),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "_v"),
     )
-    from ..sqlgen import portable_round
-
     out = exploded.groupBy(group_col, "pos").agg(aggs[how]("_v").alias("_val"))
     val = portable_round(F.col("_val"), decimals) if how == "mean" else F.col("_val")
     return out.select(group_col, "pos", val.alias("val"))
@@ -785,8 +783,6 @@ def quantization_fidelity(
     withd = joined.select(F.col(id_col), F.col("_v"), deq.alias("_d"))
     num = dot(F.col("_v"), F.col("_d"))
     den = l2_norm(F.col("_v")) * l2_norm(F.col("_d"))
-    from ..sqlgen import portable_round
-
     return withd.select(
         F.col(id_col),
         portable_round(F.when(den > 0, num / den), decimals).alias("recon_cos"),

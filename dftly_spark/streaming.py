@@ -27,6 +27,8 @@ from pyspark.sql import Column as SparkColumn
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .sqlgen import portable_round
+
 from .parser import Parser
 
 
@@ -314,8 +316,6 @@ def stream_zscore(
     z = F.when(
         F.col("_bstd") > 0, (F.col(value_col) - F.col("_bmean")) / F.col("_bstd")
     )
-    from .sqlgen import portable_round
-
     return (
         joined.withColumn("zscore", portable_round(z, decimals))
         .withColumn(

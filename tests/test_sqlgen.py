@@ -369,3 +369,34 @@ def test_agg_oracle_sql_assembles_and_runs(spark):
     con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
     want = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == want
+
+
+def test_oracle_text_uses_shared_float_conventions():
+    """Every contract oracle must use the portable floor-scale rounding
+    convention, never round(): Spark HALF_UP and DuckDB's float-multiply
+    round disagree exactly at the .5*10^-d boundary (the knife-edge class
+    swept out in round 8), and the floor-scale fragments hand-inlined in
+    oracle literals must keep the ONE template shape portable_round_sql /
+    exact_quant_sql define — this test is the drift guard for them."""
+    import re
+
+    import __spark_entry__ as e
+
+    for name, sql in e.oracle_sql().items():
+        # round( reintroduction is the regression this guards against;
+        # 'portable_round'-style python identifiers never appear in SQL
+        assert not re.search(r"(?<![\w.])round\(", sql, re.I), (
+            f"{name}: oracle uses round() — use the floor-scale convention"
+        )
+        # floor-scale fragments must multiply and divide by the SAME
+        # power of ten (a mismatched pair silently rescales the output)
+        for m in re.finditer(
+            r"floor\((.*?)\*\s*(\d+)\s*\+\s*0\.5\s*\)(?:\s*AS\s+BIGINT\s*\))?"
+            r"\s*(?:AS\s+BIGINT\s*\)\s*)?(?:AS\s+BIGINT\s*\)\s*)?",
+            sql,
+            re.S | re.I,
+        ):
+            p = int(m.group(2))
+            assert p in (10, 100, 1000, 10000, 100000, 1000000, 10**7, 10**8), (
+                f"{name}: non-power-of-ten floor scale {p}"
+            )
