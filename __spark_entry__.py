@@ -6902,6 +6902,85 @@ _q(
 )
 
 
+# --- x128: keyed aggregate from ONE shared spec -----------------------------
+# The agg-shape twin of the round-7 _spec_query/_spec_oracle pattern: the
+# SAME (where, group_by, select) dict drives BOTH the Spark aggregation and
+# the DuckDB oracle (sqlgen.agg_oracle_sql), so no scalar — filter, money
+# sum, portable-rounded avg, count — is ever hand-mirrored.
+
+_X128_WHERE = "$l_quantity > 25 and $l_discount <= 0.05"
+_X128_GROUP = ("l_returnflag", "l_linestatus")
+_X128_SELECT = {
+    "l_returnflag": ("expr", "$l_returnflag"),
+    "l_linestatus": ("expr", "$l_linestatus"),
+    "n": ("count", None),
+    "n_parts": ("count_distinct", "$l_partkey"),
+    "sum_lines": ("sum", "$l_linenumber"),
+    "sum_rev": ("exact_sum", _REV_EXPR),
+    "avg_disc": ("round6_avg", "$l_discount"),
+    "max_qty": ("max", "$l_quantity"),
+}
+
+
+def _agg_spec_query(table, select, where, group_by):
+    """Spark side of the shared agg spec: scalars compile through
+    Parser.expr_to_spark (the SAME AST sqlgen emits for DuckDB), agg kinds
+    map onto the matching Spark functions with the shared exact_sum /
+    portable-round conventions."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        df = _t(spark, sf_dir, table)
+        if where is not None:
+            df = df.where(Parser.expr_to_spark(where, schema=df))
+        keys = [
+            Parser.expr_to_spark(arg, schema=df).alias(name)
+            for name, (kind, arg) in dict(select).items()
+            if kind == "expr"
+        ]
+        assert len(keys) == len(group_by)
+        aggs = []
+        for name, (kind, arg) in dict(select).items():
+            if kind == "expr":
+                continue
+            col = None if arg is None else Parser.expr_to_spark(arg, schema=df)
+            if kind == "count":
+                a = F.count(F.lit(1)) if col is None else F.count(col)
+            elif kind == "count_distinct":
+                a = F.countDistinct(col)
+            elif kind == "exact_sum":
+                a = exact_sum(col)
+            elif kind == "round6_avg":
+                a = portable_round(F.avg(col))
+            elif kind in ("sum", "min", "max", "avg"):
+                a = getattr(F, kind)(col)
+            else:
+                raise ValueError(f"unknown agg kind {kind!r}")
+            aggs.append(a.alias(name))
+        return df.groupBy(*keys).agg(*aggs)
+
+    return run
+
+
+def _x128_oracle() -> str:
+    from dftly_spark.sqlgen import agg_oracle_sql
+
+    return agg_oracle_sql(
+        "lineitem",
+        _X128_SELECT,
+        _pq_schema("lineitem"),
+        where=_X128_WHERE,
+        group_by=_X128_GROUP,
+    )
+
+
+_q(
+    "x128_agg_spec",
+    _agg_spec_query("lineitem", _X128_SELECT, _X128_WHERE, _X128_GROUP),
+    _x128_oracle,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -6931,6 +7010,7 @@ _PRIORITY = [
     #    x48 sql-step restructure; x127 gates the new basket_pairs;
     #    basket-explode pair emit (x80/x107/x111/x113); novelty window
     #    first-owner (x112); kcore boundary early-exit (x111) --
+    "x128_agg_spec",
     "q30_chrono_midformat",
     "x89_pricing_summary",
     "x118_pca_project",
