@@ -6933,12 +6933,19 @@ def _agg_spec_query(table, select, where, group_by):
         df = _t(spark, sf_dir, table)
         if where is not None:
             df = df.where(Parser.expr_to_spark(where, schema=df))
+        # "expr" entries ARE the group keys: they must lead the select
+        # dict and name exactly group_by, in order — agg_oracle_sql groups
+        # by group_by and emits dict order, so any mismatch would silently
+        # diverge the two sides
+        items = list(dict(select).items())
+        expr_names = [n for n, (k, _) in items if k == "expr"]
+        assert tuple(expr_names) == tuple(group_by), (expr_names, group_by)
+        assert all(k == "expr" for _, (k, _a) in items[: len(expr_names)])
         keys = [
             Parser.expr_to_spark(arg, schema=df).alias(name)
-            for name, (kind, arg) in dict(select).items()
+            for name, (kind, arg) in items
             if kind == "expr"
         ]
-        assert len(keys) == len(group_by)
         aggs = []
         for name, (kind, arg) in dict(select).items():
             if kind == "expr":
@@ -7063,9 +7070,10 @@ _PRIORITY = [
     "x114_bpe_learn",
     "x115_bpe_encode",
     "x116_cube_stats",
-    "x117_join_size_sketch",
     # -- tail: >= 3 consecutive driver-green rows, or displaced; sampled
     #    again only if the window widens or they change --
+    # (x117 displaced by x128 this round -- the window stays exactly 50)
+    "x117_join_size_sketch",
     "x119_session_stats",
     "x120_scd2_snapshot",
     "x121_top_supplier",

@@ -493,6 +493,27 @@ def test_impute_nulls_strategies_and_all_null_group(spark):
         impute_nulls(df, "g", {"v": "mad"})
 
 
+def test_impute_nulls_mean_uses_portable_rounding(spark):
+    # mean fills go through the shared floor-scale convention: the
+    # .5e-6 knife edge rounds toward +inf on BOTH engine and oracle
+    # sides (F.round's HALF_UP would give -2.000001 for the negative
+    # case below; floor-scale gives -2.0)
+    from dftly_spark.ops import impute_nulls
+
+    df = spark.createDataFrame(
+        [
+            ("p", 1.0), ("p", 2.0), ("p", None),      # mean 1.5 exact
+            ("k", 0.0000005), ("k", 0.0000005), ("k", None),  # knife edge
+            ("n", -2.0000005), ("n", -2.0000005), ("n", None),
+        ],
+        "g string, v double",
+    )
+    out = {(r["g"], r["v"]) for r in impute_nulls(df, "g", {"v": "mean"}).collect()}
+    assert ("p", 1.5) in out
+    assert ("k", 1e-06) in out      # floor(0.5 + 0.5) = 1 at 1e-6 units
+    assert ("n", -2.0) in out       # floor(-2.0000005*1e6 + 0.5) = -2e6
+
+
 # ---------------------------------------------------------------------------
 # group_trend / count-min sketch
 # ---------------------------------------------------------------------------

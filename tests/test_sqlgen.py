@@ -389,14 +389,24 @@ def test_oracle_text_uses_shared_float_conventions():
             f"{name}: oracle uses round() — use the floor-scale convention"
         )
         # floor-scale fragments must multiply and divide by the SAME
-        # power of ten (a mismatched pair silently rescales the output)
+        # power of ten (a mismatched pair silently rescales the output).
+        # Two shapes exist: plain portable-round
+        #   floor((x) * P + 0.5) / P
+        # and the integer exact-sum/quantization wrapper
+        #   SUM(CAST(floor(x * P + 0.5) AS BIGINT)) ... / P[.0]
+        # In both, the divisor follows within a bounded tail of casts and
+        # closing parens — match it and compare.
         for m in re.finditer(
-            r"floor\((.*?)\*\s*(\d+)\s*\+\s*0\.5\s*\)(?:\s*AS\s+BIGINT\s*\))?"
-            r"\s*(?:AS\s+BIGINT\s*\)\s*)?(?:AS\s+BIGINT\s*\)\s*)?",
+            r"floor\(.*?\*\s*(\d+)\s*\+\s*0\.5\s*\)"       # multiplier
+            r"[\sA-Za-z()_,0-9]{0,80}?"                    # cast/paren tail
+            r"/\s*(\d+)(?:\.0)?",                          # divisor
             sql,
             re.S | re.I,
         ):
-            p = int(m.group(2))
-            assert p in (10, 100, 1000, 10000, 100000, 1000000, 10**7, 10**8), (
-                f"{name}: non-power-of-ten floor scale {p}"
+            mul, div = int(m.group(1)), int(m.group(2))
+            assert mul == div, (
+                f"{name}: floor-scale multiplier {mul} != divisor {div}"
+            )
+            assert mul in (10, 100, 1000, 10000, 10**5, 10**6, 10**7, 10**8), (
+                f"{name}: non-power-of-ten floor scale {mul}"
             )
