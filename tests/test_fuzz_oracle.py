@@ -548,3 +548,77 @@ def test_fuzzed_regex_match_duckdb(spark, seed):
             f"column c{i} mismatch (seed {seed})\n"
             f"dftly: {spec[f'c{i}']}\nsql:   {sql_cols[i]}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Keyed-aggregate shape: random shared specs through BOTH engines.
+# The x128 pattern (__spark_entry__._agg_spec_query + sqlgen.agg_oracle_sql)
+# fuzzed over its composition space: random filters, random scalar exprs
+# under each agg kind, 1-2 group keys.  Kinds are restricted to the
+# order-independent set (count / count_distinct / min / max / exact_sum)
+# plus round6_avg over a BARE column — a fuzzed compound expr under avg
+# can reach 1e6 magnitudes where double partial-sum order wobbles past
+# the 1e-6 rounding unit, which would fuzz the environment, not the code.
+# ---------------------------------------------------------------------------
+
+LI_NUM_COLS = [("l_quantity", False), ("l_extendedprice", False),
+               ("l_discount", False), ("l_tax", False)]
+
+
+def _agg_con():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_agg_specs_match_duckdb(spark, seed):
+    import __spark_entry__ as entry
+    from dftly_spark.sqlgen import agg_oracle_sql
+
+    rng = random.Random(7000 + seed)
+    gen = Gen(rng, max_depth=3)
+    gen_cols = LI_NUM_COLS
+    # Gen draws from the module-level NUM_COLS; re-point it at lineitem's
+    # raw numeric columns for this test only
+    global NUM_COLS
+    saved, NUM_COLS = NUM_COLS, gen_cols
+    try:
+        keys = rng.choice([("l_returnflag",), ("l_returnflag", "l_linestatus")])
+        select = {k: ("expr", f"${k}") for k in keys}
+        where_d, _ = gen.boolean()
+        kinds = ["count", "count_distinct", "min", "max", "exact_sum",
+                 "round6_avg"]
+        rng.shuffle(kinds)
+        for i, kind in enumerate(kinds[:4]):
+            if kind == "count":
+                arg = None
+            elif kind == "round6_avg":
+                arg = f"${rng.choice(gen_cols)[0]}"
+            else:
+                arg, _ = gen.num()
+            select[f"a{i}"] = (kind, arg)
+    finally:
+        NUM_COLS = saved
+
+    run = entry._agg_spec_query("lineitem", select, where_d, keys)
+    got = run(spark, SF_DIR).toPandas()
+    sql = agg_oracle_sql(
+        "lineitem", select, entry._pq_schema("lineitem"),
+        where=where_d, group_by=keys,
+    )
+    want = _agg_con().execute(sql).df()
+    assert list(got.columns) == list(want.columns), (select, where_d)
+    key_cols = list(keys)
+    got = got.sort_values(key_cols).reset_index(drop=True)
+    want = want.sort_values(key_cols).reset_index(drop=True)
+    assert len(got) == len(want), (select, where_d, len(got), len(want))
+    for c in got.columns:
+        g = _canon(list(got[c]))
+        w = _canon(list(want[c]))
+        assert g == w, (
+            f"column {c} mismatch (seed {seed})\n"
+            f"spec: {select[c]}\nwhere: {where_d}\nsql:\n{sql}"
+        )
