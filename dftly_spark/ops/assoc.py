@@ -58,13 +58,29 @@ def basket_pairs(
         .where(g.isNotNull() & i.isNotNull())
         .distinct()
     )
-    if max_items_per_group is not None:
-        w = Window.partitionBy("_g").orderBy("_i")
-        gi = (
-            gi.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= max_items_per_group)
-            .drop("_rn")
-        )
+    gi = _cap_items(gi, max_items_per_group)
+    return _pairs_from_distinct(gi)
+
+
+def _cap_items(gi: DataFrame, max_items_per_group: int | None) -> DataFrame:
+    """Deterministic keep-first-k items per group (no-op when uncapped)."""
+    if max_items_per_group is None:
+        return gi
+    w = Window.partitionBy("_g").orderBy("_i")
+    return (
+        gi.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_items_per_group)
+        .drop("_rn")
+    )
+
+
+def _pairs_from_distinct(gi: DataFrame) -> DataFrame:
+    """Pair emit over an ALREADY-distinct, already-capped (_g, _i) frame.
+
+    Split out so internal callers that have just built such a frame
+    (cooccurrence_pmi) don't pay a redundant exchange+aggregate for a
+    semantically no-op second distinct in the hot path.
+    """
     return (
         gi.groupBy("_g")
         .agg(F.sort_array(F.collect_list("_i")).alias("_is"))
@@ -102,23 +118,18 @@ def cooccurrence_pmi(
         .where(g.isNotNull() & i.isNotNull())
         .distinct()
     )
-    if max_items_per_group is not None:
-        w = Window.partitionBy("_g").orderBy("_i")
-        gi = (
-            gi.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= max_items_per_group)
-            .drop("_rn")
-        )
+    gi = _cap_items(gi, max_items_per_group)
 
     # Marginals and the group total: small aggregates, broadcast back in.
     item_counts = gi.groupBy("_i").agg(F.count("*").alias("_n_item"))
     totals = gi.agg(F.countDistinct("_g").alias("_n_groups"))
 
-    # Pair emit via the basket explode (see basket_pairs): gi is already
-    # distinct + capped, so feed it through directly (the helper's own
-    # distinct is a no-op on it and keeps one code path).
+    # Pair emit via the basket explode: gi is already distinct + capped,
+    # so use the post-distinct body directly — going through basket_pairs
+    # would insert a semantically no-op but physically real second
+    # exchange+aggregate into the hot path.
     pairs = (
-        basket_pairs(gi, "_g", "_i")
+        _pairs_from_distinct(gi)
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_both"))
         .where(F.col("n_both") >= min_pair_count)

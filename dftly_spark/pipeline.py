@@ -70,6 +70,7 @@ from __future__ import annotations
 
 import inspect
 import itertools
+import weakref
 from pathlib import Path
 from typing import Any
 
@@ -140,10 +141,23 @@ _STREAM_SAFE_OPS = ("gopher_rules", "line_filter", "melt")
 _SQL_VIEW_COUNTER = itertools.count()
 
 # Temp views the sql step had to leave registered (Spark Connect defers
-# analysis, so the view must outlive the returned frame).  A long-lived
-# Connect session running many sql steps can call drop_sql_views() once
-# the frames built on them have been collected.
-_PENDING_SQL_VIEWS: list[str] = []
+# analysis, so the view must outlive the returned frame).  Keyed PER
+# SparkSession (weakly — a dropped session reclaims its entry and its
+# views die with the session server-side) so that two concurrent Connect
+# sessions never drain each other's names: dropTempView in session A
+# cannot see B's views, and a shared list would pop B's names and leak
+# them forever.  A long-lived Connect session running many sql steps can
+# call drop_sql_views(session) once the frames built on them have been
+# collected.
+_PENDING_SQL_VIEWS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _pending_views(spark) -> list:
+    """The caller's own pending-view list (created on first use)."""
+    views = _PENDING_SQL_VIEWS.get(spark)
+    if views is None:
+        views = _PENDING_SQL_VIEWS[spark] = []
+    return views
 
 
 def drop_sql_views(spark) -> int:
@@ -151,12 +165,14 @@ def drop_sql_views(spark) -> int:
 
     Only safe once every DataFrame returned by those sql steps has been
     fully consumed (Connect re-resolves the plan on each action, so a
-    live frame still needs its view).  Returns the number dropped.
-    Classic Spark never accumulates views, so this is a no-op there.
+    live frame still needs its view).  Drains only the CALLER's entries
+    (the registry is per-session).  Returns the number dropped.  Classic
+    Spark never accumulates views, so this is a no-op there.
     """
     dropped = 0
-    while _PENDING_SQL_VIEWS:
-        name = _PENDING_SQL_VIEWS.pop()
+    views = _PENDING_SQL_VIEWS.pop(spark, [])
+    while views:
+        name = views.pop()
         try:
             # returns False (no raise) when the view is already gone
             if spark.catalog.dropTempView(name) is not False:
@@ -217,7 +233,8 @@ def _apply_step(df: DataFrame, step: dict, idx: int) -> DataFrame:
         df.createOrReplaceTempView(view)
         if type(df).__module__.startswith("pyspark.sql.connect"):
             out = df.sparkSession.sql(step["sql"].replace("{t}", view))
-            _PENDING_SQL_VIEWS.append(view)  # reclaim via drop_sql_views()
+            # reclaim via drop_sql_views(session) — per-session registry
+            _pending_views(df.sparkSession).append(view)
             return out
         # classic path: analysis is eager, so the view is droppable the
         # moment spark.sql returns — and must be dropped even when the

@@ -630,7 +630,15 @@ for _k in _US:
 
 
 def exact_sum_sql(expr_sql: str, *, scale: int = 10000) -> str:
-    """DuckDB text of the exact integer-scaled sum convention."""
+    """DuckDB text of the exact integer-scaled sum convention.
+
+    Unguarded-input behavior is LOUD on this side: DuckDB's
+    ``CAST(floor(...) AS BIGINT)`` raises a conversion error on NaN or a
+    magnitude beyond int64 — it never silently wraps.  :func:`exact_sum`
+    mirrors that loudness on the Spark side (where ``F.floor`` would
+    otherwise return 0 for NaN and wrap on overflow), so an unguarded
+    input fails the gate on BOTH engines instead of silently diverging.
+    """
     return (
         f"CAST(sum(CAST(floor(({expr_sql}) * {scale} + 0.5) AS BIGINT)) "
         f"AS BIGINT) / {scale}.0"
@@ -638,26 +646,61 @@ def exact_sum_sql(expr_sql: str, *, scale: int = 10000) -> str:
 
 
 def exact_sum(expr, *, scale: int = 10000):
-    """Spark column of the exact integer-scaled sum convention."""
+    """Spark column of the exact integer-scaled sum convention.
+
+    Inputs must be finite with ``|x| < 2^63/scale``.  Spark's ``floor``
+    returns LongType — NaN would silently become 0 and an out-of-range
+    magnitude would wrap — while the DuckDB oracle's BIGINT cast raises.
+    To keep both engines loud (and agreeing), a per-row guard raises on
+    non-finite or out-of-range input instead of summing garbage.
+    """
     from pyspark.sql import functions as F
 
+    x = expr.cast("double")
+    lim = (2.0 ** 63) / scale  # beyond this the long cast would wrap
+    ok = x.isNull() | ((~F.isnan(x)) & (F.abs(x) < F.lit(lim)))
+    guarded = F.when(ok, x).otherwise(
+        F.raise_error(F.lit("exact_sum: non-finite or out-of-range input"))
+    )
     return F.sum(
-        F.floor(expr * F.lit(scale) + F.lit(0.5)).cast("bigint")
+        F.floor(guarded * F.lit(scale) + F.lit(0.5)).cast("bigint")
     ) / float(scale)
 
 
 def portable_round_sql(expr_sql: str, d: int = 6) -> str:
-    """DuckDB text of the floor-scale rounding convention."""
+    """DuckDB text of the floor-scale rounding convention.
+
+    NaN and magnitudes >= 2^53/10^d pass through unchanged (above 2^53
+    the double grid is coarser than 1, so 10^-d rounding is the identity
+    anyway) — the same passthrough :func:`portable_round` applies, so
+    both engines agree on unguarded inputs instead of Spark's long-typed
+    ``floor`` silently mapping NaN to 0 / wrapping past int64.
+    """
     p = 10 ** d
-    return f"floor(({expr_sql}) * {p} + 0.5) / {p}"
+    x = f"CAST(({expr_sql}) AS DOUBLE)"
+    lim = repr((2.0 ** 53) / p)
+    return (
+        f"CASE WHEN isnan({x}) OR abs({x}) >= {lim} THEN {x} "
+        f"ELSE floor({x} * {p} + 0.5) / {p} END"
+    )
 
 
 def portable_round(expr, d: int = 6):
-    """Spark column of the floor-scale rounding convention."""
+    """Spark column of the floor-scale rounding convention.
+
+    NaN / huge magnitudes pass through unchanged (see
+    :func:`portable_round_sql`); the identical guard on both sides keeps
+    the engines agreeing where Spark's LongType ``floor`` would otherwise
+    silently diverge from DuckDB's double ``floor``.
+    """
     from pyspark.sql import functions as F
 
     p = float(10 ** d)
-    return F.floor(expr * p + F.lit(0.5)) / p
+    x = expr.cast("double")
+    lim = (2.0 ** 53) / p
+    return F.when(F.isnan(x) | (F.abs(x) >= F.lit(lim)), x).otherwise(
+        F.floor(x * p + F.lit(0.5)) / p
+    )
 
 
 def agg_oracle_sql(

@@ -310,8 +310,24 @@ def test_drop_sql_views_drains_pending_registry(spark):
       - sql: "SELECT count(*) AS n FROM {t}"
     """
     run_pipeline(spark, yaml_src, sf_dir=SF_DIR).collect()
-    assert plmod._PENDING_SQL_VIEWS == []
+    assert plmod._PENDING_SQL_VIEWS.get(spark) in (None, [])
     assert plmod.drop_sql_views(spark) == 0
-    plmod._PENDING_SQL_VIEWS.append("_dftly_step_0_999999")  # never created
+    # stale name (e.g. after a Connect session restart) drains w/o raising
+    plmod._pending_views(spark).append("_dftly_step_0_999999")  # never created
     assert plmod.drop_sql_views(spark) in (0, 1)
-    assert plmod._PENDING_SQL_VIEWS == []
+    assert plmod._PENDING_SQL_VIEWS.get(spark) in (None, [])
+
+
+def test_drop_sql_views_is_per_session(spark):
+    # The registry must be keyed by session: draining for one session
+    # leaves another session's pending views untouched.
+    from dftly_spark import pipeline as plmod
+
+    class _FakeSession:  # stands in for a second Connect session
+        pass
+
+    other = _FakeSession()
+    plmod._pending_views(other).append("_dftly_step_9_123")
+    assert plmod.drop_sql_views(spark) == 0  # does not touch `other`
+    assert plmod._PENDING_SQL_VIEWS.get(other) == ["_dftly_step_9_123"]
+    del plmod._PENDING_SQL_VIEWS[other]

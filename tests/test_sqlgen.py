@@ -410,3 +410,62 @@ def test_oracle_text_uses_shared_float_conventions():
             assert mul in (10, 100, 1000, 10000, 10**5, 10**6, 10**7, 10**8), (
                 f"{name}: non-power-of-ten floor scale {mul}"
             )
+
+
+def test_float_convention_guards_on_unguarded_inputs(spark):
+    """The shared conventions must not silently diverge on NaN / huge
+    magnitudes (Spark's LongType floor maps NaN to 0 and wraps past
+    int64; DuckDB's double floor keeps them).  portable_round passes
+    them through IDENTICALLY on both engines; exact_sum is LOUD on both
+    (DuckDB's BIGINT cast raises, Spark's guard raises)."""
+    import math
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from dftly_spark.sqlgen import (
+        exact_sum,
+        exact_sum_sql,
+        portable_round,
+        portable_round_sql,
+    )
+
+    vals = [1.2345675, float("nan"), 1e300, -1e300, float("inf"), None, 0.5e-6]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r["y"]
+        for r in sdf.select(portable_round(F.col("x")).alias("y")).collect()
+    ]
+    con = duckdb.connect()
+    exp = [
+        con.execute(
+            f"SELECT {portable_round_sql('x')} FROM (SELECT CAST(? AS DOUBLE) x)",
+            [v],
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        if g is None or e is None:
+            assert g is None and e is None
+        elif math.isnan(e):
+            assert math.isnan(g)
+        else:
+            assert g == e  # bit-identical double math on both engines
+    assert math.isnan(got[1]) and got[2] == 1e300 and math.isinf(got[4])
+
+    # exact_sum: loud on BOTH engines for NaN input
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="exact_sum"):
+        sdf.agg(exact_sum(F.col("x")).alias("s")).collect()
+    with _pytest.raises(Exception):
+        con.execute(
+            f"SELECT {exact_sum_sql('x')} FROM (SELECT 'nan'::DOUBLE x)"
+        ).fetchone()
+    # ...and still exact on guarded input
+    ok = sdf.where(~F.isnan("x") & (F.abs("x") < 1e9))
+    s = ok.agg(exact_sum(F.col("x")).alias("s")).collect()[0]["s"]
+    assert s == con.execute(
+        f"SELECT {exact_sum_sql('x')} FROM (VALUES (1.2345675), (0.0000005)) t(x)"
+    ).fetchone()[0]
