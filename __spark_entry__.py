@@ -4361,7 +4361,7 @@ _q(
     ), f AS (
       SELECT doc_id,
              list_filter(lines,
-               x -> len(list_filter(string_split_regex(x, '\s+'),
+               x -> len(list_filter(string_split_regex(x, '\\s+'),
                                     w -> w <> '')) >= 3
                     AND NOT contains(lower(x), 'slow')) AS kept,
              len(lines) AS n_lines
@@ -6937,10 +6937,20 @@ def _agg_spec_query(table, select, where, group_by):
         # dict and name exactly group_by, in order — agg_oracle_sql groups
         # by group_by and emits dict order, so any mismatch would silently
         # diverge the two sides
+        # ValueError, not assert: a mis-ordered spec silently diverges the
+        # engine and oracle sides, and assert is stripped under python -O.
         items = list(dict(select).items())
         expr_names = [n for n, (k, _) in items if k == "expr"]
-        assert tuple(expr_names) == tuple(group_by), (expr_names, group_by)
-        assert all(k == "expr" for _, (k, _a) in items[: len(expr_names)])
+        if tuple(expr_names) != tuple(group_by):
+            raise ValueError(
+                f"agg spec 'expr' entries {expr_names} must name exactly "
+                f"group_by {tuple(group_by)}, in order"
+            )
+        if not all(k == "expr" for _, (k, _a) in items[: len(expr_names)]):
+            raise ValueError(
+                "agg spec 'expr' entries must lead the select dict "
+                f"(got kinds {[k for _, (k, _a) in items]})"
+            )
         keys = [
             Parser.expr_to_spark(arg, schema=df).alias(name)
             for name, (kind, arg) in items
@@ -6988,6 +6998,163 @@ _q(
 )
 
 
+# --- x129: fuzzy entity-resolution join (prefix-filter similarity join) ----
+# ops/entity.py fuzzy_join: EXACT-threshold cross-table Jaccard join via
+# AllPairs/PPJoin prefix filtering (recall 1 by construction, unlike the
+# LSH paths).  The synthetic corpus has no natural cross-table near-dups
+# (all cross-source jaccards < 0.1), so the query PLANTS the right table
+# deterministically — every 3rd document re-ids to +1_000_000 with its
+# first 6 words dropped (same construction pattern as x05's planted
+# embedding dups) — and the oracle recomputes all qualifying pairs through
+# the lossless shared-shingle candidate join (any pair with jaccard >= 0.5
+# shares a 3-gram), so it checks the prefix filter's RECALL, not just its
+# precision.
+
+
+def _x129_planted(docs: DataFrame) -> DataFrame:
+    """Right side: every 3rd doc, id +1_000_000, first 6 words dropped
+    (only docs keeping >= 3 words, so shingle sets stay non-degenerate)."""
+    w = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    return (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .where(F.size(w) > 8)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(w, 7, F.size(w))).alias("text"),
+        )
+    )
+
+
+def _x129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import fuzzy_join
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_join(
+        docs, _x129_planted(docs), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+_q(
+    "x129_fuzzy_join",
+    _x129,
+    r"""
+    WITH lw AS (SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                FROM documents),
+    rw AS (SELECT doc_id + 1000000 AS doc_id, list_slice(w, 7, len(w)) AS w
+           FROM lw WHERE doc_id % 3 = 0 AND len(w) > 8),
+    sides AS (SELECT 'l' AS side, doc_id, w FROM lw
+              UNION ALL SELECT 'r', doc_id, w FROM rw),
+    idx AS (SELECT side, doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+            FROM sides WHERE len(w) >= 3),
+    sh AS (SELECT DISTINCT side, doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS g FROM idx
+           UNION SELECT DISTINCT side, doc_id, array_to_string(w, ' ') AS g
+                 FROM sides WHERE len(w) < 3),
+    sizes AS (SELECT side, doc_id, count(*) AS n FROM sh GROUP BY 1, 2),
+    shared AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS s
+               FROM sh a JOIN sh b ON a.g = b.g AND a.side = 'l' AND b.side = 'r'
+               GROUP BY 1, 2)
+    SELECT id_l, id_r, s::DOUBLE / (x.n + y.n - s) AS jaccard
+    FROM shared
+    JOIN sizes x ON x.side = 'l' AND x.doc_id = id_l
+    JOIN sizes y ON y.side = 'r' AND y.doc_id = id_r
+    WHERE s::DOUBLE / (x.n + y.n - s) >= 0.5
+    """,
+)
+
+
+# --- x130: Pareto frontier (skyline) without the O(n^2) dominance join ----
+# ops/profile.py pareto_front: per-returnflag maximize-(quantity, price)
+# frontier of lineitem.  The engine's plan is agg-to-distinct-x + cumulative
+# window + semi-join back; the oracle is the DEFINITION — NOT EXISTS
+# dominance over the per-(group, x) maxima — so the two sides share no
+# algorithm, only semantics.
+
+
+def _x130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import pareto_front
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return pareto_front(
+        li, "l_quantity", "l_extendedprice", by=["l_returnflag"]
+    ).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+
+_q(
+    "x130_pareto_front",
+    _x130,
+    """
+    WITH pts AS (
+      SELECT l_returnflag AS g, l_quantity AS x, max(l_extendedprice) AS y
+      FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      GROUP BY 1, 2
+    ), fr AS (
+      SELECT * FROM pts p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.g = p.g AND q.x >= p.x AND q.y >= p.y
+          AND (q.x > p.x OR q.y > p.y)
+      )
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           l.l_quantity, l.l_extendedprice
+    FROM lineitem l
+    JOIN fr ON l.l_returnflag = fr.g AND l.l_quantity = fr.x
+           AND l.l_extendedprice = fr.y
+    """,
+)
+
+
+# --- x131: calibration curve (reliability diagram) ------------------------
+# ops/quality.py calibration_curve: the rank-free companion to x99's AUC.
+# Does event value's magnitude CALIBRATE against the purchase rate?  Bin
+# index is one mirrored float expression; mean_score uses the shared
+# exact-integer-sum convention (a raw double sum over 600k rows wobbles
+# with partition order past 6-decimal rounding); frac_pos is a ratio of
+# exact integers.
+
+
+def _x131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dftly_spark.ops import calibration_curve
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").alias("is_purchase")
+    )
+    return calibration_curve(
+        ev, "value", "is_purchase", bins=20, lo=0.0, hi=500.0
+    )
+
+
+def _x131_oracle() -> str:
+    from dftly_spark.sqlgen import exact_sum_sql, portable_round_sql
+
+    mean_s = portable_round_sql(f"({exact_sum_sql('s', scale=10**8)}) / count(*)")
+    frac_p = portable_round_sql("CAST(sum(y) AS BIGINT) / count(*)")
+    return f"""
+    WITH t AS (
+      SELECT CAST(value AS DOUBLE) AS s,
+             CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), b AS (
+      SELECT CAST(least(greatest(floor(((s - 0.0) / 500.0) * 20), 0), 19) AS INTEGER) AS bin,
+             s, y
+      FROM t
+    )
+    SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+           {mean_s} AS mean_score,
+           {frac_p} AS frac_pos
+    FROM b GROUP BY bin
+    """
+
+
+_q("x131_calibration", _x131, _x131_oracle)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -7010,6 +7177,16 @@ _PRIORITY = [
     # displacing one leaves it permanently unsampled (x122 sat at index 50
     # for four rounds).
     #
+    # -- round-9 added: x129 fuzzy_join (prefix-filter similarity join),
+    #    x130 pareto_front, x131 calibration_curve.  Round-9 changed: the
+    #    portable_round/exact_sum NaN+overflow guards (sqlgen) touch every
+    #    floor-scale pair — x128/x89/x80/x127/x21/x49 and the window-stat
+    #    queries below keep their in-window spots as canaries for it; x80
+    #    also skips basket_pairs' redundant distinct; x48 covers the
+    #    per-session sql-view registry --
+    "x129_fuzzy_join",
+    "x130_pareto_front",
+    "x131_calibration",
     # -- round-8 changed: q30 oracle regenerated from century_plan; x89
     #    avgs + the 16-query portable-round sweep (round() on both sides
     #    replaced by the floor-scale convention, killing the HALF_UP vs

@@ -16,7 +16,7 @@ sketches replace the exact NDVs and the Expand disappears.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sqlgen import portable_round
@@ -844,3 +844,54 @@ def mad_outliers(
         )
         .drop("_med", "_mad")
     )
+
+
+def pareto_front(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    by: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Rows on the maximize-(x, y) Pareto frontier, per ``by`` group.
+
+    A row survives iff NO other row in its group strictly dominates it
+    (``>=`` in both dimensions and ``>`` in at least one).  Duplicated
+    frontier points all survive (neither copy dominates the other).  The
+    pipeline use: pick the quality-vs-length (or score-vs-cost) frontier
+    of a corpus instead of a single-metric top-k.
+
+    100 TB plan shape — never the O(n²) dominance self-join:
+
+    1. one keyed aggregation to ``max(y)`` per ``(by, x)`` (map-side
+       combine; the frame shrinks to #distinct-x rows per group);
+    2. a cumulative ``max(y)`` window in descending ``x`` over that
+       AGGREGATED frame — a row's x-ties share the aggregate row, so the
+       window partition holds at most #distinct-x rows, not n.  (For an
+       ungrouped frontier over a near-continuous x, distinct-x ~ n and
+       this single window partition is the bound to watch — bucket x
+       first, or use the two-level partitioned_cumsum shape, when
+       distinct-x per group stops fitting a partition.)
+    3. an equi-join back on ``(by, x, y = max_y)`` returns the surviving
+       input rows with all their columns.
+    """
+    by = list(by)
+    x, y = F.col(x_col), F.col(y_col)
+    per_x = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(*by, x_col)
+        .agg(F.max(y).alias("_ymax"))
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.desc(x_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # survivor iff y strictly exceeds every y seen at strictly larger x
+    # (an equal y at larger x dominates; equal x-ties were pre-aggregated)
+    frontier = (
+        per_x.withColumn("_prev", F.max("_ymax").over(w))
+        .where(F.col("_prev").isNull() | (F.col("_ymax") > F.col("_prev")))
+        .select(*by, x_col, F.col("_ymax").alias(y_col))
+    )
+    return df.join(frontier, [*by, x_col, y_col], "left_semi")

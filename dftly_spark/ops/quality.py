@@ -358,3 +358,52 @@ class _ObservedExpectations:
             (label, n, got[f"violations_{i}"], got[f"violations_{i}"] == 0)
             for i, label in enumerate(self.labels)
         ]
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Reliability diagram: per score-bin counts vs observed positive rate.
+
+    Buckets ``score_col`` into ``bins`` equal-width bins over ``[lo, hi)``
+    (scores at ``hi`` land in the last bin) and reports, per bin:
+    ``n``, ``n_pos``, ``mean_score`` and ``frac_pos``.  A well-calibrated
+    scorer has ``mean_score ≈ frac_pos`` per bin — the standard companion
+    diagnostic to :func:`roc_auc` (AUC is rank-only; calibration is not).
+
+    One scan, one keyed aggregation (map-side combine over ≤ ``bins``
+    keys) — nothing about this changes at 100 TB.
+
+    Cross-engine float discipline: the bin index is the single expression
+    ``floor(((s - lo) / (hi - lo)) * bins)`` (identical IEEE ops in any
+    engine); ``mean_score`` uses the shared exact integer-scaled sum
+    convention (order-independent — a raw double sum over millions of rows
+    wobbles with partition order beyond 6-decimal rounding); ``frac_pos``
+    is a ratio of exact integers.
+    """
+    from ..sqlgen import exact_sum, portable_round
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("boolean")
+    b = F.floor(((s - F.lit(float(lo))) / F.lit(float(hi - lo))) * F.lit(bins))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).cast("int")
+    return (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y.cast("bigint")).alias("n_pos"),
+            portable_round(
+                exact_sum(s, scale=10**8) / F.count(F.lit(1))
+            ).alias("mean_score"),
+            portable_round(
+                F.sum(y.cast("bigint")).cast("double") / F.count(F.lit(1))
+            ).alias("frac_pos"),
+        )
+    )

@@ -1,0 +1,146 @@
+"""fuzzy_join (prefix-filter set-similarity join), pareto_front,
+calibration_curve — semantics pinned against tiny hand-checked frames plus
+a brute-force cross-check for the prefix filter's exact-recall guarantee."""
+
+import itertools
+
+import pytest
+
+from dftly_spark.ops import calibration_curve, fuzzy_join, pareto_front
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join
+# ---------------------------------------------------------------------------
+
+def _jac(a: str, b: str, n: int) -> float:
+    def sh(t):
+        ws = t.lower().split()
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_fuzzy_join_exact_recall_vs_bruteforce(spark):
+    """Prefix filtering must return EVERY pair >= threshold (recall 1),
+    and nothing below it — checked against the O(n*m) definition."""
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    import random
+
+    rng = random.Random(7)
+    left = [(i, " ".join(rng.choices(words, k=rng.randint(1, 6)))) for i in range(30)]
+    right = [(100 + i, " ".join(rng.choices(words, k=rng.randint(1, 6)))) for i in range(30)]
+    ldf = spark.createDataFrame(left, "id bigint, name string")
+    rdf = spark.createDataFrame(right, "id bigint, name string")
+
+    for t, n in [(0.5, 1), (0.34, 1), (0.5, 2), (1.0, 1)]:
+        got = {
+            (r["id_l"], r["id_r"]): r["jaccard"]
+            for r in fuzzy_join(ldf, rdf, "id", "name", n=n, threshold=t).collect()
+        }
+        want = {
+            (i, j): _jac(a, b, n)
+            for (i, a), (j, b) in itertools.product(left, right)
+            if _jac(a, b, n) >= t
+        }
+        assert set(got) == set(want), (t, n, set(want) - set(got), set(got) - set(want))
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_fuzzy_join_best_match_tiebreak(spark):
+    ldf = spark.createDataFrame([(1, "red cat")], "id bigint, name string")
+    rdf = spark.createDataFrame(
+        [(10, "red cat"), (11, "red cat"), (12, "red dog")],
+        "id bigint, name string",
+    )
+    rows = fuzzy_join(
+        ldf, rdf, "id", "name", n=1, threshold=0.3, best_match=True
+    ).collect()
+    assert len(rows) == 1
+    # jaccard 1.0 ties between 10 and 11 -> lowest id_r wins
+    assert (rows[0]["id_l"], rows[0]["id_r"], rows[0]["jaccard"]) == (1, 10, 1.0)
+
+
+def test_fuzzy_join_empty_and_threshold_validation(spark):
+    ldf = spark.createDataFrame([(1, "   "), (2, "a b")], "id bigint, name string")
+    rdf = spark.createDataFrame([(3, "a b")], "id bigint, name string")
+    out = fuzzy_join(ldf, rdf, "id", "name", n=1, threshold=0.5).collect()
+    assert [(r["id_l"], r["id_r"]) for r in out] == [(2, 3)]  # blank left dropped
+    with pytest.raises(ValueError, match="threshold"):
+        fuzzy_join(ldf, rdf, "id", "name", threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# pareto_front
+# ---------------------------------------------------------------------------
+
+def test_pareto_front_dominance_and_ties(spark):
+    rows = [
+        # (group, x, y)    frontier for g1: (5,1), (3,4) x2 copies, (1,9)
+        ("g1", 5, 1), ("g1", 3, 4), ("g1", 3, 4), ("g1", 1, 9),
+        ("g1", 3, 3),   # dominated by (3,4): equal x, smaller y
+        ("g1", 2, 4),   # dominated by (3,4): smaller x, equal y
+        ("g1", 1, 1),   # dominated by everything
+        ("g2", 1, 1),   # alone in its group -> frontier
+    ]
+    df = spark.createDataFrame(rows, "g string, x int, y int")
+    got = sorted(
+        (r["g"], r["x"], r["y"])
+        for r in pareto_front(df, "x", "y", by=["g"]).collect()
+    )
+    assert got == [
+        ("g1", 1, 9), ("g1", 3, 4), ("g1", 3, 4), ("g1", 5, 1), ("g2", 1, 1),
+    ]
+
+
+def test_pareto_front_global_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 4), (3, 1), (None, 9), (4, None)],
+        "x int, y int",
+    )
+    got = sorted((r["x"], r["y"]) for r in pareto_front(df, "x", "y").collect())
+    assert got == [(1, 5), (2, 4), (3, 1)]  # null coords excluded
+
+
+def test_pareto_front_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(rng.randint(0, 20), rng.randint(0, 20)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = sorted((r["x"], r["y"]) for r in pareto_front(df, "x", "y").collect())
+    want = sorted(
+        p for p in rows
+        if not any(
+            q[0] >= p[0] and q[1] >= p[1] and (q[0] > p[0] or q[1] > p[1])
+            for q in rows
+        )
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# calibration_curve
+# ---------------------------------------------------------------------------
+
+def test_calibration_curve_bins_and_rates(spark):
+    rows = [
+        (0.05, 0), (0.05, 0), (0.15, 1), (0.95, 1), (1.0, 1),  # 1.0 -> last bin
+        (-0.5, 0),  # below lo -> clamped to bin 0
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["mean_score"], r["frac_pos"])
+        for r in calibration_curve(df, "s", "y", bins=10).collect()
+    }
+    assert set(got) == {0, 1, 9}
+    n, npos, ms, fp = got[0]
+    assert (n, npos) == (3, 0) and fp == 0.0
+    assert ms == pytest.approx((0.05 + 0.05 - 0.5) / 3, abs=1e-6)
+    assert got[1] == (1, 1, 0.15, 1.0)
+    n, npos, ms, fp = got[9]
+    assert (n, npos, fp) == (2, 2, 1.0) and ms == pytest.approx(0.975, abs=1e-6)
