@@ -18,28 +18,38 @@ MapReduce formulation; all public):
   ``|A|-α+1`` tokens of A and the first ``|B|-α+1`` tokens of B must share
   an element (pigeonhole).  So indexing only each set's PREFIX — a
   ``(1-t)`` fraction of its tokens — finds every qualifying pair.
-* Candidates from the prefix equi-join are verified with the exact Jaccard
-  on the full token arrays, so hash collisions or over-long prefixes only
-  cost work, never correctness.
+* Candidates from the prefix equi-join are verified with the exact set
+  intersection, so an over-long prefix only costs work, never correctness.
 
 100 TB design:
 
-* The global token order here is **xxhash64 order** — needs no corpus
-  statistics and decorrelates from token frequency, so stop-word-ish tokens
-  don't systematically land in every prefix (lexicographic order would put
-  the same hot tokens first for every row).  The classical refinement —
-  ascending document-frequency order, which provably minimizes candidate
-  count — needs one extra token-count aggregate + join per side; worth it
-  when corpus stats are already materialized, not by default.
-* The prefix join keys are the 8-byte token hashes, not the token strings:
-  a hash collision can only ADD a candidate (verification is exact), and
-  8-byte shuffle keys beat variable-length shingle strings.
-* Everything is native Catalyst: ``sort_array`` over (hash, token) structs,
-  ``slice`` for the prefix, one equi-join, one distinct, verification via
-  ``array_intersect`` — no Python on data, no cartesian product.
+* Sets live as EXPLODED ``(id, shingle-hash)`` rows, never as per-row
+  arrays: the token explode + ``lead()`` window + ``xxhash64`` path
+  (:func:`~dftly_spark.ops.dedup._shingle_instance_frames`, shared with
+  minhash) stays in whole-stage codegen, while array higher-order
+  functions evaluate interpreted (~13 µs/shingle measured in this repo —
+  the array formulation of this op benched 6× slower end-to-end).
+* The global token order is **xxhash64 order** — needs no corpus
+  statistics and decorrelates from token frequency, so stop-word-ish
+  tokens don't systematically land in every prefix (lexicographic order
+  would put the same hot tokens first for every row).  The classical
+  refinement — ascending document-frequency order, which provably
+  minimizes candidate count — needs one extra token-count aggregate +
+  join per side; worth it when corpus stats are already materialized, not
+  by default.
+* Prefix membership is a ``row_number``/``count`` window pair over the
+  per-id partition (one keyed shuffle per side, reused by the size
+  aggregate); join keys are the 8-byte hashes.
+* Verification is the V-SMART count-aggregation: candidates re-join each
+  side's shingle rows on ``(id, hash)`` and the shared-gram count feeds
+  ``jaccard = s / (|A| + |B| - s)`` — all equi-joins + one keyed groupBy,
+  no Python on data, no cartesian product, no array ops.
+* A 64-bit shingle-hash collision could overstate one intersection by 1 —
+  the same negligible-and-deterministic tradeoff every hash-shingle op in
+  this package makes.
 * ``best_match`` resolves each left entity to its single best right match
-  with a keyed window (jaccard desc, id asc tie-break) — one extra shuffle
-  on ``id_l``.
+  with a keyed window (jaccard desc, id asc tie-break) — one extra
+  shuffle on ``id_l``.
 """
 
 from __future__ import annotations
@@ -47,7 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import word_shingles
+from .dedup import _shingle_instance_frames
 
 __all__ = ["fuzzy_join"]
 
@@ -80,62 +90,80 @@ def fuzzy_join(
     id_col_r = id_col_r if id_col_r is not None else id_col_l
     text_col_r = text_col_r if text_col_r is not None else text_col_l
 
-    lt = _tokenized(left, id_col_l, text_col_l, "id_l", n)
-    rt = _tokenized(right, id_col_r, text_col_r, "id_r", n)
+    sh_l = _shingle_rows(left, id_col_l, text_col_l, "id_l", n)
+    sh_r = _shingle_rows(right, id_col_r, text_col_r, "id_r", n)
 
+    pl = _prefix_rows(sh_l, "id_l", threshold)
+    pr = _prefix_rows(sh_r, "id_r", threshold)
+    # length filter (AllPairs): J >= t forces t*|A| <= |B| <= |A|/t, so
+    # size-incompatible postings never become candidates — applied inside
+    # the hash equi-join, before the distinct pays for them
     cand = (
-        _prefix_hashes(lt, "id_l", threshold)
-        .join(_prefix_hashes(rt, "id_r", threshold), "_h")
+        pl.join(
+            pr,
+            (pl["_g"] == pr["_g"])
+            & (pr["_sz"] >= F.ceil(F.lit(threshold) * pl["_sz"] - F.lit(1e-9)))
+            & (pl["_sz"] >= F.ceil(F.lit(threshold) * pr["_sz"] - F.lit(1e-9))),
+        )
         .select("id_l", "id_r")
         .distinct()
     )
 
-    inter = F.size(F.array_intersect(F.col("_gl"), F.col("_gr")))
-    union = F.size("_gl") + F.size("_gr") - inter
+    # V-SMART verify: shared-shingle count per candidate pair (threshold>0
+    # implies s >= 1, so the inner joins lose no qualifying pair)
+    shared = (
+        cand.join(sh_l, "id_l")
+        .join(sh_r, ["id_r", "_g"])
+        .groupBy("id_l", "id_r")
+        .agg(F.count(F.lit(1)).alias("_s"))
+    )
+    sizes_l = sh_l.groupBy("id_l").agg(F.count(F.lit(1)).alias("_na"))
+    sizes_r = sh_r.groupBy("id_r").agg(F.count(F.lit(1)).alias("_nb"))
     # integer-derived division: both engines compute the identical double
+    jac = F.col("_s").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_s"))
     out = (
-        cand.join(lt, "id_l")
-        .join(rt, "id_r")
-        .withColumn("jaccard", inter.cast("double") / union)
+        shared.join(sizes_l, "id_l")
+        .join(sizes_r, "id_r")
+        .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_l", "id_r", "jaccard")
     )
     if best_match:
         w = Window.partitionBy("id_l").orderBy(F.desc("jaccard"), F.asc("id_r"))
-        out = out.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1).drop("_rk")
+        out = (
+            out.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .drop("_rk")
+        )
     return out
 
 
-def _tokenized(df: DataFrame, id_col: str, text_col: str, out_id: str, n: int) -> DataFrame:
-    """(out_id, _g<side>) with the distinct-shingle array, empty sets dropped."""
-    side = out_id[-1]  # 'l' / 'r'
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, out_id: str, n: int) -> DataFrame:
+    """Distinct ``(out_id, _g)`` shingle-hash rows (codegen explode path)."""
+    long_inst, short_rows = _shingle_instance_frames(df, id_col, text_col, n)
     return (
-        df.select(
-            F.col(id_col).alias(out_id),
-            word_shingles(F.col(text_col), n).alias(f"_g{side}"),
-        )
-        .where(F.size(f"_g{side}") > 0)
+        long_inst.unionByName(short_rows)
+        .distinct()
+        .select(F.col("_id").alias(out_id), "_g")
     )
 
 
-def _prefix_hashes(toks: DataFrame, id_out: str, threshold: float) -> DataFrame:
-    """Explode each row's prefix under xxhash64 order to (id, _h) keys.
+def _prefix_rows(sh: DataFrame, id_out: str, threshold: float) -> DataFrame:
+    """The ``(id, _g, _sz)`` rows in each set's prefix under xxhash64 order.
 
     Prefix length ``p = s - ceil(t·s) + 1``; the tiny epsilon inside the
     ceil guards the float product at exact-integer boundaries (a too-SMALL
     ceil only lengthens the prefix — safe; a float-noise too-large ceil
-    would shorten it and could drop a qualifying pair).
+    would shorten it and could drop a qualifying pair).  One window
+    exchange computes both the set size and the rank.
     """
-    g_col = [c for c in toks.columns if c != id_out][0]
-    hs = F.sort_array(
-        F.transform(
-            F.col(g_col),
-            lambda t: F.struct(F.xxhash64(t).alias("h"), t.alias("g")),
-        )
-    )
-    s = F.size(g_col)
+    w = Window.partitionBy(id_out)
+    rn = F.row_number().over(w.orderBy("_g"))
+    s = F.count(F.lit(1)).over(w)
     p = s - F.ceil(F.lit(threshold) * s - F.lit(1e-9)).cast("int") + 1
-    return toks.select(
-        F.col(id_out),
-        F.explode(F.transform(F.slice(hs, F.lit(1), p), lambda x: x["h"])).alias("_h"),
+    return (
+        sh.withColumn("_sz", s)
+        .withColumn("_keep", rn <= p)
+        .where(F.col("_keep"))
+        .select(id_out, "_g", "_sz")
     )

@@ -417,6 +417,35 @@ def main() -> None:
 
     OPS["basket_pairs"] = lambda d, e, c: _basket(c)
 
+    def _fuzzy(d):
+        """Cross-table prefix-filter join: replicas share no vocabulary
+        (per-replica token suffixes), so prefix postings lists stay
+        constant-length and true pair volume scales exactly with c."""
+        from dftly_spark.ops import fuzzy_join
+
+        w = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+        planted = (
+            d.where(F.col("doc_id") % 3 == 0)
+            .where(F.size(w) > 8)
+            .select(
+                (F.col("doc_id") + 50_000_000).alias("doc_id"),
+                F.concat_ws(" ", F.slice(w, 7, F.size(w))).alias("text"),
+            )
+        )
+        return fuzzy_join(d, planted, "doc_id", "text", n=3, threshold=0.5)
+
+    OPS["fuzzy_join"] = lambda d, e: _fuzzy(d)
+
+    def _pareto(ev):
+        from dftly_spark.ops import pareto_front
+
+        # distinct-x per group is bounded by the value grid (~49k cells),
+        # so the window input stays constant as the event stream grows —
+        # only the pre-aggregation scales with c
+        return pareto_front(ev, "value", "user_id", by=["event_type"])
+
+    OPS["pareto_front"] = lambda d, e, c: _pareto(replicate_events(events, c))
+
     wanted = sys.argv[1:] or list(OPS)
 
     import inspect as _inspect
