@@ -73,7 +73,7 @@ from .dedup import (
 )
 from .graph import kcore, pagerank, prepare_edges, triangle_count
 from .quality import calibration_curve, expect, expect_observed, roc_auc, roc_auc_by_group
-from .entity import fuzzy_join
+from .entity import fuzzy_index, fuzzy_join
 from .pca import pca_top_component
 from .reshape import melt, pivot_wide
 from .assoc import basket_pairs, cooccurrence_pmi
@@ -183,7 +183,7 @@ __all__ = [
     "ewma", "edit_distance_pairs", "mad_outliers", "expect", "expect_observed", "roc_auc", "roc_auc_by_group",
     "fit_scalar_quantizer", "quantize_embeddings", "quantization_fidelity",
     "kcore", "pagerank", "prepare_edges", "triangle_count", "ranking_metrics", "pool_embeddings",
-    "fuzzy_join", "pareto_front", "calibration_curve",
+    "fuzzy_join", "fuzzy_index", "pareto_front", "calibration_curve",
     "salted_join", "winsorize", "impute_nulls", "group_trend",
     "cms_build", "cms_estimate", "cms_join_size", "corr_matrix", "group_entropy",
     "merge_intervals", "rolling_zscore", "scd2_history",

@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 
 from .dedup import _shingle_instance_frames
 
-__all__ = ["fuzzy_join"]
+__all__ = ["fuzzy_join", "fuzzy_index"]
 
 
 def fuzzy_join(
@@ -167,3 +167,46 @@ def _prefix_rows(sh: DataFrame, id_out: str, threshold: float) -> DataFrame:
         .where(F.col("_keep"))
         .select(id_out, "_g", "_sz")
     )
+
+
+def fuzzy_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable prefix-filter index frames for a corpus.
+
+    Returns ``(prefix, sets)``:
+
+    * ``prefix`` — ``(id, _g, _sz)``: the corpus side's prefix postings
+      under xxhash64 order (one row per indexed shingle hash, with the
+      set size for the length filter);
+    * ``sets`` — ``(id, _gs)``: each document's full sorted hash set, used
+      by the exact verify step.
+
+    The entity-resolution twin of :func:`~dftly_spark.ops.minhash_index`:
+    a 100 TB pipeline persists these between ingests
+    (``write_bucketed(prefix, key="_g")`` + ``write_bucketed(sets,
+    key=id)``) and matches new batches or streams against them with no
+    corpus rescan — :func:`dftly_spark.streaming.stream_fuzzy_join` is
+    the matching ingest query.  ``threshold`` and ``n`` must match at
+    query time: the stored prefixes are exactly long enough for that
+    threshold, so a LOWER query threshold would need longer prefixes than
+    were indexed and silently lose recall — record both alongside the
+    persisted tables (the frames cannot carry them).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = _shingle_rows(df, id_col, text_col, "_cid", n)
+    prefix = _prefix_rows(sh, "_cid", threshold).select(
+        F.col("_cid").alias(id_col), "_g", "_sz"
+    )
+    sets = (
+        sh.groupBy("_cid")
+        .agg(F.sort_array(F.collect_list("_g")).alias("_gs"))
+        .select(F.col("_cid").alias(id_col), "_gs")
+    )
+    return prefix, sets

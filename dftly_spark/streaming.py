@@ -616,3 +616,76 @@ def session_window_stats(
         F.unix_micros(F.col("span_end")).alias("session_end_us"),
         "n_events",
     )
+
+
+def stream_fuzzy_join(
+    stream_df: DataFrame,
+    index_prefix: DataFrame,
+    index_sets: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming entity resolution against a PERSISTED prefix-filter index.
+
+    Each arriving row is matched against the indexed corpus
+    (:func:`dftly_spark.ops.fuzzy_index`, typically read back from its
+    bucketed tables) and qualifying pairs are emitted as ``(new_id,
+    corpus_id, jaccard >= threshold)`` — the streaming twin of
+    :func:`~dftly_spark.ops.fuzzy_join`, with the same exact-recall
+    guarantee (prefix filtering is lossless, not LSH).
+
+    Streaming constraints shape the plan exactly as in
+    :func:`stream_minhash_dedup`: window functions are not allowed on
+    unbounded streams, so the arriving side uses the ROW-LOCAL expression
+    forms (:func:`~dftly_spark.ops.shingle_hashes` — bit-compatible with
+    the index build's window formulation — then ``array_sort`` + ``slice``
+    for the hash-order prefix; interpreted HOFs, fine per-arriving-row).
+    Candidates and verification are stream-static equi-joins — stateless,
+    NO state store; the index side is a (bucketed) table scan per
+    micro-batch.  ``n``/``threshold`` must match the index build: the
+    stored prefixes are sized for that threshold, so a lower query
+    threshold would silently lose recall.
+
+    Statelessness has one visible consequence: a pair sharing multiple
+    prefix hashes is emitted once per shared prefix hash (identical
+    jaccard each time).  Dedupe downstream (``dropDuplicates`` on a
+    bounded backfill, ``dropDuplicatesWithinWatermark`` with event time,
+    or at the sink).
+    """
+    from .ops.dedup import shingle_hashes
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    gs = F.array_sort(shingle_hashes(F.col(text_col), n))
+    base = stream_df.select(
+        F.col(id_col).alias("new_id"), gs.alias("_sh_l")
+    ).where(F.size("_sh_l") > 0)
+    s = F.size("_sh_l")
+    p = s - F.ceil(F.lit(threshold) * s - F.lit(1e-9)).cast("int") + 1
+    keyed = base.select(
+        "new_id",
+        "_sh_l",
+        F.size("_sh_l").alias("_sz_l"),
+        F.explode(F.slice("_sh_l", F.lit(1), p)).alias("_g"),
+    )
+    old = index_prefix.withColumnRenamed(id_col, "corpus_id")
+    # hash equi-join + the AllPairs length filter (see ops/entity.py)
+    cand = keyed.join(
+        old,
+        (keyed["_g"] == old["_g"])
+        & (old["_sz"] >= F.ceil(F.lit(threshold) * keyed["_sz_l"] - F.lit(1e-9)))
+        & (keyed["_sz_l"] >= F.ceil(F.lit(threshold) * old["_sz"] - F.lit(1e-9))),
+    ).select("new_id", "_sh_l", "corpus_id")
+    cand = cand.join(
+        index_sets.select(F.col(id_col).alias("corpus_id"), "_gs"), "corpus_id"
+    )
+    jac = F.size(F.array_intersect("_sh_l", "_gs")).cast("double") / F.size(
+        F.array_union("_sh_l", "_gs")
+    )
+    return (
+        cand.select("new_id", "corpus_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -793,3 +793,37 @@ def test_stateful_soak_state_plateaus(spark):
         assert len(totals) == 8
         assert max(totals) <= soak.N_KEYS, totals
         assert len(set(totals[-2:])) == 1, totals
+
+
+def test_stream_fuzzy_join_matches_batch(spark):
+    """Streaming prefix-filter entity resolution against the persisted
+    index == the batch fuzzy_join pair set (stateless streaming emits one
+    row per shared prefix hash), and an out-of-range threshold is
+    rejected."""
+    import pytest as _pytest
+
+    from dftly_spark.ops import fuzzy_index, fuzzy_join
+    from dftly_spark.streaming import stream_fuzzy_join
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+
+    want = {
+        (r.id_l, r.id_r, round(r.jaccard, 12))
+        for r in fuzzy_join(
+            new_batch, corpus, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+
+    prefix, sets = fuzzy_index(corpus, "doc_id", "text", n=3, threshold=0.8)
+    stream = stream_table(spark, SF_DIR, "documents").where(F.col("doc_id") % 2 == 1)
+    out = stream_fuzzy_join(stream, prefix, sets, "doc_id", "text", n=3, threshold=0.8)
+    assert out.isStreaming
+    got_rows = _run_to_memory(spark, out, "stream_fuzzy").collect()
+    got = {(r.new_id, r.corpus_id, round(r.jaccard, 12)) for r in got_rows}
+    assert got == want
+    assert len(want) > 0
+
+    with _pytest.raises(ValueError, match="threshold"):
+        stream_fuzzy_join(stream, prefix, sets, "doc_id", "text", threshold=0.0)
