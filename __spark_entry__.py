@@ -7236,9 +7236,6 @@ _PRIORITY = [
     "x98_rolling_features",
     "x99_roc_auc",
     "x100_group_auc",
-    "x101_shipping_priority",
-    "x102_order_priority",
-    "x103_returned_items",
     "x104_supplier_diversity",
     "x105_large_orders",
     "x106_dormant_accounts",
@@ -7249,7 +7246,12 @@ _PRIORITY = [
     "x116_cube_stats",
     # -- tail: >= 3 consecutive driver-green rows, or displaced; sampled
     #    again only if the window widens or they change --
-    # (x117 displaced by x128 this round -- the window stays exactly 50)
+    # (x117 displaced by x128 in round 8; x101/x102/x103 displaced by
+    #  x129/x130/x131 in round 9 -- the window stays exactly 50; their
+    #  exact_sum convention keeps 4 in-window canaries: x21/x49/x89/x128)
+    "x101_shipping_priority",
+    "x102_order_priority",
+    "x103_returned_items",
     "x117_join_size_sketch",
     "x119_session_stats",
     "x120_scd2_snapshot",

@@ -90,8 +90,17 @@ def fuzzy_join(
     id_col_r = id_col_r if id_col_r is not None else id_col_l
     text_col_r = text_col_r if text_col_r is not None else text_col_l
 
-    sh_l = _shingle_rows(left, id_col_l, text_col_l, "id_l", n)
-    sh_r = _shingle_rows(right, id_col_r, text_col_r, "id_r", n)
+    # Each side's shingle frame is consumed THREE times (prefix postings,
+    # the verify join, the size aggregate) — truncate lineage at the
+    # boundary or the tokenize+explode+window stage re-executes per
+    # reference (the repo-wide multi-reference discipline; lazy, so
+    # nothing materializes before the first action).
+    sh_l = _shingle_rows(left, id_col_l, text_col_l, "id_l", n).localCheckpoint(
+        eager=False
+    )
+    sh_r = _shingle_rows(right, id_col_r, text_col_r, "id_r", n).localCheckpoint(
+        eager=False
+    )
 
     pl = _prefix_rows(sh_l, "id_l", threshold)
     pr = _prefix_rows(sh_r, "id_r", threshold)
@@ -200,7 +209,8 @@ def fuzzy_index(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = _shingle_rows(df, id_col, text_col, "_cid", n)
+    # referenced twice (prefix + sets): truncate lineage at the boundary
+    sh = _shingle_rows(df, id_col, text_col, "_cid", n).localCheckpoint(eager=False)
     prefix = _prefix_rows(sh, "_cid", threshold).select(
         F.col("_cid").alias(id_col), "_g", "_sz"
     )

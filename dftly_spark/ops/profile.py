@@ -892,6 +892,17 @@ def pareto_front(
     frontier = (
         per_x.withColumn("_prev", F.max("_ymax").over(w))
         .where(F.col("_prev").isNull() | (F.col("_ymax") > F.col("_prev")))
-        .select(*by, x_col, F.col("_ymax").alias(y_col))
+        .select(
+            *[F.col(c).alias(f"_f_{c}") for c in by],
+            F.col(x_col).alias("_f_x"),
+            F.col("_ymax").alias("_f_y"),
+        )
     )
-    return df.join(frontier, [*by, x_col, y_col], "left_semi")
+    # null-SAFE equality on the group keys: groupBy kept a null group all
+    # the way through, so the join back must match it too (x/y are
+    # non-null by the input filter, but a name-based semi join would
+    # silently drop every row whose `by` key is null)
+    cond = (F.col(x_col) == F.col("_f_x")) & (F.col(y_col) == F.col("_f_y"))
+    for c in by:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_f_{c}"))
+    return df.join(frontier, cond, "left_semi")

@@ -378,7 +378,9 @@ def calibration_curve(
     diagnostic to :func:`roc_auc` (AUC is rank-only; calibration is not).
 
     One scan, one keyed aggregation (map-side combine over ≤ ``bins``
-    keys) — nothing about this changes at 100 TB.
+    keys).  ``mean_score`` inherits exact_sum's loud contract: a bin whose
+    SCALED score sum leaves int64 (≳ 10^10 rows of [0,1] scores at the
+    default 10^-8 grid) raises on both engines rather than wrapping.
 
     Cross-engine float discipline: the bin index is the single expression
     ``floor(((s - lo) / (hi - lo)) * bins)`` (identical IEEE ops in any

@@ -632,12 +632,14 @@ for _k in _US:
 def exact_sum_sql(expr_sql: str, *, scale: int = 10000) -> str:
     """DuckDB text of the exact integer-scaled sum convention.
 
-    Unguarded-input behavior is LOUD on this side: DuckDB's
+    Unguarded-input behavior is LOUD on this side: DuckDB's inner
     ``CAST(floor(...) AS BIGINT)`` raises a conversion error on NaN or a
-    magnitude beyond int64 — it never silently wraps.  :func:`exact_sum`
-    mirrors that loudness on the Spark side (where ``F.floor`` would
-    otherwise return 0 for NaN and wrap on overflow), so an unguarded
-    input fails the gate on BOTH engines instead of silently diverging.
+    per-row magnitude beyond int64, the sum accumulates in HUGEINT, and
+    the outer ``CAST(... AS BIGINT)`` raises if the TOTAL leaves int64 —
+    nothing silently wraps.  :func:`exact_sum` mirrors that loudness on
+    the Spark side (where ``F.floor`` would otherwise return 0 for NaN
+    and long sums would wrap), so an unguarded input fails the gate on
+    BOTH engines instead of silently diverging.
     """
     return (
         f"CAST(sum(CAST(floor(({expr_sql}) * {scale} + 0.5) AS BIGINT)) "
@@ -648,23 +650,35 @@ def exact_sum_sql(expr_sql: str, *, scale: int = 10000) -> str:
 def exact_sum(expr, *, scale: int = 10000):
     """Spark column of the exact integer-scaled sum convention.
 
-    Inputs must be finite with ``|x| < 2^63/scale``.  Spark's ``floor``
-    returns LongType — NaN would silently become 0 and an out-of-range
-    magnitude would wrap — while the DuckDB oracle's BIGINT cast raises.
-    To keep both engines loud (and agreeing), a per-row guard raises on
-    non-finite or out-of-range input instead of summing garbage.
+    Inputs must be finite with ``|x·scale + 0.5| < 2^63`` and the TOTAL
+    must fit int64 — Spark's ``floor`` returns LongType (NaN would
+    silently become 0, overflow would wrap) while the DuckDB oracle's
+    BIGINT casts raise, so both hazards get LOUD guards here to keep the
+    engines agreeing:
+
+    * per row, the guard tests the actual IEEE product (not ``|x| <
+      2^63/scale``, which admits a half-ulp sliver where the product
+      rounds to exactly 2^63 and the long cast would clamp);
+    * the accumulation runs in ``decimal(38,0)`` (long partial sums could
+      wrap silently long before the check) and the final total re-checks
+      the int64 range that DuckDB's ``CAST(... AS BIGINT)`` enforces.
     """
     from pyspark.sql import functions as F
 
     x = expr.cast("double")
-    lim = (2.0 ** 63) / scale  # beyond this the long cast would wrap
-    ok = x.isNull() | ((~F.isnan(x)) & (F.abs(x) < F.lit(lim)))
-    guarded = F.when(ok, x).otherwise(
+    prod = x * F.lit(scale) + F.lit(0.5)
+    ok = x.isNull() | ((~F.isnan(x)) & (F.abs(prod) < F.lit(2.0 ** 63)))
+    guarded = F.when(ok, prod).otherwise(
         F.raise_error(F.lit("exact_sum: non-finite or out-of-range input"))
     )
-    return F.sum(
-        F.floor(guarded * F.lit(scale) + F.lit(0.5)).cast("bigint")
-    ) / float(scale)
+    total = F.sum(F.floor(guarded).cast("bigint").cast("decimal(38,0)"))
+    in_i64 = total.isNull() | (
+        (total >= F.lit(-(2 ** 63))) & (total <= F.lit(2 ** 63 - 1))
+    )
+    safe = F.when(in_i64, total.cast("bigint")).otherwise(
+        F.raise_error(F.lit("exact_sum: scaled sum exceeds int64"))
+    )
+    return safe / float(scale)
 
 
 def portable_round_sql(expr_sql: str, d: int = 6) -> str:

@@ -144,3 +144,16 @@ def test_calibration_curve_bins_and_rates(spark):
     assert got[1] == (1, 1, 0.15, 1.0)
     n, npos, ms, fp = got[9]
     assert (n, npos, fp) == (2, 2, 1.0) and ms == pytest.approx(0.975, abs=1e-6)
+
+
+def test_pareto_front_null_group_key_kept(spark):
+    # groupBy keeps a null group; the null-safe join-back must too
+    df = spark.createDataFrame(
+        [(None, 5, 1), (None, 1, 9), (None, 1, 1), ("g", 2, 2)],
+        "g string, x int, y int",
+    )
+    got = sorted(
+        ((r["g"], r["x"], r["y"]) for r in pareto_front(df, "x", "y", by=["g"]).collect()),
+        key=lambda t: (t[0] is not None, t[0] or "", t[1], t[2]),
+    )
+    assert got == [(None, 1, 9), (None, 5, 1), ("g", 2, 2)]

@@ -469,3 +469,25 @@ def test_float_convention_guards_on_unguarded_inputs(spark):
     assert s == con.execute(
         f"SELECT {exact_sum_sql('x')} FROM (VALUES (1.2345675), (0.0000005)) t(x)"
     ).fetchone()[0]
+
+
+def test_exact_sum_total_overflow_is_loud(spark):
+    """Per-row values can be in range while the TOTAL leaves int64: the
+    decimal accumulation must catch it and raise (as DuckDB's outer
+    BIGINT cast does), never wrap a long partial sum silently."""
+    from pyspark.sql import functions as F
+    from dftly_spark.sqlgen import exact_sum
+
+    # 4 rows of 5e9 at scale=1e9 -> scaled rows 5e18 (in range),
+    # total 2e19 > 2^63-1
+    sdf = spark.createDataFrame([(5.0e9,)] * 4, "x double")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="exceeds int64"):
+        sdf.agg(exact_sum(F.col("x"), scale=10**9).alias("s")).collect()
+    # in-range total still exact
+    ok = spark.createDataFrame([(1.5,), (2.25,)], "x double")
+    assert ok.agg(exact_sum(F.col("x")).alias("s")).collect()[0]["s"] == 3.75
+    # all-null / empty input stays null, not an error
+    nl = spark.createDataFrame([(None,)], "x double")
+    assert nl.agg(exact_sum(F.col("x")).alias("s")).collect()[0]["s"] is None
