@@ -669,15 +669,24 @@ def stream_fuzzy_join(
         "new_id",
         "_sh_l",
         F.size("_sh_l").alias("_sz_l"),
-        F.explode(F.slice("_sh_l", F.lit(1), p)).alias("_g"),
-    )
+        F.posexplode(F.slice("_sh_l", F.lit(1), p)).alias("_pos0", "_g"),
+    ).withColumn("_rn_l", F.col("_pos0") + 1)
     old = index_prefix.withColumnRenamed(id_col, "corpus_id")
-    # hash equi-join + the AllPairs length filter (see ops/entity.py)
+    # hash equi-join + the AllPairs length filter + the PPJoin positional
+    # filter (both lossless — see ops/entity.py)
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (keyed["_sz_l"] + old["_sz"])
+        - F.lit(1e-9)
+    )
     cand = keyed.join(
         old,
         (keyed["_g"] == old["_g"])
         & (old["_sz"] >= F.ceil(F.lit(threshold) * keyed["_sz_l"] - F.lit(1e-9)))
-        & (keyed["_sz_l"] >= F.ceil(F.lit(threshold) * old["_sz"] - F.lit(1e-9))),
+        & (keyed["_sz_l"] >= F.ceil(F.lit(threshold) * old["_sz"] - F.lit(1e-9)))
+        & (
+            F.lit(1) + F.least(keyed["_sz_l"] - keyed["_rn_l"], old["_sz"] - old["_rn"])
+            >= alpha
+        ),
     ).select("new_id", "_sh_l", "corpus_id")
     cand = cand.join(
         index_sets.select(F.col(id_col).alias("corpus_id"), "_gs"), "corpus_id"
