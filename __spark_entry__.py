@@ -7155,6 +7155,214 @@ def _x131_oracle() -> str:
 _q("x131_calibration", _x131, _x131_oracle)
 
 
+# --- x132-x135: four more classic warehouse join shapes -------------------
+# TPC-H Q2/Q16/Q18/Q21 analogues reshaped onto this schema (no partsupp or
+# receipt dates in the testdata): correlated min-per-group join-back,
+# NOT-IN anti-join under a distinct-count, group-HAVING feeding the dim
+# chain, and the only-late-supplier double-correlation.  All joins stay
+# UNFORCED equi-joins (AQE broadcasts the dims at test scale, shuffle-hash
+# at cluster scale); every scalar hazard is integer-derived or an
+# identical-IEEE division.
+
+
+def _x132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-style cheapest-supplier-per-part within one region: per-part min
+    unit price over the region's offers, joined back on the exact min
+    (unit price is one double division — identical IEEE bits on both
+    engines, so the equality join-back is portable).  DISTINCT collapses
+    repeat (part, supplier) offers at the same min."""
+    _prep(spark)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    li = _t(spark, sf_dir, "lineitem")
+    asia = (
+        sup.join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "s_name")
+    )
+    offers = li.join(asia, li["l_suppkey"] == asia["s_suppkey"]).select(
+        F.col("l_partkey").alias("part_key"),
+        "s_suppkey",
+        "s_name",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit"),
+    )
+    minp = offers.groupBy("part_key").agg(F.min("_unit").alias("min_unit_price"))
+    return (
+        offers.join(minp, "part_key")
+        .where(F.col("_unit") == F.col("min_unit_price"))
+        .select("part_key", "s_suppkey", "s_name", "min_unit_price")
+        .distinct()
+    )
+
+
+_q(
+    "x132_cheapest_supplier",
+    _x132,
+    """
+    WITH offers AS (
+      SELECT l_partkey AS part_key, s_suppkey, s_name,
+             l_extendedprice / l_quantity AS unit
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ), m AS (
+      SELECT part_key, min(unit) AS min_unit_price FROM offers GROUP BY 1
+    )
+    SELECT DISTINCT o.part_key, o.s_suppkey, o.s_name, m.min_unit_price
+    FROM offers o JOIN m ON o.part_key = m.part_key
+                        AND o.unit = m.min_unit_price
+    """,
+)
+
+
+def _x133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-style supplier diversity per part class, excluding flagged
+    suppliers: the NOT IN subquery lowers to a LEFT ANTI hash join on the
+    8-byte supplier key (never a filter-side collect), then one exact
+    distinct-count per (brand, type, size)."""
+    _prep(spark)
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size").isin(10, 20, 30))
+        & (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_q(
+    "x133_supplier_cnt",
+    _x133,
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN (10, 20, 30)
+      AND p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+
+
+def _x134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-style large-volume customers: orders whose total quantity
+    clears a threshold (group-HAVING on the fact), then the order/customer
+    dims join the SMALL survivor set — the having-before-join order is the
+    100 TB point (quantities are small integers in doubles, so the sum and
+    threshold compare are exact)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+_q(
+    "x134_big_orders",
+    _x134,
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           o_totalprice, total_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+    )
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+
+
+def _x135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-style waiting-suppliers: in orders served by MULTIPLE suppliers,
+    count per supplier the orders where THEY shipped late (>90 days after
+    the order date) and no other supplier did.  The EXISTS / NOT EXISTS
+    double correlation collapses to ONE (order, supplier) aggregation plus
+    one per-order aggregation — two keyed shuffles, no correlated re-scans."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    per_so = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("l_orderkey", "l_suppkey", late.alias("_late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("_late").alias("_late"))
+    )
+    per_o = per_so.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"), F.sum("_late").alias("_n_late")
+    )
+    waiting = (
+        per_so.where(F.col("_late") == 1)
+        .join(
+            per_o.where((F.col("_n_supp") > 1) & (F.col("_n_late") == 1)),
+            "l_orderkey",
+        )
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(sup, waiting["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_q(
+    "x135_waiting_suppliers",
+    _x135,
+    """
+    WITH per_so AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CAST(l_shipdate > o_orderdate + INTERVAL 90 DAY AS INTEGER)) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), per_o AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+      FROM per_so GROUP BY 1
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM per_so
+    JOIN per_o USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE per_so.late = 1 AND n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -7187,6 +7395,10 @@ _PRIORITY = [
     "x129_fuzzy_join",
     "x130_pareto_front",
     "x131_calibration",
+    "x132_cheapest_supplier",
+    "x133_supplier_cnt",
+    "x134_big_orders",
+    "x135_waiting_suppliers",
     # -- round-8 changed: q30 oracle regenerated from century_plan; x89
     #    avgs + the 16-query portable-round sweep (round() on both sides
     #    replaced by the floor-scale convention, killing the HALF_UP vs
@@ -7236,19 +7448,19 @@ _PRIORITY = [
     "x98_rolling_features",
     "x99_roc_auc",
     "x100_group_auc",
-    "x104_supplier_diversity",
-    "x105_large_orders",
-    "x106_dormant_accounts",
-    "x108_resample_ffill",
     "x110_interval_join",
     "x114_bpe_learn",
     "x115_bpe_encode",
     "x116_cube_stats",
     # -- tail: >= 3 consecutive driver-green rows, or displaced; sampled
     #    again only if the window widens or they change --
-    # (x117 displaced by x128 in round 8; x101/x102/x103 displaced by
-    #  x129/x130/x131 in round 9 -- the window stays exactly 50; their
-    #  exact_sum convention keeps 4 in-window canaries: x21/x49/x89/x128)
+    # (x117 displaced by x128 in round 8; x101-x106 + x108 displaced by
+    #  x129-x135 in round 9 -- the window stays exactly 50; the exact_sum
+    #  convention keeps 4 in-window canaries: x21/x49/x89/x128)
+    "x104_supplier_diversity",
+    "x105_large_orders",
+    "x106_dormant_accounts",
+    "x108_resample_ffill",
     "x101_shipping_priority",
     "x102_order_priority",
     "x103_returned_items",
