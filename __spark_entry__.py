@@ -7363,6 +7363,59 @@ _q(
 )
 
 
+def _x136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_join's best_match resolution path (ops/entity.py): each left
+    document resolved to its single best planted/near-dup right match —
+    highest jaccard, lowest id_r tie-break.  Same planted construction as
+    x129; the oracle re-ranks the lossless all-pairs set with the
+    identical (jaccard DESC, id_r ASC) window, so both the pair recall
+    AND the tie-break determinism are gated."""
+    from dftly_spark.ops import fuzzy_join
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_join(
+        docs, _x129_planted(docs), "doc_id", "text",
+        n=3, threshold=0.5, best_match=True,
+    )
+
+
+_q(
+    "x136_fuzzy_best_match",
+    _x136,
+    r"""
+    WITH lw AS (SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                FROM documents),
+    rw AS (SELECT doc_id + 1000000 AS doc_id, list_slice(w, 7, len(w)) AS w
+           FROM lw WHERE doc_id % 3 = 0 AND len(w) > 8),
+    sides AS (SELECT 'l' AS side, doc_id, w FROM lw
+              UNION ALL SELECT 'r', doc_id, w FROM rw),
+    idx AS (SELECT side, doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+            FROM sides WHERE len(w) >= 3),
+    sh AS (SELECT DISTINCT side, doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS g FROM idx
+           UNION SELECT DISTINCT side, doc_id, array_to_string(w, ' ') AS g
+                 FROM sides WHERE len(w) < 3),
+    sizes AS (SELECT side, doc_id, count(*) AS n FROM sh GROUP BY 1, 2),
+    shared AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS s
+               FROM sh a JOIN sh b ON a.g = b.g AND a.side = 'l' AND b.side = 'r'
+               GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_l, id_r, s::DOUBLE / (x.n + y.n - s) AS jaccard
+      FROM shared
+      JOIN sizes x ON x.side = 'l' AND x.doc_id = id_l
+      JOIN sizes y ON y.side = 'r' AND y.doc_id = id_r
+      WHERE s::DOUBLE / (x.n + y.n - s) >= 0.5
+    )
+    SELECT id_l, id_r, jaccard FROM (
+      SELECT id_l, id_r, jaccard,
+             row_number() OVER (PARTITION BY id_l ORDER BY jaccard DESC, id_r) AS rk
+      FROM pairs
+    ) WHERE rk = 1
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -7399,6 +7452,7 @@ _PRIORITY = [
     "x133_supplier_cnt",
     "x134_big_orders",
     "x135_waiting_suppliers",
+    "x136_fuzzy_best_match",
     # -- round-8 changed: q30 oracle regenerated from century_plan; x89
     #    avgs + the 16-query portable-round sweep (round() on both sides
     #    replaced by the floor-scale convention, killing the HALF_UP vs
@@ -7448,15 +7502,15 @@ _PRIORITY = [
     "x98_rolling_features",
     "x99_roc_auc",
     "x100_group_auc",
-    "x110_interval_join",
     "x114_bpe_learn",
     "x115_bpe_encode",
     "x116_cube_stats",
     # -- tail: >= 3 consecutive driver-green rows, or displaced; sampled
     #    again only if the window widens or they change --
     # (x117 displaced by x128 in round 8; x101-x106 + x108 displaced by
-    #  x129-x135 in round 9 -- the window stays exactly 50; the exact_sum
-    #  convention keeps 4 in-window canaries: x21/x49/x89/x128)
+    #  x129-x136 in round 9, plus x110 -- the window stays exactly 50; the
+    #  exact_sum convention keeps 4 in-window canaries: x21/x49/x89/x128)
+    "x110_interval_join",
     "x104_supplier_diversity",
     "x105_large_orders",
     "x106_dormant_accounts",
