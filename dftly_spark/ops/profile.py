@@ -354,15 +354,29 @@ def rolling_zscore(
 
     order = [F.col(c).asc() for c in order_cols]
     w = Window.partitionBy(key_col).orderBy(*order).rowsBetween(-lookback, -1)
-    mean = F.mean(F.col(value_col)).over(w)
-    sd = F.stddev_samp(F.col(value_col)).over(w)
-    n_prev = F.count(F.col(value_col)).over(w)
-    z = F.when(
-        (n_prev >= min_obs) & (sd > 0),
-        (F.col(value_col) - mean) / sd,
+    # Materialize the window outputs as ATTRIBUTES before any arithmetic
+    # references them: Catalyst does NOT deduplicate syntactically repeated
+    # window expressions, so building z inline and handing it to
+    # portable_round (2 refs) + is_anomaly (2 more) would run every
+    # mean/stddev/count frame FOUR times — measured ~2x end-to-end on this
+    # op.  As attributes they're computed once and re-referenced for free.
+    scored = df.select(
+        "*",
+        F.mean(F.col(value_col)).over(w).alias("_m"),
+        F.stddev_samp(F.col(value_col)).over(w).alias("_sd"),
+        F.count(F.col(value_col)).over(w).alias("_np"),
     )
-    return df.withColumn("zscore", portable_round(z, decimals)).withColumn(
-        "is_anomaly", F.coalesce(F.abs(F.col("zscore")) > z_threshold, F.lit(False))
+    z = F.when(
+        (F.col("_np") >= min_obs) & (F.col("_sd") > 0),
+        (F.col(value_col) - F.col("_m")) / F.col("_sd"),
+    )
+    return (
+        scored.withColumn("zscore", portable_round(z, decimals))
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("zscore")) > z_threshold, F.lit(False)),
+        )
+        .drop("_m", "_sd", "_np")
     )
 
 
@@ -769,7 +783,12 @@ def ewma(
         .orderBy(*order)
         .rowsBetween(-(lookback - 1), 0)
     )
-    xs = F.collect_list(F.col(value_col).cast("double")).over(w)
+    # window output materialized as an ATTRIBUTE first: Catalyst does not
+    # dedup syntactically repeated window expressions, and the fold below
+    # references the collected list three times (slice, size, seed) — as
+    # an attribute the collect_list window runs once, not thrice
+    staged = df.withColumn("_xs", F.collect_list(F.col(value_col).cast("double")).over(w))
+    xs = F.col("_xs")
     folded = F.aggregate(
         F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
         F.get(xs, 0),  # null-tolerant seed: all-null window -> null EWMA
@@ -782,7 +801,7 @@ def ewma(
     # floor form is one double multiply+add both engines do identically.
     scale = float(10 ** decimals)
     rounded = F.floor(folded * scale + 0.5) / scale
-    return df.withColumn(out_col, rounded)
+    return staged.withColumn(out_col, rounded).drop("_xs")
 
 
 def mad_outliers(

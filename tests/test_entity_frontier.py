@@ -157,3 +157,41 @@ def test_pareto_front_null_group_key_kept(spark):
         key=lambda t: (t[0] is not None, t[0] or "", t[1], t[2]),
     )
     assert got == [(None, 1, 9), (None, 5, 1), ("g", 2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# property: prefix filtering is LOSSLESS for any corpus/threshold
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from("aa bb cc dd ee ff gg hh".split())
+_name = st.lists(_word, min_size=1, max_size=7).map(" ".join)
+
+
+@given(
+    st.lists(_name, min_size=1, max_size=12),
+    st.lists(_name, min_size=1, max_size=12),
+    st.sampled_from([0.25, 0.34, 0.5, 0.67, 0.75, 1.0]),
+    st.sampled_from([1, 2]),
+)
+@settings(max_examples=25, deadline=None)
+def test_fuzzy_join_recall_property(spark, lnames, rnames, t, n):
+    """For ANY corpus pair and threshold, the prefix+length+positional
+    filtered join returns exactly the brute-force >= t pair set."""
+    ldf = spark.createDataFrame(list(enumerate(lnames)), "id bigint, name string")
+    rdf = spark.createDataFrame(
+        [(100 + i, s) for i, s in enumerate(rnames)], "id bigint, name string"
+    )
+    got = {
+        (r["id_l"], r["id_r"])
+        for r in fuzzy_join(ldf, rdf, "id", "name", n=n, threshold=t).collect()
+    }
+    want = {
+        (i, 100 + j)
+        for i, a in enumerate(lnames)
+        for j, b in enumerate(rnames)
+        if _jac(a, b, n) >= t
+    }
+    assert got == want, (sorted(want - got), sorted(got - want))
