@@ -7031,7 +7031,9 @@ def _x129(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     return fuzzy_join(
-        docs, _x129_planted(docs), "doc_id", "text", n=3, threshold=0.5
+        _docs_tok(spark, sf_dir), _x129_planted(docs), "doc_id", "text",
+        n=3, threshold=0.5,
+        tokens_col_l=_TOK, cache_key_l=f"documents:{sf_dir}",
     )
 
 
@@ -7375,8 +7377,9 @@ def _x136(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     return fuzzy_join(
-        docs, _x129_planted(docs), "doc_id", "text",
+        _docs_tok(spark, sf_dir), _x129_planted(docs), "doc_id", "text",
         n=3, threshold=0.5, best_match=True,
+        tokens_col_l=_TOK, cache_key_l=f"documents:{sf_dir}",
     )
 
 

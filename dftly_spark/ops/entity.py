@@ -73,6 +73,10 @@ def fuzzy_join(
     n: int = 3,
     threshold: float = 0.5,
     best_match: bool = False,
+    tokens_col_l: str | None = None,
+    tokens_col_r: str | None = None,
+    cache_key_l: str | None = None,
+    cache_key_r: str | None = None,
 ) -> DataFrame:
     """All (or best) cross-table pairs with token-set Jaccard >= threshold.
 
@@ -84,6 +88,11 @@ def fuzzy_join(
 
     ``threshold`` must be in (0, 1]: at 0 the result is the cross product
     (prefix filtering degenerates to indexing every token).
+
+    ``tokens_col_*`` / ``cache_key_*`` plug each side into the shared
+    corpus caches (ops/corpus.py) like every other text op: a session
+    that already built the tokenized/shingled frames for a corpus skips
+    re-deriving them here.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -95,12 +104,14 @@ def fuzzy_join(
     # boundary or the tokenize+explode+window stage re-executes per
     # reference (the repo-wide multi-reference discipline; lazy, so
     # nothing materializes before the first action).
-    sh_l = _shingle_rows(left, id_col_l, text_col_l, "id_l", n).localCheckpoint(
-        eager=False
-    )
-    sh_r = _shingle_rows(right, id_col_r, text_col_r, "id_r", n).localCheckpoint(
-        eager=False
-    )
+    sh_l = _shingle_rows(
+        left, id_col_l, text_col_l, "id_l", n,
+        tokens_col=tokens_col_l, cache_key=cache_key_l,
+    ).localCheckpoint(eager=False)
+    sh_r = _shingle_rows(
+        right, id_col_r, text_col_r, "id_r", n,
+        tokens_col=tokens_col_r, cache_key=cache_key_r,
+    ).localCheckpoint(eager=False)
 
     pl = _prefix_rows(sh_l, "id_l", threshold)
     pr = _prefix_rows(sh_r, "id_r", threshold)
@@ -157,9 +168,20 @@ def fuzzy_join(
     return out
 
 
-def _shingle_rows(df: DataFrame, id_col: str, text_col: str, out_id: str, n: int) -> DataFrame:
+def _shingle_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_id: str,
+    n: int,
+    *,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
     """Distinct ``(out_id, _g)`` shingle-hash rows (codegen explode path)."""
-    long_inst, short_rows = _shingle_instance_frames(df, id_col, text_col, n)
+    long_inst, short_rows = _shingle_instance_frames(
+        df, id_col, text_col, n, tokens_col=tokens_col, cache_key=cache_key
+    )
     return (
         long_inst.unionByName(short_rows)
         .distinct()
