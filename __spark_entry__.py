@@ -7157,11 +7157,11 @@ def _x131_oracle() -> str:
 _q("x131_calibration", _x131, _x131_oracle)
 
 
-# --- x132-x135: four more classic warehouse join shapes -------------------
-# TPC-H Q2/Q16/Q18/Q21 analogues reshaped onto this schema (no partsupp or
-# receipt dates in the testdata): correlated min-per-group join-back,
-# NOT-IN anti-join under a distinct-count, group-HAVING feeding the dim
-# chain, and the only-late-supplier double-correlation.  All joins stay
+# --- x132/x135: two more classic warehouse join shapes --------------------
+# TPC-H Q2/Q21 analogues reshaped onto this schema (no partsupp or receipt
+# dates in the testdata): correlated min-per-group via a part-keyed window,
+# and the only-late-supplier double-correlation.  (Q16/Q18 shapes already
+# exist as x104/x105 — kept in the sampled window instead of duplicated.)  All joins stay
 # UNFORCED equi-joins (AQE broadcasts the dims at test scale, shuffle-hash
 # at cluster scale); every scalar hazard is integer-derived or an
 # identical-IEEE division.
@@ -7169,10 +7169,10 @@ _q("x131_calibration", _x131, _x131_oracle)
 
 def _x132(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2-style cheapest-supplier-per-part within one region: per-part min
-    unit price over the region's offers, joined back on the exact min
-    (unit price is one double division — identical IEEE bits on both
-    engines, so the equality join-back is portable).  DISTINCT collapses
-    repeat (part, supplier) offers at the same min."""
+    unit price over the region's offers via a part-keyed window, rows at
+    the exact min kept (unit price is one double division — identical
+    IEEE bits on both engines, so the equality filter is portable).
+    DISTINCT collapses repeat (part, supplier) offers at the same min."""
     _prep(spark)
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
@@ -7189,9 +7189,16 @@ def _x132(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit"),
     )
-    minp = offers.groupBy("part_key").agg(F.min("_unit").alias("min_unit_price"))
+    # min over a WINDOW on the part key, not groupBy-then-join-back: the
+    # join formulation lets the optimizer broadcast a part-count-sized
+    # aggregate and re-executes the offers subtree for the probe side
+    # (the recorded round-8 novelty hazard); the window is one keyed
+    # shuffle with no second pass and no broadcast of an unbounded agg
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("part_key")
     return (
-        offers.join(minp, "part_key")
+        offers.withColumn("min_unit_price", F.min("_unit").over(w))
         .where(F.col("_unit") == F.col("min_unit_price"))
         .select("part_key", "s_suppkey", "s_name", "min_unit_price")
         .distinct()
@@ -7216,91 +7223,6 @@ _q(
     SELECT DISTINCT o.part_key, o.s_suppkey, o.s_name, m.min_unit_price
     FROM offers o JOIN m ON o.part_key = m.part_key
                         AND o.unit = m.min_unit_price
-    """,
-)
-
-
-def _x133(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q16-style supplier diversity per part class, excluding flagged
-    suppliers: the NOT IN subquery lowers to a LEFT ANTI hash join on the
-    8-byte supplier key (never a filter-side collect), then one exact
-    distinct-count per (brand, type, size)."""
-    _prep(spark)
-    part = _t(spark, sf_dir, "part").where(
-        (F.col("p_size").isin(10, 20, 30))
-        & (F.col("p_brand") != "Brand#1")
-        & (~F.col("p_type").startswith("PROMO"))
-    )
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
-        "s_suppkey"
-    )
-    return (
-        li.join(part, li["l_partkey"] == part["p_partkey"])
-        .join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
-_q(
-    "x133_supplier_cnt",
-    _x133,
-    """
-    SELECT p_brand, p_type, p_size,
-           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE p_size IN (10, 20, 30)
-      AND p_brand <> 'Brand#1'
-      AND p_type NOT LIKE 'PROMO%'
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-    GROUP BY p_brand, p_type, p_size
-    """,
-)
-
-
-def _x134(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q18-style large-volume customers: orders whose total quantity
-    clears a threshold (group-HAVING on the fact), then the order/customer
-    dims join the SMALL survivor set — the having-before-join order is the
-    100 TB point (quantities are small integers in doubles, so the sum and
-    threshold compare are exact)."""
-    _prep(spark)
-    li = _t(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("total_qty"))
-        .where(F.col("total_qty") > 250)
-    )
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    return (
-        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
-        .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .select(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
-            "o_totalprice",
-            "total_qty",
-        )
-    )
-
-
-_q(
-    "x134_big_orders",
-    _x134,
-    """
-    SELECT c_custkey, c_name, o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%d') AS odate,
-           o_totalprice, total_qty
-    FROM (
-      SELECT l_orderkey, sum(l_quantity) AS total_qty
-      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
-    )
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
     """,
 )
 
@@ -7452,8 +7374,6 @@ _PRIORITY = [
     "x130_pareto_front",
     "x131_calibration",
     "x132_cheapest_supplier",
-    "x133_supplier_cnt",
-    "x134_big_orders",
     "x135_waiting_suppliers",
     "x136_fuzzy_best_match",
     # -- round-8 changed: q30 oracle regenerated from century_plan; x89
@@ -7505,6 +7425,8 @@ _PRIORITY = [
     "x98_rolling_features",
     "x99_roc_auc",
     "x100_group_auc",
+    "x104_supplier_diversity",
+    "x105_large_orders",
     "x114_bpe_learn",
     "x115_bpe_encode",
     "x116_cube_stats",
@@ -7514,8 +7436,6 @@ _PRIORITY = [
     #  x129-x136 in round 9, plus x110 -- the window stays exactly 50; the
     #  exact_sum convention keeps 4 in-window canaries: x21/x49/x89/x128)
     "x110_interval_join",
-    "x104_supplier_diversity",
-    "x105_large_orders",
     "x106_dormant_accounts",
     "x108_resample_ffill",
     "x101_shipping_priority",

@@ -22,6 +22,20 @@ from pyspark.sql import functions as F
 from ..sqlgen import portable_round
 
 
+def _fresh(df: DataFrame, *bases: str) -> list[str]:
+    """Temp column names guaranteed absent from ``df`` (public ops take
+    arbitrary user frames — a caller's own ``_m`` must survive)."""
+    out = []
+    taken = set(df.columns)
+    for b in bases:
+        name = b
+        while name in taken:
+            name = "_" + name
+        taken.add(name)
+        out.append(name)
+    return out
+
+
 def profile_table(
     df: DataFrame,
     cols: list[str] | None = None,
@@ -360,15 +374,16 @@ def rolling_zscore(
     # portable_round (2 refs) + is_anomaly (2 more) would run every
     # mean/stddev/count frame FOUR times — measured ~2x end-to-end on this
     # op.  As attributes they're computed once and re-referenced for free.
+    c_m, c_sd, c_np = _fresh(df, "_m", "_sd", "_np")
     scored = df.select(
         "*",
-        F.mean(F.col(value_col)).over(w).alias("_m"),
-        F.stddev_samp(F.col(value_col)).over(w).alias("_sd"),
-        F.count(F.col(value_col)).over(w).alias("_np"),
+        F.mean(F.col(value_col)).over(w).alias(c_m),
+        F.stddev_samp(F.col(value_col)).over(w).alias(c_sd),
+        F.count(F.col(value_col)).over(w).alias(c_np),
     )
     z = F.when(
-        (F.col("_np") >= min_obs) & (F.col("_sd") > 0),
-        (F.col(value_col) - F.col("_m")) / F.col("_sd"),
+        (F.col(c_np) >= min_obs) & (F.col(c_sd) > 0),
+        (F.col(value_col) - F.col(c_m)) / F.col(c_sd),
     )
     return (
         scored.withColumn("zscore", portable_round(z, decimals))
@@ -376,7 +391,7 @@ def rolling_zscore(
             "is_anomaly",
             F.coalesce(F.abs(F.col("zscore")) > z_threshold, F.lit(False)),
         )
-        .drop("_m", "_sd", "_np")
+        .drop(c_m, c_sd, c_np)
     )
 
 
@@ -787,8 +802,9 @@ def ewma(
     # dedup syntactically repeated window expressions, and the fold below
     # references the collected list three times (slice, size, seed) — as
     # an attribute the collect_list window runs once, not thrice
-    staged = df.withColumn("_xs", F.collect_list(F.col(value_col).cast("double")).over(w))
-    xs = F.col("_xs")
+    (c_xs,) = _fresh(df, "_xs")
+    staged = df.withColumn(c_xs, F.collect_list(F.col(value_col).cast("double")).over(w))
+    xs = F.col(c_xs)
     folded = F.aggregate(
         F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
         F.get(xs, 0),  # null-tolerant seed: all-null window -> null EWMA
@@ -801,7 +817,7 @@ def ewma(
     # floor form is one double multiply+add both engines do identically.
     scale = float(10 ** decimals)
     rounded = F.floor(folded * scale + 0.5) / scale
-    return staged.withColumn(out_col, rounded).drop("_xs")
+    return staged.withColumn(out_col, rounded).drop(c_xs)
 
 
 def mad_outliers(

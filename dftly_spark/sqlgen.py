@@ -667,54 +667,68 @@ def exact_sum(expr, *, scale: int = 10000):
 
     x = expr.cast("double")
     prod = x * F.lit(scale) + F.lit(0.5)
-    ok = x.isNull() | ((~F.isnan(x)) & (F.abs(prod) < F.lit(2.0 ** 63)))
-    guarded = F.when(ok, prod).otherwise(
-        F.raise_error(F.lit("exact_sum: non-finite or out-of-range input"))
-    )
-    total = F.sum(F.floor(guarded).cast("bigint").cast("decimal(38,0)"))
+    # the loud per-row guard lives in a SEPARATE count aggregate, not in
+    # the value path — the summed column stays a plain floor with no
+    # branch, and the single post-aggregation check raises if any row was
+    # non-finite / out of range (same observable behavior, cheaper rows)
+    bad = (~x.isNull()) & (F.isnan(x) | (F.abs(prod) >= F.lit(2.0 ** 63)))
+    n_bad = F.sum(bad.cast("int"))
+    total = F.sum(F.floor(prod).cast("bigint").cast("decimal(38,0)"))
     in_i64 = total.isNull() | (
         (total >= F.lit(-(2 ** 63))) & (total <= F.lit(2 ** 63 - 1))
     )
-    safe = F.when(in_i64, total.cast("bigint")).otherwise(
-        F.raise_error(F.lit("exact_sum: scaled sum exceeds int64"))
-    )
+    safe = F.when(
+        (n_bad > 0) | ~in_i64,
+        F.raise_error(
+            F.lit("exact_sum: non-finite/out-of-range input or sum exceeds int64")
+        ).cast("bigint"),
+    ).otherwise(total.cast("bigint"))
     return safe / float(scale)
 
 
 def portable_round_sql(expr_sql: str, d: int = 6) -> str:
     """DuckDB text of the floor-scale rounding convention.
 
-    NaN and magnitudes >= 2^53/10^d pass through unchanged (above 2^53
-    the double grid is coarser than 1, so 10^-d rounding is the identity
-    anyway) — the same passthrough :func:`portable_round` applies, so
-    both engines agree on unguarded inputs instead of Spark's long-typed
-    ``floor`` silently mapping NaN to 0 / wrapping past int64.
+    Plain double-domain ``floor`` — which is already total: NaN → NaN,
+    ±inf → ±inf, and magnitudes past 2^53 are integral so the floor (and
+    the 10^-d rounding) is the identity.  :func:`portable_round` computes
+    the same total function on Spark via the branch-free pmod form, so
+    both engines agree on every input class with no CASE on either side.
     """
     p = 10 ** d
-    x = f"CAST(({expr_sql}) AS DOUBLE)"
-    lim = repr((2.0 ** 53) / p)
-    return (
-        f"CASE WHEN isnan({x}) OR abs({x}) >= {lim} THEN {x} "
-        f"ELSE floor({x} * {p} + 0.5) / {p} END"
-    )
+    return f"floor(({expr_sql}) * {p} + 0.5) / {p}"
 
 
 def portable_round(expr, d: int = 6):
     """Spark column of the floor-scale rounding convention.
 
-    NaN / huge magnitudes pass through unchanged (see
-    :func:`portable_round_sql`); the identical guard on both sides keeps
-    the engines agreeing where Spark's LongType ``floor`` would otherwise
-    silently diverge from DuckDB's double ``floor``.
+    Spark's ``F.floor`` returns LongType — NaN would silently become 0
+    and magnitudes past int64 would wrap, diverging from the oracle's
+    double ``floor``.  Instead the floor is computed IN the double
+    domain, branch-free::
+
+        w = x*10^d + 0.5;  floor(w) = w - nanvl(pmod(w, 1), 0)
+
+    * finite ``w``: ``pmod`` (IEEE fmod, exact) gives the fractional
+      part, non-negative, so the subtraction IS floor — bit-exact;
+    * ``|w| >= 2^53``: ``pmod`` is 0, result ``w`` — DuckDB's
+      ``floor`` is the identity there too;
+    * NaN propagates through the subtraction;
+    * ±inf: ``pmod(inf, 1)`` is NaN, ``nanvl`` maps it to 0, result
+      ``±inf`` — matching ``floor(±inf)``.
+
+    One arithmetic expression, two references to the input — no CASE
+    branch (a guarded form would quadruple the input subtree; callers
+    with window/HOF-heavy inputs should still pass an ATTRIBUTE, not an
+    inline expression — Catalyst does not dedup repeated window
+    expressions, see rolling_zscore).
     """
     from pyspark.sql import functions as F
 
     p = float(10 ** d)
-    x = expr.cast("double")
-    lim = (2.0 ** 53) / p
-    return F.when(F.isnan(x) | (F.abs(x) >= F.lit(lim)), x).otherwise(
-        F.floor(x * p + F.lit(0.5)) / p
-    )
+    w = expr.cast("double") * p + F.lit(0.5)
+    fl = w - F.nanvl(F.pmod(w, F.lit(1.0)), F.lit(0.0))
+    return fl / p
 
 
 def agg_oracle_sql(

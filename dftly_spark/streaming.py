@@ -673,21 +673,24 @@ def stream_fuzzy_join(
     ).withColumn("_rn_l", F.col("_pos0") + 1)
     old = index_prefix.withColumnRenamed(id_col, "corpus_id")
     # hash equi-join + the AllPairs length filter + the PPJoin positional
-    # filter (both lossless — see ops/entity.py)
-    alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (keyed["_sz_l"] + old["_sz"])
-        - F.lit(1e-9)
-    )
-    cand = keyed.join(
-        old,
+    # filter (both lossless — see ops/entity.py).  An index persisted
+    # before positions were stored (no ``_rn`` column) still works: the
+    # positional filter simply degrades to length-filter-only pruning.
+    cond = (
         (keyed["_g"] == old["_g"])
         & (old["_sz"] >= F.ceil(F.lit(threshold) * keyed["_sz_l"] - F.lit(1e-9)))
         & (keyed["_sz_l"] >= F.ceil(F.lit(threshold) * old["_sz"] - F.lit(1e-9)))
-        & (
+    )
+    if "_rn" in index_prefix.columns:
+        alpha = F.ceil(
+            F.lit(threshold / (1.0 + threshold)) * (keyed["_sz_l"] + old["_sz"])
+            - F.lit(1e-9)
+        )
+        cond = cond & (
             F.lit(1) + F.least(keyed["_sz_l"] - keyed["_rn_l"], old["_sz"] - old["_rn"])
             >= alpha
-        ),
-    ).select("new_id", "_sh_l", "corpus_id")
+        )
+    cand = keyed.join(old, cond).select("new_id", "_sh_l", "corpus_id")
     cand = cand.join(
         index_sets.select(F.col(id_col).alias("corpus_id"), "_gs"), "corpus_id"
     )

@@ -806,3 +806,18 @@ def test_pagerank_weighted_prefers_heavy_edge(spark):
     out2 = {r["node"]: r["rank"]
             for r in pagerank(edges2, iters=10, weight="w").collect()}
     assert out == out2
+
+
+def test_rolling_zscore_and_ewma_survive_colliding_temp_names(spark):
+    """Public ops must not clobber a caller's own _m/_sd/_np/_xs columns."""
+    from dftly_spark.ops import ewma, rolling_zscore
+
+    df = spark.createDataFrame(
+        [(1, i, float(i % 7), "keep") for i in range(30)],
+        "k int, o int, v double, _m string",
+    ).withColumn("_xs", F.lit("keep2"))
+    z = rolling_zscore(df, "k", ["o"], "v", lookback=5, min_obs=2)
+    assert "_m" in z.columns and z.select("_m").first()["_m"] == "keep"
+    e = ewma(df, "k", ["o"], "v", alpha=0.5, lookback=5)
+    assert "_xs" in e.columns and e.select("_xs").first()["_xs"] == "keep2"
+    assert "ewma" in e.columns and "zscore" in z.columns
