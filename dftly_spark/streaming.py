@@ -701,3 +701,56 @@ def stream_fuzzy_join(
         cand.select("new_id", "corpus_id", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def windowed_calibration(
+    df: DataFrame,
+    ts_col: str,
+    score_col: str,
+    label_col: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Per-window reliability diagram — the streaming twin of
+    :func:`~dftly_spark.ops.calibration_curve`.
+
+    A deployed scorer drifts; this watches calibration LIVE: one
+    watermarked tumbling-window aggregation keyed on (window, bin) with
+    the same bin expression and the same exact conventions as the batch
+    op (integer-scaled mean_score, integer-ratio frac_pos), so a window's
+    row equals the batch op run over that window's slice.  Works
+    identically on bounded frames (``withWatermark`` is a no-op there).
+
+    State per window is ≤ ``bins`` rows of counters — bounded regardless
+    of stream volume; the watermark evicts closed windows.
+    """
+    from .sqlgen import exact_sum
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("boolean")
+    b = F.floor(((s - F.lit(float(lo))) / F.lit(float(hi - lo))) * F.lit(bins))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).cast("int")
+    grouped = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y.cast("bigint")).alias("n_pos"),
+            portable_round(
+                exact_sum(s, scale=10**8) / F.count(F.lit(1))
+            ).alias("mean_score"),
+            portable_round(
+                F.sum(y.cast("bigint")).cast("double") / F.count(F.lit(1))
+            ).alias("frac_pos"),
+        )
+    )
+    return grouped.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "bin", "n", "n_pos", "mean_score", "frac_pos",
+    )

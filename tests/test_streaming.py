@@ -827,3 +827,47 @@ def test_stream_fuzzy_join_matches_batch(spark):
 
     with _pytest.raises(ValueError, match="threshold"):
         stream_fuzzy_join(stream, prefix, sets, "doc_id", "text", threshold=0.0)
+
+
+def test_windowed_calibration_matches_batch(spark):
+    """Each emitted (window, bin) row equals the batch calibration_curve
+    over that window's slice — shared bin expression and exact
+    conventions, so values match bit-for-bit."""
+    from dftly_spark.ops import calibration_curve
+    from dftly_spark.streaming import windowed_calibration
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from dftly_spark.io import normalize_event_ts
+
+    ev = normalize_event_ts(ev).select(
+        "ts", "value", (F.col("event_type") == "purchase").alias("y")
+    )
+    stream = stream_table(spark, SF_DIR, "events").select(
+        "ts", "value", (F.col("event_type") == "purchase").alias("y")
+    )
+    out = windowed_calibration(
+        stream, "ts", "value", "y", window="6 hours", bins=8, lo=0.0, hi=500.0
+    )
+    assert out.isStreaming
+    # complete mode: append would hold back windows the watermark never
+    # closes (same convention as the other windowed-agg parity tests)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_calib")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.bin): (r.n, r.n_pos, r.mean_score, r.frac_pos)
+        for r in spark.table("stream_calib").collect()
+    }
+    # batch replay: calibration_curve per 6h tumbling slice
+    sliced = ev.withColumn("_w", F.window("ts", "6 hours"))
+    want = {}
+    for w in [r["_w"] for r in sliced.select("_w").distinct().collect()]:
+        part = sliced.where(F.col("_w.start") == w.start).drop("_w")
+        for r in calibration_curve(part, "value", "y", bins=8, lo=0.0, hi=500.0).collect():
+            want[(w.start, r.bin)] = (r.n, r.n_pos, r.mean_score, r.frac_pos)
+    assert got == want and len(want) > 0
