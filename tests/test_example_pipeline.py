@@ -116,3 +116,24 @@ def test_streaming_pipeline_example_end_to_end(spark):
     assert counts["sessions"] == n_events        # sessionize is row-preserving
     assert counts["activity"] > 0
     assert counts["hot_users"] >= 0
+
+
+def test_entity_resolution_pipeline_end_to_end(spark):
+    import sys
+
+    sys.path.insert(0, "examples")
+    from entity_resolution_pipeline import build
+
+    outs = build(spark, "/root/testdata/sf0.001")
+    labeled = outs["labeled"].collect()
+    assert len(labeled) > 0
+    # exact-recall prefix filter + planted twins: every twin finds its
+    # true source as the best match (jaccard of the planted pair is far
+    # above any cross-pair at threshold 0.3)
+    true_rate = sum(r["is_true"] for r in labeled) / len(labeled)
+    assert true_rate >= 0.9
+    auc = outs["auc"].collect()[0]["auc"]
+    assert auc is None or auc >= 0.5  # score separates true from near-miss
+    calib = outs["calibration"].collect()
+    assert all(0 <= r["frac_pos"] <= 1 for r in calib)
+    assert sum(r["n"] for r in calib) == len(labeled)
