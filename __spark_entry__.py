@@ -7157,6 +7157,54 @@ def _x131_oracle() -> str:
 _q("x131_calibration", _x131, _x131_oracle)
 
 
+def _x137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING calibration twin gated through its bounded-frame
+    semantics (dftly_spark/streaming.py windowed_calibration): watermarked
+    tumbling windows are a no-op on a bounded frame, so the same code the
+    stream runs is driver-checkable — per-(6h-window, bin) counts and the
+    exact-convention mean/frac (epoch-aligned windows, mirrored in SQL as
+    floor(epoch/21600))."""
+    from dftly_spark.streaming import windowed_calibration
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", "value", (F.col("event_type") == "purchase").alias("is_purchase")
+    )
+    return windowed_calibration(
+        ev, "ts", "value", "is_purchase",
+        window="6 hours", bins=8, lo=0.0, hi=500.0,
+    )
+
+
+def _x137_oracle() -> str:
+    from dftly_spark.sqlgen import exact_sum_sql, portable_round_sql
+
+    mean_s = portable_round_sql(f"({exact_sum_sql('s', scale=10**8)}) / count(*)")
+    frac_p = portable_round_sql("CAST(sum(y) AS BIGINT) / count(*)")
+    return f"""
+    WITH t AS (
+      SELECT ts, CAST(value AS DOUBLE) AS s,
+             CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), b AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000)
+               AS window_start,
+             CAST(least(greatest(floor(((s - 0.0) / 500.0) * 8), 0), 7) AS INTEGER) AS bin,
+             s, y
+      FROM t
+    )
+    SELECT window_start,
+           window_start + INTERVAL 6 HOUR AS window_end,
+           bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+           {mean_s} AS mean_score,
+           {frac_p} AS frac_pos
+    FROM b GROUP BY window_start, bin
+    """
+
+
+_q("x137_windowed_calibration", _x137, _x137_oracle)
+
+
 # --- x132/x135: two more classic warehouse join shapes --------------------
 # TPC-H Q2/Q21 analogues reshaped onto this schema (no partsupp or receipt
 # dates in the testdata): correlated min-per-group via a part-keyed window,
@@ -7373,6 +7421,7 @@ _PRIORITY = [
     "x129_fuzzy_join",
     "x130_pareto_front",
     "x131_calibration",
+    "x137_windowed_calibration",
     "x132_cheapest_supplier",
     "x135_waiting_suppliers",
     "x136_fuzzy_best_match",
@@ -7425,7 +7474,6 @@ _PRIORITY = [
     "x98_rolling_features",
     "x99_roc_auc",
     "x100_group_auc",
-    "x104_supplier_diversity",
     "x105_large_orders",
     "x114_bpe_learn",
     "x115_bpe_encode",
@@ -7436,6 +7484,7 @@ _PRIORITY = [
     #  x129-x136 in round 9, plus x110 -- the window stays exactly 50; the
     #  exact_sum convention keeps 4 in-window canaries: x21/x49/x89/x128)
     "x110_interval_join",
+    "x104_supplier_diversity",
     "x106_dormant_accounts",
     "x108_resample_ffill",
     "x101_shipping_priority",
