@@ -389,23 +389,34 @@ def calibration_curve(
     wobbles with partition order beyond 6-decimal rounding); ``frac_pos``
     is a ratio of exact integers.
     """
+    s, y, b, aggs = calibration_exprs(score_col, label_col, bins, lo, hi)
+    return (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(*aggs)
+    )
+
+
+def calibration_exprs(score_col, label_col, bins, lo, hi):
+    """The ONE definition of the calibration conventions: ``(s, y, bin,
+    aggs)`` shared by :func:`calibration_curve` and the streaming twin
+    (``dftly_spark.streaming.windowed_calibration``) — a convention tweak
+    lands in both or neither, so the documented bin-for-bin batch↔stream
+    equality cannot silently drift."""
     from ..sqlgen import exact_sum, portable_round
 
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("boolean")
     b = F.floor(((s - F.lit(float(lo))) / F.lit(float(hi - lo))) * F.lit(bins))
     b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).cast("int")
-    return (
-        df.where(s.isNotNull() & y.isNotNull())
-        .groupBy(b.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(y.cast("bigint")).alias("n_pos"),
-            portable_round(
-                exact_sum(s, scale=10**8) / F.count(F.lit(1))
-            ).alias("mean_score"),
-            portable_round(
-                F.sum(y.cast("bigint")).cast("double") / F.count(F.lit(1))
-            ).alias("frac_pos"),
-        )
-    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y.cast("bigint")).alias("n_pos"),
+        portable_round(
+            exact_sum(s, scale=10**8) / F.count(F.lit(1))
+        ).alias("mean_score"),
+        portable_round(
+            F.sum(y.cast("bigint")).cast("double") / F.count(F.lit(1))
+        ).alias("frac_pos"),
+    ]
+    return s, y, b, aggs

@@ -728,26 +728,17 @@ def windowed_calibration(
     State per window is ≤ ``bins`` rows of counters — bounded regardless
     of stream volume; the watermark evicts closed windows.
     """
-    from .sqlgen import exact_sum
+    from .ops.quality import calibration_exprs
 
-    s = F.col(score_col).cast("double")
-    y = F.col(label_col).cast("boolean")
-    b = F.floor(((s - F.lit(float(lo))) / F.lit(float(hi - lo))) * F.lit(bins))
-    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).cast("int")
+    # the s/y/bin/agg expressions come from the ONE shared definition —
+    # see calibration_exprs — so the bin-for-bin batch equality holds by
+    # construction, not by parallel maintenance
+    s, y, b, aggs = calibration_exprs(score_col, label_col, bins, lo, hi)
     grouped = (
         df.where(s.isNotNull() & y.isNotNull())
         .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("win"), b.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(y.cast("bigint")).alias("n_pos"),
-            portable_round(
-                exact_sum(s, scale=10**8) / F.count(F.lit(1))
-            ).alias("mean_score"),
-            portable_round(
-                F.sum(y.cast("bigint")).cast("double") / F.count(F.lit(1))
-            ).alias("frac_pos"),
-        )
+        .agg(*aggs)
     )
     return grouped.select(
         F.col("win.start").alias("window_start"),
