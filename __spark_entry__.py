@@ -7389,6 +7389,131 @@ _q(
 )
 
 
+def _x138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans (ops/textops.py
+    dup_substring_spans): maximal verbatim token runs >= 20 tokens
+    occurring >= 2 times corpus-wide by OCCURRENCE count (within-document
+    repeats included — the Lee et al. ExactSubstr semantics, vs x32/x37's
+    distinct-document df).  The oracle replays the L-gram counting +
+    gaps-and-islands run chaining literally in SQL; output is all-integer
+    (positions and lengths), so there is no cross-engine float surface."""
+    from dftly_spark.ops import dup_substring_spans
+
+    _prep(spark)
+    return dup_substring_spans(
+        _docs_tok(spark, sf_dir),
+        "doc_id",
+        "text",
+        min_len=20,
+        min_count=2,
+        tokens_col=_TOK,
+        cache_key=f"documents:{sf_dir}",
+    )
+
+
+_q(
+    "x138_dup_substring_spans",
+    _x138,
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), inst AS (
+      SELECT doc_id, p, array_to_string(list_slice(w, p, p + 19), ' ') AS g
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS p
+            FROM base WHERE len(w) >= 20)
+    ), flagged AS (
+      SELECT g FROM inst GROUP BY g HAVING count(*) >= 2
+    ), starts AS (
+      SELECT doc_id, p FROM inst JOIN flagged USING (g)
+    ), runs AS (
+      SELECT doc_id, p,
+             CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                       OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 20
+                  THEN 1 ELSE 0 END AS nr
+      FROM starts
+    ), rid AS (
+      SELECT doc_id, p,
+             SUM(nr) OVER (PARTITION BY doc_id ORDER BY p) AS run
+      FROM runs
+    )
+    SELECT doc_id,
+           MIN(p) - 1 AS span_start,
+           MAX(p) + 18 AS span_end,
+           MAX(p) - MIN(p) + 20 AS span_tokens
+    FROM rid GROUP BY doc_id, run
+    """,
+)
+
+
+def _x139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal transform over x138's spans (dedup_substring_spans):
+    every token inside a maximal >= 20-token duplicated run is cut and
+    the survivors rejoin in order — the ExactSubstr training-data dedup
+    treatment at arbitrary L, exact by the L-gram-coverage equivalence
+    (see the op docstring)."""
+    from dftly_spark.ops import dedup_substring_spans
+
+    _prep(spark)
+    return dedup_substring_spans(
+        _docs_tok(spark, sf_dir),
+        "doc_id",
+        "text",
+        min_len=20,
+        min_count=2,
+        tokens_col=_TOK,
+        cache_key=f"documents:{sf_dir}",
+    )
+
+
+_q(
+    "x139_dedup_substrings",
+    _x139,
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), tok AS (
+      SELECT doc_id, p, w[p] AS t
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM base)
+    ), inst AS (
+      SELECT doc_id, p, array_to_string(list_slice(w, p, p + 19), ' ') AS g
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS p
+            FROM base WHERE len(w) >= 20)
+    ), flagged AS (
+      SELECT g FROM inst GROUP BY g HAVING count(*) >= 2
+    ), starts AS (
+      SELECT doc_id, p FROM inst JOIN flagged USING (g)
+    ), runs AS (
+      SELECT doc_id, p,
+             CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                       OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 20
+                  THEN 1 ELSE 0 END AS nr
+      FROM starts
+    ), rid AS (
+      SELECT doc_id, p,
+             SUM(nr) OVER (PARTITION BY doc_id ORDER BY p) AS run
+      FROM runs
+    ), spans AS (
+      SELECT doc_id, MIN(p) AS lo, MAX(p) + 19 AS hi FROM rid GROUP BY doc_id, run
+    ), cov AS (
+      SELECT doc_id, unnest(generate_series(lo, hi)) AS p FROM spans
+    ), marked AS (
+      SELECT tok.doc_id, tok.p, tok.t, cov.p IS NOT NULL AS c
+      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(t, ' ' ORDER BY p) FILTER (WHERE NOT c), '') AS clean_text,
+           CAST(SUM(CASE WHEN NOT c THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+           CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_removed
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -7411,6 +7536,12 @@ _PRIORITY = [
     # displacing one leaves it permanently unsampled (x122 sat at index 50
     # for four rounds).
     #
+    # -- round-10 added: x138 dup_substring_spans / x139 dedup_substrings
+    #    (ExactSubstr-style occurrence-counted duplicate-run dedup at
+    #    arbitrary min_len).  x115/x116 rotate out (4 consecutive green
+    #    rows each) to hold the window at exactly 50 --
+    "x138_dup_substring_spans",
+    "x139_dedup_substrings",
     # -- round-9 added: x129 fuzzy_join (prefix-filter similarity join),
     #    x130 pareto_front, x131 calibration_curve.  Round-9 changed: the
     #    portable_round/exact_sum NaN+overflow guards (sqlgen) touch every
@@ -7476,13 +7607,14 @@ _PRIORITY = [
     "x100_group_auc",
     "x105_large_orders",
     "x114_bpe_learn",
-    "x115_bpe_encode",
-    "x116_cube_stats",
     # -- tail: >= 3 consecutive driver-green rows, or displaced; sampled
     #    again only if the window widens or they change --
     # (x117 displaced by x128 in round 8; x101-x106 + x108 displaced by
     #  x129-x136 in round 9, plus x110 -- the window stays exactly 50; the
-    #  exact_sum convention keeps 4 in-window canaries: x21/x49/x89/x128)
+    #  exact_sum convention keeps 4 in-window canaries: x21/x49/x89/x128;
+    #  x115/x116 displaced by x138/x139 in round 10)
+    "x115_bpe_encode",
+    "x116_cube_stats",
     "x110_interval_join",
     "x104_supplier_diversity",
     "x106_dormant_accounts",

@@ -112,6 +112,14 @@ def fuzzy_join(
         right, id_col_r, text_col_r, "id_r", n,
         tokens_col=tokens_col_r, cache_key=cache_key_r,
     ).localCheckpoint(eager=False)
+    if cache_key_l is not None and cache_key_l == cache_key_r:
+        # self-join through ONE shared corpus-cache entry: both sides
+        # resolve to the same memoized plan, so `_g` carries the same
+        # attribute id on each side and the prefix join's pl._g == pr._g
+        # would be ambiguous (or trivially true).  Re-aliasing through a
+        # projection mints fresh attribute ids for the right side while
+        # still reading the shared cached/checkpointed data.
+        sh_r = sh_r.select(F.col("id_r").alias("id_r"), F.col("_g").alias("_g"))
 
     pl = _prefix_rows(sh_l, "id_l", threshold)
     pr = _prefix_rows(sh_r, "id_r", threshold)
@@ -224,10 +232,14 @@ def fuzzy_index(
 
     Returns ``(prefix, sets)``:
 
-    * ``prefix`` — ``(id, _g, _sz, _rn)``: the corpus side's prefix
-      postings under xxhash64 order (one row per indexed shingle hash,
-      with the set size for the length filter and the prefix position
-      for the positional filter);
+    * ``prefix`` — ``(id, _g, _sz, _rn, _idx_n, _idx_t)``: the corpus
+      side's prefix postings under xxhash64 order (one row per indexed
+      shingle hash, with the set size for the length filter and the
+      prefix position for the positional filter), plus the BUILD
+      PARAMETERS as constant columns — ``_idx_n`` (shingle width) and
+      ``_idx_t`` (build threshold).  They survive any write/read
+      round-trip with the data itself, so consumers can validate instead
+      of trusting out-of-band records;
     * ``sets`` — ``(id, _gs)``: each document's full sorted hash set, used
       by the exact verify step.
 
@@ -236,18 +248,25 @@ def fuzzy_index(
     (``write_bucketed(prefix, key="_g")`` + ``write_bucketed(sets,
     key=id)``) and matches new batches or streams against them with no
     corpus rescan — :func:`dftly_spark.streaming.stream_fuzzy_join` is
-    the matching ingest query.  ``threshold`` and ``n`` must match at
-    query time: the stored prefixes are exactly long enough for that
-    threshold, so a LOWER query threshold would need longer prefixes than
-    were indexed and silently lose recall — record both alongside the
-    persisted tables (the frames cannot carry them).
+    the matching ingest query.  The stored prefixes are exactly long
+    enough for the BUILD threshold, so a LOWER query threshold would
+    need longer prefixes than were indexed and silently lose recall;
+    ``stream_fuzzy_join`` reads ``_idx_n``/``_idx_t`` and raises on
+    ``n`` mismatch or a query threshold below the build threshold
+    (a HIGHER query threshold is safe — over-long prefixes cost work,
+    never recall).
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     # referenced twice (prefix + sets): truncate lineage at the boundary
     sh = _shingle_rows(df, id_col, text_col, "_cid", n).localCheckpoint(eager=False)
     prefix = _prefix_rows(sh, "_cid", threshold).select(
-        F.col("_cid").alias(id_col), "_g", "_sz", "_rn"
+        F.col("_cid").alias(id_col),
+        "_g",
+        "_sz",
+        "_rn",
+        F.lit(int(n)).alias("_idx_n"),
+        F.lit(float(threshold)).alias("_idx_t"),
     )
     sets = (
         sh.groupBy("_cid")

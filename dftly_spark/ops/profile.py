@@ -901,43 +901,105 @@ def pareto_front(
     1. one keyed aggregation to ``max(y)`` per ``(by, x)`` (map-side
        combine; the frame shrinks to #distinct-x rows per group);
     2. a cumulative ``max(y)`` window in descending ``x`` over that
-       AGGREGATED frame — a row's x-ties share the aggregate row, so the
-       window partition holds at most #distinct-x rows, not n.  (For an
-       ungrouped frontier over a near-continuous x, distinct-x ~ n and
-       this single window partition is the bound to watch — bucket x
-       first, or use the two-level partitioned_cumsum shape, when
-       distinct-x per group stops fitting a partition.)
+       AGGREGATED frame — a row's x-ties share the aggregate row, so a
+       grouped window partition holds at most #distinct-x rows per group,
+       not n.  For the UNGROUPED case with numeric ``x`` (where
+       distinct-x ~ n would funnel one window partition), the cumulative
+       max runs two-level instead (the ``partitioned_cumsum`` shape):
+       rows bucket by ``x`` range (boundaries from a one-shot
+       ``approxQuantile`` — placement affects only partition sizes,
+       never results), each bucket computes its local descending-x
+       running max in parallel, and per-bucket maxima (``buckets`` rows)
+       contribute a broadcast prefix-max offset.  A non-numeric
+       ungrouped ``x`` (no quantile support) falls back to the single
+       window.
     3. an equi-join back on ``(by, x, y = max_y)`` returns the surviving
        input rows with all their columns.
     """
+    from pyspark.sql.types import NumericType
+
     by = list(by)
     x, y = F.col(x_col), F.col(y_col)
+    # collision-proof temp names: public op, arbitrary caller frames
+    fx, fy, ymax_c, prev_c, pid_c, loc_c, tot_c, off_c, *fby = _fresh(
+        df, "_f_x", "_f_y", "_ymax", "_prev", "_pid", "_loc", "_tot", "_off",
+        *[f"_f_{c}" for c in by],
+    )
     per_x = (
         df.where(x.isNotNull() & y.isNotNull())
         .groupBy(*by, x_col)
-        .agg(F.max(y).alias("_ymax"))
-    )
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.desc(x_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .agg(F.max(y).alias(ymax_c))
     )
     # survivor iff y strictly exceeds every y seen at strictly larger x
     # (an equal y at larger x dominates; equal x-ties were pre-aggregated)
+    if by or not isinstance(df.schema[x_col].dataType, NumericType):
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.desc(x_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ranked = per_x.withColumn(prev_c, F.max(ymax_c).over(w))
+    else:
+        ranked = _two_level_desc_cummax(
+            per_x, x_col, ymax_c, prev_c, pid_c, loc_c, tot_c, off_c
+        )
     frontier = (
-        per_x.withColumn("_prev", F.max("_ymax").over(w))
-        .where(F.col("_prev").isNull() | (F.col("_ymax") > F.col("_prev")))
+        ranked.where(F.col(prev_c).isNull() | (F.col(ymax_c) > F.col(prev_c)))
         .select(
-            *[F.col(c).alias(f"_f_{c}") for c in by],
-            F.col(x_col).alias("_f_x"),
-            F.col("_ymax").alias("_f_y"),
+            *[F.col(c).alias(a) for c, a in zip(by, fby)],
+            F.col(x_col).alias(fx),
+            F.col(ymax_c).alias(fy),
         )
     )
     # null-SAFE equality on the group keys: groupBy kept a null group all
     # the way through, so the join back must match it too (x/y are
     # non-null by the input filter, but a name-based semi join would
     # silently drop every row whose `by` key is null)
-    cond = (F.col(x_col) == F.col("_f_x")) & (F.col(y_col) == F.col("_f_y"))
-    for c in by:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"_f_{c}"))
+    cond = (F.col(x_col) == F.col(fx)) & (F.col(y_col) == F.col(fy))
+    for c, a in zip(by, fby):
+        cond = cond & F.col(c).eqNullSafe(F.col(a))
     return df.join(frontier, cond, "left_semi")
+
+
+def _two_level_desc_cummax(
+    per_x: DataFrame,
+    x_col: str,
+    ymax_c: str,
+    prev_c: str,
+    pid_c: str,
+    loc_c: str,
+    tot_c: str,
+    off_c: str,
+    *,
+    buckets: int = 64,
+) -> DataFrame:
+    """``per_x`` + ``prev_c`` = max(ymax) over all STRICTLY-larger-x rows,
+    computed without a single global window partition.
+
+    Range-bucket by ``x`` (distinct per row in ``per_x``, so equal x never
+    straddles buckets and cross-bucket order is strict), local descending
+    cummax per bucket, then a broadcast prefix-max over the tiny
+    per-bucket totals (the only unpartitioned window runs over <=
+    ``buckets`` rows — the partitioned_cumsum exception).
+    """
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = per_x.stat.approxQuantile(x_col, probs, 0.01)
+    pid = F.lit(0)
+    for b in sorted(set(bounds)):
+        pid = pid + (F.col(x_col) > F.lit(b)).cast("int")
+    keyed = per_x.withColumn(pid_c, pid)
+    w_loc = (
+        Window.partitionBy(pid_c)
+        .orderBy(F.desc(x_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = keyed.withColumn(loc_c, F.max(ymax_c).over(w_loc))
+    totals = keyed.groupBy(pid_c).agg(F.max(ymax_c).alias(tot_c))
+    w_off = Window.orderBy(F.desc(pid_c)).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(pid_c, F.max(tot_c).over(w_off).alias(off_c))
+    return (
+        local.join(F.broadcast(offsets), pid_c)
+        # greatest() skips nulls: null iff no larger-x row exists anywhere
+        .withColumn(prev_c, F.greatest(loc_c, off_c))
+        .drop(pid_c, loc_c, off_c)
+    )

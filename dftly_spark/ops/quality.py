@@ -373,9 +373,15 @@ def calibration_curve(
 
     Buckets ``score_col`` into ``bins`` equal-width bins over ``[lo, hi)``
     (scores at ``hi`` land in the last bin) and reports, per bin:
-    ``n``, ``n_pos``, ``mean_score`` and ``frac_pos``.  A well-calibrated
-    scorer has ``mean_score ≈ frac_pos`` per bin — the standard companion
-    diagnostic to :func:`roc_auc` (AUC is rank-only; calibration is not).
+    ``n``, ``n_pos``, ``mean_score`` and ``frac_pos``.  Out-of-range
+    scores are CLAMPED into the edge bins (below ``lo`` → bin 0, above
+    ``hi`` → bin ``bins-1``), the same convention as :func:`psi_drift` —
+    they count toward the edge bins' ``n``/``mean_score``/``frac_pos``
+    rather than being dropped (contrast :func:`histogram_fixed`, which
+    EXCLUDES out-of-range values); pre-filter if exclusion is wanted.
+    A well-calibrated scorer has ``mean_score ≈ frac_pos`` per bin — the
+    standard companion diagnostic to :func:`roc_auc` (AUC is rank-only;
+    calibration is not).
 
     One scan, one keyed aggregation (map-side combine over ≤ ``bins``
     keys).  ``mean_score`` inherits exact_sum's loud contract: a bin whose

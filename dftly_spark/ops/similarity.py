@@ -615,11 +615,20 @@ def centroid_outliers(
             ).alias("_cent")
         )
     )
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        F.col(id_col),
-        portable_round(
-            cosine(F.col(vec_col).cast("array<double>"), F.col("_cent")), decimals
-        ).alias("centroid_cos"),
+    # alias the interpreted-HOF cosine into an attribute FIRST:
+    # portable_round references its input twice, and Catalyst will not
+    # collapse a non-cheap multiply-referenced alias back inline — without
+    # this the dim-length fold would evaluate twice per row
+    scored = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col).cast("array<double>"), F.col("_cent")).alias("_cos"),
+        )
+        .select(
+            F.col(id_col),
+            portable_round(F.col("_cos"), decimals).alias("centroid_cos"),
+        )
     )
     return scored.orderBy(F.col("centroid_cos").asc(), F.col(id_col).asc()).limit(k)
 

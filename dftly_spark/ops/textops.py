@@ -379,6 +379,154 @@ def remove_dup_ngram_spans(
     return rebuilt.withColumnRenamed("_id", id_col)
 
 
+def dup_substring_spans(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 50,
+    min_count: int = 2,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
+):
+    """Maximal verbatim-duplicated token runs of length >= ``min_len``.
+
+    The exact-substring dedup signal (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL'22 — the ExactSubstr
+    treatment): a token is *duplicated* iff it lies inside some token run
+    of length >= ``min_len`` that occurs >= ``min_count`` times in the
+    corpus, counting OCCURRENCES (a string repeated twice inside one
+    document is a duplicate; contrast :func:`dup_ngram_fraction` /
+    :func:`remove_dup_ngram_spans`, which count distinct-document
+    frequency).  Returns one row per maximal duplicated run: ``(id_col,
+    span_start, span_end, span_tokens)`` with 0-based inclusive token
+    positions over the normalized (lowercased, whitespace-split) token
+    stream.
+
+    Exactness at arbitrary ``min_len`` without suffix arrays: a token
+    sits inside a duplicated run of length >= L  ⟺  it is covered by some
+    ``min_len``-gram whose corpus occurrence count >= ``min_count``
+    (⇐ the gram is itself such a run; ⇒ any occurrence of the long run
+    carries every L-window inside it, so each covering window recurs
+    wherever the run does).  So the reference semantics reduce to
+    L-gram instance counting plus interval merging — no approximation at
+    chunk boundaries, unlike span-stitching with a fixed smaller n.
+
+    100 TB shape — sorted shingle-run chaining, never pairwise, never a
+    suffix sort:
+
+    1. positioned L-gram instances (the shared codegen explode + ``lead``
+       frames, hash-partitioned by document);
+    2. one keyed aggregation to gram occurrence counts; flagged grams
+       join back to instances (two hash shuffles, linear in corpus
+       tokens);
+    3. flagged start positions chain into maximal runs with one
+       per-document ``lag`` window (gaps-and-islands): starts whose gap
+       exceeds L break a run; ``[p, p+L-1]`` intervals at chained starts
+       union into one span.  No per-instance coverage explode — span
+       count, not span length, bounds the output.
+
+    Documents shorter than ``min_len`` tokens cannot contain a qualifying
+    run and never appear.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _shingle_instance_frames
+
+    L = int(min_len)
+    inst, _short = _shingle_instance_frames(
+        df, id_col, text_col, L, tokens_col=tokens_col, cache_key=cache_key,
+        keep_pos=True,
+    )
+    flagged_grams = (
+        inst.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") >= int(min_count))
+        .select("_g")
+    )
+    starts = inst.join(flagged_grams, "_g").select("_id", "_p")
+    w = Window.partitionBy("_id").orderBy("_p")
+    # intervals [p, p+L-1] all share length L, so sorted starts merge
+    # (overlap or touch) exactly when the start gap is <= L
+    new_run = (
+        F.lag("_p").over(w).isNull() | ((F.col("_p") - F.lag("_p").over(w)) > L)
+    ).cast("int")
+    run = F.sum(new_run).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        starts.withColumn("_run", run)
+        .groupBy("_id", "_run")
+        .agg(
+            F.min("_p").alias("span_start"),
+            (F.max("_p") + F.lit(L - 1)).alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def dedup_substring_spans(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 50,
+    min_count: int = 2,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
+):
+    """Cut every verbatim-duplicated run of >= ``min_len`` tokens.
+
+    The removal transform over :func:`dup_substring_spans` — drop each
+    token inside a maximal duplicated run and rejoin the survivors in
+    order.  Returns ``(id_col, clean_text, n_tokens_kept,
+    n_tokens_removed)``, one row per document with >= 1 token
+    (normalized: lowercased, whitespace-collapsed); documents shorter
+    than ``min_len`` tokens pass through whole.
+
+    Same linear shape as :func:`remove_dup_ngram_spans` with one
+    improvement: coverage positions explode from MERGED spans (exactly
+    ``n_tokens_removed`` rows, already disjoint — no dedup needed)
+    instead of per-flagged-instance ``n``-row fans that overlap up to
+    n-fold on long duplicates.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), doc_tokens(df, text_col, tokens_col).alias("_w")
+    ).where(F.size("_w") > 0)
+    toks = base.select("_id", F.posexplode("_w").alias("_p", "_t"))
+
+    spans = dup_substring_spans(
+        df, id_col, text_col, min_len=min_len, min_count=min_count,
+        tokens_col=tokens_col, cache_key=cache_key,
+    )
+    covered = spans.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias("_p"),
+    ).withColumn("_cov", F.lit(True))
+    marked = toks.join(covered, ["_id", "_p"], "left")
+    rebuilt = marked.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_cov").isNull(), F.struct("_p", "_t")).otherwise(None)
+                    )
+                ),
+                lambda st: st["_t"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.col("_cov").isNull().cast("bigint")).alias("n_tokens_kept"),
+        F.sum(F.col("_cov").isNotNull().cast("bigint")).alias("n_tokens_removed"),
+    )
+    return rebuilt.withColumnRenamed("_id", id_col)
+
+
 def vocab_topk(
     df,
     text_col: str,

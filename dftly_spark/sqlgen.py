@@ -718,10 +718,14 @@ def portable_round(expr, d: int = 6):
       ``±inf`` — matching ``floor(±inf)``.
 
     One arithmetic expression, two references to the input — no CASE
-    branch (a guarded form would quadruple the input subtree; callers
-    with window/HOF-heavy inputs should still pass an ATTRIBUTE, not an
-    inline expression — Catalyst does not dedup repeated window
-    expressions, see rolling_zscore).
+    branch (a guarded form would quadruple the input subtree).  Callers
+    with EXPENSIVE inputs — window expressions, interpreted array-HOF
+    folds (centroid cosine), any non-attribute subtree that costs more
+    than an add — must pass an ATTRIBUTE (``.select(expr.alias(...))``
+    first): Catalyst neither dedups repeated window expressions
+    (rolling_zscore ran its frames 4×) nor collapses the doubled subtree
+    back to one evaluation, so an inline expensive input evaluates twice
+    per row (centroid_outliers' dim-length fold, fixed in round 10).
     """
     from pyspark.sql import functions as F
 

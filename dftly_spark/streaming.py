@@ -645,9 +645,17 @@ def stream_fuzzy_join(
     for the hash-order prefix; interpreted HOFs, fine per-arriving-row).
     Candidates and verification are stream-static equi-joins — stateless,
     NO state store; the index side is a (bucketed) table scan per
-    micro-batch.  ``n``/``threshold`` must match the index build: the
-    stored prefixes are sized for that threshold, so a lower query
-    threshold would silently lose recall.
+    micro-batch.  ``n``/``threshold`` must be compatible with the index
+    build: the stored prefixes are sized for the BUILD threshold, so a
+    lower query threshold would silently lose recall.  Indexes built by
+    :func:`~dftly_spark.ops.fuzzy_index` carry their build parameters as
+    ``_idx_n``/``_idx_t`` constant columns; when present they are
+    validated here (one bounded driver-side read of the static index) and
+    a mismatched ``n`` or a query threshold below the build threshold
+    raises instead of silently losing recall.  A query threshold ABOVE
+    the build threshold is accepted — over-long prefixes cost candidate
+    work, never pairs.  Params-less indexes (built before round 10, or
+    hand-assembled) skip the check, trusting the caller.
 
     Statelessness has one visible consequence: a pair sharing multiple
     prefix hashes is emitted once per shared prefix hash (identical
@@ -659,6 +667,24 @@ def stream_fuzzy_join(
 
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if "_idx_n" in index_prefix.columns and "_idx_t" in index_prefix.columns:
+        # the index is static and bounded — one driver-side row read
+        params = index_prefix.select("_idx_n", "_idx_t").first()
+        if params is not None:
+            built_n, built_t = params["_idx_n"], params["_idx_t"]
+            if built_n != n:
+                raise ValueError(
+                    f"fuzzy index was built with n={built_n}, queried with "
+                    f"n={n}: shingle widths must match exactly"
+                )
+            if threshold < built_t:
+                raise ValueError(
+                    f"fuzzy index was built for threshold >= {built_t}, "
+                    f"queried at {threshold}: stored prefixes are too short "
+                    f"for a lower threshold and would silently lose recall "
+                    f"(rebuild the index at the lower threshold, or raise "
+                    f"the query threshold)"
+                )
     gs = F.array_sort(shingle_hashes(F.col(text_col), n))
     base = stream_df.select(
         F.col(id_col).alias("new_id"), gs.alias("_sh_l")

@@ -123,6 +123,40 @@ def test_pareto_front_matches_bruteforce(spark):
     assert got == want
 
 
+def test_pareto_front_ungrouped_two_level_matches_bruteforce(spark):
+    """Ungrouped numeric-x frontier takes the two-level cummax path: same
+    result as dominance brute force, and the big frame's window shuffle is
+    keyed by range bucket, never SinglePartition."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.random() * 1000.0, rng.randint(0, 1000)) for _ in range(800)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    out = pareto_front(df, "x", "y")
+    got = sorted((r["x"], r["y"]) for r in out.collect())
+    want = sorted(
+        p for p in rows
+        if not any(
+            q[0] >= p[0] and q[1] >= p[1] and (q[0] > p[0] or q[1] > p[1])
+            for q in rows
+        )
+    )
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_pid" in plan
+
+
+def test_pareto_front_caller_temp_name_collision(spark):
+    # public op: a caller frame already carrying _f_x/_ymax/_pid columns
+    # must not break the join-back or the bucketing
+    df = spark.createDataFrame(
+        [(1, 5, 0, 0, 0), (2, 4, 0, 0, 0), (2, 9, 0, 0, 0), (3, 1, 0, 0, 0)],
+        "x int, y int, _f_x int, _ymax int, _pid int",
+    )
+    got = sorted((r["x"], r["y"]) for r in pareto_front(df, "x", "y").collect())
+    assert got == [(2, 9), (3, 1)]
+
+
 # ---------------------------------------------------------------------------
 # calibration_curve
 # ---------------------------------------------------------------------------

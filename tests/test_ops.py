@@ -787,6 +787,91 @@ def test_remove_dup_spans_fully_duplicated_doc_becomes_empty(spark):
     assert out[2].n_tokens_removed == 7
 
 
+def test_dup_substring_spans_maximal_runs(spark):
+    from dftly_spark.ops import dup_substring_spans
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"  # 8-token verbatim run
+    docs = spark.createDataFrame(
+        [
+            (1, "ua ub uc " + shared + " ud ue"),
+            (2, shared + " vb vc vd"),
+            (3, "independent words with no overlap whatsoever here"),
+            (4, "tiny"),
+        ],
+        "doc_id int, text string",
+    )
+    out = dup_substring_spans(docs, "doc_id", "text", min_len=4).collect()
+    got = {(r.doc_id): (r.span_start, r.span_end, r.span_tokens) for r in out}
+    # the maximal merged run is the WHOLE 8-token shared block (seeds are
+    # 4-grams; chaining must recover the full run, 0-based positions)
+    assert got[1] == (3, 10, 8)
+    assert got[2] == (0, 7, 8)
+    assert set(got) == {1, 2}
+
+
+def test_dup_substring_spans_counts_within_doc_occurrences(spark):
+    from dftly_spark.ops import dup_substring_spans
+
+    # the run repeats INSIDE one document — distinct-doc df is 1, but
+    # occurrence count is 2: ExactSubstr semantics must flag it
+    docs = spark.createDataFrame(
+        [(1, "a b c d X Y a b c d"), (2, "totally different words here now")],
+        "doc_id int, text string",
+    )
+    out = dup_substring_spans(docs, "doc_id", "text", min_len=4).collect()
+    got = sorted((r.doc_id, r.span_start, r.span_end) for r in out)
+    assert got == [(1, 0, 3), (1, 6, 9)]
+
+
+def test_dup_substring_spans_gap_splits_runs(spark):
+    from dftly_spark.ops import dup_substring_spans
+
+    r1, r2 = "p q r", "x y z"
+    docs = spark.createDataFrame(
+        [
+            (1, r1 + " g1 g2 g3 g4 " + r2),
+            (2, r1 + " other stuff entirely " + r2),
+        ],
+        "doc_id int, text string",
+    )
+    out = dup_substring_spans(docs, "doc_id", "text", min_len=3).collect()
+    got = sorted((r.doc_id, r.span_start, r.span_end) for r in out)
+    assert got == [(1, 0, 2), (1, 7, 9), (2, 0, 2), (2, 6, 8)]
+
+
+def test_dedup_substring_spans_removes_exact_runs(spark):
+    from dftly_spark.ops import dedup_substring_spans
+
+    shared = "s1 s2 s3 s4 s5 s6"
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me " + shared + " and me"),
+            (2, shared + " survivor"),
+            (3, "short"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in dedup_substring_spans(docs, "doc_id", "text", min_len=4).collect()}
+    assert out[1].clean_text == "keep me and me"
+    assert out[2].clean_text == "survivor"
+    assert out[1].n_tokens_removed == 6 and out[2].n_tokens_removed == 6
+    assert out[3].clean_text == "short" and out[3].n_tokens_removed == 0
+
+
+def test_dedup_substring_min_len_gates_short_duplicates(spark):
+    from dftly_spark.ops import dedup_substring_spans
+
+    # duplicated run of 5 tokens is SHORTER than min_len=6: kept verbatim
+    shared = "d1 d2 d3 d4 d5"
+    docs = spark.createDataFrame(
+        [(1, shared + " tail-a"), (2, shared + " tail-b")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in dedup_substring_spans(docs, "doc_id", "text", min_len=6).collect()}
+    assert out[1].n_tokens_removed == 0
+    assert out[1].clean_text == shared + " tail-a"
+
+
 def test_lag_features_one_shuffle_and_values(spark):
     from dftly_spark.ops import lag_features
 

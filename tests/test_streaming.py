@@ -829,6 +829,78 @@ def test_stream_fuzzy_join_matches_batch(spark):
         stream_fuzzy_join(stream, prefix, sets, "doc_id", "text", threshold=0.0)
 
 
+def test_stream_fuzzy_join_validates_index_build_params(spark):
+    """The index carries its build (n, threshold) as constant columns;
+    a mismatched shingle width or a query threshold BELOW the build
+    threshold raises loudly instead of silently losing recall.  A higher
+    query threshold and a params-less legacy index still work."""
+    import pytest as _pytest
+
+    from dftly_spark.ops import fuzzy_index
+    from dftly_spark.streaming import stream_fuzzy_join
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    prefix, sets = fuzzy_index(docs, "doc_id", "text", n=3, threshold=0.8)
+    stream = stream_table(spark, SF_DIR, "documents")
+
+    with _pytest.raises(ValueError, match="shingle widths must match"):
+        stream_fuzzy_join(stream, prefix, sets, "doc_id", "text", n=4, threshold=0.8)
+    with _pytest.raises(ValueError, match="lose recall"):
+        stream_fuzzy_join(stream, prefix, sets, "doc_id", "text", n=3, threshold=0.5)
+    # higher-than-build threshold: prefixes are over-long, never lossy
+    assert stream_fuzzy_join(
+        stream, prefix, sets, "doc_id", "text", n=3, threshold=0.9
+    ).isStreaming
+    # a params-less (hand-assembled / pre-validation) index skips the check
+    legacy = prefix.drop("_idx_n", "_idx_t")
+    assert stream_fuzzy_join(
+        stream, legacy, sets, "doc_id", "text", n=3, threshold=0.5
+    ).isStreaming
+
+
+def test_stream_fuzzy_join_through_bucketed_index_with_dedup(spark, tmp_path):
+    """End-to-end ER ingest closure: fuzzy_index -> bucketed tables ->
+    read back -> stream_fuzzy_join -> the PRESCRIBED downstream dedup
+    (stateless streaming emits one row per shared prefix hash) == batch
+    fuzzy_join pair set, exactly."""
+    from dftly_spark.ops import fuzzy_index, fuzzy_join, read_bucketed, write_bucketed
+    from dftly_spark.streaming import stream_fuzzy_join
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+
+    prefix, sets = fuzzy_index(corpus, "doc_id", "text", n=3, threshold=0.8)
+    write_bucketed(prefix, "er_idx_prefix", key="_g")
+    write_bucketed(sets, "er_idx_sets", key="doc_id")
+    try:
+        stream = stream_table(spark, SF_DIR, "documents").where(
+            F.col("doc_id") % 2 == 1
+        )
+        out = stream_fuzzy_join(
+            stream,
+            read_bucketed(spark, "er_idx_prefix"),
+            read_bucketed(spark, "er_idx_sets"),
+            "doc_id",
+            "text",
+            n=3,
+            threshold=0.8,
+        ).dropDuplicates(["new_id", "corpus_id"])
+        assert out.isStreaming
+        got_rows = _run_to_memory(spark, out, "stream_fuzzy_bucketed").collect()
+        got = sorted((r.new_id, r.corpus_id, round(r.jaccard, 12)) for r in got_rows)
+        want = sorted(
+            (r.id_l, r.id_r, round(r.jaccard, 12))
+            for r in fuzzy_join(
+                new_batch, corpus, "doc_id", "text", n=3, threshold=0.8
+            ).collect()
+        )
+        assert got == want and len(want) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS er_idx_prefix")
+        spark.sql("DROP TABLE IF EXISTS er_idx_sets")
+
+
 def test_windowed_calibration_matches_batch(spark):
     """Each emitted (window, bin) row equals the batch calibration_curve
     over that window's slice — shared bin expression and exact
