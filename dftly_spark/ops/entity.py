@@ -29,14 +29,21 @@ MapReduce formulation; all public):
   minhash) stays in whole-stage codegen, while array higher-order
   functions evaluate interpreted (~13 µs/shingle measured in this repo —
   the array formulation of this op benched 6× slower end-to-end).
-* The global token order is **xxhash64 order** — needs no corpus
+* The DEFAULT global token order is **xxhash64 order** — needs no corpus
   statistics and decorrelates from token frequency, so stop-word-ish
   tokens don't systematically land in every prefix (lexicographic order
-  would put the same hot tokens first for every row).  The classical
-  refinement — ascending document-frequency order, which provably
-  minimizes candidate count — needs one extra token-count aggregate +
-  join per side; worth it when corpus stats are already materialized, not
-  by default.
+  would put the same hot tokens first for every row).
+  ``token_order="df"`` switches to the classical refinement — ascending
+  document-frequency order (ties broken by hash, still total), which
+  puts each set's RAREST tokens in its prefix and provably minimizes
+  candidate count (Bayardo et al. §3.1).  It costs one extra
+  distinct-doc count aggregate over the union of both sides plus one
+  hash join per side — worth it on skewed vocabularies; measured 1.9×
+  candidate reduction on the gate corpus (SCALING.md round 10).
+  :func:`fuzzy_index` stays hash-ordered by design: the streaming match
+  side (:func:`dftly_spark.streaming.stream_fuzzy_join`) computes its
+  prefix ROW-LOCALLY with ``array_sort``, which a corpus-statistics
+  order cannot do without shipping the df table into every micro-batch.
 * Prefix membership is a ``row_number``/``count`` window pair over the
   per-id partition (one keyed shuffle per side, reused by the size
   aggregate); join keys are the 8-byte hashes.
@@ -73,6 +80,7 @@ def fuzzy_join(
     n: int = 3,
     threshold: float = 0.5,
     best_match: bool = False,
+    token_order: str = "hash",
     tokens_col_l: str | None = None,
     tokens_col_r: str | None = None,
     cache_key_l: str | None = None,
@@ -89,6 +97,14 @@ def fuzzy_join(
     ``threshold`` must be in (0, 1]: at 0 the result is the cross product
     (prefix filtering degenerates to indexing every token).
 
+    ``token_order`` picks the global total order driving prefix
+    selection: ``"hash"`` (default, corpus-stat-free) or ``"df"``
+    (ascending document frequency — the classical candidate-minimizing
+    order; one extra count aggregate + join per side, see module
+    docstring).  The returned PAIR SET is identical either way — prefix
+    filtering is lossless under ANY total order; only candidate volume
+    changes.
+
     ``tokens_col_*`` / ``cache_key_*`` plug each side into the shared
     corpus caches (ops/corpus.py) like every other text op: a session
     that already built the tokenized/shingled frames for a corpus skips
@@ -96,6 +112,8 @@ def fuzzy_join(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if token_order not in ("hash", "df"):
+        raise ValueError(f"token_order must be 'hash' or 'df', got {token_order!r}")
     id_col_r = id_col_r if id_col_r is not None else id_col_l
     text_col_r = text_col_r if text_col_r is not None else text_col_l
 
@@ -121,8 +139,22 @@ def fuzzy_join(
         # still reading the shared cached/checkpointed data.
         sh_r = sh_r.select(F.col("id_r").alias("id_r"), F.col("_g").alias("_g"))
 
-    pl = _prefix_rows(sh_l, "id_l", threshold)
-    pr = _prefix_rows(sh_r, "id_r", threshold)
+    if token_order == "df":
+        # ascending doc-frequency order: one distinct-doc count over the
+        # union of both sides (the sh frames are already per-id distinct),
+        # checkpointed because it feeds both sides' prefix windows
+        dfc = (
+            sh_l.select("_g")
+            .unionByName(sh_r.select("_g"))
+            .groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .localCheckpoint(eager=False)
+        )
+        pl = _prefix_rows(sh_l.join(dfc, "_g"), "id_l", threshold, order=("_df", "_g"))
+        pr = _prefix_rows(sh_r.join(dfc, "_g"), "id_r", threshold, order=("_df", "_g"))
+    else:
+        pl = _prefix_rows(sh_l, "id_l", threshold)
+        pr = _prefix_rows(sh_r, "id_r", threshold)
     # Two lossless candidate pruners ride the hash equi-join, cutting the
     # pair volume BEFORE the distinct pays for it:
     # * length filter (AllPairs): J >= t forces t*|A| <= |B| <= |A|/t;
@@ -197,9 +229,16 @@ def _shingle_rows(
     )
 
 
-def _prefix_rows(sh: DataFrame, id_out: str, threshold: float) -> DataFrame:
-    """The ``(id, _g, _sz, _rn)`` rows in each set's prefix under xxhash64
-    order (``_rn`` = 1-based position, for the positional filter).
+def _prefix_rows(
+    sh: DataFrame,
+    id_out: str,
+    threshold: float,
+    order: tuple[str, ...] = ("_g",),
+) -> DataFrame:
+    """The ``(id, _g, _sz, _rn)`` rows in each set's prefix under the
+    given global total order — default xxhash64, or ``("_df", "_g")`` for
+    the df-ascending refinement (``_rn`` = 1-based position, for the
+    positional filter; both sides must pass the SAME order).
 
     Prefix length ``p = s - ceil(t·s) + 1``; the tiny epsilon inside the
     ceil guards the float product at exact-integer boundaries (a too-SMALL
@@ -208,7 +247,7 @@ def _prefix_rows(sh: DataFrame, id_out: str, threshold: float) -> DataFrame:
     exchange computes both the set size and the rank.
     """
     w = Window.partitionBy(id_out)
-    rn = F.row_number().over(w.orderBy("_g"))
+    rn = F.row_number().over(w.orderBy(*order))
     s = F.count(F.lit(1)).over(w)
     p = s - F.ceil(F.lit(threshold) * s - F.lit(1e-9)).cast("int") + 1
     return (

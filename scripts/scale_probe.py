@@ -446,6 +446,16 @@ def main() -> None:
 
     OPS["pareto_front"] = lambda d, e, c: _pareto(replicate_events(events, c))
 
+    def _substr(d):
+        """Exact-substring dedup: replicas carry disjoint vocab, so gram
+        occurrence counts and flagged-run volume scale exactly with c —
+        growth should track the linear instance stream."""
+        from dftly_spark.ops import dedup_substring_spans
+
+        return dedup_substring_spans(d, "doc_id", "text", min_len=20)
+
+    OPS["dedup_substring_spans"] = lambda d, e: _substr(d)
+
     wanted = sys.argv[1:] or list(OPS)
 
     import inspect as _inspect

@@ -65,6 +65,75 @@ def test_fuzzy_join_best_match_tiebreak(spark):
     assert (rows[0]["id_l"], rows[0]["id_r"], rows[0]["jaccard"]) == (1, 10, 1.0)
 
 
+def test_fuzzy_join_df_order_same_pairs_as_hash_order(spark):
+    """Prefix filtering is lossless under ANY total order: the ascending
+    document-frequency order must return the identical (pair, jaccard)
+    set as the default hash order — brute-force checked too."""
+    import random
+
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    rng = random.Random(13)
+    left = [(i, " ".join(rng.choices(words, k=rng.randint(1, 6)))) for i in range(40)]
+    right = [(100 + i, " ".join(rng.choices(words, k=rng.randint(1, 6)))) for i in range(40)]
+    ldf = spark.createDataFrame(left, "id bigint, name string")
+    rdf = spark.createDataFrame(right, "id bigint, name string")
+
+    for t, n in [(0.5, 1), (0.34, 1), (0.6, 2)]:
+        hash_pairs = {
+            (r["id_l"], r["id_r"], round(r["jaccard"], 12))
+            for r in fuzzy_join(ldf, rdf, "id", "name", n=n, threshold=t).collect()
+        }
+        df_pairs = {
+            (r["id_l"], r["id_r"], round(r["jaccard"], 12))
+            for r in fuzzy_join(
+                ldf, rdf, "id", "name", n=n, threshold=t, token_order="df"
+            ).collect()
+        }
+        assert df_pairs == hash_pairs, (t, n)
+        want = {
+            (i, j)
+            for (i, a), (j, b) in itertools.product(left, right)
+            if _jac(a, b, n) >= t
+        }
+        assert {(l, r) for l, r, _ in df_pairs} == want
+
+    with pytest.raises(ValueError, match="token_order"):
+        fuzzy_join(ldf, rdf, "id", "name", token_order="lex")
+
+
+def test_fuzzy_join_self_join_shared_cache_key(spark):
+    """Both sides of a self-join resolving to ONE shared corpus-cache
+    entry must not trip ambiguous-self-join analysis — and must return
+    the same pairs as fresh-built sides."""
+    from dftly_spark.ops.corpus import clear_token_cache
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with no overlap"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    clear_token_cache(spark)
+    try:
+        shared = fuzzy_join(
+            docs, docs, "doc_id", "text", n=2, threshold=0.5,
+            cache_key_l="selfjoin-test", cache_key_r="selfjoin-test",
+        )
+        got = sorted(
+            (r["id_l"], r["id_r"], round(r["jaccard"], 12)) for r in shared.collect()
+        )
+        want = sorted(
+            (r["id_l"], r["id_r"], round(r["jaccard"], 12))
+            for r in fuzzy_join(docs, docs, "doc_id", "text", n=2, threshold=0.5).collect()
+        )
+        assert got == want
+        # the planted near-pair must be present both directions + self-pairs
+        ids = {(l, r) for l, r, _ in got}
+        assert (1, 2) in ids and (2, 1) in ids and (1, 1) in ids
+    finally:
+        clear_token_cache(spark)
+
+
 def test_fuzzy_join_empty_and_threshold_validation(spark):
     ldf = spark.createDataFrame([(1, "   "), (2, "a b")], "id bigint, name string")
     rdf = spark.createDataFrame([(3, "a b")], "id bigint, name string")
