@@ -7514,6 +7514,133 @@ _q(
 )
 
 
+def _x140_probe(docs: DataFrame) -> DataFrame:
+    """Probe (benchmark/test-set) corpus: every 5th doc's normalized
+    tokens 7..31 (25 tokens — enough to carry 20-grams), id +2M.  Each
+    probe string is verbatim-present in its source doc by construction,
+    so the decontamination surface is non-trivially exercised at both
+    SFs (plus corpus-duplicate hits of the same windows)."""
+    w = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    return (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .where(F.size(w) >= 31)
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(w, 7, 25)).alias("text"),
+        )
+    )
+
+
+def _x140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact-substring decontamination spans
+    (ops/textops.py contamination_spans): maximal runs >= 20 tokens of
+    the documents corpus that appear verbatim anywhere in the probe
+    corpus — the span-precise, arbitrary-L upgrade of x35's fixed-n
+    whole-document containment."""
+    from dftly_spark.ops import contamination_spans
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_spans(
+        _docs_tok(spark, sf_dir),
+        _x140_probe(docs),
+        "doc_id",
+        "text",
+        min_len=20,
+        tokens_col=_TOK,
+        cache_key=f"documents:{sf_dir}",
+    )
+
+
+_X140_SPANS_SQL = r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), probe AS (
+      SELECT list_slice(w, 7, 31) AS w FROM base
+      WHERE doc_id % 5 = 0 AND len(w) >= 31
+    ), pinst AS (
+      SELECT DISTINCT array_to_string(list_slice(w, p, p + 19), ' ') AS g
+      FROM (SELECT w, unnest(generate_series(1, len(w) - 19)) AS p FROM probe)
+    ), inst AS (
+      SELECT doc_id, p, array_to_string(list_slice(w, p, p + 19), ' ') AS g
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS p
+            FROM base WHERE len(w) >= 20)
+    ), starts AS (
+      SELECT doc_id, p FROM inst WHERE g IN (SELECT g FROM pinst)
+    ), runs AS (
+      SELECT doc_id, p,
+             CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                       OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 20
+                  THEN 1 ELSE 0 END AS nr
+      FROM starts
+    ), rid AS (
+      SELECT doc_id, p,
+             SUM(nr) OVER (PARTITION BY doc_id ORDER BY p) AS run
+      FROM runs
+    )
+"""
+
+_q(
+    "x140_contamination_spans",
+    _x140,
+    _X140_SPANS_SQL
+    + """
+    SELECT doc_id,
+           MIN(p) - 1 AS span_start,
+           MAX(p) + 18 AS span_end,
+           MAX(p) - MIN(p) + 20 AS span_tokens
+    FROM rid GROUP BY doc_id, run
+    """,
+)
+
+
+def _x141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal transform over x140's spans (decontaminate_substrings):
+    every probe-shared >= 20-token run is cut and survivors rejoin in
+    order; untouched documents pass through whole."""
+    from dftly_spark.ops import decontaminate_substrings
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate_substrings(
+        _docs_tok(spark, sf_dir),
+        _x140_probe(docs),
+        "doc_id",
+        "text",
+        min_len=20,
+        tokens_col=_TOK,
+        cache_key=f"documents:{sf_dir}",
+    )
+
+
+_q(
+    "x141_decontaminate",
+    _x141,
+    _X140_SPANS_SQL
+    + """
+    , spans AS (
+      SELECT doc_id, MIN(p) AS lo, MAX(p) + 19 AS hi FROM rid GROUP BY doc_id, run
+    ), cov AS (
+      SELECT doc_id, unnest(generate_series(lo, hi)) AS p FROM spans
+    ), tok AS (
+      SELECT doc_id, p, w[p] AS t
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM base)
+    ), marked AS (
+      SELECT tok.doc_id, tok.p, tok.t, cov.p IS NOT NULL AS c
+      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(t, ' ' ORDER BY p) FILTER (WHERE NOT c), '') AS clean_text,
+           CAST(SUM(CASE WHEN NOT c THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+           CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_removed
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -7538,10 +7665,14 @@ _PRIORITY = [
     #
     # -- round-10 added: x138 dup_substring_spans / x139 dedup_substrings
     #    (ExactSubstr-style occurrence-counted duplicate-run dedup at
-    #    arbitrary min_len).  x115/x116 rotate out (4 consecutive green
-    #    rows each) to hold the window at exactly 50 --
+    #    arbitrary min_len), x140/x141 cross-corpus substring
+    #    decontamination (probe-shared runs, span-precise).  x105/x114/
+    #    x115/x116 rotate out (4 consecutive green rows each) to hold
+    #    the window at exactly 50 --
     "x138_dup_substring_spans",
     "x139_dedup_substrings",
+    "x140_contamination_spans",
+    "x141_decontaminate",
     # -- round-9 added: x129 fuzzy_join (prefix-filter similarity join),
     #    x130 pareto_front, x131 calibration_curve.  Round-9 changed: the
     #    portable_round/exact_sum NaN+overflow guards (sqlgen) touch every
@@ -7605,14 +7736,14 @@ _PRIORITY = [
     "x98_rolling_features",
     "x99_roc_auc",
     "x100_group_auc",
-    "x105_large_orders",
-    "x114_bpe_learn",
     # -- tail: >= 3 consecutive driver-green rows, or displaced; sampled
     #    again only if the window widens or they change --
     # (x117 displaced by x128 in round 8; x101-x106 + x108 displaced by
     #  x129-x136 in round 9, plus x110 -- the window stays exactly 50; the
     #  exact_sum convention keeps 4 in-window canaries: x21/x49/x89/x128;
-    #  x115/x116 displaced by x138/x139 in round 10)
+    #  x105/x114/x115/x116 displaced by x138-x141 in round 10)
+    "x105_large_orders",
+    "x114_bpe_learn",
     "x115_bpe_encode",
     "x116_cube_stats",
     "x110_interval_join",

@@ -792,7 +792,12 @@ def quantization_fidelity(
     withd = joined.select(F.col(id_col), F.col("_v"), deq.alias("_d"))
     num = dot(F.col("_v"), F.col("_d"))
     den = l2_norm(F.col("_v")) * l2_norm(F.col("_d"))
-    return withd.select(
-        F.col(id_col),
-        portable_round(F.when(den > 0, num / den), decimals).alias("recon_cos"),
+    # attribute-alias the three interpreted folds before portable_round's
+    # double reference (same discipline as centroid_outliers)
+    return (
+        withd.select(F.col(id_col), F.when(den > 0, num / den).alias("_rc"))
+        .select(
+            F.col(id_col),
+            portable_round(F.col("_rc"), decimals).alias("recon_cos"),
+        )
     )

@@ -429,8 +429,6 @@ def dup_substring_spans(
     Documents shorter than ``min_len`` tokens cannot contain a qualifying
     run and never appear.
     """
-    from pyspark.sql import Window
-
     from .dedup import _shingle_instance_frames
 
     L = int(min_len)
@@ -445,9 +443,20 @@ def dup_substring_spans(
         .select("_g")
     )
     starts = inst.join(flagged_grams, "_g").select("_id", "_p")
+    return _chain_run_spans(starts, L, id_col)
+
+
+def _chain_run_spans(starts, L: int, id_col: str):
+    """Maximal merged spans from flagged L-gram start positions.
+
+    Gaps-and-islands over one per-document ``lag`` window: intervals
+    ``[p, p+L-1]`` all share length L, so sorted starts merge (overlap or
+    touch) exactly when the start gap is <= L.  Input ``(_id, _p)``;
+    output ``(id_col, span_start, span_end, span_tokens)``.
+    """
+    from pyspark.sql import Window
+
     w = Window.partitionBy("_id").orderBy("_p")
-    # intervals [p, p+L-1] all share length L, so sorted starts merge
-    # (overlap or touch) exactly when the start gap is <= L
     new_run = (
         F.lag("_p").over(w).isNull() | ((F.col("_p") - F.lag("_p").over(w)) > L)
     ).cast("int")
@@ -495,15 +504,24 @@ def dedup_substring_spans(
     instead of per-flagged-instance ``n``-row fans that overlap up to
     n-fold on long duplicates.
     """
+    spans = dup_substring_spans(
+        df, id_col, text_col, min_len=min_len, min_count=min_count,
+        tokens_col=tokens_col, cache_key=cache_key,
+    )
+    return _rebuild_without_spans(df, spans, id_col, text_col, tokens_col)
+
+
+def _rebuild_without_spans(df, spans, id_col: str, text_col: str, tokens_col):
+    """Cut ``spans`` (disjoint, token positions) out of each document and
+    rejoin survivors in order — ``(id_col, clean_text, n_tokens_kept,
+    n_tokens_removed)``, one row per document with >= 1 token.  The
+    coverage explode emits exactly ``n_tokens_removed`` rows (merged
+    spans are disjoint by construction — no dedup step)."""
     base = df.select(
         F.col(id_col).alias("_id"), doc_tokens(df, text_col, tokens_col).alias("_w")
     ).where(F.size("_w") > 0)
     toks = base.select("_id", F.posexplode("_w").alias("_p", "_t"))
 
-    spans = dup_substring_spans(
-        df, id_col, text_col, min_len=min_len, min_count=min_count,
-        tokens_col=tokens_col, cache_key=cache_key,
-    )
     covered = spans.select(
         F.col(id_col).alias("_id"),
         F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias("_p"),
@@ -525,6 +543,92 @@ def dedup_substring_spans(
         F.sum(F.col("_cov").isNotNull().cast("bigint")).alias("n_tokens_removed"),
     )
     return rebuilt.withColumnRenamed("_id", id_col)
+
+
+def contamination_spans(
+    df,
+    probe,
+    id_col: str,
+    text_col: str,
+    *,
+    probe_id_col: str | None = None,
+    probe_text_col: str | None = None,
+    min_len: int = 20,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
+    probe_tokens_col: str | None = None,
+    probe_cache_key: str | None = None,
+):
+    """Maximal runs >= ``min_len`` tokens shared VERBATIM with ``probe``.
+
+    The substring-level decontamination signal (the ExactSubstr treatment
+    applied cross-corpus — Lee et al. ACL'22 §4.2 deduplicate train
+    against validation this way): a token of a ``df`` document is
+    *contaminated* iff it lies inside a token run of length >=
+    ``min_len`` that appears verbatim ANYWHERE in the ``probe`` corpus
+    (the test/benchmark set).  Returns ``(id_col, span_start, span_end,
+    span_tokens)`` — one row per maximal contaminated run, 0-based
+    inclusive positions.  Compare :func:`~dftly_spark.ops.containment_pairs`,
+    which scores whole-document fixed-n containment per (doc, probe)
+    pair; this op pinpoints the exact spans at arbitrary L and never
+    forms document pairs at all.
+
+    Same L-gram-coverage equivalence and linear plan shape as
+    :func:`dup_substring_spans`: corpus L-gram instances semi-join the
+    probe's DISTINCT L-gram set (small — probe corpora are test sets),
+    and flagged starts chain into maximal runs with one per-document
+    window.  Probe documents shorter than ``min_len`` tokens contribute
+    no L-gram and cannot contaminate (a < L-token probe string cannot be
+    a >= L-token run); ``df`` identity with ``probe`` is NOT excluded —
+    decontamination runs between disjoint corpora by construction.
+    """
+    from .dedup import _shingle_instance_frames
+
+    L = int(min_len)
+    inst, _short = _shingle_instance_frames(
+        df, id_col, text_col, L, tokens_col=tokens_col, cache_key=cache_key,
+        keep_pos=True,
+    )
+    p_id = probe_id_col if probe_id_col is not None else id_col
+    p_text = probe_text_col if probe_text_col is not None else text_col
+    p_inst, _p_short = _shingle_instance_frames(
+        probe, p_id, p_text, L,
+        tokens_col=probe_tokens_col, cache_key=probe_cache_key,
+    )
+    probe_grams = p_inst.select("_g").distinct()
+    starts = inst.join(probe_grams, "_g", "left_semi").select("_id", "_p")
+    return _chain_run_spans(starts, L, id_col)
+
+
+def decontaminate_substrings(
+    df,
+    probe,
+    id_col: str,
+    text_col: str,
+    *,
+    probe_id_col: str | None = None,
+    probe_text_col: str | None = None,
+    min_len: int = 20,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
+    probe_tokens_col: str | None = None,
+    probe_cache_key: str | None = None,
+):
+    """Cut every probe-shared run >= ``min_len`` tokens out of ``df``.
+
+    The removal transform over :func:`contamination_spans` — returns
+    ``(id_col, clean_text, n_tokens_kept, n_tokens_removed)``, one row
+    per document with >= 1 token; documents sharing nothing with the
+    probe pass through whole (``n_tokens_removed = 0``).
+    """
+    spans = contamination_spans(
+        df, probe, id_col, text_col,
+        probe_id_col=probe_id_col, probe_text_col=probe_text_col,
+        min_len=min_len,
+        tokens_col=tokens_col, cache_key=cache_key,
+        probe_tokens_col=probe_tokens_col, probe_cache_key=probe_cache_key,
+    )
+    return _rebuild_without_spans(df, spans, id_col, text_col, tokens_col)
 
 
 def vocab_topk(

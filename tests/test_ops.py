@@ -872,6 +872,57 @@ def test_dedup_substring_min_len_gates_short_duplicates(spark):
     assert out[1].clean_text == shared + " tail-a"
 
 
+def test_contamination_spans_flags_probe_overlap_only(spark):
+    from dftly_spark.ops import contamination_spans
+
+    leak = "t1 t2 t3 t4 t5 t6 t7"  # 7-token benchmark string
+    train = spark.createDataFrame(
+        [
+            (1, "intro words " + leak + " outro"),
+            (2, "no overlap with the benchmark at all"),
+            (3, leak),  # wholly leaked
+        ],
+        "doc_id int, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, "prompt: " + leak), (101, "unrelated probe line")],
+        "qid int, text string",
+    )
+    out = contamination_spans(
+        train, probe, "doc_id", "text", probe_id_col="qid", min_len=4
+    ).collect()
+    got = sorted((r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out)
+    assert got == [(1, 2, 8, 7), (3, 0, 6, 7)]
+
+
+def test_contamination_ignores_short_probe_strings(spark):
+    from dftly_spark.ops import contamination_spans
+
+    train = spark.createDataFrame([(1, "a b c d e f")], "doc_id int, text string")
+    # probe holds only a 3-token string: cannot contain a 4-token run
+    probe = spark.createDataFrame([(9, "a b c")], "doc_id int, text string")
+    assert contamination_spans(train, probe, "doc_id", "text", min_len=4).count() == 0
+
+
+def test_decontaminate_substrings_cuts_and_passes_through(spark):
+    from dftly_spark.ops import decontaminate_substrings
+
+    leak = "l1 l2 l3 l4 l5"
+    train = spark.createDataFrame(
+        [(1, "keep " + leak + " rest"), (2, "clean document here")],
+        "doc_id int, text string",
+    )
+    probe = spark.createDataFrame([(7, "x " + leak + " y")], "doc_id int, text string")
+    out = {
+        r.doc_id: r
+        for r in decontaminate_substrings(
+            train, probe, "doc_id", "text", min_len=5
+        ).collect()
+    }
+    assert out[1].clean_text == "keep rest" and out[1].n_tokens_removed == 5
+    assert out[2].clean_text == "clean document here" and out[2].n_tokens_removed == 0
+
+
 def test_lag_features_one_shuffle_and_values(spark):
     from dftly_spark.ops import lag_features
 
