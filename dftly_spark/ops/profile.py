@@ -982,6 +982,9 @@ def _two_level_desc_cummax(
     per-bucket totals (the only unpartitioned window runs over <=
     ``buckets`` rows — the partitioned_cumsum exception).
     """
+    # referenced by the quantile ACTION below and twice in the result plan:
+    # truncate lineage so the aggregation runs once, not three times
+    per_x = per_x.localCheckpoint(eager=False)
     probs = [i / buckets for i in range(1, buckets)]
     bounds = per_x.stat.approxQuantile(x_col, probs, 0.01)
     pid = F.lit(0)

@@ -792,10 +792,17 @@ def quantization_fidelity(
     withd = joined.select(F.col(id_col), F.col("_v"), deq.alias("_d"))
     num = dot(F.col("_v"), F.col("_d"))
     den = l2_norm(F.col("_v")) * l2_norm(F.col("_d"))
-    # attribute-alias the three interpreted folds before portable_round's
-    # double reference (same discipline as centroid_outliers)
+    # attribute-alias each interpreted fold BEFORE any multi-reference:
+    # `den` is referenced by both the guard and the value (CaseWhen branch
+    # values sit outside codegen subexpression elimination), and the
+    # rounded ratio is referenced twice by portable_round — same
+    # discipline as centroid_outliers
     return (
-        withd.select(F.col(id_col), F.when(den > 0, num / den).alias("_rc"))
+        withd.select(F.col(id_col), num.alias("_num"), den.alias("_den"))
+        .select(
+            F.col(id_col),
+            F.when(F.col("_den") > 0, F.col("_num") / F.col("_den")).alias("_rc"),
+        )
         .select(
             F.col(id_col),
             portable_round(F.col("_rc"), decimals).alias("recon_cos"),

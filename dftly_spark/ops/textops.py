@@ -336,11 +336,6 @@ def remove_dup_ngram_spans(
     """
     from .dedup import _shingle_instance_frames
 
-    base = df.select(
-        F.col(id_col).alias("_id"), doc_tokens(df, text_col, tokens_col).alias("_w")
-    ).where(F.size("_w") > 0)
-    toks = base.select("_id", F.posexplode("_w").alias("_p", "_t"))
-
     # positioned gram instances — the same (cacheable) frame the n-gram
     # dedup family builds, positions kept for the coverage explode
     inst, _ = _shingle_instance_frames(
@@ -358,25 +353,8 @@ def remove_dup_ngram_spans(
         inst.join(flagged, "_g")
         .select("_id", F.explode(F.sequence(F.col("_p"), F.col("_p") + (n - 1))).alias("_p"))
         .dropDuplicates(["_id", "_p"])
-        .withColumn("_cov", F.lit(True))
     )
-    marked = toks.join(covered, ["_id", "_p"], "left")
-    rebuilt = marked.groupBy("_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("_cov").isNull(), F.struct("_p", "_t")).otherwise(None)
-                    )
-                ),
-                lambda st: st["_t"],
-            ),
-        ).alias("clean_text"),
-        F.sum(F.col("_cov").isNull().cast("bigint")).alias("n_tokens_kept"),
-        F.sum(F.col("_cov").isNotNull().cast("bigint")).alias("n_tokens_removed"),
-    )
-    return rebuilt.withColumnRenamed("_id", id_col)
+    return _rebuild_without_positions(df, covered, id_col, text_col, tokens_col)
 
 
 def dup_substring_spans(
@@ -513,20 +491,29 @@ def dedup_substring_spans(
 
 def _rebuild_without_spans(df, spans, id_col: str, text_col: str, tokens_col):
     """Cut ``spans`` (disjoint, token positions) out of each document and
-    rejoin survivors in order — ``(id_col, clean_text, n_tokens_kept,
-    n_tokens_removed)``, one row per document with >= 1 token.  The
-    coverage explode emits exactly ``n_tokens_removed`` rows (merged
-    spans are disjoint by construction — no dedup step)."""
+    rejoin survivors in order.  The coverage explode emits exactly
+    ``n_tokens_removed`` rows (merged spans are disjoint by construction
+    — no dedup step)."""
+    covered = spans.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias("_p"),
+    )
+    return _rebuild_without_positions(df, covered, id_col, text_col, tokens_col)
+
+
+def _rebuild_without_positions(df, covered, id_col: str, text_col: str, tokens_col):
+    """THE rebuild shared by every span-removal transform: drop each
+    document token whose 0-based position appears in ``covered``
+    (``(_id, _p)``, one row per cut position — callers guarantee
+    distinctness) and rejoin the survivors in order.  Returns ``(id_col,
+    clean_text, n_tokens_kept, n_tokens_removed)``, one row per document
+    with >= 1 token."""
     base = df.select(
         F.col(id_col).alias("_id"), doc_tokens(df, text_col, tokens_col).alias("_w")
     ).where(F.size("_w") > 0)
     toks = base.select("_id", F.posexplode("_w").alias("_p", "_t"))
 
-    covered = spans.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias("_p"),
-    ).withColumn("_cov", F.lit(True))
-    marked = toks.join(covered, ["_id", "_p"], "left")
+    marked = toks.join(covered.withColumn("_cov", F.lit(True)), ["_id", "_p"], "left")
     rebuilt = marked.groupBy("_id").agg(
         F.concat_ws(
             " ",

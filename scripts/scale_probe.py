@@ -456,6 +456,22 @@ def main() -> None:
 
     OPS["dedup_substring_spans"] = lambda d, e: _substr(d)
 
+    def _decontam(d):
+        """Cross-corpus decontamination with the GATE's probe recipe
+        (x140's planted windows, imported so the probe cannot drift from
+        the gated semantics).  The probe derives from the replicated
+        corpus, so probe grams AND flagged volume both scale with c —
+        each replica's windows only match that replica (disjoint vocab),
+        keeping the semi-join linear."""
+        from dftly_spark.ops import decontaminate_substrings
+        from __spark_entry__ import _x140_probe
+
+        return decontaminate_substrings(
+            d, _x140_probe(d), "doc_id", "text", min_len=20
+        )
+
+    OPS["decontaminate_substrings"] = lambda d, e: _decontam(d)
+
     wanted = sys.argv[1:] or list(OPS)
 
     import inspect as _inspect
