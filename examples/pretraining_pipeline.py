@@ -3,7 +3,8 @@
 Shows how the pieces compose into the standard corpus-preparation flow:
 
     read → quality filter (engine expressions) → exact dedup → near-dedup
-    (MinHash-LSH) → duplicated-span removal → benchmark decontamination →
+    (MinHash-LSH) → exact-substring span removal → benchmark
+    decontamination (doc-level drop + span-level scrub) →
     DSIR target-likeness gate → per-source cap → language mix (stratified
     sample) → train/val/test split → sequence packing → partitioned shard
     layout → rollup accounting + learned-BPE token budget
@@ -34,9 +35,10 @@ from dftly_spark.ops import (
     dsir_weights,
     exact_dedup,
     hash_split,
+    dedup_substring_spans,
+    decontaminate_substrings,
     minhash_dup_pairs,
     pack_sequences,
-    remove_dup_ngram_spans,
     rollup_stats,
     stratified_sample,
     write_partitioned,
@@ -70,9 +72,12 @@ def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     victims = pairs.select(F.col("id_r").alias("doc_id")).distinct()
     clean = clean.join(victims, "doc_id", "left_anti")
 
-    # 4. Substring-level dedup: cut spans duplicated across surviving docs
-    #    (whole-doc dedup misses shared boilerplate inside distinct docs).
-    despanned = remove_dup_ngram_spans(clean, "doc_id", "text", n=13)
+    # 4. Exact-substring dedup (ExactSubstr): cut any verbatim run of
+    #    >= 13 tokens occurring twice anywhere in the surviving corpus —
+    #    including twice inside ONE doc (whole-doc dedup misses shared
+    #    boilerplate; distinct-doc-df span removal misses internal
+    #    repetition).
+    despanned = dedup_substring_spans(clean, "doc_id", "text", min_len=13)
     clean = (
         clean.drop("text")
         .join(despanned.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
@@ -89,6 +94,15 @@ def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes, clean, "doc_id", "text", n=3, threshold=0.8
     ).select(F.col("doc_id")).distinct()
     clean = clean.join(contaminated, "doc_id", "left_anti")
+    #    ... and scrub the survivors span-level: docs below the 80% drop
+    #    gate can still carry a verbatim probe run — cut any shared run
+    #    of >= 10 tokens instead of dropping the whole doc.
+    scrubbed = decontaminate_substrings(clean, probes, "doc_id", "text", min_len=10)
+    clean = (
+        clean.drop("text")
+        .join(scrubbed.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+        .where(F.length("text") > 0)
+    )
 
     # Lineage checkpoint at the dedup/selection boundary: the scoring
     # stages below reference the cleaned frame several times, and
