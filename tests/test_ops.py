@@ -923,6 +923,107 @@ def test_decontaminate_substrings_cuts_and_passes_through(spark):
     assert out[2].clean_text == "clean document here" and out[2].n_tokens_removed == 0
 
 
+def _brute_covered_positions(token_lists, L, flagged):
+    """Expected maximal spans per doc: positions covered by any flagged
+    L-gram start, merged into contiguous runs."""
+    spans = {}
+    for i, ws in enumerate(token_lists):
+        cov = set()
+        for p in range(len(ws) - L + 1):
+            if flagged(i, p, tuple(ws[p : p + L])):
+                cov.update(range(p, p + L))
+        runs, cur = [], None
+        for p in sorted(cov):
+            if cur and p == cur[1] + 1:
+                cur[1] = p
+            else:
+                cur = [p, p]
+                runs.append(cur)
+        if runs:
+            spans[i] = [(a, b, b - a + 1) for a, b in runs]
+    return spans
+
+
+def test_dup_substring_spans_randomized_bruteforce(spark):
+    """Seeded random corpora vs the literal definition: a position is in a
+    span iff covered by an L-gram occurring >= 2 times corpus-wide (by
+    position count, within-doc included), spans = maximal covered runs."""
+    import random
+    from collections import Counter
+
+    from dftly_spark.ops import dup_substring_spans
+
+    rng = random.Random(42)
+    for trial in range(5):
+        L = rng.choice([2, 3, 4])
+        docs = [
+            [rng.choice("abcd") for _ in range(rng.randint(0, 14))]
+            for _ in range(10)
+        ]
+        counts = Counter(
+            tuple(ws[p : p + L])
+            for ws in docs
+            for p in range(len(ws) - L + 1)
+        )
+        want = _brute_covered_positions(
+            docs, L, lambda i, p, g: counts[g] >= 2
+        )
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+            "doc_id int, text string",
+        )
+        got = {}
+        for r in dup_substring_spans(df, "doc_id", "text", min_len=L).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end, r.span_tokens)
+            )
+        got = {k: sorted(v) for k, v in got.items()}
+        assert got == want, (trial, L, docs)
+
+
+def test_contamination_spans_randomized_bruteforce(spark):
+    """Same property cross-corpus: covered iff the L-gram appears anywhere
+    in the probe corpus."""
+    import random
+
+    from dftly_spark.ops import contamination_spans
+
+    rng = random.Random(99)
+    for trial in range(5):
+        L = rng.choice([2, 3])
+        docs = [
+            [rng.choice("abc") for _ in range(rng.randint(0, 12))]
+            for _ in range(8)
+        ]
+        probe = [
+            [rng.choice("abc") for _ in range(rng.randint(0, 8))]
+            for _ in range(4)
+        ]
+        probe_grams = {
+            tuple(ws[p : p + L])
+            for ws in probe
+            for p in range(len(ws) - L + 1)
+        }
+        want = _brute_covered_positions(
+            docs, L, lambda i, p, g: g in probe_grams
+        )
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+            "doc_id int, text string",
+        )
+        pdf = spark.createDataFrame(
+            [(100 + i, " ".join(ws)) for i, ws in enumerate(probe)],
+            "doc_id int, text string",
+        )
+        got = {}
+        for r in contamination_spans(df, pdf, "doc_id", "text", min_len=L).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end, r.span_tokens)
+            )
+        got = {k: sorted(v) for k, v in got.items()}
+        assert got == want, (trial, L, docs, probe)
+
+
 def test_lag_features_one_shuffle_and_values(spark):
     from dftly_spark.ops import lag_features
 
