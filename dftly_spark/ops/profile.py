@@ -983,7 +983,14 @@ def _two_level_desc_cummax(
     ``buckets`` rows — the partitioned_cumsum exception).
     """
     # referenced by the quantile ACTION below and twice in the result plan:
-    # truncate lineage so the aggregation runs once, not three times
+    # truncate lineage so the aggregation runs once, not three times.
+    # Retention note: this pins the (x, max_y) frame — TWO numeric columns
+    # at distinct-x cardinality, NOT the input — in executor storage until
+    # the driver GCs the RDD reference (ContextCleaner); the trade is that
+    # bounded storage against three executions of the full input scan +
+    # aggregation.  Long-lived sessions frontier-ing many huge frames can
+    # force release early via spark.catalog.clearCache()-adjacent GC or by
+    # bucketing x upstream.
     per_x = per_x.localCheckpoint(eager=False)
     probs = [i / buckets for i in range(1, buckets)]
     bounds = per_x.stat.approxQuantile(x_col, probs, 0.01)
