@@ -627,6 +627,7 @@ def stream_fuzzy_join(
     *,
     n: int = 3,
     threshold: float = 0.5,
+    carry_cols: tuple[str, ...] | list[str] = (),
 ) -> DataFrame:
     """Streaming entity resolution against a PERSISTED prefix-filter index.
 
@@ -661,7 +662,12 @@ def stream_fuzzy_join(
     prefix hashes is emitted once per shared prefix hash (identical
     jaccard each time).  Dedupe downstream (``dropDuplicates`` on a
     bounded backfill, ``dropDuplicatesWithinWatermark`` with event time,
-    or at the sink).
+    or at the sink).  ``carry_cols`` propagates stream-side columns
+    (watermarked event time, source tags) through to the output so the
+    downstream stateful dedup has its time column — the full ingest
+    wiring is ``stream.withWatermark(ts, ...)`` →
+    ``stream_fuzzy_join(..., carry_cols=(ts,))`` →
+    ``dropDuplicatesWithinWatermark(["new_id", "corpus_id"])``.
     """
     from .ops.dedup import shingle_hashes
 
@@ -685,14 +691,20 @@ def stream_fuzzy_join(
                     f"(rebuild the index at the lower threshold, or raise "
                     f"the query threshold)"
                 )
+    carry = list(carry_cols)
+    reserved = {"new_id", "corpus_id", "jaccard", "_sh_l", "_sz_l", "_g", "_gs"}
+    bad = reserved.intersection(carry)
+    if bad:
+        raise ValueError(f"carry_cols collide with output/internal names: {sorted(bad)}")
     gs = F.array_sort(shingle_hashes(F.col(text_col), n))
     base = stream_df.select(
-        F.col(id_col).alias("new_id"), gs.alias("_sh_l")
+        F.col(id_col).alias("new_id"), *carry, gs.alias("_sh_l")
     ).where(F.size("_sh_l") > 0)
     s = F.size("_sh_l")
     p = s - F.ceil(F.lit(threshold) * s - F.lit(1e-9)).cast("int") + 1
     keyed = base.select(
         "new_id",
+        *carry,
         "_sh_l",
         F.size("_sh_l").alias("_sz_l"),
         F.posexplode(F.slice("_sh_l", F.lit(1), p)).alias("_pos0", "_g"),
@@ -716,7 +728,7 @@ def stream_fuzzy_join(
             F.lit(1) + F.least(keyed["_sz_l"] - keyed["_rn_l"], old["_sz"] - old["_rn"])
             >= alpha
         )
-    cand = keyed.join(old, cond).select("new_id", "_sh_l", "corpus_id")
+    cand = keyed.join(old, cond).select("new_id", *carry, "_sh_l", "corpus_id")
     cand = cand.join(
         index_sets.select(F.col(id_col).alias("corpus_id"), "_gs"), "corpus_id"
     )
@@ -724,7 +736,7 @@ def stream_fuzzy_join(
         F.array_union("_sh_l", "_gs")
     )
     return (
-        cand.select("new_id", "corpus_id", jac.alias("jaccard"))
+        cand.select("new_id", *carry, "corpus_id", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

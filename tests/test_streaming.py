@@ -901,6 +901,50 @@ def test_stream_fuzzy_join_through_bucketed_index_with_dedup(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS er_idx_sets")
 
 
+def test_stream_fuzzy_join_watermarked_dedup_wiring(spark):
+    """The PRESCRIBED unbounded-stream wiring: watermarked event time
+    carried through stream_fuzzy_join (carry_cols) into
+    dropDuplicatesWithinWatermark — per-prefix-hash duplicate emissions
+    collapse to one row per pair, equal to the batch pair set."""
+    from dftly_spark.ops import fuzzy_index, fuzzy_join
+    from dftly_spark.streaming import stream_fuzzy_join
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+
+    prefix, sets = fuzzy_index(corpus, "doc_id", "text", n=3, threshold=0.8)
+    stream = (
+        stream_table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") % 2 == 1)
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 3600)
+        )
+        .withWatermark("ts", "1 hour")
+    )
+    out = stream_fuzzy_join(
+        stream, prefix, sets, "doc_id", "text", n=3, threshold=0.8,
+        carry_cols=("ts",),
+    ).dropDuplicatesWithinWatermark(["new_id", "corpus_id"])
+    assert out.isStreaming and "ts" in out.columns
+    got_rows = _run_to_memory(spark, out, "stream_fuzzy_wm").collect()
+    got = sorted((r.new_id, r.corpus_id, round(r.jaccard, 12)) for r in got_rows)
+    assert len(got) == len(set(got))  # the stateful dedup actually deduped
+    want = sorted(
+        (r.id_l, r.id_r, round(r.jaccard, 12))
+        for r in fuzzy_join(
+            new_batch, corpus, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+    with pytest.raises(ValueError, match="carry_cols"):
+        stream_fuzzy_join(
+            stream, prefix, sets, "doc_id", "text", n=3, threshold=0.8,
+            carry_cols=("jaccard",),
+        )
+
+
 def test_windowed_calibration_matches_batch(spark):
     """Each emitted (window, bin) row equals the batch calibration_curve
     over that window's slice — shared bin expression and exact
