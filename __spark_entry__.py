@@ -7869,11 +7869,12 @@ def warm_caches(spark: SparkSession, sf_dir: str) -> None:
     docs = _docs_tok(spark, sf_dir)
     key = f"documents:{sf_dir}"
     frames = [docs]
-    # Only the n=13 span family caches its shingle frame: its 13-lead
-    # window construction is expensive enough to amortize, while the n=3
+    # Only the wide-window span families cache their shingle frames: the
+    # 13- and 20-lead window constructions are expensive enough to
+    # amortize (n=13 x32/x37; n=20 x138-x141), while the n=3
     # minhash/jaccard consumers measured FASTER recomputing the fused
     # pipeline than scanning a persisted instance frame at sf0.1.
-    for n in (13,):
+    for n in (13, 20):
         li, sr = _shingle_instance_frames(
             docs, "doc_id", "text", n, tokens_col=_TOK, cache_key=key
         )

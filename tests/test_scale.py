@@ -504,3 +504,22 @@ def test_zorder_key_validation(spark):
         zorder_key(["a"], {"a": (0, 1)})
     with pytest.raises(ValueError, match="overflows"):
         zorder_key(["a", "b", "c", "d"], {}, bits=16)
+
+
+def test_contamination_probe_gram_join_broadcasts(spark):
+    """The 100 TB decontamination shape: the probe (test-set) gram set is
+    small, so its semi-join against the corpus instance stream must come
+    out a BROADCAST join — the corpus is never shuffled by gram for a
+    small probe."""
+    from dftly_spark.ops import contamination_spans
+    from dftly_spark.ops.scale import plan_summary
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    probe = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    out = contamination_spans(docs, probe, "doc_id", "text", min_len=5)
+    out.collect()  # AQE finalizes the physical plan
+    ps = plan_summary(out)
+    assert ps["n_broadcast_joins"] >= 1
+    assert not ps["has_python_eval"] and not ps["has_nested_loop"]
