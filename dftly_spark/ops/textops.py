@@ -414,6 +414,10 @@ def dup_substring_spans(
         df, id_col, text_col, L, tokens_col=tokens_col, cache_key=cache_key,
         keep_pos=True,
     )
+    # referenced twice (gram counts + the starts join): truncate lineage
+    # at the boundary or the tokenize+explode+window stage re-executes per
+    # reference (the repo-wide multi-reference discipline; lazy)
+    inst = inst.localCheckpoint(eager=False)
     flagged_grams = (
         inst.groupBy("_g")
         .agg(F.count(F.lit(1)).alias("_cnt"))
