@@ -102,6 +102,57 @@ def soak_sessionize(spark, n_batches):
     return _soak_query(spark, out, "soak_sessions", n_batches)
 
 
+#: fuzzy-ER soak: watermark delay (seconds) for the downstream dedup and
+#: the state ceiling derived from it — rate × (delay + trigger/eviction
+#: slack); state above this means the watermark is not evicting.
+FUZZY_RATE = 1000
+FUZZY_WM_S = 2
+FUZZY_STATE_BOUND = FUZZY_RATE * (FUZZY_WM_S + 8)
+
+
+def soak_fuzzy(spark, n_batches):
+    """Watermarked entity-resolution ingest: stream_fuzzy_join (stateless)
+    → dropDuplicatesWithinWatermark (the ONE stateful stage).  Every
+    arriving row matches exactly one indexed doc and carries a UNIQUE
+    new_id, so pairs never repeat and the dedup state holds only the
+    rows inside the watermark horizon — bounded by rate × delay, NOT by
+    stream length.  PASS = state stays under that ceiling and at least
+    one eviction (a numRowsTotal decrease) is observed."""
+    from dftly_spark.ops import fuzzy_index
+    from dftly_spark.streaming import stream_fuzzy_join
+
+    corpus = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"t{j}x"), F.col("id").cast("string")) for j in range(5)],
+        ).alias("text"),
+    )
+    prefix, sets = fuzzy_index(corpus, "doc_id", "text", n=3, threshold=0.8)
+    # disjoint per-doc vocab: prefix/sets frames are tiny; materialize so
+    # every micro-batch joins against a settled static side
+    prefix = prefix.localCheckpoint()
+    sets = sets.localCheckpoint()
+
+    r = _rate(spark, rows_per_sec=FUZZY_RATE)
+    stream = r.select(
+        F.col("value").alias("doc_id"),
+        F.col("timestamp").alias("ts"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"t{j}x"), (F.col("value") % 20).cast("string"))
+                for j in range(5)
+            ],
+        ).alias("text"),
+    ).withWatermark("ts", f"{FUZZY_WM_S} seconds")
+    out = stream_fuzzy_join(
+        stream, prefix, sets, "doc_id", "text", n=3, threshold=0.8,
+        carry_cols=("ts",),
+    ).dropDuplicatesWithinWatermark(["new_id", "corpus_id"])
+    return _soak_query(spark, out, "soak_fuzzy", n_batches)
+
+
 def soak_index(spark, n_rounds):
     from dftly_spark.ops import minhash_index
     from dftly_spark.streaming import maintain_minhash_index
@@ -175,6 +226,17 @@ def main() -> int:
             f"tail={sorted(set(tail))} bound={N_KEYS} "
             f"{'PASS' if plateau else 'FAIL'}"
         )
+
+    totals = soak_fuzzy(spark, n_batches)
+    evicted = any(b < a for a, b in zip(totals, totals[1:]))
+    bounded = max(totals) <= FUZZY_STATE_BOUND
+    fuzzy_ok = bounded and evicted
+    ok &= fuzzy_ok
+    print(
+        f"fuzzy_er_dedup: batches={len(totals)} max_state_rows={max(totals)} "
+        f"bound={FUZZY_STATE_BOUND} evictions={'yes' if evicted else 'no'} "
+        f"{'PASS' if fuzzy_ok else 'FAIL'}"
+    )
 
     sizes = soak_index(spark, n_rounds)
     # the first live round can admit intra-batch duplicates (screening is
