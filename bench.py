@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Benchmark the driver-contract query suite.
+"""Benchmark the driver-contract query suite (median-of-3 protocol).
 
 Runs every ``queries()`` entry from ``__spark_entry__`` against
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
@@ -11,6 +11,15 @@ Runs every ``queries()`` entry from ``__spark_entry__`` against
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side collect).  Session startup is excluded; a warm-up action runs
 first so JVM/codegen startup is not billed to the first query.
+
+Median-of-3 (round 11): single-pass timings on this box show phantom
+2-3x swings from session jitter (r10 verdict: x10/x109/x110 flagged >2x
+in the official artifact while a same-tree control run recorded them at
+baseline).  Each query therefore runs ``$SPARK_GRAFT_BENCH_REPS``
+(default 3) back-to-back reps; ``queries`` reports the per-query MEDIAN
+(the driver-contract shape — plain numbers), with per-query minima and
+raw reps in ``queries_min`` / ``queries_reps`` for forensics.  ``value``
+is the sum of medians, i.e. steady-state suite seconds.
 """
 
 from __future__ import annotations
@@ -18,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -29,6 +39,7 @@ import __spark_entry__ as entrymod
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -60,18 +71,29 @@ def main() -> None:
         entrymod.warm_caches(spark, sf_dir)
     cache_warm_sec = round(time.perf_counter() - t_warm0, 4)
 
-    times: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    minima: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for name in sorted(qs):
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 4)
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 4))
+        medians[name] = round(statistics.median(runs), 4)
+        minima[name] = min(runs)
+        all_reps[name] = runs
 
     out = {
         "metric": "suite_seconds",
-        "value": round(sum(times.values()), 4),
+        "value": round(sum(medians.values()), 4),
         "unit": "sec",
-        "queries": times,
+        # Driver-contract shape: name -> seconds.  Median of `reps` runs.
+        "queries": medians,
         "sf": sf,
+        "reps": reps,
+        "queries_min": minima,
+        "queries_reps": all_reps,
         # One-time shared-cache build (tokenized corpus, shingle instances,
         # term frames) — amortized session infrastructure, reported
         # separately so per-query numbers are steady-state but the build
