@@ -915,6 +915,14 @@ def pareto_front(
        window.
     3. an equi-join back on ``(by, x, y = max_y)`` returns the surviving
        input rows with all their columns.
+
+    NOTE (plan-build-time work): the ungrouped numeric-``x`` path runs
+    eager Spark jobs AT CALL TIME — ``approxQuantile`` is an action, and
+    it materializes the lazily-checkpointed ``(x, max_y)`` aggregate it
+    quantiles (which stays pinned in executor storage; see
+    ``_two_level_desc_cummax``).  Callers composing plans fully lazily
+    should expect those jobs before their own first action on this path;
+    the grouped and non-numeric paths stay lazy.
     """
     from pyspark.sql.types import NumericType
 

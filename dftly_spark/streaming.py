@@ -692,7 +692,13 @@ def stream_fuzzy_join(
                     f"the query threshold)"
                 )
     carry = list(carry_cols)
-    reserved = {"new_id", "corpus_id", "jaccard", "_sh_l", "_sz_l", "_g", "_gs"}
+    # every internal name used anywhere in this plan (shingle frame, probe
+    # positions, static-index columns) — a carry column shadowing one would
+    # surface as a confusing duplicate/ambiguous-column error at join time
+    reserved = {
+        "new_id", "corpus_id", "jaccard", "_sh_l", "_sz_l", "_g", "_gs",
+        "_pos0", "_rn_l", "_sz", "_rn", "_idx_n", "_idx_t",
+    }
     bad = reserved.intersection(carry)
     if bad:
         raise ValueError(f"carry_cols collide with output/internal names: {sorted(bad)}")
