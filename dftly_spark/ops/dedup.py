@@ -962,6 +962,7 @@ def semantic_dedup_pairs(
     kmeans_iters: int = 5,
     kmeans_init: str = "sample",
     max_cell_size: int | None = None,
+    centroids_as: str = "broadcast_join",
 ) -> DataFrame:
     """Semantic near-duplicate pairs via cluster-then-prune (SemDeDup shape).
 
@@ -979,10 +980,11 @@ def semantic_dedup_pairs(
     threshold``, both members in the same cell.  Cosine folds are
     bit-identical with DuckDB's ``list_dot_product`` replay.
     """
-    from .similarity import assign_cells, choose_centroids, dot
+    from .similarity import _centroids_for, assign_cells, dot
 
-    cents = choose_centroids(
+    cents = _centroids_for(
         corpus,
+        centroids_as,
         id_col=id_col,
         vec_col=vec_col,
         n_centroids=n_centroids,

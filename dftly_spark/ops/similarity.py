@@ -214,27 +214,53 @@ def kmeans_centroids(
         [(ci + 1, i, float(x)) for ci, c in enumerate(cents) for i, x in enumerate(c)],
         "_cell int, _i int, _m double",
     ).localCheckpoint()
+    cdf = _lloyd(base, cdf, iters)
+    rows = cdf.collect()
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cell.setdefault(int(r["_cell"]), {})[int(r["_i"])] = float(r["_m"])
+    return [
+        [by_cell[ci][i] for i in sorted(by_cell[ci])]
+        for ci in sorted(by_cell)
+    ]
+
+
+def _matrix_frame(cdf: DataFrame) -> DataFrame:
+    """Long-form centroids ``(_cell, _i, _m)`` → ONE row ``(_cm:
+    array<array<double>>)`` ordered by cell index (cell ``c`` at position
+    ``c``; cells are 1-based and contiguous).  The k×dim matrix is built
+    cluster-side and reaches consumers as a 1-row broadcast — never a plan
+    literal, never a py4j transfer."""
+    return (
+        cdf.groupBy("_cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_cv")
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_cell", "_cv"))),
+                lambda s: s["_cv"],
+            ).alias("_cm")
+        )
+    )
+
+
+def _lloyd(base: DataFrame, cdf: DataFrame, iters: int) -> DataFrame:
+    """``iters`` Lloyd iterations over long-form centroid state.
+
+    ``base`` is the corpus as one ``_v: array<double>`` column; ``cdf`` the
+    (checkpointed) ``(_cell, _i, _m)`` centroid frame.  Returns the refined
+    centroid frame, checkpointed.  See :func:`kmeans_centroids` for the
+    bit-reproducibility argument (left-fold norms, keyed avg means)."""
     dot = lambda a, b: F.aggregate(  # noqa: E731 — shared fold shape
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     for _ in range(iters):
-        # 1-row frame: array<array<double>> ordered by cell index
-        cmat = (
-            cdf.groupBy("_cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_i", "_m"))),
-                    lambda s: s["_m"],
-                ).alias("_cv")
-            )
-            .groupBy()
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_cell", "_cv"))),
-                    lambda s: s["_cv"],
-                ).alias("_cm")
-            )
-        )
+        cmat = _matrix_frame(cdf)
         scores = F.transform(F.col("_cm"), lambda c: dot(F.col("_v"), c))
         assigned = base.crossJoin(F.broadcast(cmat)).select(
             "_v", F.array_position(scores, F.array_max(scores)).alias("_cell")
@@ -296,14 +322,7 @@ def kmeans_centroids(
             .select("_cell", F.posexplode("_vu").alias("_i", "_m"))
             .localCheckpoint()
         )
-    rows = cdf.collect()
-    by_cell: dict[int, dict[int, float]] = {}
-    for r in rows:
-        by_cell.setdefault(int(r["_cell"]), {})[int(r["_i"])] = float(r["_m"])
-    return [
-        [by_cell[ci][i] for i in sorted(by_cell[ci])]
-        for ci in sorted(by_cell)
-    ]
+    return cdf
 
 
 def _unit_list(c: list[float]) -> list[float]:
@@ -372,21 +391,139 @@ def choose_centroids(
     raise ValueError(f"unknown centroid strategy {strategy!r}")
 
 
+def choose_centroid_frame(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    strategy: str = "first",
+    seed: int = 42,
+    kmeans_iters: int = 5,
+    kmeans_init: str = "sample",
+) -> DataFrame:
+    """Unit centroids as a long-form DataFrame ``(_cell int, _i int, _m
+    double)`` — the 100 TB shape of :func:`choose_centroids`.
+
+    The k×dim matrix is selected, normalized, and (for ``"kmeans"``)
+    refined entirely CLUSTER-SIDE: the driver never holds it, it never
+    rides py4j, and consumers attach it as a 1-row broadcast instead of a
+    plan literal.  At the production IVF shape (k=65k, dim=1k ≈ 0.5 GB)
+    the literal path breaks the plan/py4j layer; this one is a bounded
+    broadcast.  Values are bit-identical to :func:`choose_centroids`: the
+    unit norm is the same left fold over dim order (Python's sequential
+    ``sum(v*v)`` ≡ ``F.aggregate``; ``math.sqrt`` ≡ JVM sqrt, both
+    IEEE-correctly-rounded), so cell assignments and every downstream hash
+    are unchanged.  The frame is checkpointed (consumers reference it
+    2+ times — once per side of the candidate join)."""
+    if strategy in ("first", "sample"):
+        return _init_centroid_frame(
+            corpus, id_col=id_col, vec_col=vec_col, n=n_centroids,
+            strategy=strategy, seed=seed,
+        )
+    if strategy == "kmeans":
+        init = _init_centroid_frame(
+            corpus, id_col=id_col, vec_col=vec_col, n=n_centroids,
+            strategy=kmeans_init, seed=seed,
+        )
+        base = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        return _lloyd(base, init, kmeans_iters)
+    raise ValueError(f"unknown centroid strategy {strategy!r}")
+
+
+def _init_centroid_frame(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n: int,
+    strategy: str,
+    seed: int,
+) -> DataFrame:
+    """Cluster-side ``(_cell, _i, _m)`` unit-centroid frame for the
+    ``"first"`` / ``"sample"`` selection rules.  The global row_number
+    window runs over the already-LIMITed n-row frame (bounded
+    SinglePartition, same regime as a top-k collect)."""
+    if strategy == "first":
+        key = F.col(id_col).alias("_k")
+    elif strategy == "sample":
+        key = F.xxhash64(F.col(id_col), F.lit(seed)).alias("_k")
+    else:
+        raise ValueError(f"unknown centroid strategy {strategy!r}")
+    sel = (
+        corpus.select(key, F.col(vec_col).cast("array<double>").alias("_v0"))
+        .orderBy("_k")
+        .limit(n)
+        .withColumn("_cell", F.row_number().over(Window.orderBy("_k")))
+    )
+    # left-fold norm over dim order — bit-identical to _unit_list's
+    # sequential sum(v*v); alias to an attribute so the per-element divide
+    # doesn't re-evaluate the O(dim) fold (interpreted HOFs get no
+    # subexpression elimination)
+    sel = sel.withColumn(
+        "_n",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("_v0"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    ).withColumn(
+        "_u",
+        F.when(
+            F.col("_n") > 0, F.transform(F.col("_v0"), lambda x: x / F.col("_n"))
+        ).otherwise(F.col("_v0")),
+    )
+    return sel.select("_cell", F.posexplode("_u").alias("_i", "_m")).localCheckpoint()
+
+
 def assign_cells(
     corpus: DataFrame,
-    cents: list[list[float]],
+    cents: list[list[float]] | DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """``(_id, _v, _cell)`` — unit-normalized vectors with their nearest
     centroid cell (argmax dot; first/lowest cell wins ties).  Centroids are
-    unit vectors, so argmax(dot) ≡ argmax(cosine) with no per-row norm."""
-    c = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-        _cell_scores_col(F.col(vec_col).cast("array<double>"), cents).alias("_s"),
-    )
+    unit vectors, so argmax(dot) ≡ argmax(cosine) with no per-row norm.
+
+    ``cents`` is either a Python list (small k — the matrix rides the plan
+    as literals) or a long-form ``(_cell, _i, _m)`` DataFrame from
+    :func:`choose_centroid_frame` (the scale path — the matrix rides a
+    1-row broadcast).  Scores fold identically either way."""
+    # alias the cast vector to an ATTRIBUTE before any fold captures it:
+    # expressions captured by interpreted HOF lambdas re-evaluate per outer
+    # element, so a captured cast would re-materialize the array once per
+    # CELL (k× per row) instead of once per row
+    v = F.col(vec_col).cast("array<double>")
+    if isinstance(cents, DataFrame):
+        # eager 1-row checkpoint: the k×dim aggregation runs once at build
+        # time and the consumer plan sees a 1-row scan (no Exchange rides
+        # into every downstream plan)
+        c = (
+            corpus.crossJoin(F.broadcast(_matrix_frame(cents).localCheckpoint()))
+            .select(F.col(id_col).alias("_id"), v.alias("_v"), "_cm")
+            .select(
+                "_id",
+                "_v",
+                F.transform(
+                    F.col("_cm"),
+                    lambda cv: F.aggregate(
+                        F.zip_with(F.col("_v"), cv, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    ),
+                ).alias("_s"),
+            )
+        )
+    else:
+        c = corpus.select(F.col(id_col).alias("_id"), v.alias("_v")).select(
+            "_id",
+            "_v",
+            _cell_scores_col(F.col("_v"), cents).alias("_s"),
+        )
     # Separate select so `_s` is computed once, not inlined per reference.
     return c.select(
         "_id",
@@ -405,20 +542,26 @@ def topic_assign(
     seed: int = 42,
     kmeans_iters: int = 5,
     kmeans_init: str = "sample",
+    centroids_as: str = "broadcast_join",
 ) -> DataFrame:
     """Assign every embedding to a centroid cell: ``(id_col, topic)``.
 
     The corpus-bucketing primitive behind cluster-balanced sampling and
     topic-level accounting (the DoReMi / cluster-reweighting recipe's first
     step): rows join their nearest of ``n_topics`` centroids — a row-local
-    argmax against a broadcast centroid literal, NO shuffle at all — and
+    argmax against a broadcast centroid matrix, NO shuffle at all — and
     downstream mixture ops (``mixture_sample``, ``rollup_stats``,
     ``cap_per_group``) treat the topic like any other group column.
     ``strategy`` as in :func:`choose_centroids`; ``"kmeans"`` gives the
-    balanced cells a real deployment wants.
+    balanced cells a real deployment wants.  ``centroids_as`` picks how
+    the matrix reaches the executors: ``"broadcast_join"`` (default — a
+    cluster-resident 1-row broadcast, the 100 TB shape) or ``"literal"``
+    (inlined plan literals; fine for small k, breaks at k×dim ≈ 0.5 GB).
+    Assignments are bit-identical either way.
     """
-    cents = choose_centroids(
+    cents = _centroids_for(
         corpus,
+        centroids_as,
         id_col=id_col,
         vec_col=vec_col,
         n_centroids=n_topics,
@@ -429,6 +572,20 @@ def topic_assign(
     )
     return assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col).select(
         F.col("_id").alias(id_col), F.col("_cell").alias("topic")
+    )
+
+
+def _centroids_for(
+    corpus: DataFrame, centroids_as: str, **kwargs
+) -> list[list[float]] | DataFrame:
+    """Dispatch ``centroids_as`` → list (literal plan) or long frame
+    (1-row broadcast).  Shared by every cell-index consumer."""
+    if centroids_as == "broadcast_join":
+        return choose_centroid_frame(corpus, **kwargs)
+    if centroids_as == "literal":
+        return choose_centroids(corpus, **kwargs)
+    raise ValueError(
+        f"centroids_as must be 'broadcast_join' or 'literal', got {centroids_as!r}"
     )
 
 
@@ -446,6 +603,7 @@ def ivf_topk(
     strategy: str = "first",
     kmeans_iters: int = 5,
     kmeans_init: str = "sample",
+    centroids_as: str = "broadcast_join",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
@@ -466,9 +624,19 @@ def ivf_topk(
     * ``"kmeans"`` — :func:`kmeans_centroids` from the sample init
       (``kmeans_iters`` Lloyd iterations); best cell balance/recall,
       costs ``2×iters`` extra distributed jobs at build time.
+
+    ``centroids_as`` picks how the k×dim matrix reaches the executors:
+    ``"broadcast_join"`` (default) keeps it cluster-resident end-to-end —
+    :func:`choose_centroid_frame` builds/refines it as a DataFrame, and
+    both the corpus assignment and the query probing attach it as a 1-row
+    broadcast — the shape that survives k=65k×dim=1k (≈ 0.5 GB), where
+    plan literals break the plan/py4j layer.  ``"literal"`` inlines it
+    (small k only).  Cell assignments, probes, and cosines are
+    bit-identical between the modes (same left folds).
     """
-    cents = choose_centroids(
+    cents = _centroids_for(
         corpus,
+        centroids_as,
         id_col=id_col,
         vec_col=vec_col,
         n_centroids=n_centroids,
@@ -478,16 +646,46 @@ def ivf_topk(
         kmeans_init=kmeans_init,
     )
 
-    def cell_scores(vec: SparkColumn) -> SparkColumn:
-        # Centroids are unit vectors, so argmax(dot) == argmax(cosine): no
-        # per-row normalization needed for cell assignment/probing.
-        return _cell_scores_col(vec, cents)
+    # Centroids are unit vectors, so argmax(dot) == argmax(cosine): no
+    # per-row normalization needed for cell assignment/probing.
+    if isinstance(cents, DataFrame):
+        # eager 1-row checkpoint: referenced by BOTH the corpus-assignment
+        # and query-probe sides — without it the k×dim aggregation would
+        # execute twice and ride both plans as an Exchange
+        cmat = _matrix_frame(cents).localCheckpoint()
 
-    c = corpus.select(
-        F.col(id_col).alias("_cid"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
-        cell_scores(F.col(vec_col).cast("array<double>")).alias("_s"),
-    )
+        def with_scores(df: DataFrame, id_expr, id_alias: str, v_alias: str) -> DataFrame:
+            # cast aliased to an attribute BEFORE the fold captures it — a
+            # captured cast re-materializes the array once per cell
+            v = F.col(vec_col).cast("array<double>")
+            return (
+                df.crossJoin(F.broadcast(cmat))
+                .select(id_expr.alias(id_alias), v.alias(v_alias), "_cm")
+                .select(
+                    id_alias,
+                    v_alias,
+                    F.transform(
+                        F.col("_cm"),
+                        lambda cv: F.aggregate(
+                            F.zip_with(F.col(v_alias), cv, lambda x, y: x * y),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        ),
+                    ).alias("_s"),
+                )
+            )
+
+    else:
+
+        def with_scores(df: DataFrame, id_expr, id_alias: str, v_alias: str) -> DataFrame:
+            v = F.col(vec_col).cast("array<double>")
+            return df.select(id_expr.alias(id_alias), v.alias(v_alias)).select(
+                id_alias,
+                v_alias,
+                _cell_scores_col(F.col(v_alias), cents).alias("_s"),
+            )
+
+    c = with_scores(corpus, F.col(id_col), "_cid", "_cv")
     # Separate select so `_s` is computed once, not inlined per reference.
     c = c.select(
         "_cid",
@@ -495,16 +693,12 @@ def ivf_topk(
         F.array_position(F.col("_s"), F.array_max(F.col("_s"))).alias("_cell"),
     )
 
-    q = queries.select(
-        F.col(query_id_col).alias("_qid"),
-        F.col(vec_col).cast("array<double>").alias("_qv"),
-        cell_scores(F.col(vec_col).cast("array<double>")).alias("_s"),
-    )
+    q = with_scores(queries, F.col(query_id_col), "_qid", "_qv")
     # top-nprobe cells per query: sort (−score, cell-index) structs, slice.
     ranked = F.array_sort(
         F.zip_with(
             F.col("_s"),
-            F.sequence(F.lit(1), F.lit(len(cents))),
+            F.sequence(F.lit(1), F.size(F.col("_s"))),
             lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
         )
     )

@@ -1094,8 +1094,18 @@ def test_semantic_dedup_pairs_plan_is_keyed(spark, emb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the only sanctioned nested-loop joins are the 1-row centroid-matrix
+    # broadcasts (centroids_as="broadcast_join" default) — one per side of
+    # the cell self-join, same single checkpointed matrix; the pairwise
+    # stage itself must stay a keyed equi-join
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "BatchEvalPython" not in plan
+    # and the literal mode keeps the zero-nested-loop shape
+    lit_plan = (
+        semantic_dedup_pairs(_planted(emb), threshold=0.95, centroids_as="literal")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in lit_plan
 
 
 def test_semantic_dedup_max_cell_size_caps_pairwise(spark, emb):
@@ -1143,9 +1153,16 @@ def test_topic_assign_covers_corpus_no_shuffle(spark, emb):
     assert out.count() == emb.count()
     topics = {r.topic for r in out.select("topic").distinct().collect()}
     assert topics <= set(range(1, 9))
-    # row-local argmax against a literal centroid matrix: no Exchange at all
+    # row-local argmax against the broadcast centroid matrix: no SHUFFLE at
+    # all (the only Exchange is the 1-row matrix BroadcastExchange)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
+    # literal mode keeps the historical zero-Exchange shape
+    lit = topic_assign(emb, n_topics=8, strategy="first", centroids_as="literal")
+    lit_plan = lit._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in lit_plan
+    # both modes agree row-for-row
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, lit.collect()))
 
     # kmeans strategy stays a valid assignment over the same corpus
     km = topic_assign(emb, n_topics=8, strategy="kmeans", kmeans_iters=2)
@@ -1510,6 +1527,44 @@ def test_bpe_learn_batched_disjoint_and_exhaustion(spark):
     assert [(r["rank"], r["merge_left"], r["merge_right"]) for r in got] == [
         (0, "a", "b")
     ]
+
+
+def test_bpe_learn_auto_batch_gap(spark):
+    """batch="auto" defers candidates below gap × round-top to the next
+    round's FRESH counts.  On this corpus that recovers exact greedy where
+    a fixed batch inverts: merging (a,b) creates (ab,ab) with count 6,
+    which greedy ranks above (c,d)=2 — fixed batch=3 commits (c,d) from
+    the stale round-1 snapshot, gap=0.5 holds it back (2 < 0.5×12)."""
+    from dftly_spark.ops import bpe_learn
+
+    df = spark.createDataFrame(
+        [("abab",)] * 6 + [("cd",)] * 2, "text string"
+    )
+    want_greedy = [(0, "a", "b", 12), (1, "ab", "ab", 6), (2, "c", "d", 2)]
+    exact = [
+        (r["rank"], r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in bpe_learn(df, "text", n_merges=3).collect()
+    ]
+    assert sorted(exact) == want_greedy
+    auto = [
+        (r["rank"], r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in bpe_learn(
+            df, "text", n_merges=3, batch="auto", batch_gap=0.5
+        ).collect()
+    ]
+    assert sorted(auto) == want_greedy
+    # the fixed batch really is the thing auto improves on: batch=3
+    # commits (c,d) at rank 1 from the stale snapshot
+    fixed = [
+        (r["rank"], r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in bpe_learn(df, "text", n_merges=3, batch=3).collect()
+    ]
+    assert sorted(fixed) == [(0, "a", "b", 12), (1, "c", "d", 2),
+                             (2, "ab", "ab", 6)]
+    # invalid gap is a loud reject
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="batch_gap"):
+        bpe_learn(df, "text", n_merges=2, batch="auto", batch_gap=0.0)
 
 
 def test_bpe_learn_merged_symbols_compose(spark):
