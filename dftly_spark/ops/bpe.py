@@ -8,10 +8,12 @@ algebra over a DataFrame of (symbol-sequence, count) rows:
 
 * the word-count table is built ONCE (tokens explode → keyed agg) and is
   corpus-compressed: iteration cost scales with |vocab|, not corpus size;
-* each merge round is one pair-count aggregation (adjacent symbol pairs
-  weighted by word count, map-side combined), one deterministic argmax
-  (count desc, then lexicographic — a 1-row frame, never a driver
-  object), and one row-local rewrite of the sequences;
+* each merge round is ONE Spark job: a pair-count aggregation (adjacent
+  symbol pairs weighted by word count, map-side combined) topped by a
+  deterministic bounded TakeOrdered read (count desc, then lexicographic
+  — tokenizer-metadata-sized, the bpe_encode class of driver object),
+  followed by a row-local literal rewrite of the sequences whose lazy
+  checkpoint materializes inside the NEXT round's job;
 * sequences live as separator-joined STRINGS, and the merge rewrite is
   ``replace_passes`` passes of plain ``replace(SEP+a+SEP+b+SEP →
   SEP+ab+SEP)``.  Plain leftmost non-overlapping replace is identical in
@@ -70,21 +72,24 @@ def bpe_learn(
     outputs compose exactly like the reference algorithm.
 
     **Vocabulary ceiling.**  ``batch=1`` (the default) is EXACT greedy
-    BPE, but each merge costs one driver round (a pair-count job + an
-    argmax job); the per-round floor is ~160 ms on a warm local session
-    (SCALING.md), so a production-sized vocabulary (30k-50k merges) is
-    hours of driver-sequential latency.  ``batch=K`` amortizes the floor:
-    per round the top candidates are collected (a ≤4K-row merge-table
-    read, the bpe_encode class of driver object) and a maximal
-    SYMBOL-DISJOINT prefix of up to K pairs is applied simultaneously —
-    disjoint symbols mean no selected merge can create or destroy another
-    selected pair's occurrences, so all K counts from the shared snapshot
-    are individually exact.  The batch ranking can differ from pure
+    BPE at ONE fused Spark job per merge: the round's candidate collect
+    (a bounded TakeOrdered read — the pair-count agg and argmax in a
+    single job) also materializes the previous round's lazily-
+    checkpointed rewrite.  The ~0.5 s/job round floor on a warm local
+    session (SCALING.md) still makes a production vocabulary (30k-50k
+    merges) hours of driver-sequential latency, which is what batching
+    is for.  ``batch=K`` amortizes the floor: per round the top
+    candidates are collected (a ≤4K-row merge-table read, the bpe_encode
+    class of driver object) and a maximal SYMBOL-DISJOINT prefix of up
+    to K pairs is applied simultaneously — disjoint symbols mean no
+    selected merge can create or destroy another selected pair's
+    occurrences, so all K counts from the shared snapshot are
+    individually exact.  The batch ranking can differ from pure
     greedy's (a batch member would not see an earlier member's effect on
     the NEXT round's counts in true greedy), which is the standard
     parallel-BPE approximation; the gate queries pin ``batch=1``.  The
-    batched loop also STOPS when the corpus runs out of mergeable pairs,
-    where the exact path idles through the remaining budget.
+    loop STOPS when the corpus runs out of mergeable pairs instead of
+    idling through the remaining budget.
 
     ``batch="auto"`` sizes each round by the PAIR-COUNT GAP instead of a
     fixed K: the round applies every symbol-disjoint candidate whose
@@ -99,61 +104,10 @@ def bpe_learn(
     time — keeping total driver rounds ~O(log) in practice instead of
     ``n_merges / K``.
     """
-    if batch == "auto" or batch > 1:
-        return _bpe_learn_batched(
-            df, text_col, n_merges=n_merges, replace_passes=replace_passes,
-            batch=batch, max_batch=max_batch, batch_gap=batch_gap,
-        )
-    wc = _word_counts(df, text_col)
-    vocab = wc.select(
-        F.array_join(F.split(F.col("_w"), ""), SEP).alias("_s"), F.col("_c")
-    ).localCheckpoint(eager=False)
-    rules: list[DataFrame] = []
-    for i in range(n_merges):
-        sp = F.split(F.col("_s"), SEP)
-        pairs = F.arrays_zip(
-            F.slice(sp, 1, F.size(sp) - 1).alias("_pa"),
-            F.slice(sp, 2, F.size(sp) - 1).alias("_pb"),
-        )
-        counted = (
-            vocab.where(F.size(sp) >= 2)
-            .select(F.col("_c"), F.explode(pairs).alias("_p"))
-            .groupBy(F.col("_p._pa").alias("_pa"), F.col("_p._pb").alias("_pb"))
-            .agg(F.sum("_c").alias("_cnt"))
-        )
-        # the 1-row rule is referenced twice (result list + vocab rewrite);
-        # checkpoint so the argmax job runs once, not once per reference
-        rule = (
-            counted.orderBy(F.col("_cnt").desc(), F.col("_pa"), F.col("_pb"))
-            .limit(1)
-            .localCheckpoint(eager=False)
-        )
-        rules.append(rule.select(F.lit(i).alias("rank"), "_pa", "_pb", "_cnt"))
-        wrapped = F.concat(F.lit(SEP), F.col("_s"), F.lit(SEP))
-        pat = F.concat(
-            F.lit(SEP), F.col("_pa"), F.lit(SEP), F.col("_pb"), F.lit(SEP)
-        )
-        rep = F.concat(F.lit(SEP), F.col("_pa"), F.col("_pb"), F.lit(SEP))
-        merged = wrapped
-        for _ in range(replace_passes):
-            merged = F.replace(merged, pat, rep)
-        vocab = (
-            vocab.crossJoin(F.broadcast(rule))
-            .select(
-                merged.substr(F.lit(2), F.length(merged) - 2).alias("_s"),
-                "_c",
-            )
-        )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < n_merges:
-            vocab = vocab.localCheckpoint(eager=False)
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionByName(r)
-    return out.select(
-        "rank",
-        F.col("_pa").alias("merge_left"),
-        F.col("_pb").alias("merge_right"),
-        F.col("_cnt").alias("pair_count"),
+    return _bpe_learn_batched(
+        df, text_col, n_merges=n_merges, replace_passes=replace_passes,
+        batch=batch, max_batch=max_batch, batch_gap=batch_gap,
+        checkpoint_every=checkpoint_every,
     )
 
 
@@ -166,16 +120,69 @@ def _bpe_learn_batched(
     batch: int | str,
     max_batch: int = 1024,
     batch_gap: float = 0.5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
-    """Disjoint-batch merge loop (see :func:`bpe_learn` ``batch=``)."""
+    """Disjoint-batch merge loop (see :func:`bpe_learn` ``batch=``).
+
+    One Spark job per ROUND: the candidate collect (a bounded TakeOrdered
+    read — the bpe_encode class of driver object) also materializes the
+    previous round's lazily-checkpointed vocab rewrite, and the chosen
+    rules rewrite the sequences as inlined literals, so jobs-per-merge is
+    ~1 at ``batch=1`` (exact greedy) and ~1/K batched.  ``checkpoint_every``
+    spaces the lazy vocab checkpoints; un-checkpointed rounds replay their
+    predecessors' ``replace`` chains inside the next job (cheap, row-local)
+    instead of costing block-store generations."""
     if batch == "auto" and not (0.0 < batch_gap <= 1.0):
         raise ValueError(f"batch_gap must be in (0, 1], got {batch_gap!r}")
     spark = df.sparkSession
     wc = _word_counts(df, text_col)
+    # EAGER first checkpoint: the one corpus-sized job (tokens explode →
+    # keyed agg) runs under the session's normal config, AQE included
     vocab = wc.select(
         F.array_join(F.split(F.col("_w"), ""), SEP).alias("_s"), F.col("_c")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
+    # the merge rounds are known-tiny single-shuffle queries over the
+    # vocab-compressed table; AQE's stage-by-stage execution would double
+    # the driver job count per round (its only effect here), so pin it off
+    # for the loop and restore after
+    # (AQE would coalesce the tiny shuffle itself, but only by paying the
+    # extra per-round job; with it off, size the loop's shuffle directly —
+    # the pair agg is map-side combined, so the reduce side sees at most
+    # the distinct-pair table, MBs even at a production vocabulary)
+    _pins = {"spark.sql.adaptive.enabled": "false",
+             "spark.sql.shuffle.partitions": "4"}
+    _prev = {k: spark.conf.get(k, None) for k in _pins}
+    for k, v in _pins.items():
+        spark.conf.set(k, v)
+    try:
+        return _bpe_merge_rounds(
+            spark, vocab, n_merges=n_merges, replace_passes=replace_passes,
+            batch=batch, max_batch=max_batch, batch_gap=batch_gap,
+            checkpoint_every=checkpoint_every,
+        )
+    finally:
+        for k, v in _prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _bpe_merge_rounds(
+    spark,
+    vocab: DataFrame,
+    *,
+    n_merges: int,
+    replace_passes: int,
+    batch: int | str,
+    max_batch: int,
+    batch_gap: float,
+    checkpoint_every: int,
+) -> DataFrame:
+    """The driver-round loop of :func:`_bpe_learn_batched` (split out so
+    the AQE pin wraps exactly the rounds)."""
     out_rows: list[tuple] = []
+    rounds = 0
     while len(out_rows) < n_merges:
         cap = max_batch if batch == "auto" else batch
         k = min(cap, n_merges - len(out_rows))
@@ -225,7 +232,10 @@ def _bpe_learn_batched(
                 merged = F.replace(merged, pat, rep)
         vocab = vocab.select(
             merged.substr(F.lit(2), F.length(merged) - 2).alias("_s"), "_c"
-        ).localCheckpoint(eager=False)
+        )
+        rounds += 1
+        if rounds % max(checkpoint_every, 1) == 0:
+            vocab = vocab.localCheckpoint(eager=False)
         out_rows += [
             (len(out_rows) + i, r["_pa"], r["_pb"], r["_cnt"])
             for i, r in enumerate(chosen)
