@@ -7641,6 +7641,92 @@ _q(
 )
 
 
+def _x142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x138's duplicated-run spans mapped to CHAR offsets in the ORIGINAL
+    document text (dup_substring_spans offsets="char"): Lee et al.'s
+    ExactSubstr removal operates on raw bytes, so span removal has to
+    address the un-normalized text.  char_start inclusive / char_end
+    exclusive; the oracle replays the whitespace-structure arithmetic
+    (two regex splits + one per-document integer cumsum window) exactly —
+    the split empty-element conventions agree between engines (probed:
+    Java split(-1) and RE2 regexp_split_to_array both yield
+    ["", ws_1, ..., ""] for the \\S+ split of trimmed text)."""
+    from dftly_spark.ops import dup_substring_spans
+
+    _prep(spark)
+    return dup_substring_spans(
+        _docs_tok(spark, sf_dir),
+        "doc_id",
+        "text",
+        min_len=20,
+        min_count=2,
+        tokens_col=_TOK,
+        cache_key=f"documents:{sf_dir}",
+        offsets="char",
+    )
+
+
+_q(
+    "x142_dup_spans_char",
+    _x142,
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), inst AS (
+      SELECT doc_id, p, array_to_string(list_slice(w, p, p + 19), ' ') AS g
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS p
+            FROM base WHERE len(w) >= 20)
+    ), flagged AS (
+      SELECT g FROM inst GROUP BY g HAVING count(*) >= 2
+    ), starts AS (
+      SELECT doc_id, p FROM inst JOIN flagged USING (g)
+    ), runs AS (
+      SELECT doc_id, p,
+             CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                       OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 20
+                  THEN 1 ELSE 0 END AS nr
+      FROM starts
+    ), rid AS (
+      SELECT doc_id, p,
+             SUM(nr) OVER (PARTITION BY doc_id ORDER BY p) AS run
+      FROM runs
+    ), spans AS (
+      SELECT doc_id,
+             MIN(p) - 1 AS span_start,
+             MAX(p) + 18 AS span_end,
+             MAX(p) - MIN(p) + 20 AS span_tokens
+      FROM rid GROUP BY doc_id, run
+    ), pre AS (
+      SELECT doc_id,
+             length(text) - length(ltrim(text)) AS lead,
+             regexp_split_to_array(trim(text), '\s+') AS k,
+             regexp_split_to_array(trim(text), '\S+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ), offs AS (
+      SELECT doc_id,
+             p1 - 1 AS p,
+             lead
+               + SUM(length(ws[p1]) + length(k[p1]))
+                   OVER (PARTITION BY doc_id ORDER BY p1)
+               - length(k[p1]) AS cs,
+             length(k[p1]) AS tl
+      FROM (SELECT doc_id, lead, k, ws,
+                   unnest(generate_series(1, len(k))) AS p1
+            FROM pre)
+    )
+    SELECT s.doc_id,
+           CAST(o1.cs AS BIGINT) AS char_start,
+           CAST(o2.cs + o2.tl AS BIGINT) AS char_end,
+           s.span_tokens
+    FROM spans s
+    JOIN offs o1 ON s.doc_id = o1.doc_id AND o1.p = s.span_start
+    JOIN offs o2 ON s.doc_id = o2.doc_id AND o2.p = s.span_end
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -7662,6 +7748,22 @@ _PRIORITY = [
     # the window (to the tail) to make room -- adding a query without
     # displacing one leaves it permanently unsampled (x122 sat at index 50
     # for four rounds).
+    #
+    # -- round-11 added: x142 char-offset duplicated-run spans (the
+    #    ExactSubstr removal addressed to the ORIGINAL un-normalized
+    #    text).  Round-11 changed: the k x dim centroid matrix rides a
+    #    1-row broadcast instead of plan literals (x12/x46/x50/x56
+    #    consumers) and the BPE merge loop fused to one job per round
+    #    (x114/x115) -- all pulled into the window.  To hold the window
+    #    at 50, x107/x111/x112/x113/x58/x64/x67 rotate out (>= 3
+    #    consecutive driver-green rows each) --
+    "x142_dup_spans_char",
+    "x12_ivf_topk",
+    "x46_semantic_dedup",
+    "x50_topic_mix",
+    "x56_ivf_kmeans_topk",
+    "x114_bpe_learn",
+    "x115_bpe_encode",
     #
     # -- round-10 added: x138 dup_substring_spans / x139 dedup_substrings
     #    (ExactSubstr-style occurrence-counted duplicate-run dedup at
@@ -7701,16 +7803,9 @@ _PRIORITY = [
     "x48_pipeline_yaml",
     "x127_basket_pairs",
     "x80_basket_pmi",
-    "x107_triangle_count",
-    "x111_kcore",
-    "x112_novelty",
-    "x113_source_overlap",
     "x21_bloom_pruned_join",
     "x49_analytics_join",
-    "x58_rolling_zscore",
     "x62_centroid_outliers",
-    "x64_time_weighted_avg",
-    "x67_pagerank",
     "x123_weighted_pagerank",
     "x69_pool_embeddings",
     "x73_group_trend",
@@ -7741,7 +7836,16 @@ _PRIORITY = [
     # (x117 displaced by x128 in round 8; x101-x106 + x108 displaced by
     #  x129-x136 in round 9, plus x110 -- the window stays exactly 50; the
     #  exact_sum convention keeps 4 in-window canaries: x21/x49/x89/x128;
-    #  x105/x114/x115/x116 displaced by x138-x141 in round 10)
+    #  x105/x114/x115/x116 displaced by x138-x141 in round 10;
+    #  x107/x111/x112/x113/x58/x64/x67 displaced in round 11 by x142 +
+    #  the changed x12/x46/x50/x56/x114/x115)
+    "x107_triangle_count",
+    "x111_kcore",
+    "x112_novelty",
+    "x113_source_overlap",
+    "x58_rolling_zscore",
+    "x64_time_weighted_avg",
+    "x67_pagerank",
     "x105_large_orders",
     "x114_bpe_learn",
     "x115_bpe_encode",

@@ -366,6 +366,7 @@ def dup_substring_spans(
     min_count: int = 2,
     tokens_col: str | None = None,
     cache_key: str | None = None,
+    offsets: str = "token",
 ):
     """Maximal verbatim-duplicated token runs of length >= ``min_len``.
 
@@ -406,9 +407,20 @@ def dup_substring_spans(
 
     Documents shorter than ``min_len`` tokens cannot contain a qualifying
     run and never appear.
+
+    ``offsets="char"`` instead returns ``(id_col, char_start, char_end,
+    span_tokens)`` — 0-based char positions into the ORIGINAL document
+    text (``char_end`` exclusive), so removal maps back to the raw bytes
+    the way Lee et al. operate (see :func:`_spans_to_char`).  Requires
+    ``tokens_col`` (when given) to be the canonical whitespace
+    tokenization of ``text_col`` — the only thing the shared corpus cache
+    stores — since char offsets are derived from the original text's own
+    whitespace structure at the same token positions.
     """
     from .dedup import _shingle_instance_frames
 
+    if offsets not in ("token", "char"):
+        raise ValueError(f"offsets must be 'token' or 'char', got {offsets!r}")
     L = int(min_len)
     inst, _short = _shingle_instance_frames(
         df, id_col, text_col, L, tokens_col=tokens_col, cache_key=cache_key,
@@ -425,7 +437,81 @@ def dup_substring_spans(
         .select("_g")
     )
     starts = inst.join(flagged_grams, "_g").select("_id", "_p")
-    return _chain_run_spans(starts, L, id_col)
+    spans = _chain_run_spans(starts, L, id_col)
+    if offsets == "char":
+        return _spans_to_char(df, spans, id_col, text_col)
+    return spans
+
+
+def _token_char_offsets(df, id_col: str, text_col: str):
+    """Per-token char offsets into the ORIGINAL (un-normalized) text:
+    ``(_id, _p, _cs, _tl)`` — 0-based char start and char length of the
+    ``_p``-th whitespace token.
+
+    Token positions come from the same whitespace split the normalized
+    stream uses (lowercasing never changes whitespace), so position ``_p``
+    here is the SAME token the span ops index.  Offset arithmetic uses two
+    splits whose empty-element behavior Spark (Java split, limit -1) and
+    DuckDB (RE2 regexp_split_to_array) agree on byte-for-byte: on trimmed
+    text, ``\\s+`` yields the n tokens with no empties and ``\\S+`` yields
+    ``["", ws_1, …, ws_{n-1}, ""]`` — token i's char start is the leading
+    whitespace of the original text plus the lengths of every earlier
+    token and inter-token gap (one cumulative-sum window per document,
+    all-integer, no float surface)."""
+    from pyspark.sql import Window
+
+    raw = F.col(text_col)
+    trimmed = F.trim(raw)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        (F.length(raw) - F.length(F.ltrim(raw))).alias("_lead"),
+        F.split(trimmed, r"\s+").alias("_k"),
+        F.split(trimmed, r"\S+").alias("_ws"),
+    ).where(F.length(trimmed) > 0)
+    tok = base.select(
+        "_id", "_lead", "_ws", F.posexplode("_k").alias("_p", "_t")
+    )
+    # segment _p = (whitespace gap BEFORE token _p) + token _p itself;
+    # _ws[0] is always "" so position 0 contributes no gap
+    seg = F.length(F.element_at("_ws", F.col("_p") + 1)) + F.length("_t")
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tok.select(
+        "_id",
+        "_p",
+        (F.col("_lead") + F.sum(seg).over(w) - F.length("_t")).alias("_cs"),
+        F.length("_t").alias("_tl"),
+    )
+
+
+def _spans_to_char(df, spans, id_col: str, text_col: str):
+    """Map token spans ``(id, span_start, span_end, span_tokens)`` to char
+    offsets in the ORIGINAL text: ``(id, char_start, char_end,
+    span_tokens)`` with ``char_start`` inclusive / ``char_end`` exclusive,
+    so ``substr(text, char_start+1, char_end-char_start)`` is exactly the
+    duplicated run as it appears in the raw document (Lee et al. operate
+    on raw bytes; the token spans index the normalized stream).  Two
+    keyed equi-joins against the per-token offset frame — linear, no
+    pairwise work."""
+    off = _token_char_offsets(df, id_col, text_col)
+    s = off.select(
+        F.col("_id").alias(id_col),
+        F.col("_p").alias("span_start"),
+        F.col("_cs").alias("char_start"),
+    )
+    e = off.select(
+        F.col("_id").alias(id_col),
+        F.col("_p").alias("span_end"),
+        (F.col("_cs") + F.col("_tl")).alias("char_end"),
+    )
+    return (
+        spans.join(s, [id_col, "span_start"])
+        .join(e, [id_col, "span_end"])
+        .select(id_col, "char_start", "char_end", "span_tokens")
+    )
 
 
 def _chain_run_spans(starts, L: int, id_col: str):
@@ -549,6 +635,7 @@ def contamination_spans(
     cache_key: str | None = None,
     probe_tokens_col: str | None = None,
     probe_cache_key: str | None = None,
+    offsets: str = "token",
 ):
     """Maximal runs >= ``min_len`` tokens shared VERBATIM with ``probe``.
 
@@ -572,9 +659,15 @@ def contamination_spans(
     no L-gram and cannot contaminate (a < L-token probe string cannot be
     a >= L-token run); ``df`` identity with ``probe`` is NOT excluded —
     decontamination runs between disjoint corpora by construction.
+
+    ``offsets="char"`` maps the spans to 0-based char positions in the
+    ORIGINAL ``df`` text (``(id_col, char_start, char_end, span_tokens)``,
+    end exclusive) — see :func:`dup_substring_spans`.
     """
     from .dedup import _shingle_instance_frames
 
+    if offsets not in ("token", "char"):
+        raise ValueError(f"offsets must be 'token' or 'char', got {offsets!r}")
     L = int(min_len)
     inst, _short = _shingle_instance_frames(
         df, id_col, text_col, L, tokens_col=tokens_col, cache_key=cache_key,
@@ -588,7 +681,10 @@ def contamination_spans(
     )
     probe_grams = p_inst.select("_g").distinct()
     starts = inst.join(probe_grams, "_g", "left_semi").select("_id", "_p")
-    return _chain_run_spans(starts, L, id_col)
+    spans = _chain_run_spans(starts, L, id_col)
+    if offsets == "char":
+        return _spans_to_char(df, spans, id_col, text_col)
+    return spans
 
 
 def decontaminate_substrings(

@@ -981,6 +981,89 @@ def test_dup_substring_spans_randomized_bruteforce(spark):
         assert got == want, (trial, L, docs)
 
 
+def test_span_char_offsets_map_to_original_text(spark):
+    """offsets="char" returns positions into the ORIGINAL text: slicing
+    text[char_start:char_end] yields exactly the duplicated run as it
+    appears raw (mixed case, irregular/leading/trailing whitespace), per
+    a re.finditer reference mapping."""
+    import random
+    import re
+
+    from dftly_spark.ops import contamination_spans, dup_substring_spans
+
+    rng = random.Random(7)
+
+    def messy(ws):
+        # random casing + 1-3 space gaps + optional leading/trailing ws
+        parts = [w.upper() if rng.random() < 0.4 else w for w in ws]
+        s = ""
+        if rng.random() < 0.5:
+            s += " " * rng.randint(1, 2)
+        for i, p in enumerate(parts):
+            if i:
+                s += " " * rng.randint(1, 3)
+            s += p
+        if rng.random() < 0.5:
+            s += " " * rng.randint(1, 2)
+        return s
+
+    for trial in range(4):
+        L = rng.choice([2, 3])
+        docs = [
+            [rng.choice("abcd") for _ in range(rng.randint(0, 12))]
+            for _ in range(8)
+        ]
+        texts = {i: messy(ws) for i, ws in enumerate(docs)}
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id int, text string"
+        )
+        tok_spans = {
+            (r.doc_id, r.span_start, r.span_end): r.span_tokens
+            for r in dup_substring_spans(
+                df, "doc_id", "text", min_len=L
+            ).collect()
+        }
+        char_rows = dup_substring_spans(
+            df, "doc_id", "text", min_len=L, offsets="char"
+        ).collect()
+        assert len(char_rows) == len(tok_spans)
+        seen = set()
+        for r in char_rows:
+            text = texts[r.doc_id]
+            toks = [m for m in re.finditer(r"\S+", text)]
+            # the char row must correspond to exactly one token span via
+            # the finditer reference mapping
+            match = [
+                (d, s, e)
+                for (d, s, e) in tok_spans
+                if d == r.doc_id
+                and toks[s].start() == r.char_start
+                and toks[e].end() == r.char_end
+            ]
+            assert len(match) == 1, (r, text)
+            seen.add(match[0])
+            d, s, e = match[0]
+            # and the raw slice lower/collapses to the run's tokens
+            sliced = text[r.char_start:r.char_end]
+            assert re.split(r"\s+", sliced.lower()) == [
+                w.lower() for w in re.findall(r"\S+", text)[s : e + 1]
+            ]
+            assert r.span_tokens == tok_spans[match[0]]
+        assert seen == set(tok_spans)
+        # cross-corpus variant shares the mapping helper; spot-check shape
+        probe = spark.createDataFrame(
+            [(100, " ".join(docs[0]))], "doc_id int, text string"
+        )
+        cont = contamination_spans(
+            df, probe, "doc_id", "text", min_len=L, offsets="char"
+        )
+        assert cont.columns == ["doc_id", "char_start", "char_end", "span_tokens"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="offsets"):
+        dup_substring_spans(df, "doc_id", "text", min_len=2, offsets="byte")
+
+
 def test_contamination_spans_randomized_bruteforce(spark):
     """Same property cross-corpus: covered iff the L-gram appears anywhere
     in the probe corpus."""
