@@ -7727,6 +7727,64 @@ _q(
 )
 
 
+def _x143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING fuzzy-ER ingest path gated through bounded-frame
+    semantics (dftly_spark/streaming.py stream_fuzzy_join — the x137
+    treatment): every op in the plan is stream-legal AND batch-legal, so
+    the exact code a micro-batch runs is driver-checkable against the
+    x129 jaccard oracle.  The corpus indexes via fuzzy_index (prefix
+    postings + full hash sets, build params embedded and validated); the
+    x129 planted probes arrive as the \"stream\" side; qualifying pairs
+    emit as (new_id, corpus_id, jaccard) with the same exact-recall
+    prefix/length/positional filters as batch fuzzy_join.  The
+    documented downstream dedup (a pair re-emits once per shared prefix
+    hash, identical jaccard) is dropDuplicates on the pair key here —
+    the bounded twin of dropDuplicatesWithinWatermark in the unbounded
+    wiring.  jaccard is one int/int division: IEEE-identical bits on
+    both engines."""
+    from dftly_spark.ops import fuzzy_index
+    from dftly_spark.streaming import stream_fuzzy_join
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    prefix, sets = fuzzy_index(docs, "doc_id", "text", n=3, threshold=0.5)
+    out = stream_fuzzy_join(
+        _x129_planted(docs), prefix, sets, "doc_id", "text",
+        n=3, threshold=0.5,
+    )
+    return out.dropDuplicates(["new_id", "corpus_id"])
+
+
+_q(
+    "x143_stream_fuzzy_join",
+    _x143,
+    r"""
+    WITH lw AS (SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                FROM documents),
+    rw AS (SELECT doc_id + 1000000 AS doc_id, list_slice(w, 7, len(w)) AS w
+           FROM lw WHERE doc_id % 3 = 0 AND len(w) > 8),
+    sides AS (SELECT 'l' AS side, doc_id, w FROM lw
+              UNION ALL SELECT 'r', doc_id, w FROM rw),
+    idx AS (SELECT side, doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+            FROM sides WHERE len(w) >= 3),
+    sh AS (SELECT DISTINCT side, doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS g FROM idx
+           UNION SELECT DISTINCT side, doc_id, array_to_string(w, ' ') AS g
+                 FROM sides WHERE len(w) < 3),
+    sizes AS (SELECT side, doc_id, count(*) AS n FROM sh GROUP BY 1, 2),
+    shared AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS s
+               FROM sh a JOIN sh b ON a.g = b.g AND a.side = 'l' AND b.side = 'r'
+               GROUP BY 1, 2)
+    SELECT id_r AS new_id, id_l AS corpus_id,
+           s::DOUBLE / (x.n + y.n - s) AS jaccard
+    FROM shared
+    JOIN sizes x ON x.side = 'l' AND x.doc_id = id_l
+    JOIN sizes y ON y.side = 'r' AND y.doc_id = id_r
+    WHERE s::DOUBLE / (x.n + y.n - s) >= 0.5
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -7755,9 +7813,12 @@ _PRIORITY = [
     #    1-row broadcast instead of plan literals (x12/x46/x50/x56
     #    consumers) and the BPE merge loop fused to one job per round
     #    (x114/x115) -- all pulled into the window.  To hold the window
-    #    at 50, x107/x111/x112/x113/x58/x64/x67 rotate out (>= 3
-    #    consecutive driver-green rows each) --
+    #    at 50, x107/x111/x112/x113/x58/x64/x67/x73 rotate out (>= 3
+    #    consecutive driver-green rows each).  x143 gates the streaming
+    #    fuzzy-ER ingest (stream_fuzzy_join) through bounded-frame
+    #    semantics --
     "x142_dup_spans_char",
+    "x143_stream_fuzzy_join",
     "x12_ivf_topk",
     "x46_semantic_dedup",
     "x50_topic_mix",
@@ -7808,7 +7869,6 @@ _PRIORITY = [
     "x62_centroid_outliers",
     "x123_weighted_pagerank",
     "x69_pool_embeddings",
-    "x73_group_trend",
     "x75_corr_matrix",
     "x76_group_entropy",
     "x77_pivot_events",
@@ -7846,6 +7906,7 @@ _PRIORITY = [
     "x58_rolling_zscore",
     "x64_time_weighted_avg",
     "x67_pagerank",
+    "x73_group_trend",
     "x105_large_orders",
     "x114_bpe_learn",
     "x115_bpe_encode",
