@@ -85,6 +85,8 @@ def fuzzy_join(
     tokens_col_r: str | None = None,
     cache_key_l: str | None = None,
     cache_key_r: str | None = None,
+    max_prefix_df: int | None = None,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """All (or best) cross-table pairs with token-set Jaccard >= threshold.
 
@@ -109,6 +111,25 @@ def fuzzy_join(
     corpus caches (ops/corpus.py) like every other text op: a session
     that already built the tokenized/shingled frames for a corpus skips
     re-deriving them here.
+
+    ``max_prefix_df`` is the HOT-TOKEN skew lever.  Boilerplate shingles
+    (shared headers, license blocks, stopword-ish grams) can land in many
+    sets' prefixes; each such gram is one join key whose candidate rows —
+    up to (left postings × right postings) — land on ONE reducer of the
+    prefix equi-join.  With ``max_prefix_df=K``, grams whose combined
+    prefix-posting count exceeds ``K`` are rerouted through a SALTED join:
+    the left postings take a deterministic salt
+    (``xxhash64(id) % salt_buckets``) and the right postings replicate
+    across all ``salt_buckets``, so each hot gram's candidate work spreads
+    over ``salt_buckets`` reducers.  The returned pair set is IDENTICAL —
+    every (l, r) posting combination still meets exactly once (at l's
+    salt), and the length/positional filters and exact verify are
+    unchanged; only the shuffle layout of the hot keys changes (cost: the
+    hot-side right postings replicate ``salt_buckets``×, which is why the
+    reroute is gated on a threshold instead of always on).  This
+    complements ``token_order="df"`` (which keeps hot grams OUT of
+    prefixes where the order allows) and AQE skew splitting (which can
+    only split a key's rows, not a single key's join fan-out).
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -164,20 +185,44 @@ def fuzzy_join(
     #   (first in the SAME global order on both sides) always satisfies
     #   the bound, so pruning failing rows never loses a pair — measured
     #   ~2x candidate reduction on the gate corpus.
-    alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (pl["_sz"] + pr["_sz"]) - F.lit(1e-9)
-    )
-    cand = (
-        pl.join(
-            pr,
-            (pl["_g"] == pr["_g"])
-            & (pr["_sz"] >= F.ceil(F.lit(threshold) * pl["_sz"] - F.lit(1e-9)))
-            & (pl["_sz"] >= F.ceil(F.lit(threshold) * pr["_sz"] - F.lit(1e-9)))
-            & (F.lit(1) + F.least(pl["_sz"] - pl["_rn"], pr["_sz"] - pr["_rn"]) >= alpha),
+    if max_prefix_df is None:
+        cand = _prefix_cand(pl, pr, threshold).distinct()
+    else:
+        if salt_buckets < 2:
+            raise ValueError(f"salt_buckets must be >= 2, got {salt_buckets}")
+        # hot grams = prefix-posting count over BOTH sides above the cap
+        # (inner join: a gram absent from either side yields no pairs and
+        # needs no reroute); referenced four times — lazy checkpoint
+        cl = pl.groupBy("_g").agg(F.count(F.lit(1)).alias("_cl"))
+        cr = pr.groupBy("_g").agg(F.count(F.lit(1)).alias("_cr"))
+        hot = (
+            cl.join(cr, "_g")
+            .where(F.col("_cl") + F.col("_cr") > int(max_prefix_df))
+            .select("_g")
+            .localCheckpoint(eager=False)
         )
-        .select("id_l", "id_r")
-        .distinct()
-    )
+        pl_cold = pl.join(hot, "_g", "left_anti")
+        pr_cold = pr.join(hot, "_g", "left_anti")
+        # salted reroute: left postings take ONE deterministic salt, right
+        # postings replicate across all buckets — every (l, r) combination
+        # meets exactly once (at l's salt), so the pair set is unchanged
+        # while each hot gram's join key splits `salt_buckets` ways
+        pl_hot = pl.join(hot, "_g").withColumn(
+            "_salt", F.pmod(F.xxhash64("id_l"), F.lit(salt_buckets)).cast("int")
+        )
+        pr_hot = pr.join(hot, "_g").withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        cand = (
+            _prefix_cand(pl_cold, pr_cold, threshold)
+            .unionByName(
+                _prefix_cand(
+                    pl_hot, pr_hot, threshold,
+                    extra=lambda a, b: a["_salt"] == b["_salt"],
+                )
+            )
+            .distinct()
+        )
 
     # V-SMART verify: shared-shingle count per candidate pair (threshold>0
     # implies s >= 1, so the inner joins lose no qualifying pair)
@@ -206,6 +251,25 @@ def fuzzy_join(
             .drop("_rk")
         )
     return out
+
+
+def _prefix_cand(pl: DataFrame, pr: DataFrame, threshold: float, extra=None) -> DataFrame:
+    """Candidate ``(id_l, id_r)`` pairs from one prefix equi-join carrying
+    the two lossless pruners (AllPairs length filter, PPJoin positional
+    filter — see :func:`fuzzy_join`); ``extra(pl, pr)`` appends a further
+    join predicate (the hot-gram salt equality)."""
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (pl["_sz"] + pr["_sz"]) - F.lit(1e-9)
+    )
+    cond = (
+        (pl["_g"] == pr["_g"])
+        & (pr["_sz"] >= F.ceil(F.lit(threshold) * pl["_sz"] - F.lit(1e-9)))
+        & (pl["_sz"] >= F.ceil(F.lit(threshold) * pr["_sz"] - F.lit(1e-9)))
+        & (F.lit(1) + F.least(pl["_sz"] - pl["_rn"], pr["_sz"] - pr["_rn"]) >= alpha)
+    )
+    if extra is not None:
+        cond = cond & extra(pl, pr)
+    return pl.join(pr, cond).select("id_l", "id_r")
 
 
 def _shingle_rows(

@@ -101,6 +101,60 @@ def test_fuzzy_join_df_order_same_pairs_as_hash_order(spark):
         fuzzy_join(ldf, rdf, "id", "name", token_order="lex")
 
 
+def test_fuzzy_join_max_prefix_df_pair_set_unchanged(spark):
+    """The hot-gram salted reroute (max_prefix_df) must return the
+    IDENTICAL (pair, jaccard) set as the plain join on a SKEWED corpus —
+    every doc shares a boilerplate phrase, so its grams are prefix-hot —
+    at a cap that splits hot from cold, at a cap that makes EVERY gram
+    hot, combined with token_order=\"df\", and checked against the
+    brute-force definition."""
+    import random
+
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    rng = random.Random(21)
+    # boilerplate prefix on every row -> its unigrams appear in ~every set
+    bp = "common legal header"
+    left = [
+        (i, bp + " " + " ".join(rng.choices(words, k=rng.randint(1, 5))))
+        for i in range(35)
+    ]
+    right = [
+        (100 + i, bp + " " + " ".join(rng.choices(words, k=rng.randint(1, 5))))
+        for i in range(35)
+    ]
+    ldf = spark.createDataFrame(left, "id bigint, name string")
+    rdf = spark.createDataFrame(right, "id bigint, name string")
+
+    for t, n in [(0.5, 1), (0.4, 2)]:
+        base = {
+            (r["id_l"], r["id_r"], round(r["jaccard"], 12))
+            for r in fuzzy_join(ldf, rdf, "id", "name", n=n, threshold=t).collect()
+        }
+        want = {
+            (i, j)
+            for (i, a), (j, b) in itertools.product(left, right)
+            if _jac(a, b, n) >= t
+        }
+        assert {(l, r) for l, r, _ in base} == want
+        for kwargs in (
+            {"max_prefix_df": 8},                       # boilerplate grams hot
+            {"max_prefix_df": 1},                       # EVERY shared gram hot
+            {"max_prefix_df": 10**9},                   # nothing hot
+            {"max_prefix_df": 8, "salt_buckets": 3},
+            {"max_prefix_df": 8, "token_order": "df"},
+        ):
+            capped = {
+                (r["id_l"], r["id_r"], round(r["jaccard"], 12))
+                for r in fuzzy_join(
+                    ldf, rdf, "id", "name", n=n, threshold=t, **kwargs
+                ).collect()
+            }
+            assert capped == base, (t, n, kwargs)
+
+    with pytest.raises(ValueError, match="salt_buckets"):
+        fuzzy_join(ldf, rdf, "id", "name", max_prefix_df=8, salt_buckets=1)
+
+
 def test_fuzzy_join_self_join_shared_cache_key(spark):
     """Both sides of a self-join resolving to ONE shared corpus-cache
     entry must not trip ambiguous-self-join analysis — and must return
