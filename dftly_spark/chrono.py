@@ -457,7 +457,10 @@ def to_java(fmt: str) -> str:
             if java is None:
                 raise ValueError(
                     f"chrono format code %{item} has no Java DateTimeFormatter "
-                    f"equivalent supported by Spark; cannot translate {fmt!r}"
+                    f"equivalent supported by Spark; cannot translate {fmt!r} "
+                    f"(the full translated / plan-lowered / rejected code "
+                    f"table is in README.md, 'strptime' under 'The "
+                    f"expression language')"
                 )
             out.append(java)
     return "".join(out)
