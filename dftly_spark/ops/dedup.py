@@ -963,6 +963,7 @@ def semantic_dedup_pairs(
     kmeans_init: str = "sample",
     max_cell_size: int | None = None,
     centroids_as: str = "broadcast_join",
+    scorer: str = "fold",
 ) -> DataFrame:
     """Semantic near-duplicate pairs via cluster-then-prune (SemDeDup shape).
 
@@ -979,6 +980,10 @@ def semantic_dedup_pairs(
     Returns ``(id_l, id_r, cos)`` with ``id_l < id_r`` and ``cos ≥
     threshold``, both members in the same cell.  Cosine folds are
     bit-identical with DuckDB's ``list_dot_product`` replay.
+    ``scorer="arrow"`` swaps the cell-assignment argmax to the Arrow/numpy
+    matmul (the production-k×dim throughput path; see
+    :func:`~dftly_spark.ops.similarity.assign_cells` for the last-ulp
+    caveat) — the within-cell exact-cosine verify stays the JVM fold.
     """
     from .similarity import _centroids_for, assign_cells, dot
 
@@ -993,7 +998,9 @@ def semantic_dedup_pairs(
         kmeans_iters=kmeans_iters,
         kmeans_init=kmeans_init,
     )
-    cells = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+    cells = assign_cells(
+        corpus, cents, id_col=id_col, vec_col=vec_col, scorer=scorer
+    )
     if max_cell_size is not None:
         from pyspark.sql import Window
 

@@ -478,12 +478,118 @@ def _init_centroid_frame(
     return sel.select("_cell", F.posexplode("_u").alias("_i", "_m")).localCheckpoint()
 
 
+def _cents_numpy(cents) -> "object":
+    """Centroids (list or long frame) → a k×dim float64 numpy matrix.
+    One bounded k×dim driver pull for the frame form — the same class of
+    collect as :func:`kmeans_centroids`'s final read."""
+    import numpy as np
+
+    if isinstance(cents, DataFrame):
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in cents.collect():
+            by_cell.setdefault(int(r["_cell"]), {})[int(r["_i"])] = float(r["_m"])
+        cents = [
+            [by_cell[ci][i] for i in sorted(by_cell[ci])] for ci in sorted(by_cell)
+        ]
+    return np.asarray(cents, dtype=np.float64)
+
+
+def _assign_cells_arrow(
+    corpus: DataFrame, cents, *, id_col: str, vec_col: str
+) -> DataFrame:
+    """``(_id, _v, _cell)`` via an Arrow-batched numpy matmul.
+
+    The production-shape scorer: the interpreted HOF fold costs ~10 ns per
+    multiply-add (358 s for 16 k rows × k=4096 × dim=512, SCALING.md);
+    one BLAS matmul over the same batch is hundreds of times faster.  The
+    k×dim matrix ships to executors as a TorrentBroadcast variable —
+    broadcast VARIABLES are built for 0.5 GB payloads; it was plan
+    LITERALS that broke at that size.  Tie rule matches the fold path
+    (``argmax`` returns the FIRST maximum = lowest cell).  BLAS reorders
+    the per-dot accumulation (blocking/FMA), so scores can differ from
+    the sequential fold in the last ulp — argmax flips only on
+    effectively-tied cells, which is why this scorer is opt-in and the
+    hash-pinned gate queries stay on the fold."""
+    import numpy as np
+    import pandas as pd
+
+    C = _cents_numpy(cents)
+    bc = corpus.sparkSession.sparkContext.broadcast(C)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"_id {id_type}, _v array<double>, _cell long"
+
+    def score(batches):
+        Cm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            S = V @ Cm.T
+            cell = S.argmax(axis=1) + 1
+            n = np.sqrt((V * V).sum(axis=1))
+            n[n == 0.0] = 1.0
+            U = V / n[:, None]
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col].to_numpy(),
+                    "_v": list(U),
+                    "_cell": cell.astype("int64"),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
+def _probe_cells_arrow(
+    queries: DataFrame, cents, *, id_col: str, vec_col: str, nprobe: int
+) -> DataFrame:
+    """Exploded ``(_id, _v, _cell)`` rows — each query's ``nprobe`` nearest
+    cells — via the same Arrow/numpy matmul as :func:`_assign_cells_arrow`.
+    Tie rule matches the fold path's ``(-score, cell)`` struct sort: a
+    STABLE descending-score argsort keeps the lower cell first on ties."""
+    import numpy as np
+    import pandas as pd
+
+    C = _cents_numpy(cents)
+    np_probe = min(int(nprobe), C.shape[0])
+    bc = queries.sparkSession.sparkContext.broadcast(C)
+    id_type = queries.schema[id_col].dataType.simpleString()
+    out_schema = f"_id {id_type}, _v array<double>, _cell long"
+
+    def probe(batches):
+        Cm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            S = V @ Cm.T
+            top = np.argsort(-S, axis=1, kind="stable")[:, :np_probe] + 1
+            n = np.sqrt((V * V).sum(axis=1))
+            n[n == 0.0] = 1.0
+            U = V / n[:, None]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(ids, np_probe),
+                    "_v": [u for u in U for _ in range(np_probe)],
+                    "_cell": top.reshape(-1).astype("int64"),
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(probe, out_schema)
+
+
 def assign_cells(
     corpus: DataFrame,
     cents: list[list[float]] | DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "fold",
 ) -> DataFrame:
     """``(_id, _v, _cell)`` — unit-normalized vectors with their nearest
     centroid cell (argmax dot; first/lowest cell wins ties).  Centroids are
@@ -492,7 +598,18 @@ def assign_cells(
     ``cents`` is either a Python list (small k — the matrix rides the plan
     as literals) or a long-form ``(_cell, _i, _m)`` DataFrame from
     :func:`choose_centroid_frame` (the scale path — the matrix rides a
-    1-row broadcast).  Scores fold identically either way."""
+    1-row broadcast).  Scores fold identically either way.
+
+    ``scorer="arrow"`` switches the k×dim score computation to an
+    Arrow-batched numpy matmul (:func:`_assign_cells_arrow`) — the
+    production-shape path for large k×dim, ~100× the interpreted fold's
+    throughput, at the cost of last-ulp score differences (BLAS
+    accumulation order), so tie-sensitive hash-pinned comparisons should
+    keep the default ``"fold"``."""
+    if scorer == "arrow":
+        return _assign_cells_arrow(corpus, cents, id_col=id_col, vec_col=vec_col)
+    if scorer != "fold":
+        raise ValueError(f"scorer must be 'fold' or 'arrow', got {scorer!r}")
     # alias the cast vector to an ATTRIBUTE before any fold captures it:
     # expressions captured by interpreted HOF lambdas re-evaluate per outer
     # element, so a captured cast would re-materialize the array once per
@@ -543,6 +660,7 @@ def topic_assign(
     kmeans_iters: int = 5,
     kmeans_init: str = "sample",
     centroids_as: str = "broadcast_join",
+    scorer: str = "fold",
 ) -> DataFrame:
     """Assign every embedding to a centroid cell: ``(id_col, topic)``.
 
@@ -557,7 +675,10 @@ def topic_assign(
     the matrix reaches the executors: ``"broadcast_join"`` (default — a
     cluster-resident 1-row broadcast, the 100 TB shape) or ``"literal"``
     (inlined plan literals; fine for small k, breaks at k×dim ≈ 0.5 GB).
-    Assignments are bit-identical either way.
+    Assignments are bit-identical either way.  ``scorer="arrow"`` swaps
+    the argmax to the Arrow/numpy matmul path (see :func:`assign_cells`)
+    — the throughput choice at production k×dim, last-ulp score
+    divergence documented there.
     """
     cents = _centroids_for(
         corpus,
@@ -570,9 +691,9 @@ def topic_assign(
         kmeans_iters=kmeans_iters,
         kmeans_init=kmeans_init,
     )
-    return assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col).select(
-        F.col("_id").alias(id_col), F.col("_cell").alias("topic")
-    )
+    return assign_cells(
+        corpus, cents, id_col=id_col, vec_col=vec_col, scorer=scorer
+    ).select(F.col("_id").alias(id_col), F.col("_cell").alias("topic"))
 
 
 def _centroids_for(
@@ -604,6 +725,7 @@ def ivf_topk(
     kmeans_iters: int = 5,
     kmeans_init: str = "sample",
     centroids_as: str = "broadcast_join",
+    scorer: str = "fold",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
@@ -633,7 +755,18 @@ def ivf_topk(
     plan literals break the plan/py4j layer.  ``"literal"`` inlines it
     (small k only).  Cell assignments, probes, and cosines are
     bit-identical between the modes (same left folds).
+
+    ``scorer="arrow"`` computes BOTH the corpus cell assignment and the
+    query nprobe ranking as Arrow-batched numpy matmuls — the throughput
+    path at production k×dim (the interpreted fold is ~10 ns per
+    multiply-add; see :func:`assign_cells`).  The candidate re-rank stays
+    the JVM-side exact-cosine fold either way (per-pair, k-independent).
+    Last-ulp score divergence from BLAS accumulation order means
+    effectively-tied cells/probes can differ from the fold path — opt-in,
+    not for hash-pinned comparisons.
     """
+    if scorer not in ("fold", "arrow"):
+        raise ValueError(f"scorer must be 'fold' or 'arrow', got {scorer!r}")
     cents = _centroids_for(
         corpus,
         centroids_as,
@@ -645,6 +778,27 @@ def ivf_topk(
         kmeans_iters=kmeans_iters,
         kmeans_init=kmeans_init,
     )
+
+    if scorer == "arrow":
+        c = _assign_cells_arrow(
+            corpus, cents, id_col=id_col, vec_col=vec_col
+        ).select(
+            F.col("_id").alias("_cid"), F.col("_v").alias("_cv"), "_cell"
+        )
+        q = _probe_cells_arrow(
+            queries, cents, id_col=query_id_col, vec_col=vec_col, nprobe=nprobe
+        ).select(
+            F.col("_id").alias("_qid"), F.col("_v").alias("_qv"), "_cell"
+        )
+        scored = c.join(F.broadcast(q), "_cell").select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_cid").alias(id_col),
+            dot(F.col("_qv"), F.col("_cv")).alias("cos"),
+        ).dropDuplicates([query_id_col, id_col])
+        w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+        return scored.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
 
     # Centroids are unit vectors, so argmax(dot) == argmax(cosine): no
     # per-row normalization needed for cell assignment/probing.

@@ -32,6 +32,8 @@ DIM = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 MODES = (
     tuple(sys.argv[3].split(",")) if len(sys.argv) > 3 else ("broadcast_join", "literal")
 )
+# modes: broadcast_join | literal | arrow (broadcast_join centroids +
+# Arrow/numpy matmul scorer)
 N_ROWS = max(2 * K, 16384)
 
 
@@ -67,9 +69,15 @@ def main() -> None:
     results = {}
     for mode in MODES:
         t0 = time.perf_counter()
-        out = topic_assign(
-            emb, n_topics=K, strategy="first", centroids_as=mode
-        )
+        if mode == "arrow":
+            out = topic_assign(
+                emb, n_topics=K, strategy="first",
+                centroids_as="broadcast_join", scorer="arrow",
+            )
+        else:
+            out = topic_assign(
+                emb, n_topics=K, strategy="first", centroids_as=mode
+            )
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         t_build = time.perf_counter() - t0
         t1 = time.perf_counter()

@@ -1229,6 +1229,68 @@ def test_snapshot_diff_compare_cols_subset(spark):
         snapshot_diff(old, new, "k", compare_cols=["nope"])
 
 
+def test_arrow_scorer_matches_fold_on_separated_clusters(spark):
+    """scorer="arrow" (Arrow/numpy matmul) must agree with the fold path
+    wherever argmax is not knife-edged: on well-separated planted clusters
+    topic assignments and ivf_topk results are identical, including the
+    first-max/lowest-cell tie convention; unknown scorers reject."""
+    import random
+
+    from dftly_spark.ops import ivf_topk, semantic_dedup_pairs, topic_assign
+
+    rng = random.Random(5)
+    dim, kc = 16, 4
+    # first kc rows are the (orthogonal) cluster directions — strategy
+    # "first" makes them the centroids — then 60 members with small noise
+    rows = []
+    for c in range(kc):
+        base = [0.0] * dim
+        base[c] = 1.0
+        rows.append((c, base))
+    for i in range(60):
+        c = rng.randrange(kc)
+        v = [0.05 * rng.uniform(-1, 1) for _ in range(dim)]
+        v[c] += 1.0
+        rows.append((100 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    fold = topic_assign(df, n_topics=kc, strategy="first")
+    arrow = topic_assign(df, n_topics=kc, strategy="first", scorer="arrow")
+    assert sorted(map(tuple, arrow.collect())) == sorted(map(tuple, fold.collect()))
+    # arrow plan really routes through Arrow (one python eval node)
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+    q = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=5, n_centroids=kc, nprobe=2, strategy="first")
+    got_f = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(df, q, **kw).collect()
+    )
+    got_a = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(df, q, scorer="arrow", **kw).collect()
+    )
+    assert got_a == got_f
+
+    sd_f = sorted(
+        (r["id_l"], r["id_r"]) for r in
+        semantic_dedup_pairs(df, threshold=0.9, n_centroids=kc,
+                             strategy="first").collect()
+    )
+    sd_a = sorted(
+        (r["id_l"], r["id_r"]) for r in
+        semantic_dedup_pairs(df, threshold=0.9, n_centroids=kc,
+                             strategy="first", scorer="arrow").collect()
+    )
+    assert sd_a == sd_f and len(sd_a) > 0
+
+    with pytest.raises(ValueError, match="scorer"):
+        topic_assign(df, n_topics=kc, scorer="blas")
+
+
 def test_topic_assign_covers_corpus_no_shuffle(spark, emb):
     from dftly_spark.ops import topic_assign
 
