@@ -90,7 +90,7 @@ def main() -> None:
             flush=True,
         )
 
-    if len(results) == 2:
+    if "broadcast_join" in results and "literal" in results:
         bj, lit = results["broadcast_join"], results["literal"]
         print(
             f"literal/broadcast ratios: plan_build={lit[0] / max(bj[0], 1e-9):.1f}x "
