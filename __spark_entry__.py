@@ -7699,11 +7699,14 @@ _q(
              MAX(p) - MIN(p) + 20 AS span_tokens
       FROM rid GROUP BY doc_id, run
     ), pre AS (
+      -- regex strips, not trim()/ltrim(): those strip only ASCII spaces
+      -- (mirrors _token_char_offsets; a tab/newline-leading doc would
+      -- otherwise shift every offset by a phantom empty token)
       SELECT doc_id,
-             length(text) - length(ltrim(text)) AS lead,
-             regexp_split_to_array(trim(text), '\s+') AS k,
-             regexp_split_to_array(trim(text), '\S+') AS ws
-      FROM documents WHERE length(trim(text)) > 0
+             length(text) - length(regexp_replace(text, '^\s+', '')) AS lead,
+             regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS k,
+             regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\S+') AS ws
+      FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
     ), offs AS (
       SELECT doc_id,
              p1 - 1 AS p,
@@ -7897,8 +7900,9 @@ _PRIORITY = [
     #  x129-x136 in round 9, plus x110 -- the window stays exactly 50; the
     #  exact_sum convention keeps 4 in-window canaries: x21/x49/x89/x128;
     #  x105/x114/x115/x116 displaced by x138-x141 in round 10;
-    #  x107/x111/x112/x113/x58/x64/x67 displaced in round 11 by x142 +
-    #  the changed x12/x46/x50/x56/x114/x115)
+    #  x107/x111/x112/x113/x58/x64/x67/x73 displaced in round 11 by
+    #  x142/x143 + the changed x12/x46/x50/x56/x114/x115 -- x114/x115
+    #  moved BACK into the window, so they are gone from this tail)
     "x107_triangle_count",
     "x111_kcore",
     "x112_novelty",
@@ -7908,8 +7912,6 @@ _PRIORITY = [
     "x67_pagerank",
     "x73_group_trend",
     "x105_large_orders",
-    "x114_bpe_learn",
-    "x115_bpe_encode",
     "x116_cube_stats",
     "x110_interval_join",
     "x104_supplier_diversity",
@@ -7925,7 +7927,6 @@ _PRIORITY = [
     "q27_sqlgen_oracle",
     "q26_native_time",
     "q25_iso_week",
-    "x56_ivf_kmeans_topk",
     "x93_debounce",
     "x94_expectations",
     "x95_url_canonical_dedup",
@@ -7961,7 +7962,6 @@ _PRIORITY = [
     "q20_split",
     "x04_simhash_pairs",
     "x11_ann_lsh_topk",
-    "x12_ivf_topk",
     "x13_sessionize",
     "x05_embedding_neardup",
     "x02_ngram_jaccard_pairs",
@@ -7984,9 +7984,7 @@ _PRIORITY = [
     "x43_merge_upsert",
     "x44_mixture_sample",
     "x45_bigram_lm",
-    "x46_semantic_dedup",
     "x47_snapshot_diff",
-    "x50_topic_mix",
     "x51_gopher_rules",
     "x52_shared_affixes",
 ]

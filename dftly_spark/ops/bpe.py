@@ -30,12 +30,17 @@ replay rounds 0..N-1.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .textops import tokens
 
 SEP = "\x1f"
+
+# serializes the fit loops' session-conf pin/restore (see _bpe_learn_batched)
+_FIT_CONF_LOCK = threading.Lock()
 
 
 def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
@@ -104,6 +109,8 @@ def bpe_learn(
     time — keeping total driver rounds ~O(log) in practice instead of
     ``n_merges / K``.
     """
+    if batch != "auto" and not (isinstance(batch, int) and batch >= 1):
+        raise ValueError(f'batch must be a positive int or "auto", got {batch!r}')
     return _bpe_learn_batched(
         df, text_col, n_merges=n_merges, replace_passes=replace_passes,
         batch=batch, max_batch=max_batch, batch_gap=batch_gap,
@@ -149,23 +156,31 @@ def _bpe_learn_batched(
     # extra per-round job; with it off, size the loop's shuffle directly —
     # the pair agg is map-side combined, so the reduce side sees at most
     # the distinct-pair table, MBs even at a production vocabulary)
-    _pins = {"spark.sql.adaptive.enabled": "false",
-             "spark.sql.shuffle.partitions": "4"}
-    _prev = {k: spark.conf.get(k, None) for k in _pins}
-    for k, v in _pins.items():
-        spark.conf.set(k, v)
-    try:
-        return _bpe_merge_rounds(
-            spark, vocab, n_merges=n_merges, replace_passes=replace_passes,
-            batch=batch, max_batch=max_batch, batch_gap=batch_gap,
-            checkpoint_every=checkpoint_every,
-        )
-    finally:
-        for k, v in _prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    #
+    # CONTRACT: SQL confs are SESSION-scoped, so the pin is visible to any
+    # query PLANNED in this SparkSession while the fit loop runs — run
+    # long fits in their own session (spark.newSession()) when sharing a
+    # session with concurrent queries/streams.  The process-wide lock
+    # below serializes concurrent bpe_learn calls so one fit's restore
+    # can never snapshot another fit's pinned values as "previous".
+    with _FIT_CONF_LOCK:
+        _pins = {"spark.sql.adaptive.enabled": "false",
+                 "spark.sql.shuffle.partitions": "4"}
+        _prev = {k: spark.conf.get(k, None) for k in _pins}
+        for k, v in _pins.items():
+            spark.conf.set(k, v)
+        try:
+            return _bpe_merge_rounds(
+                spark, vocab, n_merges=n_merges, replace_passes=replace_passes,
+                batch=batch, max_batch=max_batch, batch_gap=batch_gap,
+                checkpoint_every=checkpoint_every,
+            )
+        finally:
+            for k, v in _prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
 
 
 def _bpe_merge_rounds(

@@ -981,9 +981,12 @@ def semantic_dedup_pairs(
     threshold``, both members in the same cell.  Cosine folds are
     bit-identical with DuckDB's ``list_dot_product`` replay.
     ``scorer="arrow"`` swaps the cell-assignment argmax to the Arrow/numpy
-    matmul (the production-k×dim throughput path; see
-    :func:`~dftly_spark.ops.similarity.assign_cells` for the last-ulp
-    caveat) — the within-cell exact-cosine verify stays the JVM fold.
+    matmul (the production-k×dim throughput path).  The within-cell
+    cosine verify still runs as the JVM fold, but over numpy-NORMALIZED
+    vectors, so a cosine sitting exactly on ``threshold`` can move one
+    ulp and flip — the last-ulp caveat documented at
+    :func:`~dftly_spark.ops.similarity.assign_cells` applies to the pair
+    set too, which is why the hash-pinned gates stay on "fold".
     """
     from .similarity import _centroids_for, assign_cells, dot
 

@@ -49,7 +49,10 @@ def l2_norm(a: SparkColumn, dim: int | None = None) -> SparkColumn:
 
 
 def cosine(a: SparkColumn, b: SparkColumn) -> SparkColumn:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero vector yields NULL instead of an ANSI-mode
+    # divide-by-zero job abort (identical bits whenever the norms are
+    # non-zero — try_divide IS divide then)
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def unit(a: SparkColumn, dim: int | None = None) -> SparkColumn:
@@ -58,12 +61,20 @@ def unit(a: SparkColumn, dim: int | None = None) -> SparkColumn:
     Normalizing once per row turns per-pair cosine (three dot products) into
     a single dot product — the difference between 3·n² and n + n² folds in
     any pairwise stage.
-    """
+
+    Zero vectors normalize to NULL elements (``try_divide``) instead of
+    raising: under Spark 4's default ANSI mode a plain divide would abort
+    the whole job on the first zero embedding in the corpus, and the
+    NULL elements make every downstream cosine NULL — the row simply
+    drops out of thresholds and rankings (non-zero vectors are
+    bit-identical: try_divide IS divide when the divisor isn't 0)."""
     if dim is not None:
         n = l2_norm(a, dim)
-        return F.array(*[F.element_at(a, i) / n for i in range(1, dim + 1)])
+        return F.array(
+            *[F.try_divide(F.element_at(a, i), n) for i in range(1, dim + 1)]
+        )
     n = l2_norm(a)
-    return F.transform(a, lambda x: x / n)
+    return F.transform(a, lambda x: F.try_divide(x, n))
 
 
 def infer_dim(df: DataFrame, vec_col: str) -> int:
@@ -214,10 +225,17 @@ def kmeans_centroids(
         [(ci + 1, i, float(x)) for ci, c in enumerate(cents) for i, x in enumerate(c)],
         "_cell int, _i int, _m double",
     ).localCheckpoint()
-    cdf = _lloyd(base, cdf, iters)
-    rows = cdf.collect()
+    return _collect_centroid_lists(_lloyd(base, cdf, iters))
+
+
+def _collect_centroid_lists(cdf: DataFrame) -> list[list[float]]:
+    """ONE bounded k×dim driver read of a long-form ``(_cell, _i, _m)``
+    centroid frame → ``list[list[float]]`` ordered by cell index.  THE
+    frame→matrix reconstruction — :func:`kmeans_centroids`'s final read
+    and :func:`_cents_numpy` both resolve here, so the cell/dim encoding
+    has exactly one decoder."""
     by_cell: dict[int, dict[int, float]] = {}
-    for r in rows:
+    for r in cdf.collect():
         by_cell.setdefault(int(r["_cell"]), {})[int(r["_i"])] = float(r["_m"])
     return [
         [by_cell[ci][i] for i in sorted(by_cell[ci])]
@@ -485,12 +503,7 @@ def _cents_numpy(cents) -> "object":
     import numpy as np
 
     if isinstance(cents, DataFrame):
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in cents.collect():
-            by_cell.setdefault(int(r["_cell"]), {})[int(r["_i"])] = float(r["_m"])
-        cents = [
-            [by_cell[ci][i] for i in sorted(by_cell[ci])] for ci in sorted(by_cell)
-        ]
+        cents = _collect_centroid_lists(cents)
     return np.asarray(cents, dtype=np.float64)
 
 
@@ -509,7 +522,10 @@ def _assign_cells_arrow(
     the per-dot accumulation (blocking/FMA), so scores can differ from
     the sequential fold in the last ulp — argmax flips only on
     effectively-tied cells, which is why this scorer is opt-in and the
-    hash-pinned gate queries stay on the fold."""
+    hash-pinned gate queries stay on the fold.  The returned ``_v`` is
+    ALSO numpy-normalized (pairwise-summed norm), so downstream cosines
+    computed from it carry the same last-ulp caveat; zero-norm vectors
+    yield a NULL ``_v`` to match the fold path's NULL-element unit()."""
     import numpy as np
     import pandas as pd
 
@@ -529,12 +545,18 @@ def _assign_cells_arrow(
             S = V @ Cm.T
             cell = S.argmax(axis=1) + 1
             n = np.sqrt((V * V).sum(axis=1))
-            n[n == 0.0] = 1.0
+            zero = n == 0.0
+            n[zero] = 1.0
             U = V / n[:, None]
+            # zero-norm rows: the fold path's unit() divides by 0 and
+            # yields NULLs (downstream cosines go NULL and the row drops
+            # out of thresholds/rankings) — emit a null vector so both
+            # scorers exclude the row the same way
+            vecs = [None if z else u for z, u in zip(zero, U)]
             yield pd.DataFrame(
                 {
                     "_id": pdf[id_col].to_numpy(),
-                    "_v": list(U),
+                    "_v": vecs,
                     "_cell": cell.astype("int64"),
                 }
             )
@@ -569,13 +591,21 @@ def _probe_cells_arrow(
             S = V @ Cm.T
             top = np.argsort(-S, axis=1, kind="stable")[:, :np_probe] + 1
             n = np.sqrt((V * V).sum(axis=1))
-            n[n == 0.0] = 1.0
+            zero = n == 0.0
+            n[zero] = 1.0
             U = V / n[:, None]
             ids = pdf[id_col].to_numpy()
+            # zero-norm rows → null vector, matching the fold path (see
+            # _assign_cells_arrow)
+            vecs = [
+                None if z else u
+                for z, u in zip(zero, U)
+                for _ in range(np_probe)
+            ]
             yield pd.DataFrame(
                 {
                     "_id": np.repeat(ids, np_probe),
-                    "_v": [u for u in U for _ in range(np_probe)],
+                    "_v": vecs,
                     "_cell": top.reshape(-1).astype("int64"),
                 }
             )

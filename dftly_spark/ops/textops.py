@@ -29,10 +29,16 @@ def normalize_text(col: SparkColumn) -> SparkColumn:
 
 
 def tokens(col: SparkColumn) -> SparkColumn:
-    """Whitespace tokens (array<string>); empty/blank text → empty array."""
-    trimmed = F.trim(col)
-    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
+    """Whitespace tokens (array<string>); empty/blank text → empty array.
+
+    The boundary strip is the REGEX ``^\\s+|\\s+$``, not ``trim()``:
+    ``trim`` strips only ASCII spaces, so text leading with a tab/newline
+    would keep the whitespace, and the ``\\s+`` split would then emit a
+    phantom empty token at position 0 — shifting every token position and
+    diverging from the oracles' normalize-first convention."""
+    stripped = F.regexp_replace(col, r"^\s+|\s+$", "")
+    return F.when(F.length(stripped) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(stripped, r"\s+")
     )
 
 
@@ -460,11 +466,15 @@ def _token_char_offsets(df, id_col: str, text_col: str):
     all-integer, no float surface)."""
     from pyspark.sql import Window
 
+    # regex strips, NOT trim()/ltrim(): those strip only ASCII spaces, so a
+    # tab/newline-leading document would keep its whitespace, the \s+ split
+    # would emit a phantom empty token at position 0, and every char offset
+    # would shift (found by review; pinned in the messy() offsets test)
     raw = F.col(text_col)
-    trimmed = F.trim(raw)
+    trimmed = F.regexp_replace(raw, r"^\s+|\s+$", "")
     base = df.select(
         F.col(id_col).alias("_id"),
-        (F.length(raw) - F.length(F.ltrim(raw))).alias("_lead"),
+        (F.length(raw) - F.length(F.regexp_replace(raw, r"^\s+", ""))).alias("_lead"),
         F.split(trimmed, r"\s+").alias("_k"),
         F.split(trimmed, r"\S+").alias("_ws"),
     ).where(F.length(trimmed) > 0)

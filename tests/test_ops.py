@@ -993,18 +993,23 @@ def test_span_char_offsets_map_to_original_text(spark):
 
     rng = random.Random(7)
 
+    def gap():
+        # real-corpus whitespace: spaces, tabs, newlines (trim() strips
+        # only spaces — a \t/\n-leading doc once shifted every offset)
+        return "".join(rng.choice(" \t\n") for _ in range(rng.randint(1, 3)))
+
     def messy(ws):
-        # random casing + 1-3 space gaps + optional leading/trailing ws
+        # random casing + mixed-whitespace gaps + optional leading/trailing
         parts = [w.upper() if rng.random() < 0.4 else w for w in ws]
         s = ""
         if rng.random() < 0.5:
-            s += " " * rng.randint(1, 2)
+            s += gap()
         for i, p in enumerate(parts):
             if i:
-                s += " " * rng.randint(1, 3)
+                s += gap()
             s += p
         if rng.random() < 0.5:
-            s += " " * rng.randint(1, 2)
+            s += gap()
         return s
 
     for trial in range(4):
@@ -1252,6 +1257,9 @@ def test_arrow_scorer_matches_fold_on_separated_clusters(spark):
         v = [0.05 * rng.uniform(-1, 1) for _ in range(dim)]
         v[c] += 1.0
         rows.append((100 + i, v))
+    # a zero-norm vector: fold's unit() yields NULL elements, arrow emits
+    # a NULL vector — both must exclude it from cosine thresholds/ranks
+    rows.append((999, [0.0] * dim))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
     fold = topic_assign(df, n_topics=kc, strategy="first")
