@@ -7669,64 +7669,10 @@ def _x142(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q(
     "x142_dup_spans_char",
     _x142,
-    r"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ), inst AS (
-      SELECT doc_id, p, array_to_string(list_slice(w, p, p + 19), ' ') AS g
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS p
-            FROM base WHERE len(w) >= 20)
-    ), flagged AS (
-      SELECT g FROM inst GROUP BY g HAVING count(*) >= 2
-    ), starts AS (
-      SELECT doc_id, p FROM inst JOIN flagged USING (g)
-    ), runs AS (
-      SELECT doc_id, p,
-             CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
-                       OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 20
-                  THEN 1 ELSE 0 END AS nr
-      FROM starts
-    ), rid AS (
-      SELECT doc_id, p,
-             SUM(nr) OVER (PARTITION BY doc_id ORDER BY p) AS run
-      FROM runs
-    ), spans AS (
-      SELECT doc_id,
-             MIN(p) - 1 AS span_start,
-             MAX(p) + 18 AS span_end,
-             MAX(p) - MIN(p) + 20 AS span_tokens
-      FROM rid GROUP BY doc_id, run
-    ), pre AS (
-      -- regex strips, not trim()/ltrim(): those strip only ASCII spaces
-      -- (mirrors _token_char_offsets; a tab/newline-leading doc would
-      -- otherwise shift every offset by a phantom empty token)
-      SELECT doc_id,
-             length(text) - length(regexp_replace(text, '^\s+', '')) AS lead,
-             regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS k,
-             regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\S+') AS ws
-      FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
-    ), offs AS (
-      SELECT doc_id,
-             p1 - 1 AS p,
-             lead
-               + SUM(length(ws[p1]) + length(k[p1]))
-                   OVER (PARTITION BY doc_id ORDER BY p1)
-               - length(k[p1]) AS cs,
-             length(k[p1]) AS tl
-      FROM (SELECT doc_id, lead, k, ws,
-                   unnest(generate_series(1, len(k))) AS p1
-            FROM pre)
-    )
-    SELECT s.doc_id,
-           CAST(o1.cs AS BIGINT) AS char_start,
-           CAST(o2.cs + o2.tl AS BIGINT) AS char_end,
-           s.span_tokens
-    FROM spans s
-    JOIN offs o1 ON s.doc_id = o1.doc_id AND o1.p = s.span_start
-    JOIN offs o2 ON s.doc_id = o2.doc_id AND o2.p = s.span_end
-    """,
+    # lazy: _X142_SPANS_SQL is defined later in the module (with x144,
+    # which shares the whole span+offset CTE chain)
+    lambda: _X142_SPANS_SQL
+    + "SELECT doc_id, char_start, char_end, span_tokens FROM cspans",
 )
 
 
@@ -7750,7 +7696,10 @@ def _x143(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    prefix, sets = fuzzy_index(docs, "doc_id", "text", n=3, threshold=0.5)
+    prefix, sets = fuzzy_index(
+        _docs_tok(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5,
+        tokens_col=_TOK, cache_key=f"documents:{sf_dir}",
+    )
     out = stream_fuzzy_join(
         _x129_planted(docs), prefix, sets, "doc_id", "text",
         n=3, threshold=0.5,
@@ -7784,6 +7733,121 @@ _q(
     JOIN sizes x ON x.side = 'l' AND x.doc_id = id_l
     JOIN sizes y ON y.side = 'r' AND y.doc_id = id_r
     WHERE s::DOUBLE / (x.n + y.n - s) >= 0.5
+    """,
+)
+
+
+def _x144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text duplicated-run removal (dedup_substrings_char): the char
+    spans of x142 CUT OUT of the ORIGINAL document text — casing and
+    whitespace outside the ranges untouched, the actual Lee et al.
+    ExactSubstr deliverable (they remove bytes from the raw corpus, not
+    from a normalized token stream).  Kept segments fall out of one
+    per-document lag window over the span rows plus a tail segment; the
+    oracle replays the identical segment arithmetic and string_agg
+    rebuild."""
+    from dftly_spark.ops import dedup_substrings_char
+
+    _prep(spark)
+    return dedup_substrings_char(
+        _docs_tok(spark, sf_dir),
+        "doc_id",
+        "text",
+        min_len=20,
+        min_count=2,
+        tokens_col=_TOK,
+        cache_key=f"documents:{sf_dir}",
+    )
+
+
+_X142_SPANS_SQL = r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), inst AS (
+      SELECT doc_id, p, array_to_string(list_slice(w, p, p + 19), ' ') AS g
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS p
+            FROM base WHERE len(w) >= 20)
+    ), flagged AS (
+      SELECT g FROM inst GROUP BY g HAVING count(*) >= 2
+    ), starts AS (
+      SELECT doc_id, p FROM inst JOIN flagged USING (g)
+    ), runs AS (
+      SELECT doc_id, p,
+             CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                       OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 20
+                  THEN 1 ELSE 0 END AS nr
+      FROM starts
+    ), rid AS (
+      SELECT doc_id, p,
+             SUM(nr) OVER (PARTITION BY doc_id ORDER BY p) AS run
+      FROM runs
+    ), spans AS (
+      SELECT doc_id,
+             MIN(p) - 1 AS span_start,
+             MAX(p) + 18 AS span_end,
+             MAX(p) - MIN(p) + 20 AS span_tokens
+      FROM rid GROUP BY doc_id, run
+    ), pre AS (
+      SELECT doc_id,
+             length(text) - length(regexp_replace(text, '^\s+', '')) AS lead,
+             regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS k,
+             regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\S+') AS ws
+      FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+    ), offs AS (
+      SELECT doc_id,
+             p1 - 1 AS p,
+             lead
+               + SUM(length(ws[p1]) + length(k[p1]))
+                   OVER (PARTITION BY doc_id ORDER BY p1)
+               - length(k[p1]) AS cs,
+             length(k[p1]) AS tl
+      FROM (SELECT doc_id, lead, k, ws,
+                   unnest(generate_series(1, len(k))) AS p1
+            FROM pre)
+    ), cspans AS (
+      SELECT s.doc_id,
+             CAST(o1.cs AS BIGINT) AS char_start,
+             CAST(o2.cs + o2.tl AS BIGINT) AS char_end,
+             s.span_tokens
+      FROM spans s
+      JOIN offs o1 ON s.doc_id = o1.doc_id AND o1.p = s.span_start
+      JOIN offs o2 ON s.doc_id = o2.doc_id AND o2.p = s.span_end
+    )
+"""
+
+
+_q(
+    "x144_dedup_chars",
+    _x144,
+    _X142_SPANS_SQL
+    + r"""
+    , segs AS (
+      SELECT doc_id,
+             COALESCE(lag(char_end) OVER (PARTITION BY doc_id ORDER BY char_start), 0) AS seg_start,
+             char_start AS seg_end,
+             char_end - char_start AS cut
+      FROM cspans
+      UNION ALL
+      SELECT c.doc_id, MAX(c.char_end), length(d.text), 0
+      FROM cspans c JOIN documents d USING (doc_id)
+      GROUP BY c.doc_id, length(d.text)
+    ), rebuilt AS (
+      SELECT s.doc_id,
+             string_agg(substr(d.text, CAST(s.seg_start + 1 AS BIGINT),
+                               CAST(s.seg_end - s.seg_start AS BIGINT)),
+                        '' ORDER BY s.seg_start) AS clean_text,
+             CAST(SUM(s.cut) AS BIGINT) AS n_chars_removed
+      FROM segs s JOIN documents d USING (doc_id)
+      GROUP BY s.doc_id
+    ), untouched AS (
+      SELECT doc_id, text AS clean_text, CAST(0 AS BIGINT) AS n_chars_removed
+      FROM documents
+      WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+        AND doc_id NOT IN (SELECT doc_id FROM cspans)
+    )
+    SELECT * FROM rebuilt UNION ALL SELECT * FROM untouched
     """,
 )
 
@@ -7822,6 +7886,7 @@ _PRIORITY = [
     #    semantics --
     "x142_dup_spans_char",
     "x143_stream_fuzzy_join",
+    "x144_dedup_chars",
     "x12_ivf_topk",
     "x46_semantic_dedup",
     "x50_topic_mix",
@@ -7872,7 +7937,6 @@ _PRIORITY = [
     "x62_centroid_outliers",
     "x123_weighted_pagerank",
     "x69_pool_embeddings",
-    "x75_corr_matrix",
     "x76_group_entropy",
     "x77_pivot_events",
     "x82_group_quantiles",
@@ -7911,6 +7975,7 @@ _PRIORITY = [
     "x64_time_weighted_avg",
     "x67_pagerank",
     "x73_group_trend",
+    "x75_corr_matrix",
     "x105_large_orders",
     "x116_cube_stats",
     "x110_interval_join",

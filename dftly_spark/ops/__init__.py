@@ -37,8 +37,10 @@ from .textops import (
     remove_dup_ngram_spans,
     dup_substring_spans,
     dedup_substring_spans,
+    dedup_substrings_char,
     contamination_spans,
     decontaminate_substrings,
+    decontaminate_substrings_char,
     repetition_signals,
     language_id,
     normalize_text,
@@ -68,6 +70,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     novelty_scores,
     shingle_hashes,
+    shingle_hashes_tokens,
     source_overlap,
     simhash64,
     semantic_dedup,
@@ -205,7 +208,7 @@ __all__ = [
     "doc_fingerprints",
     "repetition_signals",
     "exact_dedup", "word_shingles", "minhash_signature", "minhash_dup_pairs",
-    "minhash_index", "minhash_join_index", "shingle_hashes",
+    "minhash_index", "minhash_join_index", "shingle_hashes", "shingle_hashes_tokens",
     "simhash64", "simhash_dup_pairs", "ngram_jaccard_pairs", "cross_corpus_dup_pairs", "novelty_scores", "source_overlap",
     "containment_pairs", "cross_corpus_embedding_pairs",
     "embedding_dup_pairs",
@@ -220,8 +223,8 @@ __all__ = [
     "hash_split", "stratified_sample", "pack_sequences", "quantile_stats",
     "bm25_topk", "tf_idf_vectors", "sparse_cosine_pairs", "cap_per_group", "rollup_stats", "cube_stats",
     "dup_ngram_fraction", "remove_dup_ngram_spans",
-    "dup_substring_spans", "dedup_substring_spans",
-    "contamination_spans", "decontaminate_substrings",
+    "dup_substring_spans", "dedup_substring_spans", "dedup_substrings_char",
+    "contamination_spans", "decontaminate_substrings", "decontaminate_substrings_char",
     "sessionize", "sessionize_stream", "sessionize_stream_tws", "funnel", "cohort_retention", "debounce", "debounce_stream", "resample_ffill",
     "mixture_sample", "latest_changes", "merge_upsert", "snapshot_diff",
     "semantic_dedup", "semantic_dedup_pairs", "schema_drift", "dedup_survivors", "scd2_snapshot", "session_stats",

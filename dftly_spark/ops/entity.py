@@ -330,6 +330,8 @@ def fuzzy_index(
     *,
     n: int = 3,
     threshold: float = 0.5,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the persistable prefix-filter index frames for a corpus.
 
@@ -361,8 +363,14 @@ def fuzzy_index(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    # referenced twice (prefix + sets): truncate lineage at the boundary
-    sh = _shingle_rows(df, id_col, text_col, "_cid", n).localCheckpoint(eager=False)
+    # referenced twice (prefix + sets): truncate lineage at the boundary.
+    # tokens_col/cache_key plug the build into the shared corpus caches
+    # (ops/corpus.py) like fuzzy_join — a session that already built the
+    # shingle frames skips the tokenize+explode+window rescan here.
+    sh = _shingle_rows(
+        df, id_col, text_col, "_cid", n,
+        tokens_col=tokens_col, cache_key=cache_key,
+    ).localCheckpoint(eager=False)
     prefix = _prefix_rows(sh, "_cid", threshold).select(
         F.col("_cid").alias(id_col),
         "_g",

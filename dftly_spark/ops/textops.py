@@ -632,6 +632,135 @@ def _rebuild_without_positions(df, covered, id_col: str, text_col: str, tokens_c
     return rebuilt.withColumnRenamed("_id", id_col)
 
 
+def dedup_substrings_char(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 50,
+    min_count: int = 2,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
+):
+    """Cut every verbatim-duplicated run >= ``min_len`` tokens out of the
+    ORIGINAL text — raw-byte removal, the actual Lee et al. deliverable.
+
+    Where :func:`dedup_substring_spans` rebuilds the NORMALIZED
+    (lowercased, whitespace-collapsed) token stream, this removes the
+    spans' char ranges from the document as it stands: casing and
+    whitespace outside the cut ranges are untouched.  Returns ``(id_col,
+    clean_text, n_chars_removed)``, one row per document with >= 1 token;
+    documents with no duplicated run pass through whole.
+
+    Shape: the char spans (:func:`dup_substring_spans` with
+    ``offsets="char"``) are disjoint with gaps by construction (merged
+    token runs are separated by >= 1 kept token), so the kept segments
+    fall out of ONE per-document ``lag`` window over the span rows plus a
+    tail segment — each segment is a row-local ``substring``, and the
+    rebuild is an ordered ``concat_ws`` per document.  Linear, no
+    pairwise work, no folds over characters.
+    """
+    spans = dup_substring_spans(
+        df, id_col, text_col, min_len=min_len, min_count=min_count,
+        tokens_col=tokens_col, cache_key=cache_key, offsets="char",
+    )
+    return _rebuild_without_char_spans(df, spans, id_col, text_col)
+
+
+def _rebuild_without_char_spans(df, spans, id_col: str, text_col: str):
+    """Remove disjoint char ranges ``(id, char_start, char_end)`` from the
+    original ``text_col``; shared by the dedup and decontamination char
+    transforms."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy("char_start")
+    seg = spans.select(
+        F.col(id_col).alias("_id"), "char_start", "char_end"
+    ).select(
+        "_id",
+        F.coalesce(F.lag("char_end").over(w), F.lit(0)).alias("_ss"),
+        F.col("char_start").alias("_se"),
+        F.col("char_end").alias("_tail_from"),
+        (F.col("char_end") - F.col("char_start")).alias("_cut"),
+        F.row_number().over(Window.partitionBy("_id").orderBy(F.desc("char_start"))).alias("_last"),
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+    ).where(F.size(doc_tokens(df, text_col, None)) > 0)
+    joined = seg.join(base, "_id")
+    # one row per kept segment: the gap before each span, plus (from the
+    # row holding the LAST span only) the tail after it
+    head_segs = joined.select(
+        "_id",
+        F.col("_ss").alias("_from"),
+        F.substring(
+            F.col("_txt"), F.col("_ss") + 1, F.col("_se") - F.col("_ss")
+        ).alias("_seg"),
+        F.col("_cut"),
+    )
+    tail_segs = joined.where(F.col("_last") == 1).select(
+        "_id",
+        F.col("_tail_from").alias("_from"),
+        F.substring(
+            F.col("_txt"),
+            F.col("_tail_from") + 1,
+            F.length("_txt") - F.col("_tail_from"),
+        ).alias("_seg"),
+        F.lit(0).cast("bigint").alias("_cut"),
+    )
+    rebuilt = (
+        head_segs.unionByName(tail_segs)
+        .groupBy("_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_from", "_seg"))),
+                    lambda st: st["_seg"],
+                ),
+            ).alias("clean_text"),
+            F.sum("_cut").alias("n_chars_removed"),
+        )
+    )
+    untouched = base.join(spans.select(F.col(id_col).alias("_id")), "_id", "left_anti").select(
+        "_id",
+        F.col("_txt").alias("clean_text"),
+        F.lit(0).cast("bigint").alias("n_chars_removed"),
+    )
+    return (
+        rebuilt.unionByName(untouched)
+        .select(F.col("_id").alias(id_col), "clean_text", "n_chars_removed")
+    )
+
+
+def decontaminate_substrings_char(
+    df,
+    probe,
+    id_col: str,
+    text_col: str,
+    *,
+    probe_id_col: str | None = None,
+    probe_text_col: str | None = None,
+    min_len: int = 20,
+    tokens_col: str | None = None,
+    cache_key: str | None = None,
+    probe_tokens_col: str | None = None,
+    probe_cache_key: str | None = None,
+):
+    """Cut every probe-shared run >= ``min_len`` tokens out of the
+    ORIGINAL ``df`` text (raw-byte decontamination) — the cross-corpus
+    twin of :func:`dedup_substrings_char`; same output shape."""
+    spans = contamination_spans(
+        df, probe, id_col, text_col,
+        probe_id_col=probe_id_col, probe_text_col=probe_text_col,
+        min_len=min_len,
+        tokens_col=tokens_col, cache_key=cache_key,
+        probe_tokens_col=probe_tokens_col, probe_cache_key=probe_cache_key,
+        offsets="char",
+    )
+    return _rebuild_without_char_spans(df, spans, id_col, text_col)
+
+
 def contamination_spans(
     df,
     probe,

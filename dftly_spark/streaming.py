@@ -133,14 +133,22 @@ def stream_minhash_dedup(
     bounded backfill, ``dropDuplicatesWithinWatermark`` when rows carry
     event time, or at the sink).
     """
-    from .ops.dedup import _band_buckets, minhash_signature, shingle_hashes
+    from .ops.dedup import _band_buckets, minhash_signature, shingle_hashes_tokens
+    from .ops.textops import tokens as _tokens
 
     rows = k // bands
-    gs = shingle_hashes(F.col(text_col), n)
+    # tokenize to an ATTRIBUTE first: the per-gram lambda captures the
+    # token array, and interpreted HOFs re-evaluate captured EXPRESSIONS
+    # per element — an inline tokens(lower(text)) re-tokenizes the whole
+    # document once per gram (measured 17 ms/doc on the fuzzy twin)
     keyed = (
         stream_df.select(
             F.col(id_col).alias("new_id"),
-            gs.alias("_sh_l"),
+            _tokens(F.lower(F.col(text_col))).alias("_ws"),
+        )
+        .select(
+            "new_id",
+            shingle_hashes_tokens(F.col("_ws"), n).alias("_sh_l"),
         )
         .select(
             "new_id",
@@ -669,7 +677,8 @@ def stream_fuzzy_join(
     ``stream_fuzzy_join(..., carry_cols=(ts,))`` →
     ``dropDuplicatesWithinWatermark(["new_id", "corpus_id"])``.
     """
-    from .ops.dedup import shingle_hashes
+    from .ops.dedup import shingle_hashes_tokens
+    from .ops.textops import tokens as _tokens
 
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -697,15 +706,44 @@ def stream_fuzzy_join(
     # surface as a confusing duplicate/ambiguous-column error at join time
     reserved = {
         "new_id", "corpus_id", "jaccard", "_sh_l", "_sz_l", "_g", "_gs",
-        "_pos0", "_rn_l", "_sz", "_rn", "_idx_n", "_idx_t",
+        "_pos0", "_rn_l", "_sz", "_rn", "_idx_n", "_idx_t", "_ws",
     }
     bad = reserved.intersection(carry)
     if bad:
         raise ValueError(f"carry_cols collide with output/internal names: {sorted(bad)}")
-    gs = F.array_sort(shingle_hashes(F.col(text_col), n))
-    base = stream_df.select(
-        F.col(id_col).alias("new_id"), *carry, gs.alias("_sh_l")
+    src_df = stream_df
+    if not stream_df.isStreaming:
+        # bounded twin: the arriving side usually scans a handful of
+        # parquet files (often ONE partition) and the row-local shingle
+        # forms are interpreted HOFs — without a repartition every
+        # per-row microsecond lands on a single task.  The checkpoint is
+        # the optimizer boundary that KEEPS it fixed: Catalyst otherwise
+        # pushes the downstream shingle projection below the repartition,
+        # moving the interpreted work back onto the single map task
+        # (measured: 22 s single-task map stage without it)
+        sc = stream_df.sparkSession.sparkContext
+        src_df = (
+            stream_df.select(id_col, text_col, *carry)
+            .repartition(sc.defaultParallelism)
+            .localCheckpoint(eager=False)
+        )
+    # tokens projected to an attribute BEFORE the shingle lambda captures
+    # them (captured expressions re-evaluate per gram in interpreted HOFs:
+    # the inline form re-tokenized every document once per gram — 28 s for
+    # 1 667 probes at sf0.1, 2.4 s after this split)
+    base = src_df.select(
+        F.col(id_col).alias("new_id"), *carry,
+        _tokens(F.lower(F.col(text_col))).alias("_ws"),
+    ).select(
+        "new_id", *carry,
+        F.array_sort(shingle_hashes_tokens(F.col("_ws"), n)).alias("_sh_l"),
     ).where(F.size("_sh_l") > 0)
+    if not stream_df.isStreaming:
+        # bounded twin (gates, backfills): the interpreted shingle arrays
+        # are referenced by both the prefix explode and the verify — cut
+        # the lineage so they compute once; illegal on streams (where each
+        # micro-batch is small and single-pass anyway)
+        base = base.localCheckpoint(eager=False)
     s = F.size("_sh_l")
     p = s - F.ceil(F.lit(threshold) * s - F.lit(1e-9)).cast("int") + 1
     keyed = base.select(

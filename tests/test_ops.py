@@ -1069,6 +1069,66 @@ def test_span_char_offsets_map_to_original_text(spark):
         dup_substring_spans(df, "doc_id", "text", min_len=2, offsets="byte")
 
 
+def test_dedup_substrings_char_removes_raw_ranges(spark):
+    """dedup_substrings_char cuts exactly the char spans out of the
+    ORIGINAL text (casing/whitespace elsewhere untouched): equals the
+    Python-reference removal built from the offsets="char" spans, and
+    untouched documents pass through whole with n_chars_removed=0."""
+    import random
+
+    from dftly_spark.ops import dedup_substrings_char, dup_substring_spans
+
+    rng = random.Random(31)
+
+    def gap():
+        return "".join(rng.choice(" \t\n") for _ in range(rng.randint(1, 3)))
+
+    def messy(ws):
+        parts = [w.upper() if rng.random() < 0.4 else w for w in ws]
+        s = gap() if rng.random() < 0.5 else ""
+        for i, p in enumerate(parts):
+            if i:
+                s += gap()
+            s += p
+        if rng.random() < 0.5:
+            s += gap()
+        return s
+
+    for trial in range(3):
+        L = rng.choice([2, 3])
+        docs = [
+            [rng.choice("abcd") for _ in range(rng.randint(1, 12))]
+            for _ in range(10)
+        ]
+        texts = {i: messy(ws) for i, ws in enumerate(docs)}
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id int, text string"
+        )
+        spans = {}
+        for r in dup_substring_spans(
+            df, "doc_id", "text", min_len=L, offsets="char"
+        ).collect():
+            spans.setdefault(r.doc_id, []).append((r.char_start, r.char_end))
+        want = {}
+        for i, text in texts.items():
+            cuts = sorted(spans.get(i, []))
+            clean, pos, removed = "", 0, 0
+            for s, e in cuts:
+                clean += text[pos:s]
+                removed += e - s
+                pos = e
+            clean += text[pos:]
+            want[i] = (clean, removed)
+        got = {
+            r.doc_id: (r.clean_text, r.n_chars_removed)
+            for r in dedup_substrings_char(
+                df, "doc_id", "text", min_len=L
+            ).collect()
+        }
+        assert got == want, (trial, L)
+        assert any(n > 0 for _, n in got.values()) or not spans
+
+
 def test_contamination_spans_randomized_bruteforce(spark):
     """Same property cross-corpus: covered iff the L-gram appears anywhere
     in the probe corpus."""
