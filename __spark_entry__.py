@@ -7852,6 +7852,50 @@ _q(
 )
 
 
+def _x145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-unsigned uint64 mode (Parser ``uint64_decimal=True``): the
+    reference's uint64 is a true pl.UInt64 (/root/reference/src/dftly/
+    nodes/types.py:8-12); the engine default carries it as bigint with a
+    documented >=2**63 caveat (SURVEY §1.2).  This gates the opt-in exact
+    mode end-to-end: DECIMAL(20,0) carrier, ``::?`` nulling negatives as
+    out-of-unsigned-range, and arithmetic on values above 2**63-1
+    (u64_max - key) staying exact — bit-for-bit against DuckDB's native
+    UBIGINT/DECIMAL semantics.  The unsigned-hash wrap (engine-specific
+    xxhash64 bits) is pinned relationally in tests/test_uint64.py."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    cols = Parser.to_spark(
+        {
+            "o_orderkey": "$o_orderkey",
+            # out-of-unsigned-range nulls, then str for a lossless compare
+            # (DuckDB pandas-lowers DECIMAL to float64, which cannot hold
+            # 2**64-scale values exactly -- the very gap this mode closes)
+            "u_soft": "(($o_orderkey - 30000) ::? uint64) :: str",
+            "u_str": "($o_orderkey :: uint64) :: str",
+            "u_diff": '(("18446744073709551615" :: uint64) - ($o_orderkey :: uint64)) :: str',
+        },
+        schema=orders,
+        uint64_decimal=True,
+    )
+    return orders.select(*cols.values())
+
+
+_q(
+    "x145_uint64_decimal",
+    _x145,
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey - 30000 < 0 THEN NULL
+                ELSE CAST(CAST(o_orderkey - 30000 AS DECIMAL(20,0)) AS VARCHAR)
+           END AS u_soft,
+           CAST(CAST(o_orderkey AS DECIMAL(20,0)) AS VARCHAR) AS u_str,
+           CAST(CAST('18446744073709551615' AS DECIMAL(20,0))
+                  - CAST(o_orderkey AS DECIMAL(20,0)) AS VARCHAR) AS u_diff
+    FROM orders
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -7887,6 +7931,7 @@ _PRIORITY = [
     "x142_dup_spans_char",
     "x143_stream_fuzzy_join",
     "x144_dedup_chars",
+    "x145_uint64_decimal",
     "x12_ivf_topk",
     "x46_semantic_dedup",
     "x50_topic_mix",
@@ -7957,9 +8002,10 @@ _PRIORITY = [
     "x97_psi_drift",
     "x98_rolling_features",
     "x99_roc_auc",
-    "x100_group_auc",
     # -- tail: >= 3 consecutive driver-green rows, or displaced; sampled
     #    again only if the window widens or they change --
+    # (x100 displaced by x145 in round 11: 7 consecutive green rows)
+    "x100_group_auc",
     # (x117 displaced by x128 in round 8; x101-x106 + x108 displaced by
     #  x129-x136 in round 9, plus x110 -- the window stays exactly 50; the
     #  exact_sum convention keeps 4 in-window canaries: x21/x49/x89/x128;

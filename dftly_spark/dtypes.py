@@ -111,6 +111,12 @@ DATE_UNITS = {"year"}
 #: Every nameable cast target (types.py:70-76): real dtypes + implicit units.
 CAST_TARGETS = set(NAMED_TYPES) | set(DURATION_UNIT_SECONDS) | DATE_UNITS
 
+#: Range of a true unsigned 64-bit integer (reference types.py:8-12 maps
+#: ``uint64`` to pl.UInt64).  Used by the opt-in strict-unsigned mode
+#: (``LoweringContext(uint64_decimal=True)``) which carries uint64 as
+#: ``DECIMAL(20,0)`` instead of the default caveated ``bigint``.
+U64_MAX = 2**64 - 1
+
 
 # ---------------------------------------------------------------------------
 # Spark dtype strings for the tags (used by Cast lowering).
@@ -183,6 +189,11 @@ def tag_of_spark(dt) -> str:
         return base[name]
     if name.startswith("interval"):
         return DURATION
+    if name == "decimal(20,0)":
+        # The strict-unsigned uint64 carrier (see U64_MAX).  Tagging it U64
+        # keeps downstream dispatch integral (str-concat vs numeric add,
+        # int**int recast) for columns produced by uint64_decimal mode.
+        return U64
     if name.startswith("decimal"):
         return F64
     if name.startswith("time("):

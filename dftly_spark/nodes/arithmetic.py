@@ -32,18 +32,28 @@ from .. import dtypes as DT
 from .base import LoweringContext, Node, NotConst
 
 
-def _null_safe_hash(src: SparkColumn, hashed: SparkColumn) -> SparkColumn:
+def _null_safe_hash(
+    src: SparkColumn, hashed: SparkColumn, out_type: str = "bigint"
+) -> SparkColumn:
     """null-in → null-out; a missing key must not hash to a shared phantom id
     (reference rationale at arithmetic.py:10-24)."""
-    return F.when(src.isNull(), F.lit(None).cast("bigint")).otherwise(hashed)
+    return F.when(src.isNull(), F.lit(None).cast(out_type)).otherwise(hashed)
+
+
+#: 2**64 as an exact decimal literal, for signed→unsigned wrap in
+#: uint64_decimal mode (Python ints > 2**63-1 overflow F.lit).
+_TWO_64 = "18446744073709551616"
 
 
 class Hash(Node):
     """Deterministic 64-bit hash; null-in → null-out (arithmetic.py:27-104).
 
-    Spark has no unsigned ints, so the result is a signed ``bigint`` from
-    ``xxhash64``; the reference only promises determinism and distinctness,
-    not specific values.
+    Spark has no unsigned ints, so by default the result is a signed
+    ``bigint`` from ``xxhash64``; the reference only promises determinism,
+    distinctness, and null propagation, not specific values.  Under
+    ``LoweringContext(uint64_decimal=True)`` the same 64 bits are presented
+    as the true unsigned value (``DECIMAL(20,0)``, signed + 2**64 when
+    negative) for reference-exact uint64 semantics.
     """
 
     KEY = "hash"
@@ -55,7 +65,14 @@ class Hash(Node):
     def to_column(self, ctx: LoweringContext | None = None) -> SparkColumn:
         ctx = ctx or LoweringContext()
         src = self.args[0].to_column(ctx)
-        return _null_safe_hash(src, F.xxhash64(src))
+        h = F.xxhash64(src)
+        if ctx.uint64_decimal:
+            wrapped = F.when(
+                h < 0,
+                (h.cast("decimal(20,0)") + F.lit(_TWO_64).cast("decimal(21,0)")),
+            ).otherwise(h.cast("decimal(20,0)"))
+            return _null_safe_hash(src, wrapped.cast("decimal(20,0)"), "decimal(20,0)")
+        return _null_safe_hash(src, h)
 
 
 class SignedHash(Node):

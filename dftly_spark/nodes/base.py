@@ -50,12 +50,13 @@ class LoweringContext:
     back to Spark's default coercions.
     """
 
-    __slots__ = ("schema", "native_time_cols")
+    __slots__ = ("schema", "native_time_cols", "uint64_decimal")
 
     def __init__(
         self,
         schema: dict[str, str] | None = None,
         native_time_cols: set[str] | None = None,
+        uint64_decimal: bool = False,
     ):
         self.schema = schema
         # Columns whose PHYSICAL type is Spark 4.1 native TIME(n): tagged
@@ -63,9 +64,18 @@ class LoweringContext:
         # to the engine's micros-since-midnight long at the input boundary
         # (dftly_spark/timetype.py).
         self.native_time_cols = native_time_cols or set()
+        # Strict-unsigned mode (SURVEY §1.2 uint64 caveat): carry uint64 as
+        # DECIMAL(20,0) with true [0, 2**64-1] range semantics — strict casts
+        # of negatives RAISE, hash yields the unsigned value — instead of the
+        # default signed-bigint-with-caveat.  Off by default: bigint math is
+        # codegen-friendly; decimal math is not, so this trades speed for
+        # reference-exact unsignedness (reference types.py:8-12).
+        self.uint64_decimal = uint64_decimal
 
     @classmethod
-    def from_spark_schema(cls, spark_schema) -> "LoweringContext":
+    def from_spark_schema(
+        cls, spark_schema, uint64_decimal: bool = False
+    ) -> "LoweringContext":
         return cls(
             {f.name: DT.tag_of_spark(f.dataType) for f in spark_schema.fields},
             {
@@ -73,6 +83,7 @@ class LoweringContext:
                 for f in spark_schema.fields
                 if f.dataType.simpleString().startswith("time(")
             },
+            uint64_decimal=uint64_decimal,
         )
 
     def col_type(self, name: str) -> str:

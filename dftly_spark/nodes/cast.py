@@ -34,7 +34,10 @@ from .base import LoweringContext, Node
 #: level, SURVEY §1.2).
 _INT_LEVEL = {
     DT.I8: 1, DT.U8: 2, DT.I16: 2, DT.U16: 3, DT.I32: 3, DT.U32: 4, DT.I64: 4,
-    DT.U64: 4, DT.I128: 5,
+    # U64 sits ABOVE I64: in uint64_decimal mode it physically holds values
+    # > 2**63-1, so u64 -> i64 is narrowing (guarded), while i64 -> u64 /
+    # u64 -> i128 stay widening.
+    DT.U64: 5, DT.I128: 6,
 }
 
 
@@ -190,12 +193,32 @@ class Cast(Node):
             return F.make_date(src.cast("int"), F.lit(1), F.lit(1))
 
         tag = DT.NAMED_TYPES[t]
-        return self._dtype_cast(src, src_tag, tag, t)
+        return self._dtype_cast(src, src_tag, tag, t, ctx)
 
     def _dtype_cast(
-        self, src: SparkColumn, src_tag: str, tag: str, target_name: str
+        self,
+        src: SparkColumn,
+        src_tag: str,
+        tag: str,
+        target_name: str,
+        ctx: LoweringContext | None = None,
     ) -> SparkColumn:
         strict = self.strict
+
+        if tag == DT.U64 and ctx is not None and ctx.uint64_decimal:
+            # Strict-unsigned mode: DECIMAL(20,0) carrier with the true
+            # UInt64 range.  Out-of-range (negative or > 2**64-1) is a cast
+            # FAILURE: null under `::?`, raise under strict — matching the
+            # reference's Polars strict/non-strict uint64 cast
+            # (/root/reference/src/dftly/nodes/types.py:94-106).
+            out = src.try_cast("decimal(20,0)")
+            hi = F.lit(str(DT.U64_MAX)).cast("decimal(20,0)")
+            out = F.when(
+                (out < F.lit(0)) | (out > hi), F.lit(None).cast("decimal(20,0)")
+            ).otherwise(out)
+            if strict:
+                return _strict_guard(src, out, target_name, "decimal(20,0)")
+            return out
 
         # Targets whose Polars cast semantics differ from Spark's cast.
         if tag == DT.TIME:

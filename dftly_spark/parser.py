@@ -41,17 +41,19 @@ def _load_yaml(text: str) -> Any:
     return _yaml.load(text, Loader=_YAML_LOADER)
 
 
-def _make_ctx(schema) -> LoweringContext:
-    if schema is None:
-        return LoweringContext()
+def _make_ctx(schema, uint64_decimal: bool = False) -> LoweringContext:
     if isinstance(schema, LoweringContext):
+        if uint64_decimal:
+            schema.uint64_decimal = True
         return schema
+    if schema is None:
+        return LoweringContext(uint64_decimal=uint64_decimal)
     if isinstance(schema, DataFrame):
-        return LoweringContext.from_spark_schema(schema.schema)
+        return LoweringContext.from_spark_schema(schema.schema, uint64_decimal)
     if isinstance(schema, dict):
-        return LoweringContext(schema)
+        return LoweringContext(schema, uint64_decimal=uint64_decimal)
     # assume a pyspark StructType
-    return LoweringContext.from_spark_schema(schema)
+    return LoweringContext.from_spark_schema(schema, uint64_decimal)
 
 
 class Parser:
@@ -149,19 +151,30 @@ class Parser:
 
     @classmethod
     def to_spark(
-        cls, data: str | Path | dict[str, Any], schema=None
+        cls,
+        data: str | Path | dict[str, Any],
+        schema=None,
+        uint64_decimal: bool = False,
     ) -> dict[str, SparkColumn]:
-        """Parse a transformation spec into named, aliased Spark Columns."""
-        ctx = _make_ctx(schema)
+        """Parse a transformation spec into named, aliased Spark Columns.
+
+        ``uint64_decimal=True`` opts into strict-unsigned uint64 semantics:
+        ``uint64`` casts and ``hash`` lower to ``DECIMAL(20,0)`` with the
+        true [0, 2**64-1] range (strict casts of out-of-range values raise;
+        ``::?`` nulls them) instead of the default caveated ``bigint``.
+        """
+        ctx = _make_ctx(schema, uint64_decimal)
         return {
             name: node.to_column(ctx).alias(name)
             for name, node in cls.to_nodes(data).items()
         }
 
     @classmethod
-    def expr_to_spark(cls, expr: str, schema=None) -> SparkColumn:
+    def expr_to_spark(
+        cls, expr: str, schema=None, uint64_decimal: bool = False
+    ) -> SparkColumn:
         """Parse a single expression string into one unaliased Spark Column."""
-        return cls()(expr).to_column(_make_ctx(schema))
+        return cls()(expr).to_column(_make_ctx(schema, uint64_decimal))
 
     # -- DataFrame conveniences -------------------------------------------
 

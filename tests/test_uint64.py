@@ -1,0 +1,109 @@
+"""Strict-unsigned uint64 mode (``LoweringContext(uint64_decimal=True)``).
+
+Reference parity target: /root/reference/src/dftly/nodes/types.py:8-12 maps
+``uint64`` → pl.UInt64 (true unsigned range, strict cast of negatives raises);
+/root/reference/src/dftly/nodes/arithmetic.py:27-104 — Polars ``.hash()``
+yields UInt64.  The default engine mode keeps the documented
+signed-bigint-with-caveat (SURVEY §1.2); this suite pins the opt-in exact
+mode: DECIMAL(20,0) carrier, [0, 2**64-1] range enforcement, unsigned hash.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dftly_spark.parser import Parser
+
+U64_MAX = 2**64 - 1
+
+
+def _one(df):
+    return df.collect()[0][0]
+
+
+def test_cast_nonstrict_nulls_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(-5,), (0,), (7,), (2**62,)], "v long"
+    )
+    col = Parser.expr_to_spark("$v ::? uint64", schema=df, uint64_decimal=True)
+    out = df.select(col.alias("u")).orderBy("u")
+    assert dict(out.dtypes)["u"] == "decimal(20,0)"
+    vals = [r.u for r in out.collect()]
+    assert vals[0] is None  # -5 out of unsigned range
+    assert [int(v) for v in vals[1:]] == [0, 7, 2**62]
+
+
+def test_cast_strict_raises_on_negative(spark):
+    df = spark.createDataFrame([(-1,)], "v long")
+    col = Parser.expr_to_spark("$v :: uint64", schema=df, uint64_decimal=True)
+    with pytest.raises(Exception, match="strict cast to uint64"):
+        df.select(col).collect()
+
+
+def test_cast_above_two64_fails(spark):
+    # 2**64 is one past UInt64 max: null under ::?, raise under strict.
+    df = spark.createDataFrame([("18446744073709551616",)], "v string")
+    soft = Parser.expr_to_spark("$v ::? uint64", schema=df, uint64_decimal=True)
+    assert _one(df.select(soft)) is None
+    hard = Parser.expr_to_spark("$v :: uint64", schema=df, uint64_decimal=True)
+    with pytest.raises(Exception, match="strict cast to uint64"):
+        df.select(hard).collect()
+
+
+def test_full_unsigned_range_roundtrips_via_string(spark):
+    # Values above 2**63-1 (unrepresentable in bigint) survive exactly.
+    df = spark.createDataFrame([(str(U64_MAX),), ("9223372036854775808",)], "v string")
+    col = Parser.expr_to_spark("$v :: uint64", schema=df, uint64_decimal=True)
+    back = Parser.expr_to_spark("($v :: uint64) :: str", schema=df, uint64_decimal=True)
+    rows = df.select(col.alias("u"), back.alias("s")).collect()
+    got = {(int(r.u), r.s) for r in rows}
+    assert got == {(U64_MAX, str(U64_MAX)), (2**63, "9223372036854775808")}
+
+
+def test_hash_unsigned_wrap_and_nulls(spark):
+    df = spark.createDataFrame([("a",), ("b",), (None,)], "v string")
+    signed = Parser.expr_to_spark("signed_hash($v)", schema=df)
+    unsigned = Parser.expr_to_spark("hash($v)", schema=df, uint64_decimal=True)
+    rows = df.select(
+        F.col("v"), signed.alias("s"), unsigned.alias("u")
+    ).collect()
+    for r in rows:
+        if r.v is None:
+            assert r.s is None and r.u is None
+            continue
+        expect = r.s if r.s >= 0 else r.s + 2**64
+        assert int(r.u) == expect
+        assert 0 <= int(r.u) <= U64_MAX
+    out = df.select(unsigned.alias("u"))
+    assert dict(out.dtypes)["u"] == "decimal(20,0)"
+
+
+def test_default_mode_unchanged(spark):
+    # Without the opt-in, hash/uint64 stay bigint (the documented default).
+    df = spark.createDataFrame([(1,)], "v long")
+    h = Parser.expr_to_spark("hash($v)", schema=df)
+    c = Parser.expr_to_spark("$v :: uint64", schema=df)
+    out = df.select(h.alias("h"), c.alias("c"))
+    assert dict(out.dtypes) == {"h": "bigint", "c": "bigint"}
+
+
+def test_u64_column_feeds_downstream_dispatch(spark):
+    # A decimal(20,0) column is tagged U64: integral dispatch — string
+    # concat must NOT trigger, int arithmetic stays exact.
+    df = spark.createDataFrame([(str(U64_MAX),)], "v string")
+    u = Parser.expr_to_spark("$v :: uint64", schema=df, uint64_decimal=True)
+    df2 = df.select(u.alias("u"))
+    minus = Parser.expr_to_spark("$u - 1", schema=df2, uint64_decimal=True)
+    assert int(_one(df2.select(minus))) == U64_MAX - 1
+
+
+def test_u64_to_i64_is_guarded_narrowing(spark):
+    df = spark.createDataFrame([(str(2**63),)], "v string")
+    u = Parser.expr_to_spark("$v :: uint64", schema=df, uint64_decimal=True)
+    df2 = df.select(u.alias("u"))
+    narrow = Parser.expr_to_spark("$u :: int64", schema=df2, uint64_decimal=True)
+    with pytest.raises(Exception, match="strict cast to int64"):
+        df2.select(narrow).collect()
+    soft = Parser.expr_to_spark("$u ::? int64", schema=df2, uint64_decimal=True)
+    assert _one(df2.select(soft)) is None
