@@ -179,12 +179,16 @@ class Parser:
     # -- DataFrame conveniences -------------------------------------------
 
     @classmethod
-    def select(cls, df: DataFrame, data) -> DataFrame:
+    def select(cls, df: DataFrame, data, uint64_decimal: bool = False) -> DataFrame:
         """``df.select`` of the spec's columns, schema-aware."""
-        cols = cls.to_spark(data, schema=df)
+        cols = cls.to_spark(data, schema=df, uint64_decimal=uint64_decimal)
         return df.select(*cols.values())
 
     @classmethod
-    def with_columns(cls, df: DataFrame, data) -> DataFrame:
+    def with_columns(
+        cls, df: DataFrame, data, uint64_decimal: bool = False
+    ) -> DataFrame:
         """``df.withColumns`` of the spec's columns, schema-aware."""
-        return df.withColumns(cls.to_spark(data, schema=df))
+        return df.withColumns(
+            cls.to_spark(data, schema=df, uint64_decimal=uint64_decimal)
+        )

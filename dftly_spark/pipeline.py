@@ -207,7 +207,10 @@ def _read_source(spark: SparkSession, src: dict, sf_dir: str | None) -> DataFram
     raise ValueError(f"source needs 'table' or 'path'; got keys {sorted(src)}")
 
 
-def _apply_step(df: DataFrame, step: dict, idx: int) -> DataFrame:
+def _apply_step(
+    df: DataFrame, step: dict, idx: int, options: dict | None = None
+) -> DataFrame:
+    u64 = bool((options or {}).get("uint64_decimal", False))
     if not isinstance(step, dict):
         raise ValueError(f"step {idx}: must be a mapping, got {type(step)}")
     kind = [k for k in ("select", "with_columns", "filter", "op", "sql") if k in step]
@@ -247,11 +250,13 @@ def _apply_step(df: DataFrame, step: dict, idx: int) -> DataFrame:
         finally:
             df.sparkSession.catalog.dropTempView(view)
     if k == "select":
-        return Parser.select(df, step["select"])
+        return Parser.select(df, step["select"], uint64_decimal=u64)
     if k == "with_columns":
-        return Parser.with_columns(df, step["with_columns"])
+        return Parser.with_columns(df, step["with_columns"], uint64_decimal=u64)
     if k == "filter":
-        return df.where(Parser.expr_to_spark(step["filter"], schema=df))
+        return df.where(
+            Parser.expr_to_spark(step["filter"], schema=df, uint64_decimal=u64)
+        )
     name = step["op"]
     fn = _OP_REGISTRY.get(name)
     if fn is None:
@@ -266,7 +271,9 @@ def _apply_step(df: DataFrame, step: dict, idx: int) -> DataFrame:
         )
     out = fn(df, **step.get("args", {}))
     if "where" in step:  # dftly filter over the OP'S output (e.g. "$keep")
-        out = out.where(Parser.expr_to_spark(step["where"], schema=out))
+        out = out.where(
+            Parser.expr_to_spark(step["where"], schema=out, uint64_decimal=u64)
+        )
     jb = step.get("join_back")
     if jb:
         if "key" not in jb:
@@ -296,14 +303,20 @@ def run_pipeline(
     pipeline can feed another pipeline or a test assertion lazily.
     """
     m = _as_mapping(spec)
-    unknown = set(m) - {"source", "steps", "sink"}
+    unknown = set(m) - {"source", "steps", "sink", "options"}
     if unknown:
         raise ValueError(f"unknown pipeline keys {sorted(unknown)}")
     if "source" not in m:
         raise ValueError("pipeline needs a source")
+    opts = m.get("options") or {}
+    if not isinstance(opts, dict):
+        raise ValueError(f"pipeline options must be a mapping, got {type(opts)}")
+    unknown_opts = set(opts) - {"uint64_decimal"}
+    if unknown_opts:
+        raise ValueError(f"unknown pipeline options {sorted(unknown_opts)}")
     df = _read_source(spark, m["source"], sf_dir)
     for i, step in enumerate(m.get("steps", [])):
-        df = _apply_step(df, step, i)
+        df = _apply_step(df, step, i, opts)
     sink = m.get("sink")
     if sink:
         if df.isStreaming:

@@ -107,3 +107,33 @@ def test_u64_to_i64_is_guarded_narrowing(spark):
         df2.select(narrow).collect()
     soft = Parser.expr_to_spark("$u ::? int64", schema=df2, uint64_decimal=True)
     assert _one(df2.select(soft)) is None
+
+
+def test_pipeline_options_uint64_decimal(spark, tmp_path):
+    # Top-level options apply the mode to every expression step.
+    from dftly_spark.pipeline import run_pipeline
+
+    spec = {
+        "source": {"table": "lineitem"},
+        "options": {"uint64_decimal": True},
+        "steps": [
+            {"select": {"ok": "$l_orderkey", "u": "($l_orderkey - 50) ::? uint64"}},
+            {"filter": "$ok > 0"},
+        ],
+    }
+    out = run_pipeline(spark, spec, sf_dir="/root/testdata/sf0.001")
+    assert dict(out.dtypes)["u"] == "decimal(20,0)"
+    assert out.count() > 0
+
+
+def test_pipeline_rejects_unknown_option(spark):
+    import pytest as _pytest
+
+    from dftly_spark.pipeline import run_pipeline
+
+    with _pytest.raises(ValueError, match="unknown pipeline options"):
+        run_pipeline(
+            spark,
+            {"source": {"table": "lineitem"}, "options": {"nope": 1}},
+            sf_dir="/root/testdata/sf0.001",
+        )
