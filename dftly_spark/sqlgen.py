@@ -35,6 +35,13 @@ Unsupported nodes (``hash``/``signed_hash`` — engine-specific values by
 design; empty-separator splits — engines disagree; double-typed
 interpolation fields — float formatting is not portable) raise
 :class:`SqlGenError` loudly rather than emitting something subtly wrong.
+
+Scope: the emitter mirrors the engine's DEFAULT lowering.  The opt-in
+strict-unsigned mode (``uint64_decimal=True``) changes uint64 cast
+semantics (out-of-range nulls/raises) and is oracle-checked by its own
+hand-written gate query (x145) rather than through this emitter; the
+``U64 → HUGEINT`` row below corresponds to the default signed-bigint
+carrier.
 """
 
 from __future__ import annotations
