@@ -168,8 +168,14 @@ def tag_of_python(value) -> str:
     return UNKNOWN
 
 
-def tag_of_spark(dt) -> str:
-    """Dtype tag for a ``pyspark.sql.types.DataType`` (schema-driven inference)."""
+def tag_of_spark(dt, uint64_decimal: bool = False) -> str:
+    """Dtype tag for a ``pyspark.sql.types.DataType`` (schema-driven inference).
+
+    ``uint64_decimal`` marks the session's strict-unsigned mode: only then is
+    a ``decimal(20,0)`` column taken to be the uint64 carrier — in default
+    mode such a column could be any external signed decimal (e.g. JDBC
+    NUMBER(20)) and keeps the generic float tag.
+    """
     name = dt.simpleString()
     base = {
         "boolean": BOOL,
@@ -189,7 +195,7 @@ def tag_of_spark(dt) -> str:
         return base[name]
     if name.startswith("interval"):
         return DURATION
-    if name == "decimal(20,0)":
+    if name == "decimal(20,0)" and uint64_decimal:
         # The strict-unsigned uint64 carrier (see U64_MAX).  Tagging it U64
         # keeps downstream dispatch integral (str-concat vs numeric add,
         # int**int recast) for columns produced by uint64_decimal mode.

@@ -181,7 +181,10 @@ def _add_result_type(types: list[str]) -> str:
     if any(DT.is_float(t) for t in types):
         return DT.F64
     if all(DT.is_int(t) for t in types):
-        return DT.I64
+        # U64 is contagious: in uint64_decimal mode its physical carrier is
+        # decimal, and the strict-cast guard logic must see that (U64 sits
+        # above I64 in the widening order, cast.py).
+        return DT.U64 if any(t == DT.U64 for t in types) else DT.I64
     return DT.UNKNOWN
 
 
@@ -244,7 +247,7 @@ class Subtract(Node):
         if DT.is_float(lt) or DT.is_float(rt):
             return DT.F64
         if DT.is_int(lt) and DT.is_int(rt):
-            return DT.I64
+            return DT.U64 if DT.U64 in (lt, rt) else DT.I64  # U64 contagious
         if lt == DT.DURATION and rt == DT.DURATION:
             return DT.DURATION
         return DT.UNKNOWN
@@ -280,7 +283,7 @@ class Multiply(Node):
         if any(DT.is_float(t) for t in types):
             return DT.F64
         if all(DT.is_int(t) for t in types):
-            return DT.I64
+            return DT.U64 if any(t == DT.U64 for t in types) else DT.I64
         return DT.UNKNOWN
 
     def to_column(self, ctx: LoweringContext | None = None) -> SparkColumn:

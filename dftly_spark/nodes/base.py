@@ -77,7 +77,10 @@ class LoweringContext:
         cls, spark_schema, uint64_decimal: bool = False
     ) -> "LoweringContext":
         return cls(
-            {f.name: DT.tag_of_spark(f.dataType) for f in spark_schema.fields},
+            {
+                f.name: DT.tag_of_spark(f.dataType, uint64_decimal)
+                for f in spark_schema.fields
+            },
             {
                 f.name
                 for f in spark_schema.fields

@@ -34,26 +34,31 @@ from .base import LoweringContext, Node
 #: level, SURVEY §1.2).
 _INT_LEVEL = {
     DT.I8: 1, DT.U8: 2, DT.I16: 2, DT.U16: 3, DT.I32: 3, DT.U32: 4, DT.I64: 4,
-    # U64 sits ABOVE I64: in uint64_decimal mode it physically holds values
-    # > 2**63-1, so u64 -> i64 is narrowing (guarded), while i64 -> u64 /
-    # u64 -> i128 stay widening.
-    DT.U64: 5, DT.I128: 6,
+    DT.U64: 4, DT.I128: 6,
 }
 
 
-def _cast_cannot_fail(src: str, dst: str) -> bool:
+def _cast_cannot_fail(src: str, dst: str, u64_wide: bool = False) -> bool:
     """True when `cast(src as dst)` never nulls a non-null input.
 
     Lets strict casts skip the per-row raise_error guard — the guard roughly
     doubles the expression cost and splits codegen, so eliding it on
     infallible casts matters on wide scans.
+
+    ``u64_wide`` marks uint64_decimal mode, where U64's physical carrier is
+    DECIMAL(20,0) holding values > 2**63-1: there u64 → i64 is NARROWING
+    (guarded), while in default mode both are the same bigint and the cast
+    is free.  (U64 out-types are contagious through int arithmetic, so a
+    derived column keeps the tag and the guard.)
     """
     if src == dst:
         return True
     if DT.is_int(src):
         # widening int, any float, string, bool are all total from ints
         if DT.is_int(dst):
-            return _INT_LEVEL[dst] >= _INT_LEVEL[src]
+            src_level = 5 if (src == DT.U64 and u64_wide) else _INT_LEVEL[src]
+            dst_level = 5 if (dst == DT.U64 and u64_wide) else _INT_LEVEL[dst]
+            return dst_level >= src_level
         return DT.is_float(dst) or dst in (DT.STR, DT.BOOL)
     if DT.is_float(src):
         if dst == DT.F64 or dst == DT.STR or dst == DT.BOOL:
@@ -210,8 +215,30 @@ class Cast(Node):
             # UInt64 range.  Out-of-range (negative or > 2**64-1) is a cast
             # FAILURE: null under `::?`, raise under strict — matching the
             # reference's Polars strict/non-strict uint64 cast
-            # (/root/reference/src/dftly/nodes/types.py:94-106).
-            out = src.try_cast("decimal(20,0)")
+            # (/root/reference/src/dftly/nodes/types.py:94-106).  Per-source
+            # conversion mirrors the DEFAULT mode's value semantics exactly
+            # (a bare decimal try_cast would ROUND fractions half-up where
+            # both the bigint path and Polars truncate/fail):
+            if DT.is_float(src_tag):
+                # truncate toward zero, in decimal so 2**63..2**64-1 survive
+                d = src.try_cast("decimal(38,9)")
+                out = F.when(d < 0, F.ceil(d)).otherwise(F.floor(d)).try_cast(
+                    "decimal(20,0)"
+                )
+            elif src_tag == DT.STR:
+                # integer strings only — '2.7' must FAIL like bigint/Polars,
+                # not round to 3
+                trimmed = F.trim(src)
+                out = F.when(
+                    trimmed.rlike(r"^[+-]?[0-9]+$"), trimmed.try_cast("decimal(20,0)")
+                ).otherwise(F.lit(None).cast("decimal(20,0)"))
+            elif DT.is_int(src_tag) or src_tag in (DT.BOOL, DT.NULL):
+                out = src.try_cast("decimal(20,0)")
+            else:
+                # exotic or untyped sources (datetime, schema-less UNKNOWN,
+                # ...): route through the default bigint semantics, then
+                # widen — same values as default mode, decimal carrier
+                out = src.try_cast("bigint").try_cast("decimal(20,0)")
             hi = F.lit(str(DT.U64_MAX)).cast("decimal(20,0)")
             out = F.when(
                 (out < F.lit(0)) | (out > hi), F.lit(None).cast("decimal(20,0)")
@@ -241,7 +268,8 @@ class Cast(Node):
             return F.date_format(ts, "HH:mm:ss")
 
         spark_type = DT.SPARK_TYPE[tag]
-        if strict and _cast_cannot_fail(src_tag, tag):
+        u64_wide = ctx is not None and ctx.uint64_decimal
+        if strict and _cast_cannot_fail(src_tag, tag, u64_wide):
             return src.cast(spark_type)
         out = src.try_cast(spark_type)
         if strict:

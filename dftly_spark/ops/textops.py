@@ -664,13 +664,17 @@ def dedup_substrings_char(
         df, id_col, text_col, min_len=min_len, min_count=min_count,
         tokens_col=tokens_col, cache_key=cache_key, offsets="char",
     )
-    return _rebuild_without_char_spans(df, spans, id_col, text_col)
+    return _rebuild_without_char_spans(df, spans, id_col, text_col, tokens_col)
 
 
-def _rebuild_without_char_spans(df, spans, id_col: str, text_col: str):
+def _rebuild_without_char_spans(
+    df, spans, id_col: str, text_col: str, tokens_col: str | None = None
+):
     """Remove disjoint char ranges ``(id, char_start, char_end)`` from the
     original ``text_col``; shared by the dedup and decontamination char
-    transforms."""
+    transforms.  ``tokens_col`` (when the caller precomputed/cached the
+    token arrays) keeps the non-empty filter off the raw-regex retokenize
+    path — same values, one less corpus scan."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("_id").orderBy("char_start")
@@ -686,7 +690,7 @@ def _rebuild_without_char_spans(df, spans, id_col: str, text_col: str):
     )
     base = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
-    ).where(F.size(doc_tokens(df, text_col, None)) > 0)
+    ).where(F.size(doc_tokens(df, text_col, tokens_col)) > 0)
     joined = seg.join(base, "_id")
     # one row per kept segment: the gap before each span, plus (from the
     # row holding the LAST span only) the tail after it
@@ -758,7 +762,7 @@ def decontaminate_substrings_char(
         probe_tokens_col=probe_tokens_col, probe_cache_key=probe_cache_key,
         offsets="char",
     )
-    return _rebuild_without_char_spans(df, spans, id_col, text_col)
+    return _rebuild_without_char_spans(df, spans, id_col, text_col, tokens_col)
 
 
 def contamination_spans(

@@ -43,8 +43,12 @@ def _load_yaml(text: str) -> Any:
 
 def _make_ctx(schema, uint64_decimal: bool = False) -> LoweringContext:
     if isinstance(schema, LoweringContext):
-        if uint64_decimal:
-            schema.uint64_decimal = True
+        if uint64_decimal and not schema.uint64_decimal:
+            # never mutate a caller-owned context — later uses of the same
+            # object must not inherit this call's opt-in
+            return LoweringContext(
+                schema.schema, schema.native_time_cols, uint64_decimal=True
+            )
         return schema
     if schema is None:
         return LoweringContext(uint64_decimal=uint64_decimal)

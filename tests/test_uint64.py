@@ -137,3 +137,71 @@ def test_pipeline_rejects_unknown_option(spark):
             {"source": {"table": "lineitem"}, "options": {"nope": 1}},
             sf_dir="/root/testdata/sf0.001",
         )
+
+
+def test_float_cast_truncates_not_rounds(spark):
+    # Default mode truncates float->int; decimal mode must match (a bare
+    # decimal try_cast would round 2.7 half-up to 3).
+    df = spark.createDataFrame([(2.7, -2.7)], "a double, b double")
+    cols = Parser.to_spark(
+        {"a": "$a ::? uint64", "b": "$b ::? uint64"}, schema=df, uint64_decimal=True
+    )
+    r = df.select(*cols.values()).collect()[0]
+    assert int(r.a) == 2
+    assert r.b is None  # negative: out of unsigned range
+
+
+def test_fractional_string_fails_like_default(spark):
+    # try_cast('2.7' as bigint) is NULL in default mode; decimal mode must
+    # not silently round it to 3.
+    df = spark.createDataFrame([("2.7",), ("42",), (" 17 ",)], "v string")
+    soft = Parser.expr_to_spark("$v ::? uint64", schema=df, uint64_decimal=True)
+    vals = [r[0] for r in df.select(soft).collect()]
+    assert vals[0] is None
+    assert int(vals[1]) == 42
+    assert int(vals[2]) == 17  # cast trims like Spark's
+
+
+def test_u64_is_contagious_through_arithmetic(spark):
+    # ($v::uint64) - 1 keeps the U64 tag, so a strict narrowing to int64
+    # stays guarded and raises on values > 2**63-1 instead of nulling.
+    df = spark.createDataFrame([(str(U64_MAX),)], "v string")
+    expr = "(($v :: uint64) - 1) :: int64"
+    col = Parser.expr_to_spark(expr, schema=df, uint64_decimal=True)
+    with pytest.raises(Exception, match="strict cast to int64"):
+        df.select(col).collect()
+
+
+def test_default_mode_hash_to_i64_unguarded(spark):
+    # In default mode both carriers are bigint: hash($x) :: int64 must lower
+    # to a bare cast, not a try_cast + raise_error guard.
+    df = spark.createDataFrame([(1,)], "v long")
+    col = Parser.expr_to_spark("hash($v) :: int64", schema=df)
+    plan = df.select(col)._jdf.queryExecution().optimizedPlan().toString()
+    assert "raise_error" not in plan
+
+
+def test_make_ctx_does_not_mutate_caller_context(spark):
+    from dftly_spark.nodes import LoweringContext
+
+    ctx = LoweringContext({"v": "i64"})
+    df = spark.createDataFrame([(5,)], "v long")
+    a = Parser.to_spark({"u": "$v :: uint64"}, schema=ctx, uint64_decimal=True)
+    assert not ctx.uint64_decimal  # caller's object untouched
+    out_a = df.select(*a.values())
+    assert dict(out_a.dtypes)["u"] == "decimal(20,0)"
+    b = Parser.to_spark({"u": "$v :: uint64"}, schema=ctx)
+    out_b = df.select(*b.values())
+    assert dict(out_b.dtypes)["u"] == "bigint"  # second call stays default
+
+
+def test_default_mode_decimal_schema_column_not_retagged():
+    # A pre-existing decimal(20,0) column (e.g. JDBC NUMBER(20)) must keep
+    # the generic float tag in default mode — only the opt-in mode treats
+    # decimal(20,0) as the uint64 carrier.
+    from pyspark.sql.types import DecimalType
+
+    from dftly_spark import dtypes as DT
+
+    assert DT.tag_of_spark(DecimalType(20, 0)) == DT.F64
+    assert DT.tag_of_spark(DecimalType(20, 0), uint64_decimal=True) == DT.U64
