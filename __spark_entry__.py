@@ -7896,6 +7896,51 @@ _q(
 )
 
 
+def _x146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (token_budget_sample): per-source
+    documents in deterministic LCG-shuffled order until each source's
+    TOKEN budget is met, the budget-crossing document included — the
+    mixture-construction primitive (pretraining mixes are specified in
+    tokens, and per-document sampling over-represents short docs).  The
+    running sum is the two-level bucketed scan (no per-group
+    single-reducer window, no plan-time quantile job — the LCG order key
+    is uniform by construction so bucket bounds are fixed arithmetic).
+    The oracle replays the LCG mix and a plain per-source windowed cumsum
+    — exactly equal to the two-level decomposition."""
+    from dftly_spark.ops import token_budget_sample
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    budgets = {"src0": 600, "src1": 250, "src2": 10_000, "src3": 1}
+    out = token_budget_sample(
+        docs, "source", budgets, id_col="doc_id", text_col="text", seed=7
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+_q(
+    "x146_token_budget",
+    _x146,
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             (doc_id * 1103515245 + 12345 + 7) % 2147483648 AS ord
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c
+    WHERE cum_tokens - n_tokens <
+          CASE source WHEN 'src0' THEN 600 WHEN 'src1' THEN 250
+                      WHEN 'src2' THEN 10000 WHEN 'src3' THEN 1 END
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -7932,6 +7977,7 @@ _PRIORITY = [
     "x143_stream_fuzzy_join",
     "x144_dedup_chars",
     "x145_uint64_decimal",
+    "x146_token_budget",
     "x12_ivf_topk",
     "x46_semantic_dedup",
     "x50_topic_mix",
@@ -8001,10 +8047,11 @@ _PRIORITY = [
     "x96_windowed_quantiles",
     "x97_psi_drift",
     "x98_rolling_features",
-    "x99_roc_auc",
     # -- tail: >= 3 consecutive driver-green rows, or displaced; sampled
     #    again only if the window widens or they change --
-    # (x100 displaced by x145 in round 11: 7 consecutive green rows)
+    # (x100 displaced by x145, x99 by x146, in round 11: 7 consecutive
+    #  green rows each)
+    "x99_roc_auc",
     "x100_group_auc",
     # (x117 displaced by x128 in round 8; x101-x106 + x108 displaced by
     #  x129-x136 in round 9, plus x110 -- the window stays exactly 50; the

@@ -123,6 +123,7 @@ from .sampling import (
     mixture_sample,
     pack_sequences,
     stratified_sample,
+    token_budget_sample,
 )
 from .cdc import latest_changes, merge_upsert, scd2_history, scd2_snapshot, schema_drift, snapshot_diff
 from .bpe import bpe_encode_counts, bpe_learn
@@ -196,7 +197,8 @@ __all__ = [
     "salted_join", "winsorize", "impute_nulls", "group_trend",
     "cms_build", "cms_estimate", "cms_join_size", "corr_matrix", "group_entropy",
     "merge_intervals", "rolling_zscore", "scd2_history",
-    "weighted_sample_per_group", "distinctive_terms", "centroid_outliers",
+    "weighted_sample_per_group", "token_budget_sample",
+    "distinctive_terms", "centroid_outliers",
     "ntile_features", "time_weighted_avg", "key_skew_profile",
     "transition_matrix",
     "tokens", "token_count", "bpe_token_count", "normalize_text",

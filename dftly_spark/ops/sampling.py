@@ -291,3 +291,94 @@ def weighted_sample_per_group(
         .where(F.col("__esr") <= k)
         .drop("__esr")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    budget,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+    seed: int = 0,
+    buckets: int = 32,
+) -> DataFrame:
+    """Per-group documents in deterministic shuffled order until a TOKEN
+    budget is reached (the mixture-construction primitive: "2 B tokens of
+    src_a, 500 M of src_b, ...").
+
+    Sampling by document count over-represents short documents; pretraining
+    mixtures are specified in tokens.  Each group's rows are ordered by the
+    module's LCG mix of ``id_col`` (reproducible across reruns, retries,
+    partitionings, and engines — never ``rand()``), token counts are
+    cumulated in that order, and a document is kept while the tokens BEFORE
+    it are under the group's budget — so the budget-crossing document is
+    included and every kept group reaches >= budget when it has the tokens.
+
+    ``budget`` is one int for all groups or a ``{group: budget}`` mapping
+    (groups absent from the mapping are dropped — a mixture spec is
+    exhaustive).  Token counts come from ``n_tokens_col`` when the corpus
+    already carries them, else :func:`~dftly_spark.ops.textops.token_count`
+    over ``text_col`` (one scan, no shuffle).
+
+    Scale shape: the running sum is the two-level scan of
+    ``scale.partitioned_cumsum``, specialized: the LCG order key is uniform
+    on [0, 2**31) BY CONSTRUCTION, so bucket boundaries are fixed
+    arithmetic ranges — no approxQuantile job, nothing runs at plan-build
+    time.  Local sums window over ``(group, bucket)``; the offset join is
+    a broadcast of ``groups x buckets`` rows.  No single-reducer window
+    per group, so one giant source cannot serialize (the x126/x96 shape).
+    Appends ``n_tokens`` and ``cum_tokens`` (running total INCLUDING the
+    row, in sample order).
+    """
+    from pyspark.sql import Window
+
+    from .textops import token_count
+
+    ordk = _mix(F.col(id_col), seed)
+    ntok = (
+        F.col(n_tokens_col).cast("bigint")
+        if n_tokens_col
+        else token_count(F.col(text_col))
+    )
+    width = _M // buckets + 1
+    base = df.select(
+        "*",
+        ordk.alias("_ord"),
+        ntok.alias("n_tokens"),
+        F.floor(ordk / F.lit(width)).cast("int").alias("_pid"),
+    )
+    w_local = (
+        Window.partitionBy(group_col, "_pid")
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.select("*", F.sum("n_tokens").over(w_local).alias("_loc"))
+    totals = base.groupBy(group_col, "_pid").agg(F.sum("n_tokens").alias("_tot"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        group_col,
+        "_pid",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"),
+    )
+    cum = local.join(F.broadcast(offsets), [group_col, "_pid"]).withColumn(
+        "cum_tokens", (F.col("_loc") + F.col("_off")).cast("bigint")
+    )
+    if isinstance(budget, dict):
+        if not budget:
+            raise ValueError("token_budget_sample: empty budget mapping")
+        pairs = []
+        for g, b in budget.items():
+            pairs.extend([F.lit(g), F.lit(int(b))])
+        bud = F.element_at(F.create_map(*pairs), F.col(group_col))
+    else:
+        bud = F.lit(int(budget))
+    kept = cum.where(
+        bud.isNotNull() & ((F.col("cum_tokens") - F.col("n_tokens")) < bud)
+    )
+    return kept.drop("_ord", "_pid", "_loc", "_off")

@@ -2036,3 +2036,90 @@ def test_dsir_score_unseen_buckets_keep_rows_and_counts(spark):
     assert pen[20]["logw"] == -6.0          # 3 unseen instances * -2.0
     assert pen[20]["n_bigrams"] == 3
     assert pen[21]["logw"] < rows[21]["logw"]
+
+
+def test_token_budget_sample_matches_bruteforce(spark):
+    # Python replay of the LCG order + cumsum must select the identical set.
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, f"g{i % 3}", " ".join("w" * 1 for _ in range(rng.randint(1, 30))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    from dftly_spark.ops import token_budget_sample
+
+    budget = 120
+    out = token_budget_sample(
+        df, "src", budget, id_col="doc_id", text_col="text", seed=5, buckets=4
+    ).collect()
+
+    def mix(i):
+        return (i * 1103515245 + 12345 + 5) % 2**31
+
+    expect = {}
+    for g in ("g0", "g1", "g2"):
+        grp = sorted(
+            ((mix(i), i, len(t.split())) for i, s, t in rows if s == g),
+        )
+        cum = 0
+        for _, i, n in grp:
+            if cum < budget:
+                expect[i] = (n, cum + n)
+            cum += n
+    got = {r.doc_id: (r.n_tokens, r.cum_tokens) for r in out}
+    assert got == expect
+    # every group reaches the budget (crossing doc included)
+    for g in ("g0", "g1", "g2"):
+        tot = sum(n for i, (n, c) in got.items() if f"g{i % 3}" == g)
+        assert tot >= budget
+
+
+def test_token_budget_sample_dict_budgets_and_precomputed_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "b", 5), (4, "c", 5)],
+        "doc_id long, src string, nt long",
+    )
+    from dftly_spark.ops import token_budget_sample
+
+    out = token_budget_sample(
+        df, "src", {"a": 1, "b": 99}, id_col="doc_id", n_tokens_col="nt"
+    )
+    rows = out.collect()
+    srcs = sorted(r.src for r in rows)
+    assert srcs == ["a", "b"]  # c absent from the mapping -> dropped
+    assert sum(1 for r in rows if r.src == "a") == 1  # crossing doc only
+    assert sum(1 for r in rows if r.src == "b") == 1
+
+
+def test_token_budget_sample_stable_under_repartition(spark):
+    df = spark.createDataFrame(
+        [(i, "g", "x " * (i % 7 + 1)) for i in range(100)],
+        "doc_id long, src string, text string",
+    )
+    from dftly_spark.ops import token_budget_sample
+
+    a = token_budget_sample(df, "src", 50, seed=1)
+    b = token_budget_sample(df.repartition(13), "src", 50, seed=1)
+    sa = sorted((r.doc_id, r.cum_tokens) for r in a.collect())
+    sb = sorted((r.doc_id, r.cum_tokens) for r in b.collect())
+    assert sa == sb and len(sa) > 0
+
+
+def test_token_budget_sample_no_single_partition_window(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i%2}", "x y z") for i in range(50)],
+        "doc_id long, src string, text string",
+    )
+    from dftly_spark.ops import token_budget_sample
+
+    plan = (
+        token_budget_sample(df, "src", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # local windows key on (group, bucket); the offset window keys on group
+    # over the tiny totals frame -- nothing windows over SinglePartition
+    assert "SinglePartition" not in plan
