@@ -336,19 +336,28 @@ def token_budget_sample(
 
     from .textops import token_count
 
+    for reserved in ("n_tokens", "cum_tokens", "_ord", "_pid", "_loc", "_off"):
+        if reserved in df.columns and not (
+            reserved == "n_tokens" and n_tokens_col == "n_tokens"
+        ):
+            raise ValueError(
+                f"token_budget_sample appends {reserved!r} but the input "
+                f"already has that column; rename it first (or, for "
+                f"'n_tokens', pass n_tokens_col='n_tokens' to reuse it)"
+            )
     ordk = _mix(F.col(id_col), seed)
-    ntok = (
-        F.col(n_tokens_col).cast("bigint")
-        if n_tokens_col
-        else token_count(F.col(text_col))
-    )
     width = _M // buckets + 1
-    base = df.select(
-        "*",
-        ordk.alias("_ord"),
-        ntok.alias("n_tokens"),
-        F.floor(ordk / F.lit(width)).cast("int").alias("_pid"),
-    )
+    extra = [ordk.alias("_ord"), F.floor(ordk / F.lit(width)).cast("int").alias("_pid")]
+    if n_tokens_col != "n_tokens":
+        ntok = (
+            F.col(n_tokens_col).cast("bigint")
+            if n_tokens_col
+            else token_count(F.col(text_col))
+        )
+        extra.insert(1, ntok.alias("n_tokens"))
+    base = df.select("*", *extra)
+    if n_tokens_col == "n_tokens":
+        base = base.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
     w_local = (
         Window.partitionBy(group_col, "_pid")
         .orderBy("_ord", id_col)

@@ -41,6 +41,7 @@ from dftly_spark.ops import (
     pack_sequences,
     rollup_stats,
     stratified_sample,
+    token_budget_sample,
     write_partitioned,
 )
 from dftly_spark.ops.textops import token_count
@@ -122,8 +123,15 @@ def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop_ids = w.where(F.col("logw") < floor_w).select("doc_id")
     clean = clean.join(drop_ids, "doc_id", "left_anti")
 
-    # 7. Per-source cap — no host dominates the token budget.
+    # 7. Per-source cap — no host dominates the token budget.  Document
+    # count first (cheap gate on monster hosts), then an exact per-source
+    # TOKEN fill: deterministic shuffled order to the budget, crossing doc
+    # included (mixtures are specified in tokens, and per-document caps
+    # over-represent short docs).
     clean = cap_per_group(clean, "source", k=100_000, order_col="doc_id")
+    clean = token_budget_sample(
+        clean, "source", 1_000_000, n_tokens_col="n_tokens", seed=13
+    ).drop("cum_tokens")
 
     # 8. Language mix, then deterministic splits — both row-local gates.
     mixed = stratified_sample(
