@@ -317,17 +317,31 @@ def token_budget_sample(
     included and every kept group reaches >= budget when it has the tokens.
 
     ``budget`` is one int for all groups or a ``{group: budget}`` mapping
-    (groups absent from the mapping are dropped — a mixture spec is
-    exhaustive).  Token counts come from ``n_tokens_col`` when the corpus
-    already carries them, else :func:`~dftly_spark.ops.textops.token_count`
-    over ``text_col`` (one scan, no shuffle).
+    (groups absent from the mapping are pre-filtered out before any work —
+    a mixture spec is exhaustive).  Token counts come from ``n_tokens_col``
+    when the corpus already carries them, else
+    :func:`~dftly_spark.ops.textops.token_count` over ``text_col``.
+
+    Rows that cannot participate in a deterministic token fill are
+    EXCLUDED up front, matching :func:`hash_split`'s null-gate convention:
+    null ``id_col`` (no reproducible order — and a null bucket would
+    silently inflate every real bucket's offset), and null or negative
+    token counts (null text has no tokens; a negative count would shrink
+    the running sum and over-fill past the crossing doc).
 
     Scale shape: the running sum is the two-level scan of
     ``scale.partitioned_cumsum``, specialized: the LCG order key is uniform
     on [0, 2**31) BY CONSTRUCTION, so bucket boundaries are fixed
     arithmetic ranges — no approxQuantile job, nothing runs at plan-build
-    time.  Local sums window over ``(group, bucket)``; the offset join is
-    a broadcast of ``groups x buckets`` rows.  No single-reducer window
+    time.  Local sums window over ``(group, bucket)``; bucket totals are a
+    map-side-combined aggregate on a SECOND, column-pruned branch of the
+    source (tiny output: ``groups x buckets`` rows, broadcast for the
+    offset join).  Two pruned scans beat the alternatives at corpus scale
+    — caching the corpus or joining kept ids back over the full width
+    would shuffle/materialize far more than a narrow re-read — but the
+    totals branch re-tokenizes when counts come from ``text_col``, so at
+    real corpus scale pass ``n_tokens_col`` (precomputed counts) and the
+    second scan prunes to three thin columns.  No single-reducer window
     per group, so one giant source cannot serialize (the x126/x96 shape).
     Appends ``n_tokens`` and ``cum_tokens`` (running total INCLUDING the
     row, in sample order).
@@ -345,6 +359,18 @@ def token_budget_sample(
                 f"already has that column; rename it first (or, for "
                 f"'n_tokens', pass n_tokens_col='n_tokens' to reuse it)"
             )
+    if isinstance(budget, dict):
+        if not budget:
+            raise ValueError("token_budget_sample: empty budget mapping")
+        # explicit pre-filter: unbudgeted groups never shuffle or tokenize
+        df = df.where(F.col(group_col).isin(list(budget)))
+        pairs = []
+        for g, b in budget.items():
+            pairs.extend([F.lit(g), F.lit(int(b))])
+        bud = F.element_at(F.create_map(*pairs), F.col(group_col))
+    else:
+        bud = F.lit(int(budget))
+
     ordk = _mix(F.col(id_col), seed)
     width = _M // buckets + 1
     extra = [ordk.alias("_ord"), F.floor(ordk / F.lit(width)).cast("int").alias("_pid")]
@@ -358,6 +384,10 @@ def token_budget_sample(
     base = df.select("*", *extra)
     if n_tokens_col == "n_tokens":
         base = base.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
+    # null-id / null-or-negative-count exclusion (see docstring)
+    base = base.where(
+        F.col(id_col).isNotNull() & (F.col("n_tokens") >= 0)
+    )
     w_local = (
         Window.partitionBy(group_col, "_pid")
         .orderBy("_ord", id_col)
@@ -378,16 +408,5 @@ def token_budget_sample(
     cum = local.join(F.broadcast(offsets), [group_col, "_pid"]).withColumn(
         "cum_tokens", (F.col("_loc") + F.col("_off")).cast("bigint")
     )
-    if isinstance(budget, dict):
-        if not budget:
-            raise ValueError("token_budget_sample: empty budget mapping")
-        pairs = []
-        for g, b in budget.items():
-            pairs.extend([F.lit(g), F.lit(int(b))])
-        bud = F.element_at(F.create_map(*pairs), F.col(group_col))
-    else:
-        bud = F.lit(int(budget))
-    kept = cum.where(
-        bud.isNotNull() & ((F.col("cum_tokens") - F.col("n_tokens")) < bud)
-    )
+    kept = cum.where((F.col("cum_tokens") - F.col("n_tokens")) < bud)
     return kept.drop("_ord", "_pid", "_loc", "_off")

@@ -2123,3 +2123,47 @@ def test_token_budget_sample_no_single_partition_window(spark):
     # local windows key on (group, bucket); the offset window keys on group
     # over the tiny totals frame -- nothing windows over SinglePartition
     assert "SinglePartition" not in plan
+
+
+def test_token_budget_sample_null_and_negative_rows_excluded(spark):
+    # A null id (no reproducible order) or null/negative count must be
+    # EXCLUDED up front, never poison the bucket offsets of real rows.
+    rows = [(float(i), "g", 10) for i in range(20)] + [
+        (None, "g", 4000),
+        (50.0, "g", None),
+        (51.0, "g", -7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id double, src string, nt int").selectExpr(
+        "CAST(doc_id AS LONG) AS doc_id", "src", "nt"
+    )
+    from dftly_spark.ops import token_budget_sample
+
+    out = token_budget_sample(df, "src", 100, n_tokens_col="nt").collect()
+    assert len(out) == 10  # 10 x 10 tokens fill the budget exactly
+    assert all(r.doc_id is not None for r in out)
+    assert sum(r.n_tokens for r in out) == 100
+
+
+def test_token_budget_sample_totals_branch_is_pruned(spark):
+    # The bucket-totals branch is a second, column-PRUNED scan: with
+    # precomputed counts it must not read the wide text column at all
+    # (the documented 100 TB shape -- pass n_tokens_col so the second
+    # scan stays thin).
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from dftly_spark.ops import token_budget_sample
+
+    withnt = docs.withColumnRenamed("n_chars", "nt")
+    plan = (
+        token_budget_sample(withnt, "source", 500, n_tokens_col="nt")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re as _re
+
+    schemas = _re.findall(r"ReadSchema: (\S+)", plan)
+    assert len(schemas) == 2
+    # the full-row branch reads everything; the totals branch prunes to
+    # (doc_id, source, nt) -- neither text nor lang
+    pruned = [s for s in schemas if "text" not in s and "lang" not in s]
+    assert len(pruned) == 1, f"no pruned totals scan in {schemas}"
