@@ -174,6 +174,12 @@ def main() -> None:
         "semantic_dedup": lambda d, e: _semantic(e),
         "dup_clusters": lambda d, e: _clusters(d),
         "sparse_cosine": lambda d, e: _sparse_cosine(d),
+        # token-budget fill: budget scales with the corpus (via the probe's
+        # scale arg) so the KEPT fraction stays constant -- growth should
+        # track the tokenize+window cost, i.e. ~linear
+        "token_budget": lambda d, e, c: __import__("dftly_spark.ops", fromlist=["token_budget_sample"]).token_budget_sample(
+            d, "source", 40_000 * c, seed=3
+        ),
     }
     def _intervals(ev):
         us = F.unix_micros(F.col("ts").cast("timestamp"))
