@@ -42,7 +42,7 @@ def _null_safe_hash(
 
 #: 2**64 as an exact decimal literal, for signed→unsigned wrap in
 #: uint64_decimal mode (Python ints > 2**63-1 overflow F.lit).
-_TWO_64 = "18446744073709551616"
+_TWO_64 = str(DT.U64_MAX + 1)
 
 
 class Hash(Node):

@@ -373,17 +373,19 @@ def token_budget_sample(
 
     ordk = _mix(F.col(id_col), seed)
     width = _M // buckets + 1
-    extra = [ordk.alias("_ord"), F.floor(ordk / F.lit(width)).cast("int").alias("_pid")]
-    if n_tokens_col != "n_tokens":
-        ntok = (
-            F.col(n_tokens_col).cast("bigint")
-            if n_tokens_col
-            else token_count(F.col(text_col))
-        )
-        extra.insert(1, ntok.alias("n_tokens"))
-    base = df.select("*", *extra)
-    if n_tokens_col == "n_tokens":
-        base = base.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
+    ntok = (
+        F.col(n_tokens_col).cast("bigint")
+        if n_tokens_col
+        else token_count(F.col(text_col))
+    )
+    # withColumn unifies the reuse and append cases: it replaces an
+    # existing n_tokens in place (the n_tokens_col == "n_tokens" opt-in)
+    # and appends otherwise
+    base = df.select(
+        "*",
+        ordk.alias("_ord"),
+        F.floor(ordk / F.lit(width)).cast("int").alias("_pid"),
+    ).withColumn("n_tokens", ntok)
     # null-id / null-or-negative-count exclusion (see docstring)
     base = base.where(
         F.col(id_col).isNotNull() & (F.col("n_tokens") >= 0)
