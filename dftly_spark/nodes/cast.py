@@ -49,7 +49,12 @@ def _cast_cannot_fail(src: str, dst: str, u64_wide: bool = False) -> bool:
     DECIMAL(20,0) holding values > 2**63-1: there u64 → i64 is NARROWING
     (guarded), while in default mode both are the same bigint and the cast
     is free.  (U64 out-types are contagious through int arithmetic, so a
-    derived column keeps the tag and the guard.)
+    derived column keeps the tag and the guard.)  The override applies to
+    the SOURCE side only: a U64 *target* in that mode never reaches this
+    function — ``_dtype_cast`` returns from its dedicated decimal branch
+    first — and routing one here would both skip the range guard and lower
+    to the wrong carrier (``SPARK_TYPE[U64]`` is bigint), so callers assert
+    it instead of this table pretending to classify it.
     """
     if src == dst:
         return True
@@ -57,8 +62,7 @@ def _cast_cannot_fail(src: str, dst: str, u64_wide: bool = False) -> bool:
         # widening int, any float, string, bool are all total from ints
         if DT.is_int(dst):
             src_level = 5 if (src == DT.U64 and u64_wide) else _INT_LEVEL[src]
-            dst_level = 5 if (dst == DT.U64 and u64_wide) else _INT_LEVEL[dst]
-            return dst_level >= src_level
+            return _INT_LEVEL[dst] >= src_level
         return DT.is_float(dst) or dst in (DT.STR, DT.BOOL)
     if DT.is_float(src):
         if dst == DT.F64 or dst == DT.STR or dst == DT.BOOL:
@@ -220,17 +224,29 @@ class Cast(Node):
             # (a bare decimal try_cast would ROUND fractions half-up where
             # both the bigint path and Polars truncate/fail):
             if DT.is_float(src_tag):
-                # truncate toward zero, in decimal so 2**63..2**64-1 survive
-                d = src.try_cast("decimal(38,9)")
+                # truncate toward zero, in decimal so 2**63..2**64-1 survive.
+                # Scale 18, not 9: double→decimal rounds HALF_UP at the target
+                # scale BEFORE the floor/ceil, and at scale 9 a double within
+                # 5e-10 below an integer (2.9999999999995) would round up and
+                # floor to 3 where bigint/Polars truncate to 2.  At scale 18
+                # the rounding error (≤5e-19) cannot bridge to the next
+                # integer, and 38-18=20 integer digits still cover U64_MAX
+                # (non-integer doubles are < 2**53; larger ones overflow to
+                # null → cast failure, same as the bigint path).
+                d = src.try_cast("decimal(38,18)")
                 out = F.when(d < 0, F.ceil(d)).otherwise(F.floor(d)).try_cast(
                     "decimal(20,0)"
                 )
             elif src_tag == DT.STR:
                 # integer strings only — '2.7' must FAIL like bigint/Polars,
-                # not round to 3
-                trimmed = F.trim(src)
+                # not round to 3.  Whitespace handling must also mirror the
+                # default path: try_cast(... as bigint) trims ALL whitespace
+                # (so '\t42' is 42), while F.trim strips ASCII space only —
+                # gate and strip with \s to match.
+                trimmed = F.regexp_replace(src, r"^\s+|\s+$", "")
                 out = F.when(
-                    trimmed.rlike(r"^[+-]?[0-9]+$"), trimmed.try_cast("decimal(20,0)")
+                    src.rlike(r"^\s*[+-]?[0-9]+\s*$"),
+                    trimmed.try_cast("decimal(20,0)"),
                 ).otherwise(F.lit(None).cast("decimal(20,0)"))
             elif DT.is_int(src_tag) or src_tag in (DT.BOOL, DT.NULL):
                 out = src.try_cast("decimal(20,0)")
@@ -269,6 +285,10 @@ class Cast(Node):
 
         spark_type = DT.SPARK_TYPE[tag]
         u64_wide = ctx is not None and ctx.uint64_decimal
+        # uint64_decimal U64 TARGETS returned from the dedicated decimal
+        # branch above; reaching here with one would lower to the bigint
+        # carrier unguarded (see _cast_cannot_fail).
+        assert not (tag == DT.U64 and u64_wide), "u64 target must use decimal branch"
         if strict and _cast_cannot_fail(src_tag, tag, u64_wide):
             return src.cast(spark_type)
         out = src.try_cast(spark_type)

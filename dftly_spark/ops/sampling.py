@@ -23,8 +23,13 @@ from pyspark.sql import functions as F
 _A, _C, _M = 1103515245, 12345, 2**31
 
 
-def _mix(id_col: Column, seed: int) -> Column:
-    return F.pmod(id_col.cast("bigint") * _A + (_C + seed), F.lit(_M))
+def _mix(id_col: Column, seed: int, *, lenient: bool = False) -> Column:
+    # cast (default): a non-castable id FAILS LOUDLY under ANSI — right for
+    # split/sample membership, where dropping a row would skew fractions.
+    # try_cast (lenient): null order key, for ops whose documented policy
+    # is to EXCLUDE non-castable ids up front (token_budget_sample).
+    i = id_col.try_cast("bigint") if lenient else id_col.cast("bigint")
+    return F.pmod(i * _A + (_C + seed), F.lit(_M))
 
 
 def hash_split(
@@ -323,11 +328,19 @@ def token_budget_sample(
     :func:`~dftly_spark.ops.textops.token_count` over ``text_col``.
 
     Rows that cannot participate in a deterministic token fill are
-    EXCLUDED up front, matching :func:`hash_split`'s null-gate convention:
-    null ``id_col`` (no reproducible order — and a null bucket would
-    silently inflate every real bucket's offset), and null or negative
-    token counts (null text has no tokens; a negative count would shrink
-    the running sum and over-fill past the crossing doc).
+    EXCLUDED up front, matching :func:`hash_split`'s null-gate convention.
+    The gate is on the COMPUTED order key, not the raw id: ``_ord`` is null
+    exactly when ``id_col`` is null OR not castable to bigint (a
+    non-numeric string id), so both cases are one documented exclusion
+    rather than a silent null-key drop in the offset join downstream.
+    Also excluded: null ``group_col`` (no budget can name the null group —
+    the dict form already drops it via the ``isin`` pre-filter; the int
+    form excludes it here for the same explicit reason), and null or
+    negative token counts (null text has no tokens; a negative count would
+    shrink the running sum and over-fill past the crossing doc).  If the
+    corpus's ids are strings, hash them to an integer id first (the module
+    convention, see the header) — a corpus whose every id fails the cast
+    comes back empty by this rule, not by accident.
 
     Scale shape: the running sum is the two-level scan of
     ``scale.partitioned_cumsum``, specialized: the LCG order key is uniform
@@ -371,7 +384,7 @@ def token_budget_sample(
     else:
         bud = F.lit(int(budget))
 
-    ordk = _mix(F.col(id_col), seed)
+    ordk = _mix(F.col(id_col), seed, lenient=True)
     width = _M // buckets + 1
     ntok = (
         F.col(n_tokens_col).cast("bigint")
@@ -386,9 +399,13 @@ def token_budget_sample(
         ordk.alias("_ord"),
         F.floor(ordk / F.lit(width)).cast("int").alias("_pid"),
     ).withColumn("n_tokens", ntok)
-    # null-id / null-or-negative-count exclusion (see docstring)
+    # explicit exclusion gate (see docstring): _ord.isNotNull() covers both
+    # null and non-bigint-castable ids; the group gate makes the int-budget
+    # case's null-group behavior a rule, not a join artifact
     base = base.where(
-        F.col(id_col).isNotNull() & (F.col("n_tokens") >= 0)
+        F.col("_ord").isNotNull()
+        & F.col(group_col).isNotNull()
+        & (F.col("n_tokens") >= 0)
     )
     w_local = (
         Window.partitionBy(group_col, "_pid")

@@ -2144,6 +2144,23 @@ def test_token_budget_sample_null_and_negative_rows_excluded(spark):
     assert sum(r.n_tokens for r in out) == 100
 
 
+def test_token_budget_sample_uncastable_ids_and_null_group_excluded(spark):
+    # ADVICE r11: a string id that does not cast to bigint yields a null
+    # order key -- the gate must exclude it EXPLICITLY (same documented
+    # rule as null ids), not lose it to a silent null-key drop in the
+    # offset join; a null group in the int-budget case is likewise
+    # excluded by rule rather than by join artifact.
+    df = spark.createDataFrame(
+        [("1", "g", 10), ("2", "g", 10), ("doc-x", "g", 999), ("3", None, 999)],
+        "doc_id string, src string, nt int",
+    )
+    from dftly_spark.ops import token_budget_sample
+
+    out = token_budget_sample(df, "src", 100, n_tokens_col="nt").collect()
+    assert sorted(r.doc_id for r in out) == ["1", "2"]
+    assert sum(r.n_tokens for r in out) == 20
+
+
 def test_token_budget_sample_totals_branch_is_pruned(spark):
     # The bucket-totals branch is a second, column-PRUNED scan: with
     # precomputed counts it must not read the wide text column at all

@@ -151,6 +151,32 @@ def test_float_cast_truncates_not_rounds(spark):
     assert r.b is None  # negative: out of unsigned range
 
 
+def test_float_half_up_band_truncates(spark):
+    # ADVICE r11 regression: at carrier scale 9 a double within 5e-10
+    # below an integer (2.9999999999995) would round HALF_UP to 3.0 before
+    # the floor; scale 18 keeps the truncation exact.  Decimal mode must
+    # agree with the default bigint path (both 2).
+    df = spark.createDataFrame([(2.9999999999995, -2.9999999999995)], "a double, b double")
+    cols = Parser.to_spark(
+        {"a": "$a :: uint64", "b": "$b ::? uint64"}, schema=df, uint64_decimal=True
+    )
+    dflt = Parser.expr_to_spark("$a :: uint64", schema=df)
+    r = df.select(*cols.values(), dflt.alias("c")).collect()[0]
+    assert int(r.a) == 2 and r.c == 2
+    assert r.b is None  # ceil(-2.999...) = -2, negative: out of range
+
+
+def test_string_whitespace_trims_like_default(spark):
+    # ADVICE r11 regression: try_cast(... as bigint) trims ALL whitespace
+    # ('\t42' is 42) while F.trim strips ASCII space only -- the decimal
+    # gate must accept the same inputs as the default path.
+    df = spark.createDataFrame([("\t42",), ("42\n",), (" \t 7 \n",)], "v string")
+    dec = Parser.expr_to_spark("$v :: uint64", schema=df, uint64_decimal=True)
+    dflt = Parser.expr_to_spark("$v :: uint64", schema=df)
+    rows = df.select(dec.alias("d"), dflt.alias("b")).collect()
+    assert [int(r.d) for r in rows] == [r.b for r in rows] == [42, 42, 7]
+
+
 def test_fractional_string_fails_like_default(spark):
     # try_cast('2.7' as bigint) is NULL in default mode; decimal mode must
     # not silently round it to 3.
