@@ -76,7 +76,7 @@ _CHRONO_TO_JAVA: dict[str, str | None] = {
     "::z": "xxxxx",  # +HH:MM:SS — Java's five-letter offset-x form
     ":::z": "x",
     "Z": "zzz",
-    "c": None,  # fixed C-locale layout; Strptime lowers exact "%c" itself
+    "c": None,  # fixed C-locale layout; rewrite_locale expands it first
     "+": "yyyy-MM-dd'T'HH:mm:ssxxx",
     "s": None,  # unix seconds — handled as a special case by Strptime
     "%": "%",  # literal percent
@@ -147,15 +147,32 @@ def _quote_literal(text: str) -> str:
     """Quote literal text for a Java DateTimeFormatter pattern."""
     if not text:
         return ""
-    out = []
+    out: list[str] = []
+    run: list[str] = []
+
+    def flush() -> None:
+        if not run:
+            return
+        s = "".join(run)
+        # a run of ONLY quotes uses the standalone '' escape ('''' would
+        # leave an unclosed section); anything else becomes ONE quoted
+        # section with internal quotes doubled.  One section, not per-char
+        # sections: Java reads adjacent 'a''t' as the literal a't (the ''
+        # is an ESCAPED QUOTE inside the first section), not "at".
+        out.append("''" * len(s) if set(s) == {"'"} else "'" + s.replace("'", "''") + "'")
+        run.clear()
+
     for ch in text:
-        if ch == "'":
-            out.append("''")
-        elif ch.isalpha():
-            out.append(f"'{ch}'")
+        if ch.isalpha() or ch in "[]#{}'":
+            # pattern letters; Java's reserved non-letters ([ ] open an
+            # OPTIONAL SECTION, # { } reserved for future use — unquoted
+            # they corrupt or reject the pattern); quotes ride along so a
+            # mixed run stays one section
+            run.append(ch)
         else:
+            flush()
             out.append(ch)
-    # Collapse adjacent quoted runs like 'a''b' → keep simple; Java accepts it.
+    flush()
     return "".join(out)
 
 
@@ -371,6 +388,42 @@ def dayname_plan(fmt: str) -> dict | None:
     return {"fmt": remainder, "strips": strips}
 
 
+#: codes chrono prints SPACE-PADDED (and parses with an optional leading
+#: space): day %e, 24h/12h hour %k/%l, and %v whose embedded %e leads it.
+_PAD_CODES = frozenset({"e", "k", "l", "v"})
+
+
+def pad_plan(fmt: str) -> dict | None:
+    """Strip plan for the optional space pad of ``%e``/``%k``/``%l``/``%v``.
+
+    chrono parses these with an OPTIONAL leading space (print form is
+    space-padded to width 2: ``"Jul  8"``); their Java letters (``d``,
+    ``H``, ``h``) parse bare 1-2 digit numbers only, so the plan removes a
+    single space immediately before the digits when one is present —
+    position-anchored exactly like :func:`dayname_plan` (``^`` + the input
+    shapes of every preceding token), no lookaround, RE2-portable, so a
+    space elsewhere in the input can never be the one removed.  Callers
+    apply the strips to the input and parse with the format unchanged.
+
+    Returns ``{"strips": [(pattern, repl), ...]}`` or None when the format
+    has no pad codes.
+    """
+    toks = [t for t in _scan(fmt) if t != ("lit", "")]
+    pad_idx = [
+        i for i, (k, c) in enumerate(toks) if k == "code" and c in _PAD_CODES
+    ]
+    if not pad_idx:
+        return None
+    strips: list[tuple[str, str]] = []
+    for i in pad_idx:
+        if i == 0:
+            strips.append((r"^\s(\d)", "$1"))
+        else:
+            prefix = _prefix_rx(toks[:i], fmt)
+            strips.append((f"^({prefix})\\s(\\d)", "$1$2"))
+    return {"strips": strips}
+
+
 def week_based_plan(fmt: str) -> dict | None:
     """Parse plan for ``%U``/``%W``/``%V`` week-of-year formats, or None.
 
@@ -438,6 +491,46 @@ def week_based_plan(fmt: str) -> dict | None:
     parts.append("$")
     roles["regex"] = "".join(parts)
     return roles
+
+
+#: chrono's %c without the unstable-locales feature (Polars does not enable
+#: it) is the FIXED C-locale layout — component codes, not a locale lookup.
+C_LOCALE_DATETIME = "%a %b %e %H:%M:%S %Y"
+
+
+def rewrite_locale(fmt: str) -> tuple[str, bool]:
+    """Expand the fixed C-locale composite ``%c`` into its component codes.
+
+    Expanding lets the existing day-name strip plan (``%a``) and code table
+    (``%e`` → Java ``d``) lower ``%c`` ANYWHERE in a format, not just as
+    the exact ``"%c"`` — the reference accepts whatever chrono accepts
+    (/root/reference/src/dftly/nodes/str.py:594-649), and chrono is happy
+    to embed ``%c`` mid-format.
+
+    Returns ``(rewritten, found)``.  When ``found``, the rewritten format
+    has ALL literal whitespace runs collapsed to single spaces and is
+    stripped at the ends, and the caller must normalize the input the same
+    way (``trim`` + ``\\s+`` → one space): ``%e`` prints the day SPACE-
+    PADDED (``"Jul  8"``), which Java's strict ``d`` letter will not parse,
+    so both sides drop to a canonical single-space form.  Documented
+    divergence (shared with the old exact-``"%c"`` plan): a format whose
+    OTHER literals contain meaningful whitespace runs collapses with them.
+    """
+    import re as _re
+
+    out: list[str] = []
+    found = False
+    for kind, item in _scan(fmt):
+        if kind == "code" and item == "c":
+            out.append(C_LOCALE_DATETIME)
+            found = True
+        elif kind == "code":
+            out.append("%%" if item == "%" else f"%{item}")
+        else:
+            out.append(item)
+    if not found:
+        return fmt, False
+    return _re.sub(r"\s+", " ", "".join(out)).strip(), True
 
 
 def to_java(fmt: str) -> str:

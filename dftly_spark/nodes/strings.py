@@ -373,6 +373,24 @@ class Strptime(Node):
         fmt = self.format_str
         kind = self.output_type
 
+        # %c (fixed C-locale layout — Polars has no unstable-locales) first
+        # expands to its component codes so it lowers ANYWHERE in a format;
+        # both sides drop to canonical single-space whitespace because %e
+        # prints the day space-padded ("Jul  8") and Java's strict 'd'
+        # letter will not parse the pad.  Divergences (documented in
+        # README): a valid-but-inconsistent weekday name is ignored where
+        # chrono rejects it (the %a strip below), and literal whitespace
+        # runs elsewhere in a %c-containing format collapse too.
+        fmt_orig = fmt
+        fmt, has_c = chrono.rewrite_locale(fmt)
+        if has_c:
+            # regexp end-strip, not F.trim: trim drops ASCII spaces only,
+            # so a leading tab would survive as a leading space and break
+            # the parse where the \s-based strip (and the DuckDB oracle's
+            # replay of it) removes it
+            src = F.regexp_replace(
+                F.regexp_replace(src, r"^\s+|\s+$", ""), r"\s+", " "
+            )
         # %C..%y → %Y pairing (adjacent = pure format rewrite; literal-
         # separated = input splice via century_plan strips), then %a/%A
         # day-name codes anywhere become strip-the-token regexes — the
@@ -385,26 +403,20 @@ class Strptime(Node):
             fmt_eff = cent_plan["fmt"]
         else:
             fmt_eff = fmt
-        day_plan = chrono.dayname_plan(fmt_eff) if fmt.strip() != "%c" else None
+        day_plan = chrono.dayname_plan(fmt_eff)
         if day_plan is not None:
             for rx, repl in day_plan["strips"]:
                 src = F.regexp_replace(src, rx, repl)
             fmt_eff = day_plan["fmt"]
+        # %e/%k/%l/%v space pads: chrono parses an optional leading space,
+        # Java's d/H/h letters do not — strip it at the code's position
+        pad_plan = chrono.pad_plan(fmt_eff)
+        if pad_plan is not None:
+            for rx, repl in pad_plan["strips"]:
+                src = F.regexp_replace(src, rx, repl)
 
         week_plan = chrono.week_based_plan(fmt_eff) if kind == "date" else None
-        if fmt.strip() == "%c":
-            # chrono's %c is the FIXED C-locale layout "%a %b %e %H:%M:%S %Y"
-            # (no unstable-locales in Polars).  Spark cannot PARSE
-            # day-of-week names, but the weekday token is redundant for the
-            # date, so the plan normalizes whitespace (%e is space-padded),
-            # strips the leading weekday word, and parses the remainder.
-            # Divergence (documented in README): chrono REJECTS a weekday
-            # name inconsistent with the date; this plan ignores it.
-            norm = F.regexp_replace(F.trim(src), r"\s+", " ")
-            stripped = F.regexp_replace(norm, r"^[A-Za-z]+ ", "")
-            out = F.try_to_timestamp(stripped, F.lit("MMM d HH:mm:ss yyyy"))
-            spark_t = "timestamp"
-        elif "%s" in fmt_eff and kind == "datetime":
+        if "%s" in fmt_eff and kind == "datetime":
             out = F.timestamp_seconds(src.try_cast("bigint"))
             spark_t = "timestamp"
         elif week_plan is not None:
@@ -444,7 +456,7 @@ class Strptime(Node):
         if self.strict:
             err = F.raise_error(
                 F.concat(
-                    F.lit(f"strptime({fmt!r}) failed for value: "),
+                    F.lit(f"strptime({fmt_orig!r}) failed for value: "),
                     F.coalesce(src.cast("string"), F.lit("null")),
                 )
             ).cast(spark_t)

@@ -34,6 +34,7 @@ import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .scale import durable_checkpoint
 
 from .textops import tokens
 
@@ -67,6 +68,9 @@ def bpe_learn(
     batch: int | str = 1,
     max_batch: int = 1024,
     batch_gap: float = 0.5,
+    sample_frac: float | None = None,
+    id_col: str | None = None,
+    sample_seed: int = 0,
 ) -> DataFrame:
     """Learn the top ``n_merges`` BPE merge rules from a text column.
 
@@ -108,9 +112,37 @@ def bpe_learn(
     hundreds — exactly where a production 30k–50k-merge fit spends its
     time — keeping total driver rounds ~O(log) in practice instead of
     ``n_merges / K``.
+
+    **Sample-then-learn (the production recipe).**  Even at
+    ``batch="auto"``'s ~0.16 jobs/merge floor, a 32k-merge vocabulary is
+    thousands of driver-sequential rounds, each a pass over the word-count
+    frame — the one cost that scales with CORPUS size.  Merge rules depend
+    only on RELATIVE pair frequencies, which are Zipf-stable under
+    document sampling, so the standard recipe is: learn the merge table on
+    a deterministic sample, then :func:`bpe_encode_counts` the FULL corpus
+    with it (encoding is one distributed pass, corpus-sized work where it
+    belongs).  ``sample_frac`` + ``id_col`` applies that sample here —
+    the same LCG id-gate as ``ops.sampling.hash_split`` (reproducible
+    across reruns, partitionings, and engines; never ``rand()``) — e.g.
+    ``sample_frac=0.01`` learns from ~1% of documents.  Choose the
+    fraction so the sample still covers the tail pairs you care about
+    (≥ ~10⁶ words is the usual rule of thumb).
     """
     if batch != "auto" and not (isinstance(batch, int) and batch >= 1):
         raise ValueError(f'batch must be a positive int or "auto", got {batch!r}')
+    if sample_frac is not None:
+        if id_col is None:
+            raise ValueError(
+                "bpe_learn(sample_frac=...) needs id_col: the sample gate is "
+                "keyed on a reproducible row id, never rand()"
+            )
+        if not (0.0 < sample_frac <= 1.0):
+            raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+        from .sampling import _M, _mix
+
+        df = df.where(
+            _mix(F.col(id_col), sample_seed) < F.lit(int(sample_frac * _M))
+        )
     return _bpe_learn_batched(
         df, text_col, n_merges=n_merges, replace_passes=replace_passes,
         batch=batch, max_batch=max_batch, batch_gap=batch_gap,
@@ -147,7 +179,7 @@ def _bpe_learn_batched(
     # keyed agg) runs under the session's normal config, AQE included
     vocab = wc.select(
         F.array_join(F.split(F.col("_w"), ""), SEP).alias("_s"), F.col("_c")
-    ).localCheckpoint()
+    ).transform(durable_checkpoint)
     # the merge rounds are known-tiny single-shuffle queries over the
     # vocab-compressed table; AQE's stage-by-stage execution would double
     # the driver job count per round (its only effect here), so pin it off
@@ -250,7 +282,7 @@ def _bpe_merge_rounds(
         )
         rounds += 1
         if rounds % max(checkpoint_every, 1) == 0:
-            vocab = vocab.localCheckpoint(eager=False)
+            vocab = vocab.transform(durable_checkpoint, eager=False)
         out_rows += [
             (len(out_rows) + i, r["_pa"], r["_pb"], r["_cnt"])
             for i, r in enumerate(chosen)

@@ -30,6 +30,7 @@ import numpy as np
 from pyspark.sql import Column as SparkColumn
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .scale import durable_checkpoint
 
 from .similarity import cosine
 from .textops import doc_tokens, normalize_text, tokens
@@ -936,13 +937,13 @@ def dup_clusters(
         )
         .select("_e.a", "_e.b")
         .distinct()
-        .localCheckpoint()
+        .transform(durable_checkpoint)
     )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(durable_checkpoint)
     )
     for _ in range(max_iter):
         nbr = edges.join(labels, edges["b"] == labels["node"]).select(
@@ -956,7 +957,7 @@ def dup_clusters(
             .unionByName(nbr.withColumn("_own", F.lit(None).cast("long")))
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.min("_own").alias("_own"))
-            .localCheckpoint()
+            .transform(durable_checkpoint)
         )
         changed = new.where(F.col("label") < F.col("_own")).limit(1).count()
         labels = new.select("node", "label")

@@ -63,6 +63,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .scale import durable_checkpoint
 
 from .dedup import _shingle_instance_frames
 
@@ -146,11 +147,11 @@ def fuzzy_join(
     sh_l = _shingle_rows(
         left, id_col_l, text_col_l, "id_l", n,
         tokens_col=tokens_col_l, cache_key=cache_key_l,
-    ).localCheckpoint(eager=False)
+    ).transform(durable_checkpoint, eager=False)
     sh_r = _shingle_rows(
         right, id_col_r, text_col_r, "id_r", n,
         tokens_col=tokens_col_r, cache_key=cache_key_r,
-    ).localCheckpoint(eager=False)
+    ).transform(durable_checkpoint, eager=False)
     if cache_key_l is not None and cache_key_l == cache_key_r:
         # self-join through ONE shared corpus-cache entry: both sides
         # resolve to the same memoized plan, so `_g` carries the same
@@ -169,7 +170,7 @@ def fuzzy_join(
             .unionByName(sh_r.select("_g"))
             .groupBy("_g")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .localCheckpoint(eager=False)
+            .transform(durable_checkpoint, eager=False)
         )
         pl = _prefix_rows(sh_l.join(dfc, "_g"), "id_l", threshold, order=("_df", "_g"))
         pr = _prefix_rows(sh_r.join(dfc, "_g"), "id_r", threshold, order=("_df", "_g"))
@@ -199,7 +200,7 @@ def fuzzy_join(
             cl.join(cr, "_g")
             .where(F.col("_cl") + F.col("_cr") > int(max_prefix_df))
             .select("_g")
-            .localCheckpoint(eager=False)
+            .transform(durable_checkpoint, eager=False)
         )
         pl_cold = pl.join(hot, "_g", "left_anti")
         pr_cold = pr.join(hot, "_g", "left_anti")
@@ -370,7 +371,7 @@ def fuzzy_index(
     sh = _shingle_rows(
         df, id_col, text_col, "_cid", n,
         tokens_col=tokens_col, cache_key=cache_key,
-    ).localCheckpoint(eager=False)
+    ).transform(durable_checkpoint, eager=False)
     prefix = _prefix_rows(sh, "_cid", threshold).select(
         F.col("_cid").alias(id_col),
         "_g",

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .scale import durable_checkpoint
+
 from ..sqlgen import portable_round
 
 # Edge rows per forced-shuffle-hash build task in triangle_count.  The
@@ -113,7 +115,8 @@ def triangle_count(
     plain id-ordered enumeration.
     """
     # ``checkpoint_dir`` mirrors pagerank: durable checkpoint() for
-    # cluster runs (survives executor loss), localCheckpoint otherwise.
+    # cluster runs (survives executor loss); otherwise durable_checkpoint
+    # honors a session-level setCheckpointDir, local only as last resort.
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -123,7 +126,7 @@ def triangle_count(
     else:
 
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=False)
+            return durable_checkpoint(df, eager=False)
 
     ab = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")).where(
         F.col(src) != F.col(dst)
@@ -259,7 +262,7 @@ def kcore(
     else:
 
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=False)
+            return durable_checkpoint(df, eager=False)
 
     ab = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")).where(
         F.col(src) != F.col(dst)
@@ -390,7 +393,7 @@ def pagerank(
     else:
 
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=False)
+            return durable_checkpoint(df, eager=False)
 
     e = _ckpt(
         prepare_edges(

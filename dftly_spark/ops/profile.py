@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .scale import durable_checkpoint
 
 from ..sqlgen import portable_round
 
@@ -999,7 +1000,7 @@ def _two_level_desc_cummax(
     # aggregation.  Long-lived sessions frontier-ing many huge frames can
     # force release early via spark.catalog.clearCache()-adjacent GC or by
     # bucketing x upstream.
-    per_x = per_x.localCheckpoint(eager=False)
+    per_x = per_x.transform(durable_checkpoint, eager=False)
     probs = [i / buckets for i in range(1, buckets)]
     bounds = per_x.stat.approxQuantile(x_col, probs, 0.01)
     pid = F.lit(0)

@@ -36,6 +36,29 @@ _MERGE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
 _PARTIAL = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
 
 
+def durable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Lineage-truncating checkpoint that is CLUSTER-DURABLE when the
+    session has a checkpoint dir configured, local otherwise.
+
+    Every multi-pass op in this package truncates lineage at its reuse
+    points (the frame is referenced 2+ times downstream — without
+    truncation the whole upstream plan re-executes per reference).
+    ``localCheckpoint`` is the right default on a laptop or in tests, but
+    it stores blocks on executors only: on a real cluster an executor loss
+    silently recomputes-or-fails mid-job.  This helper routes through
+    ``df.checkpoint()`` (reliable, written to the configured directory —
+    HDFS/S3 on a cluster) whenever the user has called
+    ``spark.sparkContext.setCheckpointDir(...)``, so ONE session-level
+    setting makes every op's truncation points durable; no per-op
+    parameter needed (``ops.graph`` additionally accepts an explicit
+    ``checkpoint_dir`` and sets the session dir for you).
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

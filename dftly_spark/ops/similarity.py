@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column as SparkColumn
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .scale import durable_checkpoint
 
 from ..sqlgen import portable_round
 
@@ -224,7 +225,7 @@ def kmeans_centroids(
     cdf = spark.createDataFrame(
         [(ci + 1, i, float(x)) for ci, c in enumerate(cents) for i, x in enumerate(c)],
         "_cell int, _i int, _m double",
-    ).localCheckpoint()
+    ).transform(durable_checkpoint)
     return _collect_centroid_lists(_lloyd(base, cdf, iters))
 
 
@@ -338,7 +339,7 @@ def _lloyd(base: DataFrame, cdf: DataFrame, iters: int) -> DataFrame:
                 .alias("_vu"),
             )
             .select("_cell", F.posexplode("_vu").alias("_i", "_m"))
-            .localCheckpoint()
+            .transform(durable_checkpoint)
         )
     return cdf
 
@@ -493,7 +494,7 @@ def _init_centroid_frame(
             F.col("_n") > 0, F.transform(F.col("_v0"), lambda x: x / F.col("_n"))
         ).otherwise(F.col("_v0")),
     )
-    return sel.select("_cell", F.posexplode("_u").alias("_i", "_m")).localCheckpoint()
+    return sel.select("_cell", F.posexplode("_u").alias("_i", "_m")).transform(durable_checkpoint)
 
 
 def _cents_numpy(cents) -> "object":
@@ -613,6 +614,33 @@ def _probe_cells_arrow(
     return queries.select(id_col, vec_col).mapInPandas(probe, out_schema)
 
 
+#: centroid count above which the interpreted-fold scorer is warned about:
+#: at k=1024 the ~10 ns-per-multiply-add HOF fold is already ~order-of-
+#: magnitude behind the Arrow matmul (SCALING.md probes 30x at k=4096).
+_FOLD_WARN_CELLS = 1024
+
+
+def _warn_fold_at_scale(k: int, where: str) -> None:
+    """Advise scorer='arrow' when the default fold meets a production k.
+
+    'fold' stays the default because it is hash-exact (oracle-replayable,
+    no BLAS last-ulp tie drift) — but a user running the op at its intended
+    shape should not have to discover the flag from the docs after a slow
+    job, so the mismatch warns once per call site.
+    """
+    if k >= _FOLD_WARN_CELLS:
+        import warnings
+
+        warnings.warn(
+            f"{where}: scorer='fold' (default, hash-exact) with {k} "
+            f"centroids — the interpreted score fold is ~30x slower than "
+            f"scorer='arrow' at production k×dim; pass scorer='arrow' "
+            f"unless bit-identical tie behavior is required",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def assign_cells(
     corpus: DataFrame,
     cents: list[list[float]] | DataFrame,
@@ -640,6 +668,8 @@ def assign_cells(
         return _assign_cells_arrow(corpus, cents, id_col=id_col, vec_col=vec_col)
     if scorer != "fold":
         raise ValueError(f"scorer must be 'fold' or 'arrow', got {scorer!r}")
+    if not isinstance(cents, DataFrame):
+        _warn_fold_at_scale(len(cents), "assign_cells")
     # alias the cast vector to an ATTRIBUTE before any fold captures it:
     # expressions captured by interpreted HOF lambdas re-evaluate per outer
     # element, so a captured cast would re-materialize the array once per
@@ -650,7 +680,7 @@ def assign_cells(
         # time and the consumer plan sees a 1-row scan (no Exchange rides
         # into every downstream plan)
         c = (
-            corpus.crossJoin(F.broadcast(_matrix_frame(cents).localCheckpoint()))
+            corpus.crossJoin(F.broadcast(_matrix_frame(cents).transform(durable_checkpoint)))
             .select(F.col(id_col).alias("_id"), v.alias("_v"), "_cm")
             .select(
                 "_id",
@@ -797,6 +827,8 @@ def ivf_topk(
     """
     if scorer not in ("fold", "arrow"):
         raise ValueError(f"scorer must be 'fold' or 'arrow', got {scorer!r}")
+    if scorer == "fold":
+        _warn_fold_at_scale(n_centroids, "ivf_topk")
     cents = _centroids_for(
         corpus,
         centroids_as,
@@ -836,7 +868,7 @@ def ivf_topk(
         # eager 1-row checkpoint: referenced by BOTH the corpus-assignment
         # and query-probe sides — without it the k×dim aggregation would
         # execute twice and ride both plans as an Exchange
-        cmat = _matrix_frame(cents).localCheckpoint()
+        cmat = _matrix_frame(cents).transform(durable_checkpoint)
 
         def with_scores(df: DataFrame, id_expr, id_alias: str, v_alias: str) -> DataFrame:
             # cast aliased to an attribute BEFORE the fold captures it — a

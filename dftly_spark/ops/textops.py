@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column as SparkColumn
 from pyspark.sql import functions as F
+from .scale import durable_checkpoint
 
 #: Tiny per-language stopword lists for the n-gram/stopword language heuristic.
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -435,7 +436,7 @@ def dup_substring_spans(
     # referenced twice (gram counts + the starts join): truncate lineage
     # at the boundary or the tokenize+explode+window stage re-executes per
     # reference (the repo-wide multi-reference discipline; lazy)
-    inst = inst.localCheckpoint(eager=False)
+    inst = inst.transform(durable_checkpoint, eager=False)
     flagged_grams = (
         inst.groupBy("_g")
         .agg(F.count(F.lit(1)).alias("_cnt"))

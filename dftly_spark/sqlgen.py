@@ -39,7 +39,9 @@ interpolation fields — float formatting is not portable) raise
 Scope: the emitter mirrors the engine's DEFAULT lowering.  The opt-in
 strict-unsigned mode (``uint64_decimal=True``) changes uint64 cast
 semantics (out-of-range nulls/raises) and is oracle-checked by its own
-hand-written gate query (x145) rather than through this emitter; the
+hand-written gate query (x145) rather than through this emitter — passing
+``uint64_decimal=True`` to the entry points raises :class:`SqlGenError`
+naming the mode instead of silently emitting a default-mode mirror; the
 ``U64 → HUGEINT`` row below corresponds to the default signed-bigint
 carrier.
 """
@@ -136,6 +138,7 @@ def to_duckdb_sql(
     schema: dict[str, str] | Any | None = None,
     *,
     canonical_lists: bool = False,
+    uint64_decimal: bool = False,
 ) -> str:
     """DuckDB SQL for one dftly expression (string/dict/Node form).
 
@@ -145,7 +148,22 @@ def to_duckdb_sql(
     ``canonical_lists=True`` projects a list-typed result to a
     ``chr(31)``-joined string (pair with :func:`canonicalize_list_columns`
     on the Spark frame).
+
+    ``uint64_decimal`` exists only to be REJECTED loudly: the emitter
+    mirrors the engine's DEFAULT lowering, and the opt-in strict-unsigned
+    mode changes uint64 cast semantics (DECIMAL(20,0) carrier, out-of-range
+    nulls/raises) that no generated mirror replays — a caller lowering
+    Spark columns with ``uint64_decimal=True`` must not silently get a
+    default-mode oracle that disagrees on every out-of-range row.  Use a
+    hand-written oracle for that mode (the x145 gate is the template).
     """
+    if uint64_decimal:
+        raise SqlGenError(
+            "sqlgen mirrors the engine's DEFAULT lowering only; the opt-in "
+            "uint64_decimal mode changes uint64 cast semantics (out-of-range "
+            "nulls/raises, DECIMAL(20,0) carrier) — write the oracle for "
+            "that mode by hand"
+        )
     ctx = _ctx(schema)
     node = expr if isinstance(expr, Node) else Parser()(expr)
     sql = _emit(node, ctx)
@@ -161,10 +179,16 @@ def spec_to_duckdb_sql(
     schema: dict[str, str] | Any | None = None,
     *,
     canonical_lists: bool = False,
+    uint64_decimal: bool = False,
 ) -> dict[str, str]:
     """DuckDB SQL for every column of a dftly spec (``{name: expr}``)."""
     return {
-        name: to_duckdb_sql(e, schema, canonical_lists=canonical_lists)
+        name: to_duckdb_sql(
+            e,
+            schema,
+            canonical_lists=canonical_lists,
+            uint64_decimal=uint64_decimal,
+        )
         for name, e in dict(spec).items()
     }
 
@@ -500,6 +524,25 @@ def _emit_split(n, ctx):
     )
 
 
+#: chrono codes DuckDB's strptime lacks (or fixes as ISO where chrono is
+#: C-locale) → the component-code expansion both engines parse identically.
+_DUCK_CODE = {
+    "e": "%-d",
+    "k": "%H",  # space pad already stripped by the replayed pad_plan;
+    "l": "%I",  # DuckDB's %H/%I accept 1-2 digits
+    "x": "%m/%d/%y",
+    "X": "%H:%M:%S",
+    "r": "%I:%M:%S %p",
+    # chrono composites / aliases DuckDB's strptime does not recognize
+    "D": "%m/%d/%y",
+    "F": "%Y-%m-%d",
+    "v": "%-d-%b-%Y",
+    "T": "%H:%M:%S",
+    "R": "%H:%M",
+    "h": "%b",
+}
+
+
 def _emit_strptime(n, ctx):
     fmt = n.format_str
     from . import chrono as _chrono
@@ -518,6 +561,15 @@ def _emit_strptime(n, ctx):
         # raise guard]; DuckDB mirror: micros since epoch via make_timestamp
         return f"make_timestamp({cast_kw}({src} AS BIGINT) * 1000000)"
 
+    # %c expands to its fixed C-locale component codes FIRST (same order as
+    # the engine's lowering), with the engine's whitespace normalization
+    # replayed on the input below: chrono's %c/%x/%X are C-locale layouts
+    # while DuckDB's are ISO layouts, so emitting them verbatim would be
+    # subtly wrong.  (A real code scan, not a substring test: '%%c' is a
+    # literal.)
+    has_c = any(k == "code" and c == "c" for k, c in _chrono._scan(fmt))
+    if has_c:
+        fmt, _ = _chrono.rewrite_locale(fmt)
     # DuckDB has no %C; replay the engine's %C..%y → %Y pairing here too.
     # The literal-separated form splices the input with the SAME RE2-safe
     # strip the engine applies ($n group refs become DuckDB's \n).
@@ -532,19 +584,35 @@ def _emit_strptime(n, ctx):
             "strptime %::z (offset with seconds) has no DuckDB strptime "
             "equivalent — write the offset arithmetic explicitly"
         )
-    if fmt_codes & {"x", "X", "c"}:
-        # chrono fixes these as C-locale layouts (%x=%m/%d/%y, %X=%T,
-        # %c="%a %b %e %T %Y"); DuckDB's are ISO layouts — emitting
-        # verbatim would be subtly wrong, so spell the expansion instead.
-        # (A real code scan, not a substring test: '%%x' is a literal.)
-        raise SqlGenError(
-            "strptime %x/%X/%c diverge between chrono (C layout) and "
-            "DuckDB (ISO layout) — write the expanded format explicitly"
+    # the engine strips the optional space pad of %e/%k/%l/%v before its
+    # bare-number Java letters; DuckDB's %-d/%H/%I are bare numbers too, so
+    # replay the identical position-anchored strips (computed on the
+    # chrono-dialect format, BEFORE the %-d substitution below)
+    pad_plan = _chrono.pad_plan(fmt)
+    pad_strips = pad_plan["strips"] if pad_plan is not None else []
+    if fmt_codes & set(_DUCK_CODE):
+        # remaining single-code gaps: DuckDB lacks %e (space-padded day)
+        # and %r, and its %x/%X are ISO layouts where chrono's are
+        # C-locale — substitute the component codes both engines parse
+        # identically (%-d accepts 1-2 digits unpadded; %c's space-pad is
+        # gone after the normalization above).
+        fmt = "".join(
+            (
+                _DUCK_CODE.get(item, "%%" if item == "%" else f"%{item}")
+                if kind == "code"
+                else item
+            )
+            for kind, item in _chrono._scan(fmt)
         )
     src = _emit(n.kwargs["source"], ctx)
     import re as _re2
 
-    for rx, repl in cent_strips:
+    if has_c:
+        src = (
+            f"regexp_replace(regexp_replace({src}, '^\\s+|\\s+$', '', 'g'), "
+            f"'\\s+', ' ', 'g')"
+        )
+    for rx, repl in cent_strips + pad_strips:
         rx_sql = rx.replace("'", "''")
         repl_sql = _re2.sub(r"\$(\d)", r"\\\1", repl).replace("'", "''")
         src = f"regexp_replace({src}, '{rx_sql}', '{repl_sql}')"

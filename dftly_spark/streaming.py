@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column as SparkColumn
 from pyspark.sql import DataFrame, SparkSession
+from .ops.scale import durable_checkpoint
 from pyspark.sql import functions as F
 
 from .sqlgen import portable_round
@@ -725,7 +726,7 @@ def stream_fuzzy_join(
         src_df = (
             stream_df.select(id_col, text_col, *carry)
             .repartition(sc.defaultParallelism)
-            .localCheckpoint(eager=False)
+            .transform(durable_checkpoint, eager=False)
         )
     # tokens projected to an attribute BEFORE the shingle lambda captures
     # them (captured expressions re-evaluate per gram in interpreted HOFs:
@@ -743,7 +744,7 @@ def stream_fuzzy_join(
         # are referenced by both the prefix explode and the verify — cut
         # the lineage so they compute once; illegal on streams (where each
         # micro-batch is small and single-pass anyway)
-        base = base.localCheckpoint(eager=False)
+        base = base.transform(durable_checkpoint, eager=False)
     s = F.size("_sh_l")
     p = s - F.ceil(F.lit(threshold) * s - F.lit(1e-9)).cast("int") + 1
     keyed = base.select(

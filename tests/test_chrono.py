@@ -21,8 +21,8 @@ UNSUPPORTED = [
     "%g",   # ISO week-based year, 2-digit
     "%a",   # weekday names: rejected by to_java alone — dayname_plan owns
     "%A",   # leading/trailing positions
-    "%c",   # fixed C layout: rejected by to_java alone — Strptime owns the
-            # strip-weekday plan for the exact "%c" format
+    "%c",   # fixed C layout: rejected by to_java alone — rewrite_locale
+            # expands %c to component codes before translation
 ]
 
 
@@ -159,7 +159,9 @@ def test_week_based_invalid_components(run1):
         ("%H:%M:%S", "HH:mm:ss"),
         ("%Y-%m-%dT%H:%M:%S%.3f", None),  # unknown %. code → single-char scan
         ("%d/%m/%y %I:%M %p", "dd/MM/yy hh:mm a"),
-        ("%j of %Y", "DDD 'o''f' yyyy"),
+        # one quoted section per literal run — per-char sections would
+        # merge ('o''f' is the literal o'f in Java, not "of")
+        ("%j of %Y", "DDD 'of' yyyy"),
     ],
 )
 def test_supported_translations(fmt, java):
@@ -307,3 +309,50 @@ def _dayname_century_cases(run1, dt):
             s = day.strftime(py_fmt)
             got = run1(f"strptime($s, '{fmt}')", s=s)
             assert got == day, (fmt, s, got)
+
+
+def test_c_locale_composite_anywhere(run1):
+    """%c is no longer exact-format-only: rewrite_locale expands it to its
+    fixed C-locale component codes, so it lowers mid-format too (the
+    reference accepts whatever chrono accepts)."""
+    import datetime as dt
+
+    want = dt.datetime(2001, 7, 8, 0, 34, 59)
+    cases = [
+        ("[%c]", "[Sun Jul  8 00:34:59 2001]"),
+        ("at %c!", "at Sun Jul  8 00:34:59 2001!"),
+        ("%c +0000", "Sun Jul  8 00:34:59 2001 +0000"),
+        ("logged %c by admin", "logged Sun Jul  8 00:34:59 2001 by admin"),
+        # whitespace canonicalization: pads and stray runs collapse
+        ("%c", "\tSun Jul  8   00:34:59  2001 "),
+    ]
+    for fmt, s in cases:
+        assert run1(f'strptime($s, "{fmt}")', s=s) == want, (fmt, s)
+
+
+def test_space_padded_codes_parse_both_forms(run1):
+    """chrono parses %e/%k/%l with an OPTIONAL leading space (their print
+    form is space-padded); the pad_plan strip makes Java's bare d/H/h
+    letters accept both forms at the code's anchored position."""
+    import datetime as dt
+
+    assert run1('strptime($s, "%e/%m/%Y")', s=" 8/07/2001") == dt.date(2001, 7, 8)
+    assert run1('strptime($s, "%e/%m/%Y")', s="8/07/2001") == dt.date(2001, 7, 8)
+    assert run1('strptime($s, "%e/%m/%Y")', s="18/07/2001") == dt.date(2001, 7, 18)
+    for s, want in [("2020-01-02T 9:30", 9), ("2020-01-02T19:30", 19)]:
+        got = run1('strptime($s, "%Y-%m-%dT%k:%M")', s=s)
+        assert got == dt.datetime(2020, 1, 2, want, 30), s
+    h12 = run1('strptime($s, "%l:%M %p")', s=" 3:05 pm")
+    assert h12 == (15 * 3600 + 5 * 60) * 1_000_000  # micros since midnight
+    # a space NOT at the pad position is still an error, not silently eaten
+    assert run1('$s ::? "%e/%m/%Y"', s="8/ 7/2001") is None
+
+
+def test_quote_literal_runs_are_single_sections():
+    """Multi-char literal runs must become ONE quoted section: Java reads
+    adjacent per-char sections 'a''t' as the literal a't (escaped quote),
+    and unquoted [ ] # { } are reserved pattern syntax."""
+    assert chrono.to_java("%j of %Y") == "DDD 'of' yyyy"
+    assert chrono.to_java("[%Y]") == "'['yyyy']'"
+    assert chrono.to_java("Date[%F]") == "'Date['yyyy-MM-dd']'"
+    assert chrono.to_java("%H o'clock") == "HH 'o''clock'"

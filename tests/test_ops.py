@@ -1780,6 +1780,36 @@ def test_bpe_learn_auto_batch_gap(spark):
         bpe_learn(df, "text", n_merges=2, batch="auto", batch_gap=0.0)
 
 
+def test_bpe_learn_sample_then_learn(spark):
+    # The production recipe: learn on a deterministic id-gated sample.
+    # Equivalence oracle: bpe_learn(sample_frac=f) == bpe_learn over the
+    # manually gated frame (same LCG gate as hash_split); frac=1 is the
+    # full corpus; missing id_col raises.
+    import pytest as _pytest
+
+    from dftly_spark.ops.bpe import bpe_learn
+    from dftly_spark.ops.sampling import _M, _mix
+    from pyspark.sql import functions as F
+
+    rows = [(i, "low lower lowest new newer newest " * (i % 3 + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+
+    sampled = bpe_learn(
+        df, "body", n_merges=4, sample_frac=0.5, id_col="doc_id", sample_seed=3
+    ).collect()
+    manual = bpe_learn(
+        df.where(_mix(F.col("doc_id"), 3) < int(0.5 * _M)), "body", n_merges=4
+    ).collect()
+    assert [tuple(r) for r in sampled] == [tuple(r) for r in manual]
+
+    full = bpe_learn(df, "body", n_merges=4, sample_frac=1.0, id_col="doc_id").collect()
+    plain = bpe_learn(df, "body", n_merges=4).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in plain]
+
+    with _pytest.raises(ValueError, match="id_col"):
+        bpe_learn(df, "body", n_merges=2, sample_frac=0.5)
+
+
 def test_bpe_learn_merged_symbols_compose(spark):
     from dftly_spark.ops import bpe_learn
 

@@ -523,3 +523,69 @@ def test_contamination_probe_gram_join_broadcasts(spark):
     ps = plan_summary(out)
     assert ps["n_broadcast_joins"] >= 1
     assert not ps["has_python_eval"] and not ps["has_nested_loop"]
+
+
+def test_durable_checkpoint_routes_by_session_dir(spark, monkeypatch, tmp_path):
+    """One session-level setCheckpointDir makes every op's lineage
+    truncation cluster-durable; without it, localCheckpoint (laptop/test
+    default).  The reliable branch is verified by interception -- actually
+    writing RDD checkpoints would leave sticky session state."""
+    from dftly_spark.ops.scale import durable_checkpoint
+
+    df = spark.range(5)
+    assert spark.sparkContext.getCheckpointDir() is None
+    out = durable_checkpoint(df)  # local branch, end-to-end
+    assert out.count() == 5
+
+    calls = {}
+
+    def fake_checkpoint(self, eager=True):
+        calls["eager"] = eager
+        return self
+
+    # patch the CONCRETE class (pyspark.sql.classic Dataset overrides the
+    # abstract DataFrame's checkpoint, so patching the base has no effect)
+    monkeypatch.setattr(type(df), "checkpoint", fake_checkpoint)
+    monkeypatch.setattr(
+        type(spark.sparkContext), "getCheckpointDir", lambda self: str(tmp_path)
+    )
+    durable_checkpoint(df, eager=False)
+    assert calls == {"eager": False}
+
+
+def test_fold_scorer_warns_at_production_k(spark):
+    """The hash-exact fold default must not be a silent footgun at its
+    intended shape: k >= 1024 centroids warns to use scorer='arrow'."""
+    import warnings
+
+    from dftly_spark.ops.similarity import _warn_fold_at_scale, ivf_topk
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _warn_fold_at_scale(1024, "assign_cells")
+        _warn_fold_at_scale(16, "assign_cells")
+    assert len(w) == 1 and "scorer='arrow'" in str(w[0].message)
+
+    from dftly_spark.ops import similarity as _sim
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    # lower the threshold so a laptop-sized corpus exercises the warn path
+    # end-to-end without building a 2048-cell index
+    orig = _sim._FOLD_WARN_CELLS
+    _sim._FOLD_WARN_CELLS = 4
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ivf_topk(
+                vecs,
+                vecs.limit(2).withColumnRenamed("vec_id", "query_id"),
+                k=2,
+                n_centroids=4,
+                nprobe=1,
+            )
+    finally:
+        _sim._FOLD_WARN_CELLS = orig
+    assert any("ivf_topk" in str(x.message) for x in w)

@@ -179,6 +179,65 @@ def test_sqlgen_strptime_matches_engine(spark):
     _check(spark, sdf, con, "fz5", spec, seed="strptime")
 
 
+def test_sqlgen_strptime_locale_and_pad_codes(spark):
+    """C-locale composites (%c anywhere, %x/%X/%r) and space-padded codes
+    (%e/%k/%l) emit DuckDB-portable expansions + the engine's replayed
+    whitespace/pad strips — value parity on real rows."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    # C-locale print form: "Sun Jul  8 00:34:59 2001" (day space-padded).
+    # Build it engine-side with concat so both engines read identical bytes.
+    c_form = F.concat(
+        F.date_format("o_orderdate", "EEE MMM"),
+        F.lit(" "),
+        F.lpad(F.date_format("o_orderdate", "d"), 2, " "),
+        F.lit(" 10:34:59 "),
+        F.date_format("o_orderdate", "yyyy"),
+    )
+    sdf = o.select(
+        F.col("o_orderkey").alias("k"),
+        c_form.alias("cs"),
+        F.concat(F.lit("["), c_form, F.lit("]")).alias("csb"),
+        F.date_format("o_orderdate", "MM/dd/yy").alias("xs"),
+        F.lpad(F.date_format("o_orderdate", "d"), 2, " ").alias("es"),
+        F.date_format("o_orderdate", "MM/yyyy").alias("my"),
+    ).withColumn("eds", F.concat(F.col("es"), F.lit("/"), F.col("my")))
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE VIEW fz7 AS
+        SELECT o_orderkey AS k,
+               concat(strftime(o_orderdate, '%a %b '),
+                      lpad(strftime(o_orderdate, '%-d'), 2, ' '),
+                      ' 10:34:59 ', strftime(o_orderdate, '%Y')) AS cs,
+               concat('[', strftime(o_orderdate, '%a %b '),
+                      lpad(strftime(o_orderdate, '%-d'), 2, ' '),
+                      ' 10:34:59 ', strftime(o_orderdate, '%Y'), ']') AS csb,
+               strftime(o_orderdate, '%m/%d/%y') AS xs,
+               concat(lpad(strftime(o_orderdate, '%-d'), 2, ' '),
+                      strftime(o_orderdate, '/%m/%Y')) AS eds
+        FROM '/root/testdata/sf0.001/orders.parquet'
+        """
+    )
+    spec = {
+        "c_dt": "$cs::'%c'",
+        "c_mid": "$csb::'[%c]'",
+        "x_d": "$xs::'%x'",
+        "e_d": "$eds::'%e/%m/%Y'",
+    }
+    _check(
+        spark,
+        sdf.select("k", "cs", "csb", "xs", "eds"),
+        con,
+        "fz7",
+        spec,
+        seed="strptime-locale",
+    )
+
+
 def test_sqlgen_power_int_recast(spark):
     import duckdb
 
@@ -204,12 +263,12 @@ def test_sqlgen_literal_percent_x_is_not_locale_code():
     node = Parser()({"strptime": {"source": {"column": "s"},
                                   "format": {"literal": "%H:%M %%x"}}})
     sql = to_duckdb_sql(node, {"s": "str"})
-    assert "%%x" in sql  # literal percent survives; no false rejection
-    bad = Parser()({"strptime": {"source": {"column": "s"},
-                                 "format": {"literal": "%x"}}})
-    import pytest as _pytest
-    with _pytest.raises(SqlGenError, match="diverge"):
-        to_duckdb_sql(bad, {"s": "str"})
+    assert "%%x" in sql  # literal percent survives, not expanded as %x
+    # a REAL %x is the C-locale date layout: emitted as its expansion
+    # (DuckDB's own %x is an ISO layout, never emitted verbatim)
+    real = Parser()({"strptime": {"source": {"column": "s"},
+                                  "format": {"literal": "%x"}}})
+    assert "%m/%d/%y" in to_duckdb_sql(real, {"s": "str"})
 
 
 @pytest.mark.parametrize("seed", range(10))
@@ -491,3 +550,20 @@ def test_exact_sum_total_overflow_is_loud(spark):
     # all-null / empty input stays null, not an error
     nl = spark.createDataFrame([(None,)], "x double")
     assert nl.agg(exact_sum(F.col("x")).alias("s")).collect()[0]["s"] is None
+
+
+def test_sqlgen_rejects_uint64_decimal_mode():
+    """The emitter mirrors the DEFAULT lowering only: asking for a
+    generated oracle under the opt-in strict-unsigned mode must raise
+    loudly naming the mode, never silently emit a default-mode mirror
+    (which disagrees on every out-of-range uint64)."""
+    from dftly_spark.sqlgen import SqlGenError, spec_to_duckdb_sql
+
+    with pytest.raises(SqlGenError, match="uint64_decimal"):
+        to_duckdb_sql("$a :: uint64", {"a": "int64"}, uint64_decimal=True)
+    with pytest.raises(SqlGenError, match="uint64_decimal"):
+        spec_to_duckdb_sql(
+            {"u": "$a :: uint64"}, {"a": "int64"}, uint64_decimal=True
+        )
+    # default mode unaffected
+    assert "CAST" in to_duckdb_sql("$a :: uint64", {"a": "int64"}).upper()
