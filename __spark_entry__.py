@@ -8143,10 +8143,12 @@ _PRIORITY = [
     "q29_sqlgen_arrays",
     # -- back-fill to the ~50 window, least-recently-sampled first --
     "x96_windowed_quantiles",
-    "x97_psi_drift",
-    "x98_rolling_features",
     # -- tail: >= 3 consecutive driver-green rows, or displaced; sampled
     #    again only if the window widens or they change --
+    # (x97/x98 displaced by x147 + q15 in round 12: both back-fill
+    #  canaries with multi-round green histories)
+    "x97_psi_drift",
+    "x98_rolling_features",
     # (x100 displaced by x145, x99 by x146, in round 11: 7 consecutive
     #  green rows each)
     "x99_roc_auc",
@@ -8222,7 +8224,8 @@ _PRIORITY = [
     "x05_embedding_neardup",
     "x02_ngram_jaccard_pairs",
     "x03_minhash_lsh_pairs",
-    "q15_strptime",
+    # (q15 moved INTO the window in round 12 — strptime canary for the
+    #  pattern-quoter/pad-strip rework)
     "q16_time_type",
     "q22_flagship",
     "x34_rollup_stats",

@@ -419,7 +419,15 @@ def pad_plan(fmt: str) -> dict | None:
         if i == 0:
             strips.append((r"^\s(\d)", "$1"))
         else:
-            prefix = _prefix_rx(toks[:i], fmt)
+            try:
+                prefix = _prefix_rx(toks[:i], fmt)
+            except ValueError:
+                # a preceding code has no anchorable input shape (%z/%Z/…):
+                # SKIP this one strip instead of failing the whole lowering
+                # — the bare form still parses; only the space-PADDED print
+                # form of this code loses support, which is exactly the
+                # pre-pad-plan status quo for such formats
+                continue
             strips.append((f"^({prefix})\\s(\\d)", "$1$2"))
     return {"strips": strips}
 
@@ -530,7 +538,13 @@ def rewrite_locale(fmt: str) -> tuple[str, bool]:
             out.append(item)
     if not found:
         return fmt, False
-    return _re.sub(r"\s+", " ", "".join(out)).strip(), True
+    # ASCII-\s class, NOT Python \s or .strip(): the input side normalizes
+    # with Java/RE2 \s = [ \t\n\x0B\f\r], and a format literal containing
+    # Unicode-only whitespace (NBSP) must NOT collapse here when the input
+    # side will leave it untouched — the sides must stay byte-symmetric
+    ws = r"[ \t\n\x0b\f\r]"
+    collapsed = _re.sub(f"{ws}+", " ", "".join(out))
+    return _re.sub(f"^{ws}+|{ws}+$", "", collapsed), True
 
 
 def to_java(fmt: str) -> str:

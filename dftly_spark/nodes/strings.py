@@ -416,7 +416,13 @@ class Strptime(Node):
                 src = F.regexp_replace(src, rx, repl)
 
         week_plan = chrono.week_based_plan(fmt_eff) if kind == "date" else None
-        if "%s" in fmt_eff and kind == "datetime":
+        # a real code scan, not a substring test: '%%s' is a literal
+        # percent-s, and must parse as text rather than hijack the whole
+        # source into the epoch-seconds read
+        has_epoch = any(
+            k == "code" and c == "s" for k, c in chrono._scan(fmt_eff)
+        )
+        if has_epoch and kind == "datetime":
             out = F.timestamp_seconds(src.try_cast("bigint"))
             spark_t = "timestamp"
         elif week_plan is not None:

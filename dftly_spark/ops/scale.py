@@ -52,6 +52,15 @@ def durable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     setting makes every op's truncation points durable; no per-op
     parameter needed (``ops.graph`` additionally accepts an explicit
     ``checkpoint_dir`` and sets the session dir for you).
+
+    Retention: Spark does NOT delete reliable checkpoint files when the
+    RDD is garbage-collected unless the session was built with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+    context-construction conf, default false).  Iterative ops (label
+    propagation, BPE merge rounds) checkpoint once per round, so a
+    long-lived session with a checkpoint dir but without that conf
+    accumulates one frame snapshot per round per invocation — set the
+    conf on clusters, or point the dir at storage with a TTL policy.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:

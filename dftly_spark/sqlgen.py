@@ -547,10 +547,11 @@ def _emit_strptime(n, ctx):
     fmt = n.format_str
     from . import chrono as _chrono
 
-    if "%s" in fmt:
-        # the engine's %s special path fires on any format CONTAINING %s
-        # and reads the whole source as epoch seconds; only the exact-'%s'
-        # format is honestly portable, so the emitter supports just that.
+    if any(k == "code" and c == "s" for k, c in _chrono._scan(fmt)):
+        # the engine's %s special path fires on any format whose CODE SCAN
+        # contains %s ('%%s' is a literal, not a hijack) and reads the
+        # whole source as epoch seconds; only the exact-'%s' format is
+        # honestly portable, so the emitter supports just that.
         if list(_chrono._scan(fmt)) != [("code", "s")]:
             raise SqlGenError(
                 "strptime %s is only portable as the exact '%s' format"

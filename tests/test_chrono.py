@@ -356,3 +356,66 @@ def test_quote_literal_runs_are_single_sections():
     assert chrono.to_java("[%Y]") == "'['yyyy']'"
     assert chrono.to_java("Date[%F]") == "'Date['yyyy-MM-dd']'"
     assert chrono.to_java("%H o'clock") == "HH 'o''clock'"
+
+
+def test_locale_pad_roundtrip_property(run1):
+    """Print with CPython's C-locale strftime, parse back through the
+    engine's strip/expansion plans — date/datetime equality across a
+    2-year spread for every %c/%e/%k/%l shape (the chrono contract is
+    'accept what chrono prints')."""
+    import datetime as dt
+    import locale
+
+    prev = locale.setlocale(locale.LC_TIME)
+    locale.setlocale(locale.LC_TIME, "C")
+    try:
+        _locale_pad_cases(run1, dt)
+    finally:
+        locale.setlocale(locale.LC_TIME, prev)
+
+
+def _locale_pad_cases(run1, dt):
+    fmts = ["%c", "[%c]", "log %c end", "%e/%m/%Y", "%Y-%m-%dT%k:%M"]
+    t0 = dt.datetime(2019, 12, 25, 0, 5, 9)
+    for off in range(0, 700, 53):  # crosses years; hits 1-digit + 2-digit days
+        ts = t0 + dt.timedelta(days=off, hours=off % 24, minutes=off % 60)
+        for fmt in fmts:
+            # CPython lacks %e/%k: emulate their SPACE-PADDED print forms
+            # (a leading zero becomes a leading space — the exact shape the
+            # pad strip exists for; bare forms are covered by
+            # test_space_padded_codes_parse_both_forms)
+            py_fmt = fmt.replace("%e", "%d").replace("%k", "%H")
+            s = ts.strftime(py_fmt)
+            if fmt.startswith("%e") and s.startswith("0"):
+                s = " " + s[1:]
+            if "%k" in fmt:
+                s = s.replace("T0", "T ", 1)
+            want = ts if ("%c" in fmt or "%k" in fmt) else ts.date()
+            if "%c" in fmt:
+                want = ts.replace(microsecond=0)
+            elif "%k" in fmt:
+                want = ts.replace(second=0, microsecond=0)
+            got = run1(f"strptime($s, '{fmt}')", s=s)
+            assert got == want, (fmt, s, got, want)
+
+
+def test_pad_plan_skips_unanchorable_prefixes(run1):
+    """A pad code preceded by a shape-less code (%Z has no _CODE_RX entry)
+    must not fail the whole lowering: the strip is SKIPPED (bare forms
+    still parse — the pre-pad-plan status quo), never a hard reject."""
+    assert chrono.pad_plan("%Z %k:%M")["strips"] == []
+    # end-to-end: the format lowers and parses the bare form
+    got = run1('strptime($s, "%Z %k:%M")', s="UTC 19:30")
+    assert got == (19 * 3600 + 30 * 60) * 1_000_000
+
+
+def test_literal_percent_s_does_not_hijack_epoch(run1):
+    """'%%s' is a literal percent-s: the epoch-seconds special path keys on
+    a real CODE scan, so such formats parse as text instead of reading the
+    whole source as epoch seconds."""
+    import datetime as dt
+
+    got = run1('strptime($s, "%Y %H %%s")', s="2024 13 %s")
+    assert got == dt.datetime(2024, 1, 1, 13, 0, 0)
+    # the exact-'%s' epoch path is unaffected
+    assert run1('strptime($s, "%s")', s="0") == dt.datetime(1970, 1, 1)
