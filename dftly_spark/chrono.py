@@ -120,6 +120,16 @@ def _scan(fmt: str):
             i = j
 
 
+def has_code(fmt: str, code: str) -> bool:
+    """True when the format contains ``%<code>`` as a REAL code.
+
+    The scan-based membership test every special-case branch must use —
+    a substring test would misfire on escaped literals (``'%%s'`` contains
+    the text ``%s`` but is a literal percent-s).
+    """
+    return any(k == "code" and c == code for k, c in _scan(fmt))
+
+
 def classify(fmt: str) -> str:
     """Return "date" / "time" / "datetime" from which chrono codes appear.
 

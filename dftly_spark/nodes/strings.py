@@ -419,10 +419,7 @@ class Strptime(Node):
         # a real code scan, not a substring test: '%%s' is a literal
         # percent-s, and must parse as text rather than hijack the whole
         # source into the epoch-seconds read
-        has_epoch = any(
-            k == "code" and c == "s" for k, c in chrono._scan(fmt_eff)
-        )
-        if has_epoch and kind == "datetime":
+        if chrono.has_code(fmt_eff, "s") and kind == "datetime":
             out = F.timestamp_seconds(src.try_cast("bigint"))
             spark_t = "timestamp"
         elif week_plan is not None:

@@ -547,7 +547,7 @@ def _emit_strptime(n, ctx):
     fmt = n.format_str
     from . import chrono as _chrono
 
-    if any(k == "code" and c == "s" for k, c in _chrono._scan(fmt)):
+    if _chrono.has_code(fmt, "s"):
         # the engine's %s special path fires on any format whose CODE SCAN
         # contains %s ('%%s' is a literal, not a hijack) and reads the
         # whole source as epoch seconds; only the exact-'%s' format is
@@ -568,7 +568,7 @@ def _emit_strptime(n, ctx):
     # while DuckDB's are ISO layouts, so emitting them verbatim would be
     # subtly wrong.  (A real code scan, not a substring test: '%%c' is a
     # literal.)
-    has_c = any(k == "code" and c == "c" for k, c in _chrono._scan(fmt))
+    has_c = _chrono.has_code(fmt, "c")
     if has_c:
         fmt, _ = _chrono.rewrite_locale(fmt)
     # DuckDB has no %C; replay the engine's %C..%y → %Y pairing here too.
