@@ -8027,6 +8027,59 @@ def _x147_oracle() -> str:
 _q("x147_chrono_locale", _x147, _x147_oracle)
 
 
+def _x148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact line dedup (ops/textops.py dedup_lines) — the
+    CCNet/RefinedWeb boilerplate pass: drop every occurrence of a line
+    whose corpus-wide count exceeds max_df, exempting sub-2-char lines.
+    The synthetic corpus has no newlines, so the query derives
+    deterministic two-word lines first (every pair of words becomes one
+    line — the same regexp_replace in the oracle); with 31 distinct words
+    the pair-lines repeat heavily, so max_df=40 yields a real mix of
+    dropped boilerplate and kept lines at both gate SFs.  Plan: one
+    explode → map-side-combined line count → hot-set equi-join (skew is
+    AQE-splittable) → one groupBy(id) ordered rebuild."""
+    from dftly_spark.ops import dedup_lines
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), r"(\S+ \S+) ", "$1\n")
+    )
+    return dedup_lines(docs, max_df=40, min_dedup_chars=2)
+
+
+_q(
+    "x148_line_dedup",
+    _x148,
+    r"""
+    WITH src AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, '(\S+ \S+) ',
+                                         '\1' || chr(10), 'g'),
+                          chr(10)) AS ls
+      FROM documents
+    ), lines AS (
+      SELECT doc_id,
+             unnest(ls) AS line,
+             unnest(generate_series(1, len(ls))) AS pos
+      FROM src
+    ), hot AS (
+      SELECT line FROM lines WHERE len(line) >= 2
+      GROUP BY line HAVING count(*) > 40
+    ), marked AS (
+      SELECT l.doc_id, l.pos, l.line,
+             (len(l.line) < 2 OR h.line IS NULL) AS keep
+      FROM lines l LEFT JOIN hot h ON l.line = h.line
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN line END,
+                               chr(10) ORDER BY pos), '') AS text,
+           CAST(count(*) FILTER (WHERE keep) AS INT) AS n_lines_kept,
+           CAST(count(*) FILTER (WHERE NOT keep) AS INT) AS n_lines_dropped
+    FROM marked GROUP BY doc_id
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: riskiest-first.
 #
@@ -8060,6 +8113,11 @@ _PRIORITY = [
     #    already in-window cover streaming/centroid/BPE consumers) --
     "x147_chrono_locale",
     "q15_strptime",
+    # -- round-12 added (late): x148 corpus-level line dedup (CCNet pass,
+    #    ops/textops.py dedup_lines) -- never driver-sampled, front of
+    #    window; x96 rotates out to hold the window at 50 (back-fill
+    #    canary, multi-round green) --
+    "x148_line_dedup",
     #
     # -- round-11 added: x142 char-offset duplicated-run spans (the
     #    ExactSubstr removal addressed to the ORIGINAL un-normalized
@@ -8141,10 +8199,11 @@ _PRIORITY = [
     "x109_dsir_weights",
     "q28_chrono_residue",
     "q29_sqlgen_arrays",
-    # -- back-fill to the ~50 window, least-recently-sampled first --
-    "x96_windowed_quantiles",
     # -- tail: >= 3 consecutive driver-green rows, or displaced; sampled
     #    again only if the window widens or they change --
+    # (x96 displaced by x148 in round 12: back-fill canary, multi-round
+    #  green)
+    "x96_windowed_quantiles",
     # (x97/x98 displaced by x147 + q15 in round 12: both back-fill
     #  canaries with multi-round green histories)
     "x97_psi_drift",

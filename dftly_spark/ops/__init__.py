@@ -27,6 +27,7 @@ from .corpus import (
 from .textops import (
     canonical_url,
     line_filter,
+    dedup_lines,
     doc_tokens,
     gopher_rules,
     shared_affix_counts,
@@ -189,7 +190,7 @@ from .multimodal import (
 )
 
 __all__ = [
-    "melt", "pivot_wide", "pca_top_component", "basket_pairs", "cooccurrence_pmi", "distinct_counts", "line_filter",
+    "melt", "pivot_wide", "pca_top_component", "basket_pairs", "cooccurrence_pmi", "distinct_counts", "line_filter", "dedup_lines",
     "ewma", "edit_distance_pairs", "mad_outliers", "expect", "expect_observed", "roc_auc", "roc_auc_by_group",
     "fit_scalar_quantizer", "quantize_embeddings", "quantization_fidelity",
     "kcore", "pagerank", "prepare_edges", "triangle_count", "ranking_metrics", "pool_embeddings",

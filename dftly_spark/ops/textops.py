@@ -1148,6 +1148,86 @@ def line_filter(
     return out.where(F.col("n_lines_kept") >= min_lines_kept)
 
 
+def dedup_lines(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sep: str = "\n",
+    max_df: int = 1,
+    min_dedup_chars: int = 1,
+):
+    """Corpus-level exact line deduplication (the CCNet / RefinedWeb pass).
+
+    Splits every document on ``sep``, counts each distinct line's
+    occurrences across the WHOLE corpus, and drops every occurrence of a
+    line that appears more than ``max_df`` times — boilerplate headers,
+    nav bars, cookie banners, license blocks.  Surviving lines are
+    rejoined in their original order.  Lines shorter than
+    ``min_dedup_chars`` characters are exempt (always kept, and excluded
+    from the counts): blank separators and one-character lines carry
+    formatting, not boilerplate.
+
+    This is CORPUS-level (a line is hot because it repeats across
+    documents), complementing :func:`line_filter` (per-doc C4 rules) and
+    :func:`dedup_substring_spans` (cross-doc L-gram runs at token
+    granularity).  Reference scope: the reference engine exposes the
+    scalar/expression layer only; this table-level pass is part of this
+    package's LLM-pipeline surface.
+
+    Returns ``(id_col, text, n_lines_kept, n_lines_dropped)``, one row
+    per input document — a document whose every line is dropped keeps
+    its row with empty text (filter on ``n_lines_kept`` to drop).
+
+    100 TB: one explode, then a map-side-combined ``groupBy`` on the line
+    string builds the HOT set (count > ``max_df``) — only hot lines flow
+    into the join back, and the per-doc rebuild is one ``groupBy(id)``
+    with an in-task array sort.  Deliberately NOT a window over the line
+    key (a nav bar repeated 10^8 times would be one window partition);
+    the hot-set equi-join's skewed keys are exactly what AQE skew-join
+    splits.  Keys are the line strings themselves — exact, no
+    hash-collision false drops; shuffle partitioning hashes the string
+    anyway, and the bytes must travel once for the equality check.
+    """
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "_pos", "_line"
+        ),
+    )
+    eligible = F.length(F.col("_line")) >= min_dedup_chars
+    hot = (
+        lines.where(eligible)
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select("_line", F.lit(True).alias("_hot"))
+    )
+    keep = F.col("_hot").isNull() | ~eligible
+    return (
+        lines.join(hot, "_line", "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(keep, F.struct("_pos", "_line")))
+            ).alias("_kept"),
+            F.count(F.lit(1)).alias("_n_total"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s["_line"]), sep
+            ).alias(text_col),
+            F.size("_kept").alias("n_lines_kept"),
+            (F.col("_n_total") - F.size("_kept"))
+            .cast("int")
+            .alias("n_lines_dropped"),
+        )
+    )
+
+
 def canonical_url(col: SparkColumn) -> SparkColumn:
     """Canonicalize a URL for dedup keys: the web-corpus normalizer.
 

@@ -9,6 +9,13 @@ each no matter how small the data), driver rounds, and jobs-per-merge.
 
 Usage: python scripts/bpe_probe.py [n_merges] [mode ...]
   modes default: batch16 batch64 auto exact   (exact last — it's the slow one)
+
+The synthetic documents vocab is only 31 distinct words (merge capacity
+~107 rules), so probing >=1k merges needs the ``rich`` corpus: pass
+``rich`` anywhere in the mode list and the probe unions documents.text
+with the customer and part name columns from the same SF dir (15k+
+distinct words, ~250k merge capacity) — the vocab-table shape of a real
+tokenizer fit, built entirely from the provided parquet inputs.
 """
 
 from __future__ import annotations
@@ -22,7 +29,9 @@ sys.path.insert(0, ".")
 
 SF_DIR = "/root/testdata/sf0.1"
 N_MERGES = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-MODES = sys.argv[2:] or ["batch16", "batch64", "auto", "exact"]
+_ARGS = sys.argv[2:]
+RICH = "rich" in _ARGS
+MODES = [a for a in _ARGS if a != "rich"] or ["batch16", "batch64", "auto", "exact"]
 
 
 def main() -> None:
@@ -33,7 +42,21 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").localCheckpoint()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text")
+    if RICH:
+        from pyspark.sql import functions as F
+
+        # union in the high-cardinality name columns so the vocab table has
+        # a realistic distinct-word count and the merge loop can run >=1k
+        # rounds without exhausting
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+            F.col("c_name").alias("text")
+        )
+        part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+            F.col("p_name").alias("text")
+        )
+        docs = docs.unionByName(cust).unionByName(part)
+    docs = docs.localCheckpoint()
     docs.count()
 
     from dftly_spark.ops import bpe_learn

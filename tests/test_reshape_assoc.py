@@ -138,6 +138,67 @@ def test_line_filter_no_exchange(spark):
 
 
 # ---------------------------------------------------------------------------
+# dedup_lines (corpus-level CCNet pass)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_lines_drops_corpus_hot_lines(spark):
+    from dftly_spark.ops import dedup_lines
+
+    boiler = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nunique first body\n{boiler}"),
+            (2, f"{boiler}\nanother unique body"),
+            (3, "totally fresh document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df, max_df=1).collect()}
+    # boiler appears 3x corpus-wide (> max_df=1): every occurrence dropped,
+    # including the in-doc repeat; unique lines survive in order
+    assert out[1]["text"] == "unique first body"
+    assert out[1]["n_lines_kept"] == 1 and out[1]["n_lines_dropped"] == 2
+    assert out[2]["text"] == "another unique body"
+    assert out[3]["text"] == "totally fresh document"
+    assert out[3]["n_lines_dropped"] == 0
+
+
+def test_dedup_lines_short_lines_exempt_and_empty_doc_kept(spark):
+    from dftly_spark.ops import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "dup line\n-\nkeep me"), (2, "dup line\n-"), (3, "dup line")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(df, max_df=1, min_dedup_chars=2).collect()
+    }
+    # '-' repeats but is under min_dedup_chars: exempt everywhere
+    assert out[1]["text"] == "-\nkeep me"
+    assert out[2]["text"] == "-"
+    # doc 3 loses its only line but keeps its row with empty text
+    assert out[3]["text"] == "" and out[3]["n_lines_kept"] == 0
+
+
+def test_dedup_lines_max_df_threshold(spark):
+    from dftly_spark.ops import dedup_lines
+
+    df = spark.createDataFrame(
+        [(i, "twice ok\nalways here") for i in range(3)]
+        + [(99, "twice ok only appears thrice? no - this is unique")],
+        "doc_id long, text string",
+    )
+    # 'twice ok' df=3 > 2 -> dropped; 'always here' df=3 > 2 -> dropped;
+    # raise max_df to 3 and both survive
+    out2 = {r["doc_id"]: r["text"] for r in dedup_lines(df, max_df=2).collect()}
+    assert out2[0] == ""
+    out3 = {r["doc_id"]: r["text"] for r in dedup_lines(df, max_df=3).collect()}
+    assert out3[0] == "twice ok\nalways here"
+
+
+# ---------------------------------------------------------------------------
 # cooccurrence_pmi
 # ---------------------------------------------------------------------------
 
