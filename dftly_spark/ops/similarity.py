@@ -640,7 +640,8 @@ def _probe_cells_arrow(
 
 #: centroid count above which the interpreted-fold scorer is warned about:
 #: at k=1024 the ~10 ns-per-multiply-add HOF fold is already ~order-of-
-#: magnitude behind the Arrow matmul (SCALING.md probes 30x at k=4096).
+#: magnitude behind the Arrow matmul (SCALING.md probes 30x at k=4096 x
+#: dim=512 and 164x at k=8192 x dim=768).
 _FOLD_WARN_CELLS = 1024
 
 
@@ -657,7 +658,7 @@ def _warn_fold_at_scale(k: int, where: str) -> None:
 
         warnings.warn(
             f"{where}: scorer='fold' (default, hash-exact) with {k} "
-            f"centroids — the interpreted score fold is ~30x slower than "
+            f"centroids — the interpreted score fold is 30-160x slower than "
             f"scorer='arrow' at production k×dim; pass scorer='arrow' "
             f"unless bit-identical tie behavior is required",
             RuntimeWarning,
