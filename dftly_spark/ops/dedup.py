@@ -981,7 +981,7 @@ def semantic_dedup_pairs(
     kmeans_init: str = "sample",
     max_cell_size: int | None = None,
     centroids_as: str = "broadcast_join",
-    scorer: str = "fold",
+    scorer: str = "auto",
 ) -> DataFrame:
     """Semantic near-duplicate pairs via cluster-then-prune (SemDeDup shape).
 
@@ -1006,8 +1006,9 @@ def semantic_dedup_pairs(
     :func:`~dftly_spark.ops.similarity.assign_cells` applies to the pair
     set too, which is why the hash-pinned gates stay on "fold".
     """
-    from .similarity import _centroids_for, assign_cells, dot
+    from .similarity import _centroids_for, _resolve_scorer, assign_cells, dot
 
+    scorer = _resolve_scorer(scorer, n_centroids, "semantic_dedup_pairs")
     cents = _centroids_for(
         corpus,
         centroids_as,

@@ -666,13 +666,44 @@ def _warn_fold_at_scale(k: int, where: str) -> None:
         )
 
 
+def _resolve_scorer(scorer: str, k: int | None, where: str) -> str:
+    """Resolve the ``scorer`` option against the centroid count.
+
+    ``"auto"`` (the default on every centroid consumer) picks
+    ``"arrow"`` at k ≥ ``_FOLD_WARN_CELLS`` — the shape where the
+    interpreted fold is 30–160× behind the Arrow matmul (SCALING.md) —
+    and the hash-exact ``"fold"`` below it, so gate-scale runs stay
+    oracle-replayable with zero Python-on-data while production shapes
+    get the fast path without knowing the flag.  Explicit ``"fold"`` is
+    honored always (bit-exact ties) but warns at production k; explicit
+    ``"arrow"`` is honored always."""
+    if scorer == "auto":
+        return "arrow" if k is not None and k >= _FOLD_WARN_CELLS else "fold"
+    if scorer == "fold":
+        if k is not None:
+            _warn_fold_at_scale(k, where)
+        return "fold"
+    if scorer == "arrow":
+        return "arrow"
+    raise ValueError(f"scorer must be 'auto', 'fold', or 'arrow', got {scorer!r}")
+
+
+def _frame_cell_count(cents: DataFrame) -> int:
+    """Centroid count of a long-form ``(_cell, _i, _m)`` frame — one
+    bounded 1-row aggregation over the (checkpointed) k×dim frame; only
+    the ``scorer="auto"`` direct-call path needs it (the public ops
+    resolve from their ``n_centroids`` argument instead)."""
+    row = cents.agg(F.max("_cell")).first()
+    return int(row[0]) if row and row[0] is not None else 0
+
+
 def assign_cells(
     corpus: DataFrame,
     cents: list[list[float]] | DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    scorer: str = "fold",
+    scorer: str = "auto",
 ) -> DataFrame:
     """``(_id, _v, _cell)`` — unit-normalized vectors with their nearest
     centroid cell (argmax dot; first/lowest cell wins ties).  Centroids are
@@ -683,18 +714,23 @@ def assign_cells(
     :func:`choose_centroid_frame` (the scale path — the matrix rides a
     1-row broadcast).  Scores fold identically either way.
 
-    ``scorer="arrow"`` switches the k×dim score computation to an
-    Arrow-batched numpy matmul (:func:`_assign_cells_arrow`) — the
-    production-shape path for large k×dim, ~100× the interpreted fold's
-    throughput, at the cost of last-ulp score differences (BLAS
-    accumulation order), so tie-sensitive hash-pinned comparisons should
-    keep the default ``"fold"``."""
+    ``scorer`` — ``"auto"`` (default) resolves by centroid count: the
+    hash-exact interpreted ``"fold"`` below ``_FOLD_WARN_CELLS``,
+    ``"arrow"`` at production k (30–160× on the SCALING.md probes).
+    ``"arrow"`` switches the k×dim score computation to an
+    Arrow-batched numpy matmul (:func:`_assign_cells_arrow`), at the
+    cost of last-ulp score differences (BLAS accumulation order), so
+    tie-sensitive hash-pinned comparisons should pass ``"fold"``
+    explicitly."""
+    if scorer == "auto":
+        k = len(cents) if not isinstance(cents, DataFrame) else _frame_cell_count(cents)
+        scorer = _resolve_scorer("auto", k, "assign_cells")
+    elif scorer == "fold" and not isinstance(cents, DataFrame):
+        _warn_fold_at_scale(len(cents), "assign_cells")
     if scorer == "arrow":
         return _assign_cells_arrow(corpus, cents, id_col=id_col, vec_col=vec_col)
     if scorer != "fold":
-        raise ValueError(f"scorer must be 'fold' or 'arrow', got {scorer!r}")
-    if not isinstance(cents, DataFrame):
-        _warn_fold_at_scale(len(cents), "assign_cells")
+        raise ValueError(f"scorer must be 'auto', 'fold', or 'arrow', got {scorer!r}")
     # alias the cast vector to an ATTRIBUTE before any fold captures it:
     # expressions captured by interpreted HOF lambdas re-evaluate per outer
     # element, so a captured cast would re-materialize the array once per
@@ -745,7 +781,7 @@ def topic_assign(
     kmeans_iters: int = 5,
     kmeans_init: str = "sample",
     centroids_as: str = "broadcast_join",
-    scorer: str = "fold",
+    scorer: str = "auto",
 ) -> DataFrame:
     """Assign every embedding to a centroid cell: ``(id_col, topic)``.
 
@@ -760,10 +796,11 @@ def topic_assign(
     the matrix reaches the executors: ``"broadcast_join"`` (default — a
     cluster-resident 1-row broadcast, the 100 TB shape) or ``"literal"``
     (inlined plan literals; fine for small k, breaks at k×dim ≈ 0.5 GB).
-    Assignments are bit-identical either way.  ``scorer="arrow"`` swaps
-    the argmax to the Arrow/numpy matmul path (see :func:`assign_cells`)
-    — the throughput choice at production k×dim, last-ulp score
-    divergence documented there.
+    Assignments are bit-identical either way.  ``scorer`` — ``"auto"``
+    (default) resolves by ``n_topics``: the hash-exact fold below 1024
+    cells, the Arrow/numpy matmul path above (see :func:`assign_cells`);
+    last-ulp score divergence documented there — pass ``"fold"``
+    explicitly for hash-pinned comparisons.
     """
     cents = _centroids_for(
         corpus,
@@ -777,7 +814,11 @@ def topic_assign(
         kmeans_init=kmeans_init,
     )
     return assign_cells(
-        corpus, cents, id_col=id_col, vec_col=vec_col, scorer=scorer
+        corpus,
+        cents,
+        id_col=id_col,
+        vec_col=vec_col,
+        scorer=_resolve_scorer(scorer, n_topics, "topic_assign"),
     ).select(F.col("_id").alias(id_col), F.col("_cell").alias("topic"))
 
 
@@ -810,7 +851,7 @@ def ivf_topk(
     kmeans_iters: int = 5,
     kmeans_init: str = "sample",
     centroids_as: str = "broadcast_join",
-    scorer: str = "fold",
+    scorer: str = "auto",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
@@ -841,19 +882,19 @@ def ivf_topk(
     (small k only).  Cell assignments, probes, and cosines are
     bit-identical between the modes (same left folds).
 
-    ``scorer="arrow"`` computes BOTH the corpus cell assignment and the
+    ``scorer`` — ``"auto"`` (default) resolves by ``n_centroids``: the
+    hash-exact ``"fold"`` below 1024 cells (gate/oracle scale), the
+    Arrow matmul above (production scale — 30-160× on the SCALING.md
+    probes).  ``"arrow"`` computes BOTH the corpus cell assignment and the
     query nprobe ranking as Arrow-batched numpy matmuls — the throughput
     path at production k×dim (the interpreted fold is ~10 ns per
     multiply-add; see :func:`assign_cells`).  The candidate re-rank stays
     the JVM-side exact-cosine fold either way (per-pair, k-independent).
     Last-ulp score divergence from BLAS accumulation order means
-    effectively-tied cells/probes can differ from the fold path — opt-in,
-    not for hash-pinned comparisons.
+    effectively-tied cells/probes can differ from the fold path — pass
+    ``"fold"`` explicitly for hash-pinned comparisons.
     """
-    if scorer not in ("fold", "arrow"):
-        raise ValueError(f"scorer must be 'fold' or 'arrow', got {scorer!r}")
-    if scorer == "fold":
-        _warn_fold_at_scale(n_centroids, "ivf_topk")
+    scorer = _resolve_scorer(scorer, n_centroids, "ivf_topk")
     cents = _centroids_for(
         corpus,
         centroids_as,

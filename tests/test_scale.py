@@ -554,7 +554,7 @@ def test_durable_checkpoint_routes_by_session_dir(spark, monkeypatch, tmp_path):
 
 
 def test_fold_scorer_warns_at_production_k(spark):
-    """The hash-exact fold default must not be a silent footgun at its
+    """Explicit scorer='fold' must not be a silent footgun at its
     intended shape: k >= 1024 centroids warns to use scorer='arrow'."""
     import warnings
 
@@ -585,7 +585,46 @@ def test_fold_scorer_warns_at_production_k(spark):
                 k=2,
                 n_centroids=4,
                 nprobe=1,
+                scorer="fold",
             )
     finally:
         _sim._FOLD_WARN_CELLS = orig
     assert any("ivf_topk" in str(x.message) for x in w)
+
+
+def test_auto_scorer_resolves_by_centroid_count(spark):
+    """scorer='auto' (the default) stays on the hash-exact fold at gate
+    scale and flips to the Arrow matmul at production k — resolved from
+    the op's own n_centroids, no user flag needed."""
+    import warnings
+
+    from dftly_spark.ops import similarity as _sim
+    from dftly_spark.ops.similarity import _resolve_scorer, topic_assign
+
+    assert _resolve_scorer("auto", 16, "t") == "fold"
+    assert _resolve_scorer("auto", _sim._FOLD_WARN_CELLS, "t") == "arrow"
+    assert _resolve_scorer("arrow", 4, "t") == "arrow"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _resolve_scorer("fold", _sim._FOLD_WARN_CELLS, "t") == "fold"
+    assert len(w) == 1
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, float(i % 2)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    # end-to-end: below the threshold the default plan has NO Python
+    # stage; above it (threshold lowered) the Arrow scorer appears
+    orig = _sim._FOLD_WARN_CELLS
+    try:
+        small = topic_assign(vecs, n_topics=4)
+        assert "MapInPandas" not in small._jdf.queryExecution().toString()
+        _sim._FOLD_WARN_CELLS = 4
+        big = topic_assign(vecs, n_topics=4)
+        assert "MapInPandas" in big._jdf.queryExecution().toString()
+    finally:
+        _sim._FOLD_WARN_CELLS = orig
+    # same assignments either way on well-separated inputs
+    a = {r["vec_id"]: r["topic"] for r in small.collect()}
+    b = {r["vec_id"]: r["topic"] for r in big.collect()}
+    assert a == b
