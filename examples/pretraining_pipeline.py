@@ -33,6 +33,7 @@ from dftly_spark.ops import (
     cap_per_group,
     containment_pairs,
     dsir_weights,
+    dedup_lines,
     exact_dedup,
     hash_split,
     dedup_substring_spans,
@@ -61,6 +62,19 @@ def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     clean = scored.where(F.col("keep")).drop("keep")
+
+    # 1b. Corpus-level line dedup (the CCNet boilerplate pass): drop every
+    #     occurrence of a line repeated across more than 2 documents —
+    #     headers, nav bars, license blocks.  The synthetic corpus is
+    #     single-line, so here this reduces to capping exact whole-text
+    #     frequency; real corpora split on '\n' and the plan is one
+    #     map-side-combined line count plus a hot-set-only join back.
+    delined = dedup_lines(clean, "doc_id", "text", max_df=2, min_dedup_chars=20)
+    clean = (
+        clean.drop("text")
+        .join(delined.select("doc_id", "text"), "doc_id")
+        .where(F.length("text") > 0)
+    )
 
     # 2. Exact dedup: keep one survivor per normalized text.
     survivors = exact_dedup(clean, "text", "doc_id").select("doc_id")
