@@ -6159,18 +6159,20 @@ def _x114(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_fit_ctes() -> list[str]:
+def _bpe_fit_ctes(doc_where: str = "") -> list[str]:
     """Machine-unrolled DuckDB CTE chain replaying the bpe_learn fit:
     wc → v0, then one (pair-count p{i}, argmax r{i}, rewrite v{i+1})
-    triple per merge round.  Shared by the x114 and x115 oracles."""
+    triple per merge round.  Shared by the x114/x115/x149 oracles;
+    ``doc_where`` ANDs an extra source predicate into the word count
+    (x149's hash-sample gate)."""
     sep = "chr(31)"
     ctes = [
         r"""wc AS (
       SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
         SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
-        FROM documents WHERE length(trim(text)) > 0)
+        FROM documents WHERE length(trim(text)) > 0{DOC_WHERE})
       WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w
-    )""",
+    )""".replace("{DOC_WHERE}", f" AND {doc_where}" if doc_where else ""),
         f"v0 AS (SELECT array_to_string(string_split(w, ''), {sep}) AS s, c FROM wc)",
     ]
     for i in range(_X114_MERGES):
@@ -6265,6 +6267,39 @@ def _x115_oracle() -> str:
 
 
 _q("x115_bpe_encode", _x115, _x115_oracle)
+
+
+def _x149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-then-learn BPE (ops/bpe.py bpe_learn(sample_frac=, id_col=))
+    — the corpus-size-independent production recipe for tokenizer fits
+    (SCALING.md: exact full-corpus greedy is ~2 h of driver-sequential
+    rounds at 32 k merges; merge ranks are Zipf-stable under document
+    sampling).  The sample gate is the deterministic LCG mixer keyed on
+    doc_id — never rand() — so the DuckDB oracle replays the exact same
+    document subset (sampling.mix_sql) through the same machine-unrolled
+    fit CTEs as x114."""
+    from dftly_spark.ops import bpe_learn
+
+    _prep(spark)
+    return bpe_learn(
+        _t(spark, sf_dir, "documents"), "text",
+        n_merges=_X114_MERGES, replace_passes=_X114_PASSES,
+        sample_frac=0.5, id_col="doc_id", sample_seed=3,
+    )
+
+
+def _x149_oracle() -> str:
+    from dftly_spark.ops.sampling import _M, mix_sql
+
+    gate = f"{mix_sql('doc_id', 3)} < {int(0.5 * _M)}"
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS rank, pa AS merge_left, pb AS merge_right, cnt AS pair_count FROM r{i}"
+        for i in range(_X114_MERGES)
+    )
+    return "WITH " + ",\n".join(_bpe_fit_ctes(doc_where=gate)) + "\n" + finals
+
+
+_q("x149_bpe_sampled", _x149, _x149_oracle)
 
 
 def _x116(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8118,6 +8153,7 @@ _PRIORITY = [
     #    window; x96 rotates out to hold the window at 50 (back-fill
     #    canary, multi-round green) --
     "x148_line_dedup",
+    "x149_bpe_sampled",
     #
     # -- round-11 added: x142 char-offset duplicated-run spans (the
     #    ExactSubstr removal addressed to the ORIGINAL un-normalized
@@ -8198,11 +8234,11 @@ _PRIORITY = [
     # -- two rows (r06+r07); in-window canaries --
     "x109_dsir_weights",
     "q28_chrono_residue",
-    "q29_sqlgen_arrays",
     # -- tail: >= 3 consecutive driver-green rows, or displaced; sampled
     #    again only if the window widens or they change --
-    # (x96 displaced by x148 in round 12: back-fill canary, multi-round
-    #  green)
+    # (x96 displaced by x148, q29 by x149, in round 12: back-fill/canary
+    #  entries with multi-round green histories)
+    "q29_sqlgen_arrays",
     "x96_windowed_quantiles",
     # (x97/x98 displaced by x147 + q15 in round 12: both back-fill
     #  canaries with multi-round green histories)
