@@ -6302,6 +6302,48 @@ def _x149_oracle() -> str:
 _q("x149_bpe_sampled", _x149, _x149_oracle)
 
 
+def _x150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall harness (ops/similarity.py topk_recall): per-query
+    recall@10 of the hyperplane-LSH index (x11's exact configuration)
+    against the exact cosine ranking (x06's), the index-tuning loop's
+    metric.  Two keyed aggs + one semi-join over the tiny top-k frames —
+    no corpus-sized work beyond the two rankings.  The oracle embeds both
+    queries' full SQL replays as subqueries and joins them, so the gate
+    re-verifies the whole LSH pipeline end-to-end."""
+    from dftly_spark.ops import brute_force_topk, lsh_bucket_topk, topk_recall
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_force_topk(emb, qs, k=10)
+    approx = lsh_bucket_topk(emb, qs, k=10, n_planes=6, seed=42, dim=64)
+    return topk_recall(truth, approx)
+
+
+def _x150_oracle() -> str:
+    truth_sql = _DEFS["x06_cosine_topk"][1]
+    approx_sql = _x11_oracle()
+    return f"""
+    WITH truth AS (SELECT * FROM ({truth_sql})),
+    approx AS (SELECT * FROM ({approx_sql})),
+    per AS (
+      SELECT t.query_id, count(*) AS n_truth, count(a.vec_id) AS n_hits
+      FROM truth t
+      LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+      GROUP BY t.query_id
+    )
+    SELECT query_id, CAST(n_hits AS INT) AS n_hits,
+           CAST(n_truth AS INT) AS n_truth,
+           n_hits::DOUBLE / n_truth AS recall
+    FROM per
+    """
+
+
+_q("x150_ann_recall", _x150, _x150_oracle)
+
+
 def _x116(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE corpus accounting (ops/profile.py cube_stats): rows and chars
     by lang, by source, by (lang, source), and overall — the
@@ -8154,6 +8196,7 @@ _PRIORITY = [
     #    canary, multi-round green) --
     "x148_line_dedup",
     "x149_bpe_sampled",
+    "x150_ann_recall",
     #
     # -- round-11 added: x142 char-offset duplicated-run spans (the
     #    ExactSubstr removal addressed to the ORIGINAL un-normalized
@@ -8225,7 +8268,6 @@ _PRIORITY = [
     "x82_group_quantiles",
     "x87_mad_outliers",
     "x88_quantization_fidelity",
-    "x92_doc_keywords",
     # -- one driver-green row so far (r07) --
     "x124_media_dup_pairs",
     "x125_expect_observed",
@@ -8236,9 +8278,10 @@ _PRIORITY = [
     "q28_chrono_residue",
     # -- tail: >= 3 consecutive driver-green rows, or displaced; sampled
     #    again only if the window widens or they change --
-    # (x96 displaced by x148, q29 by x149, in round 12: back-fill/canary
-    #  entries with multi-round green histories)
+    # (x96 displaced by x148, q29 by x149, x92 by x150, in round 12:
+    #  back-fill/canary entries with multi-round green histories)
     "q29_sqlgen_arrays",
+    "x92_doc_keywords",
     "x96_windowed_quantiles",
     # (x97/x98 displaced by x147 + q15 in round 12: both back-fill
     #  canaries with multi-round green histories)

@@ -103,6 +103,7 @@ from .similarity import (
     choose_centroid_frame,
     l2_norm,
     lsh_bucket_topk,
+    topk_recall,
     unit,
 )
 from .joins import (
@@ -215,7 +216,7 @@ __all__ = [
     "simhash64", "simhash_dup_pairs", "ngram_jaccard_pairs", "cross_corpus_dup_pairs", "novelty_scores", "source_overlap",
     "containment_pairs", "cross_corpus_embedding_pairs",
     "embedding_dup_pairs",
-    "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "lsh_bucket_topk",
+    "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "lsh_bucket_topk", "topk_recall",
     "ivf_topk", "random_project", "kmeans_centroids", "topic_assign",
     "choose_centroids", "choose_centroid_frame",
     "asof_join", "asof_join_stream", "asof_join_stream_tws", "nearest_join", "lag_features", "rolling_time_features", "range_join", "interval_join",

@@ -996,6 +996,51 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def topk_recall(
+    truth: DataFrame,
+    approx: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    k: int | None = None,
+) -> DataFrame:
+    """Per-query recall of an approximate top-k against the exact one.
+
+    The index-tuning harness: feed :func:`brute_force_topk` output as
+    ``truth`` and any approximate ranking (:func:`lsh_bucket_topk`,
+    :func:`ivf_topk`) as ``approx``; returns ``(query_id, n_hits,
+    n_truth, recall)`` with ``recall = |approx ∩ truth| / |truth|`` at
+    ``rank ≤ k`` (``k=None`` uses the frames as given).  Queries with no
+    approximate results (empty probes) score 0, not a missing row.
+
+    100 TB: both inputs are already per-query top-k frames — tiny
+    relative to the corpus — so this is two map-side-combined keyed
+    aggregations and one semi-join on ``(query, id)``; no corpus-sized
+    work.  Recall is an exact small-int ratio: both engines compute the
+    identical double from the identical ints, no rounding shim needed.
+    """
+    t = truth if k is None else truth.where(F.col(rank_col) <= k)
+    a = approx if k is None else approx.where(F.col(rank_col) <= k)
+    hits = (
+        t.select(query_id_col, id_col)
+        .join(a.select(query_id_col, id_col), [query_id_col, id_col], "left_semi")
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    return (
+        t.groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .join(hits, query_id_col, "left")
+        .select(
+            F.col(query_id_col),
+            F.coalesce(F.col("_h"), F.lit(0)).cast("int").alias("n_hits"),
+            F.col("_t").cast("int").alias("n_truth"),
+            (F.coalesce(F.col("_h"), F.lit(0)) / F.col("_t")).alias("recall"),
+        )
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -628,3 +628,42 @@ def test_auto_scorer_resolves_by_centroid_count(spark):
     a = {r["vec_id"]: r["topic"] for r in small.collect()}
     b = {r["vec_id"]: r["topic"] for r in big.collect()}
     assert a == b
+
+
+def test_topk_recall_counts_overlap(spark):
+    from dftly_spark.ops import topk_recall
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+        "query_id long, vec_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        # query 1: 2/3 right; query 2: no rows at all (empty probe)
+        [(1, 10, 1), (1, 99, 2), (1, 12, 3)],
+        "query_id long, vec_id long, rank int",
+    )
+    out = {r["query_id"]: r for r in topk_recall(truth, approx).collect()}
+    assert out[1]["n_hits"] == 2 and out[1]["n_truth"] == 3
+    assert abs(out[1]["recall"] - 2 / 3) < 1e-15
+    assert out[2]["n_hits"] == 0 and out[2]["recall"] == 0.0
+    # k trims both sides before comparing
+    at2 = {r["query_id"]: r for r in topk_recall(truth, approx, k=2).collect()}
+    assert at2[1]["n_hits"] == 1 and at2[1]["n_truth"] == 2
+
+
+def test_topk_recall_end_to_end_lsh(spark):
+    from dftly_spark.ops import brute_force_topk, lsh_bucket_topk, topk_recall
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_force_topk(emb, q, k=5)
+    approx = lsh_bucket_topk(emb, q, k=5, n_planes=4, seed=42, dim=64)
+    rec = topk_recall(truth, approx)
+    rows = rec.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0 and r["n_truth"] == 5
+        # a query's own vector always buckets with itself: recall > 0
+        assert r["n_hits"] >= 1
