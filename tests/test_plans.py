@@ -108,6 +108,8 @@ def test_all_contract_queries_plan_invariants(spark):
         "x21_bloom_pruned_join",  # 1-row Bloom build side
         "x06_cosine_topk",  # exact top-k must score every (query, corpus)
         # pair: bounded query set broadcast over one corpus scan is the plan
+        "x150_ann_recall",  # embeds x06's brute-force truth side (same
+        # bounded query-set broadcast); the recall join itself is hash
         "x31_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
         "x40_ks_drift",  # 1-row (n_a, n_b) totals broadcast
         "x45_bigram_lm",  # 1-row vocabulary-size (V) broadcast
