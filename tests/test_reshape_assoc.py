@@ -946,3 +946,50 @@ def test_roc_auc_by_group_matches_global_per_slice(spark):
         assert per[g]["auc"] == solo["auc"], g
         assert per[g]["n_pos"] == solo["n_pos"]
     assert per["a"]["auc"] > per["b"]["auc"]  # separation order preserved
+
+
+def test_dedup_lines_matches_python_model(spark):
+    """Batched Hypothesis property: dedup_lines ≡ a pure-Python model of
+    the documented semantics (corpus-wide count over eligible lines, drop
+    eligible lines with count > max_df, exempt short lines, rebuild in
+    order, keep all-dropped docs with empty text)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dftly_spark.ops import dedup_lines
+
+    words = st.sampled_from(["a", "bb", "ccc", "dd dd", "boiler plate", ""])
+    doc = st.lists(words, min_size=1, max_size=6).map("\n".join)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8), st.integers(1, 3), st.integers(0, 3))
+    def _prop(texts, max_df, min_chars):
+        # python model
+        from collections import Counter
+
+        cnt = Counter()
+        for t in texts:
+            for ln in t.split("\n"):
+                if len(ln) >= min_chars:
+                    cnt[ln] += 1
+        expect = {}
+        for i, t in enumerate(texts):
+            kept = [
+                ln for ln in t.split("\n")
+                if len(ln) < min_chars or cnt[ln] <= max_df
+            ]
+            total = len(t.split("\n"))
+            expect[i] = ("\n".join(kept), len(kept), total - len(kept))
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_dropped"])
+            for r in dedup_lines(
+                df, max_df=max_df, min_dedup_chars=min_chars
+            ).collect()
+        }
+        assert got == expect
+
+    _prop()
