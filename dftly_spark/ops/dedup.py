@@ -1021,7 +1021,8 @@ def semantic_dedup_pairs(
         kmeans_init=kmeans_init,
     )
     cells = assign_cells(
-        corpus, cents, id_col=id_col, vec_col=vec_col, scorer=scorer
+        corpus, cents, id_col=id_col, vec_col=vec_col, scorer=scorer,
+        n_centroids=n_centroids,
     )
     if max_cell_size is not None:
         from pyspark.sql import Window

@@ -690,10 +690,13 @@ def _resolve_scorer(scorer: str, k: int | None, where: str) -> str:
 
 def _frame_cell_count(cents: DataFrame) -> int:
     """Centroid count of a long-form ``(_cell, _i, _m)`` frame — one
-    bounded 1-row aggregation over the (checkpointed) k×dim frame; only
-    the ``scorer="auto"`` direct-call path needs it (the public ops
-    resolve from their ``n_centroids`` argument instead)."""
-    row = cents.agg(F.max("_cell")).first()
+    bounded 1-row DISTINCT-cell aggregation (robust to sparse or 0-based
+    cell ids, unlike max(_cell)).  Only the ``scorer="auto"`` direct-call
+    path without an ``n_centroids`` hint needs it; the public ops resolve
+    from their own ``n_centroids`` argument, and
+    :func:`choose_centroid_frame` output is checkpointed so the count is
+    a cheap bounded scan — pass the hint for lazily-built frames."""
+    row = cents.agg(F.countDistinct("_cell")).first()
     return int(row[0]) if row and row[0] is not None else 0
 
 
@@ -704,6 +707,7 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scorer: str = "auto",
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """``(_id, _v, _cell)`` — unit-normalized vectors with their nearest
     centroid cell (argmax dot; first/lowest cell wins ties).  Centroids are
@@ -717,16 +721,24 @@ def assign_cells(
     ``scorer`` — ``"auto"`` (default) resolves by centroid count: the
     hash-exact interpreted ``"fold"`` below ``_FOLD_WARN_CELLS``,
     ``"arrow"`` at production k (30–160× on the SCALING.md probes).
-    ``"arrow"`` switches the k×dim score computation to an
-    Arrow-batched numpy matmul (:func:`_assign_cells_arrow`), at the
-    cost of last-ulp score differences (BLAS accumulation order), so
+    With DataFrame centroids the count comes from the ``n_centroids``
+    hint when given, else from one bounded 1-row aggregation over the
+    frame (cheap for the checkpointed :func:`choose_centroid_frame`
+    output; pass the hint for lazily-built frames to avoid the extra
+    plan-build job).  ``"arrow"`` switches the k×dim score computation
+    to an Arrow-batched numpy matmul (:func:`_assign_cells_arrow`), at
+    the cost of last-ulp score differences (BLAS accumulation order), so
     tie-sensitive hash-pinned comparisons should pass ``"fold"``
-    explicitly."""
+    explicitly.  The production-k warning for an explicit ``"fold"``
+    fires once, at the resolving call site (the public ops, or
+    :func:`_resolve_scorer` for direct use)."""
     if scorer == "auto":
-        k = len(cents) if not isinstance(cents, DataFrame) else _frame_cell_count(cents)
-        scorer = _resolve_scorer("auto", k, "assign_cells")
-    elif scorer == "fold" and not isinstance(cents, DataFrame):
-        _warn_fold_at_scale(len(cents), "assign_cells")
+        k = (
+            len(cents)
+            if not isinstance(cents, DataFrame)
+            else (n_centroids if n_centroids is not None else _frame_cell_count(cents))
+        )
+        scorer = "arrow" if k >= _FOLD_WARN_CELLS else "fold"
     if scorer == "arrow":
         return _assign_cells_arrow(corpus, cents, id_col=id_col, vec_col=vec_col)
     if scorer != "fold":
@@ -802,6 +814,9 @@ def topic_assign(
     last-ulp score divergence documented there — pass ``"fold"``
     explicitly for hash-pinned comparisons.
     """
+    # resolve (and fail fast on a typo) BEFORE the centroid fit — a
+    # kmeans build at production k runs minutes of jobs
+    scorer = _resolve_scorer(scorer, n_topics, "topic_assign")
     cents = _centroids_for(
         corpus,
         centroids_as,
@@ -818,7 +833,8 @@ def topic_assign(
         cents,
         id_col=id_col,
         vec_col=vec_col,
-        scorer=_resolve_scorer(scorer, n_topics, "topic_assign"),
+        scorer=scorer,
+        n_centroids=n_topics,
     ).select(F.col("_id").alias(id_col), F.col("_cell").alias("topic"))
 
 

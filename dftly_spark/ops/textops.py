@@ -1177,7 +1177,9 @@ def dedup_lines(
 
     Returns ``(id_col, text, n_lines_kept, n_lines_dropped)``, one row
     per input document — a document whose every line is dropped keeps
-    its row with empty text (filter on ``n_lines_kept`` to drop).
+    its row with empty text (filter on ``n_lines_kept`` to drop), and a
+    NULL ``text`` likewise yields the empty-text row (kept=dropped=0)
+    rather than silently vanishing from the output.
 
     100 TB: one explode, then a map-side-combined ``groupBy`` on the line
     string builds the HOT set (count > ``max_df``) — only hot lines flow
@@ -1191,9 +1193,12 @@ def dedup_lines(
     """
     import re as _re
 
+    # posexplode_OUTER keeps a (NULL, NULL) row for NULL-text documents,
+    # honoring the one-row-per-input-document contract — a NULL text
+    # yields the same empty-text row as an all-dropped document
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+        F.posexplode_outer(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
             "_pos", "_line"
         ),
     )
@@ -1205,7 +1210,7 @@ def dedup_lines(
         .where(F.col("_df") > max_df)
         .select("_line", F.lit(True).alias("_hot"))
     )
-    keep = F.col("_hot").isNull() | ~eligible
+    keep = F.col("_line").isNotNull() & (F.col("_hot").isNull() | ~eligible)
     return (
         lines.join(hot, "_line", "left")
         .groupBy(id_col)
@@ -1213,7 +1218,7 @@ def dedup_lines(
             F.array_sort(
                 F.collect_list(F.when(keep, F.struct("_pos", "_line")))
             ).alias("_kept"),
-            F.count(F.lit(1)).alias("_n_total"),
+            F.count("_line").alias("_n_total"),
         )
         .select(
             F.col(id_col),

@@ -182,6 +182,19 @@ def test_dedup_lines_short_lines_exempt_and_empty_doc_kept(spark):
     assert out[3]["text"] == "" and out[3]["n_lines_kept"] == 0
 
 
+def test_dedup_lines_null_text_keeps_row(spark):
+    from dftly_spark.ops import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "real line here"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df, max_df=1).collect()}
+    # the one-row-per-document contract holds for NULL text too
+    assert out[2]["text"] == ""
+    assert out[2]["n_lines_kept"] == 0 and out[2]["n_lines_dropped"] == 0
+    assert out[1]["text"] == "real line here"
+
+
 def test_dedup_lines_max_df_threshold(spark):
     from dftly_spark.ops import dedup_lines
 
