@@ -6327,7 +6327,9 @@ def _x150_oracle() -> str:
     approx_sql = _x11_oracle()
     return f"""
     WITH truth AS (SELECT * FROM ({truth_sql})),
-    approx AS (SELECT * FROM ({approx_sql})),
+    -- DISTINCT matches topk_recall's left_semi semantics: a duplicate
+    -- (query_id, vec_id) in the approx frame must not double-count a hit
+    approx AS (SELECT DISTINCT query_id, vec_id FROM ({approx_sql})),
     per AS (
       SELECT t.query_id, count(*) AS n_truth, count(a.vec_id) AS n_hits
       FROM truth t

@@ -1004,7 +1004,16 @@ def semantic_dedup_pairs(
     vectors, so a cosine sitting exactly on ``threshold`` can move one
     ulp and flip — the last-ulp caveat documented at
     :func:`~dftly_spark.ops.similarity.assign_cells` applies to the pair
-    set too, which is why the hash-pinned gates stay on "fold".
+    set too.
+
+    .. note:: *changed in round 12* — the default moved from
+       ``scorer="fold"`` to ``"auto"``, which resolves to ``"arrow"``
+       at ``n_centroids`` ≥ 1024.  The repo's hash-pinned gates stay
+       bit-exact only because they run at gate-scale k (auto → fold
+       there); an existing caller at production k that relied on the
+       old bit-exact default now gets arrow tie behavior — pass
+       ``scorer="fold"`` explicitly to restore it (an info log fires
+       whenever auto resolves to arrow).
     """
     from .similarity import _centroids_for, _resolve_scorer, assign_cells, dot
 

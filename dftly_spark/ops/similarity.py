@@ -666,6 +666,25 @@ def _warn_fold_at_scale(k: int, where: str) -> None:
         )
 
 
+def _log_auto_arrow(k: int, where: str) -> None:
+    """Log (info) that ``scorer="auto"`` picked the Arrow path.
+
+    The arrow matmul diverges from the interpreted fold in the last ulp
+    (BLAS accumulation order), which can flip effectively-tied cell
+    assignments — a hash-pinned pipeline silently flipped onto it by the
+    round-12 default change should see WHY its hashes moved without
+    turning on debug logging."""
+    import logging
+
+    logging.getLogger(__name__).info(
+        "%s: scorer='auto' resolved to 'arrow' at %d centroids "
+        "(>= %d); pass scorer='fold' for bit-exact tie behavior",
+        where,
+        k,
+        _FOLD_WARN_CELLS,
+    )
+
+
 def _resolve_scorer(scorer: str, k: int | None, where: str) -> str:
     """Resolve the ``scorer`` option against the centroid count.
 
@@ -676,9 +695,20 @@ def _resolve_scorer(scorer: str, k: int | None, where: str) -> str:
     oracle-replayable with zero Python-on-data while production shapes
     get the fast path without knowing the flag.  Explicit ``"fold"`` is
     honored always (bit-exact ties) but warns at production k; explicit
-    ``"arrow"`` is honored always."""
+    ``"arrow"`` is honored always.
+
+    .. note:: *changed in round 12* — the default on every centroid
+       consumer moved from ``"fold"`` to ``"auto"``, so callers at
+       k ≥ 1024 now ride the Arrow/BLAS path by default.  Its last-ulp
+       score divergence can flip effectively-tied cell assignments; a
+       hash-pinned pipeline that needs the old bit-exact ties must pass
+       ``scorer="fold"`` explicitly.  When auto resolves to arrow an
+       informational log line is emitted so pinned pipelines notice."""
     if scorer == "auto":
-        return "arrow" if k is not None and k >= _FOLD_WARN_CELLS else "fold"
+        if k is not None and k >= _FOLD_WARN_CELLS:
+            _log_auto_arrow(k, where)
+            return "arrow"
+        return "fold"
     if scorer == "fold":
         if k is not None:
             _warn_fold_at_scale(k, where)
@@ -686,18 +716,6 @@ def _resolve_scorer(scorer: str, k: int | None, where: str) -> str:
     if scorer == "arrow":
         return "arrow"
     raise ValueError(f"scorer must be 'auto', 'fold', or 'arrow', got {scorer!r}")
-
-
-def _frame_cell_count(cents: DataFrame) -> int:
-    """Centroid count of a long-form ``(_cell, _i, _m)`` frame — one
-    bounded 1-row DISTINCT-cell aggregation (robust to sparse or 0-based
-    cell ids, unlike max(_cell)).  Only the ``scorer="auto"`` direct-call
-    path without an ``n_centroids`` hint needs it; the public ops resolve
-    from their own ``n_centroids`` argument, and
-    :func:`choose_centroid_frame` output is checkpointed so the count is
-    a cheap bounded scan — pass the hint for lazily-built frames."""
-    row = cents.agg(F.countDistinct("_cell")).first()
-    return int(row[0]) if row and row[0] is not None else 0
 
 
 def assign_cells(
@@ -722,10 +740,10 @@ def assign_cells(
     hash-exact interpreted ``"fold"`` below ``_FOLD_WARN_CELLS``,
     ``"arrow"`` at production k (30–160× on the SCALING.md probes).
     With DataFrame centroids the count comes from the ``n_centroids``
-    hint when given, else from one bounded 1-row aggregation over the
-    frame (cheap for the checkpointed :func:`choose_centroid_frame`
-    output; pass the hint for lazily-built frames to avoid the extra
-    plan-build job).  ``"arrow"`` switches the k×dim score computation
+    hint; WITHOUT the hint auto resolves to ``"fold"`` (with a warning)
+    rather than counting the frame, because counting would run an eager
+    Spark job at plan-build time — re-executing a lazily-built centroid
+    pipeline.  ``"arrow"`` switches the k×dim score computation
     to an Arrow-batched numpy matmul (:func:`_assign_cells_arrow`), at
     the cost of last-ulp score differences (BLAS accumulation order), so
     tie-sensitive hash-pinned comparisons should pass ``"fold"``
@@ -733,12 +751,35 @@ def assign_cells(
     fires once, at the resolving call site (the public ops, or
     :func:`_resolve_scorer` for direct use)."""
     if scorer == "auto":
+        # DataFrame centroids WITHOUT an n_centroids hint: resolve to the
+        # hash-exact fold rather than counting the frame — counting would
+        # run an eager Spark action at plan-BUILD time, silently executing
+        # the whole upstream pipeline (e.g. a kmeans fit) an extra time for
+        # a lazily-built frame.  Callers at production k pass the hint (or
+        # scorer='arrow') to get the fast path; the warning says so.
         k = (
             len(cents)
             if not isinstance(cents, DataFrame)
-            else (n_centroids if n_centroids is not None else _frame_cell_count(cents))
+            else n_centroids
         )
-        scorer = "arrow" if k >= _FOLD_WARN_CELLS else "fold"
+        if k is None:
+            import warnings
+
+            warnings.warn(
+                "assign_cells: scorer='auto' with DataFrame centroids and "
+                "no n_centroids hint resolves to the hash-exact 'fold' "
+                "scorer (counting the frame would run an eager job at "
+                "plan-build time); pass n_centroids= or scorer='arrow' "
+                "for the fast path at k >= 1024",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            scorer = "fold"
+        elif k >= _FOLD_WARN_CELLS:
+            _log_auto_arrow(k, "assign_cells")
+            scorer = "arrow"
+        else:
+            scorer = "fold"
     if scorer == "arrow":
         return _assign_cells_arrow(corpus, cents, id_col=id_col, vec_col=vec_col)
     if scorer != "fold":

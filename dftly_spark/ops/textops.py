@@ -1095,6 +1095,17 @@ def shared_affix_counts(
     )
 
 
+def _java_literal_regex(s: str) -> str:
+    """Quote ``s`` as a LITERAL for Java's regex engine (``F.split``
+    patterns are java.util.regex, NOT Python re).  Uses ``\\Q…\\E``
+    quoting with Pattern.quote's own ``\\E``-in-literal rewrite, so any
+    separator — multi-char, metachar-heavy, even one containing a
+    literal ``\\E`` — splits verbatim.  (Python ``re.escape`` happened
+    to be Java-compatible for practical separators, but the coupling
+    was implicit; this is airtight by construction.)"""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def line_filter(
     df,
     id_col: str = "doc_id",
@@ -1122,9 +1133,7 @@ def line_filter(
     (`filter`/`array_join`) inside whole-stage codegen, no shuffle, no
     UDF.  The doc-level filter pushes into the same stage.
     """
-    import re as _re
-
-    lines = F.split(F.col(text_col), _re.escape(sep), -1)
+    lines = F.split(F.col(text_col), _java_literal_regex(sep), -1)
 
     def _keep(x):
         # whitespace WORDS: split on \s+ and drop empties, so runs of
@@ -1191,16 +1200,14 @@ def dedup_lines(
     hash-collision false drops; shuffle partitioning hashes the string
     anyway, and the bytes must travel once for the equality check.
     """
-    import re as _re
-
     # posexplode_OUTER keeps a (NULL, NULL) row for NULL-text documents,
     # honoring the one-row-per-input-document contract — a NULL text
     # yields the same empty-text row as an all-dropped document
     lines = df.select(
         F.col(id_col),
-        F.posexplode_outer(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
-            "_pos", "_line"
-        ),
+        F.posexplode_outer(
+            F.split(F.col(text_col), _java_literal_regex(sep), -1)
+        ).alias("_pos", "_line"),
     )
     eligible = F.length(F.col("_line")) >= min_dedup_chars
     hot = (
