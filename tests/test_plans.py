@@ -147,6 +147,70 @@ def test_all_contract_queries_plan_invariants(spark):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name} nested-loops"
 
 
+def _iter_physical_nodes(node):
+    """Depth-first walk of a SparkPlan via py4j, piercing the two wrappers
+    that hide children from ``children()``: AdaptiveSparkPlan (AQE holds
+    the real plan in ``inputPlan``) and InMemoryTableScan (the cached
+    relation's plan)."""
+    yield node
+    name = node.nodeName()
+    if name.startswith("AdaptiveSparkPlan"):
+        try:
+            yield from _iter_physical_nodes(node.inputPlan())
+            return
+        except Exception:
+            pass
+    if name.startswith("InMemoryTableScan"):
+        try:
+            yield from _iter_physical_nodes(node.relation().cachedPlan())
+            return
+        except Exception:
+            pass
+    for i in range(node.children().size()):
+        yield from _iter_physical_nodes(node.children().apply(i))
+
+
+# Queries whose FINAL plan carries an unpartitioned WindowExec — every one
+# is the bounded two-level scan of ops/scale.py partitioned_cumsum: the
+# global window runs over exactly `buckets` (default 64) per-bucket offset
+# rows, never over data.  Any other op growing an unpartitioned window is
+# a single-reducer global sort over real data — the bug class behind the
+# 46 "No Partition Defined for Window" gate-log warnings this sweep pins
+# down.  (The x12/x46/x50/x56 warnings in those logs come from EAGER
+# centroid-init jobs at plan-BUILD time — k-row init windows, also
+# bounded — which never appear in the consumer plans swept here.)
+UNPARTITIONED_WINDOW_ALLOWED = {
+    "x40_ks_drift": 1,  # partitioned_cumsum bucket offsets (scale.py)
+    "x65_key_skew": 1,  # same, via key_skew_profile (profile.py)
+    "x99_roc_auc": 1,  # same, via roc_auc's rank cumsum (quality.py)
+}
+
+
+def test_no_unpartitioned_window_outside_allowlist(spark):
+    """Sweep every queries() entry: a WindowExec with an empty partition
+    spec moves ALL data to one partition — fatal at 100 TB.  The only
+    sanctioned shape is partitioned_cumsum's bucket-offset window (a
+    bounded ~64-row frame), pinned per-query above with exact counts so
+    a new one can't hide behind an existing allowance."""
+    import __spark_entry__ as entry
+
+    got = {}
+    for name, fn in entry.queries().items():
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan()
+        cnt = sum(
+            1
+            for nd in _iter_physical_nodes(plan)
+            if nd.nodeName() == "Window" and nd.partitionSpec().isEmpty()
+        )
+        if cnt:
+            got[name] = cnt
+    assert got == UNPARTITIONED_WINDOW_ALLOWED, (
+        f"unpartitioned WindowExec drift: got {got}, "
+        f"allowed {UNPARTITIONED_WINDOW_ALLOWED}"
+    )
+
+
 def test_centroid_broadcast_join_mode_has_no_plan_literals(spark):
     """centroids_as="broadcast_join" (the default) must keep the k×dim
     centroid matrix OUT of the plan: no literal array floats, the matrix
