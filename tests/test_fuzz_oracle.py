@@ -622,3 +622,193 @@ def test_fuzzed_agg_specs_match_duckdb(spark, seed):
             f"column {c} mismatch (seed {seed})\n"
             f"spec: {select[c]}\nwhere: {where_d}\nsql:\n{sql}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Op-level model fuzz for the round-12 surface (r12 verdict item 3): each of
+# the three newest ops has exactly ONE oracle shape in the contract gates;
+# these Hypothesis suites fuzz the input space the gates can't reach —
+# separator edge cases, rank ties / duplicate candidates, and the null
+# exclusion policies — against pure-Python models of the documented
+# semantics.  Batched like test_reshape_assoc's dedup_lines model test:
+# one @given function driving many small Spark jobs.
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_dedup_lines_separators(spark):
+    """dedup_lines ≡ Python model under adversarial separators: multi-char,
+    CRLF, regex metachars ('.', '*', '||'), a literal '\\E' (the
+    Pattern.quote rewrite case), separators at document ends, and sep
+    FRAGMENTS inside lines ('|' content with '||' sep).  The model splits
+    the joined text with Python's literal str.split — the op's Java
+    \\Q…\\E split must agree exactly."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dftly_spark.ops import dedup_lines
+
+    seps = st.sampled_from(["\n", "\r\n", "||", "<EOL>", ".", "*", "\\E"])
+    # "|" is a deliberate sep-fragment line for the "||" separator; join-
+    # then-split need not round-trip the line LISTS (that ambiguity is
+    # inherent to text), so the model operates on the joined TEXT.
+    words = st.sampled_from(["a", "bb", "ccc", "dd dd", "boiler plate", "", "|"])
+    docs = st.lists(
+        st.lists(words, min_size=1, max_size=6), min_size=1, max_size=8
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(seps, docs, st.integers(1, 2), st.integers(0, 3))
+    def _prop(sep, line_lists, max_df, min_chars):
+        texts = [sep.join(lines) for lines in line_lists]
+        cnt = Counter()
+        for t in texts:
+            for ln in t.split(sep):
+                if len(ln) >= min_chars:
+                    cnt[ln] += 1
+        expect = {}
+        for i, t in enumerate(texts):
+            parts = t.split(sep)
+            kept = [
+                ln for ln in parts if len(ln) < min_chars or cnt[ln] <= max_df
+            ]
+            expect[i] = (sep.join(kept), len(kept), len(parts) - len(kept))
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_dropped"])
+            for r in dedup_lines(
+                df, sep=sep, max_df=max_df, min_dedup_chars=min_chars
+            ).collect()
+        }
+        assert got == expect, (sep, texts)
+
+    _prop()
+
+
+def test_fuzz_topk_recall_ties_and_duplicates(spark):
+    """topk_recall ≡ Python model with rank TIES at the k cutoff and
+    DUPLICATE (query, id) rows in the approx frame: duplicates must not
+    double-count a hit (left_semi semantics — the r12 advice note), tied
+    truth ranks all pass the rank<=k filter, truth-only queries score 0,
+    and approx-only queries are absent from the output."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dftly_spark.ops import topk_recall
+
+    truth_rows = st.lists(
+        st.tuples(
+            st.integers(0, 2),  # query_id
+            st.integers(0, 9),  # vec_id
+            st.integers(1, 4),  # rank (ties allowed)
+        ),
+        min_size=1,
+        max_size=18,
+        unique_by=lambda r: (r[0], r[1]),  # truth ids distinct per query
+    )
+    approx_rows = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 9), st.integers(1, 4)),
+        min_size=0,
+        max_size=18,  # duplicates allowed — the adversarial case
+    )
+    ks = st.sampled_from([None, 1, 2, 3])
+
+    @settings(max_examples=15, deadline=None)
+    @given(truth_rows, approx_rows, ks)
+    def _prop(t_rows, a_rows, k):
+        tk = [r for r in t_rows if k is None or r[2] <= k]
+        ak = {(q, v) for q, v, r in a_rows if k is None or r <= k}
+        expect = {}
+        for q in {r[0] for r in tk}:
+            mine = [(qq, v) for qq, v, _ in tk if qq == q]
+            hits = sum(1 for key in mine if key in ak)
+            expect[q] = (hits, len(mine), hits / len(mine))
+
+        schema = "query_id int, vec_id int, rank int"
+        truth = spark.createDataFrame(t_rows, schema)
+        approx = (
+            spark.createDataFrame(a_rows, schema)
+            if a_rows
+            else spark.createDataFrame([], schema)
+        )
+        got = {
+            r["query_id"]: (r["n_hits"], r["n_truth"], r["recall"])
+            for r in topk_recall(truth, approx, k=k).collect()
+        }
+        assert got == expect, (t_rows, a_rows, k)
+
+    _prop()
+
+
+def test_fuzz_token_budget_sample_null_policy(spark):
+    """token_budget_sample ≡ Python model across the documented exclusion
+    gates: null ids, non-bigint-castable string ids, null groups, groups
+    absent from a dict budget, and null/negative token counts — plus the
+    LCG order and the budget-crossing-row-included rule."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dftly_spark.ops import token_budget_sample
+
+    _A, _C, _M = 1103515245, 12345, 2**31
+
+    ids = st.lists(
+        st.sampled_from(
+            [None, "x", "", "0", "1", "2", "3", "5", "7", "11", "12", "40", "99"]
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+    groups = st.sampled_from(["a", "b", None])
+    toks = st.sampled_from([None, -3, 0, 1, 2, 5, 9])
+    budgets = st.sampled_from([0, 1, 4, 10, {"a": 3}, {"a": 2, "b": 6}])
+
+    @settings(max_examples=15, deadline=None)
+    @given(ids, st.data())
+    def _prop(id_list, data):
+        rows = [
+            (i, data.draw(groups), data.draw(toks)) for i in id_list
+        ]
+        budget = data.draw(budgets)
+
+        def ordk(s):
+            try:
+                v = int(s)
+            except (TypeError, ValueError):
+                return None
+            return (v * _A + _C) % _M
+
+        by_group = {}
+        for i, g, n in rows:
+            o = ordk(i)
+            if o is None or g is None or n is None or n < 0:
+                continue
+            if isinstance(budget, dict) and g not in budget:
+                continue
+            by_group.setdefault(g, []).append((o, i, n))
+        expect = set()
+        for g, items in by_group.items():
+            b = budget[g] if isinstance(budget, dict) else budget
+            items.sort()
+            cum = 0
+            for _, i, n in items:
+                if cum >= b:
+                    break
+                cum += n
+                expect.add((i, g, n, cum))
+
+        df = spark.createDataFrame(rows, "doc_id string, src string, n int")
+        got = {
+            (r["doc_id"], r["src"], r["n_tokens"], r["cum_tokens"])
+            for r in token_budget_sample(
+                df, "src", budget, id_col="doc_id", n_tokens_col="n", buckets=4
+            ).collect()
+        }
+        assert got == expect, (rows, budget)
+
+    _prop()
