@@ -131,6 +131,14 @@ def fuzzy_join(
     complements ``token_order="df"`` (which keeps hot grams OUT of
     prefixes where the order allows) and AQE skew splitting (which can
     only split a key's rows, not a single key's join fan-out).
+
+    Production recipe (measured — SCALING.md Zipf growth probe, round
+    13): under a Zipf token distribution the hash order's candidate
+    volume grows ~quadratically with corpus size (×58 at 8× growth)
+    while ``token_order="df"`` holds it exactly linear (×8 at 8×,
+    tracking the true pair count); pair sets are identical.  At 100 TB
+    pass ``token_order="df"`` with ``max_prefix_df`` as the
+    shuffle-layout insurance for residual hot keys.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
