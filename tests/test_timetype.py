@@ -112,3 +112,34 @@ def test_native_time_roundtrip_through_engine(spark):
     import datetime
 
     assert back[0]["t"] == datetime.time(7, 8, 9, 500000)
+
+
+def _qseries_names():
+    import __spark_entry__ as entry
+
+    return sorted(n for n in entry.queries() if n.startswith("q"))
+
+
+@pytest.mark.parametrize("name", _qseries_names())
+def test_qseries_identical_under_time_flag(spark, name):
+    """Full q-series TIME-flag matrix (r12 verdict item 5): every
+    reference-surface query must produce IDENTICAL rows with
+    ``spark.sql.timeType.enabled`` off and on.  The engine's internal
+    time representation is the tagged micros bigint on both legs; this
+    pins that no lowering (accessors, set_time, strptime, casts) drifts
+    when the session's native TIME type is live — the failure mode when
+    a future Spark flips the flag default and e.g. a string→time cast
+    starts resolving to the native type.  (q26 enables the flag for
+    itself on both legs by design — the bridge query.)"""
+    import __spark_entry__ as entry
+
+    fn = entry.queries()[name]
+    sf = "/root/testdata/sf0.001"
+    legs = {}
+    for flag in ("false", "true"):
+        spark.conf.set("spark.sql.timeType.enabled", flag)
+        try:
+            legs[flag] = sorted(map(repr, fn(spark, sf).collect()))
+        finally:
+            spark.conf.set("spark.sql.timeType.enabled", "false")
+    assert legs["false"] == legs["true"], f"{name} drifts under TIME flag"
