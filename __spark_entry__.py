@@ -1,8479 +1,18 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract shim: the real contract is ``dftly_spark.contract``.
 
-Every query here runs THROUGH the dftly-spark engine (``Parser.select`` /
-``Parser.expr_to_spark``) — the DuckDB oracles check the engine end-to-end,
-not hand-written Spark.  Coverage maps 1:1 onto SURVEY.md §2's 50-node
-inventory; query names say which nodes they exercise.
-
-Caller-side operations the expression language deliberately lacks (joins,
-aggregation — SURVEY.md §2.3) are done with plain Spark around the engine's
-expressions, exactly how the reference is used with Polars.
+The driver imports this repo-root module for ``entry`` / ``queries`` /
+``oracle_sql`` (and ``bench.py`` additionally for ``warm_caches``).  The
+8.5k-line query/oracle corpus that used to live here was split into
+``dftly_spark/contract/`` in round 13 (one module per wave, registration
+order preserved by the package's import order); this file stays a thin
+re-export so every existing entry point keeps working unchanged.
 """
 
-from __future__ import annotations
-
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from dftly_spark import Parser
-from dftly_spark.sqlgen import exact_sum, portable_round
-
-
-def _prep(spark: SparkSession) -> None:
-    # Naive timestamps everywhere; comparisons against DuckDB assume UTC.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.timeParserPolicy", "CORRECTED")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # events.ts has shipped as both TIMESTAMP(NANOS) (readable only as
-        # nanos-long, legacy conf set in _prep) and TIMESTAMP(MICROS)
-        # (reads as timestamp_ntz); normalize either to plain timestamp.
-        from dftly_spark.io import normalize_event_ts
-
-        df = normalize_event_ts(df)
-    return df
-
-
-_TOK = "__tokens"
-
-
-def _docs_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents table + shared cached token-array column (`__tokens`).
-
-    One tokenization per (session, sf_dir), persisted and reused by the
-    whole text-op cluster (x02/x03/x14/x15/x24/x31/x32/x35/x37/x45/x52/x54)
-    — the session-scoped analog of writing the tokenized corpus to a
-    bucketed table once (ops/corpus.py).  Oracles are unchanged: the cached
-    arrays are byte-identical to each op's own tokenization.
-    """
-    from dftly_spark.ops import tokenized_docs
-
-    return tokenized_docs(
-        _t(spark, sf_dir, "documents"), cache_key=f"documents:{sf_dir}"
-    )
-
-
-def _spec_query(table: str, spec: dict[str, str]):
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _prep(spark)
-        return Parser.select(_t(spark, sf_dir, table), spec)
-
-    return run
-
-
-
-def _pq_schema(table: str) -> dict[str, str]:
-    """dftly dtype tags for a testdata table, read from the parquet footer
-    (no Spark session needed — oracle callables resolve driver-side).
-
-    The oracle API carries no sf_dir, so the dataset is resolved from the
-    gate env var, falling back to the bench-wide one, then the driver's
-    sf0.01 default.  A runner pairing queries()[name](spark, other_dir)
-    with oracle_sql() must export one of these so both sides are typed
-    from the SAME parquet footers (regenerated data has flipped dtypes
-    between rounds before)."""
-    import os
-    import pyarrow.parquet as pq
-
-    sf = os.environ.get(
-        "SPARK_GRAFT_GATE_SF_DIR",
-        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
-    )
-    ar = {"int64": "int64", "int32": "int32", "double": "float64",
-          "float": "float32", "string": "str", "large_string": "str",
-          "bool": "bool", "date32[day]": "date"}
-    out = {}
-    for f in pq.read_schema(f"{sf}/{table}.parquet"):
-        t = str(f.type)
-        out[f.name] = "datetime" if t.startswith("timestamp") else ar.get(t, t)
-    return out
-
-
-def _spec_oracle(table: str, spec: dict[str, str]):
-    """Machine-generated DuckDB oracle for a ``_spec_query`` entry: the
-    SAME spec the Spark side consumes, emitted through sqlgen — one
-    definition per query, no hand-mirrored scalar anywhere (round 7;
-    q23's uint-widening spec stays hand-written: DuckDB's HUGEINT
-    widening diverges from the engine's documented recast)."""
-
-    def gen() -> str:
-        from dftly_spark.sqlgen import spec_to_duckdb_sql
-
-        cols = spec_to_duckdb_sql(spec, _pq_schema(table))
-        return (
-            "SELECT "
-            + ", ".join(f"{sql} AS {name}" for name, sql in cols.items())
-            + f" FROM {table}"
-        )
-
-    return gen
-
-
-# ---------------------------------------------------------------------------
-# Query definitions: (spark builder, oracle SQL)
-# ---------------------------------------------------------------------------
-
-_DEFS: dict[str, tuple[Callable, str | None]] = {}
-
-
-def _q(name: str, builder: Callable, oracle) -> None:
-    """Register a query.  ``oracle`` is an ANSI-SQL string, a zero-arg
-    callable returning one (resolved lazily at ``oracle_sql()`` time — for
-    oracles whose literals depend on the gate's sf dir, like x56's fitted
-    centroids), or None for rows-only checks."""
-    _DEFS[name] = (builder, oracle)
-
-
-_Q01_SPEC = {
-            "ok": "$l_orderkey",
-            "ln": "$l_linenumber",
-            "revenue": "$l_extendedprice * (1 - $l_discount)",
-            "total_plus_tax": "$l_extendedprice * (1 - $l_discount) * (1 + $l_tax)",
-            "qty_plus_line": "$l_quantity + $l_linenumber",
-            "price_minus_disc": "$l_extendedprice - $l_discount",
-            "unit_price": "$l_extendedprice / $l_quantity",
-        }
-
-_q(
-    "q01_project_arith",
-    _spec_query("lineitem", _Q01_SPEC),
-    _spec_oracle("lineitem", _Q01_SPEC),
+from dftly_spark.contract import (  # noqa: F401
+    _agg_spec_query,  # reached by tests/test_fuzz_oracle.py's x128 harness
+    _pq_schema,
+    entry,
+    oracle_sql,
+    queries,
+    warm_caches,
 )
-
-_Q02_SPEC = {
-            "ok": "$l_orderkey",
-            "ln": "$l_linenumber",
-            "sq_int": "$l_linenumber ** 2",
-            "sq_disc": "$l_discount ** 2",
-            "root_price": "$l_extendedprice ** 0.5",
-        }
-
-_q(
-    "q02_power",
-    _spec_query("lineitem", _Q02_SPEC),
-    _spec_oracle("lineitem", _Q02_SPEC),
-)
-
-_Q03_SPEC = {
-            "ok": "$l_orderkey",
-            "ln": "$l_linenumber",
-            "neg_qty": "-$l_quantity",
-            "not_a": "not ($l_returnflag == 'A')",
-            "combo": "$l_discount > 0.02 and $l_tax < 0.06 or $l_quantity > 30",
-        }
-
-_q(
-    "q03_unary_bool",
-    _spec_query("lineitem", _Q03_SPEC),
-    _spec_oracle("lineitem", _Q03_SPEC),
-)
-
-_Q04_SPEC = {
-            "ok": "$l_orderkey",
-            "ln": "$l_linenumber",
-            "gt": "$l_extendedprice > 20000",
-            "lt": "$l_discount < 0.05",
-            "eq": "$l_returnflag == 'R'",
-            "ne": "$l_linestatus != 'O'",
-            "ge": "$l_quantity >= 25",
-            "le": "$l_tax <= 0.03",
-        }
-
-_q(
-    "q04_comparisons",
-    _spec_query("lineitem", _Q04_SPEC),
-    _spec_oracle("lineitem", _Q04_SPEC),
-)
-
-_Q05_SPEC = {
-            "ok": "$l_orderkey",
-            "ln": "$l_linenumber",
-            "lo": "min($l_discount, $l_tax, 0.04)",
-            "hi": "max($l_discount, $l_tax, 0.04)",
-            "avg2": "mean($l_discount, $l_tax)",
-        }
-
-_q(
-    "q05_minmax_mean",
-    _spec_query("lineitem", _Q05_SPEC),
-    _spec_oracle("lineitem", _Q05_SPEC),
-)
-
-_Q06_SPEC = {
-            "ok": "$l_orderkey",
-            "ln": "$l_linenumber",
-            "maybe_disc": "$l_discount if $l_discount > 0.05",
-            "disc_or_tax": "($l_discount if $l_discount > 0.05) ?? $l_tax",
-            "bucket": "'high' if $l_extendedprice > 30000 else ('mid' if $l_extendedprice > 10000 else 'low')",
-        }
-
-_q(
-    "q06_conditional_coalesce",
-    _spec_query("lineitem", _Q06_SPEC),
-    _spec_oracle("lineitem", _Q06_SPEC),
-)
-
-_Q07_SPEC = {
-            "ok": "$l_orderkey",
-            "ln": "$l_linenumber",
-            "qty_int": "$l_quantity::int",
-            "qty_long": "$l_quantity::int64",
-            "ln_str": "$l_linenumber::str",
-            "ln_bool": "($l_linenumber - 1)::bool",
-            "roundtrip": "$l_linenumber::str::float64",
-            "bad_float": "$l_returnflag::?float64",
-        }
-
-_q(
-    "q07_casts",
-    _spec_query("lineitem", _Q07_SPEC),
-    _spec_oracle("lineitem", _Q07_SPEC),
-)
-
-_Q08_SPEC = {
-            "ok": "$l_orderkey",
-            "ln": "$l_linenumber",
-            "yr_date": "(1990 + $l_linenumber)::year",
-        }
-
-_q(
-    "q08_year_date",
-    _spec_query("lineitem", _Q08_SPEC),
-    _spec_oracle("lineitem", _Q08_SPEC),
-)
-
-_Q09_SPEC = {
-            "ok": "$l_orderkey",
-            "ln": "$l_linenumber",
-            "min_s": "$l_linenumber::minutes::total_seconds",
-            "hr_s": "$l_linenumber::hours::total_seconds",
-            "wk_d": "$l_linenumber::weeks::total_days",
-            "mo_s": "$l_linenumber::months::total_seconds",
-            "yr_s": "$l_linenumber::years::total_seconds",
-            "ms_us": "$l_linenumber::milliseconds::total_microseconds",
-            "us_ns": "$l_linenumber::microseconds::total_nanoseconds",
-            "s_ms": "$l_linenumber::seconds::total_milliseconds",
-        }
-
-_q(
-    "q09_duration_units",
-    _spec_query("lineitem", _Q09_SPEC),
-    _spec_oracle("lineitem", _Q09_SPEC),
-)
-
-_Q10_SPEC = {
-            "ok": "$o_orderkey",
-            "y": "$o_orderdate::year_of_date::int64",
-            "m": "$o_orderdate::month_of_year::int64",
-            "d": "$o_orderdate::day_of_month::int64",
-            "dow": "$o_orderdate::day_of_week::int64",
-            "doy": "$o_orderdate::day_of_year::int64",
-            "woy": "$o_orderdate::week_of_year::int64",
-            "q": "$o_orderdate::quarter_of_year::int64",
-        }
-
-_q(
-    "q10_dt_components",
-    _spec_query("orders", _Q10_SPEC),
-    _spec_oracle("orders", _Q10_SPEC),
-)
-
-_Q11_SPEC = {
-            "ev": "$event_id",
-            "h": "$ts::hour_of_day::int64",
-            "mi": "$ts::minute_of_hour::int64",
-            "s": "$ts::second_of_minute::int64",
-        }
-
-_q(
-    "q11_time_components",
-    _spec_query("events", _Q11_SPEC),
-    _spec_oracle("events", _Q11_SPEC),
-)
-
-_Q12_SPEC = {
-            "ok": "$o_orderkey",
-            "at_1845": "$o_orderdate @ 18:45",
-        }
-
-_q(
-    "q12_set_time",
-    _spec_query("orders", _Q12_SPEC),
-    _spec_oracle("orders", _Q12_SPEC),
-)
-
-
-def _q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _prep(spark)
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    joined = li.join(
-        F.broadcast(orders.select("o_orderkey", "o_orderdate")),
-        li.l_orderkey == F.col("o_orderkey"),
-    )
-    spec = {
-        "ok": "$l_orderkey",
-        "ln": "$l_linenumber",
-        "lag_days": "($l_shipdate - $o_orderdate)::total_days",
-        "lag_hours": "($l_shipdate - $o_orderdate)::total_hours",
-        "lag_minutes": "($l_shipdate - $o_orderdate)::total_minutes",
-        "lag_seconds": "($l_shipdate - $o_orderdate)::total_seconds",
-        "lag_micros": "($l_shipdate - $o_orderdate)::total_microseconds",
-    }
-    return Parser.select(joined, spec)
-
-
-_q(
-    "q13_ts_diff_totals",
-    _q13,
-    """
-    SELECT l_orderkey AS ok, l_linenumber AS ln,
-           date_diff('microsecond', o_orderdate, l_shipdate) // 86400000000 AS lag_days,
-           date_diff('microsecond', o_orderdate, l_shipdate) // 3600000000 AS lag_hours,
-           date_diff('microsecond', o_orderdate, l_shipdate) // 60000000 AS lag_minutes,
-           date_diff('microsecond', o_orderdate, l_shipdate) // 1000000 AS lag_seconds,
-           date_diff('microsecond', o_orderdate, l_shipdate) AS lag_micros
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    """,
-)
-
-_Q14_SPEC = {
-            "ok": "$o_orderkey",
-            "due30": "$o_orderdate + 30::days",
-            "due_var": "$o_orderdate + ($o_custkey::int)::minutes",
-        }
-
-_q(
-    "q14_add_duration",
-    _spec_query("orders", _Q14_SPEC),
-    _spec_oracle("orders", _Q14_SPEC),
-)
-
-
-def _q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _prep(spark)
-    orders = _t(spark, sf_dir, "orders").withColumns(
-        {
-            "ds": F.date_format("o_orderdate", "yyyy-MM-dd"),
-            "dts": F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
-        }
-    )
-    return Parser.select(
-        orders,
-        {
-            "ok": "$o_orderkey",
-            "d": "$ds::'%Y-%m-%d'",
-            "dt": "$dts::'%Y-%m-%d %H:%M:%S'",
-            "bad": "$ds::?'%d/%m/%Y'",
-        },
-    )
-
-
-_q(
-    "q15_strptime",
-    _q15,
-    """
-    SELECT o_orderkey AS ok,
-           CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS d,
-           strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS dt,
-           CAST(try_strptime(strftime(o_orderdate, '%Y-%m-%d'), '%d/%m/%Y') AS DATE) AS bad
-    FROM orders
-    """,
-)
-
-
-def _q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _prep(spark)
-    events = _t(spark, sf_dir, "events").withColumn(
-        "ts_s", F.date_format("ts", "HH:mm:ss")
-    )
-    return Parser.select(
-        events,
-        {
-            "ev": "$event_id",
-            "t_us": "$ts_s::'%H:%M:%S'",
-            "t_hour": "$ts_s::'%H:%M:%S'::hour_of_day::int64",
-        },
-    )
-
-
-_q(
-    "q16_time_type",
-    _q16,
-    """
-    SELECT event_id AS ev,
-           (hour(ts) * 3600 + minute(ts) * 60 + CAST(FLOOR(second(ts)) AS BIGINT))
-             * 1000000 AS t_us,
-           hour(ts) AS t_hour
-    FROM events
-    """,
-)
-
-_Q17_SPEC = {
-            "pk": "$p_partkey",
-            "has_digit": "/[0-9]+/ in $p_name",
-            "first_word": "extract /[a-z]+/ from $p_name",
-            "brand_num": "extract group 1 of /Brand#([0-9]+)/ from $p_brand",
-            "no_match": "extract /[0-9]{5}/ from $p_name",
-        }
-
-_q(
-    "q17_regex",
-    _spec_query("part", _Q17_SPEC),
-    _spec_oracle("part", _Q17_SPEC),
-)
-
-_Q18_SPEC = {
-            "pk": "$p_partkey",
-            "s1": "$p_name[0:5]",
-            "s2": "$p_name[-3:]",
-            "s3": "$p_name[2:-2]",
-            "s4": "$p_name[1:]",
-            "chain": "$p_name[0:6][1:3]",
-            "func": "substring($p_name, 1, 4)",
-            "func_long": "substring($p_name, 1, 100)",
-        }
-
-_q(
-    "q18_substring",
-    _spec_query("part", _Q18_SPEC),
-    _spec_oracle("part", _Q18_SPEC),
-)
-
-_Q19_SPEC = {
-            "pk": "$p_partkey",
-            "label": 'f"{$p_brand}//{$p_type}"',
-            "braced": 'f"{{{$p_brand}}}"',
-            "name_len": "len_chars($p_name)::int64",
-            "mixed": 'f"{$p_size} x {$p_name}"',
-        }
-
-_q(
-    "q19_interp_len",
-    _spec_query("part", _Q19_SPEC),
-    _spec_oracle("part", _Q19_SPEC),
-)
-
-def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _prep(spark)
-    # split flows through the engine; the array is then projected to a
-    # delimited string caller-side because the driver's canonicalizer cannot
-    # hash array cells (pandas "unhashable type: list").  Element fidelity is
-    # preserved: \x1f cannot appear in the data.
-    out = Parser.select(
-        _t(spark, sf_dir, "part"),
-        {"pk": "$p_partkey", "words": "split($p_name, ' ')"},
-    )
-    return out.select(
-        "pk",
-        F.concat_ws("\x1f", "words").alias("words"),
-        F.size("words").cast("bigint").alias("n_splits"),
-    )
-
-
-_q(
-    "q20_split",
-    _q20,
-    """
-    SELECT p_partkey AS pk,
-           array_to_string(string_split(p_name, ' '), chr(31)) AS words,
-           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_splits
-    FROM part
-    """,
-)
-
-
-def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _prep(spark)
-    cust = _t(spark, sf_dir, "customer")
-    cols = Parser.to_spark(
-        {
-            "h": "hash($c_name)",
-            "sh": "signed_hash($c_name)",
-            "h_null": "hash($c_name if $c_acctbal > 0)",
-        },
-        schema=cust,
-    )
-    return cust.select(*cols.values()).agg(
-        F.countDistinct("h").alias("n_distinct"),
-        F.countDistinct("sh").alias("n_distinct_signed"),
-        F.sum(F.col("h_null").isNull().cast("bigint")).alias("n_null_masked"),
-    )
-
-
-_q(
-    "q21_hash",
-    _q21,
-    """
-    SELECT COUNT(DISTINCT c_name) AS n_distinct,
-           COUNT(DISTINCT c_name) AS n_distinct_signed,
-           CAST(SUM(CASE WHEN c_acctbal <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_masked
-    FROM customer
-    """,
-)
-
-_Q22_SPEC = {
-            "ok": "$l_orderkey",
-            "ln": "$l_linenumber",
-            "revenue": "$l_extendedprice * (1 - $l_discount)",
-            "bucket": "'high' if $l_extendedprice > 30000 else 'low'",
-            "ship_year": "$l_shipdate::year_of_date::int64",
-            "flag_code": 'f"{$l_returnflag}//{$l_linestatus}"',
-        }
-
-_q(
-    "q22_flagship",
-    _spec_query("lineitem", _Q22_SPEC),
-    _spec_oracle("lineitem", _Q22_SPEC),
-)
-
-
-_q(
-    "q23_casts_extended",
-    _spec_query(
-        "lineitem",
-        {
-            "ok": "$l_orderkey",
-            "ln": "$l_linenumber",
-            "u8": "$l_linenumber::uint8",
-            "u16": "$l_linenumber::uint16",
-            "u32": "$l_quantity::uint32",
-            "u64": "$l_linenumber::uint64",
-            "i8": "$l_linenumber::int8",
-            "i16": "$l_linenumber::int16",
-            "i128_str": "$l_linenumber::int128::str",
-        },
-    ),
-    """
-    SELECT l_orderkey AS ok, l_linenumber AS ln,
-           CAST(l_linenumber AS SMALLINT) AS u8,
-           CAST(l_linenumber AS INTEGER) AS u16,
-           CAST(TRUNC(l_quantity) AS BIGINT) AS u32,
-           CAST(l_linenumber AS BIGINT) AS u64,
-           CAST(l_linenumber AS TINYINT) AS i8,
-           CAST(l_linenumber AS SMALLINT) AS i16,
-           CAST(CAST(l_linenumber AS HUGEINT) AS VARCHAR) AS i128_str
-    FROM lineitem
-    """,
-)
-
-
-def _q24(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _prep(spark)
-    # Expression-valued separator and non-constant regex pattern: both reach
-    # the engine's column-pattern fallback paths.
-    part = _t(spark, sf_dir, "part").withColumns(
-        {"sep": F.lit(" "), "pat": F.lit("[a-z]+")}
-    )
-    out = Parser.select(
-        part,
-        {
-            "pk": "$p_partkey",
-            "words": {"split": {"source": {"column": "p_name"}, "by": {"column": "sep"}}},
-            "first_word": {
-                "regex_extract": {"pattern": {"column": "pat"}, "source": {"column": "p_name"}}
-            },
-            "has_word": {
-                "regex_match": {"pattern": {"column": "pat"}, "source": {"column": "p_name"}}
-            },
-        },
-    )
-    # Array → delimited string caller-side (driver canonicalizer can't hash
-    # array cells); the split itself still runs through the engine.
-    return out.withColumn("words", F.concat_ws("\x1f", "words"))
-
-
-_q(
-    "q24_dynamic_patterns",
-    _q24,
-    """
-    SELECT p_partkey AS pk,
-           array_to_string(string_split(p_name, ' '), chr(31)) AS words,
-           CASE WHEN regexp_matches(p_name, '[a-z]+')
-                THEN regexp_extract(p_name, '[a-z]+') END AS first_word,
-           regexp_matches(p_name, '[a-z]+') AS has_word
-    FROM part
-    """,
-)
-
-
-def _q25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ISO-8601 week-date strings built from plain JVM expressions
-    # (extract(YEAROFWEEK)/weekofyear/weekday are all ISO in Spark), then
-    # parsed back through the engine's %G/%V/%u week plan (chrono.py) —
-    # round-trips to o_orderdate iff the ISO arithmetic is exact.
-    _prep(spark)
-    orders = _t(spark, sf_dir, "orders").withColumn(
-        "iso",
-        F.concat(
-            F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("string"),
-            F.lit("-W"),
-            F.lpad(F.weekofyear("o_orderdate").cast("string"), 2, "0"),
-            F.lit("-"),
-            (F.weekday("o_orderdate") + F.lit(1)).cast("string"),
-        ),
-    )
-    return Parser.select(
-        orders,
-        {
-            "ok": "$o_orderkey",
-            "iso": "$iso",
-            "d": "$iso::'%G-W%V-%u'",
-            "bad": "$iso::?'%d/%m/%Y'",
-        },
-    )
-
-
-_q(
-    "q25_iso_week",
-    _q25,
-    """
-    SELECT o_orderkey AS ok,
-           strftime(o_orderdate, '%G-W%V-%u') AS iso,
-           CAST(strptime(strftime(o_orderdate, '%G-W%V-%u'), '%G-W%V-%u') AS DATE) AS d,
-           CAST(try_strptime(strftime(o_orderdate, '%G-W%V-%u'), '%d/%m/%Y') AS DATE) AS bad
-    FROM orders
-    """,
-)
-
-
-def _q26(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native ``TIME(6)`` output (Spark 4.1, ``spark.sql.timeType.enabled``
-    set per-session at build time — a SQL conf, so it works on the driver's
-    own session).  The engine's tagged micros-long (SURVEY §4.3 #6) converts
-    at the output boundary via :mod:`dftly_spark.timetype`; this gates the
-    bridge itself against DuckDB's native TIME: second-resolution (``t``),
-    microsecond-resolution (``t_frac``), and the TIME→micros round-trip
-    (``rt_us``) all hash-match.
-    """
-    from dftly_spark.timetype import micros_to_time, time_to_micros
-
-    _prep(spark)
-    spark.conf.set("spark.sql.timeType.enabled", "true")
-    events = _t(spark, sf_dir, "events").withColumn(
-        "ts_s", F.date_format("ts", "HH:mm:ss")
-    )
-    tagged = Parser.select(events, {"ev": "$event_id", "t_us": "$ts_s::'%H:%M:%S'"})
-    frac_us = (F.col("t_us") + F.col("ev") % 999_983).cast("bigint") % F.lit(
-        86_400_000_000
-    )
-    return tagged.select(
-        "ev",
-        "t_us",
-        micros_to_time(F.col("t_us")).alias("t"),
-        micros_to_time(frac_us).alias("t_frac"),
-        time_to_micros(micros_to_time(F.col("t_us"))).alias("rt_us"),
-    )
-
-
-_q(
-    "q26_native_time",
-    _q26,
-    """
-    WITH e AS (
-      SELECT event_id AS ev,
-             (hour(ts) * 3600 + minute(ts) * 60 + CAST(FLOOR(second(ts)) AS BIGINT))
-               * 1000000 AS t_us
-      FROM events
-    )
-    SELECT ev, t_us,
-           make_time(t_us // 3600000000, (t_us // 60000000) % 60,
-                     (t_us % 60000000) / 1000000.0) AS t,
-           make_time(((t_us + ev % 999983) % 86400000000) // 3600000000,
-                     (((t_us + ev % 999983) % 86400000000) // 60000000) % 60,
-                     (((t_us + ev % 999983) % 86400000000) % 60000000) / 1000000.0)
-             AS t_frac,
-           t_us AS rt_us
-    FROM e
-    """,
-)
-
-
-# ---------------------------------------------------------------------------
-# Extension operators (dedup / similarity / text analysis / multimodal)
-# ---------------------------------------------------------------------------
-
-#: Document-frequency cap passed to ngram_jaccard_pairs in x02/x14 and
-#: mirrored in the oracle.  A no-op at these scale factors (max DF is 25 at
-#: sf0.1) but keeps the hot-shingle guard in the *gated plan*: at web scale a
-#: single boilerplate shingle shared by m documents otherwise emits m²/2
-#: candidate pairs.
-_MAX_DF = 100
-
-#: Shared DuckDB CTE: distinct word-trigram shingle sets per document, the
-#: exact mirror of ops.dedup.ngram_jaccard_pairs' shingling (n=3), including
-#: the max_df hot-shingle cap (sizes are computed on the *full* sets; capped
-#: shingles only reduce shared counts — same as the Spark plan).
-_SHINGLE_CTE = rf"""
-ws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-       FROM documents),
-idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM ws WHERE len(w) >= 3),
-sh AS (
-  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS g FROM idx
-  UNION SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM ws WHERE len(w) < 3
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-kept AS (SELECT doc_id, g FROM sh QUALIFY count(*) OVER (PARTITION BY g) <= {_MAX_DF}),
-shared AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS s
-           FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-"""
-
-_JACCARD_ORACLE = f"""
-WITH {_SHINGLE_CTE}
-SELECT id_l, id_r, s::DOUBLE / (x.n + y.n - s) AS jaccard
-FROM shared JOIN sizes x ON x.doc_id = id_l JOIN sizes y ON y.doc_id = id_r
-WHERE s::DOUBLE / (x.n + y.n - s) >= 0.7
-"""
-
-
-def _x01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import exact_dedup
-
-    _prep(spark)
-    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
-
-
-_q(
-    "x01_exact_dedup",
-    _x01,
-    r"""
-    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-    FROM documents
-    GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
-    """,
-)
-
-
-def _x02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import ngram_jaccard_pairs
-
-    _prep(spark)
-    # tokens_col shares the memoized token-array plan fragment (persisted
-    # only when SPARK_GRAFT_CACHE_PERSIST is set — see ops/corpus.py).
-    return ngram_jaccard_pairs(
-        _docs_tok(spark, sf_dir),
-        "doc_id",
-        "text",
-        n=3,
-        threshold=0.7,
-        max_df=_MAX_DF,
-        tokens_col=_TOK,
-    )
-
-
-_q("x02_ngram_jaccard_pairs", _x02, _JACCARD_ORACLE)
-
-
-def _x03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import minhash_dup_pairs
-
-    _prep(spark)
-    return minhash_dup_pairs(
-        _docs_tok(spark, sf_dir),
-        "doc_id",
-        "text",
-        n=3,
-        k=32,
-        bands=16,
-        threshold=0.7,
-        tokens_col=_TOK,
-    )
-
-
-# MinHash candidates are verified with the exact Jaccard, and at s≈0.97 the
-# 16-band recall is ≈1, so the exact-pairs oracle applies.
-_q("x03_minhash_lsh_pairs", _x03, _JACCARD_ORACLE)
-
-
-def _x04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import simhash_dup_pairs
-
-    _prep(spark)
-    return simhash_dup_pairs(
-        _docs_tok(spark, sf_dir), "doc_id", "text", max_hamming=3,
-        token_hash="md5_60", tokens_col=_TOK,
-    )
-
-
-# Portable-hash SimHash (md5-derived 60-bit token hashes) lets DuckDB
-# recompute the exact fingerprints.  The oracle finds hamming<=3 pairs by
-# brute force over all fingerprint pairs, so it also checks the *recall* of
-# the banded pigeonhole join, not just its precision.
-_q(
-    "x04_simhash_pairs",
-    _x04,
-    r"""
-    WITH tok AS (
-      SELECT doc_id,
-             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
-      FROM documents
-    ), h AS (
-      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::UBIGINT AS h FROM tok
-    ), votes AS (
-      SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
-      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) bits
-      GROUP BY doc_id, i
-    ), fp AS (
-      SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END)::UBIGINT AS fp
-      FROM votes GROUP BY doc_id
-    )
-    SELECT a.doc_id AS id_l, b.doc_id AS id_r,
-           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
-    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.fp, b.fp)) <= 3
-    """,
-)
-
-
-def _x05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via the scale path (hyperplane LSH buckets).
-
-    The synthetic embeddings table has no true near-duplicates (max pairwise
-    cosine ≈ 0.51), so the query plants them: every 8th vector gets a ×1.5
-    scaled copy (cosine with its source ≡ 1.0 — direction is unchanged).
-    Positive scaling preserves every hyperplane sign, so each planted pair
-    shares its LSH bucket *structurally* — recall is 1.0 by construction,
-    not by luck — and the exact-SQL oracle below is a valid gate for the
-    bucketed plan.  method="brute" remains test-only
-    (tests/test_ops.py asserts brute ≡ lsh on this corpus).
-    """
-    from dftly_spark.ops import embedding_dup_pairs
-
-    _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    copies = emb.where(F.col("vec_id") % 8 == 0).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
-    )
-    aug = emb.unionByName(copies)
-    return embedding_dup_pairs(
-        aug, "vec_id", "embedding", threshold=0.95, method="lsh", n_planes=8, dim=64
-    )
-
-
-_q(
-    "x05_embedding_neardup",
-    _x05,
-    """
-    WITH aug AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      UNION ALL
-      SELECT vec_id + 10000000, list_transform(embedding::DOUBLE[], x -> x * 1.5)
-      FROM embeddings WHERE vec_id % 8 = 0
-    ), u AS (
-      SELECT vec_id,
-             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
-      FROM aug)
-    SELECT a.vec_id AS id_l, b.vec_id AS id_r, list_dot_product(a.v, b.v) AS cos
-    FROM u a JOIN u b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) >= 0.95
-    """,
-)
-
-
-def _x06(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import brute_force_topk
-
-    _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return brute_force_topk(emb, queries_df, k=10)
-
-
-_q(
-    "x06_cosine_topk",
-    _x06,
-    """
-    WITH u AS (
-      SELECT vec_id,
-             list_transform(embedding::DOUBLE[],
-               x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
-      FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 5),
-    scored AS (
-      SELECT q.query_id, c.vec_id, list_dot_product(qv, c.v) AS cos
-      FROM u c CROSS JOIN q)
-    SELECT query_id, vec_id, cos,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
-    FROM scored
-    QUALIFY rank <= 10
-    """,
-)
-
-
-def _x07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import (
-        bpe_token_count,
-        language_id,
-        punct_ratio,
-        quality_score,
-        stopword_ratio,
-        token_count,
-    )
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        F.col("doc_id"),
-        token_count(t).alias("n_tok"),
-        bpe_token_count(t).alias("n_bpe"),
-        stopword_ratio(t).alias("sw_ratio"),
-        punct_ratio(t).alias("p_ratio"),
-        quality_score(t).alias("quality"),
-        language_id(t).alias("lang_pred"),
-    )
-
-
-_q(
-    "x07_text_analysis",
-    _x07,
-    r"""
-    WITH base AS (
-      SELECT doc_id, text,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-      FROM documents
-    ), feats AS (
-      SELECT doc_id, text, len(toks) AS n_tok,
-             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
-             CASE WHEN len(toks) > 0 THEN len(list_filter(toks,
-               x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE / len(toks)
-               ELSE 0.0 END AS sw_en,
-             CASE WHEN len(toks) > 0 THEN len(list_filter(toks,
-               x -> list_contains(['el','la','de','que','y','en','un','los','se','no'], x)))::DOUBLE / len(toks)
-               ELSE 0.0 END AS sw_es,
-             CASE WHEN len(toks) > 0 THEN len(list_filter(toks,
-               x -> list_contains(['der','die','und','das','ist','ein','zu','den','mit','nicht'], x)))::DOUBLE / len(toks)
-               ELSE 0.0 END AS sw_de,
-             CASE WHEN len(toks) > 0 THEN len(list_filter(toks,
-               x -> list_contains(['le','la','et','les','des','un','une','du','est','pour'], x)))::DOUBLE / len(toks)
-               ELSE 0.0 END AS sw_fr,
-             CASE WHEN length(text) > 0
-               THEN len(regexp_extract_all(text, '[^A-Za-z0-9_\s]'))::DOUBLE / length(text)
-               ELSE 0.0 END AS p_ratio,
-             CASE WHEN length(text) > 0
-               THEN len(regexp_extract_all(text, '[一-鿿]'))::DOUBLE / length(text)
-               ELSE 0.0 END AS cjk_ratio
-      FROM base
-    )
-    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(n_bpe AS BIGINT) AS n_bpe,
-           sw_en AS sw_ratio, p_ratio,
-           LEAST(CAST(length(text) AS DOUBLE), 400.0) / 400.0 * 0.4
-             + LEAST(sw_en * 5.0, 1.0) * 0.3
-             + (1.0 - LEAST(p_ratio * 4.0, 1.0)) * 0.3 AS quality,
-           CASE
-             WHEN length(text) > 0 AND cjk_ratio > 0.2 THEN 'zh'
-             WHEN GREATEST(sw_en, sw_es, sw_de, sw_fr) <= 0.0 THEN 'und'
-             WHEN sw_en = GREATEST(sw_en, sw_es, sw_de, sw_fr) THEN 'en'
-             WHEN sw_es = GREATEST(sw_en, sw_es, sw_de, sw_fr) THEN 'es'
-             WHEN sw_de = GREATEST(sw_en, sw_es, sw_de, sw_fr) THEN 'de'
-             WHEN sw_fr = GREATEST(sw_en, sw_es, sw_de, sw_fr) THEN 'fr'
-             ELSE 'und'
-           END AS lang_pred
-    FROM feats
-    """,
-)
-
-
-def _x08(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-k shingle fingerprints with the portable md5_60 hash: every slot
-    VALUE is recomputed exactly by the oracle (one row per slot — arrays
-    trip the driver canonicalizer)."""
-    from dftly_spark.ops import doc_fingerprints
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    fp = doc_fingerprints(docs, "doc_id", "text", n=3, k=8, shingle_hash="md5_60")
-    return fp.select(
-        "doc_id", F.posexplode("fingerprint").alias("slot", "shingle_hash")
-    )
-
-
-_q(
-    "x08_fingerprint",
-    _x08,
-    r"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ), sh AS (
-      SELECT doc_id,
-             CASE WHEN len(w) >= 3
-                  THEN w[p] || ' ' || w[p + 1] || ' ' || w[p + 2]
-                  ELSE array_to_string(w, ' ') END AS s
-      FROM (SELECT doc_id, w,
-                   unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS p
-            FROM base)
-    ), h AS (
-      SELECT DISTINCT doc_id,
-             CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) AS g
-      FROM sh
-    ), ranked AS (
-      SELECT doc_id, g,
-             row_number() OVER (PARTITION BY doc_id ORDER BY g) AS rn
-      FROM h
-    )
-    SELECT doc_id, CAST(rn - 1 AS INTEGER) AS slot, g AS shingle_hash
-    FROM ranked WHERE rn <= 8
-    """,
-)
-
-
-def _x09(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import attach_fake_media, decode_media_meta
-
-    _prep(spark)
-    docs = attach_fake_media(_t(spark, sf_dir, "documents"), "text")
-    return decode_media_meta(docs, "doc_id")
-
-
-_q(
-    "x09_multimodal_decode",
-    _x09,
-    """
-    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS size_bytes,
-           CAST(16 + strlen(text) % 64 AS INTEGER) AS width,
-           CAST(16 + (strlen(text) // 7) % 64 AS INTEGER) AS height,
-           'fake' AS decoder
-    FROM documents
-    """,
-)
-
-
-def _x10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import attach_fake_media, sample_frames
-
-    _prep(spark)
-    docs = attach_fake_media(_t(spark, sf_dir, "documents"), "text")
-    return sample_frames(docs, every=4, id_col="doc_id")
-
-
-_q(
-    "x10_frame_sample",
-    _x10,
-    """
-    WITH nf AS (SELECT doc_id, 1 + strlen(text) % 16 AS n_frames FROM documents)
-    SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 4)) AS INTEGER) AS frame_index
-    FROM nf
-    """,
-)
-
-
-def _x11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import lsh_bucket_topk
-
-    _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return lsh_bucket_topk(emb, queries_df, k=10, n_planes=6, seed=42, dim=64)
-
-
-def _x11_oracle() -> str:
-    """Full DuckDB mirror of lsh_bucket_topk(n_planes=6, seed=42).
-
-    The seeded hyperplanes are deterministic, so they are inlined as SQL
-    literals and DuckDB re-runs the *same algorithm* — sign buckets,
-    hamming-1 multi-probe, exact cosine re-rank — end to end.  Float dots
-    are bit-identical because both engines fold left-to-right
-    (list_dot_product ≡ the zip_with/aggregate fold).
-    """
-    from dftly_spark.ops.dedup import _hyperplanes
-
-    planes = _hyperplanes(64, 6, 42)
-    rows = ",\n      ".join(
-        f"({i}, {p!r}::DOUBLE[])" for i, p in enumerate(planes)
-    )
-    return f"""
-    WITH planes(i, p) AS (VALUES
-      {rows}),
-    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    buckets AS (
-      SELECT c.vec_id,
-             CAST(sum(CASE WHEN list_dot_product(c.v, planes.p) > 0
-                           THEN (1::BIGINT << planes.i) ELSE 0 END) AS BIGINT) AS bucket
-      FROM c CROSS JOIN planes GROUP BY c.vec_id
-    ),
-    u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v FROM c),
-    q AS (SELECT vec_id AS query_id, bucket AS b0 FROM buckets WHERE vec_id < 5),
-    probes AS (
-      SELECT query_id,
-             CASE WHEN j = 0 THEN b0
-                  ELSE CAST(xor(b0::UBIGINT, (1::UBIGINT << (j - 1))) AS BIGINT) END AS bucket
-      FROM q CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS j) js
-    ),
-    cand AS (
-      SELECT DISTINCT p.query_id, b2.vec_id
-      FROM probes p JOIN buckets b2 ON b2.bucket = p.bucket
-    ),
-    scored AS (
-      SELECT cand.query_id, cand.vec_id, list_dot_product(qu.v, cu.v) AS cos
-      FROM cand
-      JOIN u qu ON qu.vec_id = cand.query_id
-      JOIN u cu ON cu.vec_id = cand.vec_id
-    )
-    SELECT query_id, vec_id, cos,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT)
-             AS rank
-    FROM scored
-    QUALIFY rank <= 10
-    """
-
-
-_q("x11_ann_lsh_topk", _x11, _x11_oracle())
-
-
-def _x12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops.similarity import ivf_topk
-
-    _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivf_topk(emb, queries_df, k=10, n_centroids=16, nprobe=4, strategy="first")
-
-
-# Full DuckDB mirror of ivf_topk(strategy="first"): the centroids are the 16
-# lowest-id corpus vectors (unit-normalized), so the oracle derives them from
-# the data and replays the whole index — cell assignment (argmax dot,
-# lowest-cell tie-break), nprobe probing, exact cosine re-rank.  Float dots
-# are bit-identical (sequential fold ≡ list_dot_product).  kmeans centroids
-# are exercised by tests/test_ops.py instead (recall vs brute).
-_q(
-    "x12_ivf_topk",
-    _x12,
-    """
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cell,
-             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
-      FROM c
-      QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
-    ),
-    scores AS (
-      SELECT c.vec_id, cents.cell, list_dot_product(c.v, cents.cv) AS s
-      FROM c CROSS JOIN cents
-    ),
-    assigned AS (
-      SELECT vec_id, cell FROM scores
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) = 1
-    ),
-    probes AS (
-      SELECT vec_id AS query_id, cell FROM scores WHERE vec_id < 5
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) <= 4
-    ),
-    u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v FROM c),
-    cand AS (
-      SELECT DISTINCT p.query_id, a.vec_id
-      FROM probes p JOIN assigned a ON a.cell = p.cell
-    ),
-    scored AS (
-      SELECT cand.query_id, cand.vec_id, list_dot_product(qu.v, cu.v) AS cos
-      FROM cand
-      JOIN u qu ON qu.vec_id = cand.query_id
-      JOIN u cu ON cu.vec_id = cand.vec_id
-    )
-    SELECT query_id, vec_id, cos,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT)
-             AS rank
-    FROM scored
-    QUALIFY rank <= 10
-    """,
-)
-
-
-def _x56(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops.similarity import ivf_topk
-
-    _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivf_topk(
-        emb,
-        queries_df,
-        k=10,
-        n_centroids=16,
-        nprobe=4,
-        strategy="kmeans",
-        kmeans_iters=2,
-        kmeans_init="first",
-    )
-
-
-_X56_ORACLE_CACHE: dict[str, str] = {}
-
-
-def _x56_oracle() -> str:
-    """DuckDB mirror of ivf_topk(strategy="kmeans") — the PRODUCTION path.
-
-    x12 gates strategy="first" (centroids derivable in SQL); this gates the
-    learned-centroid path.  The centroid matrix is re-fitted HERE in pure
-    Python/numpy (pyarrow read, same deterministic Lloyd's schedule:
-    lowest-id init, argmax-dot assign with first-cell tie-break, mean
-    update, empty cells keep previous, unit-normalize each iter) and
-    inlined as literals, so DuckDB replays the whole index against an
-    INDEPENDENTLY fitted implementation.  Summation order differs between
-    the two fitters (Spark partial aggs vs numpy pairwise), so centroids
-    agree to ~1e-12 — far below any real assignment margin — and the final
-    cos column is bit-exact either way because re-ranking uses the original
-    vectors, not the centroids.  Reads the same sf dir the driver gates at
-    (sf0.01; override with SPARK_GRAFT_GATE_SF_DIR).
-    """
-    import os
-
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    sf_dir = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
-    if sf_dir in _X56_ORACLE_CACHE:
-        return _X56_ORACLE_CACHE[sf_dir]
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = tbl["vec_id"].to_numpy()
-    vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
-    order = np.argsort(ids, kind="stable")
-    vecs = vecs[order]
-
-    def _unit(m: np.ndarray) -> np.ndarray:
-        n = np.sqrt((m * m).sum(axis=-1, keepdims=True))
-        return np.where(n > 0, m / np.where(n == 0, 1.0, n), m)
-
-    cents = _unit(vecs[:16].copy())
-    for _ in range(2):
-        cell = (vecs @ cents.T).argmax(axis=1)  # first-wins on ties, like array_position
-        new = []
-        for ci in range(16):
-            members = vecs[cell == ci]
-            new.append(_unit(members.mean(axis=0)) if len(members) else cents[ci])
-        cents = np.array(new)
-
-    rows = ",\n      ".join(
-        f"({i + 1}, {[float(x) for x in c]!r}::DOUBLE[])" for i, c in enumerate(cents)
-    )
-    sql = f"""
-    WITH cents(cell, cv) AS (VALUES
-      {rows}),
-    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    scores AS (
-      SELECT c.vec_id, cents.cell, list_dot_product(c.v, cents.cv) AS s
-      FROM c CROSS JOIN cents
-    ),
-    assigned AS (
-      SELECT vec_id, cell FROM scores
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) = 1
-    ),
-    probes AS (
-      SELECT vec_id AS query_id, cell FROM scores WHERE vec_id < 5
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) <= 4
-    ),
-    u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v FROM c),
-    cand AS (
-      SELECT DISTINCT p.query_id, a.vec_id
-      FROM probes p JOIN assigned a ON a.cell = p.cell
-    ),
-    scored AS (
-      SELECT cand.query_id, cand.vec_id, list_dot_product(qu.v, cu.v) AS cos
-      FROM cand
-      JOIN u qu ON qu.vec_id = cand.query_id
-      JOIN u cu ON cu.vec_id = cand.vec_id
-    )
-    SELECT query_id, vec_id, cos,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT)
-             AS rank
-    FROM scored
-    QUALIFY rank <= 10
-    """
-    _X56_ORACLE_CACHE[sf_dir] = sql
-    return sql
-
-
-_q("x56_ivf_kmeans_topk", _x56, _x56_oracle)
-
-
-def _x13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops.sessions import sessionize
-
-    _prep(spark)
-    return sessionize(_t(spark, sf_dir, "events"), gap_micros=1_800_000_000)
-
-
-_q(
-    "x13_sessionize",
-    _x13,
-    """
-    WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-         b AS (SELECT event_id, user_id, us,
-                      lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
-               FROM e)
-    SELECT event_id, user_id,
-           CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
-             OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
-             AS BIGINT) AS session_idx
-    FROM b
-    """,
-)
-
-
-def _x15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import repetition_signals
-
-    _prep(spark)
-    return repetition_signals(
-        _docs_tok(spark, sf_dir), "doc_id", "text", tokens_col=_TOK
-    )
-
-
-_q(
-    "x15_repetition_signals",
-    _x15,
-    r"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ), ex AS (
-      SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM base
-    ), tok AS (
-      SELECT doc_id, w[p] AS t, CASE WHEN p < len(w) THEN w[p + 1] END AS t2 FROM ex
-    ), wc AS (
-      SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
-    ), words AS (
-      SELECT doc_id, sum(c) AS n_words,
-             sum(c * length(t))::DOUBLE / sum(c) AS mean_word_len,
-             count(*)::DOUBLE / sum(c) AS ttr,
-             max(c)::DOUBLE / sum(c) AS top_word_frac
-      FROM wc GROUP BY doc_id
-    ), gc AS (
-      SELECT doc_id, t, t2, count(*) AS c FROM tok WHERE t2 IS NOT NULL
-      GROUP BY doc_id, t, t2
-    ), grams AS (
-      SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac FROM gc GROUP BY doc_id
-    )
-    SELECT words.doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len, ttr,
-           top_word_frac, COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac
-    FROM words LEFT JOIN grams ON words.doc_id = grams.doc_id
-    """,
-)
-
-
-def _x16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental-ingest dedup: odd-id docs are the 'new batch', even-id
-    docs the already-indexed corpus; find new docs duplicating the corpus."""
-    from dftly_spark.ops import cross_corpus_dup_pairs
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    new_batch = docs.where(F.col("doc_id") % 2 == 1)
-    corpus = docs.where(F.col("doc_id") % 2 == 0)
-    return cross_corpus_dup_pairs(
-        new_batch, corpus, "doc_id", "text", n=3, threshold=0.7
-    )
-
-
-_q(
-    "x16_incremental_dedup",
-    _x16,
-    r"""
-    WITH ws AS (
-      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents),
-    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM ws WHERE len(w) >= 3),
-    sh AS (
-      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS g FROM idx
-      UNION SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM ws WHERE len(w) < 3
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    shared AS (
-      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS s
-      FROM sh a JOIN sh b ON a.g = b.g
-      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-      GROUP BY 1, 2
-    )
-    SELECT new_id, corpus_id, s::DOUBLE / (x.n + y.n - s) AS jaccard
-    FROM shared JOIN sizes x ON x.doc_id = new_id JOIN sizes y ON y.doc_id = corpus_id
-    WHERE s::DOUBLE / (x.n + y.n - s) >= 0.7
-    """,
-)
-
-
-def _x17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import random_project
-    from dftly_spark.ops.similarity import l2_norm
-
-    _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
-    proj = random_project(emb, "embedding", out_dim=16, seed=42, dim=64)
-    return proj.select(
-        "vec_id",
-        F.element_at("projection", 1).alias("p0"),
-        F.element_at("projection", 2).alias("p1"),
-        l2_norm(F.col("projection")).alias("proj_norm"),
-    )
-
-
-def _x17_oracle() -> str:
-    """Mirror of random_project(out_dim=16, seed=42): the seeded Gaussian
-    direction matrix is inlined as literals; every component and the norm
-    are bit-identical via sequential-fold dot products."""
-    import math
-
-    from dftly_spark.ops.dedup import _hyperplanes
-
-    planes = _hyperplanes(64, 16, 42)
-    scale = 1.0 / math.sqrt(16)
-    comps = ",\n        ".join(
-        f"list_dot_product(v, {p!r}::DOUBLE[]) * {scale!r}" for p in planes
-    )
-    return f"""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    p AS (SELECT vec_id, [
-        {comps}] AS parr FROM c)
-    SELECT vec_id, parr[1] AS p0, parr[2] AS p1,
-           sqrt(list_dot_product(parr, parr)) AS proj_norm
-    FROM p
-    """
-
-
-_q("x17_random_projection", _x17, _x17_oracle())
-
-
-def _x18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import attach_fake_media, audio_chunks
-
-    _prep(spark)
-    docs = attach_fake_media(_t(spark, sf_dir, "documents"), "text")
-    return audio_chunks(docs, chunk_ms=1000, id_col="doc_id")
-
-
-_q(
-    "x18_audio_chunks",
-    _x18,
-    """
-    WITH m AS (SELECT doc_id, strlen(text)::BIGINT * 1000 AS ns FROM documents),
-    c AS (SELECT doc_id, ns,
-                 unnest(generate_series(0, CAST(ceil(ns / 16000.0) AS INT) - 1)) AS ci
-          FROM m)
-    SELECT doc_id, CAST(ci AS INTEGER) AS chunk_index,
-           CAST(ci * 16000 AS BIGINT) AS start_sample,
-           CAST(LEAST((ci + 1) * 16000, ns) AS BIGINT) AS end_sample
-    FROM c
-    """,
-)
-
-
-def _x19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """For each purchase, the user's latest click at-or-before it.
-
-    Single-shuffle as-of join (union + window carry-forward); the oracle is
-    DuckDB's native ``ASOF JOIN``.  Right side is pre-aggregated to one row
-    per (user, µs) so the at-tie winner is deterministic in both engines.
-    """
-    from dftly_spark.ops import asof_join
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events")
-    purch = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    clicks = (
-        ev.where(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(
-            F.max("event_id").alias("click_id"),
-            F.max_by("value", "event_id").alias("click_value"),
-        )
-    )
-    out = asof_join(purch, clicks, on="ts", by="user_id", how="inner")
-    return out.select(
-        "event_id",
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        "value",
-        F.unix_micros("ts_right").alias("click_ts_us"),
-        F.col("click_id_right").alias("click_id"),
-        F.col("click_value_right").alias("click_value"),
-        (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("age_us"),
-    )
-
-
-_q(
-    "x19_asof_join",
-    _x19,
-    """
-    WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
-               FROM events WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-                      max(event_id) AS click_id,
-                      arg_max(value, event_id) AS click_value
-               FROM events WHERE event_type = 'click'
-               GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP)))
-    SELECT p.event_id, p.user_id, p.us AS ts_us, p.value,
-           c.us AS click_ts_us, c.click_id, c.click_value,
-           p.us - c.us AS age_us
-    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us
-    """,
-)
-
-
-def _x20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Purchases landing inside any signup's first-30-minutes window.
-
-    Keyless interval join: a raw theta-join would go BroadcastNestedLoop;
-    ``range_join`` bins both sides onto 30-minute buckets so Spark runs a
-    hash equi-join + exact refine (plan pinned NestedLoop-free in
-    tests/test_joins.py).
-    """
-    from dftly_spark.ops import range_join
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events")
-    sign = ev.where(F.col("event_type") == "signup").select(
-        F.col("event_id").alias("window_id"),
-        F.col("ts").alias("start"),
-        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
-    )
-    purch = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("point_id"), "ts", "value"
-    )
-    out = range_join(
-        purch, sign, point_on="ts", start_on="start", end_on="end",
-        bucket_micros=30 * 60 * 1_000_000,
-    )
-    return out.select(
-        "window_id",
-        "point_id",
-        F.unix_micros("start").alias("start_us"),
-        F.unix_micros("ts").alias("point_us"),
-        "value",
-    )
-
-
-_q(
-    "x20_range_join",
-    _x20,
-    """
-    WITH s AS (SELECT event_id AS window_id, epoch_us(CAST(ts AS TIMESTAMP)) AS start_us
-               FROM events WHERE event_type = 'signup'),
-         p AS (SELECT event_id AS point_id, epoch_us(CAST(ts AS TIMESTAMP)) AS point_us, value
-               FROM events WHERE event_type = 'purchase')
-    SELECT s.window_id, p.point_id, s.start_us, p.point_us, p.value
-    FROM s JOIN p
-      ON p.point_us >= s.start_us AND p.point_us < s.start_us + 1800000000
-    """,
-)
-
-
-def _x21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-schema join with Bloom pre-shuffle pruning on the fact side.
-
-    ``bloom_prune`` drops non-matching orders *before* the join shuffle
-    (sound — false positives only, removed by the join), so the result is
-    exactly the plain join: the oracle needs no Bloom mirror.
-    """
-    from dftly_spark.ops import bloom_prune
-
-    _prep(spark)
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer").where(
-        F.col("c_mktsegment") == "AUTOMOBILE"
-    )
-    pruned = bloom_prune(orders, "o_custkey", cust, "c_custkey")
-    return (
-        pruned.join(F.broadcast(cust), pruned.o_custkey == cust.c_custkey)
-        .groupBy("c_nationkey")
-        .agg(
-            F.count("*").alias("n_orders"),
-            # exact_sum, not sum(double): partial-sum order wobble on
-            # 1e9-magnitude money sums crosses the 2-dec rounding step
-            # as SF grows; integer sums are exact and order-independent
-            exact_sum(F.col("o_totalprice"), scale=100).alias("total_price"),
-        )
-    )
-
-
-_q(
-    "x21_bloom_pruned_join",
-    _x21,
-    """
-    SELECT c.c_nationkey, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-             / 100.0 AS total_price
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE c.c_mktsegment = 'AUTOMOBILE'
-    GROUP BY c.c_nationkey
-    """,
-)
-
-
-def _x22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass per-column profile of the documents table (exact NDVs)."""
-    from dftly_spark.ops import profile_table
-
-    _prep(spark)
-    return profile_table(_t(spark, sf_dir, "documents"))
-
-
-_q(
-    "x22_table_profile",
-    _x22,
-    """
-    WITH s AS (
-      SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
-             COUNT(*) - COUNT(doc_id) AS n_nulls,
-             COUNT(DISTINCT doc_id) AS n_distinct,
-             CAST(MIN(doc_id) AS VARCHAR) AS min_str,
-             CAST(MAX(doc_id) AS VARCHAR) AS max_str,
-             AVG(length(CAST(doc_id AS VARCHAR))) AS avg_len
-      FROM documents
-      UNION ALL
-      SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
-             CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR),
-             AVG(length(text))
-      FROM documents
-      UNION ALL
-      SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
-             CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR),
-             AVG(length(lang))
-      FROM documents
-      UNION ALL
-      SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
-             CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR),
-             AVG(length(source))
-      FROM documents
-      UNION ALL
-      SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
-             CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR),
-             AVG(length(CAST(n_chars AS VARCHAR)))
-      FROM documents
-    )
-    SELECT * FROM s
-    """,
-)
-
-
-def _x23(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON property extraction from events.props, then a typed aggregate.
-
-    Path extraction (``get_json_object``) and schema parse (``from_json``)
-    must agree — both appear and are cross-checked row-wise, then k is
-    aggregated per event_type.
-    """
-    from dftly_spark.ops import json_extract_fields, json_parse_typed
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events")
-    ex = json_extract_fields(ev, "props", {"k_path": ("$.k", "bigint")})
-    typed = json_parse_typed(ex, "props", "k BIGINT")
-    return (
-        typed.withColumn("k_typed", F.col("props_parsed.k"))
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("k_path").alias("sum_k"),
-            F.min("k_typed").alias("min_k"),
-            F.max("k_typed").alias("max_k"),
-            F.sum((F.col("k_path") != F.col("k_typed")).cast("bigint")).alias(
-                "path_vs_typed_mismatches"
-            ),
-        )
-    )
-
-
-_q(
-    "x23_json_extract",
-    _x23,
-    """
-    WITH e AS (SELECT event_type,
-                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-               FROM events)
-    SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
-           MIN(k) AS min_k, MAX(k) AS max_k,
-           CAST(0 AS BIGINT) AS path_vs_typed_mismatches
-    FROM e GROUP BY event_type
-    """,
-)
-
-
-def _x24(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary: top-25 unigrams + top-25 bigrams by frequency."""
-    from dftly_spark.ops import vocab_topk
-
-    _prep(spark)
-    docs = _docs_tok(spark, sf_dir)
-    uni = vocab_topk(
-        docs, "text", id_col="doc_id", k=25, n=1, tokens_col=_TOK
-    ).withColumn("gram_size", F.lit(1))
-    bi = vocab_topk(
-        docs, "text", id_col="doc_id", k=25, n=2, tokens_col=_TOK
-    ).withColumn("gram_size", F.lit(2)
-    )
-    return uni.unionByName(bi)
-
-
-_q(
-    "x24_vocab_topk",
-    _x24,
-    r"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ), ex AS (
-      SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM base
-    ), tok AS (
-      SELECT doc_id, w[p] AS t, CASE WHEN p < len(w) THEN w[p] || ' ' || w[p + 1] END AS t2
-      FROM ex
-    ), uni AS (
-      SELECT t AS gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS count,
-             1 AS gram_size
-      FROM tok GROUP BY t ORDER BY count DESC, gram ASC LIMIT 25
-    ), bi AS (
-      SELECT t2 AS gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS count,
-             2 AS gram_size
-      FROM tok WHERE t2 IS NOT NULL
-      GROUP BY t2 ORDER BY count DESC, gram ASC LIMIT 25
-    )
-    SELECT gram, n_docs, count, CAST(gram_size AS INTEGER) AS gram_size FROM uni
-    UNION ALL
-    SELECT gram, n_docs, count, CAST(gram_size AS INTEGER) AS gram_size FROM bi
-    """,
-)
-
-
-def _x25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test assignment + per-lang stratified sample.
-
-    Row-local LCG-mix gating — no shuffle, no rand(); the oracle replays
-    the identical modular arithmetic (``sampling.mix_sql``).
-    """
-    from dftly_spark.ops import hash_split, stratified_sample
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    split = hash_split(
-        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
-    )
-    sampled = stratified_sample(
-        split, "lang", {"en": 0.5, "de": 0.25}, "doc_id",
-        default_rate=0.1, seed=11,
-    )
-    return sampled.select("doc_id", "lang", "split")
-
-
-def _x25_oracle() -> str:
-    from dftly_spark.ops.sampling import _M, mix_sql
-
-    u7, u11 = mix_sql("doc_id", 7), mix_sql("doc_id", 11)
-    t_train, t_val = int(0.8 * _M), int(0.9 * _M)
-    return f"""
-    SELECT doc_id, lang,
-           CASE WHEN {u7} < {t_train} THEN 'train'
-                WHEN {u7} < {t_val} THEN 'val'
-                ELSE 'test' END AS split
-    FROM documents
-    WHERE {u11} < CASE lang WHEN 'en' THEN {int(0.5 * _M)}
-                            WHEN 'de' THEN {int(0.25 * _M)}
-                            ELSE {int(0.1 * _M)} END
-    """
-
-
-_q("x25_split_and_sample", _x25, _x25_oracle())
-
-
-def _x26(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing of documents into 256-token
-    training windows (8 shards), offsets closed-form."""
-    from dftly_spark.ops import pack_sequences
-    from dftly_spark.ops.textops import token_count
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "n_tok", token_count(F.col("text"))
-    )
-    return pack_sequences(
-        docs, "doc_id", "n_tok", context_len=256, shards=8, seed=3
-    )
-
-
-def _x26_oracle() -> str:
-    from dftly_spark.ops.sampling import mix_sql
-
-    return rf"""
-    WITH d AS (
-      SELECT doc_id,
-             len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))::BIGINT AS l
-      FROM documents WHERE length(trim(text)) > 0
-    ), s AS (
-      SELECT doc_id, l, {mix_sql("doc_id", 3)} % 8 AS shard FROM d
-    ), c AS (
-      SELECT doc_id, l, shard,
-             SUM(l) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e
-      FROM s
-    ), x AS (
-      SELECT doc_id, shard, CAST(e AS BIGINT) AS e, CAST(e - l AS BIGINT) AS st
-      FROM c
-    ), ex AS (
-      SELECT doc_id, shard, st, e,
-             unnest(generate_series(st // 256, (e - 1) // 256)) AS chunk_id
-      FROM x
-    )
-    SELECT shard, chunk_id, doc_id,
-           GREATEST(st, chunk_id * 256) - st AS doc_offset,
-           GREATEST(st, chunk_id * 256) - chunk_id * 256 AS chunk_offset,
-           LEAST(e, chunk_id * 256 + 256) - GREATEST(st, chunk_id * 256) AS n_tokens
-    FROM ex
-    """
-
-
-_q("x26_pack_sequences", _x26, _x26_oracle())
-
-
-def _x27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language document-length distribution (exact interpolated
-    quantiles — Spark `percentile` ≡ ANSI quantile_cont, bit-identical on
-    integer inputs)."""
-    from dftly_spark.ops import quantile_stats
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return quantile_stats(docs, "n_chars", by="lang")
-
-
-_q(
-    "x27_quantile_stats",
-    _x27,
-    """
-    SELECT lang, COUNT(n_chars) AS n, AVG(n_chars) AS mean,
-           quantile_cont(n_chars, 0.1) AS q10,
-           quantile_cont(n_chars, 0.25) AS q25,
-           quantile_cont(n_chars, 0.5) AS q50,
-           quantile_cont(n_chars, 0.75) AS q75,
-           quantile_cont(n_chars, 0.9) AS q90
-    FROM documents GROUP BY lang
-    """,
-)
-
-
-def _x28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking (retrieval prep): 64-token windows
-    advancing by 48."""
-    from dftly_spark.ops import chunk_text
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return chunk_text(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
-
-
-_q(
-    "x28_chunk_text",
-    _x28,
-    r"""
-    WITH w AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
-      FROM documents WHERE length(trim(text)) > 0
-    ), s AS (
-      SELECT doc_id, t,
-             unnest(generate_series(1, GREATEST(len(t) - 16, 1), 48)) AS st
-      FROM w
-    ), c AS (
-      SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1) AS chunk_idx,
-             list_slice(t, st, st + 63) AS piece
-      FROM s
-    )
-    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
-           CAST(len(piece) AS BIGINT) AS n_tokens,
-           array_to_string(piece, ' ') AS chunk_text
-    FROM c WHERE len(piece) >= 1
-    """,
-)
-
-
-def _x29(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII/noise scrub over text with planted URLs/emails/long numbers.
-
-    The testdata has no natural PII, so each doc gets a deterministic
-    contact line appended (mirrored in the oracle) before scrubbing.
-    """
-    from dftly_spark.ops import scrub_text
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    dirty = F.concat(
-        F.col("text"),
-        F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
-        F.lit(" via https://ex.com/d/"), F.col("doc_id"),
-        F.lit(" ref 9000000"), F.col("doc_id"),
-    )
-    return docs.select(
-        "doc_id",
-        F.substring(scrub_text(dirty), 1, 200).alias("scrubbed_prefix"),
-        F.length(scrub_text(dirty)).cast("bigint").alias("scrubbed_len"),
-    )
-
-
-_q(
-    "x29_scrub_text",
-    _x29,
-    r"""
-    WITH d AS (
-      SELECT doc_id,
-             text || ' contact user' || doc_id || '@example.com'
-                  || ' via https://ex.com/d/' || doc_id
-                  || ' ref 9000000' || doc_id AS dirty
-      FROM documents
-    ), s AS (
-      SELECT doc_id,
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(dirty, 'https?://\S+', '<URL>', 'g'),
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '[0-9]{8,}', '<NUM>', 'g') AS scrubbed
-      FROM d
-    )
-    SELECT doc_id, substr(scrubbed, 1, 200) AS scrubbed_prefix,
-           CAST(length(scrubbed) AS BIGINT) AS scrubbed_len
-    FROM s
-    """,
-)
-
-
-def _x30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dup clusters: MinHash pairs → connected components
-    (min-label propagation); cluster_id is the component's smallest doc id."""
-    from dftly_spark.ops import dup_clusters, minhash_dup_pairs
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_dup_pairs(
-        docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.7
-    )
-    return dup_clusters(pairs, "id_l", "id_r")
-
-
-_q(
-    "x30_dup_clusters",
-    _x30,
-    f"""
-    WITH RECURSIVE {_SHINGLE_CTE},
-    pairs AS (
-      SELECT id_l, id_r
-      FROM shared JOIN sizes x ON x.doc_id = id_l JOIN sizes y ON y.doc_id = id_r
-      WHERE s::DOUBLE / (x.n + y.n - s) >= 0.7
-    ),
-    e AS (SELECT id_l AS a, id_r AS b FROM pairs
-          UNION SELECT id_r, id_l FROM pairs),
-    reach(node, label) AS (
-      SELECT a, a FROM e
-      UNION
-      SELECT e.a, r.label FROM e JOIN reach r ON e.b = r.node
-    )
-    SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY node
-    """,
-)
-
-
-#: Fixed BM25 probe queries (vocab terms of the synthetic documents table).
-_BM25_QUERIES = [
-    (1, "spark window agg"),
-    (2, "customer query table"),
-    (3, "hash join merge"),
-]
-
-
-def _x31(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import bm25_topk
-
-    _prep(spark)
-    docs = _docs_tok(spark, sf_dir)
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, query string")
-    return bm25_topk(docs, qdf, k=10, tokens_col=_TOK, cache_key=f"documents:{sf_dir}")
-
-
-def _x31_oracle() -> str:
-    """Full DuckDB mirror of bm25_topk(k1=1.2, b=0.75): same tokenization,
-    same idf/tf-norm formula with identically-associated float arithmetic,
-    and the per-(query, doc) sum replayed as a sequential list_reduce over
-    term-sorted scores — bit-identical doubles end to end."""
-    k1, b = 1.2, 0.75
-    qvals = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
-    return rf"""
-    WITH qs(query_id, query) AS (VALUES {qvals}),
-    base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents
-      WHERE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) > 0
-    ), tf AS (
-      SELECT doc_id, t AS term, count(*) AS tf, any_value(dl) AS dl
-      FROM (SELECT doc_id, unnest(w) AS t, len(w) AS dl FROM base)
-      GROUP BY doc_id, t
-    ), stats AS (
-      SELECT count(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl
-      FROM (SELECT doc_id, any_value(dl) AS dl FROM tf GROUP BY doc_id)
-    ), qterms AS (
-      SELECT DISTINCT query_id, unnest(list_distinct(
-        string_split(trim(regexp_replace(lower(query), '\s+', ' ', 'g')), ' '))) AS term
-      FROM qs
-    ), dfreq AS (
-      SELECT term, count(*) AS df FROM tf
-      WHERE term IN (SELECT term FROM qterms) GROUP BY term
-    ), scored AS (
-      SELECT q.query_id, tf.doc_id, tf.term,
-             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-               * (tf.tf * {k1 + 1.0!r})
-               / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf.dl / s.avgdl)) AS sc
-      FROM tf JOIN qterms q ON tf.term = q.term
-      JOIN dfreq d ON tf.term = d.term CROSS JOIN stats s
-    ), agg AS (
-      SELECT query_id, doc_id,
-             list_reduce(list(sc ORDER BY term), (a, x) -> a + x) AS score
-      FROM scored GROUP BY query_id, doc_id
-    )
-    SELECT query_id, doc_id, score,
-           CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY score DESC, doc_id) AS INT) AS rank
-    FROM agg
-    QUALIFY rank <= 10
-    """
-
-
-_q("x31_bm25_topk", _x31, _x31_oracle())
-
-
-def _x32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import dup_ngram_fraction
-
-    _prep(spark)
-    return dup_ngram_fraction(
-        _docs_tok(spark, sf_dir),
-        "doc_id",
-        "text",
-        n=13,
-        tokens_col=_TOK,
-        cache_key=f"documents:{sf_dir}",
-    )
-
-
-_q(
-    "x32_dup_ngram_spans",
-    _x32,
-    r"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ), inst AS (
-      SELECT doc_id, array_to_string(list_slice(w, i, i + 12), ' ') AS g
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 12)) AS i
-            FROM base WHERE len(w) >= 13)
-      UNION ALL
-      SELECT doc_id, array_to_string(w, ' ') AS g FROM base WHERE len(w) < 13
-    ), gdf AS (
-      SELECT g, count(DISTINCT doc_id) AS docs FROM inst GROUP BY g
-    )
-    SELECT inst.doc_id,
-           count(*) AS n_grams,
-           CAST(SUM(CASE WHEN gdf.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
-           CAST(SUM(CASE WHEN gdf.docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
-    FROM inst JOIN gdf ON inst.g = gdf.g
-    GROUP BY inst.doc_id
-    """,
-)
-
-
-def _x33(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import cap_per_group
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return cap_per_group(docs, "source", k=10, order_col="doc_id").select(
-        "doc_id", "source", "lang"
-    )
-
-
-_q(
-    "x33_cap_per_group",
-    _x33,
-    """
-    SELECT doc_id, source, lang
-    FROM documents
-    QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
-    """,
-)
-
-
-def _x34(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import rollup_stats
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    out = rollup_stats(
-        docs, ["lang", "source"], {"total_chars": F.sum("n_chars")}
-    )
-    return out.select(
-        "lang",
-        "source",
-        F.col("grouping_id").cast("bigint").alias("grouping_id"),
-        "n_rows",
-        F.col("total_chars").cast("bigint").alias("total_chars"),
-    )
-
-
-_q(
-    "x34_rollup_stats",
-    _x34,
-    """
-    SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS grouping_id,
-           COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents
-    GROUP BY ROLLUP(lang, source)
-    """,
-)
-
-
-def _x35(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: probes are 15-word prefixes of every 25th
-    document (ids offset by 5M) — each probe's n-grams are contained in its
-    source document by construction, so containment flags the source (and
-    any near-duplicate of it) at ≈1.0 while whole-doc Jaccard would not."""
-    from dftly_spark.ops import containment_pairs
-
-    _prep(spark)
-    docs = _docs_tok(spark, sf_dir)
-    probes = docs.where(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 5_000_000).alias("doc_id"),
-        F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 15)).alias("text"),
-    )
-    return containment_pairs(
-        probes, docs, "doc_id", "text", n=3, threshold=0.8, tokens_col=_TOK
-    )
-
-
-_q(
-    "x35_contamination_containment",
-    _x35,
-    r"""
-    WITH probes AS (
-      SELECT doc_id + 5000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1, 15), ' ') AS text
-      FROM documents WHERE doc_id % 25 = 0
-    ),
-    pws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-            FROM probes),
-    psh AS (
-      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS g
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM pws WHERE len(w) >= 3)
-      UNION SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM pws WHERE len(w) < 3
-    ),
-    psizes AS (SELECT doc_id, count(*) AS pn FROM psh GROUP BY doc_id),
-    cws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-            FROM documents),
-    csh AS (
-      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS g
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM cws WHERE len(w) >= 3)
-      UNION SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM cws WHERE len(w) < 3
-    ),
-    shared AS (
-      SELECT p.doc_id AS probe_id, c.doc_id AS doc_id, count(*) AS s
-      FROM psh p JOIN csh c ON p.g = c.g GROUP BY 1, 2
-    )
-    SELECT probe_id, shared.doc_id, s::DOUBLE / pn AS containment
-    FROM shared JOIN psizes ON psizes.doc_id = probe_id
-    WHERE s::DOUBLE / pn >= 0.8
-    """,
-)
-
-
-def _x36(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental embedding ingest: the new batch is ×1.5-scaled copies of
-    every 8th corpus vector (ids +10M).  Positive scaling preserves every
-    hyperplane sign, so each new vector shares its source's bucket
-    structurally — recall 1.0 by construction — and the exact-SQL oracle
-    below is a valid gate for the bucketed bipartite plan."""
-    from dftly_spark.ops import cross_corpus_embedding_pairs
-
-    _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    new_batch = emb.where(F.col("vec_id") % 8 == 0).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
-    )
-    return cross_corpus_embedding_pairs(
-        new_batch, emb, "vec_id", "embedding", threshold=0.95, n_planes=8, dim=64
-    )
-
-
-_q(
-    "x36_incremental_embedding_dedup",
-    _x36,
-    """
-    WITH corpus AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), newb AS (
-      SELECT vec_id + 10000000 AS vec_id,
-             list_transform(embedding::DOUBLE[], x -> x * 1.5) AS v
-      FROM embeddings WHERE vec_id % 8 = 0
-    ), cu AS (
-      SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
-      FROM corpus
-    ), nu AS (
-      SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
-      FROM newb
-    )
-    SELECT n.vec_id AS new_id, c.vec_id AS corpus_id, list_dot_product(n.v, c.v) AS cos
-    FROM nu n CROSS JOIN cu c
-    WHERE list_dot_product(n.v, c.v) >= 0.95
-    """,
-)
-
-
-def _x37(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import remove_dup_ngram_spans
-
-    _prep(spark)
-    return remove_dup_ngram_spans(
-        _docs_tok(spark, sf_dir),
-        "doc_id",
-        "text",
-        n=13,
-        min_df=2,
-        tokens_col=_TOK,
-        cache_key=f"documents:{sf_dir}",
-    )
-
-
-_q(
-    "x37_remove_dup_spans",
-    _x37,
-    r"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ), tok AS (
-      SELECT doc_id, p, w[p] AS t
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM base)
-    ), inst AS (
-      SELECT doc_id, p, array_to_string(list_slice(w, p, p + 12), ' ') AS g
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 12)) AS p
-            FROM base WHERE len(w) >= 13)
-    ), flagged AS (
-      SELECT g FROM (SELECT DISTINCT doc_id, g FROM inst)
-      GROUP BY g HAVING count(*) >= 2
-    ), cov AS (
-      SELECT DISTINCT doc_id, p FROM (
-        SELECT doc_id, unnest(generate_series(p, p + 12)) AS p
-        FROM inst JOIN flagged USING (g))
-    ), marked AS (
-      SELECT tok.doc_id, tok.p, tok.t, cov.p IS NOT NULL AS c
-      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
-    )
-    SELECT doc_id,
-           COALESCE(string_agg(t, ' ' ORDER BY p) FILTER (WHERE NOT c), '') AS clean_text,
-           CAST(SUM(CASE WHEN NOT c THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_kept,
-           CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_removed
-    FROM marked
-    GROUP BY doc_id
-    """,
-)
-
-
-def _x38(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window aggregation (the streaming helper, gated on batch —
-    ``withWatermark`` is a no-op on bounded frames, so the exact same code
-    path feeds the streaming twin tested in tests/test_streaming.py)."""
-    from dftly_spark.streaming import tumbling_agg
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events")
-    out = tumbling_agg(
-        ev,
-        "ts",
-        window="1 hour",
-        watermark="2 hours",
-        keys=["event_type"],
-        aggs={"n": F.count(F.lit(1)), "total_value": F.sum("value")},
-    )
-    return out.select(
-        F.unix_micros("window_start").alias("start_us"),
-        F.unix_micros("window_end").alias("end_us"),
-        "event_type",
-        "n",
-        "total_value",
-    )
-
-
-_q(
-    "x38_tumbling_agg",
-    _x38,
-    """
-    WITH e AS (
-      SELECT event_type, value,
-             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT)
-               * 3600000000 AS start_us
-      FROM events
-    )
-    SELECT start_us, start_us + 3600000000 AS end_us, event_type,
-           COUNT(*) AS n, SUM(value) AS total_value
-    FROM e GROUP BY start_us, event_type
-    """,
-)
-
-
-def _x97(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PSI drift (ops/profile.py psi_drift): per-bucket population-
-    stability contributions between click and purchase value
-    distributions — uniform clamped buckets, Laplace smoothing, one keyed
-    agg + k-row spine + 1-row totals broadcast.  The psi column uses the
-    convention-free floor-scale rounding because ln differs across
-    engines in the last ulp; p_a/p_b are correctly-rounded divisions and
-    stay full-precision."""
-    from dftly_spark.ops import psi_drift
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events")
-    return psi_drift(
-        ev, "value", "event_type", "click", "purchase",
-        lo=0.0, hi=500.0, n_buckets=10,
-    )
-
-
-_q(
-    "x97_psi_drift",
-    _x97,
-    """
-    WITH t AS (
-      SELECT GREATEST(0, LEAST(9,
-               CAST(floor((value - 0.0) / 50.0) AS BIGINT))) AS bucket,
-             CAST(event_type = 'click' AS BIGINT) AS ia,
-             CAST(event_type = 'purchase' AS BIGINT) AS ib
-      FROM events
-      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-    ),
-    c AS (SELECT bucket, SUM(ia) AS ca, SUM(ib) AS cb FROM t GROUP BY bucket),
-    spine AS (SELECT range AS bucket FROM range(10)),
-    tot AS (SELECT SUM(ia) AS na, SUM(ib) AS nb FROM t)
-    SELECT s.bucket,
-           CAST(coalesce(ca, 0) AS BIGINT) AS n_a,
-           CAST(coalesce(cb, 0) AS BIGINT) AS n_b,
-           (coalesce(ca, 0) + 0.5) / (na + 5.0) AS p_a,
-           (coalesce(cb, 0) + 0.5) / (nb + 5.0) AS p_b,
-           floor((p_a - p_b) * ln(p_a / p_b) * 1000000.0 + 0.5) / 1000000.0
-             AS psi
-    FROM spine s LEFT JOIN c ON s.bucket = c.bucket CROSS JOIN tot
-    """,
-)
-
-
-def _x98(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing time-window features (ops/joins.py rolling_time_features):
-    per-event count/sum/min/max/mean of the last hour of each user's
-    values — ONE keyed RANGE-frame window, all aggregates in one pass.
-    Exactness: the value is integer-scaled (floor-scale to 1e-4 units,
-    the convention-free rounding) BEFORE the window, so the trailing sums
-    are order-independent bigint sums on both engines and the mean is one
-    exact IEEE division."""
-    from dftly_spark.ops import rolling_time_features
-    from dftly_spark.sqlgen import exact_quant
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "ts",
-        exact_quant(F.col("value")).alias("vi"),
-    )
-    out = rolling_time_features(
-        ev, "user_id", "ts", "vi", lookback_micros=3_600_000_000
-    )
-    return out.select(
-        "event_id",
-        F.col("vi_trail_n").alias("n_tr"),
-        F.col("vi_trail_sum").alias("sum_tr"),
-        F.col("vi_trail_min").alias("min_tr"),
-        F.col("vi_trail_max").alias("max_tr"),
-        (F.col("vi_trail_sum").cast("double") / F.col("vi_trail_n")).alias(
-            "mean_tr"
-        ),
-    )
-
-
-def _x98_oracle() -> str:
-    from dftly_spark.sqlgen import exact_quant_sql
-
-    return f"""
-    WITH e AS (
-      SELECT event_id, user_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             {exact_quant_sql("value")} AS vi
-      FROM events
-    )
-    SELECT event_id,
-           CAST(COUNT(vi) OVER w AS BIGINT) AS n_tr,
-           CAST(SUM(vi) OVER w AS BIGINT) AS sum_tr,
-           MIN(vi) OVER w AS min_tr,
-           MAX(vi) OVER w AS max_tr,
-           CAST(SUM(vi) OVER w AS DOUBLE) / (COUNT(vi) OVER w) AS mean_tr
-    FROM e
-    WINDOW w AS (PARTITION BY user_id ORDER BY us
-                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-    """
-
-
-_q("x98_rolling_features", _x98, _x98_oracle)
-
-
-def _x99(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distributed ROC-AUC (ops/quality.py roc_auc): does event
-    value separate purchases from the rest?  Mann-Whitney rank-sum with
-    average-rank ties in ALL-INTEGER decimal(38,0) arithmetic — exact and
-    order-independent at any corpus size, one double division at the end,
-    cumulative ranks via the two-level partitioned_cumsum (never a
-    single-reducer window)."""
-    from dftly_spark.ops import roc_auc
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select(
-        (F.col("event_type") == "purchase").alias("is_purchase"), "value"
-    )
-    return roc_auc(ev, "is_purchase", "value")
-
-
-_q(
-    "x99_roc_auc",
-    _x99,
-    """
-    WITH t AS (
-      SELECT CAST(value AS DOUBLE) AS s,
-             CAST(event_type = 'purchase' AS BIGINT) AS y
-      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
-    ),
-    g AS (SELECT s, SUM(y) AS np, COUNT(*) AS nt FROM t GROUP BY s),
-    c AS (SELECT np, nt, SUM(nt) OVER (ORDER BY s) AS cumnt FROM g),
-    x AS (
-      SELECT SUM(np * (2 * (cumnt - nt) + nt + 1)) AS rs2,
-             SUM(np) AS npos, SUM(nt) - SUM(np) AS nneg
-      FROM c
-    )
-    SELECT CASE WHEN npos > 0 AND nneg > 0 THEN
-             CAST(rs2 - npos * (npos + 1) AS DOUBLE) / (2.0 * npos * nneg)
-           END AS auc,
-           CAST(npos AS BIGINT) AS n_pos,
-           CAST(nneg AS BIGINT) AS n_neg
-    FROM x
-    """,
-)
-
-
-def _x100(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-slice exact ROC-AUC (ops/quality.py roc_auc_by_group): the
-    x99 metric computed per user shard — a global AUC hides a slice where
-    the classifier is broken.  Same all-integer decimal(38,0) rank sums;
-    cumulative ranks from ONE keyed window whose partitions carry a
-    group's DISTINCT scores (deduped before the window)."""
-    from dftly_spark.ops import roc_auc_by_group
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    ev = ev.select(
-        (F.col("user_id") % 8).alias("shard"),
-        (F.col("event_type") == "purchase").alias("is_purchase"),
-        "value",
-    )
-    return roc_auc_by_group(ev, "shard", "is_purchase", "value")
-
-
-_q(
-    "x100_group_auc",
-    _x100,
-    """
-    WITH t AS (
-      SELECT user_id % 8 AS g, CAST(value AS DOUBLE) AS s,
-             CAST(event_type = 'purchase' AS BIGINT) AS y
-      FROM events
-      WHERE value IS NOT NULL AND event_type IS NOT NULL
-        AND user_id IS NOT NULL
-    ),
-    g2 AS (SELECT g, s, SUM(y) AS np, COUNT(*) AS nt FROM t GROUP BY g, s),
-    c AS (SELECT g, np, nt,
-                 SUM(nt) OVER (PARTITION BY g ORDER BY s) AS cum
-          FROM g2),
-    x AS (
-      SELECT g, SUM(np * (2 * (cum - nt) + nt + 1)) AS rs2,
-             SUM(np) AS npos, SUM(nt) - SUM(np) AS nneg
-      FROM c GROUP BY g
-    )
-    SELECT g AS shard,
-           CASE WHEN npos > 0 AND nneg > 0 THEN
-             CAST(rs2 - npos * (npos + 1) AS DOUBLE) / (2.0 * npos * nneg)
-           END AS auc,
-           CAST(npos AS BIGINT) AS n_pos,
-           CAST(nneg AS BIGINT) AS n_neg
-    FROM x
-    """,
-)
-
-
-def _x39(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time lag features per user over the event stream."""
-    from dftly_spark.ops import lag_features
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
-    )
-    out = lag_features(
-        ev, "user_id", ["ts_us", "event_id"], ["value", "ts_us"], lags=(1, 2)
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        "ts_us",
-        "value",
-        "value_lag1",
-        "value_lag2",
-        (F.col("ts_us") - F.col("ts_us_lag1")).alias("gap_us"),
-    )
-
-
-_q(
-    "x39_lag_features",
-    _x39,
-    """
-    WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
-               FROM events)
-    SELECT event_id, user_id, ts_us, value,
-           LAG(value, 1) OVER w AS value_lag1,
-           LAG(value, 2) OVER w AS value_lag2,
-           ts_us - LAG(ts_us, 1) OVER w AS gap_us
-    FROM e
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-    """,
-)
-
-
-def _x40(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution drift: exact two-sample KS over document lengths,
-    English slice vs German slice."""
-    from dftly_spark.ops import ks_drift
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return ks_drift(docs, "n_chars", "lang", "en", "de")
-
-
-_q(
-    "x40_ks_drift",
-    _x40,
-    """
-    WITH tagged AS (
-      SELECT n_chars AS v,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
-             CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS ib
-      FROM documents WHERE lang IN ('en', 'de')
-    ), counts AS (
-      SELECT v, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
-      FROM tagged GROUP BY v
-    ), cums AS (
-      SELECT v,
-             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
-             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
-      FROM counts
-    ), totals AS (
-      SELECT CAST(SUM(ia) AS BIGINT) AS na, CAST(SUM(ib) AS BIGINT) AS nb FROM tagged
-    )
-    SELECT MAX(ABS(cum_a / na - cum_b / nb)) AS ks,
-           CAST(any_value(na) AS BIGINT) AS n_a,
-           CAST(any_value(nb) AS BIGINT) AS n_b
-    FROM cums CROSS JOIN totals
-    """,
-)
-
-
-def _x41(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import histogram_fixed
-
-    _prep(spark)
-    li = _t(spark, sf_dir, "lineitem")
-    return histogram_fixed(li, "l_extendedprice", lo=0.0, hi=110000.0, nbins=22)
-
-
-_q(
-    "x41_histogram",
-    _x41,
-    """
-    WITH b AS (
-      SELECT CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 5000.0) AS INTEGER) AS bin
-      FROM lineitem
-      WHERE CAST(l_extendedprice AS DOUBLE) >= 0.0
-        AND CAST(l_extendedprice AS DOUBLE) < 110000.0
-    )
-    SELECT bin, 0.0 + bin * 5000.0 AS bin_lo, 0.0 + (bin + 1) * 5000.0 AS bin_hi,
-           COUNT(*) AS n
-    FROM b GROUP BY bin
-    """,
-)
-
-
-def _x42(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered-step conversion funnel over the event log (view → click →
-    purchase): one user-keyed shuffle, chained conditional window mins."""
-    from dftly_spark.ops import funnel
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events")
-    out = funnel(ev, ["view", "click", "purchase"])
-    return out.select(
-        "user_id",
-        F.unix_micros("step_1_ts").alias("t1_us"),
-        F.unix_micros("step_2_ts").alias("t2_us"),
-        F.unix_micros("step_3_ts").alias("t3_us"),
-        F.col("steps_completed").cast("int").alias("steps_completed"),
-    )
-
-
-_q(
-    "x42_funnel",
-    _x42,
-    """
-    WITH e AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
-      FROM events WHERE event_type IN ('view', 'click', 'purchase')
-    ), s1 AS (
-      SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
-                  OVER (PARTITION BY user_id) AS t1 FROM e
-    ), s2 AS (
-      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
-                  OVER (PARTITION BY user_id) AS t2 FROM s1
-    ), s3 AS (
-      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
-                  OVER (PARTITION BY user_id) AS t3 FROM s2
-    )
-    SELECT user_id, epoch_us(MIN(t1)) AS t1_us, epoch_us(MIN(t2)) AS t2_us,
-           epoch_us(MIN(t3)) AS t3_us,
-           CAST(CASE WHEN MIN(t3) IS NOT NULL THEN 3
-                     WHEN MIN(t2) IS NOT NULL THEN 2
-                     ELSE 1 END AS INTEGER) AS steps_completed
-    FROM s3 GROUP BY user_id
-    HAVING MIN(t1) IS NOT NULL
-    """,
-)
-
-
-def _x43(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC merge: apply a synthesized changelog (updates that supersede a
-    stale write, deletes, inserts) onto the documents snapshot."""
-    from dftly_spark.ops import merge_upsert
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-
-    def chg(frame: DataFrame, text_col, seq: int, op: str) -> DataFrame:
-        return frame.select(
-            "doc_id", text_col.alias("text"), "lang", "source", "n_chars",
-            F.lit(seq).cast("bigint").alias("seq"), F.lit(op).alias("op"),
-        )
-
-    upd = chg(docs.where(F.col("doc_id") % 10 == 3), F.upper("text"), 2, "U")
-    stale = chg(docs.where(F.col("doc_id") % 10 == 3), F.lit("STALE"), 1, "U")
-    dels = chg(docs.where(F.col("doc_id") % 10 == 7), F.col("text"), 1, "D")
-    ins = chg(
-        docs.where(F.col("doc_id") % 100 == 0).withColumn(
-            "doc_id", F.col("doc_id") + F.lit(10_000_000)
-        ),
-        F.concat(F.lit("NEW "), F.col("text")),
-        1,
-        "I",
-    )
-    changelog = upd.unionAll(stale).unionAll(dels).unionAll(ins)
-    return merge_upsert(docs, changelog, "doc_id")
-
-
-_q(
-    "x43_merge_upsert",
-    _x43,
-    """
-    WITH chg AS (
-      SELECT doc_id, upper(text) AS text, lang, source, n_chars,
-             CAST(2 AS BIGINT) AS seq, 'U' AS op
-      FROM documents WHERE doc_id % 10 = 3
-      UNION ALL
-      SELECT doc_id, 'STALE', lang, source, n_chars, 1, 'U'
-      FROM documents WHERE doc_id % 10 = 3
-      UNION ALL
-      SELECT doc_id, text, lang, source, n_chars, 1, 'D'
-      FROM documents WHERE doc_id % 10 = 7
-      UNION ALL
-      SELECT doc_id + 10000000, 'NEW ' || text, lang, source, n_chars, 1, 'I'
-      FROM documents WHERE doc_id % 100 = 0
-    ), latest AS (
-      SELECT * FROM chg
-      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1
-    )
-    SELECT COALESCE(c.doc_id, s.doc_id) AS doc_id,
-           CASE WHEN c.op IS NOT NULL THEN c.text ELSE s.text END AS text,
-           CASE WHEN c.op IS NOT NULL THEN c.lang ELSE s.lang END AS lang,
-           CASE WHEN c.op IS NOT NULL THEN c.source ELSE s.source END AS source,
-           CASE WHEN c.op IS NOT NULL THEN c.n_chars ELSE s.n_chars END AS n_chars
-    FROM documents s FULL OUTER JOIN latest c ON s.doc_id = c.doc_id
-    WHERE c.op IS NULL OR c.op <> 'D'
-    """,
-)
-
-
-_MIX_BUDGET = 40_000.0
-
-
-def _x44(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget mixture sampling: 60/40 en/de recipe, rates measured
-    from per-source totals, row-local LCG membership gate."""
-    from dftly_spark.ops import mixture_sample
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    out = mixture_sample(
-        docs, "lang", {"en": 0.6, "de": 0.4},
-        budget=_MIX_BUDGET, cost_col="n_chars", id_col="doc_id", seed=5,
-    )
-    return out.select("doc_id", "lang", "n_chars", "mix_rate")
-
-
-def _x44_oracle() -> str:
-    from dftly_spark.ops.sampling import _M, mix_sql
-
-    u = mix_sql("d.doc_id", 5)
-    return f"""
-    WITH totals AS (
-      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS s
-      FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
-    )
-    SELECT d.doc_id, d.lang, d.n_chars,
-           LEAST(1.0, CASE d.lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.4 END
-                        * {_MIX_BUDGET!r} / CAST(t.s AS DOUBLE)) AS mix_rate
-    FROM documents d JOIN totals t ON d.lang = t.lang
-    WHERE {u} < LEAST(1.0, CASE d.lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.4 END
-                             * {_MIX_BUDGET!r} / CAST(t.s AS DOUBLE)) * {_M}
-    """
-
-
-_q("x44_mixture_sample", _x44, _x44_oracle())
-
-
-def _x45(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus bigram-LM quality scores (add-1 smoothing, self-fit)."""
-    from dftly_spark.ops import bigram_lm_scores
-
-    _prep(spark)
-    return bigram_lm_scores(_docs_tok(spark, sf_dir), tokens_col=_TOK)
-
-
-_q(
-    "x45_bigram_lm",
-    _x45,
-    r"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ), uni AS (
-      SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM base)
-    ), inst AS (
-      SELECT doc_id, i AS pos, w[i] AS w1, w[i + 1] AS w2
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
-            FROM base WHERE len(w) >= 2)
-    ), c2 AS (
-      SELECT w1, w2, count(*) AS c2 FROM inst GROUP BY w1, w2
-    ), c1 AS (
-      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
-    ), scored AS (
-      SELECT doc_id, pos, ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * uni.v)) AS lp
-      FROM inst JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN uni
-    )
-    SELECT doc_id, count(*) AS n_bigrams,
-           list_reduce(list(lp ORDER BY pos), (a, x) -> a + x) AS logprob,
-           list_reduce(list(lp ORDER BY pos), (a, x) -> a + x) / count(*) AS avg_logprob
-    FROM scored GROUP BY doc_id
-    """,
-)
-
-
-def _x46(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup (SemDeDup shape): cluster-then-prune survivors.
-
-    Same planted-copy corpus as x05 (scaled copies, cosine ≡ 1 with their
-    source).  Positive scaling preserves the argmax-dot cell assignment, so
-    every planted pair lands in one cell and the within-cell exact-cosine
-    prune removes each copy — recall 1.0 structurally, and the ``"first"``
-    centroid strategy makes the whole index replayable in plain SQL.
-    """
-    from dftly_spark.ops import semantic_dedup
-
-    _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    copies = emb.where(F.col("vec_id") % 8 == 0).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
-    )
-    aug = emb.unionByName(copies)
-    kept = semantic_dedup(
-        aug, id_col="vec_id", vec_col="embedding", threshold=0.95,
-        n_centroids=16, strategy="first",
-    )
-    return kept.select("vec_id")
-
-
-# Full DuckDB mirror: "first"-strategy centroids (16 lowest-id vectors of the
-# augmented corpus, unit-normalized), argmax-dot cell assignment (lowest cell
-# on ties), within-cell pairwise cosine over unit vectors, and the SemDeDup
-# keep-one rule (a row is a victim iff it matches a lower id in its cell).
-_q(
-    "x46_semantic_dedup",
-    _x46,
-    """
-    WITH aug AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      UNION ALL
-      SELECT vec_id + 10000000, list_transform(embedding::DOUBLE[], x -> x * 1.5)
-      FROM embeddings WHERE vec_id % 8 = 0
-    ),
-    cents AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cell,
-             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
-      FROM aug
-      QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
-    ),
-    scores AS (
-      SELECT aug.vec_id, cents.cell, list_dot_product(aug.v, cents.cv) AS s
-      FROM aug CROSS JOIN cents
-    ),
-    assigned AS (
-      SELECT vec_id, cell FROM scores
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) = 1
-    ),
-    u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
-          FROM aug),
-    victims AS (
-      SELECT DISTINCT b.vec_id AS id_r
-      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      JOIN u ua ON ua.vec_id = a.vec_id
-      JOIN u ub ON ub.vec_id = b.vec_id
-      WHERE list_dot_product(ua.v, ub.v) >= 0.95
-    )
-    SELECT vec_id FROM aug WHERE vec_id NOT IN (SELECT id_r FROM victims)
-    """,
-)
-
-
-def _x47(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot diff (data versioning): added/removed/changed keys between
-    two corpus versions, derived deterministically from orders."""
-    from dftly_spark.ops import snapshot_diff
-
-    _prep(spark)
-    orders = _t(spark, sf_dir, "orders")
-    old = orders.where(F.col("o_orderkey") % 7 != 0)
-    new = (
-        orders.where(F.col("o_orderkey") % 5 != 0)
-        .withColumn(
-            "o_totalprice",
-            F.when(
-                F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
-            ).otherwise(F.col("o_totalprice")),
-        )
-        .withColumn(
-            "o_orderstatus",
-            F.when(F.col("o_orderkey") % 11 == 0, F.lit("X")).otherwise(
-                F.col("o_orderstatus")
-            ),
-        )
-    )
-    return snapshot_diff(old, new, "o_orderkey")
-
-
-_q(
-    "x47_snapshot_diff",
-    _x47,
-    """
-    WITH o AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
-    n AS (
-      SELECT o_orderkey, o_custkey,
-             CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
-               AS o_orderstatus,
-             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
-                  ELSE o_totalprice END AS o_totalprice,
-             o_orderdate, o_orderpriority
-      FROM orders WHERE o_orderkey % 5 <> 0
-    ),
-    j AS (
-      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
-             o.o_orderkey IS NOT NULL AS in_old,
-             n.o_orderkey IS NOT NULL AS in_new,
-             array_to_string(list_filter([
-               CASE WHEN o.o_custkey       IS DISTINCT FROM n.o_custkey       THEN 'o_custkey' END,
-               CASE WHEN o.o_orderdate     IS DISTINCT FROM n.o_orderdate     THEN 'o_orderdate' END,
-               CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'o_orderpriority' END,
-               CASE WHEN o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus   THEN 'o_orderstatus' END,
-               CASE WHEN o.o_totalprice    IS DISTINCT FROM n.o_totalprice    THEN 'o_totalprice' END
-             ], x -> x IS NOT NULL), ',') AS cols
-      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
-    )
-    SELECT o_orderkey,
-           CASE WHEN NOT in_old THEN 'added'
-                WHEN NOT in_new THEN 'removed'
-                WHEN cols <> '' THEN 'changed' END AS change,
-           CASE WHEN in_old AND in_new AND cols <> '' THEN cols ELSE '' END
-             AS changed_cols
-    FROM j
-    WHERE (NOT in_old) OR (NOT in_new) OR cols <> ''
-    """,
-)
-
-
-_X48_YAML = """
-source: {table: documents}
-steps:
-  - with_columns:
-      n_tokens: "$n_chars / 6"
-  - filter: "($n_chars >= 64) and ($n_chars <= 100000)"
-  - op: exact_dedup
-    args: {text_col: text, id_col: doc_id}
-    join_back: {key: doc_id}
-  - op: cap_per_group
-    args: {group_col: source, k: 100, order_col: doc_id}
-  - select:
-      doc_id: "$doc_id"
-      lang: "$lang"
-      n_tokens: "$n_tokens::int"
-"""
-
-
-def _x48(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative YAML pipeline: quality filter → exact dedup (survivors
-    semi-join) → per-source cap → typed projection, all from one YAML doc
-    (dftly_spark.pipeline).  One lazy plan; the dftly expression steps fuse
-    into the scan."""
-    from dftly_spark.pipeline import run_pipeline
-
-    _prep(spark)
-    return run_pipeline(spark, _X48_YAML, sf_dir=sf_dir)
-
-
-_q(
-    "x48_pipeline_yaml",
-    _x48,
-    r"""
-    WITH filtered AS (
-      SELECT doc_id, lang, source, n_chars, text
-      FROM documents WHERE n_chars >= 64 AND n_chars <= 100000
-    ),
-    keep AS (
-      SELECT min(doc_id) AS doc_id
-      FROM (SELECT doc_id,
-                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
-            FROM filtered)
-      GROUP BY k
-    ),
-    capped AS (
-      SELECT f.* FROM filtered f JOIN keep USING (doc_id)
-      QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 100
-    )
-    SELECT doc_id, lang, CAST(TRUNC(n_chars / 6) AS INTEGER) AS n_tokens
-    FROM capped
-    """,
-)
-
-
-def _x49(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-schema analytics through the engine's documented usage pattern:
-    dftly expressions derive the row-level columns (revenue, ship year),
-    caller-side joins/aggregation do the rest.  nation broadcasts at any
-    scale; the FULL customer projection (c_custkey, c_nationkey — two ints)
-    is broadcast here, which holds to ~10⁸ customers; beyond that, drop the
-    hint and let the fact-side shuffle join take over (customers shard with
-    the fact table in a real TPC-H).  The single other shuffle is the
-    grouped aggregation."""
-    _prep(spark)
-    li = Parser.with_columns(
-        _t(spark, sf_dir, "lineitem"),
-        {
-            "revenue": "$l_extendedprice * (1 - $l_discount)",
-            "ship_year": "dt_year($l_shipdate)",
-        },
-    )
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_name", "ship_year")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            # exact_sum (see x21): order-independent integer money sums
-            exact_sum(F.col("revenue")).alias("revenue"),
-            exact_sum(F.col("l_quantity"), scale=100).alias("qty"),
-        )
-    )
-
-
-_q(
-    "x49_analytics_join",
-    _x49,
-    """
-    SELECT n.n_name, year(l.l_shipdate) AS ship_year,
-           COUNT(*) AS n_items,
-           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
-                               * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0
-             AS revenue,
-           CAST(SUM(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
-             / 100.0 AS qty
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name, year(l.l_shipdate)
-    """,
-)
-
-
-def _x50(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Topic-level corpus accounting: embeddings bucketed to centroid cells
-    (row-local argmax, no shuffle), joined to their documents, counted per
-    (topic, lang) — the first step of cluster-balanced mixture reweighting."""
-    from dftly_spark.ops import topic_assign
-
-    _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
-    docs = _t(spark, sf_dir, "documents")
-    topics = topic_assign(emb, n_topics=16, strategy="first")
-    return (
-        docs.join(topics, docs.doc_id == topics.vec_id)
-        .groupBy("topic", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("chars"),
-        )
-    )
-
-
-_q(
-    "x50_topic_mix",
-    _x50,
-    """
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cell,
-             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
-      FROM c
-      QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
-    ),
-    scores AS (
-      SELECT c.vec_id, cents.cell, list_dot_product(c.v, cents.cv) AS s
-      FROM c CROSS JOIN cents
-    ),
-    assigned AS (
-      SELECT vec_id, cell AS topic FROM scores
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) = 1
-    )
-    SELECT a.topic, d.lang, COUNT(*) AS n_docs,
-           CAST(SUM(d.n_chars) AS BIGINT) AS chars
-    FROM documents d JOIN assigned a ON d.doc_id = a.vec_id
-    GROUP BY a.topic, d.lang
-    """,
-)
-
-
-def _x51(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-rules document filter: per-doc keep verdict + failed-rule
-    reasons, all pure column expressions over one scan (no shuffle)."""
-    from dftly_spark.ops.textops import gopher_rules
-
-    _prep(spark)
-    return gopher_rules(_t(spark, sf_dir, "documents"), min_words=20)
-
-
-_q(
-    "x51_gopher_rules",
-    _x51,
-    r"""
-    WITH base AS (
-      SELECT doc_id, text,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\s+') END AS w
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id,
-             CAST(len(w) AS BIGINT) AS n_words,
-             CASE WHEN len(w) > 0
-                  THEN length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(w)
-                  ELSE 0.0 END AS mean_wl,
-             CASE WHEN len(w) > 0
-                  THEN (len(regexp_extract_all(text, '#|…'))
-                        + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE / len(w)
-                  ELSE 0.0 END AS symbol_ratio,
-             CASE WHEN len(w) > 0
-                  THEN len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
-                       / len(w)
-                  ELSE 0.0 END AS alpha_frac,
-             len(list_distinct(list_filter(
-                 list_transform(w, t -> lower(t)),
-                 t -> t IN ('the','and','of','to','a','in','is','it','that','for')
-             ))) AS stop_hits
-      FROM base
-    ),
-    v AS (
-      SELECT doc_id, n_words,
-             -- DuckDB's array_to_string([]) is NULL, Spark's concat_ws is ''
-             COALESCE(array_to_string(list_filter([
-               CASE WHEN NOT (alpha_frac >= 0.8) THEN 'alpha_frac' END,
-               CASE WHEN NOT (mean_wl >= 3.0 AND mean_wl <= 10.0) THEN 'mean_word_len' END,
-               CASE WHEN NOT (stop_hits >= 2) THEN 'stopwords' END,
-               CASE WHEN NOT (symbol_ratio <= 0.1) THEN 'symbol_ratio' END,
-               CASE WHEN NOT (n_words >= 20 AND n_words <= 100000) THEN 'words' END
-             ], x -> x IS NOT NULL), ','), '') AS failed_rules
-      FROM m
-    )
-    SELECT doc_id, n_words, failed_rules = '' AS keep, failed_rules FROM v
-    """,
-)
-
-
-def _x52(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerplate affix detection: per-doc count of documents sharing its
-    normalized first/last-k token run (template headers/footers)."""
-    from dftly_spark.ops import shared_affix_counts
-
-    _prep(spark)
-    return shared_affix_counts(_docs_tok(spark, sf_dir), k=5, tokens_col=_TOK)
-
-
-_q(
-    "x52_shared_affixes",
-    _x52,
-    r"""
-    WITH base AS (
-      SELECT doc_id,
-             CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
-      FROM documents
-    ),
-    a AS (
-      SELECT doc_id,
-             array_to_string(w[1:5], ' ') AS pre,
-             array_to_string(w[greatest(len(w) - 4, 1):len(w)], ' ') AS suf
-      FROM base
-    ),
-    p AS (SELECT pre, COUNT(*) AS prefix_docs FROM a GROUP BY pre),
-    s AS (SELECT suf, COUNT(*) AS suffix_docs FROM a GROUP BY suf)
-    SELECT a.doc_id, p.prefix_docs, s.suffix_docs
-    FROM a JOIN p USING (pre) JOIN s USING (suf)
-    """,
-)
-
-
-def _x53(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hopping (sliding) window aggregation — the overlapping twin of x38,
-    gated on batch (same helper runs on streams; windows expand row-locally
-    before the ONE keyed aggregation shuffle)."""
-    from dftly_spark.streaming import hopping_agg
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events")
-    out = hopping_agg(
-        ev,
-        "ts",
-        window="1 hour",
-        slide="30 minutes",
-        watermark="2 hours",
-        keys=["event_type"],
-        aggs={"n": F.count(F.lit(1)), "total_value": F.sum("value")},
-    )
-    return out.select(
-        F.unix_micros("window_start").alias("start_us"),
-        F.unix_micros("window_end").alias("end_us"),
-        "event_type",
-        "n",
-        "total_value",
-    )
-
-
-_q(
-    "x53_hopping_agg",
-    _x53,
-    """
-    WITH e AS (
-      SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
-    ),
-    w AS (
-      SELECT event_type, value, us,
-             CAST(floor(us / 1800000000.0) AS BIGINT) * 1800000000
-               - k * 1800000000 AS start_us
-      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k)
-    )
-    SELECT start_us, start_us + 3600000000 AS end_us, event_type,
-           COUNT(*) AS n, SUM(value) AS total_value
-    FROM w
-    WHERE us >= start_us AND us < start_us + 3600000000
-    GROUP BY start_us, event_type
-    """,
-)
-
-
-def _x54_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ verbatim copies of every 10th doc (x05's planted-pair
-    pattern, lexical edition) — shared by _x54 and warm_caches so both hit
-    the same term-frame cache key."""
-    docs = _docs_tok(spark, sf_dir).select("doc_id", "text", _TOK)
-    copies = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", _TOK
-    )
-    return docs.unionByName(copies)
-
-
-def _x54(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse TF-IDF cosine pairs: inverted-index candidates (never
-    all-pairs), term-sorted folds for bit-reproducible doubles.
-
-    Every 10th document gets a verbatim copy (x05's planted-pair pattern,
-    lexical edition): a copy shares all its terms with its source, so the
-    pair survives any df cap that keeps rare terms — recall is structural.
-    ``max_df=300`` splits the corpus's bimodal df distribution at both
-    gate scales (rare terms max out near 250 at sf0.1; the ~30
-    stop-word-grade terms sit at 78-94%% of the corpus), dropping exactly
-    the hot keys that dominate the self-join quadratically while
-    contributing ~zero idf weight.
-    """
-    from dftly_spark.ops import sparse_cosine_pairs
-
-    _prep(spark)
-    return sparse_cosine_pairs(
-        _x54_corpus(spark, sf_dir),
-        threshold=0.6,
-        min_df=2,
-        max_df=300,
-        tokens_col=_TOK,
-        cache_key=f"documents+copies:{sf_dir}",
-    )
-
-
-_q(
-    "x54_sparse_cosine",
-    _x54,
-    r"""
-    WITH aug AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
-    ),
-    base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM aug WHERE length(trim(text)) > 0
-    ),
-    tf AS (
-      SELECT doc_id, t AS term, COUNT(*) AS tf
-      FROM (SELECT doc_id, unnest(w) AS t FROM base)
-      GROUP BY doc_id, t
-    ),
-    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
-    dfreq AS (
-      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-      HAVING COUNT(*) >= 2 AND COUNT(*) <= 300
-    ),
-    post AS (
-      SELECT tf.doc_id, tf.term,
-             tf.tf * ln(n.n_docs::DOUBLE / dfreq.df) AS w
-      FROM tf JOIN dfreq USING (term) CROSS JOIN n
-    ),
-    norms AS (
-      SELECT doc_id,
-             sqrt(list_reduce(list(w * w ORDER BY term), (a, x) -> a + x)) AS nrm
-      FROM post GROUP BY doc_id
-    ),
-    u AS (
-      SELECT post.doc_id, post.term, post.w / norms.nrm AS w
-      FROM post JOIN norms USING (doc_id)
-      WHERE norms.nrm > 0
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_l, b.doc_id AS id_r,
-             list_reduce(list(a.w * b.w ORDER BY a.term), (a2, x) -> a2 + x) AS cos
-      FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_l, id_r, cos FROM pairs WHERE cos >= 0.6
-    """,
-)
-
-
-def _x55(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix over the events stream (epoch-aligned weekly
-    cohorts of first activity × distinct active users per later week)."""
-    from dftly_spark.ops import cohort_retention
-
-    _prep(spark)
-    return cohort_retention(_t(spark, sf_dir, "events"))
-
-
-_q(
-    "x55_cohort_retention",
-    _x55,
-    """
-    WITH e AS (
-      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
-    ),
-    first AS (
-      SELECT user_id, CAST(floor(MIN(us) / 604800000000.0) AS BIGINT) AS cohort
-      FROM e GROUP BY user_id
-    ),
-    act AS (
-      SELECT DISTINCT user_id, CAST(floor(us / 604800000000.0) AS BIGINT) AS w FROM e
-    )
-    SELECT f.cohort AS cohort_bucket, a.w - f.cohort AS period,
-           COUNT(*) AS n_users
-    FROM act a JOIN first f USING (user_id)
-    GROUP BY f.cohort, a.w - f.cohort
-    """,
-)
-
-
-# ---------------------------------------------------------------------------
-# Driver contract
-# ---------------------------------------------------------------------------
-
-
-def _x14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-cleaning pipeline: quality gate + near-dup removal.
-
-    The composition these operators exist for — keep documents above a
-    quality threshold, then drop the higher-id member of every near-duplicate
-    pair (canonical-copy dedup) via a left-anti join.
-    """
-    from dftly_spark.ops import ngram_jaccard_pairs, quality_score, token_count
-
-    _prep(spark)
-    docs = _docs_tok(spark, sf_dir)
-    scored = docs.select(
-        "doc_id",
-        "text",
-        quality_score(F.col("text")).alias("quality"),
-        token_count(F.col("text")).alias("n_tok"),
-    ).where((F.col("quality") >= 0.5) & (F.col("n_tok") >= 10))
-    dup_victims = ngram_jaccard_pairs(
-        docs,
-        "doc_id",
-        "text",
-        n=3,
-        threshold=0.7,
-        max_df=_MAX_DF,
-        tokens_col=_TOK,
-    ).select(F.col("id_r").alias("doc_id"))
-    return (
-        scored.join(dup_victims, "doc_id", "left_anti")
-        .select("doc_id", "quality", "n_tok")
-    )
-
-
-_q(
-    "x14_corpus_clean_pipeline",
-    _x14,
-    f"""
-    WITH {_SHINGLE_CTE},
-    victims AS (
-      SELECT id_r AS doc_id
-      FROM shared JOIN sizes x ON x.doc_id = id_l JOIN sizes y ON y.doc_id = id_r
-      WHERE s::DOUBLE / (x.n + y.n - s) >= 0.7
-    ),
-    scored AS (
-      SELECT doc_id,
-             LEAST(CAST(length(text) AS DOUBLE), 400.0) / 400.0 * 0.4
-               + LEAST(CASE WHEN len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) > 0
-                   THEN len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
-                     x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE
-                     / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
-                   ELSE 0.0 END * 5.0, 1.0) * 0.3
-               + (1.0 - LEAST(CASE WHEN length(text) > 0
-                   THEN len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]'))::DOUBLE / length(text)
-                   ELSE 0.0 END * 4.0, 1.0)) * 0.3 AS quality,
-             CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
-      FROM documents
-    )
-    SELECT doc_id, quality, n_tok
-    FROM scored
-    WHERE quality >= 0.5 AND n_tok >= 10
-      AND doc_id NOT IN (SELECT doc_id FROM victims)
-    """,
-)
-
-
-
-
-# ---------------------------------------------------------------------------
-# Round-3 operator family: stream analytics, feature engineering, sampling,
-# warehouse history, corpus cards, embedding triage (x57-x66)
-# ---------------------------------------------------------------------------
-
-
-def _x57(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaps-and-islands span coalescing: each event opens a 15-minute
-    activity interval; overlapping/touching intervals per user merge into
-    spans (ops/sessions.py merge_intervals — one keyed Exchange)."""
-    from dftly_spark.ops import merge_intervals
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
-    iv = ev.select(
-        "user_id",
-        us.alias("s_us"),
-        (us + F.lit(15 * 60 * 1_000_000)).alias("e_us"),
-    )
-    return merge_intervals(iv, "user_id", "s_us", "e_us", count_col="n_events")
-
-
-_q(
-    "x57_merge_intervals",
-    _x57,
-    """
-    WITH iv AS (
-      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
-             epoch_us(CAST(ts AS TIMESTAMP)) + 900000000 AS e
-      FROM events
-    ), ord AS (
-      SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-      FROM iv
-    ), brk AS (
-      SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS b FROM ord
-    ), isl AS (
-      SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY s, e
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-      FROM brk
-    )
-    SELECT user_id, min(s) AS span_start, max(e) AS span_end,
-           count(*) AS n_events
-    FROM isl GROUP BY user_id, g
-    """,
-)
-
-
-def _x58(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-step-ahead rolling z-score anomaly flags per event_type
-    (ops/profile.py rolling_zscore — one keyed window, rows-bounded
-    frame)."""
-    from dftly_spark.ops import rolling_zscore
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "event_type", "ts", "value"
-    )
-    out = rolling_zscore(
-        ev, "event_type", ["ts", "event_id"], "value",
-        lookback=50, z_threshold=2.5, min_obs=10,
-    )
-    return out.select("event_id", "event_type", "value", "zscore", "is_anomaly")
-
-
-_q(
-    "x58_rolling_zscore",
-    _x58,
-    """
-    WITH w AS (
-      SELECT event_id, event_type, value,
-             avg(value) OVER win AS m,
-             stddev_samp(value) OVER win AS sd,
-             count(value) OVER win AS c
-      FROM events
-      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
-                     ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
-    )
-    SELECT event_id, event_type, value,
-           floor((CASE WHEN c >= 10 AND sd > 0 THEN (value - m) / sd END) * 1000000 + 0.5) / 1000000
-             AS zscore,
-           coalesce(abs(floor((CASE WHEN c >= 10 AND sd > 0
-                                   THEN (value - m) / sd END) * 1000000 + 0.5) / 1000000) > 2.5,
-                    false) AS is_anomaly
-    FROM w
-    """,
-)
-
-
-def _x59(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 dimension history from the event feed: per-user event_type
-    versions with validity intervals; heartbeat repeats collapse
-    (ops/cdc.py scd2_history — one keyed Exchange, two windows)."""
-    from dftly_spark.ops import scd2_history
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_type", "event_id"
-    )
-    return scd2_history(
-        ev, "user_id", "ts", ["event_type"], order_cols=["event_id"]
-    )
-
-
-_q(
-    "x59_scd2_history",
-    _x59,
-    """
-    WITH o AS (
-      SELECT user_id, ts, event_type, event_id,
-             lag(event_type) OVER w AS pv,
-             row_number() OVER w AS rn
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), v AS (
-      SELECT * FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM pv
-    )
-    SELECT user_id, event_type, ts AS valid_from,
-           lead(ts) OVER w2 AS valid_to,
-           lead(ts) OVER w2 IS NULL AS is_current
-    FROM v
-    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
-
-
-def _x60(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted sample without replacement, 20 docs per source, weight =
-    n_chars (ops/sampling.py weighted_sample_per_group — Efraimidis-
-    Spirakis keys off the deterministic LCG, one keyed window)."""
-    from dftly_spark.ops import weighted_sample_per_group
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    return weighted_sample_per_group(
-        docs, "source", "doc_id", "n_chars", k=20, seed=7
-    )
-
-
-def _x60_oracle() -> str:
-    from dftly_spark.ops.sampling import _M, mix_sql
-
-    u = mix_sql("doc_id", 7)
-    return f"""
-    WITH keyed AS (
-      SELECT doc_id, source, n_chars,
-             row_number() OVER (
-               PARTITION BY source
-               ORDER BY CASE WHEN n_chars > 0
-                             THEN -ln(({u} + 1) / {float(_M + 1)!r}) / n_chars
-                             ELSE CAST('infinity' AS DOUBLE) END,
-                        doc_id) AS rn
-      FROM documents
-    )
-    SELECT doc_id, source, n_chars FROM keyed WHERE rn <= 20
-    """
-
-
-_q("x60_weighted_sample", _x60, _x60_oracle())
-
-
-def _x61(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source distinctive vocabulary by relative-frequency lift
-    (ops/retrieval.py distinctive_terms — shares the corpus term frame
-    with BM25/TF-IDF; lift is pure IEEE divides, engine-exact)."""
-    from dftly_spark.ops import distinctive_terms
-
-    _prep(spark)
-    return distinctive_terms(
-        _docs_tok(spark, sf_dir),
-        "source",
-        k=10,
-        min_group_tf=5,
-        tokens_col=_TOK,
-        cache_key=f"documents:{sf_dir}",
-    )
-
-
-_q(
-    "x61_distinctive_terms",
-    _x61,
-    r"""
-    WITH base AS (
-      SELECT doc_id, source,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents
-    ), tf AS (
-      SELECT doc_id, any_value(source) AS source, t AS term, count(*) AS tf
-      FROM (SELECT doc_id, source, unnest(w) AS t FROM base)
-      GROUP BY doc_id, t
-    ), gterm AS (
-      SELECT source, term, CAST(sum(tf) AS BIGINT) AS gtf
-      FROM tf GROUP BY source, term
-    ), gtot AS (
-      SELECT source, CAST(sum(gtf) AS BIGINT) AS gtot FROM gterm GROUP BY source
-    ), cterm AS (
-      SELECT term, CAST(sum(gtf) AS BIGINT) AS ctf FROM gterm GROUP BY term
-    ), ctot AS (
-      SELECT CAST(sum(gtf) AS BIGINT) AS ctot FROM gterm
-    ), scored AS (
-      SELECT g.source, g.term, g.gtf AS tf,
-             (CAST(g.gtf AS DOUBLE) / t.gtot) / (CAST(c.ctf AS DOUBLE) / x.ctot)
-               AS lift
-      FROM gterm g JOIN gtot t USING (source)
-      JOIN cterm c USING (term) CROSS JOIN ctot x
-      WHERE g.gtf >= 5
-    )
-    SELECT source, term, tf, lift
-    FROM (SELECT *, row_number() OVER (PARTITION BY source
-                                       ORDER BY lift DESC, term) AS rk
-          FROM scored)
-    WHERE rk <= 10
-    """,
-)
-
-
-def _x62(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space triage: the 50 vectors farthest from the corpus
-    centroid by cosine (ops/similarity.py centroid_outliers — dim-wide
-    centroid agg + sanctioned 1-row broadcast + TakeOrdered)."""
-    from dftly_spark.ops import centroid_outliers
-
-    _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
-    return centroid_outliers(emb, "vec_id", "embedding", k=50)
-
-
-_q(
-    "x62_centroid_outliers",
-    _x62,
-    """
-    WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), d AS (
-      SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e
-    ), cent AS (
-      SELECT pos, avg(val) AS c FROM d GROUP BY pos
-    ), nb AS (
-      SELECT sqrt(sum(c * c)) AS nc FROM cent
-    ), sc AS (
-      SELECT d.vec_id,
-             sum(d.val * cent.c) AS dp,
-             sqrt(sum(d.val * d.val)) AS na
-      FROM d JOIN cent USING (pos) GROUP BY d.vec_id
-    )
-    SELECT vec_id, floor((dp / (na * nc)) * 1000000 + 0.5) / 1000000 AS centroid_cos
-    FROM sc CROSS JOIN nb
-    ORDER BY centroid_cos ASC, vec_id ASC
-    LIMIT 50
-    """,
-)
-
-
-def _x63(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type rank features: decile bucket, percent_rank, cume_dist of
-    the event value (ops/profile.py ntile_features — one keyed window;
-    ranks are count ratios, engine-exact)."""
-    from dftly_spark.ops import ntile_features
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    out = ntile_features(ev, "event_type", "value", ["event_id"], buckets=10)
-    return out.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.col("bucket").cast("bigint").alias("bucket"),
-        "pct_rank",
-        "cume",
-    )
-
-
-_q(
-    "x63_ntile_features",
-    _x63,
-    """
-    SELECT event_id, event_type, value,
-           ntile(10) OVER w AS bucket,
-           percent_rank() OVER w AS pct_rank,
-           cume_dist() OVER w AS cume
-    FROM events
-    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
-    """,
-)
-
-
-def _x64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user time-weighted average of the carry-forward value signal
-    (ops/sessions.py time_weighted_avg — lead + agg on one keyed
-    Exchange)."""
-    from dftly_spark.ops import time_weighted_avg
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
-    return time_weighted_avg(ev, "user_id", "ts", "value")
-
-
-_q(
-    "x64_time_weighted_avg",
-    _x64,
-    """
-    WITH s AS (
-      SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
-             lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
-               PARTITION BY user_id
-               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), value) AS nt
-      FROM events
-    )
-    SELECT user_id,
-           floor((CASE WHEN max(t) - min(t) > 0
-                      THEN sum(CASE WHEN nt IS NOT NULL
-                                    THEN value * (nt - t) END)
-                           / (max(t) - min(t))
-                      ELSE min(value) END) * 1000000 + 0.5) / 1000000 AS twa,
-           max(t) - min(t) AS span_us,
-           count(*) AS n_events
-    FROM s GROUP BY user_id
-    """,
-)
-
-
-def _x65(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-key heavy-hitter report for orders.o_custkey — the diagnostic
-    read before salting/AQE-skew decisions (ops/profile.py
-    key_skew_profile — keyed count + TakeOrdered + 1-row total
-    broadcast)."""
-    from dftly_spark.ops import key_skew_profile
-
-    _prep(spark)
-    return key_skew_profile(_t(spark, sf_dir, "orders"), "o_custkey", top_k=25)
-
-
-_q(
-    "x65_key_skew",
-    _x65,
-    """
-    WITH c AS (
-      SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1
-    ), tot AS (
-      SELECT CAST(sum(n) AS BIGINT) AS t FROM c
-    ), top AS (
-      SELECT key, n FROM c ORDER BY n DESC, key LIMIT 25
-    )
-    SELECT key, n, CAST(n AS DOUBLE) / t AS share,
-           CAST(sum(n) OVER (ORDER BY n DESC, key
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) / t AS cum_share
-    FROM top CROSS JOIN tot
-    """,
-)
-
-
-def _x66(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Empirical Markov transition matrix over per-user event_type
-    sequences (ops/sessions.py transition_matrix — one keyed window into
-    a vocabulary-sized agg; probabilities are count ratios,
-    engine-exact)."""
-    from dftly_spark.ops import transition_matrix
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
-    return transition_matrix(
-        ev, "user_id", "ts", "event_type", order_cols=("event_id",)
-    )
-
-
-_q(
-    "x66_transition_matrix",
-    _x66,
-    """
-    WITH s AS (
-      SELECT event_type,
-             lead(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS nxt
-      FROM events
-    )
-    SELECT event_type AS from_state, nxt AS to_state,
-           count(*) AS n,
-           CAST(count(*) AS DOUBLE)
-             / sum(count(*)) OVER (PARTITION BY event_type) AS p
-    FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
-    """,
-)
-
-
-
-
-def _x67(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the bidirectional customer-supplier trade graph
-    (ops/graph.py — per-iteration edge join + dst-keyed sum, fixed
-    iteration budget so the computation is a deterministic function of
-    the edge list; unnormalized GraphX-style formulation, mass sums to N;
-    DuckDB replays it with a recursive CTE)."""
-    from dftly_spark.ops import pagerank
-
-    _prep(spark)
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    # integer node ids (customer = 2k, supplier = 2k+1): 8-byte shuffle
-    # keys where strings would triple the exchanged bytes over the 1.2M
-    # edges this graph produces
-    pairs = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    # structural guarantees of this graph: pairs is distinct and the two
-    # directions cannot collide (even vs odd ids), so the edge list is
-    # distinct; symmetrization means every node has an out-edge.  Skipping
-    # the two guard shuffles is sound here.
-    return pagerank(
-        edges, iters=5, damping=0.85, assume_distinct=True, repair_dangling=False
-    )
-
-
-_q(
-    "x67_pagerank",
-    _x67,
-    """
-    WITH pairs AS (
-      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    ), edges AS (
-      SELECT c AS src, s AS dst FROM pairs
-      UNION ALL SELECT s, c FROM pairs
-    ), nodes AS (
-      SELECT DISTINCT src AS n FROM edges
-    ), deg AS (
-      SELECT src, count(*) AS deg FROM edges GROUP BY src
-    )
-    SELECT n AS node, floor((r) * 1000000 + 0.5) / 1000000 AS rank FROM (
-      WITH RECURSIVE pr AS (
-        SELECT 0 AS it, n, CAST(1.0 AS DOUBLE) AS r FROM nodes
-        UNION ALL
-        SELECT pr.it + 1, e.dst AS n,
-               (1.0 - 0.85) + 0.85 * sum(pr.r / deg.deg) AS r
-        FROM pr JOIN edges e ON pr.n = e.src JOIN deg ON e.src = deg.src
-        WHERE pr.it < 5
-        GROUP BY pr.it, e.dst
-      )
-      SELECT * FROM pr WHERE it = 5
-    )
-    """,
-)
-
-
-def _x68(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval eval harness: per-customer supplier rankings (by lineitem
-    count — exact integer ordering) scored against a ">=2 distinct orders"
-    relevance set via ops/retrieval.py ranking_metrics.  All three metrics
-    are count ratios — engine-exact."""
-    from pyspark.sql import Window
-
-    from dftly_spark.ops import ranking_metrics
-
-    _prep(spark)
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    joined = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
-        "o_custkey", "l_suppkey", "o_orderkey"
-    )
-    counts = joined.groupBy("o_custkey", "l_suppkey").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.countDistinct("o_orderkey").alias("_n_ord"),
-    )
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("_n").desc(), F.col("l_suppkey").asc()
-    )
-    run = counts.select(
-        F.col("o_custkey").alias("query_id"),
-        F.col("l_suppkey").alias("doc_id"),
-        F.row_number().over(w).alias("rank"),
-    )
-    qrels = counts.where(F.col("_n_ord") >= 2).select(
-        F.col("o_custkey").alias("query_id"), F.col("l_suppkey").alias("doc_id")
-    )
-    return ranking_metrics(run, qrels, k=5)
-
-
-_q(
-    "x68_ranking_metrics",
-    _x68,
-    """
-    WITH counts AS (
-      SELECT o_custkey, l_suppkey, count(*) AS n,
-             count(DISTINCT o_orderkey) AS n_ord
-      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      GROUP BY o_custkey, l_suppkey
-    ), run AS (
-      SELECT o_custkey AS query_id, l_suppkey AS doc_id,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY n DESC, l_suppkey) AS rank
-      FROM counts
-    ), qrels AS (
-      SELECT o_custkey AS query_id, l_suppkey AS doc_id
-      FROM counts WHERE n_ord >= 2
-    ), truth AS (
-      SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY query_id
-    ), joined AS (
-      SELECT t.query_id, t.n_rel, r.doc_id, r.rank,
-             r.doc_id IN (SELECT doc_id FROM qrels q
-                          WHERE q.query_id = t.query_id) AS hit
-      FROM truth t LEFT JOIN run r ON t.query_id = r.query_id
-    )
-    SELECT query_id,
-           CAST(count(*) FILTER (WHERE hit AND rank <= 5) AS DOUBLE) / any_value(n_rel)
-             AS recall_at_k,
-           CAST(count(*) FILTER (WHERE hit AND rank <= 5) AS DOUBLE) / 5
-             AS precision_at_k,
-           coalesce(1.0 / min(rank) FILTER (WHERE hit), 0.0) AS mrr
-    FROM joined GROUP BY query_id
-    """,
-)
-
-
-def _x69(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label mean-pooled embedding prototypes in long form
-    (ops/similarity.py pool_embeddings — one (group, dim)-keyed agg with
-    map-side combine)."""
-    from dftly_spark.ops import pool_embeddings
-
-    _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
-    return pool_embeddings(emb, "label", "embedding", how="mean")
-
-
-_q(
-    "x69_pool_embeddings",
-    _x69,
-    """
-    WITH d AS (
-      SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
-             generate_subscripts(embedding, 1) - 1 AS pos
-      FROM embeddings
-    )
-    SELECT label, pos, floor((avg(v)) * 1000000 + 0.5) / 1000000 AS val FROM d GROUP BY label, pos
-    """,
-)
-
-
-
-
-def _x70(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-proof salted equi-join (ops/scale.py salted_join): orders
-    fan out over 16 deterministic sub-keys, customers replicate
-    row-locally; results are exactly the plain join's (the oracle IS the
-    plain join), summarized per nation with exact aggregates."""
-    from dftly_spark.ops import salted_join
-
-    _prep(spark)
-    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
-    cust = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
-    joined = salted_join(orders, cust, "custkey", salt=16, how="inner")
-    return joined.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.countDistinct("custkey").alias("n_custs"),
-        F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price"),
-    )
-
-
-_q(
-    "x70_salted_join",
-    _x70,
-    """
-    SELECT c_nationkey, count(*) AS n_orders,
-           count(DISTINCT o_custkey) AS n_custs,
-           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_nationkey
-    """,
-)
-
-
-def _x71(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type winsorization of the event value (ops/profile.py
-    winsorize) — exact percentile clamping; Spark's percentile
-    interpolation is bit-identical to DuckDB's quantile_cont, so no
-    rounding appears anywhere."""
-    from dftly_spark.ops import winsorize
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    out = winsorize(ev, "event_type", "value", lower=0.05, upper=0.95)
-    return out.select("event_id", "event_type", "value", "clamped", "was_clamped")
-
-
-_q(
-    "x71_winsorize",
-    _x71,
-    """
-    WITH b AS (
-      SELECT event_type AS g, quantile_cont(value, 0.05) AS lo,
-             quantile_cont(value, 0.95) AS hi
-      FROM events GROUP BY event_type
-    )
-    SELECT event_id, event_type, value,
-           least(greatest(value, lo), hi) AS clamped,
-           coalesce(value != least(greatest(value, lo), hi), false)
-             AS was_clamped
-    FROM events JOIN b ON event_type = b.g
-    """,
-)
-
-
-def _x72(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Group-wise null imputation (ops/profile.py impute_nulls): median
-    fill for a numeric column, smallest-value-tie-break mode fill for a
-    categorical one, per event_type.  Nulls are planted deterministically
-    so the oracle plants the same ones."""
-    from dftly_spark.ops import impute_nulls
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("value_n"),
-        F.when(F.col("event_id") % 11 != 0, F.col("props")).alias("props_n"),
-    )
-    out = impute_nulls(
-        ev, "event_type", {"value_n": "median", "props_n": "mode"}
-    )
-    return out.select("event_id", "event_type", "value_n", "props_n")
-
-
-_q(
-    "x72_impute_nulls",
-    _x72,
-    """
-    WITH ev AS (
-      SELECT event_id, event_type,
-             CASE WHEN event_id % 7 != 0 THEN value END AS value_n,
-             CASE WHEN event_id % 11 != 0 THEN props END AS props_n
-      FROM events
-    ), med AS (
-      SELECT event_type AS g, quantile_cont(value_n, 0.5) AS fill_v
-      FROM ev GROUP BY event_type
-    ), mode_rank AS (
-      SELECT event_type AS g, props_n AS fill_p,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY count(*) DESC, props_n ASC) AS rk
-      FROM ev WHERE props_n IS NOT NULL GROUP BY event_type, props_n
-    ), md AS (
-      SELECT g, fill_p FROM mode_rank WHERE rk = 1
-    )
-    SELECT event_id, event_type,
-           coalesce(value_n, fill_v) AS value_n,
-           coalesce(props_n, fill_p) AS props_n
-    FROM ev JOIN med ON event_type = med.g JOIN md ON event_type = md.g
-    """,
-)
-
-
-
-
-def _x73(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user OLS engagement trend (ops/profile.py group_trend):
-    closed-form slope/intercept/r2 from one keyed sufficient-statistics
-    aggregation, x centered per key for conditioning."""
-    from dftly_spark.ops import group_trend
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        (F.unix_micros("ts") / F.lit(3_600_000_000.0)).alias("t_h"),
-        "value",
-    )
-    return group_trend(ev, "user_id", "t_h", "value")
-
-
-_q(
-    "x73_group_trend",
-    _x73,
-    """
-    WITH base AS (
-      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0 AS x,
-             CAST(value AS DOUBLE) AS y
-      FROM events
-    ), c AS (
-      SELECT user_id, x - min(x) OVER (PARTITION BY user_id) AS x, y FROM base
-    ), s AS (
-      SELECT user_id, count(*) AS n,
-             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
-             sum(x * y) AS sxy, sum(y * y) AS syy
-      FROM c GROUP BY user_id
-    )
-    SELECT user_id, n,
-           floor((CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
-                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * 1000000 + 0.5) / 1000000
-             AS slope,
-           floor(((sy - (CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
-                             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END)
-                       * sx) / n) * 1000000 + 0.5) / 1000000 AS intercept,
-           floor((CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
-                       AND n * syy - sy * sy > 0
-                      THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END) * 1000000 + 0.5) / 1000000
-             AS r2
-    FROM s
-    """,
-)
-
-
-def _x74(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min heavy-hitter estimates (ops/sketch.py): the sketch is a
-    (row, bucket, n) frame from ONE map-side-combined aggregation whose
-    width is depth x width cells regardless of key cardinality; estimates
-    never undercount (checked against exact counts in the output)."""
-    from dftly_spark.ops import cms_build, cms_estimate
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events")
-    sketch = cms_build(ev, "user_id", depth=4, width=1024)
-    probes = spark.range(50).select(F.col("id").alias("user_id"))
-    est = cms_estimate(sketch, probes, "user_id", depth=4, width=1024)
-    exact = ev.groupBy(F.col("user_id").alias("key")).agg(
-        F.count(F.lit(1)).alias("exact")
-    )
-    return est.join(exact, "key", "left").select(
-        "key", "est", F.coalesce("exact", F.lit(0)).alias("exact")
-    )
-
-
-_q(
-    "x74_cms_heavy_hitters",
-    _x74,
-    """
-    WITH rows(r) AS (SELECT unnest([0, 1, 2, 3])),
-    cells AS (
-      SELECT r.r AS row,
-             ((user_id * 1103515245 + 12345 + r.r * 1000 + 1) % 2147483648)
-               % 1024 AS bucket
-      FROM events CROSS JOIN rows r
-    ), sk AS (
-      SELECT row, bucket, CAST(count(*) AS BIGINT) AS n
-      FROM cells GROUP BY row, bucket
-    ), probe_cells AS (
-      SELECT k.key, r.r AS row,
-             ((k.key * 1103515245 + 12345 + r.r * 1000 + 1) % 2147483648)
-               % 1024 AS bucket
-      FROM (SELECT unnest(range(50)) AS key) k CROSS JOIN rows r
-    ), est AS (
-      SELECT key, CAST(min(coalesce(n, 0)) AS BIGINT) AS est
-      FROM probe_cells LEFT JOIN sk USING (row, bucket) GROUP BY key
-    ), exact AS (
-      SELECT user_id AS key, CAST(count(*) AS BIGINT) AS exact
-      FROM events GROUP BY user_id
-    )
-    SELECT key, est, coalesce(exact, 0) AS exact
-    FROM est LEFT JOIN exact USING (key)
-    """,
-)
-
-
-
-
-def _x75(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise Pearson correlation matrix over the lineitem metrics
-    (ops/profile.py corr_matrix): k sums + k^2 cross-sums in ONE
-    map-side-combined pass, formula spelled from raw sums so the oracle
-    replays the identical expression structure."""
-    from dftly_spark.ops import corr_matrix
-
-    _prep(spark)
-    li = _t(spark, sf_dir, "lineitem")
-    return corr_matrix(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    )
-
-
-def _x75_oracle() -> str:
-    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    sums = ["count(*) AS n"]
-    for c in cols:
-        sums.append(f"sum(CAST({c} AS DOUBLE)) AS s_{c}")
-        sums.append(f"sum(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)) AS ss_{c}")
-    pair_sql = []
-    for i, a in enumerate(cols):
-        for b in cols[i + 1:]:
-            sums.append(
-                f"sum(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE)) AS sp_{a}_{b}"
-            )
-            pair_sql.append(f"""
-      SELECT '{a}' AS col_x, '{b}' AS col_y,
-             floor((CASE WHEN n * ss_{a} - s_{a} * s_{a} > 0
-                         AND n * ss_{b} - s_{b} * s_{b} > 0
-                        THEN (n * sp_{a}_{b} - s_{a} * s_{b})
-                             / sqrt((n * ss_{a} - s_{a} * s_{a})
-                                    * (n * ss_{b} - s_{b} * s_{b})) END) * 1000000 + 0.5) / 1000000
-               AS corr
-      FROM w""")
-    return (
-        "WITH w AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
-        + ", ".join(sums[1:])
-        + " FROM lineitem) "
-        + " UNION ALL ".join(pair_sql)
-    )
-
-
-_q("x75_corr_matrix", _x75, _x75_oracle())
-
-
-def _x76(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user behavioral diversity: Shannon entropy of the event-type
-    distribution (ops/profile.py group_entropy — two keyed aggs, the
-    c*ln(c) fold rounded below cross-engine ln wobble)."""
-    from dftly_spark.ops import group_entropy
-
-    _prep(spark)
-    return group_entropy(_t(spark, sf_dir, "events"), "user_id", "event_type")
-
-
-_q(
-    "x76_group_entropy",
-    _x76,
-    """
-    WITH counts AS (
-      SELECT user_id, coalesce(event_type, chr(0) || 'null') AS cat,
-             count(*) AS c
-      FROM events GROUP BY user_id, cat
-    )
-    SELECT user_id, CAST(sum(c) AS BIGINT) AS n_rows,
-           count(*) AS n_cats,
-           floor((ln(CAST(sum(c) AS DOUBLE))
-                 - sum(c * ln(CAST(c AS DOUBLE))) / sum(c)) * 1000000 + 0.5) / 1000000 AS entropy
-    FROM counts GROUP BY user_id
-    """,
-)
-
-
-_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
-
-
-def _x77(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide per-user activity matrix (ops/reshape.py pivot_wide): pivot
-    event_type into one summed column per type.  Explicit ``values`` pins
-    the schema and keeps the plan at ONE keyed aggregation — the pivoted
-    columns are conditional aggregates with map-side combine, no second
-    pass, no driver-side distinct.  Sums rounded to 6 to absorb
-    cross-engine float addition order."""
-    from dftly_spark.ops import pivot_wide
-
-    _prep(spark)
-    wide = pivot_wide(
-        _t(spark, sf_dir, "events"),
-        ["user_id"],
-        "event_type",
-        "value",
-        values=_EVENT_TYPES,
-        agg="sum",
-    )
-    return wide.select(
-        "user_id", *[portable_round(F.col(t), 6).alias(t) for t in _EVENT_TYPES]
-    )
-
-
-_q(
-    "x77_pivot_events",
-    _x77,
-    "SELECT user_id, "
-    + ", ".join(
-        f"floor((sum(CASE WHEN event_type = '{t}' THEN value END)) * 1000000 + 0.5) / 1000000 AS {t}"
-        for t in _EVENT_TYPES
-    )
-    + " FROM events GROUP BY user_id",
-)
-
-
-def _x78(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Long-form metric table (ops/reshape.py melt): unpivot four lineitem
-    metrics into (variable, value) rows.  Row-local Expand — each input
-    row fans out inside its task, no shuffle."""
-    from dftly_spark.ops import melt
-
-    _prep(spark)
-    return melt(
-        _t(spark, sf_dir, "lineitem"),
-        ["l_orderkey", "l_linenumber"],
-        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-    )
-
-
-_q(
-    "x78_melt_lineitem",
-    _x78,
-    " UNION ALL ".join(
-        f"SELECT l_orderkey, l_linenumber, '{c}' AS variable, "
-        f"CAST({c} AS DOUBLE) AS value FROM lineitem"
-        for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    ),
-)
-
-
-def _x79(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style line-level cleaning (ops/textops.py line_filter).  The
-    synthetic corpus has no newlines, so the query derives deterministic
-    multi-line documents first (every ' value ' becomes a line break —
-    same regexp_replace in the oracle), then applies the C4 rules:
-    ≥3 words per line, no banned substring, ≥2 surviving lines per doc.
-    Entirely row-local higher-order array functions — one scan, no
-    shuffle."""
-    from dftly_spark.ops import line_filter
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "text", F.regexp_replace(F.col("text"), " value ", "\n")
-    )
-    return line_filter(
-        docs, min_words=3, banned=("slow",), min_lines_kept=2
-    )
-
-
-_q(
-    "x79_line_filter",
-    _x79,
-    """
-    WITH ml AS (
-      SELECT doc_id,
-             string_split(regexp_replace(text, ' value ', chr(10), 'g'),
-                          chr(10)) AS lines
-      FROM documents
-    ), f AS (
-      SELECT doc_id,
-             list_filter(lines,
-               x -> len(list_filter(string_split_regex(x, '\\s+'),
-                                    w -> w <> '')) >= 3
-                    AND NOT contains(lower(x), 'slow')) AS kept,
-             len(lines) AS n_lines
-      FROM ml
-    )
-    SELECT doc_id, array_to_string(kept, chr(10)) AS text,
-           CAST(len(kept) AS INT) AS n_lines_kept,
-           CAST(n_lines - len(kept) AS INT) AS n_lines_dropped
-    FROM f WHERE len(kept) >= 2
-    """,
-)
-
-
-def _x80(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket association (ops/assoc.py cooccurrence_pmi): which
-    suppliers co-occur in the same order, with support/lift/PMI.  Distinct
-    (order, supplier) first (one keyed shuffle); pair emit is the basket
-    explode (basket_pairs: collect each order's sorted supplier set, two
-    chained generators — no self-join) — per-order work C(items,2),
-    bounded by order size (≤7 here; ``max_items_per_group`` caps monster
-    groups at scale); the 1-row group total attaches via the sanctioned
-    scalar-broadcast pattern (plan-sweep allowlisted, like bm25's corpus
-    stats)."""
-    from dftly_spark.ops import cooccurrence_pmi
-
-    _prep(spark)
-    return cooccurrence_pmi(
-        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_suppkey",
-        min_pair_count=2,
-    )
-
-
-_q(
-    "x80_basket_pmi",
-    _x80,
-    """
-    WITH gi AS (
-      SELECT DISTINCT l_orderkey AS g, l_suppkey AS i FROM lineitem
-      WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
-    ), ic AS (
-      SELECT i, CAST(count(*) AS BIGINT) AS n FROM gi GROUP BY i
-    ), ng AS (
-      SELECT CAST(count(DISTINCT g) AS DOUBLE) AS n FROM gi
-    ), p AS (
-      SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_both
-      FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
-      GROUP BY a.i, b.i
-      HAVING count(*) >= 2
-    )
-    SELECT p.item_a, p.item_b, p.n_both, ca.n AS n_a, cb.n AS n_b,
-           floor((p.n_both / ng.n) * 1000000 + 0.5) / 1000000 AS support,
-           floor((p.n_both * ng.n / (ca.n * cb.n)) * 1000000 + 0.5) / 1000000 AS lift,
-           floor((ln(p.n_both * ng.n / (ca.n * cb.n))) * 1000000 + 0.5) / 1000000 AS pmi
-    FROM p
-    JOIN ic ca ON ca.i = p.item_a
-    JOIN ic cb ON cb.i = p.item_b
-    CROSS JOIN ng
-    """,
-)
-
-
-def _x81(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cardinality accounting (ops/profile.py distinct_counts, exact
-    mode): distinct users and distinct active days per event type — ONE
-    Expand + keyed aggregation with partial distinct.  The HLL++ twin
-    (``approx=True``) is the 100 TB default (mergeable sketches, shuffle
-    independent of value cardinality); its estimates are engine-specific,
-    so tests pin its relative error against this exact plan instead
-    (tests/test_analytics_ops.py)."""
-    from dftly_spark.ops import distinct_counts
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "day", F.to_date(F.col("ts"))
-    )
-    return distinct_counts(ev, "event_type", ["user_id", "day"])
-
-
-_q(
-    "x81_distinct_counts",
-    _x81,
-    """
-    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user_id,
-           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS nd_day
-    FROM events GROUP BY event_type
-    """,
-)
-
-
-def _x82(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped distribution profile (ops/profile.py quantile_stats with
-    ``by=``): p50/p90/p99 of event value per type.  Exact ``percentile``
-    (linear interpolation ≡ ANSI quantile_cont); rounded to 6 because the
-    interpolation arithmetic on doubles differs in the last bits across
-    engines.  x27 gates the global path; this gates the grouped one."""
-    from dftly_spark.ops import quantile_stats
-
-    _prep(spark)
-    qs = quantile_stats(
-        _t(spark, sf_dir, "events"), "value", by="event_type",
-        probs=(0.5, 0.9, 0.99),
-    )
-    return qs.select(
-        "event_type", "n", portable_round(F.col("mean"), 6).alias("mean"),
-        *[portable_round(F.col(c), 6).alias(c) for c in ("q50", "q90", "q99")],
-    )
-
-
-_q(
-    "x82_group_quantiles",
-    _x82,
-    """
-    SELECT event_type, CAST(count(value) AS BIGINT) AS n,
-           floor((avg(value)) * 1000000 + 0.5) / 1000000 AS mean,
-           floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS q50,
-           floor((quantile_cont(value, 0.9)) * 1000000 + 0.5) / 1000000 AS q90,
-           floor((quantile_cont(value, 0.99)) * 1000000 + 0.5) / 1000000 AS q99
-    FROM events GROUP BY event_type
-    """,
-)
-
-
-def _x83(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-window heavy hitters (streaming.py windowed_heavy_hitters,
-    gated on batch — the support-threshold path is the stream-safe one;
-    ``top_k`` ranks the finished windows, count desc / user asc tiebreak).
-    ONE windowed keyed agg + a rank over ≤ distinct-keys rows per
-    window."""
-    from dftly_spark.streaming import windowed_heavy_hitters
-
-    _prep(spark)
-    hh = windowed_heavy_hitters(
-        _t(spark, sf_dir, "events"), "ts", "user_id",
-        window="1 hour", min_count=2, top_k=5,
-    )
-    return hh.select(
-        F.unix_micros("window_start").alias("start_us"),
-        "user_id", "n", "rank",
-    )
-
-
-_q(
-    "x83_windowed_heavy_hitters",
-    _x83,
-    """
-    WITH e AS (
-      SELECT user_id,
-             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT)
-               * 3600000000 AS start_us
-      FROM events
-    ), c AS (
-      SELECT start_us, user_id, CAST(count(*) AS BIGINT) AS n
-      FROM e GROUP BY start_us, user_id
-      HAVING count(*) >= 2
-    ), r AS (
-      SELECT start_us, user_id, n,
-             CAST(row_number() OVER (PARTITION BY start_us
-                                     ORDER BY n DESC, user_id) AS INT) AS rank
-      FROM c
-    )
-    SELECT start_us, user_id, n, rank FROM r WHERE rank <= 5
-    """,
-)
-
-
-def _x84(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-window cardinality (streaming.py windowed_cardinality, exact
-    batch mode — the streaming twin auto-selects HLL++, whose batch/stream
-    value parity is pinned in tests/test_streaming.py)."""
-    from dftly_spark.streaming import windowed_cardinality
-
-    _prep(spark)
-    wc = windowed_cardinality(
-        _t(spark, sf_dir, "events"), "ts", "user_id",
-        keys=["event_type"], window="1 hour",
-    )
-    return wc.select(
-        F.unix_micros("window_start").alias("start_us"),
-        "event_type", "n_rows", "nd_user_id",
-    )
-
-
-_q(
-    "x84_windowed_cardinality",
-    _x84,
-    """
-    WITH e AS (
-      SELECT event_type, user_id,
-             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT)
-               * 3600000000 AS start_us
-      FROM events
-    )
-    SELECT start_us, event_type, CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user_id
-    FROM e GROUP BY start_us, event_type
-    """,
-)
-
-
-def _x85(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user EWMA of event values (ops/profile.py ewma): the recursive
-    smoother evaluated exactly over each row's last-20 window via
-    collect_list + higher-order aggregate fold — a codegen'd left fold,
-    no UDF, ONE keyed window shuffle.  DuckDB replays the identical fold
-    with list_reduce."""
-    from dftly_spark.ops import ewma
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
-    )
-    return ewma(
-        ev, "user_id", ["ts_us", "event_id"], "value",
-        alpha=0.3, lookback=20,
-    )
-
-
-_q(
-    "x85_ewma",
-    _x85,
-    """
-    WITH e AS (
-      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
-      FROM events
-    ), w AS (
-      SELECT event_id, user_id, ts_us, value,
-             list_filter(array_agg(CAST(value AS DOUBLE)) OVER (
-               PARTITION BY user_id ORDER BY ts_us, event_id
-               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-               x -> x IS NOT NULL) AS xs
-      FROM e
-    )
-    SELECT event_id, user_id, ts_us, value,
-           CASE WHEN len(xs) = 0 THEN NULL
-                ELSE floor(CAST(list_reduce(xs, (acc, x) -> 0.3*x + 0.7*acc)
-                           AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
-           END AS ewma
-    FROM w
-    """,
-)
-
-
-def _x86(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Short-string near-dup via SymSpell deletion-neighborhood join
-    (ops/dedup.py edit_distance_pairs): every string emits its ≤2-deletion
-    neighborhood, candidates equi-join on an 8-byte variant hash (linear,
-    never all-pairs), then the real levenshtein verifies.  The oracle IS
-    the all-pairs join — affordable at gate scale, which is exactly why
-    the neighborhood join must reproduce it bit-for-bit."""
-    from dftly_spark.ops import edit_distance_pairs
-
-    _prep(spark)
-    names = (
-        _t(spark, sf_dir, "part")
-        .groupBy("p_name")
-        .agg(F.min("p_partkey").alias("nid"))
-    )
-    return edit_distance_pairs(names, "nid", "p_name", max_dist=2)
-
-
-_q(
-    "x86_edit_distance_pairs",
-    _x86,
-    """
-    WITH n AS (
-      SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY p_name
-    )
-    SELECT a.nid AS id_l, b.nid AS id_r,
-           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-    FROM n a JOIN n b
-      ON a.nid < b.nid AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
-    """,
-)
-
-
-def _x87(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust per-type outlier flags (ops/profile.py mad_outliers): median
-    + MAD from two exact-percentile aggs broadcast back; score =
-    (x − med) / (1.4826·MAD).  Order-free (no window), heavy-tail-safe —
-    the batch complement to rolling_zscore."""
-    from dftly_spark.ops import mad_outliers
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    return mad_outliers(ev, "event_type", "value", k=3.5)
-
-
-_q(
-    "x87_mad_outliers",
-    _x87,
-    """
-    WITH m AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS med
-      FROM events GROUP BY event_type
-    ), d AS (
-      SELECT e.event_id, e.event_type, e.value, m.med
-      FROM events e JOIN m USING (event_type)
-    ), md AS (
-      SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
-      FROM d GROUP BY event_type
-    )
-    SELECT d.event_id, d.event_type, d.value,
-           floor((CASE WHEN md.mad > 0
-                      THEN (d.value - d.med) / (1.4826 * md.mad) END) * 1000000 + 0.5) / 1000000
-             AS mad_score,
-           coalesce(abs(CASE WHEN md.mad > 0
-                             THEN floor(((d.value - d.med) / (1.4826 * md.mad)) * 1000000 + 0.5) / 1000000
-                        END) > 3.5, false) AS is_outlier
-    FROM d JOIN md USING (event_type)
-    """,
-)
-
-
-def _x88(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-quantization fidelity audit (ops/similarity.py): per-dim
-    min/max codebook from ONE agg pass (2·dim collected doubles — the
-    sanctioned bounded plan-build action), int8 encode + decode as
-    row-local zip_with transforms against literal codebook arrays, and
-    the per-vector reconstruction cosine.  The first rung of the ANN
-    memory ladder: 4× smaller embedding store, fidelity measured before
-    committing."""
-    from dftly_spark.ops import fit_scalar_quantizer, quantization_fidelity
-
-    _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
-    mins, maxs = fit_scalar_quantizer(emb, "embedding", dim=64)
-    return quantization_fidelity(emb, "vec_id", "embedding", mins, maxs, bits=8)
-
-
-_X88_ORACLE_CACHE: dict[str, str] = {}
-
-
-def _x88_oracle() -> str:
-    """DuckDB mirror with an INDEPENDENTLY fitted codebook: per-dim
-    min/max re-computed in numpy from the same parquet (exact — min/max
-    have no summation-order wobble), inlined as literals; encode, decode
-    and cosine replay in DuckDB list lambdas with the identical
-    floor(+0.5) convention."""
-    import os
-
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    sf_dir = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
-    if sf_dir in _X88_ORACLE_CACHE:
-        return _X88_ORACLE_CACHE[sf_dir]
-    vecs = np.array(
-        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])[
-            "embedding"
-        ].to_pylist(),
-        dtype=np.float64,
-    )
-    mins, maxs = vecs.min(axis=0), vecs.max(axis=0)
-    levels = 255
-    scales = np.where(maxs > mins, levels / np.where(maxs > mins, maxs - mins, 1.0), 0.0)
-    invs = np.where(maxs > mins, np.where(maxs > mins, maxs - mins, 1.0) / levels, 0.0)
-    lit = lambda xs: "[" + ", ".join(repr(float(x)) for x in xs) + "]"
-    dim = vecs.shape[1]
-    sql = f"""
-    WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    c AS (SELECT vec_id, v,
-      list_transform(range(1, {dim + 1}), i ->
-        least(greatest(CAST(floor((v[i] - ({lit(mins)})[i])
-                             * ({lit(scales)})[i] + 0.5) AS INT), 0),
-              {levels})) AS codes
-      FROM p),
-    d AS (SELECT vec_id, v,
-      list_transform(range(1, {dim + 1}), i ->
-        codes[i] * ({lit(invs)})[i] + ({lit(mins)})[i]) AS dq
-      FROM c)
-    SELECT vec_id,
-           floor((CASE WHEN sqrt(list_dot_product(v, v))
-                           * sqrt(list_dot_product(dq, dq)) > 0
-                      THEN list_dot_product(v, dq)
-                           / (sqrt(list_dot_product(v, v))
-                              * sqrt(list_dot_product(dq, dq))) END) * 1000000 + 0.5) / 1000000 AS recon_cos
-    FROM d
-    """
-    _X88_ORACLE_CACHE[sf_dir] = sql
-    return sql
-
-
-_q("x88_quantization_fidelity", _x88, _x88_oracle)
-
-
-# ONE definition of the discounted-revenue scalars, consumed by BOTH
-# engines (round 7): the Spark builders lower them via Parser.expr_to_spark
-# and the oracles emit them via sqlgen.to_duckdb_sql — paired with the
-# exact_sum/exact_quant convention helpers from dftly_spark.sqlgen, so the
-# money arithmetic and the integer-scaling convention each live in exactly
-# one place instead of 17 hand-mirrored copies.
-_REV_EXPR = "$l_extendedprice * (1 - $l_discount)"
-_CHARGE_EXPR = "$l_extendedprice * (1 - $l_discount) * (1 + $l_tax)"
-
-
-def _rev_col(df: DataFrame):
-    return Parser.expr_to_spark(_REV_EXPR, schema=df)
-
-
-def _rev_sql() -> str:
-    from dftly_spark.sqlgen import to_duckdb_sql
-
-    return to_duckdb_sql(_REV_EXPR, _pq_schema("lineitem"))
-
-
-def _x89(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style pricing summary: the canonical OLAP aggregation —
-    ONE keyed agg with map-side combine over a date-filtered scan (filter
-    and the 7-column pruned ReadSchema push into the parquet scan).
-    Money sums use the shared exact_sum convention (sqlgen): scale each
-    row to integer ten-thousandths with the one multiply+add every engine
-    performs identically, sum exactly, rescale — round(sum(double),6) is
-    NOT enough at sf>=0.1 (partial-sum order wobbles ~1e-3 on
-    1e10-magnitude sums).  The revenue/charge scalars are the SAME dftly
-    expression strings the oracle emits through sqlgen."""
-    from dftly_spark.sqlgen import exact_sum, portable_round
-
-    _prep(spark)
-    li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp")
-    )
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").alias("sum_qty"),  # whole numbers: exact
-            exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            exact_sum(_rev_col(li)).alias("sum_disc_price"),
-            exact_sum(Parser.expr_to_spark(_CHARGE_EXPR, schema=li)).alias(
-                "sum_charge"
-            ),
-            # portable_round, not round(): Spark HALF_UP vs DuckDB's
-            # float-multiply round differ exactly at the .5e-6 boundary
-            portable_round(F.avg("l_quantity")).alias("avg_qty"),
-            portable_round(F.avg("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-def _x89_oracle() -> str:
-    from dftly_spark.sqlgen import exact_sum_sql, portable_round_sql, to_duckdb_sql
-
-    charge = to_duckdb_sql(_CHARGE_EXPR, _pq_schema("lineitem"))
-    return f"""
-    SELECT l_returnflag, l_linestatus,
-           sum(l_quantity) AS sum_qty,
-           {exact_sum_sql("l_extendedprice")} AS sum_base_price,
-           {exact_sum_sql(_rev_sql())} AS sum_disc_price,
-           {exact_sum_sql(charge)} AS sum_charge,
-           {portable_round_sql("avg(l_quantity)")} AS avg_qty,
-           {portable_round_sql("avg(l_discount)")} AS avg_disc,
-           CAST(count(*) AS BIGINT) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2024-09-01'
-    GROUP BY l_returnflag, l_linestatus
-    """
-
-
-_q("x89_pricing_summary", _x89, _x89_oracle)
-
-
-def _x90(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style regional volume: revenue per nation for one region.
-    The dimension chain region→nation→customer broadcasts down onto the
-    two fact tables (every dim side is F.broadcast — zero dim-side
-    Exchange), orders⋈lineitem co-partition on the order key; ONE fact
-    shuffle + one small final agg."""
-    _prep(spark)
-    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    nation = _t(spark, sf_dir, "nation")
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    dims = (
-        nation.join(F.broadcast(region),
-                    nation["n_regionkey"] == region["r_regionkey"])
-        .select("n_nationkey", "n_name")
-    )
-    cd = cust.join(F.broadcast(dims), cust["c_nationkey"] == dims["n_nationkey"])
-    ord_cd = orders.join(
-        F.broadcast(cd.select("c_custkey", "n_name")),
-        orders["o_custkey"] == F.col("c_custkey"),
-    )
-    from dftly_spark.sqlgen import exact_sum
-
-    return (
-        li.join(ord_cd.select("o_orderkey", "n_name"),
-                li["l_orderkey"] == F.col("o_orderkey"))
-        .groupBy("n_name")
-        .agg(exact_sum(_rev_col(li)).alias("revenue"))
-    )
-
-
-def _x90_oracle() -> str:
-    from dftly_spark.sqlgen import exact_sum_sql
-
-    return f"""
-    SELECT n_name,
-           {exact_sum_sql(_rev_sql())} AS revenue
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
-    GROUP BY n_name
-    """
-
-
-_q(
-    "x90_regional_revenue",
-    _x90,
-    _x90_oracle,
-)
-
-
-def _x91(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-timestamp join (ops/joins.py nearest_join): snap each event
-    to its user's closest checkpoint (either side, ties backward).  Two
-    keyed union+window passes composed from asof_join — no pairwise join;
-    the oracle IS the per-key all-pairs min-gap join it must reproduce."""
-    from dftly_spark.ops import nearest_join
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-    marks = (
-        ev.where(F.col("event_id") % 7 == 0)
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("mark_val"))
-    )
-    out = nearest_join(ev, marks, on="ts", by="user_id", how="inner")
-    return out.select(
-        "event_id", "user_id",
-        F.unix_micros("ts").alias("ts_us"), "value",
-        F.unix_micros("ts_right").alias("mark_us"),
-        "mark_val_right",
-    )
-
-
-_q(
-    "x91_nearest_join",
-    _x91,
-    """
-    WITH e AS (
-      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
-      FROM events
-    ), marks AS (
-      SELECT user_id, ts_us AS mark_us, max(value) AS mark_val
-      FROM e WHERE event_id % 7 = 0 GROUP BY user_id, ts_us
-    ), j AS (
-      SELECT e.event_id, e.user_id, e.ts_us, e.value, m.mark_us, m.mark_val,
-             row_number() OVER (
-               PARTITION BY e.event_id
-               ORDER BY abs(e.ts_us - m.mark_us), m.mark_us) AS rn
-      FROM e JOIN marks m USING (user_id)
-    )
-    SELECT event_id, user_id, ts_us, value, mark_us,
-           mark_val AS mark_val_right
-    FROM j WHERE rn = 1
-    """,
-)
-
-
-def _x92(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document keywords (ops/retrieval.py tf_idf_vectors + window
-    top-k): the 3 highest-TF-IDF terms per document, tf_idf-desc with
-    term-asc tie-break.  Gates the TF-IDF postings builder directly
-    (x54 gates it only through the cosine-pair composition); the rank
-    window partitions on doc_id — the same key as the postings agg, so
-    it reuses that Exchange."""
-    from pyspark.sql import Window
-
-    from dftly_spark.ops import tf_idf_vectors
-
-    _prep(spark)
-    vec = tf_idf_vectors(
-        _docs_tok(spark, sf_dir), min_df=2, tokens_col=_TOK,
-        cache_key=f"documents:{sf_dir}",
-    )
-    # rank on the ROUNDED score: ranking on raw doubles while the oracle
-    # ranks rounded ones would flip order whenever two terms round equal
-    vec = vec.withColumn("tf_idf", portable_round(F.col("tf_idf"), 6))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("tf_idf").desc(), F.col("term").asc()
-    )
-    return (
-        vec.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select(
-            "doc_id", "term", "tf",
-            F.col("df").cast("long").alias("df"),
-            "tf_idf",
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
-
-
-_q(
-    "x92_doc_keywords",
-    _x92,
-    r"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ),
-    tf AS (
-      SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
-      FROM (SELECT doc_id, unnest(w) AS t FROM base)
-      GROUP BY doc_id, t
-    ),
-    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
-    dfreq AS (
-      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
-      HAVING COUNT(*) >= 2
-    ),
-    post AS (
-      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-             floor((tf.tf * ln(n.n_docs::DOUBLE / dfreq.df)) * 1000000 + 0.5) / 1000000 AS tf_idf
-      FROM tf JOIN dfreq USING (term) CROSS JOIN n
-    )
-    SELECT doc_id, term, tf, df, tf_idf,
-           CAST(row_number() OVER (PARTITION BY doc_id
-                                   ORDER BY tf_idf DESC, term) AS INT) AS rank
-    FROM post
-    QUALIFY rank <= 3
-    """,
-)
-
-
-def _x93(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event debounce (ops/sessions.py debounce): drop rows repeating the
-    previous event's type within 30 minutes per user — ONE keyed lag
-    window, null-safe comparisons, chains collapse by consecutive gap."""
-    from dftly_spark.ops import debounce
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "event_type"
-    )
-    out = debounce(
-        ev, "user_id", "ts", value_cols=["event_type"],
-        within_micros=1_800_000_000, order_cols=["event_id"],
-    )
-    return out.select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
-    )
-
-
-_q(
-    "x93_debounce",
-    _x93,
-    """
-    WITH e AS (
-      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-             event_type,
-             lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_ts,
-             lag(event_type) OVER w AS prev_type
-      FROM events
-      WINDOW w AS (PARTITION BY user_id
-                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
-    )
-    SELECT event_id, user_id, ts_us, event_type
-    FROM e
-    WHERE prev_ts IS NULL
-       OR event_type IS DISTINCT FROM prev_type
-       OR ts_us - prev_ts > 1800000000
-    """,
-)
-
-
-def _x94(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality expectations (ops/quality.py expect): a declarative
-    rule list compiles to ONE conditional-count aggregation pass (+ one
-    keyed agg for the uniqueness rule); custom rules are dftly boolean
-    expressions — the reference's language IS the rule language."""
-    from dftly_spark.ops import expect
-
-    _prep(spark)
-    li = _t(spark, sf_dir, "lineitem")
-    return expect(li, [
-        {"rule": "not_null", "col": "l_orderkey"},
-        {"rule": "in_range", "col": "l_quantity", "min": 1, "max": 30},
-        {"rule": "in_set", "col": "l_returnflag", "values": ["A", "N", "R"]},
-        {"rule": "unique", "cols": ["l_orderkey", "l_linenumber"]},
-        {"rule": "expr", "name": "positive_revenue",
-         "expr": "$l_extendedprice * (1 - $l_discount) > 0"},
-    ])
-
-
-_q(
-    "x94_expectations",
-    _x94,
-    """
-    SELECT 'not_null(l_orderkey)' AS rule,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS n_violations,
-           count(*) FILTER (l_orderkey IS NULL) = 0 AS passed
-    FROM lineitem
-    UNION ALL
-    SELECT 'in_range(l_quantity)', CAST(count(*) AS BIGINT),
-           CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 30) AS BIGINT),
-           count(*) FILTER (l_quantity < 1 OR l_quantity > 30) = 0
-    FROM lineitem
-    UNION ALL
-    SELECT 'in_set(l_returnflag)', CAST(count(*) AS BIGINT),
-           CAST(count(*) FILTER (l_returnflag IS NOT NULL
-                                 AND l_returnflag NOT IN ('A','N','R')) AS BIGINT),
-           count(*) FILTER (l_returnflag IS NOT NULL
-                            AND l_returnflag NOT IN ('A','N','R')) = 0
-    FROM lineitem
-    UNION ALL
-    SELECT 'expr(positive_revenue)', CAST(count(*) AS BIGINT),
-           CAST(count(*) FILTER (NOT coalesce(
-             l_extendedprice * (1 - l_discount) > 0, false)) AS BIGINT),
-           count(*) FILTER (NOT coalesce(
-             l_extendedprice * (1 - l_discount) > 0, false)) = 0
-    FROM lineitem
-    UNION ALL
-    SELECT 'unique(l_orderkey,l_linenumber)', CAST(sum(n) AS BIGINT),
-           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT),
-           sum(CASE WHEN n > 1 THEN n ELSE 0 END) = 0
-    FROM (SELECT count(*) AS n FROM lineitem
-          GROUP BY l_orderkey, l_linenumber)
-    """,
-)
-
-
-def _x95(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization dedup (ops/textops.py canonical_url): derive
-    messy-but-deterministic URLs from the documents table (case noise,
-    default ports, tracking params, fragments, trailing slashes), then
-    account duplicates per canonical form.  The normalizer is a pure
-    regex pipeline in the Java∩RE2 subset, so the oracle replays every
-    step byte-for-byte — no parse_url dependency on either engine."""
-    from dftly_spark.ops.textops import canonical_url
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    # deterministic mess: 4 surface variants of the same logical URL
-    v = (F.col("doc_id") % 4).cast("int")
-    base = F.concat(
-        F.lit("://"), F.col("source"), F.lit(".example.com"),
-        F.lit("/docs/"), (F.col("doc_id") % 50).cast("string"),
-    )
-    url = (
-        F.when(v == 0, F.concat(F.lit("https"), base))
-        .when(v == 1, F.concat(F.lit("HTTPS"), base, F.lit("/")))
-        .when(v == 2, F.concat(F.lit("https"), base, F.lit("?utm_source=mail&fbclid=abc")))
-        .otherwise(F.concat(F.lit("https"), base, F.lit("#section-2")))
-    )
-    # re-insert the default port on variant 2 for port-stripping coverage
-    url = F.when(
-        v == 2,
-        F.regexp_replace(url, r"\.example\.com", ".example.com:443"),
-    ).otherwise(url)
-    return (
-        docs.select(F.col("doc_id"), url.alias("url"))
-        .select("doc_id", "url", canonical_url(F.col("url")).alias("canon"))
-        .groupBy("canon")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("url").alias("n_raw_forms"),
-        )
-    )
-
-
-def _x95_oracle() -> str:
-    track = "(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)"
-    expr = "trim(url)"
-    # scheme lowered, userinfo (…@) case kept, host[:port] lowered — the
-    # byte-for-byte replay of canonical_url step 1
-    expr = (
-        f"CASE WHEN regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*://)', 1) = '' "
-        f"THEN {expr} ELSE "
-        f"lower(regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*://)', 1)) || "
-        f"regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*@)', 1) || "
-        f"lower(regexp_extract({expr}, "
-        f"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1)) || "
-        f"regexp_replace({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') END"
-    )
-    for pat, rep, flag in [
-        ("#.*$", "", ""),
-        (f"&{track}=[^&#]*", "", "g"),
-        (f"\\?{track}=[^&#]*&", "?", ""),
-        (f"\\?{track}=[^&#]*$", "", ""),
-        ("^(http://[^/?#:]*):80($|[/?#].*)", r"\1\2", ""),
-        ("^(https://[^/?#:]*):443($|[/?#].*)", r"\1\2", ""),
-        (r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+/[^?#]*[^/?#])/(\?.*)?$", r"\1\2", ""),
-    ]:
-        f = f", '{flag}'" if flag else ""
-        expr = f"regexp_replace({expr}, '{pat}', '{rep}'{f})"
-    return f"""
-    WITH u AS (
-      SELECT doc_id,
-             CASE doc_id % 4
-               WHEN 0 THEN 'https://' || source || '.example.com/docs/' || (doc_id % 50)
-               WHEN 1 THEN 'HTTPS://' || source || '.example.com/docs/' || (doc_id % 50) || '/'
-               WHEN 2 THEN 'https://' || source || '.example.com:443/docs/' || (doc_id % 50)
-                           || '?utm_source=mail&fbclid=abc'
-               ELSE 'https://' || source || '.example.com/docs/' || (doc_id % 50)
-                    || '#section-2'
-             END AS url
-      FROM documents
-    )
-    SELECT {expr} AS canon,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
-    FROM u GROUP BY canon
-    """
-
-
-_q("x95_url_canonical_dedup", _x95, _x95_oracle)
-
-
-#: The q27 spec is shared by the Spark builder AND the sqlgen oracle —
-#: the emitter (dftly_spark/sqlgen.py) generates the DuckDB mirror from
-#: the SAME AST the Spark lowering consumes, so this query gates the
-#: emitter itself through the driver's own correctness machinery.
-_Q27_SPEC = {
-    "ok": "$l_orderkey",
-    "ln": "$l_linenumber",
-    "rev": "$l_extendedprice * (1 - $l_discount)",
-    "qty_i": "$l_quantity::int64",
-    "grade": "('bulk' if $l_quantity >= 30 else 'retail')",
-    "code": 'f"{$l_returnflag}~{$l_linestatus}"',
-    "flag2": "$l_returnflag[0:1] + $l_linestatus[0:1]",
-    "ship_y": "$l_shipdate::year_of_date",
-    "ship_dow": "$l_shipdate::day_of_week",
-    "is_n": '/N/ in $l_returnflag',
-    "best": "max($l_discount, $l_tax)",
-    "mid": "mean($l_discount, $l_tax)",
-    "sq": "$l_linenumber ** 2",
-    "d7": "($l_shipdate + 7::days)",
-}
-
-_Q27_SCHEMA = {
-    "l_orderkey": "int64",
-    "l_linenumber": "int32",
-    "l_quantity": "float64",
-    "l_extendedprice": "float64",
-    "l_discount": "float64",
-    "l_tax": "float64",
-    "l_returnflag": "str",
-    "l_linestatus": "str",
-    "l_shipdate": "datetime",
-}
-
-
-def _q27_oracle() -> str:
-    from dftly_spark.sqlgen import spec_to_duckdb_sql
-
-    cols = spec_to_duckdb_sql(_Q27_SPEC, _Q27_SCHEMA)
-    return (
-        "SELECT "
-        + ", ".join(f"{sql} AS {name}" for name, sql in cols.items())
-        + " FROM lineitem"
-    )
-
-
-_q("q27_sqlgen_oracle", _spec_query("lineitem", _Q27_SPEC), _q27_oracle)
-
-
-def _q28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chrono residue closed in round 4 (dftly_spark/chrono.py; reference
-    /root/reference/src/dftly/nodes/str.py:594-649): %C%y century pairing
-    (rewrite_century), leading/trailing %a/%A day-name strip plans
-    (dayname_plan), and %::z offset-with-seconds (Java xxxxx).  Strings are
-    built deterministically from orders dates, parsed back through the
-    engine's strptime surface; DuckDB replays %a/%A natively, %C%y via the
-    %Y equivalence (zero-padded 4-digit year), %::z via offset arithmetic.
-    """
-    _prep(spark)
-    o = _t(spark, sf_dir, "orders")
-    k = F.col("o_orderkey")
-    d = F.to_date("o_orderdate")  # testdata dates load as timestamp_ntz
-    ts = F.timestamp_seconds(
-        F.unix_date(d).cast("bigint") * 86400
-        + (k % 24) * 3600 + (k % 60) * 60 + (k * 7) % 60
-    )
-    ohh, omm, oss = (k % 12) + 1, (k % 4) * 15, (k % 2) * 30
-    sig = F.when(k % 3 == 0, F.lit("-")).otherwise(F.lit("+"))
-    o2 = o.select(
-        k.alias("ok"),
-        F.date_format(d, "yyyyMMdd").alias("cent_s"),
-        F.date_format(ts, "EEE, dd MMM yyyy HH:mm:ss").alias("rfc_s"),
-        F.date_format(d, "yyyy-MM-dd EEEE").alias("trail_s"),
-        F.concat(
-            F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), sig,
-            F.lpad(ohh.cast("string"), 2, "0"), F.lit(":"),
-            F.lpad(omm.cast("string"), 2, "0"), F.lit(":"),
-            F.lpad(oss.cast("string"), 2, "0"),
-        ).alias("offs_s"),
-    )
-    parsed = Parser.select(
-        o2,
-        {
-            "ok": "$ok",
-            "cent_d": "$cent_s::'%C%y%m%d'",
-            "rfc_t": "$rfc_s::'%a, %d %b %Y %H:%M:%S'",
-            "trail_d": "$trail_s::'%Y-%m-%d %A'",
-            "offs_t": "$offs_s::'%Y-%m-%dT%H:%M:%S%::z'",
-        },
-    )
-    return parsed.select(
-        "ok",
-        "cent_d",
-        F.unix_micros("rfc_t").alias("rfc_us"),
-        "trail_d",
-        F.unix_micros("offs_t").alias("offs_us"),
-    )
-
-
-_q(
-    "q28_chrono_residue",
-    _q28,
-    """
-    WITH b AS (
-      SELECT o_orderkey AS ok,
-             o_orderdate AS d,
-             CAST(o_orderdate AS TIMESTAMP)
-               + to_seconds((o_orderkey % 24)*3600 + (o_orderkey % 60)*60
-                            + (o_orderkey * 7) % 60) AS ts,
-             CASE WHEN o_orderkey % 3 = 0 THEN -1 ELSE 1 END AS sig,
-             (o_orderkey % 12) + 1 AS ohh,
-             (o_orderkey % 4) * 15 AS omm,
-             (o_orderkey % 2) * 30 AS oss
-      FROM orders
-    )
-    SELECT ok,
-           CAST(strptime(strftime(d, '%Y%m%d'), '%Y%m%d') AS DATE) AS cent_d,
-           epoch_us(strptime(strftime(ts, '%a, %d %b %Y %H:%M:%S'),
-                             '%a, %d %b %Y %H:%M:%S')) AS rfc_us,
-           CAST(strptime(strftime(d, '%Y-%m-%d %A'), '%Y-%m-%d %A') AS DATE)
-             AS trail_d,
-           epoch_us(ts) - sig * CAST(ohh*3600 + omm*60 + oss AS BIGINT) * 1000000
-             AS offs_us
-    FROM b
-    """,
-)
-
-
-_Q29_SPEC = {
-    "pk": "$p_partkey",
-    "words": "split($p_name, ' ')",
-    "brand_bits": "split($p_brand, '#')",
-    "type_first": "split($p_type[0:8], ' ')",
-    "by_expr": "split($p_name, $p_name[4:5])",
-    "t_epoch": "f\"{$p_partkey}\"::'%s'",
-}
-
-_Q29_SCHEMA = {
-    "p_partkey": "int64",
-    "p_name": "str",
-    "p_brand": "str",
-    "p_type": "str",
-}
-
-
-def _q29(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array columns end-to-end through the machine-generated oracle
-    (round-3 verdict ask #3): split / split-of-slice / expression-separator
-    splits plus the exact-%s epoch format, all emitted by
-    dftly_spark/sqlgen.py with ``canonical_lists=True`` — list results
-    project to chr(31)-joined strings on BOTH engines (the q20 convention,
-    now owned by the emitter via canonicalize_list_columns)."""
-    from dftly_spark.sqlgen import canonicalize_list_columns
-
-    _prep(spark)
-    out = Parser.select(_t(spark, sf_dir, "part"), _Q29_SPEC)
-    return canonicalize_list_columns(out)
-
-
-def _q29_oracle() -> str:
-    from dftly_spark.sqlgen import spec_to_duckdb_sql
-
-    cols = spec_to_duckdb_sql(_Q29_SPEC, _Q29_SCHEMA, canonical_lists=True)
-    return (
-        "SELECT "
-        + ", ".join(f"{sql} AS {name}" for name, sql in cols.items())
-        + " FROM part"
-    )
-
-
-_q("q29_sqlgen_arrays", _q29, _q29_oracle)
-
-
-def _q30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chrono mid-format residue closed in round 7 (dftly_spark/chrono.py;
-    reference /root/reference/src/dftly/nodes/str.py:594-649): day-name
-    codes in the MIDDLE of a format (stripped via the ^-anchored
-    non-greedy prefix capture) and %C separated from %y by literal text
-    (the separator splices out of the input, then the %Y equivalence).
-    Strings are built deterministically from orders dates and parsed back
-    through the engine's strptime surface; DuckDB replays %a/%A natively
-    and the spliced century via the SAME RE2-safe regexp_replace."""
-    _prep(spark)
-    o = _t(spark, sf_dir, "orders")
-    k = F.col("o_orderkey")
-    d = F.to_date("o_orderdate")
-    yyyy = F.date_format(d, "yyyy")
-    o2 = o.select(
-        k.alias("ok"),
-        F.date_format(d, "dd-EEE-MM-yyyy").alias("mid_s"),
-        F.date_format(d, "dd EEEE MM yyyy").alias("midfull_s"),
-        F.concat(
-            F.substring(yyyy, 1, 2), F.lit("|"), F.date_format(d, "yy-MM-dd")
-        ).alias("csep_s"),
-    )
-    parsed = Parser.select(
-        o2,
-        {
-            "ok": "$ok",
-            "mid_d": "$mid_s::'%d-%a-%m-%Y'",
-            "midfull_d": "$midfull_s::'%d %A %m %Y'",
-            "csep_d": "$csep_s::'%C|%y-%m-%d'",
-        },
-    )
-    return parsed
-
-
-def _q30_oracle_sql() -> str:
-    # The %C strip is GENERATED from the same chrono.century_plan the
-    # engine lowers through (ADVICE r7): one shared position-anchored
-    # pattern, with Java-style $n group refs translated to DuckDB/RE2 \n.
-    from dftly_spark.chrono import century_plan
-
-    plan = century_plan("%C|%y-%m-%d")
-    (pat, repl), = plan["strips"]
-    repl = repl.replace("$1", r"\1").replace("$2", r"\2")
-    pat_sql = pat.replace("\\", "\\\\").replace("'", "''")
-    repl_sql = repl.replace("\\", "\\\\").replace("'", "''")
-    return rf"""
-    WITH b AS (SELECT o_orderkey AS ok, o_orderdate AS d FROM orders)
-    SELECT ok,
-           CAST(strptime(strftime(d, '%d-%a-%m-%Y'), '%d-%a-%m-%Y') AS DATE)
-             AS mid_d,
-           CAST(strptime(strftime(d, '%d %A %m %Y'), '%d %A %m %Y') AS DATE)
-             AS midfull_d,
-           CAST(strptime(
-                  regexp_replace(
-                    substr(strftime(d, '%Y'), 1, 2) || '|'
-                      || strftime(d, '%y-%m-%d'),
-                    E'{pat_sql}', E'{repl_sql}'),
-                  '{plan["fmt"]}') AS DATE) AS csep_d
-    FROM b
-    """
-
-
-_q("q30_chrono_midformat", _q30, _q30_oracle_sql())
-
-
-def _x96(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed quantiles (dftly_spark/streaming.py windowed_quantiles):
-    hourly p50/p90/p99 of event value per event_type — the latency-
-    dashboard aggregate, completing the windowed trio next to x83/x84.
-    Gated on the batch path (exact percentile ≡ DuckDB quantile_cont, the
-    x27/x82 parity); the streaming twin (mergeable percentile_approx
-    state) shares this code path and is pinned in tests/test_streaming.py."""
-    from dftly_spark.streaming import windowed_quantiles
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events")
-    out = windowed_quantiles(
-        ev, "ts", "value", keys=["event_type"], window="1 hour",
-        watermark="2 hours", probs=(0.5, 0.9, 0.99),
-    )
-    return out.select(
-        F.unix_micros("window_start").alias("start_us"),
-        F.unix_micros("window_end").alias("end_us"),
-        "event_type",
-        "n",
-        "p50",
-        "p90",
-        "p99",
-    )
-
-
-_q(
-    "x96_windowed_quantiles",
-    _x96,
-    """
-    WITH e AS (
-      SELECT event_type, value,
-             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT)
-               * 3600000000 AS start_us
-      FROM events
-    )
-    SELECT start_us, start_us + 3600000000 AS end_us, event_type,
-           CAST(COUNT(value) AS BIGINT) AS n,
-           quantile_cont(value, 0.5) AS p50,
-           quantile_cont(value, 0.9) AS p90,
-           quantile_cont(value, 0.99) AS p99
-    FROM e GROUP BY start_us, event_type
-    """,
-)
-
-
-def _x101(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style shipping-priority top-k: unshipped revenue per order
-    for one market segment.  The segment-filtered customer key list and the
-    date-filtered orders are dimension inputs to the lineitem fact scan;
-    joins stay UNFORCED equi-joins so AQE picks broadcast at test scale and
-    shuffle-hash at cluster scale (customer is fact-sized at 100 TB — a
-    hardcoded broadcast() would be the scale bug).  The final top-10 lowers
-    to TakeOrderedAndProject: per-partition heaps, no global sort.  Revenue
-    uses the x89 integer-scaled exact-money sum so the DESC order (and thus
-    the LIMIT set) is engine-independent; o_orderkey breaks ties."""
-    _prep(spark)
-    cutoff = F.lit("1998-06-01").cast("timestamp")
-    cust = (
-        _t(spark, sf_dir, "customer")
-        .where(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-    )
-    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
-    from dftly_spark.sqlgen import exact_sum
-
-    o = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
-        "o_orderkey", "o_orderdate"
-    )
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(exact_sum(_rev_col(li)).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-        .limit(10)
-        .select(
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
-            "revenue",
-        )
-    )
-
-
-def _x101_oracle() -> str:
-    from dftly_spark.sqlgen import exact_sum_sql
-
-    return f"""
-    SELECT o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%d') AS odate,
-           {exact_sum_sql(_rev_sql())} AS revenue
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1998-06-01'
-      AND l_shipdate  > TIMESTAMP '1998-06-01'
-    GROUP BY o_orderkey, o_orderdate
-    ORDER BY revenue DESC, o_orderkey
-    LIMIT 10
-    """
-
-
-_q("x101_shipping_priority", _x101, _x101_oracle)
-
-
-def _x102(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4-style order-priority check: orders from one quarter with at
-    least one lineitem shipped >60 days after the order date, counted per
-    priority.  The EXISTS lowers to a LEFT SEMI hash join on the order key
-    (each order emitted at most once, no post-join dedup); the extra
-    non-equi ship-lag predicate rides on the same semi join as a join-side
-    filter.  Both scans prune to 2-3 columns."""
-    _prep(spark)
-    orders = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = (orders["o_orderkey"] == li["l_orderkey"]) & (
-        li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
-    )
-    return (
-        orders.join(li, late, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-_q(
-    "x102_order_priority",
-    _x102,
-    """
-    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
-      AND o_orderdate <  TIMESTAMP '1997-10-01'
-      AND EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_orderkey = o_orderkey
-                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-    GROUP BY o_orderpriority
-    """,
-)
-
-
-def _x103(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10-style returned-item report: top-20 customers by revenue
-    lost to returns in one quarter, with nation name attached.  lineitem
-    filters on the return flag at the scan; orders⋈lineitem is the one
-    fact-fact shuffle (order key); customer and nation attach as unforced
-    equi-joins (AQE broadcasts them at test scale).  Exact integer-scaled
-    revenue keeps the top-20 cut engine-independent; c_custkey ties."""
-    _prep(spark)
-    orders = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    from dftly_spark.sqlgen import exact_sum
-
-    return (
-        li.join(
-            orders.select("o_orderkey", "o_custkey"),
-            li["l_orderkey"] == F.col("o_orderkey"),
-        )
-        .join(cust, F.col("o_custkey") == cust["c_custkey"])
-        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(exact_sum(_rev_col(li)).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
-    )
-
-
-def _x103_oracle() -> str:
-    from dftly_spark.sqlgen import exact_sum_sql
-
-    return f"""
-    SELECT c_custkey, c_name, c_acctbal, n_name,
-           {exact_sum_sql(_rev_sql())} AS revenue
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    WHERE l_returnflag = 'R'
-      AND o_orderdate >= TIMESTAMP '1997-01-01'
-      AND o_orderdate <  TIMESTAMP '1997-04-01'
-    GROUP BY c_custkey, c_name, c_acctbal, n_name
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 20
-    """
-
-
-_q("x103_returned_items", _x103, _x103_oracle)
-
-
-def _x104(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16-style supplier diversity: distinct suppliers able to ship
-    selected part shapes, excluding flagged (negative-balance) suppliers.
-    The exclusion is a LEFT ANTI hash join against the tiny flagged-key
-    list (the NOT-IN shape, null-safe because keys are non-null); the
-    part-shape filter prunes at the part scan before the fact join; one
-    distinct-agg on (brand, size, suppkey) then a count — both collapse
-    into a two-phase partial/final agg with map-side combine."""
-    _prep(spark)
-    part = _t(spark, sf_dir, "part").where(
-        (F.col("p_brand") != "Brand#13")
-        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
-    )
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    flagged = (
-        _t(spark, sf_dir, "supplier")
-        .where(F.col("s_acctbal") < 0)
-        .select("s_suppkey")
-    )
-    return (
-        li.join(flagged, li["l_suppkey"] == flagged["s_suppkey"], "left_anti")
-        .join(
-            part.select("p_partkey", "p_brand", "p_size"),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
-        .groupBy("p_brand", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
-_q(
-    "x104_supplier_diversity",
-    _x104,
-    """
-    SELECT p_brand, p_size,
-           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM lineitem
-    JOIN part ON l_partkey = p_partkey
-    WHERE p_brand <> 'Brand#13'
-      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-    GROUP BY p_brand, p_size
-    """,
-)
-
-
-def _x105(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18-style large-volume orders: orders whose total quantity
-    exceeds 150, with customer attached.  The HAVING is ONE keyed agg over
-    lineitem whose output (~2% of orders) then drives the orders join —
-    agg and join both partition on the order key, so the join reuses the
-    agg's Exchange.  Quantities are whole numbers: sums are exact."""
-    _prep(spark)
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
-        .where(F.col("sum_qty") > 150)
-    )
-    return (
-        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
-        .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .select(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
-            "o_totalprice",
-            "sum_qty",
-        )
-    )
-
-
-_q(
-    "x105_large_orders",
-    _x105,
-    """
-    SELECT c_custkey, c_name, o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%d') AS odate,
-           o_totalprice, sum_qty
-    FROM orders
-    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
-          FROM lineitem GROUP BY l_orderkey
-          HAVING sum(l_quantity) > 150) big ON o_orderkey = big.l_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    """,
-)
-
-
-def _x106(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22-style dormant high-value accounts: customers whose balance
-    beats the positive-balance average but who placed no order since 1999,
-    counted per nation.  The global average attaches as a 1-row broadcast
-    (sanctioned scalar-attach pattern, allowlisted in tests/test_plans.py);
-    the threshold compare is PURE INTEGER — cents×count > total-cents, no
-    float average anywhere, so no knife-edge rows at any scale.  The
-    no-recent-orders test is a LEFT ANTI join on the customer key against
-    the date-pruned orders scan."""
-    from dftly_spark.sqlgen import exact_quant
-
-    _prep(spark)
-    cust = _t(spark, sf_dir, "customer")
-    cents = exact_quant(F.col("c_acctbal"), scale=100)
-    pos = (
-        cust.where(F.col("c_acctbal") > 0)
-        .agg(
-            F.sum(cents).alias("total_cents"),
-            F.count(F.lit(1)).alias("n_pos"),
-        )
-    )
-    rich = (
-        cust.crossJoin(F.broadcast(pos))
-        .where(cents * F.col("n_pos") > F.col("total_cents"))
-        .select("c_custkey", "c_nationkey", cents.alias("c_cents"))
-    )
-    recent = (
-        _t(spark, sf_dir, "orders")
-        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
-        .select("o_custkey")
-    )
-    return (
-        rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
-        .groupBy("c_nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            (F.sum("c_cents") / 100.0).alias("totacctbal"),
-        )
-    )
-
-
-def _x106_oracle() -> str:
-    from dftly_spark.sqlgen import exact_quant_sql
-
-    cents = exact_quant_sql("c_acctbal", scale=100)
-    return f"""
-    WITH pos AS (
-      SELECT sum({cents}) AS total_cents,
-             CAST(count(*) AS BIGINT) AS n_pos
-      FROM customer WHERE c_acctbal > 0
-    )
-    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
-           sum({cents}) / 100.0
-             AS totacctbal
-    FROM customer, pos
-    WHERE {cents} * n_pos > total_cents
-      AND NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey
-                        AND o_orderdate >= TIMESTAMP '1999-01-01')
-    GROUP BY c_nationkey
-    """
-
-
-_q("x106_dormant_accounts", _x106, _x106_oracle)
-
-
-def _x107(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts (ops/graph.py triangle_count) over the part
-    co-purchase graph: parts are linked when they share an order.  The
-    operator orients edges by (degree, id) so each triangle is enumerated
-    once from its lowest-degree corner and the wedge join's fanout is
-    O(sqrt(m))-bounded — the hub defense; counts are orientation-invariant,
-    so the oracle replays them with plain id-ordered enumeration.  The
-    edge build is the basket explode (ops/assoc.py basket_pairs): one
-    keyed shuffle into per-order item sets + two generators — no
-    self-join (same edge set; the oracle keeps the declarative join)."""
-    from dftly_spark.ops import basket_pairs, triangle_count
-
-    _prep(spark)
-    edges = (
-        basket_pairs(_t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
-        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
-        .distinct()
-    )
-    return triangle_count(edges)
-
-
-_q(
-    "x107_triangle_count",
-    _x107,
-    """
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-          FROM items a JOIN items b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-    tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
-            FROM e e1
-            JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
-            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
-    SELECT node, CAST(count(*) AS BIGINT) AS triangles
-    FROM (SELECT unnest([x, y, z]) AS node FROM tri)
-    GROUP BY node
-    """,
-)
-
-
-def _x108(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-interval resample + forward fill (ops/sessions.py
-    resample_ffill): each user's irregular event series regularized to a
-    6-hour grid carrying the last observed value — the gap-filling half of
-    pandas resample().ffill(), shaped for scale: raw events collapse to
-    one row per (user, bucket) in a single keyed agg (deterministic
-    in-bucket last via max_by over (ts, event_id)), and the fill window
-    runs over the bucket-level frame only, so grid cost is span/interval ×
-    keys, independent of event count."""
-    from dftly_spark.ops import resample_ffill
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events")
-    out = resample_ffill(
-        ev, "user_id", "ts", "value", interval="6 hours", order_col="event_id"
-    )
-    return out.select("user_id", "bucket", "bucket_start_us", "value")
-
-
-_q(
-    "x108_resample_ffill",
-    _x108,
-    """
-    WITH e AS (
-      SELECT user_id, value, event_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 21600000000.0)
-                  AS BIGINT) AS bucket
-      FROM events
-    ), b AS (
-      SELECT user_id, bucket, value AS v FROM (
-        SELECT user_id, bucket, value,
-               row_number() OVER (PARTITION BY user_id, bucket
-                                  ORDER BY us DESC, event_id DESC) AS rn
-        FROM e) WHERE rn = 1
-    ), spans AS (
-      SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM b
-      GROUP BY user_id
-    ), grid AS (
-      SELECT user_id, unnest(generate_series(mn, mx)) AS bucket FROM spans
-    ), j AS (
-      SELECT g.user_id, g.bucket, b.v
-      FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
-    )
-    SELECT user_id, bucket, bucket * 21600000000 AS bucket_start_us,
-           last_value(v IGNORE NULLS) OVER (
-             PARTITION BY user_id ORDER BY bucket
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
-    FROM j
-    """,
-)
-
-
-def _x109(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance weights (ops/lm.py dsir_weights): log p_target −
-    log p_raw per document under add-1-smoothed hashed bag-of-bigrams
-    models, target = English docs — the importance-resampling data-
-    selection score (Xie et al. 2023).  Portable md5-60 bucket hash, the
-    B-row log-ratio table quantized floor-scale at 1e-6 (ln differs
-    across engines in the last ulp), per-doc terms folded in bucket
-    order — bit-reproducible end to end."""
-    from dftly_spark.ops import dsir_weights
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return dsir_weights(
-        docs, "doc_id", "text",
-        target_filter=F.col("lang") == "en", n_buckets=1024,
-    )
-
-
-_q(
-    "x109_dsir_weights",
-    _x109,
-    r"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ), inst AS (
-      SELECT doc_id, w[i] || ' ' || w[i + 1] AS s
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
-            FROM base WHERE len(w) >= 2)
-    ), hb AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) % 1024 AS b
-      FROM inst
-    ), dc AS (
-      SELECT doc_id, b, count(*) AS c FROM hb GROUP BY doc_id, b
-    ), raw AS (
-      SELECT b, sum(c) AS rc FROM dc GROUP BY b
-    ), tgt AS (
-      SELECT b, sum(c) AS tc FROM dc
-      WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
-      GROUP BY b
-    ), model AS (
-      SELECT raw.b, rc, COALESCE(tc, 0) AS tc
-      FROM raw LEFT JOIN tgt ON raw.b = tgt.b
-    ), tot AS (
-      SELECT sum(rc) AS R, sum(tc) AS T FROM model
-    ), lr AS (
-      SELECT b,
-             floor((ln((tc + 1.0) / (T + 1024.0))
-                    - ln((rc + 1.0) / (R + 1024.0))) * 1000000 + 0.5)
-               / 1000000 AS lr
-      FROM model, tot
-    )
-    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-           list_reduce(list(c * lr ORDER BY b), (a, x) -> a + x) AS logw
-    FROM dc JOIN lr USING (b) GROUP BY doc_id
-    """,
-)
-
-
-def _x110(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-overlap join (ops/joins.py interval_join): per-user pairs
-    of overlapping half-open spans built from the event stream (even
-    event_ids span 90 min, odd span 2 h).  The theta overlap condition
-    never reaches the optimizer — both sides explode into 30-min buckets
-    and equi-join on (user, bucket); each pair emits exactly once in the
-    bucket containing max(start, start_right), so there is NO post-join
-    dedup shuffle.  The oracle IS the per-user all-pairs theta join the
-    bucket plan must reproduce."""
-    from dftly_spark.ops import interval_join
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id",
-        F.col("ts").cast("timestamp").alias("start"),
-    )
-    a = ev.where(F.col("event_id") % 2 == 0).withColumn(
-        "end", F.col("start") + F.expr("INTERVAL 90 MINUTES")
-    )
-    bside = ev.where(F.col("event_id") % 2 == 1).withColumn(
-        "end", F.col("start") + F.expr("INTERVAL 2 HOURS")
-    )
-    out = interval_join(
-        a, bside,
-        left_start="start", left_end="end",
-        right_start="start", right_end="end",
-        by="user_id",
-    )
-    ov = F.least(F.unix_micros("end"), F.unix_micros("end_right")) - F.greatest(
-        F.unix_micros("start"), F.unix_micros("start_right")
-    )
-    return out.select(
-        "user_id",
-        F.col("event_id").alias("left_id"),
-        F.col("event_id_right").alias("right_id"),
-        ov.alias("overlap_us"),
-    )
-
-
-_q(
-    "x110_interval_join",
-    _x110,
-    """
-    WITH e AS (
-      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s
-      FROM events
-    ), a AS (
-      SELECT event_id, user_id, s, s + 5400000000 AS e FROM e
-      WHERE event_id % 2 = 0
-    ), b AS (
-      SELECT event_id, user_id, s, s + 7200000000 AS e FROM e
-      WHERE event_id % 2 = 1
-    )
-    SELECT a.user_id,
-           a.event_id AS left_id,
-           b.event_id AS right_id,
-           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
-    FROM a JOIN b ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
-    """,
-)
-
-
-def _x111(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core extraction (ops/graph.py kcore): nodes of the 80-core of the
-    part co-purchase graph after 8 peeling rounds; the in-band
-    ``converged`` scalar (gated by the oracle's own min-degree check)
-    certifies the budget sufficed, so this IS the exact 80-core.  Per round
-    ONE degree agg + one semi-join per endpoint over the shrinking
-    symmetric edge frame, lineage checkpointed; the oracle replays the
-    peel with a recursive CTE whose rounds filter on windowed degrees.
-    Edge build via the basket explode (ops/assoc.py basket_pairs) — one
-    keyed shuffle, no self-join; the oracle keeps the declarative join."""
-    from dftly_spark.ops import basket_pairs, kcore
-
-    _prep(spark)
-    edges = (
-        basket_pairs(_t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
-        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
-        .distinct()
-    )
-    return kcore(edges, 80, max_rounds=8)
-
-
-_q(
-    "x111_kcore",
-    _x111,
-    """
-    WITH RECURSIVE items AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), und AS (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM items a JOIN items b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ), e AS (
-      SELECT u AS s, v AS t FROM und UNION ALL SELECT v, u FROM und
-    ), peel AS (
-      SELECT 0 AS it, s, t FROM e
-      UNION ALL
-      SELECT it + 1, s, t FROM (
-        SELECT it, s, t,
-               count(*) OVER (PARTITION BY it, s) AS ds,
-               count(*) OVER (PARTITION BY it, t) AS dt
-        FROM peel WHERE it < 8
-      ) WHERE ds >= 80 AND dt >= 80
-    )
-    SELECT node, degree, (min(degree) OVER ()) >= 80 AS converged
-    FROM (
-      SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
-      FROM peel WHERE it = 8 GROUP BY s
-    ) core
-    """,
-)
-
-
-def _x112(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-occurrence n-gram novelty (ops/dedup.py novelty_scores): the
-    fraction of each document's distinct 3-grams first introduced by that
-    document, doc_id order — the streaming-corpus freshness signal.  One
-    min WINDOW over the shingle key (no join back, nothing
-    corpus-shingle-sized broadcast) + one doc roll-up; the shingle
-    instance frame is built once and shuffles once; linear, nothing
-    pairwise."""
-    from dftly_spark.ops import novelty_scores
-
-    _prep(spark)
-    return novelty_scores(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
-
-
-_q(
-    "x112_novelty",
-    _x112,
-    r"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ), sh AS (
-      SELECT doc_id,
-             CASE WHEN len(w) >= 3
-                  THEN w[p] || ' ' || w[p + 1] || ' ' || w[p + 2]
-                  ELSE array_to_string(w, ' ') END AS s
-      FROM (SELECT doc_id, w,
-                   unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS p
-            FROM base)
-    ), h AS (
-      SELECT DISTINCT doc_id,
-             CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) AS g
-      FROM sh
-    ), fown AS (
-      SELECT g, min(doc_id) AS own FROM h GROUP BY g
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_shingles,
-           CAST(sum(CASE WHEN own = doc_id THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_novel,
-           CAST(sum(CASE WHEN own = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*) AS novelty
-    FROM h JOIN fown USING (g)
-    GROUP BY doc_id
-    """,
-)
-
-
-def _x113(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level source overlap (ops/dedup.py source_overlap): exact
-    shingle-set Jaccard + directional containment for every source pair —
-    the before-you-mix-corpora accounting.  Distinct (source, shingle)
-    incidence, per-shingle pair fanout ≤ C(sources,2)."""
-    from dftly_spark.ops import source_overlap
-
-    _prep(spark)
-    return source_overlap(_t(spark, sf_dir, "documents"), "source", "text", n=3)
-
-
-_q(
-    "x113_source_overlap",
-    _x113,
-    r"""
-    WITH base AS (
-      SELECT source,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ), sh AS (
-      SELECT source,
-             CASE WHEN len(w) >= 3
-                  THEN w[p] || ' ' || w[p + 1] || ' ' || w[p + 2]
-                  ELSE array_to_string(w, ' ') END AS s
-      FROM (SELECT source, w,
-                   unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS p
-            FROM base)
-    ), h AS (
-      SELECT DISTINCT source,
-             CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) AS g
-      FROM sh
-    ), sizes AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS sz FROM h GROUP BY source
-    ), inter AS (
-      SELECT a.source AS ga, b.source AS gb, CAST(count(*) AS BIGINT) AS i
-      FROM h a JOIN h b ON a.g = b.g AND a.source < b.source
-      GROUP BY a.source, b.source
-    )
-    SELECT ga AS group_a, gb AS group_b, i AS inter,
-           sa.sz AS size_a, sb.sz AS size_b,
-           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard,
-           CAST(i AS DOUBLE) / sa.sz AS containment_a,
-           CAST(i AS DOUBLE) / sb.sz AS containment_b
-    FROM inter
-    JOIN sizes sa ON sa.source = ga
-    JOIN sizes sb ON sb.source = gb
-    """,
-)
-
-
-_X114_MERGES = 8
-_X114_PASSES = 3
-
-
-def _x114(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE merge learning (ops/bpe.py bpe_learn): the top-8
-    merge rules of a byte-pair-encoding vocabulary fit on the documents
-    corpus — tokenizer induction as relational algebra.  Iteration cost is
-    |vocab|-bounded (the word-count table, built once); each round is one
-    pair-count agg, a deterministic 1-row argmax, and a row-local
-    string-replace rewrite identical in every engine.  The oracle is
-    MACHINE-UNROLLED: a Python loop emits one (pair-count, argmax,
-    rewrite) CTE triple per round."""
-    from dftly_spark.ops import bpe_learn
-
-    _prep(spark)
-    return bpe_learn(
-        _t(spark, sf_dir, "documents"), "text",
-        n_merges=_X114_MERGES, replace_passes=_X114_PASSES,
-    )
-
-
-def _bpe_fit_ctes(doc_where: str = "") -> list[str]:
-    """Machine-unrolled DuckDB CTE chain replaying the bpe_learn fit:
-    wc → v0, then one (pair-count p{i}, argmax r{i}, rewrite v{i+1})
-    triple per merge round.  Shared by the x114/x115/x149 oracles;
-    ``doc_where`` ANDs an extra source predicate into the word count
-    (x149's hash-sample gate)."""
-    sep = "chr(31)"
-    ctes = [
-        r"""wc AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
-        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
-        FROM documents WHERE length(trim(text)) > 0{DOC_WHERE})
-      WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w
-    )""".replace("{DOC_WHERE}", f" AND {doc_where}" if doc_where else ""),
-        f"v0 AS (SELECT array_to_string(string_split(w, ''), {sep}) AS s, c FROM wc)",
-    ]
-    for i in range(_X114_MERGES):
-        ctes.append(
-            f"""p{i} AS (
-      SELECT sp[j] AS pa, sp[j + 1] AS pb, CAST(sum(c) AS BIGINT) AS cnt
-      FROM (SELECT string_split(s, {sep}) AS sp, c,
-                   unnest(generate_series(1, len(string_split(s, {sep})) - 1)) AS j
-            FROM v{i} WHERE len(string_split(s, {sep})) >= 2)
-      GROUP BY pa, pb
-    )"""
-        )
-        ctes.append(
-            f"r{i} AS (SELECT pa, pb, cnt FROM p{i} ORDER BY cnt DESC, pa, pb LIMIT 1)"
-        )
-        merged = f"{sep} || s || {sep}"
-        pat = f"{sep} || pa || {sep} || pb || {sep}"
-        rep = f"{sep} || pa || pb || {sep}"
-        for _ in range(_X114_PASSES):
-            merged = f"replace({merged}, {pat}, {rep})"
-        ctes.append(
-            f"""v{i + 1} AS (
-      SELECT substr(x, 2, length(x) - 2) AS s, c
-      FROM (SELECT {merged} AS x, c FROM v{i}, r{i})
-    )"""
-        )
-    return ctes
-
-
-def _x114_oracle() -> str:
-    finals = " UNION ALL ".join(
-        f"SELECT {i} AS rank, pa AS merge_left, pb AS merge_right, cnt AS pair_count FROM r{i}"
-        for i in range(_X114_MERGES)
-    )
-    return "WITH " + ",\n".join(_bpe_fit_ctes()) + "\n" + finals
-
-
-_q("x114_bpe_learn", _x114, _x114_oracle)
-
-
-def _x115(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE encoding counts (ops/bpe.py bpe_encode_counts): per-document
-    token counts under the x114-learned vocabulary — the real
-    sequence-length metric for packing/budgeting.  The 8-rule merge table
-    is tokenizer metadata and compiles into ONE literal codegen'd
-    replace-chain expression; the only shuffle is the per-doc count agg.
-    The oracle refits the rules with the shared machine-unrolled CTE
-    chain, then encodes with the same nested replaces."""
-    from dftly_spark.ops import bpe_encode_counts, bpe_learn
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    merges = bpe_learn(
-        docs, "text", n_merges=_X114_MERGES, replace_passes=_X114_PASSES
-    )
-    return bpe_encode_counts(docs, "doc_id", "text", merges,
-                             replace_passes=_X114_PASSES)
-
-
-def _x115_oracle() -> str:
-    sep = "chr(31)"
-    ctes = _bpe_fit_ctes()
-    ctes.append(
-        r"""dw AS (
-      SELECT doc_id, w FROM (
-        SELECT doc_id,
-               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
-        FROM documents WHERE length(trim(text)) > 0)
-      WHERE w <> '' AND NOT contains(w, chr(31))
-    )"""
-    )
-    enc = f"{sep} || array_to_string(string_split(w, ''), {sep}) || {sep}"
-    for i in range(_X114_MERGES):
-        pat = f"{sep} || r{i}.pa || {sep} || r{i}.pb || {sep}"
-        rep = f"{sep} || r{i}.pa || r{i}.pb || {sep}"
-        for _ in range(_X114_PASSES):
-            enc = f"replace({enc}, {pat}, {rep})"
-    rules = ", ".join(f"r{i}" for i in range(_X114_MERGES))
-    ctes.append(
-        f"""enc AS (
-      SELECT doc_id,
-             length(x) - length(replace(x, {sep}, '')) - 1 AS n_tok
-      FROM (SELECT doc_id, {enc} AS x FROM dw, {rules})
-    )"""
-    )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + "\nSELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
-        + "CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM enc GROUP BY doc_id"
-    )
-
-
-_q("x115_bpe_encode", _x115, _x115_oracle)
-
-
-def _x149(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample-then-learn BPE (ops/bpe.py bpe_learn(sample_frac=, id_col=))
-    — the corpus-size-independent production recipe for tokenizer fits
-    (SCALING.md: exact full-corpus greedy is ~2 h of driver-sequential
-    rounds at 32 k merges; merge ranks are Zipf-stable under document
-    sampling).  The sample gate is the deterministic LCG mixer keyed on
-    doc_id — never rand() — so the DuckDB oracle replays the exact same
-    document subset (sampling.mix_sql) through the same machine-unrolled
-    fit CTEs as x114."""
-    from dftly_spark.ops import bpe_learn
-
-    _prep(spark)
-    return bpe_learn(
-        _t(spark, sf_dir, "documents"), "text",
-        n_merges=_X114_MERGES, replace_passes=_X114_PASSES,
-        sample_frac=0.5, id_col="doc_id", sample_seed=3,
-    )
-
-
-def _x149_oracle() -> str:
-    from dftly_spark.ops.sampling import _M, mix_sql
-
-    gate = f"{mix_sql('doc_id', 3)} < {int(0.5 * _M)}"
-    finals = " UNION ALL ".join(
-        f"SELECT {i} AS rank, pa AS merge_left, pb AS merge_right, cnt AS pair_count FROM r{i}"
-        for i in range(_X114_MERGES)
-    )
-    return "WITH " + ",\n".join(_bpe_fit_ctes(doc_where=gate)) + "\n" + finals
-
-
-_q("x149_bpe_sampled", _x149, _x149_oracle)
-
-
-def _x150(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN recall harness (ops/similarity.py topk_recall): per-query
-    recall@10 of the hyperplane-LSH index (x11's exact configuration)
-    against the exact cosine ranking (x06's), the index-tuning loop's
-    metric.  Two keyed aggs + one semi-join over the tiny top-k frames —
-    no corpus-sized work beyond the two rankings.  The oracle embeds both
-    queries' full SQL replays as subqueries and joins them, so the gate
-    re-verifies the whole LSH pipeline end-to-end."""
-    from dftly_spark.ops import brute_force_topk, lsh_bucket_topk, topk_recall
-
-    _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
-    qs = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    truth = brute_force_topk(emb, qs, k=10)
-    approx = lsh_bucket_topk(emb, qs, k=10, n_planes=6, seed=42, dim=64)
-    return topk_recall(truth, approx)
-
-
-def _x150_oracle() -> str:
-    truth_sql = _DEFS["x06_cosine_topk"][1]
-    approx_sql = _x11_oracle()
-    return f"""
-    WITH truth AS (SELECT * FROM ({truth_sql})),
-    -- DISTINCT matches topk_recall's left_semi semantics: a duplicate
-    -- (query_id, vec_id) in the approx frame must not double-count a hit
-    approx AS (SELECT DISTINCT query_id, vec_id FROM ({approx_sql})),
-    per AS (
-      SELECT t.query_id, count(*) AS n_truth, count(a.vec_id) AS n_hits
-      FROM truth t
-      LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
-      GROUP BY t.query_id
-    )
-    SELECT query_id, CAST(n_hits AS INT) AS n_hits,
-           CAST(n_truth AS INT) AS n_truth,
-           n_hits::DOUBLE / n_truth AS recall
-    FROM per
-    """
-
-
-_q("x150_ann_recall", _x150, _x150_oracle)
-
-
-def _x116(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE corpus accounting (ops/profile.py cube_stats): rows and chars
-    by lang, by source, by (lang, source), and overall — the
-    non-hierarchical sibling of x34's ROLLUP, all 2^|dims| grouping sets
-    from ONE scan + ONE shuffle via the native Expand."""
-    from dftly_spark.ops import cube_stats
-
-    _prep(spark)
-    out = cube_stats(
-        _t(spark, sf_dir, "documents"),
-        ["lang", "source"],
-        {"total_chars": F.sum("n_chars")},
-    )
-    return out.select(
-        "lang",
-        "source",
-        F.col("grouping_id").cast("bigint").alias("grouping_id"),
-        "n_rows",
-        F.col("total_chars").cast("bigint").alias("total_chars"),
-    )
-
-
-_q(
-    "x116_cube_stats",
-    _x116,
-    """
-    SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS grouping_id,
-           COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents
-    GROUP BY CUBE(lang, source)
-    """,
-)
-
-
-def _x117(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based join-size estimation (ops/sketch.py cms_join_size):
-    |lineitem ⋈ filtered-part| estimated from the count-min inner product
-    — the planner's cardinality question answered without shuffling
-    either table — next to the exact count for calibration.  Both
-    sketches are depth×width cells built in one pass each; the estimate
-    never undercounts (collisions only add)."""
-    from dftly_spark.ops import cms_build, cms_join_size
-
-    _prep(spark)
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
-    pt = (
-        _t(spark, sf_dir, "part")
-        .where(F.col("p_size") <= 25)
-        .select("p_partkey")
-    )
-    sa = cms_build(li, "l_partkey", depth=4, width=1024)
-    sb = cms_build(pt, "p_partkey", depth=4, width=1024)
-    est = cms_join_size(sa, sb)
-    exact = li.join(pt, li["l_partkey"] == pt["p_partkey"]).agg(
-        F.count(F.lit(1)).alias("join_size_exact")
-    )
-    return est.crossJoin(F.broadcast(exact))
-
-
-_q(
-    "x117_join_size_sketch",
-    _x117,
-    """
-    WITH rows(r) AS (SELECT unnest([0, 1, 2, 3])),
-    sa AS (
-      SELECT r, b, CAST(count(*) AS BIGINT) AS n FROM (
-        SELECT r.r AS r,
-               ((l_partkey * 1103515245 + 12345 + r.r * 1000 + 1) % 2147483648)
-                 % 1024 AS b
-        FROM lineitem CROSS JOIN rows r)
-      GROUP BY r, b
-    ), sb AS (
-      SELECT r, b, CAST(count(*) AS BIGINT) AS n FROM (
-        SELECT r.r AS r,
-               ((p_partkey * 1103515245 + 12345 + r.r * 1000 + 1) % 2147483648)
-                 % 1024 AS b
-        FROM part CROSS JOIN rows r WHERE p_size <= 25)
-      GROUP BY r, b
-    ), prods AS (
-      SELECT rows.r AS r, CAST(coalesce(p, 0) AS BIGINT) AS p
-      FROM rows LEFT JOIN (
-        SELECT sa.r AS pr, sum(sa.n * sb.n) AS p
-        FROM sa JOIN sb ON sa.r = sb.r AND sa.b = sb.b GROUP BY sa.r
-      ) ON pr = rows.r
-    ), exact AS (
-      SELECT CAST(count(*) AS BIGINT) AS join_size_exact
-      FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size <= 25
-    )
-    SELECT (SELECT min(p) FROM prods) AS join_size_est, join_size_exact
-    FROM exact
-    """,
-)
-
-
-_X118_ITERS = 40
-
-
-def _x118(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA top-component projection (ops/pca.py pca_top_component):
-    MLlib's tall-skinny architecture — distributed exact-integer Gramian
-    (vectors quantized to 1e-6 ticks so Σx·xᵀ is order-independent
-    bigint), driver-side power iteration over the d²-cell summary with
-    every float op sequenced (sequential folds, max-abs round scaling),
-    row-local projection.  The oracle replays the ENTIRE fit in one
-    recursive CTE — the component is bit-identical across engines."""
-    from dftly_spark.ops import pca_top_component
-
-    _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
-    return pca_top_component(
-        emb, "vec_id", "embedding", dim=64, power_iters=_X118_ITERS
-    )
-
-
-_q(
-    "x118_pca_project",
-    _x118,
-    f"""
-    WITH RECURSIVE q AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xq,
-             embedding
-      FROM embeddings
-    ), cells AS (
-      SELECT ii.i AS i, jj.j AS j, CAST(sum(xq[ii.i] * xq[jj.j]) AS BIGINT) AS sp
-      FROM q,
-           unnest(generate_series(1, 64)) ii(i),
-           unnest(generate_series(1, 64)) jj(j)
-      GROUP BY ii.i, jj.j
-    ), svec AS (
-      SELECT ii.i AS i, CAST(sum(xq[ii.i]) AS BIGINT) AS s
-      FROM q, unnest(generate_series(1, 64)) ii(i) GROUP BY ii.i
-    ), nn AS (
-      SELECT CAST(count(*) AS DOUBLE) AS n FROM q
-    ), cmat AS (
-      SELECT c.i - 1 AS i, c.j - 1 AS j,
-             (CAST(sp AS DOUBLE) / n)
-               - (CAST(sa.s AS DOUBLE) / n) * (CAST(sb.s AS DOUBLE) / n) AS v
-      FROM cells c
-      JOIN svec sa ON sa.i = c.i
-      JOIN svec sb ON sb.i = c.j
-      CROSS JOIN nn
-    ), pw AS (
-      SELECT 0 AS it, i,
-             CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS DOUBLE) AS v
-      FROM (SELECT DISTINCT i FROM cmat)
-      UNION ALL
-      SELECT it + 1, i, w / mx FROM (
-        SELECT it, i, w, max(abs(w)) OVER () AS mx FROM (
-          SELECT pw.it AS it, c.i AS i,
-                 list_reduce(list(c.v * pw.v ORDER BY c.j), (a, b) -> a + b) AS w
-          FROM pw JOIN cmat c ON c.j = pw.i
-          WHERE pw.it < {_X118_ITERS}
-          GROUP BY pw.it, c.i))
-    ), vfin AS (
-      SELECT i, v FROM pw WHERE it = {_X118_ITERS}
-    ), vn AS (
-      SELECT sqrt(list_reduce(list(v * v ORDER BY i), (a, b) -> a + b)) AS nrm
-      FROM vfin
-    ), proj AS (
-      SELECT vec_id,
-             list_reduce(
-               list(CAST(e[t.i] AS DOUBLE) * vf.v ORDER BY t.i),
-               (a, b) -> a + b) AS dt
-      FROM (SELECT vec_id, embedding AS e,
-                   unnest(generate_series(1, 64)) AS i
-            FROM embeddings) t(vec_id, e, i)
-      JOIN vfin vf ON vf.i = t.i - 1
-      GROUP BY vec_id
-    )
-    SELECT vec_id, dt / nrm AS pc1 FROM proj CROSS JOIN vn
-    """,
-)
-
-
-def _x119(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-session engagement stats (ops/sessions.py session_stats):
-    duration, depth, bounce flag, and distinct event types per gap-based
-    session — the analytics layer over x13's sessionize, computed with
-    the same user-keyed windows plus ONE same-partitioning agg (no join
-    back to the event table)."""
-    from dftly_spark.ops import session_stats
-
-    _prep(spark)
-    return session_stats(
-        _t(spark, sf_dir, "events"),
-        gap_micros=1_800_000_000,
-        type_col="event_type",
-    )
-
-
-_q(
-    "x119_session_stats",
-    _x119,
-    """
-    WITH e AS (
-      SELECT event_id, user_id, event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us
-      FROM events
-    ), b AS (
-      SELECT user_id, event_type, event_id, us,
-             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
-               AS prev_us
-      FROM e
-    ), s AS (
-      SELECT user_id, event_type, us,
-             CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
-                           THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY us, event_id
-                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-      FROM b
-    )
-    SELECT user_id, session_idx,
-           CAST(count(*) AS BIGINT) AS n_events,
-           min(us) AS start_us, max(us) AS end_us,
-           max(us) - min(us) AS duration_us,
-           count(*) = 1 AS is_bounce,
-           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
-    FROM s GROUP BY user_id, session_idx
-    """,
-)
-
-
-def _x120(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 time travel (ops/cdc.py scd2_snapshot): the per-user dimension
-    state as of 2024-01-15 from the x59 history — a row-local validity
-    filter that pushes into the scan of a stored history table; no window
-    or join at read time."""
-    from dftly_spark.ops import scd2_history, scd2_snapshot
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_type", "event_id"
-    )
-    hist = scd2_history(ev, "user_id", "ts", ["event_type"],
-                        order_cols=["event_id"])
-    snap = scd2_snapshot(hist, "2024-01-15 00:00:00")
-    return snap.select(
-        "user_id",
-        "event_type",
-        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("from_us"),
-        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("to_us"),
-    )
-
-
-_q(
-    "x120_scd2_snapshot",
-    _x120,
-    """
-    WITH e AS (
-      SELECT user_id, event_type, event_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us
-      FROM events
-    ), m AS (
-      SELECT user_id, event_type, us,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
-               AS prev_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
-               AS rn
-      FROM e
-    ), v AS (
-      SELECT user_id, event_type, us AS from_us,
-             lead(us) OVER (PARTITION BY user_id ORDER BY us, rn) AS to_us
-      FROM m
-      WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
-    )
-    SELECT user_id, event_type, from_us, to_us
-    FROM v
-    WHERE from_us <= 1705276800000000
-      AND (to_us IS NULL OR to_us > 1705276800000000)
-    """,
-)
-
-
-def _x121(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15-style top supplier: suppliers whose quarterly revenue
-    equals the maximum — the argmax-vs-scalar-aggregate shape.  The
-    revenue view computes once and is referenced twice (per-supplier
-    rows + the 1-row max); integer-scaled exact money makes the equality
-    join safe — a float max would tie-break on ulps."""
-    _prep(spark)
-    li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
-    )
-    from dftly_spark.sqlgen import exact_quant
-
-    revenue = (
-        li.groupBy("l_suppkey").agg(F.sum(exact_quant(_rev_col(li))).alias("_rc"))
-    ).localCheckpoint(eager=False)
-    mx = revenue.agg(F.max("_rc").alias("_mx"))
-    supp = _t(spark, sf_dir, "supplier")
-    return (
-        revenue.join(F.broadcast(mx), revenue["_rc"] == mx["_mx"])
-        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
-        .select(
-            "s_suppkey", "s_name",
-            (F.col("_rc") / 10000.0).alias("total_revenue"),
-        )
-    )
-
-
-def _x121_oracle() -> str:
-    from dftly_spark.sqlgen import exact_quant_sql
-
-    return f"""
-    WITH revenue AS (
-      SELECT l_suppkey,
-             sum({exact_quant_sql(_rev_sql())}) AS rc
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate <  TIMESTAMP '1997-04-01'
-      GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name, rc / 10000.0 AS total_revenue
-    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
-    WHERE rc = (SELECT max(rc) FROM revenue)
-    """
-
-
-_q("x121_top_supplier", _x121, _x121_oracle)
-
-
-def _x122(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11-style important stock: parts whose shipped value from one
-    nation's suppliers exceeds TWICE the per-part mean (``_pv * _np >
-    2 * _tv``) — the HAVING-against-a-global-scalar shape, in PURE INTEGER
-    arithmetic (cents scaled by the part count vs twice total-cents: no
-    float share, no knife edges at any corpus size).  The 1-row total
-    attaches by broadcast (sanctioned scalar attach)."""
-    _prep(spark)
-    li = _t(spark, sf_dir, "lineitem")
-    supp = (
-        _t(spark, sf_dir, "supplier")
-        .where(F.col("s_nationkey") == 1)
-        .select("s_suppkey")
-    )
-    from dftly_spark.sqlgen import exact_quant
-
-    val_i = exact_quant(
-        F.col("l_extendedprice") * F.col("l_quantity"), scale=100
-    )
-    base = li.join(supp, li["l_suppkey"] == supp["s_suppkey"]).select(
-        "l_partkey", val_i.alias("_v")
-    )
-    per_part = base.groupBy("l_partkey").agg(F.sum("_v").alias("_pv"))
-    total = per_part.agg(
-        F.sum("_pv").alias("_tv"), F.count(F.lit(1)).alias("_np")
-    )
-    return (
-        per_part.crossJoin(F.broadcast(total))
-        .where(F.col("_pv") * F.col("_np") > 2 * F.col("_tv"))
-        .select("l_partkey", (F.col("_pv") / 100.0).alias("part_value"))
-    )
-
-
-def _x122_oracle() -> str:
-    from dftly_spark.sqlgen import exact_quant_sql
-
-    v = exact_quant_sql("l_extendedprice * l_quantity", scale=100)
-    return f"""
-    WITH base AS (
-      SELECT l_partkey,
-             {v}
-               AS v
-      FROM lineitem
-      JOIN supplier ON l_suppkey = s_suppkey
-      WHERE s_nationkey = 1
-    ), per_part AS (
-      SELECT l_partkey, sum(v) AS pv FROM base GROUP BY l_partkey
-    ), tot AS (
-      SELECT sum(pv) AS tv, CAST(count(*) AS BIGINT) AS np FROM per_part
-    )
-    SELECT l_partkey, pv / 100.0 AS part_value
-    FROM per_part, tot
-    WHERE pv * np > 2 * tv
-    """
-
-
-_q("x122_important_stock", _x122, _x122_oracle)
-
-
-def _x123(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WEIGHTED PageRank (ops/graph.py pagerank weight=): the x67 trade
-    graph with each customer↔supplier edge weighted by how many lineitems
-    connect the pair, so heavy trading relationships carry more rank.
-    Contributions ship rank·w/out-strength; weights are small INTEGER
-    counts, so the per-source strength sum is float-exact regardless of
-    partition order (the per-destination sum is order-wobbly at ~1e-15 —
-    absorbed by the 1e-6 output rounding, same as x67)."""
-    from dftly_spark.ops import pagerank
-
-    _prep(spark)
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    edges = pairs.select(
-        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
-    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
-    # grouped pairs are distinct and even/odd ids cannot collide across
-    # directions; symmetrization gives every node an out-edge
-    return pagerank(
-        edges, iters=5, damping=0.85, weight="w",
-        assume_distinct=True, repair_dangling=False,
-    )
-
-
-_q(
-    "x123_weighted_pagerank",
-    _x123,
-    """
-    WITH pairs AS (
-      SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
-             CAST(count(*) AS BIGINT) AS w
-      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      GROUP BY 1, 2
-    ), edges AS (
-      SELECT c AS src, s AS dst, w FROM pairs
-      UNION ALL SELECT s, c, w FROM pairs
-    ), nodes AS (
-      SELECT DISTINCT src AS n FROM edges
-    ), strength AS (
-      SELECT src, CAST(sum(w) AS DOUBLE) AS st FROM edges GROUP BY src
-    )
-    SELECT n AS node, floor((r) * 1000000 + 0.5) / 1000000 AS rank FROM (
-      WITH RECURSIVE pr AS (
-        SELECT 0 AS it, n, CAST(1.0 AS DOUBLE) AS r FROM nodes
-        UNION ALL
-        SELECT pr.it + 1, e.dst AS n,
-               (1.0 - 0.85) + 0.85 * sum(pr.r * CAST(e.w AS DOUBLE) / st.st) AS r
-        FROM pr JOIN edges e ON pr.n = e.src JOIN strength st ON e.src = st.src
-        WHERE pr.it < 5
-        GROUP BY pr.it, e.dst
-      )
-      SELECT * FROM pr WHERE it = 5
-    )
-    """,
-)
-
-
-def _x124(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal near-dup pairs (ops/multimodal.py media_dup_pairs):
-    perceptual-hash the fake media payloads, then the SAME pigeonhole
-    chunk join text SimHash uses (ops/dedup.py hamming_pairs) finds pairs
-    within hamming ≤ 3.  Twenty duplicate payloads are PLANTED (doc_id +
-    1_000_000 copies) so the gate has guaranteed collisions at every SF;
-    the fake decode is sha256-derived, so DuckDB recomputes the exact
-    64-bit fingerprints and finds the pairs by brute force — checking the
-    banded join's recall as well as its precision."""
-    from dftly_spark.ops import attach_fake_media, media_dup_pairs
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.where(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    )
-    media = attach_fake_media(docs.unionByName(planted), "text")
-    return media_dup_pairs(media, "doc_id", max_hamming=3)
-
-
-_q(
-    "x124_media_dup_pairs",
-    _x124,
-    """
-    WITH alldocs AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
-    ), hh AS (
-      -- fake decode: 64 pseudo-pixels = sha256(payload) || sha256(reversed)
-      -- (documents are pure ASCII, so reverse(text) reverses the bytes)
-      SELECT doc_id, sha256(text) || sha256(reverse(text)) AS h FROM alldocs
-    ), px AS (
-      SELECT doc_id, i,
-             ('0x' || substr(h, 2 * i + 1, 2))::INTEGER AS p
-      FROM hh, range(64) t(i)
-    ), bits AS (
-      SELECT doc_id, i, p, sum(p) OVER (PARTITION BY doc_id) AS total
-      FROM px
-    ), fp AS (
-      -- aHash bit i set when pixel > mean (64*p > sum, integer-exact);
-      -- signed-64 reconstruction puts bit 63 in as -2^63
-      SELECT doc_id,
-             CAST(sum(CASE WHEN 64 * p <= total THEN 0
-                           WHEN i = 63 THEN -9223372036854775808
-                           ELSE (1::BIGINT << i) END) AS BIGINT) AS ahash
-      FROM bits GROUP BY doc_id
-    )
-    SELECT a.doc_id AS id_l, b.doc_id AS id_r,
-           CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
-    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
-    """,
-)
-
-
-def _x125(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Validate-while-writing quality gate (ops/quality.py expect_observed):
-    expectation counters ride the caller's OWN action via df.observe —
-    per-task aggregates merged exactly, no second scan (expect() costs
-    one).  The action here is a count over documents; the returned frame
-    is the ≤3-row report table (report-table-sized createDataFrame, like
-    the other model artifacts)."""
-    from dftly_spark.ops import expect_observed
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    observed, obs = expect_observed(
-        docs,
-        [
-            {"rule": "not_null", "col": "text"},
-            {"rule": "in_range", "col": "n_chars", "min": 1, "max": 5000},
-            {"rule": "in_set", "col": "lang", "values": ["en", "de", "fr"]},
-        ],
-    )
-    observed.count()  # the caller's action; metrics piggyback on it
-    report = obs.report()
-    return spark.createDataFrame(
-        report, "rule string, n_rows bigint, n_violations bigint, passed boolean"
-    )
-
-
-_q(
-    "x125_expect_observed",
-    _x125,
-    """
-    SELECT 'not_null(text)' AS rule,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(coalesce(sum(CASE WHEN text IS NULL THEN 1 END), 0) AS BIGINT)
-             AS n_violations,
-           coalesce(sum(CASE WHEN text IS NULL THEN 1 END), 0) = 0 AS passed
-    FROM documents
-    UNION ALL
-    SELECT 'in_range(n_chars)',
-           CAST(count(*) AS BIGINT),
-           CAST(coalesce(sum(CASE WHEN n_chars < 1 OR n_chars > 5000 THEN 1 END), 0)
-             AS BIGINT),
-           coalesce(sum(CASE WHEN n_chars < 1 OR n_chars > 5000 THEN 1 END), 0) = 0
-    FROM documents
-    UNION ALL
-    SELECT 'in_set(lang)',
-           CAST(count(*) AS BIGINT),
-           CAST(coalesce(sum(CASE WHEN lang IS NOT NULL
-                                   AND lang NOT IN ('en', 'de', 'fr')
-                                  THEN 1 END), 0) AS BIGINT),
-           coalesce(sum(CASE WHEN lang IS NOT NULL
-                              AND lang NOT IN ('en', 'de', 'fr')
-                             THEN 1 END), 0) = 0
-    FROM documents
-    """,
-)
-
-
-def _x126(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session windows (streaming.py session_window_stats):
-    per-user activity sessions via Spark's built-in merging
-    ``F.session_window`` — the state-store-backed streaming sessionizer,
-    here on the batch path the parity tests pin.  Half-open semantics: an
-    event at EXACTLY gap distance starts a NEW session (the custom
-    ops/sessions.py sessionize keeps it — that `>` variant is x119's
-    gate).  One keyed shuffle; the oracle replays gaps-and-islands with
-    a `>=` break."""
-    from dftly_spark.streaming import session_window_stats
-
-    _prep(spark)
-    return session_window_stats(
-        _t(spark, sf_dir, "events"), "ts", keys=["user_id"], gap="30 minutes"
-    )
-
-
-_q(
-    "x126_session_window_spans",
-    _x126,
-    """
-    WITH marks AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ), g AS (
-      SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS UNBOUNDED PRECEDING) AS sid
-      FROM marks
-    )
-    SELECT user_id,
-           epoch_us(min(ts)) AS session_start_us,
-           epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM g GROUP BY user_id, sid
-    """,
-)
-
-
-def _x127(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Groupwise ordered item pairs (ops/assoc.py basket_pairs): the
-    basket explode that backs cooccurrence_pmi, source_overlap, and the
-    co-purchase edge builds, gated on its raw surface — one row per
-    (order, supplier pair).  ONE keyed shuffle collects each order's
-    sorted supplier set; two chained generators emit the pairs, each
-    intermediate row holding at most one order's array (the self-join
-    this replaces shuffled the incidence frame twice); the oracle keeps
-    the declarative self-join."""
-    from dftly_spark.ops import basket_pairs
-
-    _prep(spark)
-    return basket_pairs(
-        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_suppkey"
-    ).select(F.col("_g").alias("g"), "item_a", "item_b")
-
-
-_q(
-    "x127_basket_pairs",
-    _x127,
-    """
-    WITH gi AS (
-      SELECT DISTINCT l_orderkey AS g, l_suppkey AS i FROM lineitem
-      WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
-    )
-    SELECT a.g AS g, a.i AS item_a, b.i AS item_b
-    FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
-    """,
-)
-
-
-# --- x128: keyed aggregate from ONE shared spec -----------------------------
-# The agg-shape twin of the round-7 _spec_query/_spec_oracle pattern: the
-# SAME (where, group_by, select) dict drives BOTH the Spark aggregation and
-# the DuckDB oracle (sqlgen.agg_oracle_sql), so no scalar — filter, money
-# sum, portable-rounded avg, count — is ever hand-mirrored.
-
-_X128_WHERE = "$l_quantity > 25 and $l_discount <= 0.05"
-_X128_GROUP = ("l_returnflag", "l_linestatus")
-_X128_SELECT = {
-    "l_returnflag": ("expr", "$l_returnflag"),
-    "l_linestatus": ("expr", "$l_linestatus"),
-    "n": ("count", None),
-    "n_parts": ("count_distinct", "$l_partkey"),
-    "sum_lines": ("sum", "$l_linenumber"),
-    "sum_rev": ("exact_sum", _REV_EXPR),
-    "avg_disc": ("round6_avg", "$l_discount"),
-    "max_qty": ("max", "$l_quantity"),
-}
-
-
-def _agg_spec_query(table, select, where, group_by):
-    """Spark side of the shared agg spec: scalars compile through
-    Parser.expr_to_spark (the SAME AST sqlgen emits for DuckDB), agg kinds
-    map onto the matching Spark functions with the shared exact_sum /
-    portable-round conventions."""
-
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _prep(spark)
-        df = _t(spark, sf_dir, table)
-        if where is not None:
-            df = df.where(Parser.expr_to_spark(where, schema=df))
-        # "expr" entries ARE the group keys: they must lead the select
-        # dict and name exactly group_by, in order — agg_oracle_sql groups
-        # by group_by and emits dict order, so any mismatch would silently
-        # diverge the two sides
-        # ValueError, not assert: a mis-ordered spec silently diverges the
-        # engine and oracle sides, and assert is stripped under python -O.
-        items = list(dict(select).items())
-        expr_names = [n for n, (k, _) in items if k == "expr"]
-        if tuple(expr_names) != tuple(group_by):
-            raise ValueError(
-                f"agg spec 'expr' entries {expr_names} must name exactly "
-                f"group_by {tuple(group_by)}, in order"
-            )
-        if not all(k == "expr" for _, (k, _a) in items[: len(expr_names)]):
-            raise ValueError(
-                "agg spec 'expr' entries must lead the select dict "
-                f"(got kinds {[k for _, (k, _a) in items]})"
-            )
-        keys = [
-            Parser.expr_to_spark(arg, schema=df).alias(name)
-            for name, (kind, arg) in items
-            if kind == "expr"
-        ]
-        aggs = []
-        for name, (kind, arg) in dict(select).items():
-            if kind == "expr":
-                continue
-            col = None if arg is None else Parser.expr_to_spark(arg, schema=df)
-            if kind == "count":
-                a = F.count(F.lit(1)) if col is None else F.count(col)
-            elif kind == "count_distinct":
-                a = F.countDistinct(col)
-            elif kind == "exact_sum":
-                a = exact_sum(col)
-            elif kind == "round6_avg":
-                a = portable_round(F.avg(col))
-            elif kind in ("sum", "min", "max", "avg"):
-                a = getattr(F, kind)(col)
-            else:
-                raise ValueError(f"unknown agg kind {kind!r}")
-            aggs.append(a.alias(name))
-        return df.groupBy(*keys).agg(*aggs)
-
-    return run
-
-
-def _x128_oracle() -> str:
-    from dftly_spark.sqlgen import agg_oracle_sql
-
-    return agg_oracle_sql(
-        "lineitem",
-        _X128_SELECT,
-        _pq_schema("lineitem"),
-        where=_X128_WHERE,
-        group_by=_X128_GROUP,
-    )
-
-
-_q(
-    "x128_agg_spec",
-    _agg_spec_query("lineitem", _X128_SELECT, _X128_WHERE, _X128_GROUP),
-    _x128_oracle,
-)
-
-
-# --- x129: fuzzy entity-resolution join (prefix-filter similarity join) ----
-# ops/entity.py fuzzy_join: EXACT-threshold cross-table Jaccard join via
-# AllPairs/PPJoin prefix filtering (recall 1 by construction, unlike the
-# LSH paths).  The synthetic corpus has no natural cross-table near-dups
-# (all cross-source jaccards < 0.1), so the query PLANTS the right table
-# deterministically — every 3rd document re-ids to +1_000_000 with its
-# first 6 words dropped (same construction pattern as x05's planted
-# embedding dups) — and the oracle recomputes all qualifying pairs through
-# the lossless shared-shingle candidate join (any pair with jaccard >= 0.5
-# shares a 3-gram), so it checks the prefix filter's RECALL, not just its
-# precision.
-
-
-def _x129_planted(docs: DataFrame) -> DataFrame:
-    """Right side: every 3rd doc, id +1_000_000, first 6 words dropped
-    (only docs keeping >= 3 words, so shingle sets stay non-degenerate)."""
-    w = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
-    return (
-        docs.where(F.col("doc_id") % 3 == 0)
-        .where(F.size(w) > 8)
-        .select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.concat_ws(" ", F.slice(w, 7, F.size(w))).alias("text"),
-        )
-    )
-
-
-def _x129(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import fuzzy_join
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return fuzzy_join(
-        _docs_tok(spark, sf_dir), _x129_planted(docs), "doc_id", "text",
-        n=3, threshold=0.5,
-        tokens_col_l=_TOK, cache_key_l=f"documents:{sf_dir}",
-    )
-
-
-_q(
-    "x129_fuzzy_join",
-    _x129,
-    r"""
-    WITH lw AS (SELECT doc_id,
-                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-                FROM documents),
-    rw AS (SELECT doc_id + 1000000 AS doc_id, list_slice(w, 7, len(w)) AS w
-           FROM lw WHERE doc_id % 3 = 0 AND len(w) > 8),
-    sides AS (SELECT 'l' AS side, doc_id, w FROM lw
-              UNION ALL SELECT 'r', doc_id, w FROM rw),
-    idx AS (SELECT side, doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
-            FROM sides WHERE len(w) >= 3),
-    sh AS (SELECT DISTINCT side, doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS g FROM idx
-           UNION SELECT DISTINCT side, doc_id, array_to_string(w, ' ') AS g
-                 FROM sides WHERE len(w) < 3),
-    sizes AS (SELECT side, doc_id, count(*) AS n FROM sh GROUP BY 1, 2),
-    shared AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS s
-               FROM sh a JOIN sh b ON a.g = b.g AND a.side = 'l' AND b.side = 'r'
-               GROUP BY 1, 2)
-    SELECT id_l, id_r, s::DOUBLE / (x.n + y.n - s) AS jaccard
-    FROM shared
-    JOIN sizes x ON x.side = 'l' AND x.doc_id = id_l
-    JOIN sizes y ON y.side = 'r' AND y.doc_id = id_r
-    WHERE s::DOUBLE / (x.n + y.n - s) >= 0.5
-    """,
-)
-
-
-# --- x130: Pareto frontier (skyline) without the O(n^2) dominance join ----
-# ops/profile.py pareto_front: per-returnflag maximize-(quantity, price)
-# frontier of lineitem.  The engine's plan is agg-to-distinct-x + cumulative
-# window + semi-join back; the oracle is the DEFINITION — NOT EXISTS
-# dominance over the per-(group, x) maxima — so the two sides share no
-# algorithm, only semantics.
-
-
-def _x130(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import pareto_front
-
-    _prep(spark)
-    li = _t(spark, sf_dir, "lineitem")
-    return pareto_front(
-        li, "l_quantity", "l_extendedprice", by=["l_returnflag"]
-    ).select(
-        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"
-    )
-
-
-_q(
-    "x130_pareto_front",
-    _x130,
-    """
-    WITH pts AS (
-      SELECT l_returnflag AS g, l_quantity AS x, max(l_extendedprice) AS y
-      FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-      GROUP BY 1, 2
-    ), fr AS (
-      SELECT * FROM pts p
-      WHERE NOT EXISTS (
-        SELECT 1 FROM pts q
-        WHERE q.g = p.g AND q.x >= p.x AND q.y >= p.y
-          AND (q.x > p.x OR q.y > p.y)
-      )
-    )
-    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
-           l.l_quantity, l.l_extendedprice
-    FROM lineitem l
-    JOIN fr ON l.l_returnflag = fr.g AND l.l_quantity = fr.x
-           AND l.l_extendedprice = fr.y
-    """,
-)
-
-
-# --- x131: calibration curve (reliability diagram) ------------------------
-# ops/quality.py calibration_curve: the rank-free companion to x99's AUC.
-# Does event value's magnitude CALIBRATE against the purchase rate?  Bin
-# index is one mirrored float expression; mean_score uses the shared
-# exact-integer-sum convention (a raw double sum over 600k rows wobbles
-# with partition order past 6-decimal rounding); frac_pos is a ratio of
-# exact integers.
-
-
-def _x131(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dftly_spark.ops import calibration_curve
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select(
-        "value", (F.col("event_type") == "purchase").alias("is_purchase")
-    )
-    return calibration_curve(
-        ev, "value", "is_purchase", bins=20, lo=0.0, hi=500.0
-    )
-
-
-def _x131_oracle() -> str:
-    from dftly_spark.sqlgen import exact_sum_sql, portable_round_sql
-
-    mean_s = portable_round_sql(f"({exact_sum_sql('s', scale=10**8)}) / count(*)")
-    frac_p = portable_round_sql("CAST(sum(y) AS BIGINT) / count(*)")
-    return f"""
-    WITH t AS (
-      SELECT CAST(value AS DOUBLE) AS s,
-             CAST(event_type = 'purchase' AS BIGINT) AS y
-      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
-    ), b AS (
-      SELECT CAST(least(greatest(floor(((s - 0.0) / 500.0) * 20), 0), 19) AS INTEGER) AS bin,
-             s, y
-      FROM t
-    )
-    SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
-           {mean_s} AS mean_score,
-           {frac_p} AS frac_pos
-    FROM b GROUP BY bin
-    """
-
-
-_q("x131_calibration", _x131, _x131_oracle)
-
-
-def _x137(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The STREAMING calibration twin gated through its bounded-frame
-    semantics (dftly_spark/streaming.py windowed_calibration): watermarked
-    tumbling windows are a no-op on a bounded frame, so the same code the
-    stream runs is driver-checkable — per-(6h-window, bin) counts and the
-    exact-convention mean/frac (epoch-aligned windows, mirrored in SQL as
-    floor(epoch/21600))."""
-    from dftly_spark.streaming import windowed_calibration
-
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events").select(
-        "ts", "value", (F.col("event_type") == "purchase").alias("is_purchase")
-    )
-    return windowed_calibration(
-        ev, "ts", "value", "is_purchase",
-        window="6 hours", bins=8, lo=0.0, hi=500.0,
-    )
-
-
-def _x137_oracle() -> str:
-    from dftly_spark.sqlgen import exact_sum_sql, portable_round_sql
-
-    mean_s = portable_round_sql(f"({exact_sum_sql('s', scale=10**8)}) / count(*)")
-    frac_p = portable_round_sql("CAST(sum(y) AS BIGINT) / count(*)")
-    return f"""
-    WITH t AS (
-      SELECT ts, CAST(value AS DOUBLE) AS s,
-             CAST(event_type = 'purchase' AS BIGINT) AS y
-      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
-    ), b AS (
-      SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000)
-               AS window_start,
-             CAST(least(greatest(floor(((s - 0.0) / 500.0) * 8), 0), 7) AS INTEGER) AS bin,
-             s, y
-      FROM t
-    )
-    SELECT window_start,
-           window_start + INTERVAL 6 HOUR AS window_end,
-           bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
-           {mean_s} AS mean_score,
-           {frac_p} AS frac_pos
-    FROM b GROUP BY window_start, bin
-    """
-
-
-_q("x137_windowed_calibration", _x137, _x137_oracle)
-
-
-# --- x132/x135: two more classic warehouse join shapes --------------------
-# TPC-H Q2/Q21 analogues reshaped onto this schema (no partsupp or receipt
-# dates in the testdata): correlated min-per-group via a part-keyed window,
-# and the only-late-supplier double-correlation.  (Q16/Q18 shapes already
-# exist as x104/x105 — kept in the sampled window instead of duplicated.)  All joins stay
-# UNFORCED equi-joins (AQE broadcasts the dims at test scale, shuffle-hash
-# at cluster scale); every scalar hazard is integer-derived or an
-# identical-IEEE division.
-
-
-def _x132(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q2-style cheapest-supplier-per-part within one region: per-part min
-    unit price over the region's offers via a part-keyed window, rows at
-    the exact min kept (unit price is one double division — identical
-    IEEE bits on both engines, so the equality filter is portable).
-    DISTINCT collapses repeat (part, supplier) offers at the same min."""
-    _prep(spark)
-    sup = _t(spark, sf_dir, "supplier")
-    nat = _t(spark, sf_dir, "nation")
-    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    li = _t(spark, sf_dir, "lineitem")
-    asia = (
-        sup.join(nat, sup["s_nationkey"] == nat["n_nationkey"])
-        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
-        .select("s_suppkey", "s_name")
-    )
-    offers = li.join(asia, li["l_suppkey"] == asia["s_suppkey"]).select(
-        F.col("l_partkey").alias("part_key"),
-        "s_suppkey",
-        "s_name",
-        (F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit"),
-    )
-    # min over a WINDOW on the part key, not groupBy-then-join-back: the
-    # join formulation lets the optimizer broadcast a part-count-sized
-    # aggregate and re-executes the offers subtree for the probe side
-    # (the recorded round-8 novelty hazard); the window is one keyed
-    # shuffle with no second pass and no broadcast of an unbounded agg
-    from pyspark.sql import Window as _W
-
-    w = _W.partitionBy("part_key")
-    return (
-        offers.withColumn("min_unit_price", F.min("_unit").over(w))
-        .where(F.col("_unit") == F.col("min_unit_price"))
-        .select("part_key", "s_suppkey", "s_name", "min_unit_price")
-        .distinct()
-    )
-
-
-_q(
-    "x132_cheapest_supplier",
-    _x132,
-    """
-    WITH offers AS (
-      SELECT l_partkey AS part_key, s_suppkey, s_name,
-             l_extendedprice / l_quantity AS unit
-      FROM lineitem
-      JOIN supplier ON l_suppkey = s_suppkey
-      JOIN nation   ON s_nationkey = n_nationkey
-      JOIN region   ON n_regionkey = r_regionkey
-      WHERE r_name = 'ASIA'
-    ), m AS (
-      SELECT part_key, min(unit) AS min_unit_price FROM offers GROUP BY 1
-    )
-    SELECT DISTINCT o.part_key, o.s_suppkey, o.s_name, m.min_unit_price
-    FROM offers o JOIN m ON o.part_key = m.part_key
-                        AND o.unit = m.min_unit_price
-    """,
-)
-
-
-def _x135(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21-style waiting-suppliers: in orders served by MULTIPLE suppliers,
-    count per supplier the orders where THEY shipped late (>90 days after
-    the order date) and no other supplier did.  The EXISTS / NOT EXISTS
-    double correlation collapses to ONE (order, supplier) aggregation plus
-    one per-order aggregation — two keyed shuffles, no correlated re-scans."""
-    _prep(spark)
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    late = (
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    ).cast("int")
-    per_so = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select("l_orderkey", "l_suppkey", late.alias("_late"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max("_late").alias("_late"))
-    )
-    per_o = per_so.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("_n_supp"), F.sum("_late").alias("_n_late")
-    )
-    waiting = (
-        per_so.where(F.col("_late") == 1)
-        .join(
-            per_o.where((F.col("_n_supp") > 1) & (F.col("_n_late") == 1)),
-            "l_orderkey",
-        )
-    )
-    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        waiting.join(sup, waiting["l_suppkey"] == sup["s_suppkey"])
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-    )
-
-
-_q(
-    "x135_waiting_suppliers",
-    _x135,
-    """
-    WITH per_so AS (
-      SELECT l_orderkey, l_suppkey,
-             max(CAST(l_shipdate > o_orderdate + INTERVAL 90 DAY AS INTEGER)) AS late
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      GROUP BY 1, 2
-    ), per_o AS (
-      SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
-      FROM per_so GROUP BY 1
-    )
-    SELECT s_name, count(*) AS numwait
-    FROM per_so
-    JOIN per_o USING (l_orderkey)
-    JOIN supplier ON l_suppkey = s_suppkey
-    WHERE per_so.late = 1 AND n_supp > 1 AND n_late = 1
-    GROUP BY s_name
-    """,
-)
-
-
-def _x136(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fuzzy_join's best_match resolution path (ops/entity.py): each left
-    document resolved to its single best planted/near-dup right match —
-    highest jaccard, lowest id_r tie-break.  Same planted construction as
-    x129; the oracle re-ranks the lossless all-pairs set with the
-    identical (jaccard DESC, id_r ASC) window, so both the pair recall
-    AND the tie-break determinism are gated."""
-    from dftly_spark.ops import fuzzy_join
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return fuzzy_join(
-        _docs_tok(spark, sf_dir), _x129_planted(docs), "doc_id", "text",
-        n=3, threshold=0.5, best_match=True,
-        tokens_col_l=_TOK, cache_key_l=f"documents:{sf_dir}",
-    )
-
-
-_q(
-    "x136_fuzzy_best_match",
-    _x136,
-    r"""
-    WITH lw AS (SELECT doc_id,
-                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-                FROM documents),
-    rw AS (SELECT doc_id + 1000000 AS doc_id, list_slice(w, 7, len(w)) AS w
-           FROM lw WHERE doc_id % 3 = 0 AND len(w) > 8),
-    sides AS (SELECT 'l' AS side, doc_id, w FROM lw
-              UNION ALL SELECT 'r', doc_id, w FROM rw),
-    idx AS (SELECT side, doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
-            FROM sides WHERE len(w) >= 3),
-    sh AS (SELECT DISTINCT side, doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS g FROM idx
-           UNION SELECT DISTINCT side, doc_id, array_to_string(w, ' ') AS g
-                 FROM sides WHERE len(w) < 3),
-    sizes AS (SELECT side, doc_id, count(*) AS n FROM sh GROUP BY 1, 2),
-    shared AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS s
-               FROM sh a JOIN sh b ON a.g = b.g AND a.side = 'l' AND b.side = 'r'
-               GROUP BY 1, 2),
-    pairs AS (
-      SELECT id_l, id_r, s::DOUBLE / (x.n + y.n - s) AS jaccard
-      FROM shared
-      JOIN sizes x ON x.side = 'l' AND x.doc_id = id_l
-      JOIN sizes y ON y.side = 'r' AND y.doc_id = id_r
-      WHERE s::DOUBLE / (x.n + y.n - s) >= 0.5
-    )
-    SELECT id_l, id_r, jaccard FROM (
-      SELECT id_l, id_r, jaccard,
-             row_number() OVER (PARTITION BY id_l ORDER BY jaccard DESC, id_r) AS rk
-      FROM pairs
-    ) WHERE rk = 1
-    """,
-)
-
-
-def _x138(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring duplication spans (ops/textops.py
-    dup_substring_spans): maximal verbatim token runs >= 20 tokens
-    occurring >= 2 times corpus-wide by OCCURRENCE count (within-document
-    repeats included — the Lee et al. ExactSubstr semantics, vs x32/x37's
-    distinct-document df).  The oracle replays the L-gram counting +
-    gaps-and-islands run chaining literally in SQL; output is all-integer
-    (positions and lengths), so there is no cross-engine float surface."""
-    from dftly_spark.ops import dup_substring_spans
-
-    _prep(spark)
-    return dup_substring_spans(
-        _docs_tok(spark, sf_dir),
-        "doc_id",
-        "text",
-        min_len=20,
-        min_count=2,
-        tokens_col=_TOK,
-        cache_key=f"documents:{sf_dir}",
-    )
-
-
-_q(
-    "x138_dup_substring_spans",
-    _x138,
-    r"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ), inst AS (
-      SELECT doc_id, p, array_to_string(list_slice(w, p, p + 19), ' ') AS g
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS p
-            FROM base WHERE len(w) >= 20)
-    ), flagged AS (
-      SELECT g FROM inst GROUP BY g HAVING count(*) >= 2
-    ), starts AS (
-      SELECT doc_id, p FROM inst JOIN flagged USING (g)
-    ), runs AS (
-      SELECT doc_id, p,
-             CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
-                       OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 20
-                  THEN 1 ELSE 0 END AS nr
-      FROM starts
-    ), rid AS (
-      SELECT doc_id, p,
-             SUM(nr) OVER (PARTITION BY doc_id ORDER BY p) AS run
-      FROM runs
-    )
-    SELECT doc_id,
-           MIN(p) - 1 AS span_start,
-           MAX(p) + 18 AS span_end,
-           MAX(p) - MIN(p) + 20 AS span_tokens
-    FROM rid GROUP BY doc_id, run
-    """,
-)
-
-
-def _x139(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The removal transform over x138's spans (dedup_substring_spans):
-    every token inside a maximal >= 20-token duplicated run is cut and
-    the survivors rejoin in order — the ExactSubstr training-data dedup
-    treatment at arbitrary L, exact by the L-gram-coverage equivalence
-    (see the op docstring)."""
-    from dftly_spark.ops import dedup_substring_spans
-
-    _prep(spark)
-    return dedup_substring_spans(
-        _docs_tok(spark, sf_dir),
-        "doc_id",
-        "text",
-        min_len=20,
-        min_count=2,
-        tokens_col=_TOK,
-        cache_key=f"documents:{sf_dir}",
-    )
-
-
-_q(
-    "x139_dedup_substrings",
-    _x139,
-    r"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ), tok AS (
-      SELECT doc_id, p, w[p] AS t
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM base)
-    ), inst AS (
-      SELECT doc_id, p, array_to_string(list_slice(w, p, p + 19), ' ') AS g
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS p
-            FROM base WHERE len(w) >= 20)
-    ), flagged AS (
-      SELECT g FROM inst GROUP BY g HAVING count(*) >= 2
-    ), starts AS (
-      SELECT doc_id, p FROM inst JOIN flagged USING (g)
-    ), runs AS (
-      SELECT doc_id, p,
-             CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
-                       OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 20
-                  THEN 1 ELSE 0 END AS nr
-      FROM starts
-    ), rid AS (
-      SELECT doc_id, p,
-             SUM(nr) OVER (PARTITION BY doc_id ORDER BY p) AS run
-      FROM runs
-    ), spans AS (
-      SELECT doc_id, MIN(p) AS lo, MAX(p) + 19 AS hi FROM rid GROUP BY doc_id, run
-    ), cov AS (
-      SELECT doc_id, unnest(generate_series(lo, hi)) AS p FROM spans
-    ), marked AS (
-      SELECT tok.doc_id, tok.p, tok.t, cov.p IS NOT NULL AS c
-      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
-    )
-    SELECT doc_id,
-           COALESCE(string_agg(t, ' ' ORDER BY p) FILTER (WHERE NOT c), '') AS clean_text,
-           CAST(SUM(CASE WHEN NOT c THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_kept,
-           CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_removed
-    FROM marked
-    GROUP BY doc_id
-    """,
-)
-
-
-def _x140_probe(docs: DataFrame) -> DataFrame:
-    """Probe (benchmark/test-set) corpus: every 5th doc's normalized
-    tokens 7..31 (25 tokens — enough to carry 20-grams), id +2M.  Each
-    probe string is verbatim-present in its source doc by construction,
-    so the decontamination surface is non-trivially exercised at both
-    SFs (plus corpus-duplicate hits of the same windows)."""
-    w = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
-    return (
-        docs.where(F.col("doc_id") % 5 == 0)
-        .where(F.size(w) >= 31)
-        .select(
-            (F.col("doc_id") + 2_000_000).alias("doc_id"),
-            F.concat_ws(" ", F.slice(w, 7, 25)).alias("text"),
-        )
-    )
-
-
-def _x140(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-corpus exact-substring decontamination spans
-    (ops/textops.py contamination_spans): maximal runs >= 20 tokens of
-    the documents corpus that appear verbatim anywhere in the probe
-    corpus — the span-precise, arbitrary-L upgrade of x35's fixed-n
-    whole-document containment."""
-    from dftly_spark.ops import contamination_spans
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return contamination_spans(
-        _docs_tok(spark, sf_dir),
-        _x140_probe(docs),
-        "doc_id",
-        "text",
-        min_len=20,
-        tokens_col=_TOK,
-        cache_key=f"documents:{sf_dir}",
-    )
-
-
-_X140_SPANS_SQL = r"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ), probe AS (
-      SELECT list_slice(w, 7, 31) AS w FROM base
-      WHERE doc_id % 5 = 0 AND len(w) >= 31
-    ), pinst AS (
-      SELECT DISTINCT array_to_string(list_slice(w, p, p + 19), ' ') AS g
-      FROM (SELECT w, unnest(generate_series(1, len(w) - 19)) AS p FROM probe)
-    ), inst AS (
-      SELECT doc_id, p, array_to_string(list_slice(w, p, p + 19), ' ') AS g
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS p
-            FROM base WHERE len(w) >= 20)
-    ), starts AS (
-      SELECT doc_id, p FROM inst WHERE g IN (SELECT g FROM pinst)
-    ), runs AS (
-      SELECT doc_id, p,
-             CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
-                       OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 20
-                  THEN 1 ELSE 0 END AS nr
-      FROM starts
-    ), rid AS (
-      SELECT doc_id, p,
-             SUM(nr) OVER (PARTITION BY doc_id ORDER BY p) AS run
-      FROM runs
-    )
-"""
-
-_q(
-    "x140_contamination_spans",
-    _x140,
-    _X140_SPANS_SQL
-    + """
-    SELECT doc_id,
-           MIN(p) - 1 AS span_start,
-           MAX(p) + 18 AS span_end,
-           MAX(p) - MIN(p) + 20 AS span_tokens
-    FROM rid GROUP BY doc_id, run
-    """,
-)
-
-
-def _x141(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The removal transform over x140's spans (decontaminate_substrings):
-    every probe-shared >= 20-token run is cut and survivors rejoin in
-    order; untouched documents pass through whole."""
-    from dftly_spark.ops import decontaminate_substrings
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return decontaminate_substrings(
-        _docs_tok(spark, sf_dir),
-        _x140_probe(docs),
-        "doc_id",
-        "text",
-        min_len=20,
-        tokens_col=_TOK,
-        cache_key=f"documents:{sf_dir}",
-    )
-
-
-_q(
-    "x141_decontaminate",
-    _x141,
-    _X140_SPANS_SQL
-    + """
-    , spans AS (
-      SELECT doc_id, MIN(p) AS lo, MAX(p) + 19 AS hi FROM rid GROUP BY doc_id, run
-    ), cov AS (
-      SELECT doc_id, unnest(generate_series(lo, hi)) AS p FROM spans
-    ), tok AS (
-      SELECT doc_id, p, w[p] AS t
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM base)
-    ), marked AS (
-      SELECT tok.doc_id, tok.p, tok.t, cov.p IS NOT NULL AS c
-      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
-    )
-    SELECT doc_id,
-           COALESCE(string_agg(t, ' ' ORDER BY p) FILTER (WHERE NOT c), '') AS clean_text,
-           CAST(SUM(CASE WHEN NOT c THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_kept,
-           CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_removed
-    FROM marked
-    GROUP BY doc_id
-    """,
-)
-
-
-def _x142(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x138's duplicated-run spans mapped to CHAR offsets in the ORIGINAL
-    document text (dup_substring_spans offsets="char"): Lee et al.'s
-    ExactSubstr removal operates on raw bytes, so span removal has to
-    address the un-normalized text.  char_start inclusive / char_end
-    exclusive; the oracle replays the whitespace-structure arithmetic
-    (two regex splits + one per-document integer cumsum window) exactly —
-    the split empty-element conventions agree between engines (probed:
-    Java split(-1) and RE2 regexp_split_to_array both yield
-    ["", ws_1, ..., ""] for the \\S+ split of trimmed text)."""
-    from dftly_spark.ops import dup_substring_spans
-
-    _prep(spark)
-    return dup_substring_spans(
-        _docs_tok(spark, sf_dir),
-        "doc_id",
-        "text",
-        min_len=20,
-        min_count=2,
-        tokens_col=_TOK,
-        cache_key=f"documents:{sf_dir}",
-        offsets="char",
-    )
-
-
-_q(
-    "x142_dup_spans_char",
-    _x142,
-    # lazy: _X142_SPANS_SQL is defined later in the module (with x144,
-    # which shares the whole span+offset CTE chain)
-    lambda: _X142_SPANS_SQL
-    + "SELECT doc_id, char_start, char_end, span_tokens FROM cspans",
-)
-
-
-def _x143(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The STREAMING fuzzy-ER ingest path gated through bounded-frame
-    semantics (dftly_spark/streaming.py stream_fuzzy_join — the x137
-    treatment): every op in the plan is stream-legal AND batch-legal, so
-    the exact code a micro-batch runs is driver-checkable against the
-    x129 jaccard oracle.  The corpus indexes via fuzzy_index (prefix
-    postings + full hash sets, build params embedded and validated); the
-    x129 planted probes arrive as the \"stream\" side; qualifying pairs
-    emit as (new_id, corpus_id, jaccard) with the same exact-recall
-    prefix/length/positional filters as batch fuzzy_join.  The
-    documented downstream dedup (a pair re-emits once per shared prefix
-    hash, identical jaccard) is dropDuplicates on the pair key here —
-    the bounded twin of dropDuplicatesWithinWatermark in the unbounded
-    wiring.  jaccard is one int/int division: IEEE-identical bits on
-    both engines."""
-    from dftly_spark.ops import fuzzy_index
-    from dftly_spark.streaming import stream_fuzzy_join
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    prefix, sets = fuzzy_index(
-        _docs_tok(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5,
-        tokens_col=_TOK, cache_key=f"documents:{sf_dir}",
-    )
-    out = stream_fuzzy_join(
-        _x129_planted(docs), prefix, sets, "doc_id", "text",
-        n=3, threshold=0.5,
-    )
-    return out.dropDuplicates(["new_id", "corpus_id"])
-
-
-_q(
-    "x143_stream_fuzzy_join",
-    _x143,
-    r"""
-    WITH lw AS (SELECT doc_id,
-                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-                FROM documents),
-    rw AS (SELECT doc_id + 1000000 AS doc_id, list_slice(w, 7, len(w)) AS w
-           FROM lw WHERE doc_id % 3 = 0 AND len(w) > 8),
-    sides AS (SELECT 'l' AS side, doc_id, w FROM lw
-              UNION ALL SELECT 'r', doc_id, w FROM rw),
-    idx AS (SELECT side, doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
-            FROM sides WHERE len(w) >= 3),
-    sh AS (SELECT DISTINCT side, doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS g FROM idx
-           UNION SELECT DISTINCT side, doc_id, array_to_string(w, ' ') AS g
-                 FROM sides WHERE len(w) < 3),
-    sizes AS (SELECT side, doc_id, count(*) AS n FROM sh GROUP BY 1, 2),
-    shared AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS s
-               FROM sh a JOIN sh b ON a.g = b.g AND a.side = 'l' AND b.side = 'r'
-               GROUP BY 1, 2)
-    SELECT id_r AS new_id, id_l AS corpus_id,
-           s::DOUBLE / (x.n + y.n - s) AS jaccard
-    FROM shared
-    JOIN sizes x ON x.side = 'l' AND x.doc_id = id_l
-    JOIN sizes y ON y.side = 'r' AND y.doc_id = id_r
-    WHERE s::DOUBLE / (x.n + y.n - s) >= 0.5
-    """,
-)
-
-
-def _x144(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw-text duplicated-run removal (dedup_substrings_char): the char
-    spans of x142 CUT OUT of the ORIGINAL document text — casing and
-    whitespace outside the ranges untouched, the actual Lee et al.
-    ExactSubstr deliverable (they remove bytes from the raw corpus, not
-    from a normalized token stream).  Kept segments fall out of one
-    per-document lag window over the span rows plus a tail segment; the
-    oracle replays the identical segment arithmetic and string_agg
-    rebuild."""
-    from dftly_spark.ops import dedup_substrings_char
-
-    _prep(spark)
-    return dedup_substrings_char(
-        _docs_tok(spark, sf_dir),
-        "doc_id",
-        "text",
-        min_len=20,
-        min_count=2,
-        tokens_col=_TOK,
-        cache_key=f"documents:{sf_dir}",
-    )
-
-
-_X142_SPANS_SQL = r"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ), inst AS (
-      SELECT doc_id, p, array_to_string(list_slice(w, p, p + 19), ' ') AS g
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS p
-            FROM base WHERE len(w) >= 20)
-    ), flagged AS (
-      SELECT g FROM inst GROUP BY g HAVING count(*) >= 2
-    ), starts AS (
-      SELECT doc_id, p FROM inst JOIN flagged USING (g)
-    ), runs AS (
-      SELECT doc_id, p,
-             CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
-                       OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 20
-                  THEN 1 ELSE 0 END AS nr
-      FROM starts
-    ), rid AS (
-      SELECT doc_id, p,
-             SUM(nr) OVER (PARTITION BY doc_id ORDER BY p) AS run
-      FROM runs
-    ), spans AS (
-      SELECT doc_id,
-             MIN(p) - 1 AS span_start,
-             MAX(p) + 18 AS span_end,
-             MAX(p) - MIN(p) + 20 AS span_tokens
-      FROM rid GROUP BY doc_id, run
-    ), pre AS (
-      SELECT doc_id,
-             length(text) - length(regexp_replace(text, '^\s+', '')) AS lead,
-             regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS k,
-             regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\S+') AS ws
-      FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
-    ), offs AS (
-      SELECT doc_id,
-             p1 - 1 AS p,
-             lead
-               + SUM(length(ws[p1]) + length(k[p1]))
-                   OVER (PARTITION BY doc_id ORDER BY p1)
-               - length(k[p1]) AS cs,
-             length(k[p1]) AS tl
-      FROM (SELECT doc_id, lead, k, ws,
-                   unnest(generate_series(1, len(k))) AS p1
-            FROM pre)
-    ), cspans AS (
-      SELECT s.doc_id,
-             CAST(o1.cs AS BIGINT) AS char_start,
-             CAST(o2.cs + o2.tl AS BIGINT) AS char_end,
-             s.span_tokens
-      FROM spans s
-      JOIN offs o1 ON s.doc_id = o1.doc_id AND o1.p = s.span_start
-      JOIN offs o2 ON s.doc_id = o2.doc_id AND o2.p = s.span_end
-    )
-"""
-
-
-_q(
-    "x144_dedup_chars",
-    _x144,
-    _X142_SPANS_SQL
-    + r"""
-    , segs AS (
-      SELECT doc_id,
-             COALESCE(lag(char_end) OVER (PARTITION BY doc_id ORDER BY char_start), 0) AS seg_start,
-             char_start AS seg_end,
-             char_end - char_start AS cut
-      FROM cspans
-      UNION ALL
-      SELECT c.doc_id, MAX(c.char_end), length(d.text), 0
-      FROM cspans c JOIN documents d USING (doc_id)
-      GROUP BY c.doc_id, length(d.text)
-    ), rebuilt AS (
-      SELECT s.doc_id,
-             string_agg(substr(d.text, CAST(s.seg_start + 1 AS BIGINT),
-                               CAST(s.seg_end - s.seg_start AS BIGINT)),
-                        '' ORDER BY s.seg_start) AS clean_text,
-             CAST(SUM(s.cut) AS BIGINT) AS n_chars_removed
-      FROM segs s JOIN documents d USING (doc_id)
-      GROUP BY s.doc_id
-    ), untouched AS (
-      SELECT doc_id, text AS clean_text, CAST(0 AS BIGINT) AS n_chars_removed
-      FROM documents
-      WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
-        AND doc_id NOT IN (SELECT doc_id FROM cspans)
-    )
-    SELECT * FROM rebuilt UNION ALL SELECT * FROM untouched
-    """,
-)
-
-
-def _x145(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strict-unsigned uint64 mode (Parser ``uint64_decimal=True``): the
-    reference's uint64 is a true pl.UInt64 (/root/reference/src/dftly/
-    nodes/types.py:8-12); the engine default carries it as bigint with a
-    documented >=2**63 caveat (SURVEY §1.2).  This gates the opt-in exact
-    mode end-to-end: DECIMAL(20,0) carrier, ``::?`` nulling negatives as
-    out-of-unsigned-range, and arithmetic on values above 2**63-1
-    (u64_max - key) staying exact — bit-for-bit against DuckDB's native
-    UBIGINT/DECIMAL semantics.  The unsigned-hash wrap (engine-specific
-    xxhash64 bits) is pinned relationally in tests/test_uint64.py."""
-    _prep(spark)
-    orders = _t(spark, sf_dir, "orders")
-    cols = Parser.to_spark(
-        {
-            "o_orderkey": "$o_orderkey",
-            # out-of-unsigned-range nulls, then str for a lossless compare
-            # (DuckDB pandas-lowers DECIMAL to float64, which cannot hold
-            # 2**64-scale values exactly -- the very gap this mode closes)
-            "u_soft": "(($o_orderkey - 30000) ::? uint64) :: str",
-            "u_str": "($o_orderkey :: uint64) :: str",
-            "u_diff": '(("18446744073709551615" :: uint64) - ($o_orderkey :: uint64)) :: str',
-        },
-        schema=orders,
-        uint64_decimal=True,
-    )
-    return orders.select(*cols.values())
-
-
-_q(
-    "x145_uint64_decimal",
-    _x145,
-    """
-    SELECT o_orderkey,
-           CASE WHEN o_orderkey - 30000 < 0 THEN NULL
-                ELSE CAST(CAST(o_orderkey - 30000 AS DECIMAL(20,0)) AS VARCHAR)
-           END AS u_soft,
-           CAST(CAST(o_orderkey AS DECIMAL(20,0)) AS VARCHAR) AS u_str,
-           CAST(CAST('18446744073709551615' AS DECIMAL(20,0))
-                  - CAST(o_orderkey AS DECIMAL(20,0)) AS VARCHAR) AS u_diff
-    FROM orders
-    """,
-)
-
-
-def _x146(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget mixture sampling (token_budget_sample): per-source
-    documents in deterministic LCG-shuffled order until each source's
-    TOKEN budget is met, the budget-crossing document included — the
-    mixture-construction primitive (pretraining mixes are specified in
-    tokens, and per-document sampling over-represents short docs).  The
-    running sum is the two-level bucketed scan (no per-group
-    single-reducer window, no plan-time quantile job — the LCG order key
-    is uniform by construction so bucket bounds are fixed arithmetic).
-    The oracle replays the LCG mix and a plain per-source windowed cumsum
-    — exactly equal to the two-level decomposition."""
-    from dftly_spark.ops import token_budget_sample
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    budgets = {"src0": 600, "src1": 250, "src2": 10_000, "src3": 1}
-    out = token_budget_sample(
-        docs, "source", budgets, id_col="doc_id", text_col="text", seed=7
-    )
-    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
-
-
-_q(
-    "x146_token_budget",
-    _x146,
-    r"""
-    WITH t AS (
-      SELECT doc_id, source,
-             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-             (doc_id * 1103515245 + 12345 + 7) % 2147483648 AS ord
-      FROM documents
-    ), c AS (
-      SELECT doc_id, source, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id) AS cum_tokens
-      FROM t
-    )
-    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
-    FROM c
-    WHERE cum_tokens - n_tokens <
-          CASE source WHEN 'src0' THEN 600 WHEN 'src1' THEN 250
-                      WHEN 'src2' THEN 10000 WHEN 'src3' THEN 1 END
-    """,
-)
-
-
-_X147_SPEC = {
-    # %c ANYWHERE in a format (round-12: rewrite_locale expands the fixed
-    # C-locale composite to component codes, closing the r11 "missing" #1)
-    "c_ts": "$cs::'%c'",
-    "c_mid": "$csb::'[logged %c utc]'",
-    # %x with the two-digit-year POSIX pivot riding through the expansion
-    "x_d": "$xs::'%x'",
-    # %r (12-hour time) -> micros-since-midnight
-    "r_us": "$rs::'%r'",
-    # %e space-pad strip at a position Java's bare 'd' cannot parse
-    "e_d": "$eds::'%e/%m/%Y'",
-}
-
-_X147_SCHEMA = {
-    "cs": "str", "csb": "str", "xs": "str", "rs": "str", "eds": "str",
-}
-
-
-def _x147(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chrono C-locale composites parsed end-to-end (round-12 closure of
-    VERDICT r11 'missing' #1): %c expands to its fixed C-locale layout and
-    lowers ANYWHERE in a format (mid-format with surrounding literals —
-    including Java-reserved [ ] which the pattern quoter must escape), %x
-    pivots two-digit years, %r parses 12-hour time to the tagged
-    micros-since-midnight long, and %e accepts its space-padded print form
-    via the position-anchored pad strip.  Input strings are built
-    deterministically from orders; the DuckDB mirror is MACHINE-GENERATED
-    by dftly_spark/sqlgen.py, which replays the same expansions and strips
-    (the q27/q29 oracle convention).  Reference parity:
-    /root/reference/src/dftly/nodes/str.py:593-649 (chrono accepts these
-    codes natively)."""
-    _prep(spark)
-    o = _t(spark, sf_dir, "orders")
-    k = F.col("o_orderkey")
-    d = F.to_date("o_orderdate")
-    pad_day = F.lpad(F.date_format(d, "d"), 2, " ")
-    c_form = F.concat(
-        F.date_format(d, "EEE MMM"), F.lit(" "), pad_day,
-        F.lit(" 10:34:59 "), F.date_format(d, "yyyy"),
-    )
-    hh = F.lpad(((k % 12) + 1).cast("string"), 2, "0")
-    mm = F.lpad((k % 60).cast("string"), 2, "0")
-    ap = F.when(k % 2 == 0, F.lit("AM")).otherwise(F.lit("PM"))
-    base = o.select(
-        k.alias("ok"),
-        c_form.alias("cs"),
-        F.concat(F.lit("[logged "), c_form, F.lit(" utc]")).alias("csb"),
-        F.date_format(d, "MM/dd/yy").alias("xs"),
-        F.concat(hh, F.lit(":"), mm, F.lit(":30 "), ap).alias("rs"),
-        F.concat(pad_day, F.date_format(d, "/MM/yyyy")).alias("eds"),
-    )
-    return Parser.select(base, {"ok": "$ok", **_X147_SPEC})
-
-
-_X147_BASE_SQL = """
-    SELECT o_orderkey AS ok,
-           concat(strftime(o_orderdate, '%a %b '),
-                  lpad(strftime(o_orderdate, '%-d'), 2, ' '),
-                  ' 10:34:59 ', strftime(o_orderdate, '%Y')) AS cs,
-           concat('[logged ', strftime(o_orderdate, '%a %b '),
-                  lpad(strftime(o_orderdate, '%-d'), 2, ' '),
-                  ' 10:34:59 ', strftime(o_orderdate, '%Y'), ' utc]') AS csb,
-           strftime(o_orderdate, '%m/%d/%y') AS xs,
-           concat(lpad(CAST((o_orderkey % 12) + 1 AS VARCHAR), 2, '0'), ':',
-                  lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0'), ':30 ',
-                  CASE WHEN o_orderkey % 2 = 0 THEN 'AM' ELSE 'PM' END) AS rs,
-           concat(lpad(strftime(o_orderdate, '%-d'), 2, ' '),
-                  strftime(o_orderdate, '/%m/%Y')) AS eds
-    FROM orders
-"""
-
-
-def _x147_oracle() -> str:
-    from dftly_spark.sqlgen import spec_to_duckdb_sql
-
-    cols = spec_to_duckdb_sql(_X147_SPEC, _X147_SCHEMA)
-    return (
-        f"WITH b AS ({_X147_BASE_SQL}) SELECT ok, "
-        + ", ".join(f"{sql} AS {name}" for name, sql in cols.items())
-        + " FROM b"
-    )
-
-
-_q("x147_chrono_locale", _x147, _x147_oracle)
-
-
-def _x148(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level exact line dedup (ops/textops.py dedup_lines) — the
-    CCNet/RefinedWeb boilerplate pass: drop every occurrence of a line
-    whose corpus-wide count exceeds max_df, exempting sub-2-char lines.
-    The synthetic corpus has no newlines, so the query derives
-    deterministic two-word lines first (every pair of words becomes one
-    line — the same regexp_replace in the oracle); with 31 distinct words
-    the pair-lines repeat heavily, so max_df=40 yields a real mix of
-    dropped boilerplate and kept lines at both gate SFs.  Plan: one
-    explode → map-side-combined line count → hot-set equi-join (skew is
-    AQE-splittable) → one groupBy(id) ordered rebuild."""
-    from dftly_spark.ops import dedup_lines
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "text", F.regexp_replace(F.col("text"), r"(\S+ \S+) ", "$1\n")
-    )
-    return dedup_lines(docs, max_df=40, min_dedup_chars=2)
-
-
-_q(
-    "x148_line_dedup",
-    _x148,
-    r"""
-    WITH src AS (
-      SELECT doc_id,
-             string_split(regexp_replace(text, '(\S+ \S+) ',
-                                         '\1' || chr(10), 'g'),
-                          chr(10)) AS ls
-      FROM documents
-    ), lines AS (
-      SELECT doc_id,
-             unnest(ls) AS line,
-             unnest(generate_series(1, len(ls))) AS pos
-      FROM src
-    ), hot AS (
-      SELECT line FROM lines WHERE len(line) >= 2
-      GROUP BY line HAVING count(*) > 40
-    ), marked AS (
-      SELECT l.doc_id, l.pos, l.line,
-             (len(l.line) < 2 OR h.line IS NULL) AS keep
-      FROM lines l LEFT JOIN hot h ON l.line = h.line
-    )
-    SELECT doc_id,
-           coalesce(string_agg(CASE WHEN keep THEN line END,
-                               chr(10) ORDER BY pos), '') AS text,
-           CAST(count(*) FILTER (WHERE keep) AS INT) AS n_lines_kept,
-           CAST(count(*) FILTER (WHERE NOT keep) AS INT) AS n_lines_dropped
-    FROM marked GROUP BY doc_id
-    """,
-)
-
-
-# ---------------------------------------------------------------------------
-# Registration order: riskiest-first.
-#
-# The driver's correctness gate verifies a PREFIX of the registered queries
-# (~50 in round 2), so insertion order decides what gets a driver-issued
-# correctness row.  Source order above groups queries by topic for
-# readability; this list re-orders the registry so that (a) queries added or
-# materially changed this round and (b) queries that have never had a
-# driver-issued row come first, while the long-stable q01-q24 / x01-x13 /
-# x15-x27 block (driver-green in both r01 and r02) fills the tail.
-# ---------------------------------------------------------------------------
-_PRIORITY = [
-    # ROTATION RULE (applies every round): the driver samples only the
-    # first ~50 entries of this list, so order = (1) queries ADDED or
-    # MATERIALLY CHANGED this round, (2) queries with NO driver-issued
-    # CORRECTNESS row yet, (3) the rest of the window back-filled with the
-    # LEAST-RECENTLY-sampled green queries as regression canaries.
-    # Veterans holding >= 3 consecutive driver-green rows rotate OUT of
-    # the window (to the tail) to make room -- adding a query without
-    # displacing one leaves it permanently unsampled (x122 sat at index 50
-    # for four rounds).
-    #
-    # -- round-12 added: x147 chrono C-locale composites (%c anywhere via
-    #    rewrite_locale, %x pivot, %r time, %e pad strip) with a
-    #    MACHINE-GENERATED oracle exercising the new sqlgen expansions.
-    #    Round-12 changed: uint64 float/string cast edges (x145),
-    #    token_budget_sample's explicit exclusion gate (x146), the Java
-    #    pattern quoter + pad strips under every strptime consumer
-    #    (q15/q28/q29/q30 canaries), and all lineage-truncation points now
-    #    route through durable_checkpoint (x143/x12/x46/x56/x114/x115
-    #    already in-window cover streaming/centroid/BPE consumers) --
-    "x147_chrono_locale",
-    "q15_strptime",
-    # -- round-12 added (late): x148 corpus-level line dedup (CCNet pass,
-    #    ops/textops.py dedup_lines) -- never driver-sampled, front of
-    #    window; x96 rotates out to hold the window at 50 (back-fill
-    #    canary, multi-round green) --
-    "x148_line_dedup",
-    "x149_bpe_sampled",
-    "x150_ann_recall",
-    #
-    # -- round-11 added: x142 char-offset duplicated-run spans (the
-    #    ExactSubstr removal addressed to the ORIGINAL un-normalized
-    #    text).  Round-11 changed: the k x dim centroid matrix rides a
-    #    1-row broadcast instead of plan literals (x12/x46/x50/x56
-    #    consumers) and the BPE merge loop fused to one job per round
-    #    (x114/x115) -- all pulled into the window.  To hold the window
-    #    at 50, x107/x111/x112/x113/x58/x64/x67/x73 rotate out (>= 3
-    #    consecutive driver-green rows each).  x143 gates the streaming
-    #    fuzzy-ER ingest (stream_fuzzy_join) through bounded-frame
-    #    semantics --
-    "x142_dup_spans_char",
-    "x143_stream_fuzzy_join",
-    "x144_dedup_chars",
-    "x145_uint64_decimal",
-    "x146_token_budget",
-    "x12_ivf_topk",
-    "x46_semantic_dedup",
-    "x50_topic_mix",
-    "x56_ivf_kmeans_topk",
-    "x114_bpe_learn",
-    "x115_bpe_encode",
-    #
-    # -- round-10 added: x138 dup_substring_spans / x139 dedup_substrings
-    #    (ExactSubstr-style occurrence-counted duplicate-run dedup at
-    #    arbitrary min_len), x140/x141 cross-corpus substring
-    #    decontamination (probe-shared runs, span-precise).  x105/x114/
-    #    x115/x116 rotate out (4 consecutive green rows each) to hold
-    #    the window at exactly 50 --
-    "x138_dup_substring_spans",
-    "x139_dedup_substrings",
-    "x140_contamination_spans",
-    "x141_decontaminate",
-    # -- round-9 added: x129 fuzzy_join (prefix-filter similarity join),
-    #    x130 pareto_front, x131 calibration_curve.  Round-9 changed: the
-    #    portable_round/exact_sum NaN+overflow guards (sqlgen) touch every
-    #    floor-scale pair — x128/x89/x80/x127/x21/x49 and the window-stat
-    #    queries below keep their in-window spots as canaries for it; x80
-    #    also skips basket_pairs' redundant distinct; x48 covers the
-    #    per-session sql-view registry --
-    "x129_fuzzy_join",
-    "x130_pareto_front",
-    "x131_calibration",
-    "x137_windowed_calibration",
-    "x132_cheapest_supplier",
-    "x135_waiting_suppliers",
-    "x136_fuzzy_best_match",
-    # -- round-8 changed: q30 oracle regenerated from century_plan; x89
-    #    avgs + the 16-query portable-round sweep (round() on both sides
-    #    replaced by the floor-scale convention, killing the HALF_UP vs
-    #    float-multiply .5e-9 knife-edge class); x118 ragged guard;
-    #    x48 sql-step restructure; x127 gates the new basket_pairs;
-    #    basket-explode pair emit (x80/x107/x111/x113); novelty window
-    #    first-owner (x112); kcore boundary early-exit (x111) --
-    "x128_agg_spec",
-    "q30_chrono_midformat",
-    "x89_pricing_summary",
-    "x118_pca_project",
-    "x48_pipeline_yaml",
-    "x127_basket_pairs",
-    "x80_basket_pmi",
-    "x21_bloom_pruned_join",
-    "x49_analytics_join",
-    "x62_centroid_outliers",
-    "x123_weighted_pagerank",
-    "x69_pool_embeddings",
-    "x76_group_entropy",
-    "x77_pivot_events",
-    "x82_group_quantiles",
-    "x87_mad_outliers",
-    "x88_quantization_fidelity",
-    # -- one driver-green row so far (r07) --
-    "x124_media_dup_pairs",
-    "x125_expect_observed",
-    "x126_session_window_spans",
-    "x122_important_stock",
-    # -- two rows (r06+r07); in-window canaries --
-    "x109_dsir_weights",
-    "q28_chrono_residue",
-    # -- tail: >= 3 consecutive driver-green rows, or displaced; sampled
-    #    again only if the window widens or they change --
-    # (x96 displaced by x148, q29 by x149, x92 by x150, in round 12:
-    #  back-fill/canary entries with multi-round green histories)
-    "q29_sqlgen_arrays",
-    "x92_doc_keywords",
-    "x96_windowed_quantiles",
-    # (x97/x98 displaced by x147 + q15 in round 12: both back-fill
-    #  canaries with multi-round green histories)
-    "x97_psi_drift",
-    "x98_rolling_features",
-    # (x100 displaced by x145, x99 by x146, in round 11: 7 consecutive
-    #  green rows each)
-    "x99_roc_auc",
-    "x100_group_auc",
-    # (x117 displaced by x128 in round 8; x101-x106 + x108 displaced by
-    #  x129-x136 in round 9, plus x110 -- the window stays exactly 50; the
-    #  exact_sum convention keeps 4 in-window canaries: x21/x49/x89/x128;
-    #  x105/x114/x115/x116 displaced by x138-x141 in round 10;
-    #  x107/x111/x112/x113/x58/x64/x67/x73 displaced in round 11 by
-    #  x142/x143 + the changed x12/x46/x50/x56/x114/x115 -- x114/x115
-    #  moved BACK into the window, so they are gone from this tail)
-    "x107_triangle_count",
-    "x111_kcore",
-    "x112_novelty",
-    "x113_source_overlap",
-    "x58_rolling_zscore",
-    "x64_time_weighted_avg",
-    "x67_pagerank",
-    "x73_group_trend",
-    "x75_corr_matrix",
-    "x105_large_orders",
-    "x116_cube_stats",
-    "x110_interval_join",
-    "x104_supplier_diversity",
-    "x106_dormant_accounts",
-    "x108_resample_ffill",
-    "x101_shipping_priority",
-    "x102_order_priority",
-    "x103_returned_items",
-    "x117_join_size_sketch",
-    "x119_session_stats",
-    "x120_scd2_snapshot",
-    "x121_top_supplier",
-    "q27_sqlgen_oracle",
-    "q26_native_time",
-    "q25_iso_week",
-    "x93_debounce",
-    "x94_expectations",
-    "x95_url_canonical_dedup",
-    "x86_edit_distance_pairs",
-    "x83_windowed_heavy_hitters",
-    "x84_windowed_cardinality",
-    "x78_melt_lineitem",
-    "x91_nearest_join",
-    "x90_regional_revenue",
-    "x85_ewma",
-    "x79_line_filter",
-    "x81_distinct_counts",
-    "x74_cms_heavy_hitters",
-    "x70_salted_join",
-    "x71_winsorize",
-    "x72_impute_nulls",
-    "x68_ranking_metrics",
-    "x57_merge_intervals",
-    "x59_scd2_history",
-    "x60_weighted_sample",
-    "x61_distinctive_terms",
-    "x63_ntile_features",
-    "x65_key_skew",
-    "x66_transition_matrix",
-    "x14_corpus_clean_pipeline",
-    "x28_chunk_text",
-    "x29_scrub_text",
-    "x30_dup_clusters",
-    "x31_bm25_topk",
-    "x32_dup_ngram_spans",
-    "x33_cap_per_group",
-    "q24_dynamic_patterns",
-    "q20_split",
-    "x04_simhash_pairs",
-    "x11_ann_lsh_topk",
-    "x13_sessionize",
-    "x05_embedding_neardup",
-    "x02_ngram_jaccard_pairs",
-    "x03_minhash_lsh_pairs",
-    # (q15 moved INTO the window in round 12 — strptime canary for the
-    #  pattern-quoter/pad-strip rework)
-    "q16_time_type",
-    "q22_flagship",
-    "x34_rollup_stats",
-    "x35_contamination_containment",
-    "x36_incremental_embedding_dedup",
-    "x37_remove_dup_spans",
-    "x38_tumbling_agg",
-    "x53_hopping_agg",
-    "x54_sparse_cosine",
-    "x55_cohort_retention",
-    "x39_lag_features",
-    "x40_ks_drift",
-    "x41_histogram",
-    "x42_funnel",
-    "x43_merge_upsert",
-    "x44_mixture_sample",
-    "x45_bigram_lm",
-    "x47_snapshot_diff",
-    "x51_gopher_rules",
-    "x52_shared_affixes",
-]
-
-
-def _apply_priority_order() -> None:
-    ordered: dict[str, tuple[Callable, str | None]] = {}
-    for name in _PRIORITY:
-        if name in _DEFS:
-            ordered[name] = _DEFS[name]
-    for name, val in _DEFS.items():
-        if name not in ordered:
-            ordered[name] = val
-    _DEFS.clear()
-    _DEFS.update(ordered)
-
-
-_apply_priority_order()
-
-
-def warm_caches(spark: SparkSession, sf_dir: str) -> None:
-    """Materialize the session-scoped shared corpus caches for ``sf_dir``.
-
-    The text-op cluster shares four persisted frames (ops/corpus.py): the
-    tokenized documents, the n=3 and n=13 shingle-hash instance frames, and
-    the per-document term-frequency frames.  In a long-lived session these
-    are built once and amortized across every query — the same offline-index
-    regime as ``minhash_index`` or a bucketed postings table.  ``bench.py``
-    calls this up front and reports the build time separately
-    (``cache_warm_sec``), so per-query numbers reflect the steady state
-    while the build cost stays visible.
-    """
-    from dftly_spark.ops import corpus
-    from dftly_spark.ops.dedup import _shingle_instance_frames
-    from dftly_spark.ops.retrieval import _term_frame
-
-    _prep(spark)
-    if not corpus.PERSIST_LEVEL:
-        # Lazy-memo mode (the default): the shared frames are plan
-        # fragments, not materialized state — running actions here would
-        # compute results nobody stores.  Measured at sf0.1/local[32],
-        # pinned storage degraded every later query in the session, so
-        # materialization is opt-in via SPARK_GRAFT_CACHE_PERSIST.
-        return
-    docs = _docs_tok(spark, sf_dir)
-    key = f"documents:{sf_dir}"
-    frames = [docs]
-    # Only the wide-window span families cache their shingle frames: the
-    # 13- and 20-lead window constructions are expensive enough to
-    # amortize (n=13 x32/x37; n=20 x138-x141), while the n=3
-    # minhash/jaccard consumers measured FASTER recomputing the fused
-    # pipeline than scanning a persisted instance frame at sf0.1.
-    for n in (13, 20):
-        li, sr = _shingle_instance_frames(
-            docs, "doc_id", "text", n, tokens_col=_TOK, cache_key=key
-        )
-        frames += [li, sr]
-    frames.append(_term_frame(docs, "doc_id", "text", _TOK, key))
-    frames.append(
-        _term_frame(
-            _x54_corpus(spark, sf_dir),
-            "doc_id",
-            "text",
-            _TOK,
-            f"documents+copies:{sf_dir}",
-        )
-    )
-    for f in frames:
-        f.count()
-
-
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _DEFS["q22_flagship"][0](spark, "/root/testdata/sf0.001")
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator group from SURVEY.md §2."""
-    return {name: builder for name, (builder, _) in _DEFS.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for each query (the t2 correctness gate).
-
-    Callable oracles resolve here (lazily), so sf-dependent literals are
-    fitted against the gate's actual data dir
-    (``SPARK_GRAFT_GATE_SF_DIR``, default sf0.01).
-    """
-    return {
-        name: (sql() if callable(sql) else sql)
-        for name, (_, sql) in _DEFS.items()
-        if sql is not None
-    }

@@ -1,0 +1,125 @@
+"""Shared fixtures and the query registry for the driver contract.
+
+The contract surface (queries()/oracle_sql()/entry()/warm_caches())
+lives in __init__.py; every wave module registers through _q here.
+Split out of __spark_entry__.py (round 13).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dftly_spark import Parser
+from dftly_spark.sqlgen import exact_sum, portable_round
+
+
+def _prep(spark: SparkSession) -> None:
+    # Naive timestamps everywhere; comparisons against DuckDB assume UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts has shipped as both TIMESTAMP(NANOS) (readable only as
+        # nanos-long, legacy conf set in _prep) and TIMESTAMP(MICROS)
+        # (reads as timestamp_ntz); normalize either to plain timestamp.
+        from dftly_spark.io import normalize_event_ts
+
+        df = normalize_event_ts(df)
+    return df
+
+
+_TOK = "__tokens"
+
+
+def _docs_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table + shared cached token-array column (`__tokens`).
+
+    One tokenization per (session, sf_dir), persisted and reused by the
+    whole text-op cluster (x02/x03/x14/x15/x24/x31/x32/x35/x37/x45/x52/x54)
+    — the session-scoped analog of writing the tokenized corpus to a
+    bucketed table once (ops/corpus.py).  Oracles are unchanged: the cached
+    arrays are byte-identical to each op's own tokenization.
+    """
+    from dftly_spark.ops import tokenized_docs
+
+    return tokenized_docs(
+        _t(spark, sf_dir, "documents"), cache_key=f"documents:{sf_dir}"
+    )
+
+
+def _spec_query(table: str, spec: dict[str, str]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        return Parser.select(_t(spark, sf_dir, table), spec)
+
+    return run
+
+
+
+def _pq_schema(table: str) -> dict[str, str]:
+    """dftly dtype tags for a testdata table, read from the parquet footer
+    (no Spark session needed — oracle callables resolve driver-side).
+
+    The oracle API carries no sf_dir, so the dataset is resolved from the
+    gate env var, falling back to the bench-wide one, then the driver's
+    sf0.01 default.  A runner pairing queries()[name](spark, other_dir)
+    with oracle_sql() must export one of these so both sides are typed
+    from the SAME parquet footers (regenerated data has flipped dtypes
+    between rounds before)."""
+    import os
+    import pyarrow.parquet as pq
+
+    sf = os.environ.get(
+        "SPARK_GRAFT_GATE_SF_DIR",
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    ar = {"int64": "int64", "int32": "int32", "double": "float64",
+          "float": "float32", "string": "str", "large_string": "str",
+          "bool": "bool", "date32[day]": "date"}
+    out = {}
+    for f in pq.read_schema(f"{sf}/{table}.parquet"):
+        t = str(f.type)
+        out[f.name] = "datetime" if t.startswith("timestamp") else ar.get(t, t)
+    return out
+
+
+def _spec_oracle(table: str, spec: dict[str, str]):
+    """Machine-generated DuckDB oracle for a ``_spec_query`` entry: the
+    SAME spec the Spark side consumes, emitted through sqlgen — one
+    definition per query, no hand-mirrored scalar anywhere (round 7;
+    q23's uint-widening spec stays hand-written: DuckDB's HUGEINT
+    widening diverges from the engine's documented recast)."""
+
+    def gen() -> str:
+        from dftly_spark.sqlgen import spec_to_duckdb_sql
+
+        cols = spec_to_duckdb_sql(spec, _pq_schema(table))
+        return (
+            "SELECT "
+            + ", ".join(f"{sql} AS {name}" for name, sql in cols.items())
+            + f" FROM {table}"
+        )
+
+    return gen
+
+
+# ---------------------------------------------------------------------------
+# Query definitions: (spark builder, oracle SQL)
+# ---------------------------------------------------------------------------
+
+_DEFS: dict[str, tuple[Callable, str | None]] = {}
+
+
+def _q(name: str, builder: Callable, oracle) -> None:
+    """Register a query.  ``oracle`` is an ANSI-SQL string, a zero-arg
+    callable returning one (resolved lazily at ``oracle_sql()`` time — for
+    oracles whose literals depend on the gate's sf dir, like x56's fitted
+    centroids), or None for rows-only checks."""
+    _DEFS[name] = (builder, oracle)
