@@ -62,67 +62,82 @@ _PRIORITY = [
     # LEAST-RECENTLY-sampled green queries as regression canaries.
     # Veterans holding >= 3 consecutive driver-green rows rotate OUT of
     # the window (to the tail) to make room -- adding a query without
-    # displacing one leaves it permanently unsampled (x122 sat at index 50
-    # for four rounds).
+    # displacing one leaves it permanently unsampled.
     #
-    # -- round-12 added: x147 chrono C-locale composites (%c anywhere via
-    #    rewrite_locale, %x pivot, %r time, %e pad strip) with a
-    #    MACHINE-GENERATED oracle exercising the new sqlgen expansions.
-    #    Round-12 changed: uint64 float/string cast edges (x145),
-    #    token_budget_sample's explicit exclusion gate (x146), the Java
-    #    pattern quoter + pad strips under every strptime consumer
-    #    (q15/q28/q29/q30 canaries), and all lineage-truncation points now
-    #    route through durable_checkpoint (x143/x12/x46/x56/x114/x115
-    #    already in-window cover streaming/centroid/BPE consumers) --
-    "x147_chrono_locale",
-    "q15_strptime",
-    # -- round-12 added (late): x148 corpus-level line dedup (CCNet pass,
-    #    ops/textops.py dedup_lines) -- never driver-sampled, front of
-    #    window; x96 rotates out to hold the window at 50 (back-fill
-    #    canary, multi-round green) --
-    "x148_line_dedup",
-    "x149_bpe_sampled",
+    # -- round-13 changed: x150's oracle gained DISTINCT on the approx
+    #    subquery (left_semi parity); x148/x79 now split on the Java
+    #    \Q...\E-quoted separator (textops._java_literal_regex); the
+    #    centroid scorer auto-resolution no longer counts DataFrame
+    #    centroids at plan-build time (x12/x46/x50/x56 consumers); and
+    #    the WHOLE registry moved to dftly_spark/contract/ (structural;
+    #    registration order verified byte-identical).  x147/x149 and the
+    #    r11 cohort (x142-x146) keep their slots until they hold 3 rows --
+
     "x150_ann_recall",
-    #
-    # -- round-11 added: x142 char-offset duplicated-run spans (the
-    #    ExactSubstr removal addressed to the ORIGINAL un-normalized
-    #    text).  Round-11 changed: the k x dim centroid matrix rides a
-    #    1-row broadcast instead of plan literals (x12/x46/x50/x56
-    #    consumers) and the BPE merge loop fused to one job per round
-    #    (x114/x115) -- all pulled into the window.  To hold the window
-    #    at 50, x107/x111/x112/x113/x58/x64/x67/x73 rotate out (>= 3
-    #    consecutive driver-green rows each).  x143 gates the streaming
-    #    fuzzy-ER ingest (stream_fuzzy_join) through bounded-frame
-    #    semantics --
+    "x148_line_dedup",
+    "x79_line_filter",
+    "x12_ivf_topk",
+    "x46_semantic_dedup",
+    "x50_topic_mix",
+    "x56_ivf_kmeans_topk",
+    "x147_chrono_locale",
+    "x149_bpe_sampled",
     "x142_dup_spans_char",
     "x143_stream_fuzzy_join",
     "x144_dedup_chars",
     "x145_uint64_decimal",
     "x146_token_budget",
-    "x12_ivf_topk",
-    "x46_semantic_dedup",
-    "x50_topic_mix",
-    "x56_ivf_kmeans_topk",
+    #
+    # -- back-fill: the contract split structurally touched every query,
+    #    so the 36 LEAST-RECENTLY-sampled entries (last driver row r02)
+    #    fill the window as structural canaries: the full reference
+    #    q-series plus the wave-1 dedup/ANN/text block --
+    "q01_project_arith",
+    "q02_power",
+    "q03_unary_bool",
+    "q04_comparisons",
+    "q05_minmax_mean",
+    "q06_conditional_coalesce",
+    "q07_casts",
+    "q08_year_date",
+    "q09_duration_units",
+    "q10_dt_components",
+    "q11_time_components",
+    "q12_set_time",
+    "q13_ts_diff_totals",
+    "q14_add_duration",
+    "q16_time_type",
+    "q17_regex",
+    "q18_substring",
+    "q19_interp_len",
+    "q20_split",
+    "q21_hash",
+    "q22_flagship",
+    "q23_casts_extended",
+    "q24_dynamic_patterns",
+    "x01_exact_dedup",
+    "x02_ngram_jaccard_pairs",
+    "x03_minhash_lsh_pairs",
+    "x04_simhash_pairs",
+    "x05_embedding_neardup",
+    "x06_cosine_topk",
+    "x07_text_analysis",
+    "x08_fingerprint",
+    "x09_multimodal_decode",
+    "x10_frame_sample",
+    "x11_ann_lsh_topk",
+    "x13_sessionize",
+    "x15_repetition_signals",
+    #
+    # -- tail: multi-round green veterans; sampled again only if the
+    #    window widens or they change --
+    "q15_strptime",
     "x114_bpe_learn",
     "x115_bpe_encode",
-    #
-    # -- round-10 added: x138 dup_substring_spans / x139 dedup_substrings
-    #    (ExactSubstr-style occurrence-counted duplicate-run dedup at
-    #    arbitrary min_len), x140/x141 cross-corpus substring
-    #    decontamination (probe-shared runs, span-precise).  x105/x114/
-    #    x115/x116 rotate out (4 consecutive green rows each) to hold
-    #    the window at exactly 50 --
     "x138_dup_substring_spans",
     "x139_dedup_substrings",
     "x140_contamination_spans",
     "x141_decontaminate",
-    # -- round-9 added: x129 fuzzy_join (prefix-filter similarity join),
-    #    x130 pareto_front, x131 calibration_curve.  Round-9 changed: the
-    #    portable_round/exact_sum NaN+overflow guards (sqlgen) touch every
-    #    floor-scale pair — x128/x89/x80/x127/x21/x49 and the window-stat
-    #    queries below keep their in-window spots as canaries for it; x80
-    #    also skips basket_pairs' redundant distinct; x48 covers the
-    #    per-session sql-view registry --
     "x129_fuzzy_join",
     "x130_pareto_front",
     "x131_calibration",
@@ -130,13 +145,6 @@ _PRIORITY = [
     "x132_cheapest_supplier",
     "x135_waiting_suppliers",
     "x136_fuzzy_best_match",
-    # -- round-8 changed: q30 oracle regenerated from century_plan; x89
-    #    avgs + the 16-query portable-round sweep (round() on both sides
-    #    replaced by the floor-scale convention, killing the HALF_UP vs
-    #    float-multiply .5e-9 knife-edge class); x118 ragged guard;
-    #    x48 sql-step restructure; x127 gates the new basket_pairs;
-    #    basket-explode pair emit (x80/x107/x111/x113); novelty window
-    #    first-owner (x112); kcore boundary early-exit (x111) --
     "x128_agg_spec",
     "q30_chrono_midformat",
     "x89_pricing_summary",
@@ -154,36 +162,19 @@ _PRIORITY = [
     "x82_group_quantiles",
     "x87_mad_outliers",
     "x88_quantization_fidelity",
-    # -- one driver-green row so far (r07) --
     "x124_media_dup_pairs",
     "x125_expect_observed",
     "x126_session_window_spans",
     "x122_important_stock",
-    # -- two rows (r06+r07); in-window canaries --
     "x109_dsir_weights",
     "q28_chrono_residue",
-    # -- tail: >= 3 consecutive driver-green rows, or displaced; sampled
-    #    again only if the window widens or they change --
-    # (x96 displaced by x148, q29 by x149, x92 by x150, in round 12:
-    #  back-fill/canary entries with multi-round green histories)
     "q29_sqlgen_arrays",
     "x92_doc_keywords",
     "x96_windowed_quantiles",
-    # (x97/x98 displaced by x147 + q15 in round 12: both back-fill
-    #  canaries with multi-round green histories)
     "x97_psi_drift",
     "x98_rolling_features",
-    # (x100 displaced by x145, x99 by x146, in round 11: 7 consecutive
-    #  green rows each)
     "x99_roc_auc",
     "x100_group_auc",
-    # (x117 displaced by x128 in round 8; x101-x106 + x108 displaced by
-    #  x129-x136 in round 9, plus x110 -- the window stays exactly 50; the
-    #  exact_sum convention keeps 4 in-window canaries: x21/x49/x89/x128;
-    #  x105/x114/x115/x116 displaced by x138-x141 in round 10;
-    #  x107/x111/x112/x113/x58/x64/x67/x73 displaced in round 11 by
-    #  x142/x143 + the changed x12/x46/x50/x56/x114/x115 -- x114/x115
-    #  moved BACK into the window, so they are gone from this tail)
     "x107_triangle_count",
     "x111_kcore",
     "x112_novelty",
@@ -219,7 +210,6 @@ _PRIORITY = [
     "x91_nearest_join",
     "x90_regional_revenue",
     "x85_ewma",
-    "x79_line_filter",
     "x81_distinct_counts",
     "x74_cms_heavy_hitters",
     "x70_salted_join",
@@ -240,18 +230,6 @@ _PRIORITY = [
     "x31_bm25_topk",
     "x32_dup_ngram_spans",
     "x33_cap_per_group",
-    "q24_dynamic_patterns",
-    "q20_split",
-    "x04_simhash_pairs",
-    "x11_ann_lsh_topk",
-    "x13_sessionize",
-    "x05_embedding_neardup",
-    "x02_ngram_jaccard_pairs",
-    "x03_minhash_lsh_pairs",
-    # (q15 moved INTO the window in round 12 — strptime canary for the
-    #  pattern-quoter/pad-strip rework)
-    "q16_time_type",
-    "q22_flagship",
     "x34_rollup_stats",
     "x35_contamination_containment",
     "x36_incremental_embedding_dedup",
@@ -270,6 +248,17 @@ _PRIORITY = [
     "x47_snapshot_diff",
     "x51_gopher_rules",
     "x52_shared_affixes",
+    "x16_incremental_dedup",
+    "x17_random_projection",
+    "x18_audio_chunks",
+    "x19_asof_join",
+    "x20_range_join",
+    "x22_table_profile",
+    "x23_json_extract",
+    "x24_vocab_topk",
+    "x25_split_and_sample",
+    "x26_pack_sequences",
+    "x27_quantile_stats",
 ]
 
 
