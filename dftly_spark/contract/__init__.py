@@ -15,9 +15,9 @@ round 13; the repo-root file is now a thin re-export shim):
 * ``common``  — the ``_DEFS`` registry, ``_q`` registration, shared
   fixtures (``_prep``/``_t``/``_docs_tok``/spec helpers);
 * ``qseries`` — the reference-surface q01–q26;
-* ``ext1``–``ext7`` — the extension-operator waves in original source
+* ``ext1``–``ext8`` — the extension-operator waves in original source
   (= registration) order; each wave module's docstring says which query
-  range it holds.
+  range it holds (``ext8`` is the first post-split wave, added round 13).
 
 IMPORT ORDER below IS the pre-priority registration order — do not
 reorder the wave imports.  ``_PRIORITY`` then rotates the driver's
@@ -40,6 +40,7 @@ from . import ext4 as _wave_4  # noqa: F401
 from . import ext5 as _wave_5  # noqa: F401
 from . import ext6 as _wave_6  # noqa: F401
 from . import ext7 as _wave_7  # noqa: F401
+from . import ext8 as _wave_8  # noqa: F401
 from .ext3 import _x54_corpus
 from .ext6 import _agg_spec_query  # re-exported: the x128 fuzz harness
 
@@ -71,7 +72,13 @@ _PRIORITY = [
     #    centroids at plan-build time (x12/x46/x50/x56 consumers); and
     #    the WHOLE registry moved to dftly_spark/contract/ (structural;
     #    registration order verified byte-identical).  x147/x149 and the
-    #    r11 cohort (x142-x146) keep their slots until they hold 3 rows --
+    #    r11 cohort (x142-x146) keep their slots until they hold 3 rows.
+    #    Round-13 ADDED: x151 RRF fusion, x152 hard-negative mining,
+    #    x153 DoReMi weights -- never sampled, very front; x11/x13/x15
+    #    drop from the back-fill to hold the window at 50 --
+    "x151_rrf_fusion",
+    "x152_hard_negatives",
+    "x153_doremi_weights",
 
     "x150_ann_recall",
     "x148_line_dedup",
@@ -125,12 +132,12 @@ _PRIORITY = [
     "x08_fingerprint",
     "x09_multimodal_decode",
     "x10_frame_sample",
-    "x11_ann_lsh_topk",
-    "x13_sessionize",
-    "x15_repetition_signals",
     #
     # -- tail: multi-round green veterans; sampled again only if the
     #    window widens or they change --
+    "x11_ann_lsh_topk",
+    "x13_sessionize",
+    "x15_repetition_signals",
     "q15_strptime",
     "x114_bpe_learn",
     "x115_bpe_encode",

@@ -1,0 +1,190 @@
+"""Extension wave 8 (x151-x153, round 13): hybrid-retrieval RRF fusion,
+hard-negative mining, and DoReMi excess-loss mixture weights.
+
+Registers (in order): x151_rrf_fusion, x152_hard_negatives,
+x153_doremi_weights.
+
+Split-package convention: registration order is preserved by
+dftly_spark/contract/__init__.py importing the waves in order.  See
+common.py for the registry and shared fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dftly_spark.sqlgen import portable_round_sql
+
+from .common import _prep, _q, _t
+from .ext1 import _x11_oracle
+
+#: x06's exact-cosine ranking as a reusable oracle CTE body (unit-normalized
+#: corpus, query set vec_id < 5, broadcast-NL scoring) — x152 embeds it and
+#: x151 reuses x06/x11's full SQL; cos values replay bit-exactly via
+#: list_dot_product (established by the x06/x150 gates).
+_COS_SCORED_CTE = """
+    u AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id, list_dot_product(qv, c.v) AS cos
+      FROM u c CROSS JOIN q)
+"""
+
+
+def _x151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (ops/retrieval.py rrf_fuse, Cormack et al.
+    2009) of the exact cosine ranking (x06's configuration) and the
+    hyperplane-LSH approximate ranking (x11's) — the hybrid-retrieval
+    ensemble shape (here: exact ⊕ approximate over the same corpus, so
+    the whole pipeline stays oracle-replayable).  Scores are
+    1/(60+rank) sums on the floor-scale grid; re-ranked by fused score
+    with doc-id tie-break."""
+    from dftly_spark.ops import brute_force_topk, lsh_bucket_topk, rrf_fuse
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # k=10 on both rankings: the oracle embeds x06's and x11's full SQL
+    # replays verbatim, and both are k=10 configurations
+    a = brute_force_topk(emb, qs, k=10)
+    b = lsh_bucket_topk(emb, qs, k=10, n_planes=6, seed=42, dim=64)
+    return rrf_fuse(
+        [a, b], query_col="query_id", doc_col="vec_id", topk=10
+    ).select(
+        "query_id",
+        "vec_id",
+        F.col("n_lists").cast("int").alias("n_lists"),
+        "rrf",
+        "rank",
+    )
+
+
+def _x151_oracle() -> str:
+    truth_sql = _DEFS_X06_SQL()
+    approx_sql = _x11_oracle()
+    rrf = portable_round_sql("sum(1.0 / (60 + _rk))", 9)
+    return f"""
+    WITH a AS (SELECT query_id, vec_id, rank FROM ({truth_sql})),
+    b AS (SELECT query_id, vec_id, rank FROM ({approx_sql})),
+    -- per-list best rank (dedup guard, mirrors rrf_fuse's input dedup)
+    parts AS (
+      SELECT query_id, vec_id, min(rank) AS _rk FROM a GROUP BY 1, 2
+      UNION ALL
+      SELECT query_id, vec_id, min(rank) AS _rk FROM b GROUP BY 1, 2
+    ),
+    fused AS (
+      SELECT query_id, vec_id,
+             CAST(count(*) AS INT) AS n_lists,
+             {rrf} AS rrf
+      FROM parts GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, n_lists, rrf,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, vec_id) AS INT) AS rank
+    FROM fused
+    QUALIFY rank <= 10
+    """
+
+
+def _DEFS_X06_SQL() -> str:
+    from .common import _DEFS
+
+    return _DEFS["x06_cosine_topk"][1]
+
+
+_q("x151_rrf_fusion", _x151, _x151_oracle)
+
+
+def _x152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (ops/similarity.py hard_negatives): per query
+    the top-10 most-similar corpus vectors that are not among the
+    query's labeled positives (here: its exact top-3, the typical
+    "labeled positives" shape) and sit below the sim_cap=0.99
+    near-positive safety band (RocketQA's false-negative filter).  Same
+    broadcast-NL scoring shape as x06 — query set broadcast, one corpus
+    scan, gates prune before the rank window."""
+    from dftly_spark.ops import brute_force_topk, hard_negatives
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pos = brute_force_topk(emb, qs, k=3).select("query_id", "vec_id")
+    return hard_negatives(emb, qs, pos, k=10, sim_cap=0.99)
+
+
+_q(
+    "x152_hard_negatives",
+    _x152,
+    f"""
+    WITH {_COS_SCORED_CTE},
+    pos AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS _rk
+      FROM scored QUALIFY _rk <= 3
+    ),
+    neg AS (
+      SELECT s.query_id, s.vec_id, s.cos
+      FROM scored s
+      WHERE s.cos < 0.99
+        AND NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.query_id = s.query_id AND p.vec_id = s.vec_id)
+    )
+    SELECT query_id, vec_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM neg
+    QUALIFY rank <= 10
+    """,
+)
+
+
+def _x153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi excess-loss mixture weights (ops/lm.py doremi_weights, Xie
+    et al. 2023): per-language mean clipped excess loss → temperature
+    softmax with a uniform floor.  Losses are synthesized as exact
+    small-integer ratios of doc_id (engine-identical doubles), with a
+    planted NULL stripe (doc_id % 31 = 0) exercising the documented
+    null-skip policy."""
+    from dftly_spark.ops import doremi_weights
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.when(F.col("doc_id") % 31 != 0, (F.col("doc_id") % 13) / F.lit(7.0))
+        .alias("proxy_loss"),
+        ((F.col("doc_id") % 5) / F.lit(3.0)).alias("ref_loss"),
+    )
+    return doremi_weights(
+        base, "lang", "proxy_loss", "ref_loss", temperature=0.5, floor=0.2
+    )
+
+
+def _x153_oracle() -> str:
+    excess = portable_round_sql(
+        "coalesce(avg(greatest(CASE WHEN doc_id % 31 != 0 "
+        "THEN (doc_id % 13) / 7.0 END - (doc_id % 5) / 3.0, 0.0)), 0.0)"
+    )
+    weight = portable_round_sql("0.8 * _e / _Z + 0.2 / _K")
+    return f"""
+    WITH dom AS (
+      SELECT lang, count(*) AS n_rows, {excess} AS excess
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    e AS (SELECT lang, n_rows, excess, exp(excess / 0.5) AS _e FROM dom),
+    z AS (SELECT sum(_e) AS _Z, count(*) AS _K FROM e)
+    SELECT lang, n_rows, excess, {weight} AS weight
+    FROM e CROSS JOIN z
+    """
+
+
+_q("x153_doremi_weights", _x153, _x153_oracle)

@@ -94,6 +94,7 @@ from .similarity import (
     pool_embeddings,
     random_project,
     brute_force_topk,
+    hard_negatives,
     cosine,
     dot,
     topic_assign,
@@ -117,7 +118,7 @@ from .joins import (
     interval_join,
 )
 from .jsonops import json_extract_fields, json_parse_typed
-from .retrieval import sparse_cosine_pairs, bm25_topk, tf_idf_vectors, distinctive_terms, ranking_metrics
+from .retrieval import sparse_cosine_pairs, bm25_topk, tf_idf_vectors, distinctive_terms, ranking_metrics, rrf_fuse
 from .sampling import (
     cap_per_group,
     weighted_sample_per_group,
@@ -129,7 +130,7 @@ from .sampling import (
 )
 from .cdc import latest_changes, merge_upsert, scd2_history, scd2_snapshot, schema_drift, snapshot_diff
 from .bpe import bpe_encode_counts, bpe_learn
-from .lm import bigram_frame, bigram_lm_scores, dsir_model, dsir_score, dsir_weights
+from .lm import bigram_frame, bigram_lm_scores, doremi_weights, dsir_model, dsir_score, dsir_weights
 from .profile import (
     corr_matrix,
     pareto_front,
@@ -216,7 +217,7 @@ __all__ = [
     "simhash64", "simhash_dup_pairs", "ngram_jaccard_pairs", "cross_corpus_dup_pairs", "novelty_scores", "source_overlap",
     "containment_pairs", "cross_corpus_embedding_pairs",
     "embedding_dup_pairs",
-    "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "lsh_bucket_topk", "topk_recall",
+    "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "hard_negatives", "lsh_bucket_topk", "topk_recall",
     "ivf_topk", "random_project", "kmeans_centroids", "topic_assign",
     "choose_centroids", "choose_centroid_frame",
     "asof_join", "asof_join_stream", "asof_join_stream_tws", "nearest_join", "lag_features", "rolling_time_features", "range_join", "interval_join",
@@ -225,13 +226,13 @@ __all__ = [
     "compact_table", "plan_summary", "partitioned_cumsum", "ks_drift", "psi_drift",
     "histogram_fixed",
     "hash_split", "stratified_sample", "pack_sequences", "quantile_stats",
-    "bm25_topk", "tf_idf_vectors", "sparse_cosine_pairs", "cap_per_group", "rollup_stats", "cube_stats",
+    "bm25_topk", "tf_idf_vectors", "sparse_cosine_pairs", "rrf_fuse", "cap_per_group", "rollup_stats", "cube_stats",
     "dup_ngram_fraction", "remove_dup_ngram_spans",
     "dup_substring_spans", "dedup_substring_spans", "dedup_substrings_char",
     "contamination_spans", "decontaminate_substrings", "decontaminate_substrings_char",
     "sessionize", "sessionize_stream", "sessionize_stream_tws", "funnel", "cohort_retention", "debounce", "debounce_stream", "resample_ffill",
     "mixture_sample", "latest_changes", "merge_upsert", "snapshot_diff",
     "semantic_dedup", "semantic_dedup_pairs", "schema_drift", "dedup_survivors", "scd2_snapshot", "session_stats",
-    "bigram_frame", "bigram_lm_scores", "dsir_weights", "dsir_model", "dsir_score", "bpe_learn", "bpe_encode_counts",
+    "bigram_frame", "bigram_lm_scores", "doremi_weights", "dsir_weights", "dsir_model", "dsir_score", "bpe_learn", "bpe_encode_counts",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks", "media_ahash", "media_dup_pairs", "hamming_pairs",
 ]

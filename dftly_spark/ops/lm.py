@@ -304,3 +304,78 @@ def dsir_score(
         )
         .select(F.col("_id").alias(id_col), "n_bigrams", "logw")
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    domain_col: str,
+    proxy_loss_col: str,
+    ref_loss_col: str,
+    *,
+    temperature: float = 1.0,
+    floor: float = 0.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Excess-loss domain mixture weights (the DoReMi recipe, Xie et al.
+    2023 "Doremi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining" — the weight-computation step, given per-example losses).
+
+    Each domain's signal is its mean CLIPPED excess loss
+    ``avg(max(proxy − ref, 0))`` — how much worse the small proxy model
+    does than the reference on that domain, the "learnable headroom".
+    Weights are the temperature softmax of the excess means, floor-mixed
+    with uniform: ``w_d = (1 − floor)·softmax(excess/τ)_d + floor/K`` so
+    no domain starves (DoReMi's smoothing).  Returns one row per domain:
+    ``(domain_col, n_rows, excess, weight)``; weights sum to 1.
+
+    Null policy: rows with a null domain are excluded (a mixture weight
+    must name its domain); rows where either loss is null contribute
+    nothing to the mean (``avg`` null-skip) but still count toward
+    ``n_rows``.  Domains whose every loss is null get excess 0 (they
+    still receive the uniform floor share).
+
+    Cross-engine floats: the excess means are quantized on the
+    floor-scale grid BEFORE the softmax (exp diverges in the last ulp
+    between engines; starting from a shared grid bounds the drift to the
+    K-row table), and the final weights are rounded at ``decimals`` —
+    the same two-stage convention as the DSIR log-ratio table.
+
+    Scale shape: ONE keyed aggregation over the data (map-side
+    combined) to a K-row domain table; the softmax normalizer attaches
+    as a 1-row broadcast scalar.  No windows, no driver-side state.
+    """
+    from ..sqlgen import portable_round
+
+    if not (0.0 <= floor <= 1.0):
+        raise ValueError(f"floor must be in [0, 1], got {floor}")
+    if temperature <= 0.0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    excess = F.greatest(
+        F.col(proxy_loss_col).cast("double") - F.col(ref_loss_col).cast("double"),
+        F.lit(0.0),
+    )
+    dom = (
+        df.where(F.col(domain_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            portable_round(
+                F.coalesce(F.avg(excess), F.lit(0.0)), decimals
+            ).alias("excess"),
+        )
+    )
+    e = F.exp(F.col("excess") / F.lit(float(temperature)))
+    scored = dom.withColumn("_e", e)
+    totals = scored.agg(
+        F.sum("_e").alias("_Z"), F.count(F.lit(1)).alias("_K")
+    )
+    return scored.crossJoin(F.broadcast(totals)).select(
+        domain_col,
+        "n_rows",
+        "excess",
+        portable_round(
+            F.lit(1.0 - floor) * F.col("_e") / F.col("_Z")
+            + F.lit(floor) / F.col("_K"),
+            decimals,
+        ).alias("weight"),
+    )

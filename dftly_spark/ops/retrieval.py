@@ -420,3 +420,70 @@ def ranking_metrics(
             F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)).alias("mrr"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int | None = None,
+    decimals: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings (Cormack et al. 2009), the
+    standard hybrid-retrieval combiner (BM25 ⊕ dense ANN ⊕ …).
+
+    Each input frame holds per-query ranked candidates ``(query_col,
+    doc_col, rank_col)``; the fused score of a document is
+    ``Σ_lists 1/(k + rank)`` over the lists it appears in (absent = no
+    contribution — the rank-only formulation, robust to incomparable
+    scores across retrievers, which is the point of RRF).  Returns
+    ``(query_col, doc_col, n_lists, rrf, rank)`` re-ranked by fused
+    score (ties broken by ascending doc id), optionally cut at ``topk``.
+
+    Duplicate (query, doc) rows within ONE input list would double-count
+    that list; inputs are deduped to their best (lowest) rank first, so
+    any ranking frame is safe to pass as-is.
+
+    Scale shape: top-k frames are tiny relative to the corpus — this is
+    one union, one keyed aggregation (map-side combined), and a per-query
+    window over ≤ N·k rows; no corpus-sized work, no broadcast state.
+    The fused score is rounded on the floor-scale grid (``decimals``)
+    because a ``sum`` over doubles is accumulation-order-dependent in the
+    last ulp across engines; the re-rank sorts the ROUNDED score so tie
+    behavior is engine-identical too.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking frame")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    parts = []
+    for r in rankings:
+        best = r.groupBy(
+            F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+        ).agg(F.min(F.col(rank_col)).alias("_rk"))
+        parts.append(
+            best.select(
+                "_q", "_d", (F.lit(1.0) / (F.lit(k) + F.col("_rk"))).alias("_c")
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    from ..sqlgen import portable_round
+
+    fused = u.groupBy("_q", "_d").agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        portable_round(F.sum("_c"), decimals).alias("rrf"),
+    )
+    w = Window.partitionBy("_q").orderBy(F.desc("rrf"), F.asc("_d"))
+    out = fused.withColumn("rank", F.row_number().over(w)).select(
+        F.col("_q").alias(query_col),
+        F.col("_d").alias(doc_col),
+        "n_lists",
+        "rrf",
+        "rank",
+    )
+    return out.where(F.col("rank") <= topk) if topk is not None else out

@@ -171,6 +171,64 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    sim_cap: float | None = None,
+    sim_floor: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training.
+
+    Per query, the ``k`` most-cosine-similar corpus vectors that are NOT
+    known positives (``positives`` is a ``(query_id, vec_id)`` frame —
+    anti-joined out) and, optionally, sit below ``sim_cap``: the
+    near-positive safety band that keeps unlabeled TRUE positives out of
+    the negative set (the denoising step of RocketQA, Qu et al. 2021 —
+    the single biggest false-negative source in mined negatives).
+    ``sim_floor`` drops too-easy negatives from the bottom.  Returns
+    ``(query_id, vec_id, cos, rank)`` like :func:`brute_force_topk`.
+
+    Scale shape: identical to :func:`brute_force_topk` — the query set
+    broadcasts, the corpus is scanned once and never shuffled before the
+    per-query rank; the positives anti-join and both similarity gates
+    prune BEFORE the rank window pays for a row.  For a large query set,
+    swap the scoring stage for :func:`lsh_bucket_topk` candidates and
+    re-use the same gates.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        unit(F.col(vec_col).cast("array<double>")).alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        unit(F.col(vec_col).cast("array<double>")).alias("_cv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col("_qid").alias(query_id_col),
+        F.col("_cid").alias(id_col),
+        dot(F.col("_qv"), F.col("_cv")).alias("cos"),
+    )
+    if sim_cap is not None:
+        scored = scored.where(F.col("cos") < F.lit(float(sim_cap)))
+    if sim_floor is not None:
+        scored = scored.where(F.col("cos") >= F.lit(float(sim_floor)))
+    pos = positives.select(
+        F.col(query_id_col), F.col(id_col)
+    )
+    scored = scored.join(pos, [query_id_col, id_col], "left_anti")
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     *,

@@ -821,3 +821,111 @@ def test_rolling_zscore_and_ewma_survive_colliding_temp_names(spark):
     e = ewma(df, "k", ["o"], "v", alpha=0.5, lookback=5)
     assert "_xs" in e.columns and e.select("_xs").first()["_xs"] == "keep2"
     assert "ewma" in e.columns and "zscore" in z.columns
+
+
+# ---------------------------------------------------------------------------
+# round-13 additions: rrf_fuse / hard_negatives / doremi_weights
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_formula_and_absence(spark):
+    """A doc in both lists scores 1/(60+r1)+1/(60+r2); a doc in one list
+    gets only that term (absence is not rank infinity); re-rank orders by
+    fused score with doc-id tie-break."""
+    from dftly_spark.ops import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id int, doc_id int, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id int, doc_id int, rank int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b]).collect()}
+    assert out[11]["n_lists"] == 2
+    assert out[11]["rrf"] == round(1 / 62 + 1 / 61, 9)
+    assert out[10]["rrf"] == round(1 / 61, 9)
+    assert out[13]["rrf"] == round(1 / 62, 9)
+    # 11 (two lists) first; then 10 (rank1 in a); then 13 (rank2 in b, 1/62)
+    # vs 12 (rank3 in a, 1/63) -> 13 before 12
+    order = sorted(out.values(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in order] == [11, 10, 13, 12]
+
+
+def test_rrf_fuse_dedupes_within_list_and_topk(spark):
+    from dftly_spark.ops import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 4), (1, 11, 2)], "query_id int, doc_id int, rank int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([a]).collect()}
+    # duplicate (1,10) keeps its BEST rank once, never double-counts
+    assert out[10]["rrf"] == round(1 / 61, 9)
+    assert out[10]["n_lists"] == 1
+    top1 = rrf_fuse([a], topk=1).collect()
+    assert len(top1) == 1 and top1[0]["doc_id"] == 10
+
+
+def test_hard_negatives_excludes_positives_and_capped(spark):
+    from dftly_spark.ops import hard_negatives
+
+    # 1-d embeddings: cosine is sign(x*q) -> use 2-d to get graded sims
+    rows = [(i, [1.0, float(i) / 10.0]) for i in range(6)]
+    corpus = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id int, embedding array<double>"
+    )
+    pos = spark.createDataFrame([(0, 1)], "query_id int, vec_id int")
+    out = hard_negatives(corpus, qs, pos, k=10, sim_cap=0.9999999999)
+    got = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    # vec 0 is the exact query (cos=1) -> capped out; vec 1 is a positive
+    # -> anti-joined; the rest rank by descending cosine (2 closest first)
+    assert got == [2, 3, 4, 5]
+
+
+def test_doremi_weights_softmax_floor_and_nulls(spark):
+    import math
+
+    from dftly_spark.ops import doremi_weights
+
+    rows = [
+        ("a", 2.0, 1.0),   # excess 1.0
+        ("a", 0.0, 5.0),   # clipped to 0 -> mean 0.5
+        ("b", 1.0, 1.0),   # excess 0 -> mean 0
+        ("b", None, 1.0),  # null proxy: skipped by avg, counted in n_rows
+        (None, 9.0, 0.0),  # null domain: excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "dom string, p double, r double")
+    out = {r["dom"]: r for r in doremi_weights(
+        df, "dom", "p", "r", temperature=0.5, floor=0.2
+    ).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n_rows"] == 2 and out["b"]["n_rows"] == 2
+    assert out["a"]["excess"] == 0.5 and out["b"]["excess"] == 0.0
+    ea, eb = math.exp(0.5 / 0.5), math.exp(0.0)
+    za = 0.8 * ea / (ea + eb) + 0.2 / 2
+    assert abs(out["a"]["weight"] - za) < 2e-6
+    assert abs(out["a"]["weight"] + out["b"]["weight"] - 1.0) < 2e-6
+
+
+def test_doremi_weights_all_null_domain_gets_floor_share(spark):
+    from dftly_spark.ops import doremi_weights
+
+    df = spark.createDataFrame(
+        [("a", None, None), ("b", 1.0, 0.0)], "dom string, p double, r double"
+    )
+    out = {r["dom"]: r for r in doremi_weights(
+        df, "dom", "p", "r", floor=0.5
+    ).collect()}
+    # 'a' has no usable losses: excess 0, still gets floor/K + softmax share
+    assert out["a"]["excess"] == 0.0
+    assert out["a"]["weight"] > 0.25
+
+
+def test_doremi_weights_validates_args(spark):
+    from dftly_spark.ops import doremi_weights
+
+    df = spark.createDataFrame([("a", 1.0, 0.0)], "dom string, p double, r double")
+    with pytest.raises(ValueError):
+        doremi_weights(df, "dom", "p", "r", floor=1.5)
+    with pytest.raises(ValueError):
+        doremi_weights(df, "dom", "p", "r", temperature=0.0)

@@ -110,6 +110,9 @@ def test_all_contract_queries_plan_invariants(spark):
         # pair: bounded query set broadcast over one corpus scan is the plan
         "x150_ann_recall",  # embeds x06's brute-force truth side (same
         # bounded query-set broadcast); the recall join itself is hash
+        "x151_rrf_fusion",  # fuses x06's exact ranking — same bounded
+        # query-set broadcast; the fusion agg itself is keyed
+        "x152_hard_negatives",  # x06's scoring shape + anti-join gates
         "x31_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
         "x40_ks_drift",  # 1-row (n_a, n_b) totals broadcast
         "x45_bigram_lm",  # 1-row vocabulary-size (V) broadcast
@@ -129,6 +132,7 @@ def test_all_contract_queries_plan_invariants(spark):
         "x97_psi_drift",  # 1-row (n_a, n_b) totals broadcast over k buckets
         "x106_dormant_accounts",  # 1-row positive-balance avg broadcast
         "x109_dsir_weights",  # 1-row model-totals broadcast over B buckets
+        "x153_doremi_weights",  # 1-row softmax-normalizer broadcast over K domains
         "x111_kcore",  # 1-row converged-flag broadcast (scalar attach)
         "x114_bpe_learn",  # 1-row merge-rule broadcast per round
         "x117_join_size_sketch",  # 1-row est x 1-row exact attach
