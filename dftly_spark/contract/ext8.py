@@ -170,9 +170,11 @@ def _x153(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x153_oracle() -> str:
+    # the CASE guard mirrors the op's null-PROPAGATING clip: DuckDB's
+    # greatest() also skips nulls, so the clip must stay inside the guard
     excess = portable_round_sql(
-        "coalesce(avg(greatest(CASE WHEN doc_id % 31 != 0 "
-        "THEN (doc_id % 13) / 7.0 END - (doc_id % 5) / 3.0, 0.0)), 0.0)"
+        "coalesce(avg(CASE WHEN doc_id % 31 != 0 "
+        "THEN greatest((doc_id % 13) / 7.0 - (doc_id % 5) / 3.0, 0.0) END), 0.0)"
     )
     weight = portable_round_sql("0.8 * _e / _Z + 0.2 / _K")
     return f"""

@@ -350,10 +350,14 @@ def doremi_weights(
         raise ValueError(f"floor must be in [0, 1], got {floor}")
     if temperature <= 0.0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
-    excess = F.greatest(
-        F.col(proxy_loss_col).cast("double") - F.col(ref_loss_col).cast("double"),
-        F.lit(0.0),
+    # NULL-propagating clip: greatest() SKIPS nulls in both engines, so a
+    # bare greatest(diff, 0.0) would silently turn a null-loss row into a
+    # zero-excess observation; the when() keeps the row out of the mean
+    # (avg null-skip), matching the documented policy
+    diff = (
+        F.col(proxy_loss_col).cast("double") - F.col(ref_loss_col).cast("double")
     )
+    excess = F.when(diff.isNotNull(), F.greatest(diff, F.lit(0.0)))
     dom = (
         df.where(F.col(domain_col).isNotNull())
         .groupBy(domain_col)

@@ -890,8 +890,10 @@ def test_doremi_weights_softmax_floor_and_nulls(spark):
     rows = [
         ("a", 2.0, 1.0),   # excess 1.0
         ("a", 0.0, 5.0),   # clipped to 0 -> mean 0.5
-        ("b", 1.0, 1.0),   # excess 0 -> mean 0
-        ("b", None, 1.0),  # null proxy: skipped by avg, counted in n_rows
+        ("b", 1.0, 1.0),   # excess 0
+        ("b", None, 1.0),  # null proxy: SKIPPED by the mean (not a zero
+        #                    observation - the null-propagating clip),
+        #                    still counted in n_rows
         (None, 9.0, 0.0),  # null domain: excluded entirely
     ]
     df = spark.createDataFrame(rows, "dom string, p double, r double")
@@ -905,6 +907,20 @@ def test_doremi_weights_softmax_floor_and_nulls(spark):
     za = 0.8 * ea / (ea + eb) + 0.2 / 2
     assert abs(out["a"]["weight"] - za) < 2e-6
     assert abs(out["a"]["weight"] + out["b"]["weight"] - 1.0) < 2e-6
+
+
+def test_doremi_weights_null_losses_skip_the_mean(spark):
+    """A null-loss row must NOT register as a zero-excess observation:
+    greatest() skips nulls in both engines, so a bare greatest(diff, 0)
+    would dilute the mean — the clip is null-propagating instead."""
+    from dftly_spark.ops import doremi_weights
+
+    rows = [("b", None, 1.0), ("b", 3.0, 1.0)]
+    df = spark.createDataFrame(rows, "dom string, p double, r double")
+    out = doremi_weights(df, "dom", "p", "r").collect()[0]
+    # mean over the ONE usable row -> 2.0; a zero-diluted mean would be 1.0
+    assert out["excess"] == 2.0
+    assert out["n_rows"] == 2
 
 
 def test_doremi_weights_all_null_domain_gets_floor_share(spark):
