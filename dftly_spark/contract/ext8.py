@@ -182,7 +182,10 @@ def _x153_oracle() -> str:
       SELECT lang, count(*) AS n_rows, {excess} AS excess
       FROM documents WHERE lang IS NOT NULL GROUP BY lang
     ),
-    e AS (SELECT lang, n_rows, excess, exp(excess / 0.5) AS _e FROM dom),
+    -- max-shifted softmax, mirroring the op's overflow guard
+    m AS (SELECT max(excess) AS _mx FROM dom),
+    e AS (SELECT lang, n_rows, excess, exp((excess - _mx) / 0.5) AS _e
+          FROM dom CROSS JOIN m),
     z AS (SELECT sum(_e) AS _Z, count(*) AS _K FROM e)
     SELECT lang, n_rows, excess, {weight} AS weight
     FROM e CROSS JOIN z

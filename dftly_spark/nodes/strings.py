@@ -605,9 +605,11 @@ class Substring(Node):
 class Split(Node):
     """Split on a *literal* separator → array<string> (str.py:990-1063).
 
-    Spark's split pattern is a regex, so constant separators are escaped and
-    expression separators quoted with ``\\Q...\\E``.  Limit −1 keeps trailing
-    empty strings (matching Polars).
+    Spark's split pattern is a regex, so separators — constant and
+    expression alike — are quoted with ``\\Q...\\E`` (Pattern.quote
+    semantics via :mod:`dftly_spark.javare`, airtight for any separator;
+    Python ``re.escape`` was only coincidentally Java-compatible).
+    Limit −1 keeps trailing empty strings (matching Polars).
     """
 
     KEY = "split"
@@ -622,7 +624,9 @@ class Split(Node):
         src = self.kwargs["source"].to_column(ctx)
         sep = _const_pattern(self.kwargs["by"])
         if sep is not None:
-            return F.split(src, re.escape(sep), -1)
+            from ..javare import java_literal_regex
+
+            return F.split(src, java_literal_regex(sep), -1)
         sep_col = self.kwargs["by"].to_column(ctx)
         # a literal "\E" inside the separator would terminate the \Q...\E
         # quoting early; re-quote it the standard Java way (\E + \\E + \Q)

@@ -368,8 +368,16 @@ def doremi_weights(
             ).alias("excess"),
         )
     )
-    e = F.exp(F.col("excess") / F.lit(float(temperature)))
-    scored = dom.withColumn("_e", e)
+    # max-shifted softmax (the standard overflow guard): exp((e - max)/τ)
+    # is mathematically identical and keeps every argument <= 0, so a
+    # small temperature or large excess can never push exp() to inf and
+    # the weights to NaN.  The max attaches as a second 1-row broadcast
+    # over the K-row table (cheap; both scalars are K-row aggregates).
+    mx = dom.agg(F.max("excess").alias("_mx"))
+    scored = dom.crossJoin(F.broadcast(mx)).withColumn(
+        "_e",
+        F.exp((F.col("excess") - F.col("_mx")) / F.lit(float(temperature))),
+    )
     totals = scored.agg(
         F.sum("_e").alias("_Z"), F.count(F.lit(1)).alias("_K")
     )

@@ -445,7 +445,9 @@ def rrf_fuse(
 
     Duplicate (query, doc) rows within ONE input list would double-count
     that list; inputs are deduped to their best (lowest) rank first, so
-    any ranking frame is safe to pass as-is.
+    any ranking frame is safe to pass as-is.  NULL-rank rows are dropped
+    before the dedup (an unranked row is "absent", contributing neither
+    a score term nor an ``n_lists`` count).
 
     Scale shape: top-k frames are tiny relative to the corpus — this is
     one union, one keyed aggregation (map-side combined), and a per-query
@@ -461,9 +463,11 @@ def rrf_fuse(
         raise ValueError(f"k must be >= 1, got {k}")
     parts = []
     for r in rankings:
-        best = r.groupBy(
-            F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
-        ).agg(F.min(F.col(rank_col)).alias("_rk"))
+        best = (
+            r.where(F.col(rank_col).isNotNull())
+            .groupBy(F.col(query_col).alias("_q"), F.col(doc_col).alias("_d"))
+            .agg(F.min(F.col(rank_col)).alias("_rk"))
+        )
         parts.append(
             best.select(
                 "_q", "_d", (F.lit(1.0) / (F.lit(k) + F.col("_rk"))).alias("_c")

@@ -151,6 +151,29 @@ def brute_force_topk(
     ``queries`` must be small (it is broadcast); the corpus is scanned once,
     never shuffled before the per-query rank.
     """
+    scored = _broadcast_cosine_scores(
+        corpus, queries, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _broadcast_cosine_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """``(query_id, id, cos)`` for every (query, corpus) pair — the shared
+    scoring stage of :func:`brute_force_topk` and :func:`hard_negatives`:
+    unit-normalized vectors, the (small) query set broadcast, ONE corpus
+    scan, no shuffle.  Any change to the scoring shape (normalization,
+    broadcast hints, tie-relevant value forms) lands in both ops here."""
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
         unit(F.col(vec_col).cast("array<double>")).alias("_qv"),
@@ -159,15 +182,10 @@ def brute_force_topk(
         F.col(id_col).alias("_cid"),
         unit(F.col(vec_col).cast("array<double>")).alias("_cv"),
     )
-    scored = c.crossJoin(F.broadcast(q)).select(
+    return c.crossJoin(F.broadcast(q)).select(
         F.col("_qid").alias(query_id_col),
         F.col("_cid").alias(id_col),
         dot(F.col("_qv"), F.col("_cv")).alias("cos"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
     )
 
 
@@ -201,18 +219,8 @@ def hard_negatives(
     swap the scoring stage for :func:`lsh_bucket_topk` candidates and
     re-use the same gates.
     """
-    q = queries.select(
-        F.col(query_id_col).alias("_qid"),
-        unit(F.col(vec_col).cast("array<double>")).alias("_qv"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("_cid"),
-        unit(F.col(vec_col).cast("array<double>")).alias("_cv"),
-    )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        F.col("_qid").alias(query_id_col),
-        F.col("_cid").alias(id_col),
-        dot(F.col("_qv"), F.col("_cv")).alias("cos"),
+    scored = _broadcast_cosine_scores(
+        corpus, queries, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
     )
     if sim_cap is not None:
         scored = scored.where(F.col("cos") < F.lit(float(sim_cap)))

@@ -1095,15 +1095,9 @@ def shared_affix_counts(
     )
 
 
-def _java_literal_regex(s: str) -> str:
-    """Quote ``s`` as a LITERAL for Java's regex engine (``F.split``
-    patterns are java.util.regex, NOT Python re).  Uses ``\\Q…\\E``
-    quoting with Pattern.quote's own ``\\E``-in-literal rewrite, so any
-    separator — multi-char, metachar-heavy, even one containing a
-    literal ``\\E`` — splits verbatim.  (Python ``re.escape`` happened
-    to be Java-compatible for practical separators, but the coupling
-    was implicit; this is airtight by construction.)"""
-    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+# Shared with the engine's split node (nodes/strings.py) — see the module
+# docstring of dftly_spark.javare for why re.escape is not used here.
+from ..javare import java_literal_regex as _java_literal_regex  # noqa: E402
 
 
 def line_filter(

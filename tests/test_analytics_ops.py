@@ -945,3 +945,36 @@ def test_doremi_weights_validates_args(spark):
         doremi_weights(df, "dom", "p", "r", floor=1.5)
     with pytest.raises(ValueError):
         doremi_weights(df, "dom", "p", "r", temperature=0.0)
+
+
+def test_rrf_fuse_null_rank_rows_are_absent(spark):
+    """A NULL-rank row is 'absent': no score term, no n_lists count, and
+    a doc whose only appearance is null-ranked yields no output row."""
+    from dftly_spark.ops import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, None), (1, 99, None)],
+        "query_id int, doc_id int, rank int",
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([a]).collect()}
+    assert set(out) == {10}
+    assert out[10]["n_lists"] == 1
+    assert out[10]["rrf"] == round(1 / 61, 9)
+
+
+def test_doremi_weights_survives_tiny_temperature(spark):
+    """Max-shifted softmax: temperature=0.01 with a large excess must not
+    overflow exp() to inf/NaN — the hot domain approaches (1-floor)+floor/K
+    and the cold one keeps only its floor share."""
+    from dftly_spark.ops import doremi_weights
+
+    rows = [("hot", 9.0, 1.0), ("cold", 1.0, 1.0)]
+    df = spark.createDataFrame(rows, "dom string, p double, r double")
+    out = {r["dom"]: r for r in doremi_weights(
+        df, "dom", "p", "r", temperature=0.01, floor=0.2
+    ).collect()}
+    import math
+
+    assert all(not math.isnan(r["weight"]) for r in out.values())
+    assert abs(out["hot"]["weight"] - 0.9) < 1e-6
+    assert abs(out["cold"]["weight"] - 0.1) < 1e-6
