@@ -6,7 +6,8 @@ operators — the memory ladder a 100 TB embedding store actually climbs:
     read → near-dup prune (embedding LSH pairs → clusters → keep one per
     cluster) → scalar quantization (int8 codes + fidelity audit) →
     IVF index (learned centroids, cell assignment) → query serving
-    (ivf_topk with nprobe) → recall audit vs the exact scorer
+    (ivf_topk with nprobe, RRF-fused with the LSH retriever) → recall
+    audit vs the exact scorer (topk_recall)
 
 Each stage's scale shape: the LSH prune is a banded bucket equi-join
 (never corpus²); the quantizer fit is ONE agg pass collecting 2·dim
@@ -33,8 +34,11 @@ def build(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         embedding_dup_pairs,
         fit_scalar_quantizer,
         ivf_topk,
+        lsh_bucket_topk,
         quantization_fidelity,
         quantize_embeddings,
+        rrf_fuse,
+        topk_recall,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -71,14 +75,32 @@ def build(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         strategy="kmeans", kmeans_iters=2, kmeans_init="first",
     )
 
-    # 4. Recall audit against the exact scorer (query set only).
-    exact = brute_force_topk(corpus, queries, k=10)
-    hit = approx.select("query_id", "vec_id").intersect(
-        exact.select("query_id", "vec_id")
+    # 4. Hybrid serving: fuse the IVF retriever with an LSH retriever by
+    #    reciprocal rank (no score calibration needed across retrievers —
+    #    two index families miss different neighbors, the fusion keeps
+    #    whichever found each one).
+    lsh = lsh_bucket_topk(corpus, queries, k=10, n_planes=6, seed=42, dim=64)
+    fused = rrf_fuse(
+        [approx, lsh], query_col="query_id", doc_col="vec_id", topk=10
     )
+
+    # 5. Recall audit against the exact scorer (query set only): the
+    #    harness op scores EVERY candidate ranking, which is how you
+    #    decide whether a fusion earns its place — on these structureless
+    #    random vectors the weak LSH retriever dilutes the cut top-10
+    #    (its votes outrank better IVF-only candidates), and the audit
+    #    is what surfaces that before production does.
+    exact = brute_force_topk(corpus, queries, k=10)
+
+    def _macro(approx_df, name):
+        return topk_recall(exact, approx_df).agg(
+            (F.sum("n_hits") / F.sum("n_truth")).alias(name)
+        )
+
     recall = (
-        hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("hits"))
-        .agg((F.sum("hits") / (exact.count())).alias("recall_at_10"))
+        _macro(approx, "ivf_recall_at_10")
+        .crossJoin(_macro(lsh, "lsh_recall_at_10"))
+        .crossJoin(_macro(fused, "fused_recall_at_10"))
     )
 
     return {
@@ -86,6 +108,7 @@ def build(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "codes": codes,
         "fidelity": fidelity,
         "topk": approx,
+        "fused": fused,
         "recall": recall,
     }
 

@@ -88,8 +88,15 @@ def test_similarity_pipeline_end_to_end(spark):
     assert fid is None or fid > 0.99              # int8 on 64 dims is near-lossless
     topk = outs["topk"]
     assert topk.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 10
-    recall = outs["recall"].collect()[0]["recall_at_10"]
-    assert recall >= 0.7                          # nprobe=8/16 on structureless vectors
+    fused = outs["fused"]
+    assert fused.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 10
+    rec = outs["recall"].collect()[0]
+    # IVF at nprobe=8/16 holds its floor on structureless vectors; the
+    # LSH retriever is weak here (6 planes, random data) and the audit
+    # shows the fusion sitting between them — the point of measuring
+    assert rec["ivf_recall_at_10"] >= 0.7
+    assert rec["fused_recall_at_10"] >= 0.5
+    assert rec["fused_recall_at_10"] >= rec["lsh_recall_at_10"]
 
 
 def test_streaming_pipeline_example_end_to_end(spark):
