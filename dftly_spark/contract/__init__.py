@@ -76,6 +76,7 @@ _PRIORITY = [
     #    Round-13 ADDED: x151 RRF fusion, x152 hard-negative mining,
     #    x153 DoReMi weights -- never sampled, very front; x11/x13/x15
     #    drop from the back-fill to hold the window at 50 --
+    "x154_pair_quality",
     "x151_rrf_fusion",
     "x152_hard_negatives",
     "x153_doremi_weights",
@@ -131,10 +132,10 @@ _PRIORITY = [
     "x07_text_analysis",
     "x08_fingerprint",
     "x09_multimodal_decode",
-    "x10_frame_sample",
     #
     # -- tail: multi-round green veterans; sampled again only if the
     #    window widens or they change --
+    "x10_frame_sample",
     "x11_ann_lsh_topk",
     "x13_sessionize",
     "x15_repetition_signals",

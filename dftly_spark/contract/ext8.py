@@ -1,8 +1,9 @@
-"""Extension wave 8 (x151-x153, round 13): hybrid-retrieval RRF fusion,
-hard-negative mining, and DoReMi excess-loss mixture weights.
+"""Extension wave 8 (x151-x154, round 13): hybrid-retrieval RRF fusion,
+hard-negative mining, DoReMi excess-loss mixture weights, and the
+pair-level dedup quality metric.
 
 Registers (in order): x151_rrf_fusion, x152_hard_negatives,
-x153_doremi_weights.
+x153_doremi_weights, x154_pair_quality.
 
 Split-package convention: registration order is preserved by
 dftly_spark/contract/__init__.py importing the waves in order.  See
@@ -193,3 +194,86 @@ def _x153_oracle() -> str:
 
 
 _q("x153_doremi_weights", _x153, _x153_oracle)
+
+
+def _x154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup operating-point evaluation (ops/dedup.py pair_quality): the
+    LSH near-dup pair set at threshold 0.45 / 6 planes scored against the
+    exact brute-force pair set on a corpus slice (vec_id % 4 = 0, no
+    planted copies — so LSH recall is genuinely < 1 and the metric is
+    non-trivial; precision is 1.0 by construction since LSH verifies
+    exact cosine in-bucket).  The oracle replays BOTH pair generators —
+    the bucket join with inlined seeded planes (the x11 mechanism) and
+    the brute all-pairs scan — and recomputes the counts, so the gate
+    verifies generator AND metric end-to-end."""
+    from dftly_spark.ops import embedding_dup_pairs, pair_quality
+
+    _prep(spark)
+    sub = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 4 == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    pred = embedding_dup_pairs(
+        sub, "vec_id", "embedding", threshold=0.45, method="lsh",
+        n_planes=6, dim=64,
+    )
+    truth = embedding_dup_pairs(sub, "vec_id", "embedding", threshold=0.45)
+    return pair_quality(pred, truth)
+
+
+def _x154_oracle() -> str:
+    from dftly_spark.ops.dedup import _hyperplanes
+
+    planes = _hyperplanes(64, 6, 42)
+    rows = ",\n      ".join(
+        f"({i}, {p!r}::DOUBLE[])" for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH planes(i, p) AS (VALUES
+      {rows}),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id % 4 = 0),
+    -- sign buckets over the RAW vectors (the Spark op buckets before
+    -- normalizing)
+    buckets AS (
+      SELECT c.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(c.v, planes.p) > 0
+                           THEN (1::BIGINT << planes.i) ELSE 0 END) AS BIGINT) AS bucket
+      FROM c CROSS JOIN planes GROUP BY c.vec_id
+    ),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+          FROM c),
+    pred AS (
+      SELECT a.vec_id AS _a, b.vec_id AS _b
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN u ua ON ua.vec_id = a.vec_id
+      JOIN u ub ON ub.vec_id = b.vec_id
+      WHERE list_dot_product(ua.v, ub.v) >= 0.45
+    ),
+    truth AS (
+      SELECT a.vec_id AS _a, b.vec_id AS _b
+      FROM u a JOIN u b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) >= 0.45
+    ),
+    n AS (
+      SELECT (SELECT count(*) FROM pred) AS n_pred,
+             (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT count(*) FROM pred
+              WHERE EXISTS (SELECT 1 FROM truth t
+                            WHERE t._a = pred._a AND t._b = pred._b)) AS n_hit
+    )
+    SELECT n_pred, n_truth, n_hit,
+           CASE WHEN n_pred > 0 THEN n_hit / n_pred END AS precision,
+           CASE WHEN n_truth > 0 THEN n_hit / n_truth END AS recall,
+           CASE WHEN n_pred > 0 AND n_truth > 0
+                     AND (n_hit / n_pred + n_hit / n_truth) > 0
+                THEN 2 * (n_hit / n_pred) * (n_hit / n_truth)
+                     / (n_hit / n_pred + n_hit / n_truth) END AS f1
+    FROM n
+    """
+
+
+_q("x154_pair_quality", _x154, _x154_oracle)

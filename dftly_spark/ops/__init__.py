@@ -70,6 +70,7 @@ from .dedup import (
     hamming_pairs,
     ngram_jaccard_pairs,
     novelty_scores,
+    pair_quality,
     shingle_hashes,
     shingle_hashes_tokens,
     source_overlap,
@@ -217,7 +218,7 @@ __all__ = [
     "simhash64", "simhash_dup_pairs", "ngram_jaccard_pairs", "cross_corpus_dup_pairs", "novelty_scores", "source_overlap",
     "containment_pairs", "cross_corpus_embedding_pairs",
     "embedding_dup_pairs",
-    "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "hard_negatives", "lsh_bucket_topk", "topk_recall",
+    "dot", "l2_norm", "cosine", "unit", "brute_force_topk", "hard_negatives", "lsh_bucket_topk", "topk_recall", "pair_quality",
     "ivf_topk", "random_project", "kmeans_centroids", "topic_assign",
     "choose_centroids", "choose_centroid_frame",
     "asof_join", "asof_join_stream", "asof_join_stream_tws", "nearest_join", "lag_features", "rolling_time_features", "range_join", "interval_join",

@@ -1348,3 +1348,58 @@ def source_overlap(
             (F.col("inter").cast("double") / F.col("size_b")).alias("containment_b"),
         )
     )
+
+
+def pair_quality(
+    pred: DataFrame,
+    truth: DataFrame,
+    *,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+) -> DataFrame:
+    """Precision/recall/F1 of a predicted duplicate-pair set against a
+    ground-truth pair set — the dedup-tuning metric (the pair-level twin
+    of :func:`~dftly_spark.ops.similarity.topk_recall`): sweep LSH bands
+    / SimHash bits / thresholds on a labeled slice and read off the
+    operating point before committing a 100 TB pass.
+
+    Pairs are UNORDERED and may repeat: both inputs normalize to
+    ``(min, max)`` and dedup first, so orientation flips and duplicate
+    emissions can never skew the counts.  Returns ONE row:
+    ``(n_pred, n_truth, n_hit, precision, recall, f1)`` with null
+    ratios when their denominator is empty (no silent 0-vs-undefined
+    conflation).
+
+    Scale shape: two keyed dedups + one semi-join on the normalized pair
+    key, then three 1-row count aggregates attached by broadcast — the
+    pair frames are the op's inputs (already sub-corpus-sized for any
+    sane candidate generator); nothing here scales with the corpus.
+    """
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_l), F.col(id_r)).alias("_a"),
+            F.greatest(F.col(id_l), F.col(id_r)).alias("_b"),
+        ).dropDuplicates(["_a", "_b"])
+
+    p, t = norm(pred), norm(truth)
+    hit = p.join(t, ["_a", "_b"], "left_semi")
+    stats = (
+        p.agg(F.count(F.lit(1)).alias("n_pred"))
+        .crossJoin(F.broadcast(t.agg(F.count(F.lit(1)).alias("n_truth"))))
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("n_hit") / F.col("n_pred")
+    ).alias("precision")
+    rec = F.when(
+        F.col("n_truth") > 0, F.col("n_hit") / F.col("n_truth")
+    ).alias("recall")
+    out = stats.select("n_pred", "n_truth", "n_hit", prec, rec)
+    f1 = F.when(
+        F.col("precision").isNotNull()
+        & F.col("recall").isNotNull()
+        & ((F.col("precision") + F.col("recall")) > 0),
+        2 * F.col("precision") * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    )
+    return out.select("*", f1.alias("f1"))

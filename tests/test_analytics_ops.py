@@ -978,3 +978,38 @@ def test_doremi_weights_survives_tiny_temperature(spark):
     assert all(not math.isnan(r["weight"]) for r in out.values())
     assert abs(out["hot"]["weight"] - 0.9) < 1e-6
     assert abs(out["cold"]["weight"] - 0.1) < 1e-6
+
+
+def test_pair_quality_orientation_duplicates_and_nulls(spark):
+    """Pairs are unordered and deduped: orientation flips and duplicate
+    emissions can't skew counts; empty denominators give null ratios."""
+    from dftly_spark.ops import pair_quality
+
+    pred = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (3, 4), (5, 6)], "id_l long, id_r long"
+    )  # normalized: {1-2, 3-4, 5-6}
+    truth = spark.createDataFrame(
+        [(2, 1), (4, 3), (7, 8), (9, 10)], "id_l long, id_r long"
+    )  # normalized: {1-2, 3-4, 7-8, 9-10}
+    r = pair_quality(pred, truth).collect()[0]
+    assert (r["n_pred"], r["n_truth"], r["n_hit"]) == (3, 4, 2)
+    assert r["precision"] == 2 / 3 and r["recall"] == 0.5
+    p, rc = 2 / 3, 0.5
+    assert abs(r["f1"] - 2 * p * rc / (p + rc)) < 1e-15
+
+    empty = spark.createDataFrame([], "id_l long, id_r long")
+    r2 = pair_quality(empty, truth).collect()[0]
+    assert r2["n_pred"] == 0 and r2["precision"] is None and r2["recall"] == 0.0
+    assert r2["f1"] is None
+    r3 = pair_quality(pred, empty).collect()[0]
+    assert r3["recall"] is None and r3["f1"] is None
+
+
+def test_pair_quality_zero_hits_f1_null_not_nan(spark):
+    from dftly_spark.ops import pair_quality
+
+    pred = spark.createDataFrame([(1, 2)], "id_l long, id_r long")
+    truth = spark.createDataFrame([(3, 4)], "id_l long, id_r long")
+    r = pair_quality(pred, truth).collect()[0]
+    # P = R = 0 -> P+R = 0: F1 is null (undefined), never 0/0 = NaN
+    assert (r["precision"], r["recall"], r["f1"]) == (0.0, 0.0, None)

@@ -113,6 +113,8 @@ def test_all_contract_queries_plan_invariants(spark):
         "x151_rrf_fusion",  # fuses x06's exact ranking — same bounded
         # query-set broadcast; the fusion agg itself is keyed
         "x152_hard_negatives",  # x06's scoring shape + anti-join gates
+        "x154_pair_quality",  # deliberate brute-force truth baseline on a
+        # bounded corpus slice, plus 1-row count-stat attaches
         "x31_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
         "x40_ks_drift",  # 1-row (n_a, n_b) totals broadcast
         "x45_bigram_lm",  # 1-row vocabulary-size (V) broadcast
