@@ -200,6 +200,10 @@ def hard_negatives(
     k: int = 10,
     sim_cap: float | None = None,
     sim_floor: float | None = None,
+    method: str = "brute",
+    n_planes: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for retrieval/contrastive training.
 
@@ -212,16 +216,48 @@ def hard_negatives(
     ``sim_floor`` drops too-easy negatives from the bottom.  Returns
     ``(query_id, vec_id, cos, rank)`` like :func:`brute_force_topk`.
 
-    Scale shape: identical to :func:`brute_force_topk` — the query set
-    broadcasts, the corpus is scanned once and never shuffled before the
-    per-query rank; the positives anti-join and both similarity gates
-    prune BEFORE the rank window pays for a row.  For a large query set,
-    swap the scoring stage for :func:`lsh_bucket_topk` candidates and
-    re-use the same gates.
+    ``method`` picks the candidate generator, and with it the scale
+    regime — mining runs once per TRAINING QUERY, so the query side is
+    usually the big one:
+
+    * ``"brute"`` (default, exact): :func:`_broadcast_cosine_scores` —
+      the query set broadcasts, the corpus is scanned once and never
+      shuffled before the per-query rank.  Right while the query set
+      fits a broadcast (~10⁵ × dim).
+    * ``"lsh"`` (the million-query path): candidates come from
+      :func:`lsh_bucket_topk` with an over-fetch of ``4k + |positives
+      headroom|`` per query — a KEYED bucket equi-join that never
+      broadcasts either side, so both the corpus and the query set
+      scale out.  The cap/floor/anti-join gates then prune the
+      over-fetch before the final rank window; recall < 1 as with any
+      LSH retrieval (negatives are sampled anyway — a missed candidate
+      is another hard-ish negative, not a correctness bug).
+
+    The gates prune BEFORE the rank window pays for a row in both
+    methods.
     """
-    scored = _broadcast_cosine_scores(
-        corpus, queries, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
-    )
+    if method == "lsh":
+        # over-fetch so the gates (cap/floor/anti-join) can't starve the
+        # final top-k: 4x covers the cap band + positives for any sane
+        # labeled-positive count; raise k on the caller side if a query
+        # has more positives than 3k
+        scored = lsh_bucket_topk(
+            corpus,
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            k=4 * k,
+            n_planes=n_planes,
+            seed=seed,
+            dim=dim,
+        ).select(query_id_col, id_col, "cos")
+    elif method == "brute":
+        scored = _broadcast_cosine_scores(
+            corpus, queries, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
+        )
+    else:
+        raise ValueError(f"method must be 'brute' or 'lsh', got {method!r}")
     if sim_cap is not None:
         scored = scored.where(F.col("cos") < F.lit(float(sim_cap)))
     if sim_floor is not None:

@@ -1013,3 +1013,32 @@ def test_pair_quality_zero_hits_f1_null_not_nan(spark):
     r = pair_quality(pred, truth).collect()[0]
     # P = R = 0 -> P+R = 0: F1 is null (undefined), never 0/0 = NaN
     assert (r["precision"], r["recall"], r["f1"]) == (0.0, 0.0, None)
+
+
+def test_hard_negatives_lsh_method_subset_of_brute(spark):
+    """method='lsh' mines from LSH candidates (keyed join, no query
+    broadcast): every mined negative must be a legal brute negative
+    (passes the same gates), ranked consistently with its cosine."""
+    from dftly_spark.ops import hard_negatives
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pos = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2)], "query_id long, vec_id long"
+    )
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in hard_negatives(emb, qs, pos, k=40, sim_cap=0.99).collect()
+    }
+    lsh = hard_negatives(
+        emb, qs, pos, k=5, sim_cap=0.99, method="lsh", dim=64
+    ).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        key = (r["query_id"], r["vec_id"])
+        assert key in brute, key  # gates agree: never a positive/capped row
+        assert abs(brute[key] - r["cos"]) < 1e-12
+    with pytest.raises(ValueError):
+        hard_negatives(emb, qs, pos, method="nope")
