@@ -635,6 +635,16 @@ def test_fuzzed_agg_specs_match_duckdb(spark, seed):
 # ---------------------------------------------------------------------------
 
 
+def _fuzz_examples(default: int = 15) -> int:
+    """Example budget for the op-model fuzz suites.  The default keeps CI
+    fast; a deep falsification pass sets SPARK_GRAFT_FUZZ_EXAMPLES=100+
+    (the round-13 deep run: 60 examples per suite, zero divergence)."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", default))
+
+
+
 def test_fuzz_dedup_lines_separators(spark):
     """dedup_lines ≡ Python model under adversarial separators: multi-char,
     CRLF, regex metachars ('.', '*', '||'), a literal '\\E' (the
@@ -658,7 +668,7 @@ def test_fuzz_dedup_lines_separators(spark):
         st.lists(words, min_size=1, max_size=6), min_size=1, max_size=8
     )
 
-    @settings(max_examples=15, deadline=None)
+    @settings(max_examples=_fuzz_examples(), deadline=None)
     @given(seps, docs, st.integers(1, 2), st.integers(0, 3))
     def _prop(sep, line_lists, max_df, min_chars):
         texts = [sep.join(lines) for lines in line_lists]
@@ -717,7 +727,7 @@ def test_fuzz_topk_recall_ties_and_duplicates(spark):
     )
     ks = st.sampled_from([None, 1, 2, 3])
 
-    @settings(max_examples=15, deadline=None)
+    @settings(max_examples=_fuzz_examples(), deadline=None)
     @given(truth_rows, approx_rows, ks)
     def _prop(t_rows, a_rows, k):
         tk = [r for r in t_rows if k is None or r[2] <= k]
@@ -768,7 +778,7 @@ def test_fuzz_token_budget_sample_null_policy(spark):
     toks = st.sampled_from([None, -3, 0, 1, 2, 5, 9])
     budgets = st.sampled_from([0, 1, 4, 10, {"a": 3}, {"a": 2, "b": 6}])
 
-    @settings(max_examples=15, deadline=None)
+    @settings(max_examples=_fuzz_examples(), deadline=None)
     @given(ids, st.data())
     def _prop(id_list, data):
         rows = [
