@@ -466,7 +466,7 @@ def test_oracle_text_uses_shared_float_conventions():
             assert mul == div, (
                 f"{name}: floor-scale multiplier {mul} != divisor {div}"
             )
-            assert mul in (10, 100, 1000, 10000, 10**5, 10**6, 10**7, 10**8), (
+            assert mul in (10, 100, 1000, 10000, 10**5, 10**6, 10**7, 10**8, 10**9), (
                 f"{name}: non-power-of-ten floor scale {mul}"
             )
 
