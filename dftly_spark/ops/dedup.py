@@ -1365,7 +1365,11 @@ def pair_quality(
 
     Pairs are UNORDERED and may repeat: both inputs normalize to
     ``(min, max)`` and dedup first, so orientation flips and duplicate
-    emissions can never skew the counts.  Returns ONE row:
+    emissions can never skew the counts.  Rows with a null member are
+    DROPPED before counting (``least``/``greatest`` skip nulls, so a
+    ``(null, 5)`` row — e.g. out of an outer-joined candidate frame —
+    would otherwise fabricate a ``(5, 5)`` self-pair and skew
+    precision).  Returns ONE row:
     ``(n_pred, n_truth, n_hit, precision, recall, f1)`` with null
     ratios when their denominator is empty (no silent 0-vs-undefined
     conflation).
@@ -1376,10 +1380,14 @@ def pair_quality(
     sane candidate generator); nothing here scales with the corpus.
     """
     def norm(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.least(F.col(id_l), F.col(id_r)).alias("_a"),
-            F.greatest(F.col(id_l), F.col(id_r)).alias("_b"),
-        ).dropDuplicates(["_a", "_b"])
+        return (
+            df.where(F.col(id_l).isNotNull() & F.col(id_r).isNotNull())
+            .select(
+                F.least(F.col(id_l), F.col(id_r)).alias("_a"),
+                F.greatest(F.col(id_l), F.col(id_r)).alias("_b"),
+            )
+            .dropDuplicates(["_a", "_b"])
+        )
 
     p, t = norm(pred), norm(truth)
     hit = p.join(t, ["_a", "_b"], "left_semi")

@@ -204,6 +204,7 @@ def hard_negatives(
     n_planes: int = 6,
     seed: int = 42,
     dim: int | None = None,
+    overfetch: int = 4,
 ) -> DataFrame:
     """Hard-negative mining for retrieval/contrastive training.
 
@@ -225,32 +226,37 @@ def hard_negatives(
       shuffled before the per-query rank.  Right while the query set
       fits a broadcast (~10⁵ × dim).
     * ``"lsh"`` (the million-query path): candidates come from
-      :func:`lsh_bucket_topk` with an over-fetch of ``4k + |positives
-      headroom|`` per query — a KEYED bucket equi-join that never
-      broadcasts either side, so both the corpus and the query set
-      scale out.  The cap/floor/anti-join gates then prune the
-      over-fetch before the final rank window; recall < 1 as with any
+      :func:`lsh_bucket_topk` with ``broadcast_queries=False`` — a
+      keyed bucket equi-join with no broadcast of either side, so both
+      the corpus and the query set scale out (the default serving hint
+      would try to broadcast the exploded query frame, which stops
+      fitting around 10⁶ queries × dim=768).  Recall < 1 as with any
       LSH retrieval (negatives are sampled anyway — a missed candidate
       is another hard-ish negative, not a correctness bug).
 
-    The gates prune BEFORE the rank window pays for a row in both
-    methods.
+      CAVEAT — over-fetch ordering: the candidate TRUNCATION to the
+      per-query top ``overfetch·k`` happens inside the LSH rank, BEFORE
+      the cap/floor/anti-join gates, so a query whose top candidates
+      are dominated by the ``sim_cap`` near-positive band (a dense
+      near-duplicate cluster around the query) can come back with
+      fewer than ``k`` negatives even though eligible rows exist
+      further down — raise ``overfetch`` when mining against
+      dedup-heavy corpora with a cap.  ``method="brute"`` never
+      truncates before the gates and always returns the full ``k``
+      when enough eligible rows exist.
     """
     if method == "lsh":
-        # over-fetch so the gates (cap/floor/anti-join) can't starve the
-        # final top-k: 4x covers the cap band + positives for any sane
-        # labeled-positive count; raise k on the caller side if a query
-        # has more positives than 3k
         scored = lsh_bucket_topk(
             corpus,
             queries,
             id_col=id_col,
             vec_col=vec_col,
             query_id_col=query_id_col,
-            k=4 * k,
+            k=overfetch * k,
             n_planes=n_planes,
             seed=seed,
             dim=dim,
+            broadcast_queries=False,
         ).select(query_id_col, id_col, "cos")
     elif method == "brute":
         scored = _broadcast_cosine_scores(
@@ -1211,13 +1217,25 @@ def lsh_bucket_topk(
     n_planes: int = 6,
     seed: int = 42,
     dim: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane buckets + exact re-rank.
 
     Candidates are corpus rows sharing the query's bucket or any hamming-1
     neighbor bucket (multi-probe).  Returns the same schema as
     :func:`brute_force_topk`; recall < 1 by design — the candidate join is a
-    keyed shuffle instead of a full scan per query.
+    keyed join instead of a full scan per query.
+
+    ``broadcast_queries`` (default True) hints the exploded query side of
+    the bucket join into a broadcast — right for the serving shape (a
+    bounded query set against a huge corpus; the corpus never shuffles).
+    Pass False for query sets too large to broadcast (the exploded side
+    is ``|queries| × (n_planes + 1)`` rows of ``dim`` doubles — Spark's
+    8 GB broadcast-table limit lands around 10⁶ × dim=768): the join
+    becomes a plain keyed shuffle on the bucket id, both sides scale
+    out, and AQE still auto-broadcasts when the runtime size allows.
+    :func:`hard_negatives` with ``method="lsh"`` — the
+    millions-of-training-queries regime — passes False.
     """
     from .dedup import _hyperplanes, _plane_signature
 
@@ -1248,7 +1266,7 @@ def lsh_bucket_topk(
     )
     q = q.select("_qid", "_qv", F.explode(probes).alias("_bucket"))
 
-    scored = c.join(F.broadcast(q), "_bucket").select(
+    scored = c.join(F.broadcast(q) if broadcast_queries else q, "_bucket").select(
         F.col("_qid").alias(query_id_col),
         F.col("_cid").alias(id_col),
         dot(F.col("_qv"), F.col("_cv")).alias("cos"),

@@ -40,8 +40,9 @@ def stats_for(plan: str) -> dict:
         for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     ]
     return {
-        "n_exchange": len(re.findall(r"\bExchange\b", plan))
-        - plan.count("BroadcastExchange"),
+        # \bExchange\b cannot match inside "BroadcastExchange" (no word
+        # boundary between 't' and 'E'), so the count is shuffle-only as is
+        "n_exchange": len(re.findall(r"\bExchange\b", plan)),
         "n_bcast_exchange": plan.count("BroadcastExchange"),
         "n_bnl": plan.count("BroadcastNestedLoopJoin"),
         "n_cartesian": plan.count("CartesianProduct"),
@@ -59,6 +60,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # plan strings truncate metadata values (incl. ReadSchema) at 100
+        # chars by default — exactly wide enough to hide the unpruned
+        # scans this audit exists to catch
+        .config("spark.sql.maxMetadataStringLength", "10000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -1042,3 +1042,18 @@ def test_hard_negatives_lsh_method_subset_of_brute(spark):
         assert abs(brute[key] - r["cos"]) < 1e-12
     with pytest.raises(ValueError):
         hard_negatives(emb, qs, pos, method="nope")
+
+
+def test_pair_quality_null_members_dropped(spark):
+    """A pair with a null member is dropped, never normalized into a
+    fabricated self-pair (least/greatest skip nulls)."""
+    from dftly_spark.ops import pair_quality
+
+    pred = spark.createDataFrame(
+        [(None, 5), (3, None), (None, None), (1, 2)], "id_l int, id_r int"
+    )
+    truth = spark.createDataFrame([(2, 1), (5, 5)], "id_l int, id_r int")
+    r = pair_quality(pred, truth).collect()[0]
+    # only (1,2) survives in pred; (5,5)-from-(null,5) must NOT appear
+    assert (r["n_pred"], r["n_truth"], r["n_hit"]) == (1, 2, 1)
+    assert r["precision"] == 1.0 and r["recall"] == 0.5

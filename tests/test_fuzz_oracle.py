@@ -637,8 +637,8 @@ def test_fuzzed_agg_specs_match_duckdb(spark, seed):
 
 def _fuzz_examples(default: int = 15) -> int:
     """Example budget for the op-model fuzz suites.  The default keeps CI
-    fast; a deep falsification pass sets SPARK_GRAFT_FUZZ_EXAMPLES=100+
-    (the round-13 deep run: 60 examples per suite, zero divergence)."""
+    fast; set SPARK_GRAFT_FUZZ_EXAMPLES higher for a deep falsification
+    pass (the round-13 deep run used 60 per suite, zero divergence)."""
     import os
 
     return int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", default))
