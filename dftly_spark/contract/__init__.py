@@ -73,10 +73,12 @@ _PRIORITY = [
     #    the WHOLE registry moved to dftly_spark/contract/ (structural;
     #    registration order verified byte-identical).  x147/x149 and the
     #    r11 cohort (x142-x146) keep their slots until they hold 3 rows.
-    #    Round-13 ADDED: x154 pair-quality metric, x151 RRF fusion,
-    #    x152 hard-negative mining, x153 DoReMi weights -- never
-    #    sampled, very front; x10/x11/x13/x15 drop from the back-fill
-    #    to hold the window at 50 --
+    #    Round-13 ADDED: x155 mixture-KL drift report, x154
+    #    pair-quality metric, x151 RRF fusion, x152 hard-negative
+    #    mining, x153 DoReMi weights -- never sampled, very front;
+    #    x09/x10/x11/x13/x15 drop from the back-fill to hold the
+    #    window at 50 --
+    "x155_mixture_kl",
     "x154_pair_quality",
     "x151_rrf_fusion",
     "x152_hard_negatives",
@@ -132,10 +134,10 @@ _PRIORITY = [
     "x06_cosine_topk",
     "x07_text_analysis",
     "x08_fingerprint",
-    "x09_multimodal_decode",
     #
     # -- tail: multi-round green veterans; sampled again only if the
     #    window widens or they change --
+    "x09_multimodal_decode",
     "x10_frame_sample",
     "x11_ann_lsh_topk",
     "x13_sessionize",

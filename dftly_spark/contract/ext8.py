@@ -1,9 +1,9 @@
-"""Extension wave 8 (x151-x154, round 13): hybrid-retrieval RRF fusion,
-hard-negative mining, DoReMi excess-loss mixture weights, and the
-pair-level dedup quality metric.
+"""Extension wave 8 (x151-x155, round 13): hybrid-retrieval RRF fusion,
+hard-negative mining, DoReMi excess-loss mixture weights, the pair-level
+dedup quality metric, and the mixture-drift KL report.
 
 Registers (in order): x151_rrf_fusion, x152_hard_negatives,
-x153_doremi_weights, x154_pair_quality.
+x153_doremi_weights, x154_pair_quality, x155_mixture_kl.
 
 Split-package convention: registration order is preserved by
 dftly_spark/contract/__init__.py importing the waves in order.  See
@@ -277,3 +277,52 @@ def _x154_oracle() -> str:
 
 
 _q("x154_pair_quality", _x154, _x154_oracle)
+
+
+def _x155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-drift report (ops/sampling.py mixture_kl): the corpus's
+    observed per-language token mass vs a target mixture spec — per-group
+    KL contributions, the re-balance trigger metric.  zh is deliberately
+    absent from the target (mixture specs are exhaustive; absent groups
+    are excluded, same rule as mixture_sample), and mass is the integer
+    n_chars column so the sums are exact in both engines."""
+    from dftly_spark.ops import mixture_kl
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_kl(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.2},
+        weight_col="n_chars",
+    ).select(
+        "lang",
+        "n_rows",
+        F.col("mass").cast("double").alias("mass"),
+        "observed",
+        "target",
+        "kl_term",
+    )
+
+
+def _x155_oracle() -> str:
+    kl = portable_round_sql("(mass / _T) * ln((mass / _T) / target)")
+    return f"""
+    WITH tgt(lang, target) AS (VALUES
+      ('en', 0.5), ('de', 0.15), ('es', 0.15), ('fr', 0.2)),
+    grp AS (
+      SELECT d.lang, count(*) AS n_rows,
+             CAST(sum(CAST(d.n_chars AS DOUBLE)) AS DOUBLE) AS mass,
+             any_value(t.target) AS target
+      FROM documents d JOIN tgt t ON t.lang = d.lang
+      WHERE d.n_chars IS NOT NULL AND d.n_chars >= 0
+      GROUP BY d.lang
+    ),
+    z AS (SELECT sum(mass) AS _T FROM grp)
+    SELECT lang, n_rows, mass, mass / _T AS observed, target,
+           {kl} AS kl_term
+    FROM grp CROSS JOIN z
+    """
+
+
+_q("x155_mixture_kl", _x155, _x155_oracle)

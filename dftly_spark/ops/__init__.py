@@ -124,6 +124,7 @@ from .sampling import (
     cap_per_group,
     weighted_sample_per_group,
     hash_split,
+    mixture_kl,
     mixture_sample,
     pack_sequences,
     stratified_sample,
@@ -234,6 +235,6 @@ __all__ = [
     "sessionize", "sessionize_stream", "sessionize_stream_tws", "funnel", "cohort_retention", "debounce", "debounce_stream", "resample_ffill",
     "mixture_sample", "latest_changes", "merge_upsert", "snapshot_diff",
     "semantic_dedup", "semantic_dedup_pairs", "schema_drift", "dedup_survivors", "scd2_snapshot", "session_stats",
-    "bigram_frame", "bigram_lm_scores", "doremi_weights", "dsir_weights", "dsir_model", "dsir_score", "bpe_learn", "bpe_encode_counts",
+    "bigram_frame", "bigram_lm_scores", "doremi_weights", "mixture_kl", "dsir_weights", "dsir_model", "dsir_score", "bpe_learn", "bpe_encode_counts",
     "MEDIA_SCHEMA", "attach_fake_media", "decode_media_meta", "sample_frames", "resize_images", "audio_chunks", "media_ahash", "media_dup_pairs", "hamming_pairs",
 ]

@@ -429,3 +429,76 @@ def token_budget_sample(
     )
     kept = cum.where((F.col("cum_tokens") - F.col("n_tokens")) < bud)
     return kept.drop("_ord", "_pid", "_loc", "_off")
+
+
+def mixture_kl(
+    df: DataFrame,
+    group_col: str,
+    target: dict[str, float],
+    *,
+    weight_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group mixture-drift report against a target distribution.
+
+    The monitoring twin of :func:`mixture_sample` / ``doremi_weights``:
+    given the intended mixture ``target`` (``{group: weight}``, summing
+    to ~1), measure what the corpus ACTUALLY contains and report, per
+    group, ``(n_rows, mass, observed, target, kl_term)`` plus the
+    diagnostics a re-balance decision needs — ``kl_term`` is the group's
+    contribution ``p·ln(p/q)`` to ``KL(observed ‖ target)``, so the
+    total divergence is ``sum(kl_term)`` and the worst-drifted groups
+    are the largest terms.  ``mass`` weights rows by ``weight_col``
+    (token counts — mixtures are specified in tokens) when given, else
+    each row counts 1.
+
+    Groups absent from ``target`` are EXCLUDED (a mixture spec is
+    exhaustive — same rule as :func:`mixture_sample`); a target group
+    with no observed rows yields no output row, and its mass is simply
+    missing from the sum (KL with a true zero would be 0·ln 0 = 0
+    anyway).  Null groups and null/negative masses are excluded for the
+    reasons documented on :func:`token_budget_sample`.
+
+    Cross-engine floats: observed shares are exact ``mass/total``
+    ratios; the ``ln`` in ``kl_term`` is quantized on the floor-scale
+    grid (``decimals``) like every transcendental in this repo.
+
+    Scale shape: ONE map-side-combined keyed aggregation to a
+    ``|target|``-row table; the total attaches as a 1-row broadcast
+    scalar.  The corpus is never shuffled.
+    """
+    from ..sqlgen import portable_round
+
+    if not target:
+        raise ValueError("mixture_kl needs at least one target weight")
+    mass = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    )
+    pairs = []
+    for g, w in target.items():
+        if w <= 0:
+            raise ValueError(f"target weight for {g!r} must be > 0, got {w}")
+        pairs.extend([F.lit(g), F.lit(float(w))])
+    tgt = F.element_at(F.create_map(*pairs), F.col(group_col))
+    base = df.where(
+        F.col(group_col).isin(list(target))
+        & mass.isNotNull()
+        & (mass >= 0)
+    )
+    grp = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(mass).alias("mass"),
+        F.first(tgt).alias("target"),
+    )
+    totals = grp.agg(F.sum("mass").alias("_T"))
+    p = F.col("mass") / F.col("_T")
+    return grp.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_rows",
+        "mass",
+        p.alias("observed"),
+        "target",
+        portable_round(
+            p * F.log(p / F.col("target")), decimals
+        ).alias("kl_term"),
+    )

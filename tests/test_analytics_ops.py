@@ -1057,3 +1057,37 @@ def test_pair_quality_null_members_dropped(spark):
     # only (1,2) survives in pred; (5,5)-from-(null,5) must NOT appear
     assert (r["n_pred"], r["n_truth"], r["n_hit"]) == (1, 2, 1)
     assert r["precision"] == 1.0 and r["recall"] == 0.5
+
+
+def test_mixture_kl_formula_and_exclusions(spark):
+    import math
+
+    from dftly_spark.ops import mixture_kl
+
+    rows = [
+        ("en", 300), ("en", 100),   # mass 400
+        ("de", 100),                # mass 100
+        ("zh", 999),                # not in target: excluded
+        ("en", None),               # null mass: excluded from sums
+        (None, 50),                 # null group: excluded
+        ("de", -5),                 # negative mass: excluded
+    ]
+    df = spark.createDataFrame(rows, "lang string, n int")
+    out = {r["lang"]: r for r in mixture_kl(
+        df, "lang", {"en": 0.5, "de": 0.5}, weight_col="n"
+    ).collect()}
+    assert set(out) == {"en", "de"}
+    assert out["en"]["mass"] == 400.0 and out["de"]["mass"] == 100.0
+    assert out["en"]["observed"] == 0.8 and out["de"]["observed"] == 0.2
+    assert abs(out["en"]["kl_term"] - 0.8 * math.log(0.8 / 0.5)) < 2e-6
+    assert abs(out["de"]["kl_term"] - 0.2 * math.log(0.2 / 0.5)) < 2e-6
+    # perfectly on-target mixture: every term 0
+    bal = spark.createDataFrame([("a", 1), ("b", 1)], "lang string, n int")
+    terms = [r["kl_term"] for r in mixture_kl(
+        bal, "lang", {"a": 0.5, "b": 0.5}, weight_col="n"
+    ).collect()]
+    assert terms == [0.0, 0.0]
+    with pytest.raises(ValueError):
+        mixture_kl(df, "lang", {})
+    with pytest.raises(ValueError):
+        mixture_kl(df, "lang", {"en": 0.0})

@@ -135,6 +135,7 @@ def test_all_contract_queries_plan_invariants(spark):
         "x106_dormant_accounts",  # 1-row positive-balance avg broadcast
         "x109_dsir_weights",  # 1-row model-totals broadcast over B buckets
         "x153_doremi_weights",  # 1-row softmax-normalizer broadcast over K domains
+        "x155_mixture_kl",  # 1-row mass-total broadcast over |target| rows
         "x111_kcore",  # 1-row converged-flag broadcast (scalar attach)
         "x114_bpe_learn",  # 1-row merge-rule broadcast per round
         "x117_join_size_sketch",  # 1-row est x 1-row exact attach
