@@ -470,7 +470,7 @@ def main() -> None:
         each replica's windows only match that replica (disjoint vocab),
         keeping the semi-join linear."""
         from dftly_spark.ops import decontaminate_substrings
-        from __spark_entry__ import _x140_probe
+        from dftly_spark.contract.ext6 import _x140_probe
 
         return decontaminate_substrings(
             d, _x140_probe(d), "doc_id", "text", min_len=20
