@@ -309,7 +309,10 @@ def _x155_oracle() -> str:
     kl = portable_round_sql("(mass / _T) * ln((mass / _T) / target)")
     return f"""
     WITH tgt(lang, target) AS (VALUES
-      ('en', 0.5), ('de', 0.15), ('es', 0.15), ('fr', 0.2)),
+      -- ::DOUBLE: bare decimal literals type as DECIMAL in DuckDB and the
+      -- local oracle replica compares types strictly (Spark side is double)
+      ('en', 0.5::DOUBLE), ('de', 0.15::DOUBLE),
+      ('es', 0.15::DOUBLE), ('fr', 0.2::DOUBLE)),
     grp AS (
       SELECT d.lang, count(*) AS n_rows,
              CAST(sum(CAST(d.n_chars AS DOUBLE)) AS DOUBLE) AS mass,
