@@ -274,10 +274,24 @@ _PRIORITY = [
 
 
 def _apply_priority_order() -> None:
+    # Fail fast on a stale/typo'd priority name: a silent skip would quietly
+    # demote the query out of the driver's ~50-entry sampling window and the
+    # rotation rule would operate on a list that no longer matches reality.
+    missing = [name for name in _PRIORITY if name not in _DEFS]
+    if missing:
+        raise RuntimeError(
+            f"_PRIORITY names not in the registry: {missing} — "
+            "fix the rotation list in contract/__init__.py"
+        )
+    dupes = {name for name in _PRIORITY if _PRIORITY.count(name) > 1}
+    if dupes:
+        raise RuntimeError(
+            f"_PRIORITY contains duplicates: {sorted(dupes)} — "
+            "fix the rotation list in contract/__init__.py"
+        )
     ordered: dict[str, tuple[Callable, str | None]] = {}
     for name in _PRIORITY:
-        if name in _DEFS:
-            ordered[name] = _DEFS[name]
+        ordered[name] = _DEFS[name]
     for name, val in _DEFS.items():
         if name not in ordered:
             ordered[name] = val

@@ -306,7 +306,13 @@ def _x155(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x155_oracle() -> str:
-    kl = portable_round_sql("(mass / _T) * ln((mass / _T) / target)")
+    # 0·ln 0 = 0 guard mirrors ops/sampling.py mixture_kl: a zero-mass
+    # group must contribute an explicit 0.0, not ln(0)'s -inf/null.
+    kl = (
+        "CASE WHEN mass > 0 THEN "
+        + portable_round_sql("(mass / _T) * ln((mass / _T) / target)")
+        + " ELSE 0.0 END"
+    )
     return f"""
     WITH tgt(lang, target) AS (VALUES
       -- ::DOUBLE: bare decimal literals type as DECIMAL in DuckDB and the

@@ -457,7 +457,12 @@ def mixture_kl(
     with no observed rows yields no output row, and its mass is simply
     missing from the sum (KL with a true zero would be 0·ln 0 = 0
     anyway).  Null groups and null/negative masses are excluded for the
-    reasons documented on :func:`token_budget_sample`.
+    reasons documented on :func:`token_budget_sample`.  A target group
+    whose observed rows all carry ZERO mass (rows exist, every
+    ``weight_col`` value is 0) appears with ``observed = 0`` and
+    ``kl_term = 0`` — the ``0·ln 0 = 0`` limit is applied explicitly
+    rather than letting ``log(0)``'s null silently drop the term from
+    ``sum(kl_term)``.
 
     Cross-engine floats: observed shares are exact ``mass/total``
     ratios; the ``ln`` in ``kl_term`` is quantized on the floor-scale
@@ -498,7 +503,13 @@ def mixture_kl(
         "mass",
         p.alias("observed"),
         "target",
-        portable_round(
-            p * F.log(p / F.col("target")), decimals
-        ).alias("kl_term"),
+        # 0·ln 0 = 0 limit applied explicitly: Spark's log(0) is null, and
+        # a null kl_term would silently vanish from sum(kl_term) (or read
+        # as null in strict consumers) instead of contributing 0.
+        F.when(
+            p > 0,
+            portable_round(p * F.log(p / F.col("target")), decimals),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("kl_term"),
     )

@@ -1091,3 +1091,22 @@ def test_mixture_kl_formula_and_exclusions(spark):
         mixture_kl(df, "lang", {})
     with pytest.raises(ValueError):
         mixture_kl(df, "lang", {"en": 0.0})
+
+
+def test_mixture_kl_zero_mass_group_contributes_zero(spark):
+    """A target group whose rows all carry zero mass must report
+    kl_term = 0 (the explicit 0·ln 0 = 0 limit), never log(0)'s null —
+    a null would silently vanish from sum(kl_term)."""
+    from dftly_spark.ops import mixture_kl
+
+    rows = [("en", 300), ("en", 100), ("de", 0), ("de", 0)]
+    df = spark.createDataFrame(rows, "lang string, n int")
+    out = {r["lang"]: r for r in mixture_kl(
+        df, "lang", {"en": 0.5, "de": 0.5}, weight_col="n"
+    ).collect()}
+    assert out["de"]["mass"] == 0.0
+    assert out["de"]["observed"] == 0.0
+    assert out["de"]["kl_term"] == 0.0          # explicit 0, NOT null
+    assert out["en"]["observed"] == 1.0
+    total = sum(r["kl_term"] for r in out.values())   # no TypeError on None
+    assert total == out["en"]["kl_term"]

@@ -75,3 +75,15 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) >= 4
+
+
+def test_priority_rotation_names_exist():
+    """Every _PRIORITY rotation entry must name a registered query (and be
+    unique) — _apply_priority_order raises on a stale/typo'd name, so the
+    assertion here is simply that import-time validation passed AND stays
+    honest against the live registry."""
+    from dftly_spark.contract import _DEFS, _PRIORITY
+
+    missing = [n for n in _PRIORITY if n not in _DEFS]
+    assert not missing, f"stale _PRIORITY names: {missing}"
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate _PRIORITY names"
