@@ -204,7 +204,7 @@ def hard_negatives(
     n_planes: int = 6,
     seed: int = 42,
     dim: int | None = None,
-    overfetch: int = 4,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Hard-negative mining for retrieval/contrastive training.
 
@@ -225,39 +225,45 @@ def hard_negatives(
       the query set broadcasts, the corpus is scanned once and never
       shuffled before the per-query rank.  Right while the query set
       fits a broadcast (~10⁵ × dim).
-    * ``"lsh"`` (the million-query path): candidates come from
-      :func:`lsh_bucket_topk` with ``broadcast_queries=False`` — a
-      keyed bucket equi-join with no broadcast of either side, so both
-      the corpus and the query set scale out (the default serving hint
-      would try to broadcast the exploded query frame, which stops
-      fitting around 10⁶ queries × dim=768).  Recall < 1 as with any
-      LSH retrieval (negatives are sampled anyway — a missed candidate
-      is another hard-ish negative, not a correctness bug).
+    * ``"lsh"`` (the million-query path): candidates come from the LSH
+      bucket join (:func:`_lsh_candidate_scores`) with
+      ``broadcast_queries=False`` — a keyed bucket equi-join with no
+      broadcast of either side, so both the corpus and the query set
+      scale out (the default serving hint would try to broadcast the
+      exploded query frame, which stops fitting around 10⁶ queries ×
+      dim=768).  Recall < 1 as with any LSH retrieval (negatives are
+      sampled anyway — a missed candidate is another hard-ish negative,
+      not a correctness bug).
 
-      CAVEAT — over-fetch ordering: the candidate TRUNCATION to the
-      per-query top ``overfetch·k`` happens inside the LSH rank, BEFORE
-      the cap/floor/anti-join gates, so a query whose top candidates
-      are dominated by the ``sim_cap`` near-positive band (a dense
-      near-duplicate cluster around the query) can come back with
-      fewer than ``k`` negatives even though eligible rows exist
-      further down — raise ``overfetch`` when mining against
-      dedup-heavy corpora with a cap.  ``method="brute"`` never
-      truncates before the gates and always returns the full ``k``
-      when enough eligible rows exist.
+    In BOTH methods every eligibility gate (``sim_cap``, ``sim_floor``,
+    the positives anti-join, ``exclude_self``) is applied to the full
+    candidate set BEFORE the single top-``k`` rank, so a gate can never
+    starve the result: whenever ≥ ``k`` eligible candidates exist in
+    the candidate pool, ``k`` rows come back.  (Earlier revisions
+    truncated LSH candidates to an over-fetch budget before gating and
+    could under-fill inside dense near-positive clusters.)
+
+    SELF-MATCH TRAP — when queries are drawn from the corpus itself
+    (the typical mining setup), each query's own vector scores
+    cos ≈ 1.0 and, unless it is listed in ``positives`` or cut by
+    ``sim_cap``, would surface as the #1 "hard negative"; a self-match
+    is never a valid negative.  Pass ``exclude_self=True`` to anti-join
+    candidates where ``query_id == id`` (requires the two id columns to
+    share a namespace, i.e. query ids ARE corpus ids), or keep the
+    default and handle it via ``positives``/``sim_cap``.
     """
     if method == "lsh":
-        scored = lsh_bucket_topk(
+        scored = _lsh_candidate_scores(
             corpus,
             queries,
             id_col=id_col,
             vec_col=vec_col,
             query_id_col=query_id_col,
-            k=overfetch * k,
             n_planes=n_planes,
             seed=seed,
             dim=dim,
             broadcast_queries=False,
-        ).select(query_id_col, id_col, "cos")
+        )
     elif method == "brute":
         scored = _broadcast_cosine_scores(
             corpus, queries, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
@@ -268,6 +274,8 @@ def hard_negatives(
         scored = scored.where(F.col("cos") < F.lit(float(sim_cap)))
     if sim_floor is not None:
         scored = scored.where(F.col("cos") >= F.lit(float(sim_floor)))
+    if exclude_self:
+        scored = scored.where(F.col(query_id_col) != F.col(id_col))
     pos = positives.select(
         F.col(query_id_col), F.col(id_col)
     )
@@ -1237,6 +1245,39 @@ def lsh_bucket_topk(
     :func:`hard_negatives` with ``method="lsh"`` — the
     millions-of-training-queries regime — passes False.
     """
+    scored = _lsh_candidate_scores(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        n_planes=n_planes,
+        seed=seed,
+        dim=dim,
+        broadcast_queries=broadcast_queries,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _lsh_candidate_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    n_planes: int,
+    seed: int,
+    dim: int | None,
+    broadcast_queries: bool,
+) -> DataFrame:
+    """Exact-scored LSH candidates ``(query_id, id, cos)``, deduped, with
+    NO per-query truncation — the shared candidate stage of
+    :func:`lsh_bucket_topk` and :func:`hard_negatives`'s LSH leg.
+    Exposing the un-truncated frame lets callers apply their own
+    eligibility gates (similarity caps, anti-joins) BEFORE any top-k cut,
+    so a gate can never be starved by an earlier truncation."""
     from .dedup import _hyperplanes, _plane_signature
 
     if dim is None:
@@ -1266,13 +1307,11 @@ def lsh_bucket_topk(
     )
     q = q.select("_qid", "_qv", F.explode(probes).alias("_bucket"))
 
-    scored = c.join(F.broadcast(q) if broadcast_queries else q, "_bucket").select(
+    return c.join(F.broadcast(q) if broadcast_queries else q, "_bucket").select(
         F.col("_qid").alias(query_id_col),
         F.col("_cid").alias(id_col),
         dot(F.col("_qv"), F.col("_cv")).alias("cos"),
     ).dropDuplicates([query_id_col, id_col])
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def centroid_outliers(

@@ -50,9 +50,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
+    # default local[8]/8 mirrors the driver's t2 box; sf1.0 certification
+    # runs want the full machine (SPARK_GRAFT_GATE_CPUS=32 _PARTS=32).
+    cpus = os.environ.get("SPARK_GRAFT_GATE_CPUS", "8")
+    parts = os.environ.get("SPARK_GRAFT_GATE_PARTS", "8")
+    # sf1.0 knobs: q-series outputs are full 6M-row projections, so the
+    # local-mode JVM needs real heap and result headroom, and Arrow-batched
+    # toPandas turns a multi-minute py4j row copy into seconds.  Defaults
+    # keep the driver's exact t2 shape.
+    driver_mem = os.environ.get("SPARK_GRAFT_GATE_DRIVER_MEM", "4g")
+    arrow = os.environ.get("SPARK_GRAFT_GATE_ARROW", "false")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", parts)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "8g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", arrow)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -1044,6 +1044,53 @@ def test_hard_negatives_lsh_method_subset_of_brute(spark):
         hard_negatives(emb, qs, pos, method="nope")
 
 
+def test_hard_negatives_lsh_gates_before_truncation(spark):
+    """Dense near-positive cluster: the query's top candidates are all
+    above sim_cap, with eligible rows further down.  The r13 LSH leg
+    truncated candidates to overfetch*k BEFORE the gates and came back
+    under-filled here; gates must run on the FULL candidate pool so the
+    contract (k rows whenever k eligible candidates exist) holds."""
+    from dftly_spark.ops import hard_negatives
+
+    dim = 8
+    rows = [(0, [1.0] + [0.0] * (dim - 1))]                 # the query itself
+    for i in range(1, 13):                                   # 12 near-dups, cos>0.999
+        v = [1.0, 0.001 * i] + [0.0] * (dim - 2)
+        rows.append((i, v))
+    for j in range(5):                                       # 5 eligible, cos~0.9
+        v = [1.0, 0.47 + 0.01 * j] + [0.0] * (dim - 2)
+        rows.append((100 + j, v))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pos = spark.createDataFrame([(0, 0)], "query_id long, vec_id long")
+    out = hard_negatives(
+        corpus, qs, pos, k=3, sim_cap=0.99, method="lsh", dim=dim, n_planes=2
+    ).collect()
+    assert len(out) == 3, [r.asDict() for r in out]          # full k, not starved
+    assert {r["vec_id"] for r in out} <= {100, 101, 102, 103, 104}
+    assert all(r["cos"] < 0.99 for r in out)
+
+
+def test_hard_negatives_exclude_self(spark):
+    """Queries drawn from the corpus: the query's own vector scores
+    cos=1.0 and must not surface as a 'negative' when exclude_self=True
+    (and DOES surface by default, so the trap stays visible)."""
+    from dftly_spark.ops import hard_negatives
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pos = spark.createDataFrame([], "query_id long, vec_id long")
+    dflt = hard_negatives(emb, qs, pos, k=3).collect()
+    assert any(r["query_id"] == r["vec_id"] for r in dflt)   # the documented trap
+    excl = hard_negatives(emb, qs, pos, k=3, exclude_self=True).collect()
+    assert all(r["query_id"] != r["vec_id"] for r in excl)
+    assert len(excl) == 9
+
+
 def test_pair_quality_null_members_dropped(spark):
     """A pair with a null member is dropped, never normalized into a
     fabricated self-pair (least/greatest skip nulls)."""
