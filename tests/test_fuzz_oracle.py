@@ -822,3 +822,248 @@ def test_fuzz_token_budget_sample_null_policy(spark):
         assert got == expect, (rows, budget)
 
     _prop()
+
+
+def _pr(x: float, d: int) -> float:
+    """Python model of the floor-scale rounding convention
+    (sqlgen.portable_round): floor in the double domain."""
+    import math
+
+    p = 10.0 ** d
+    w = x * p + 0.5
+    if not math.isfinite(w) or abs(w) >= 2.0 ** 53:
+        return w / p
+    return math.floor(w) / p
+
+
+def test_fuzz_rrf_fuse_duplicates_and_nulls(spark):
+    """rrf_fuse ≡ Python model with duplicate (query, doc) rows inside one
+    list (deduped to best rank, never double-counted), null ranks
+    (dropped — absent, no n_lists contribution), single-list input, and
+    the rounded-score re-rank with doc-id tie-break."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dftly_spark.ops import rrf_fuse
+
+    row = st.tuples(
+        st.integers(0, 1),                       # query_id
+        st.integers(0, 5),                       # doc_id
+        st.one_of(st.none(), st.integers(1, 5)),  # rank (nulls allowed)
+    )
+    lists = st.lists(
+        st.lists(row, min_size=0, max_size=10), min_size=1, max_size=3
+    )
+
+    @settings(max_examples=_fuzz_examples(), deadline=None)
+    @given(lists, st.sampled_from([10, 60]), st.sampled_from([None, 1, 3]))
+    def _prop(ranking_rows, k, topk):
+        per_pair: dict = {}
+        for rows in ranking_rows:
+            best: dict = {}
+            for q, d, r in rows:
+                if r is None:
+                    continue
+                key = (q, d)
+                best[key] = r if key not in best else min(best[key], r)
+            for key, r in best.items():
+                n, terms = per_pair.get(key, (0, []))
+                per_pair[key] = (n + 1, terms + [1.0 / (k + r)])
+        fused = {
+            key: (n, _pr(sum(terms), 9)) for key, (n, terms) in per_pair.items()
+        }
+        expect = set()
+        for q in {key[0] for key in fused}:
+            mine = sorted(
+                ((d, nl, s) for (qq, d), (nl, s) in fused.items() if qq == q),
+                key=lambda t: (-t[2], t[0]),
+            )
+            for rank, (d, nl, s) in enumerate(mine, start=1):
+                if topk is None or rank <= topk:
+                    expect.add((q, d, nl, s, rank))
+
+        schema = "query_id int, doc_id int, rank int"
+        frames = [
+            spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema)
+            for rows in ranking_rows
+        ]
+        got = {
+            (r["query_id"], r["doc_id"], r["n_lists"], r["rrf"], r["rank"])
+            for r in rrf_fuse(frames, k=k, topk=topk).collect()
+        }
+        assert got == expect, (ranking_rows, k, topk)
+
+    _prop()
+
+
+def test_fuzz_pair_quality_orientation_and_nulls(spark):
+    """pair_quality ≡ Python model across orientation flips, duplicate
+    emissions, self-pairs, null members (dropped, never normalized into
+    fabricated self-pairs), and empty inputs (null ratios, never 0/0)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dftly_spark.ops import pair_quality
+
+    member = st.one_of(st.none(), st.integers(0, 5))
+    pairs = st.lists(st.tuples(member, member), min_size=0, max_size=12)
+
+    @settings(max_examples=_fuzz_examples(), deadline=None)
+    @given(pairs, pairs)
+    def _prop(pred_rows, truth_rows):
+        def norm(rows):
+            return {
+                (min(a, b), max(a, b))
+                for a, b in rows
+                if a is not None and b is not None
+            }
+
+        p, t = norm(pred_rows), norm(truth_rows)
+        hit = len(p & t)
+        prec = hit / len(p) if p else None
+        rec = hit / len(t) if t else None
+        if prec is None or rec is None or prec + rec == 0:
+            f1 = None
+        else:
+            f1 = 2 * prec * rec / (prec + rec)
+
+        schema = "id_l int, id_r int"
+        mk = lambda rows: (
+            spark.createDataFrame(rows, schema)
+            if rows
+            else spark.createDataFrame([], schema)
+        )
+        r = pair_quality(mk(pred_rows), mk(truth_rows)).collect()[0]
+        assert (r["n_pred"], r["n_truth"], r["n_hit"]) == (len(p), len(t), hit)
+        for got, exp in ((r["precision"], prec), (r["recall"], rec), (r["f1"], f1)):
+            if exp is None:
+                assert got is None
+            else:
+                assert got is not None and abs(got - exp) < 1e-12
+    _prop()
+
+
+def test_fuzz_doremi_weights_null_domains_and_extremes(spark):
+    """doremi_weights ≡ Python model with all-null-loss domains (excess 0,
+    uniform floor share still applies), partial nulls (null-skip mean but
+    full n_rows), floor=1 (pure uniform), and extreme temperatures.
+    Losses are quarter-multiples so the means are bit-exact in both
+    engines; weights compare on the rounded grid."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dftly_spark.ops import doremi_weights
+
+    loss = st.one_of(st.none(), st.integers(0, 16).map(lambda i: i * 0.25))
+    rows = st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", None]), loss, loss),
+        min_size=1,
+        max_size=14,
+    )
+
+    @settings(max_examples=_fuzz_examples(), deadline=None)
+    @given(rows, st.sampled_from([0.25, 1.0, 4.0]), st.sampled_from([0.0, 0.3, 1.0]))
+    def _prop(data_rows, tau, floor):
+        import math
+
+        by_dom: dict = {}
+        for dom, pl, rl in data_rows:
+            if dom is None:
+                continue
+            n, vals = by_dom.get(dom, (0, []))
+            if pl is not None and rl is not None:
+                vals = vals + [max(pl - rl, 0.0)]
+            by_dom[dom] = (n + 1, vals)
+        if not by_dom:
+            return
+        excess = {
+            d: _pr(sum(vals) / len(vals), 6) if vals else 0.0
+            for d, (n, vals) in by_dom.items()
+        }
+        mx = max(excess.values())
+        e = {d: math.exp((x - mx) / tau) for d, x in excess.items()}
+        z = sum(e[d] for d in sorted(e))
+        kk = len(by_dom)
+        expect = {
+            d: (by_dom[d][0], excess[d], (1.0 - floor) * e[d] / z + floor / kk)
+            for d in by_dom
+        }
+
+        df = spark.createDataFrame(
+            data_rows, "dom string, proxy double, ref double"
+        )
+        got = {
+            r["dom"]: (r["n_rows"], r["excess"], r["weight"])
+            for r in doremi_weights(
+                df, "dom", "proxy", "ref", temperature=tau, floor=floor
+            ).collect()
+        }
+        assert set(got) == set(expect), data_rows
+        for d in expect:
+            assert got[d][0] == expect[d][0], (d, data_rows)
+            assert got[d][1] == expect[d][1], (d, data_rows)
+            assert abs(got[d][2] - expect[d][2]) < 2e-6, (d, data_rows)
+
+    _prop()
+
+
+def test_fuzz_mixture_kl_zero_mass_and_nulls(spark):
+    """mixture_kl ≡ Python model across zero-mass groups (explicit 0
+    kl_term — the r14 guard), null weights, negative masses, groups
+    absent from the target, and the no-weight-col row-count mode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dftly_spark.ops import mixture_kl
+
+    w = st.one_of(st.none(), st.sampled_from([-2, 0, 1, 3, 7]))
+    rows = st.lists(
+        st.tuples(st.sampled_from(["a", "b", "z", None]), w),
+        min_size=1,
+        max_size=14,
+    )
+    targets = st.sampled_from(
+        [{"a": 0.5, "b": 0.5}, {"a": 0.3, "b": 0.7}, {"a": 1.0}]
+    )
+
+    @settings(max_examples=_fuzz_examples(), deadline=None)
+    @given(rows, targets, st.booleans())
+    def _prop(data_rows, target, use_weight):
+        import math
+
+        from hypothesis import assume
+
+        by_grp: dict = {}
+        for g, n in data_rows:
+            if g is None or g not in target:
+                continue
+            if use_weight and (n is None or n < 0):
+                continue
+            mass = float(n) if use_weight else 1.0
+            cnt, tot = by_grp.get(g, (0, 0.0))
+            by_grp[g] = (cnt + 1, tot + mass)
+        total = sum(m for _, m in by_grp.values())
+        assume(total > 0)
+        expect = {}
+        for g, (cnt, m) in by_grp.items():
+            p = m / total
+            kl = _pr(p * math.log(p / target[g]), 6) if p > 0 else 0.0
+            expect[g] = (cnt, m, p, target[g], kl)
+
+        df = spark.createDataFrame(data_rows, "grp string, n int")
+        out = mixture_kl(
+            df, "grp", target, weight_col="n" if use_weight else None
+        ).collect()
+        got = {
+            r["grp"]: (r["n_rows"], r["mass"], r["observed"], r["target"], r["kl_term"])
+            for r in out
+        }
+        assert set(got) == set(expect), (data_rows, target, use_weight)
+        for g in expect:
+            ge, ee = got[g], expect[g]
+            assert ge[0] == ee[0] and float(ge[1]) == ee[1], (g, data_rows)
+            assert abs(ge[2] - ee[2]) < 1e-12 and ge[3] == ee[3]
+            assert abs(ge[4] - ee[4]) < 2e-6, (g, data_rows, target)
+
+    _prop()

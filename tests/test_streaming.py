@@ -987,3 +987,147 @@ def test_windowed_calibration_matches_batch(spark):
         for r in calibration_curve(part, "value", "y", bins=8, lo=0.0, hi=500.0).collect():
             want[(w.start, r.bin)] = (r.n, r.n_pos, r.mean_score, r.frac_pos)
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# Restart recovery: stop a stateful query and resume from its checkpoint.
+# Each test drives the SAME sink/checkpoint through multiple availableNow
+# runs with new source files between runs — the later runs must restore
+# per-key state, the watermark, and the file-source position from the
+# checkpoint, producing exactly the batch-reference output with no
+# duplicated and no lost rows across the restart boundary.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+
+def _ts(minute, hour=0):
+    return _dt.datetime(2024, 1, 1, hour, minute)
+
+
+def _phase(spark, build_stream, in_dir, ckpt, out_dir, rows, schema):
+    """Append ``rows`` as a new source file, then run the streaming query
+    built by ``build_stream`` from checkpoint to exhaustion (availableNow)
+    into the parquet sink — one stop/restart cycle."""
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    src = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        build_stream(src)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+
+def test_restart_recovery_asof_join_state(spark, tmp_path):
+    """applyInPandasWithState as-of join across a restart: phase 1 feeds
+    only right-side (click) events, the query stops, phase 2 feeds the
+    left-side (purchase) events — enrichment must come from per-key state
+    RESTORED from the checkpoint, matching left-join batch semantics."""
+    from dftly_spark.ops import asof_join_stream
+
+    schema = "event_id long, user_id long, ts timestamp, value double, event_type string"
+    in_dir, ckpt, out_dir = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def build(src):
+        return asof_join_stream(
+            src.where(F.col("event_type") == "purchase"),
+            src.where(F.col("event_type") == "click"),
+            on="ts", by="user_id", left_id="event_id", right_val="value",
+        )
+
+    _phase(spark, build, in_dir, ckpt, out_dir, [
+        (101, 1, _ts(1), 10.0, "click"),
+        (102, 1, _ts(5), 20.0, "click"),
+        (103, 2, _ts(3), 30.0, "click"),
+    ], schema)
+    _phase(spark, build, in_dir, ckpt, out_dir, [
+        (201, 1, _ts(10), 0.0, "purchase"),
+        (202, 2, _ts(12), 0.0, "purchase"),
+        (203, 3, _ts(13), 0.0, "purchase"),   # never-seen key: left-join nulls
+        (104, 1, _ts(20), 40.0, "click"),
+    ], schema)
+
+    got = {
+        r["event_id"]: (r["right_ts_us"], r["right_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    us = lambda m: int(_ts(m).replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+    assert got == {
+        201: (us(5), 20.0),    # latest phase-1 click for user 1 — restored state
+        202: (us(3), 30.0),
+        203: (None, None),
+    }
+
+
+def test_restart_recovery_watermarked_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark across a restart: a phase-2 duplicate
+    of a phase-1 text (inside the watermark horizon) must be suppressed by
+    the RESTORED dedup state — no duplicate, and no phase-2 original lost."""
+    from dftly_spark.streaming import stream_exact_dedup
+
+    schema = "doc_id long, text string, ts timestamp"
+    in_dir, ckpt, out_dir = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def build(src):
+        return stream_exact_dedup(src, "text", ts_col="ts", watermark="1 hour")
+
+    _phase(spark, build, in_dir, ckpt, out_dir, [
+        (1, "hello world", _ts(0)),
+        (2, "foo bar", _ts(1)),
+    ], schema)
+    _phase(spark, build, in_dir, ckpt, out_dir, [
+        (3, "hello world", _ts(2)),   # duplicate across the restart
+        (4, "baz qux", _ts(3)),
+    ], schema)
+
+    out = spark.read.parquet(out_dir)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 4}
+    assert out.count() == 3                       # no dup emitted, none lost
+
+
+def test_restart_recovery_windowed_agg(spark, tmp_path):
+    """Watermarked tumbling agg across restarts: a window whose rows SPAN
+    the restart must emit once with the combined count (append mode), so
+    the window state and the watermark both restore from the checkpoint.
+    A third run's flush row advances the watermark past every real window
+    so append mode emits them all deterministically."""
+    from dftly_spark.streaming import tumbling_agg
+
+    schema = "etype string, ts timestamp, v double"
+    in_dir, ckpt, out_dir = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def build(src):
+        return tumbling_agg(
+            src, "ts", window="10 minutes", watermark="10 minutes",
+            keys=["etype"], aggs={"n": F.count(F.lit(1)), "total": F.sum("v")},
+        )
+
+    _phase(spark, build, in_dir, ckpt, out_dir, [
+        ("a", _ts(1), 1.0), ("a", _ts(2), 2.0),   # W1 [00:00, 00:10)
+        ("a", _ts(11), 4.0),                       # W2 [00:10, 00:20) — part 1
+    ], schema)
+    _phase(spark, build, in_dir, ckpt, out_dir, [
+        ("a", _ts(12), 8.0),                       # W2 — part 2, after restart
+        ("a", _ts(21), 16.0),                      # W3 [00:20, 00:30)
+        ("a", _ts(0, hour=2), 0.0),                # flush: watermark -> 01:50
+    ], schema)
+    _phase(spark, build, in_dir, ckpt, out_dir, [
+        ("a", _ts(0, hour=4), 0.0),                # flush 2: emit everything < 03:50
+    ], schema)
+
+    got = {
+        (r["window_start"], r["n"], r["total"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["window_start"] < _ts(0, hour=1)      # the real (non-flush) windows
+    }
+    assert got == {
+        (_ts(0), 2, 3.0),
+        (_ts(10), 2, 12.0),                        # 1 row per phase: spans restart
+        (_ts(20), 1, 16.0),
+    }
