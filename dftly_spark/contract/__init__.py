@@ -41,6 +41,7 @@ from . import ext5 as _wave_5  # noqa: F401
 from . import ext6 as _wave_6  # noqa: F401
 from . import ext7 as _wave_7  # noqa: F401
 from . import ext8 as _wave_8  # noqa: F401
+from . import ext9 as _wave_9  # noqa: F401
 from .ext3 import _x54_corpus
 from .ext6 import _agg_spec_query  # re-exported: the x128 fuzz harness
 
@@ -78,6 +79,22 @@ _PRIORITY = [
     #    mining, x153 DoReMi weights -- never sampled, very front;
     #    x09/x10/x11/x13/x15 drop from the back-fill to hold the
     #    window at 50 --
+    #
+    # -- round-14 ADDED: x156 alpha-sampling weights, x157 tokenizer
+    #    fertility, x158 vocab coverage / OOV, x159 Spearman rank
+    #    correlation, x160 cluster-balanced sampling -- never sampled,
+    #    very front.  The r13 cohort (x151-x155, one green row each)
+    #    keeps its slots; x04-x08 (3 green rows: r01, r02, r13) rotate
+    #    OUT to the tail to hold the window at 50.  x155's oracle gained
+    #    the 0-mass CASE guard and x152's LSH leg moved its gates before
+    #    the top-k cut (brute path byte-identical) -- both already in
+    #    the front block. --
+    "x156_alpha_sampling",
+    "x157_token_fertility",
+    "x158_vocab_coverage",
+    "x159_spearman_corr",
+    "x160_cluster_balanced",
+
     "x155_mixture_kl",
     "x154_pair_quality",
     "x151_rrf_fusion",
@@ -129,14 +146,14 @@ _PRIORITY = [
     "x01_exact_dedup",
     "x02_ngram_jaccard_pairs",
     "x03_minhash_lsh_pairs",
+    #
+    # -- tail: multi-round green veterans; sampled again only if the
+    #    window widens or they change --
     "x04_simhash_pairs",
     "x05_embedding_neardup",
     "x06_cosine_topk",
     "x07_text_analysis",
     "x08_fingerprint",
-    #
-    # -- tail: multi-round green veterans; sampled again only if the
-    #    window widens or they change --
     "x09_multimodal_decode",
     "x10_frame_sample",
     "x11_ann_lsh_topk",

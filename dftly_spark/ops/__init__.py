@@ -28,6 +28,8 @@ from .textops import (
     canonical_url,
     line_filter,
     dedup_lines,
+    token_fertility,
+    vocab_coverage,
     doc_tokens,
     gopher_rules,
     shared_affix_counts,
@@ -81,7 +83,7 @@ from .dedup import (
     word_shingles,
 )
 from .graph import kcore, pagerank, prepare_edges, triangle_count
-from .quality import calibration_curve, expect, expect_observed, roc_auc, roc_auc_by_group
+from .quality import calibration_curve, expect, expect_observed, roc_auc, roc_auc_by_group, spearman_corr
 from .entity import fuzzy_index, fuzzy_join
 from .pca import pca_top_component
 from .reshape import melt, pivot_wide
@@ -121,7 +123,9 @@ from .joins import (
 from .jsonops import json_extract_fields, json_parse_typed
 from .retrieval import sparse_cosine_pairs, bm25_topk, tf_idf_vectors, distinctive_terms, ranking_metrics, rrf_fuse
 from .sampling import (
+    alpha_sampling,
     cap_per_group,
+    cluster_balanced_sample,
     weighted_sample_per_group,
     hash_split,
     mixture_kl,

@@ -426,3 +426,72 @@ def calibration_exprs(score_col, label_col, bins, lo, hi):
         ).alias("frac_pos"),
     ]
     return s, y, b, aggs
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group Spearman rank correlation of two numeric columns.
+
+    The scorer-agreement metric: when two quality signals (a heuristic
+    score and a model score, two rounds of an LLM judge, …) are candidates
+    for the same filtering decision, their rank agreement — not their raw
+    value agreement — is what predicts whether swapping them changes the
+    kept set.  Spearman ρ = Pearson correlation of the two AVERAGE ranks
+    (fractional ranks, the standard tie treatment), computed per group.
+
+    Output: ``(group, n, spearman)`` — ``n`` is the pairs used (rows where
+    BOTH columns are non-null; others are excluded, the complete-case
+    convention), and ``spearman`` is null when ``n < 2`` or either column
+    is constant within the group (undefined, never NaN).
+
+    Plan shape: average ranks come from two window functions per column —
+    ``rank()`` over the group plus a count over ``(group, value)`` — all
+    partitioned by the group key (no unpartitioned windows), then ONE
+    keyed aggregation computes the correlation from its moment sums.  The
+    correlation is assembled from ``avg``/``covar_pop``/``var_pop`` and
+    quantized on the floor-scale grid (``decimals``) because moment
+    accumulation order differs across engines.
+    """
+    from ..sqlgen import portable_round
+    from pyspark.sql import Window
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        F.col(group_col), x.alias("_x"), y.alias("_y")
+    )
+
+    def avg_rank(col_name: str, out: str):
+        # fractional (average) rank: rank() gives 1 + count(strictly less);
+        # adding (ties - 1)/2 centers equal values on their shared rank.
+        w_rank = Window.partitionBy(group_col).orderBy(F.col(col_name))
+        w_ties = Window.partitionBy(group_col, col_name)
+        return (
+            F.rank().over(w_rank).cast("double")
+            + (F.count(F.lit(1)).over(w_ties).cast("double") - 1.0) / 2.0
+        ).alias(out)
+
+    ranked = base.select(
+        group_col, avg_rank("_x", "_rx"), avg_rank("_y", "_ry")
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.covar_pop("_rx", "_ry").alias("_cov"),
+        F.var_pop("_rx").alias("_vx"),
+        F.var_pop("_ry").alias("_vy"),
+    )
+    rho = F.col("_cov") / F.sqrt(F.col("_vx") * F.col("_vy"))
+    return agg.select(
+        group_col,
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (F.col("_vx") > 0) & (F.col("_vy") > 0),
+            portable_round(rho, decimals),
+        ).alias("spearman"),
+    )

@@ -513,3 +513,137 @@ def mixture_kl(
         .otherwise(F.lit(0.0))
         .alias("kl_term"),
     )
+
+
+def alpha_sampling(
+    df: DataFrame,
+    group_col: str,
+    *,
+    alpha: float = 0.3,
+    weight_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Temperature-based (α) multilingual sampling weights — the mT5/XLM-R
+    recipe (Xue et al. 2021 §3.2; Conneau et al. 2020): sample group
+    ``l`` with probability ``q_l ∝ p_l^α`` where ``p_l`` is the group's
+    natural share of the corpus.  ``α = 1`` reproduces the natural
+    distribution, ``α = 0`` is uniform, and the usual ``α ≈ 0.3`` boosts
+    low-resource groups without flattening the head.  The sampling twin
+    of :func:`mixture_kl` (which monitors drift against such a target)
+    and the heuristic cousin of ``doremi_weights`` (which learns the
+    target from proxy losses).
+
+    Per group: ``(n_rows, mass, share, weight, boost)`` — ``mass``
+    weights rows by ``weight_col`` (token counts) when given, else each
+    row counts 1; ``share = mass/total`` (exact ratio); ``weight`` is
+    the normalized ``share^α``; ``boost = weight/share`` is the repeat
+    factor the group's data sees under the mixture (> 1 = upsampled).
+    Null groups and null/negative masses are excluded; groups whose
+    total mass is zero are excluded too (a zero-mass group has no data
+    to sample — and ``0^0 = 1`` at ``α = 0`` would fabricate weight for
+    it).  Weights sum to 1 up to the rounding grid.
+
+    Cross-engine floats: ``pow`` is a transcendental, so ``share^α`` is
+    quantized on the floor-scale grid (``decimals``) BEFORE the
+    normalizer sum — the same two-stage convention as
+    ``doremi_weights``'s softmax.
+
+    Scale shape: ONE map-side-combined keyed aggregation to a K-row
+    group table; the normalizers attach as 1-row broadcasts.  The
+    corpus is never shuffled.
+    """
+    from ..sqlgen import portable_round
+
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    mass = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    base = df.where(
+        F.col(group_col).isNotNull() & mass.isNotNull() & (mass >= 0)
+    )
+    grp = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(mass).alias("mass")
+    ).where(F.col("mass") > 0)
+    tot = grp.agg(F.sum("mass").alias("_T"))
+    share = F.col("mass") / F.col("_T")
+    powered = grp.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_rows",
+        "mass",
+        share.alias("share"),
+        portable_round(
+            F.pow(share, F.lit(float(alpha))), decimals
+        ).alias("_e"),
+    )
+    z = powered.agg(F.sum("_e").alias("_Z"))
+    w = F.col("_e") / F.col("_Z")
+    return powered.crossJoin(F.broadcast(z)).select(
+        group_col,
+        "n_rows",
+        "mass",
+        "share",
+        portable_round(w, decimals).alias("weight"),
+        portable_round(w / F.col("share"), decimals).alias("boost"),
+    )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    *,
+    n_cells: int = 16,
+    cap: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+    kmeans_init: str = "sample",
+    seed: int = 42,
+) -> DataFrame:
+    """Diversity-preserving subset: k-means cells + a per-cell cap.
+
+    The cluster-balanced selection step of SemDeDup-style pipelines
+    (Abbas et al. 2023) and density-aware pruning (Sorscher et al. 2022
+    "Beyond neural scaling laws"): embed-space clusters stand in for
+    topics/modes, and capping each cell keeps the tail modes that a
+    uniform sample would starve while shaving the over-dense head.
+    Returns ``(id, cell, cell_rank)`` for the kept rows — semi-join it
+    back against the corpus to materialize the subset.
+
+    Within a cell, survivors are the first ``cap`` rows in the seeded
+    LCG order on the id (the module's engine-replayable shuffle — see
+    the header; never ``rand()``), so the subset is reproducible from
+    row identity alone and an external engine can replay the exact
+    selection.
+
+    Scale shape: the centroid fit is :func:`~dftly_spark.ops.similarity.choose_centroid_frame`
+    (cluster-side Lloyd — the k×dim matrix never touches the driver or
+    the plan text; it attaches to the scan as a checkpointed 1-row
+    broadcast); assignment is one broadcast-matrix argmax scan
+    (``assign_cells``); the cap is one window keyed on ``(cell)`` over
+    ≤ corpus rows — the same single-shuffle shape as ``cap_per_group``.
+    For pathological cell skew, pre-salt with ``cap_per_group`` on the
+    assigned frame instead.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import topic_assign
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    assigned = topic_assign(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_topics=n_cells,
+        strategy="kmeans",
+        seed=seed,
+        kmeans_iters=kmeans_iters,
+        kmeans_init=kmeans_init,
+        centroids_as="broadcast_join",
+        scorer="fold",
+    ).select(F.col(id_col), F.col("topic").cast("int").alias("cell"))
+    w = Window.partitionBy("cell").orderBy(
+        _mix(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= cap)
+    )

@@ -1280,3 +1280,119 @@ def canonical_url(col: SparkColumn) -> SparkColumn:
         u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+/[^?#]*[^/?#])/(\?.*)?$", "$1$2"
     )
     return u
+
+
+def token_fertility(
+    df,
+    group_col: str,
+    text_col: str = "text",
+    *,
+    tokens_col: str | None = None,
+):
+    """Per-group tokenizer-fertility statistics — the corpus-card metric
+    for "how expensively does this tokenizer encode each language/source"
+    (the mT5 fertility table, Xue et al. 2021 §3.2; Rust et al. 2021):
+    ``fertility = subword tokens / whitespace words`` and
+    ``chars_per_token``.  High-fertility groups burn sequence length, so
+    mixtures and per-group token budgets should be planned on these
+    numbers, not on row counts.
+
+    Subword tokens use the module's BPE-ish regex (``bpe_token_count``);
+    words use the canonical whitespace tokens (``doc_tokens``, so one
+    cached tokenization serves this op too).  Output per group:
+    ``(n_docs, n_chars, n_words, n_tokens, fertility, chars_per_token)``
+    with null ratios when their denominator is 0.  Sums are exact
+    integers and each ratio is a single double division, so the numbers
+    replay bit-exactly in any engine — no rounding grid needed.
+
+    Scale shape: ONE map-side-combined keyed aggregation to a K-row
+    table; the per-row token counts are plain column expressions inside
+    the scan.  Null groups are excluded; null text counts 0 into every
+    sum (a doc with nothing to encode, same rule as ``line_filter``).
+    """
+    words = F.coalesce(
+        F.size(doc_tokens(df, text_col, tokens_col)).cast("bigint"), F.lit(0)
+    )
+    # size() is -1 for a null array (null text); clamp to the documented 0
+    words = F.greatest(words, F.lit(0).cast("bigint"))
+    toks = F.coalesce(bpe_token_count(F.col(text_col)), F.lit(0))
+    chars = F.coalesce(F.length(F.col(text_col)).cast("bigint"), F.lit(0))
+    grp = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(chars).alias("n_chars"),
+            F.sum(words).alias("n_words"),
+            F.sum(toks).alias("n_tokens"),
+        )
+    )
+    return grp.select(
+        group_col,
+        "n_docs",
+        "n_chars",
+        "n_words",
+        "n_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_tokens").cast("double") / F.col("n_words"),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_chars").cast("double") / F.col("n_tokens"),
+        ).alias("chars_per_token"),
+    )
+
+
+def vocab_coverage(
+    df,
+    vocab,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    tokens_col: str | None = None,
+):
+    """Per-document out-of-vocabulary rate against a reference vocabulary.
+
+    The preprocessing QA gate "will this tokenizer/embedding vocabulary
+    actually cover the corpus": ``vocab`` is a 1-column DataFrame of
+    known terms (compare lowercased whitespace tokens — build it from
+    :func:`vocab_topk` or a tokenizer's wordlist).  Output per document:
+    ``(id, n_tokens, n_oov, oov_rate)`` — ``oov_rate`` null when the
+    document has no tokens (0-vs-undefined, as everywhere in the repo).
+
+    Scale shape: token instances join the BROADCAST vocabulary (a real
+    vocab is ≤ a few 10⁵ terms — the sanctioned bounded-dimension
+    broadcast) and aggregate keyed on the document id — one shuffle of
+    (id, is_oov) pairs, the same shape as the term-frame family.  Docs
+    with zero tokens re-attach by a left join from the (already
+    id-unique) document frame, so they are never silently dropped.
+    """
+    vcol = vocab.columns[0]
+    v = vocab.select(F.col(vcol).alias("_term")).dropDuplicates(["_term"])
+    inst = df.select(
+        F.col(id_col), F.explode(doc_tokens(df, text_col, tokens_col)).alias("_term")
+    )
+    counts = (
+        inst.join(F.broadcast(v.withColumn("_known", F.lit(1))), "_term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_known").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_oov"),
+        )
+    )
+    base = df.select(id_col)
+    out = base.join(counts, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias("n_tokens"),
+        F.coalesce(F.col("n_oov"), F.lit(0).cast("bigint")).alias("n_oov"),
+    )
+    return out.select(
+        "*",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_oov").cast("double") / F.col("n_tokens"),
+        ).alias("oov_rate"),
+    )

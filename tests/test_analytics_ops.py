@@ -1157,3 +1157,131 @@ def test_mixture_kl_zero_mass_group_contributes_zero(spark):
     assert out["en"]["observed"] == 1.0
     total = sum(r["kl_term"] for r in out.values())   # no TypeError on None
     assert total == out["en"]["kl_term"]
+
+
+# -- round-14 additions: alpha_sampling / token_fertility / vocab_coverage /
+#    spearman_corr / cluster_balanced_sample --
+
+
+def test_alpha_sampling_limits_and_exclusions(spark):
+    import pytest as _pytest
+
+    from dftly_spark.ops import alpha_sampling
+
+    rows = [
+        ("en", 800), ("de", 100), ("fr", 100),
+        (None, 50),          # null group: excluded
+        ("es", None),        # null mass: excluded
+        ("zh", 0),           # zero-mass group: dropped entirely
+    ]
+    df = spark.createDataFrame(rows, "lang string, n int")
+    # alpha=1 reproduces the natural distribution
+    nat = {r["lang"]: r for r in alpha_sampling(
+        df, "lang", alpha=1.0, weight_col="n"
+    ).collect()}
+    assert set(nat) == {"en", "de", "fr"}
+    assert abs(nat["en"]["weight"] - 0.8) < 2e-6
+    assert abs(nat["en"]["boost"] - 1.0) < 2e-6
+    # alpha=0 is uniform
+    uni = {r["lang"]: r["weight"] for r in alpha_sampling(
+        df, "lang", alpha=0.0, weight_col="n"
+    ).collect()}
+    assert all(abs(w - 1 / 3) < 2e-6 for w in uni.values())
+    # alpha=0.3 boosts the tail above natural, shaves the head
+    mid = {r["lang"]: r for r in alpha_sampling(
+        df, "lang", alpha=0.3, weight_col="n"
+    ).collect()}
+    assert mid["en"]["boost"] < 1.0 < mid["de"]["boost"]
+    assert abs(sum(r["weight"] for r in mid.values()) - 1.0) < 1e-5
+    with _pytest.raises(ValueError):
+        alpha_sampling(df, "lang", alpha=-0.1)
+
+
+def test_token_fertility_nulls_and_ratios(spark):
+    from dftly_spark.ops import token_fertility
+
+    rows = [
+        ("en", "hello, world"),       # 2 words; bpe: hello , world = 3
+        ("en", None),                 # null text: 0 into every sum
+        ("de", ""),                   # empty: 0 words, 0 tokens
+        (None, "dropped"),            # null group: excluded
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r["lang"]: r for r in token_fertility(df, "lang").collect()}
+    assert set(out) == {"en", "de"}
+    en = out["en"]
+    assert (en["n_docs"], en["n_chars"], en["n_words"], en["n_tokens"]) == (2, 12, 2, 3)
+    assert en["fertility"] == 1.5
+    assert en["chars_per_token"] == 4.0
+    de = out["de"]
+    assert (de["n_words"], de["n_tokens"]) == (0, 0)
+    assert de["fertility"] is None and de["chars_per_token"] is None
+
+
+def test_vocab_coverage_zero_token_docs_and_dedup(spark):
+    from dftly_spark.ops import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "x y"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("a",), ("b",), ("a",)], "term string"   # dup term must not double-count
+    )
+    out = {r["doc_id"]: r for r in vocab_coverage(docs, vocab).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 1   # only 'c'
+    assert out[1]["oov_rate"] == 0.25
+    assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 2
+    for d in (3, 4):                                          # tokenless docs kept
+        assert (out[d]["n_tokens"], out[d]["n_oov"], out[d]["oov_rate"]) == (0, 0, None)
+
+
+def test_spearman_corr_monotone_ties_and_degenerate(spark):
+    from dftly_spark.ops import spearman_corr
+
+    rows = (
+        # monotone increasing -> rho = 1 regardless of nonlinearity
+        [("up", float(i), float(i**3)) for i in range(6)]
+        # monotone decreasing -> rho = -1
+        + [("dn", float(i), float(-i)) for i in range(5)]
+        # constant y -> undefined (null), never NaN
+        + [("const", float(i), 7.0) for i in range(4)]
+        # a single pair -> null
+        + [("one", 1.0, 2.0)]
+        # null member rows excluded (complete-case)
+        + [("up", None, 5.0), ("up", 3.0, None)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in spearman_corr(df, "g", "x", "y").collect()}
+    assert out["up"]["n"] == 6 and out["up"]["spearman"] == 1.0
+    assert out["dn"]["spearman"] == -1.0
+    assert out["const"]["spearman"] is None
+    assert out["one"]["spearman"] is None
+    # tie handling: x=[1,1,2], y=[1,2,3] -> ranks x=(1.5,1.5,3), y=(1,2,3)
+    # -> rho = cov/sqrt(vx*vy) = 0.75/sqrt(0.5*2/3) ~ 0.866025
+    ties = spark.createDataFrame(
+        [("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 3.0)],
+        "g string, x double, y double",
+    )
+    r = spearman_corr(ties, "g", "x", "y").collect()[0]
+    assert abs(r["spearman"] - 0.866025) < 2e-6
+
+
+def test_cluster_balanced_sample_cap_and_determinism(spark):
+    import pytest as _pytest
+
+    from dftly_spark.ops import cluster_balanced_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = cluster_balanced_sample(emb, n_cells=4, cap=25, kmeans_iters=1,
+                                kmeans_init="first").collect()
+    counts = {}
+    for r in a:
+        counts[r["cell"]] = counts.get(r["cell"], 0) + 1
+        assert 1 <= r["cell_rank"] <= 25
+    assert all(c <= 25 for c in counts.values())
+    b = cluster_balanced_sample(emb, n_cells=4, cap=25, kmeans_iters=1,
+                                kmeans_init="first").collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}   # rerun-stable
+    with _pytest.raises(ValueError):
+        cluster_balanced_sample(emb, n_cells=4, cap=0)

@@ -136,6 +136,8 @@ def test_all_contract_queries_plan_invariants(spark):
         "x109_dsir_weights",  # 1-row model-totals broadcast over B buckets
         "x153_doremi_weights",  # 1-row softmax-normalizer broadcast over K domains
         "x155_mixture_kl",  # 1-row mass-total broadcast over |target| rows
+        "x156_alpha_sampling",  # 1-row total + 1-row normalizer broadcasts over K groups
+        "x160_cluster_balanced",  # 1-row centroid-MATRIX broadcast (x12/x56 shape)
         "x111_kcore",  # 1-row converged-flag broadcast (scalar attach)
         "x114_bpe_learn",  # 1-row merge-rule broadcast per round
         "x117_join_size_sketch",  # 1-row est x 1-row exact attach
