@@ -99,7 +99,15 @@ def _x04(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Portable-hash SimHash (md5-derived 60-bit token hashes) lets DuckDB
 # recompute the exact fingerprints.  The oracle finds hamming<=3 pairs by
 # brute force over all fingerprint pairs, so it also checks the *recall* of
-# the banded pigeonhole join, not just its precision.
+# the banded pigeonhole join, not just its precision.  The one sanctioned
+# deviation from brute force is the documented hot-bucket cap
+# (hamming_pairs max_bucket_size=1000, the 100 TB shuffle-safety lever):
+# a (band, chunk-value) bucket with > 1000 members is dropped WHOLE before
+# the candidate join, so the oracle excludes a brute pair only when EVERY
+# band the two fingerprints agree on is an oversize bucket — bucket sizes
+# are a deterministic property of the corpus, so this mirrors the plan
+# exactly.  Below the cap (sf0.01/sf0.1) the EXISTS clause is vacuously
+# true and the oracle IS plain brute force; it first binds at sf1.0.
 _q(
     "x04_simhash_pairs",
     _x04,
@@ -117,11 +125,25 @@ _q(
     ), fp AS (
       SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END)::UBIGINT AS fp
       FROM votes GROUP BY doc_id
+    ), chunks AS (
+      -- nbits=60, max_hamming=3 -> 4 bands of 15 bits (hamming_pairs)
+      SELECT doc_id, band, (fp >> (band * 15)) & 32767 AS bucket
+      FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+    ), ok AS (
+      SELECT band, bucket FROM chunks GROUP BY band, bucket
+      HAVING count(*) <= 1000
     )
     SELECT a.doc_id AS id_l, b.doc_id AS id_r,
            CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      AND EXISTS (
+        SELECT 1 FROM chunks ca
+        JOIN chunks cb ON cb.doc_id = b.doc_id AND cb.band = ca.band
+                      AND cb.bucket = ca.bucket
+        JOIN ok ON ok.band = ca.band AND ok.bucket = ca.bucket
+        WHERE ca.doc_id = a.doc_id
+      )
     """,
 )
 
