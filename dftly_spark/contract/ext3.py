@@ -19,7 +19,7 @@ order.  See common.py for the registry and shared fixtures.
 
 from __future__ import annotations
 
-from dftly_spark.sqlgen import exact_sum, portable_round
+from dftly_spark.sqlgen import exact_sum, portable_round, portable_round_sql
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from .common import _TOK, _docs_tok, _prep, _q, _t
@@ -936,9 +936,10 @@ _q(
 
 def _x71(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type winsorization of the event value (ops/profile.py
-    winsorize) — exact percentile clamping; Spark's percentile
-    interpolation is bit-identical to DuckDB's quantile_cont, so no
-    rounding appears anywhere."""
+    winsorize) — exact percentile clamping with the bounds on the
+    floor-scale grid (the r14 sf1.0 gate caught a 1-ulp interpolation
+    divergence between Spark percentile and DuckDB quantile_cont on a
+    1M-row group; smaller scales never hit it)."""
     from dftly_spark.ops import winsorize
 
     _prep(spark)
@@ -950,10 +951,11 @@ def _x71(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q(
     "x71_winsorize",
     _x71,
-    """
+    f"""
     WITH b AS (
-      SELECT event_type AS g, quantile_cont(value, 0.05) AS lo,
-             quantile_cont(value, 0.95) AS hi
+      SELECT event_type AS g,
+             {portable_round_sql('quantile_cont(value, 0.05)')} AS lo,
+             {portable_round_sql('quantile_cont(value, 0.95)')} AS hi
       FROM events GROUP BY event_type
     )
     SELECT event_id, event_type, value,

@@ -165,11 +165,27 @@ _q(
                            WHEN i = 63 THEN -9223372036854775808
                            ELSE (1::BIGINT << i) END) AS BIGINT) AS ahash
       FROM bits GROUP BY doc_id
+    ), chunks AS (
+      -- hamming_pairs hot-bucket cap mirror (the x04 pattern): nbits=64,
+      -- max_hamming=3 -> 4 bands of 16 bits; masking AFTER the shift makes
+      -- the arithmetic sign-extension of the signed ahash irrelevant
+      SELECT doc_id, band, (ahash >> (band * 16)) & 65535 AS bucket
+      FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+    ), ok AS (
+      SELECT band, bucket FROM chunks GROUP BY band, bucket
+      HAVING count(*) <= 1000
     )
     SELECT a.doc_id AS id_l, b.doc_id AS id_r,
            CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+      AND EXISTS (
+        SELECT 1 FROM chunks ca
+        JOIN chunks cb ON cb.doc_id = b.doc_id AND cb.band = ca.band
+                      AND cb.bucket = ca.bucket
+        JOIN ok ON ok.band = ca.band AND ok.bucket = ca.bucket
+        WHERE ca.doc_id = a.doc_id
+      )
     """,
 )
 

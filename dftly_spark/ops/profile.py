@@ -476,6 +476,7 @@ def winsorize(
     *,
     lower: float = 0.01,
     upper: float = 0.99,
+    decimals: int = 6,
 ) -> DataFrame:
     """Per-group percentile clamping (winsorization) with an audit flag.
 
@@ -486,14 +487,21 @@ def winsorize(
 
     One keyed percentile aggregation (map-side partial) over ≤|groups|
     rows joined back to the frame — AQE broadcasts the tiny bounds side.
-    Spark's exact ``percentile`` interpolation is bit-identical to
-    DuckDB's ``quantile_cont`` (verified on doubles), so no rounding hedge
-    is needed anywhere.
+    The percentile BOUNDS are quantized on the floor-scale grid
+    (``decimals``) before clamping: Spark's exact ``percentile`` and
+    DuckDB's ``quantile_cont`` interpolate the same fractional rank with
+    differently-associated arithmetic, and the r14 sf1.0 gate caught a
+    real 1-ulp divergence (2.52 vs 2.52+4.4e-16 on a 1M-row group) that
+    smaller scales never hit — so the bounds follow the same rounding
+    convention as every other cross-engine float in the repo.  Unclamped
+    values pass through exactly.
     """
+    from ..sqlgen import portable_round
+
     v = F.col(value_col)
     bounds = df.groupBy(F.col(group_col).alias("_wg")).agg(
-        F.percentile(v, F.lit(lower)).alias("_lo"),
-        F.percentile(v, F.lit(upper)).alias("_hi"),
+        portable_round(F.percentile(v, F.lit(lower)), decimals).alias("_lo"),
+        portable_round(F.percentile(v, F.lit(upper)), decimals).alias("_hi"),
     )
     joined = df.join(bounds, df[group_col] == bounds["_wg"], "left").drop("_wg")
     clamped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))

@@ -58,8 +58,13 @@ STRIDE = {
     "l_suppkey": 10_000_000,
     "event_id": 10_000_000,
     "user_id": 1_000_000,
-    "doc_id": 1_000_000,
-    "vec_id": 1_000_000,
+    # doc_id/vec_id stride 100M: several contract queries PLANT copies at
+    # +1M / +10M of existing ids (x124, x54, x05/x36) — replica ids must
+    # stay clear of every planted id, i.e. (replica stride) cannot divide
+    # or collide with (corpus id + plant offset).  100M > 9 * plant-max
+    # keeps all plants in open space at factor 10.
+    "doc_id": 100_000_000,
+    "vec_id": 100_000_000,
 }
 
 
