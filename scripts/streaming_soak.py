@@ -239,11 +239,16 @@ def main() -> int:
     )
 
     sizes = soak_index(spark, n_rounds)
-    # the first live round can admit intra-batch duplicates (screening is
-    # against the INDEX, not within-batch — at-least-once appends; the
-    # compaction pass dedups); the invariant is NO GROWTH once the text
-    # distribution is indexed: every round after the first is flat.
-    flat = len(set(sizes[1:])) == 1 and sizes[-1] > 1
+    # live rounds can admit intra-batch duplicates (screening is against
+    # the INDEX, not within-batch — at-least-once appends; the compaction
+    # pass dedups), and under machine load the 500-rows/sec rate source
+    # may need SEVERAL rounds to cover the 1155-text distribution (the r14
+    # concurrent-gate run covered it in 2 instead of 1).  The invariant is
+    # NO GROWTH once the distribution is indexed: the last two-thirds of
+    # the rounds must be flat — ramp length is wall-clock, the plateau is
+    # the contract.
+    tail = sizes[len(sizes) // 3:]
+    flat = len(set(tail)) == 1 and tail[-1] > 1
     ok &= flat
     print(
         f"minhash_index: rounds={len(sizes)} sizes={sizes} "
