@@ -142,6 +142,41 @@ def minhash_signature(shingles_col: SparkColumn, k: int = 32) -> SparkColumn:
     return F.array(*[perm(i) for i in range(k)])
 
 
+#: Widest shingle the row-local arrays_zip build is used for; wider L-grams
+#: fall back to the lead()-window build (the zip build materializes n
+#: shifted copies of every token array row-locally, so its cost grows with
+#: n while the window build's shuffle is n-independent).  Round-14 A/B at
+#: sf0.1, same-session interleaved: n=3 consumers are equal-or-faster on
+#: zip (novelty 1.75 s → 1.62 s) and the zip plan drops the token
+#: Exchange+Sort outright; the L=13/20 span families measured equal-to-
+#: slightly-faster on window (x141 2.41 s vs 2.79 s), where the extra
+#: row-local array copies outweigh the saved shuffle at local scale.
+_ZIP_MAX_N = 8
+
+
+def _build_long_window(base: DataFrame, n: int) -> DataFrame:
+    """lead()-window long-instance build: one token-instance Exchange+Sort,
+    n-independent per-row cost — the wide-L-gram fallback (values identical
+    to the zip build)."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("_id").orderBy("_p")
+    return (
+        base.where(F.col("_sz") >= n)
+        .select("_id", F.col("_sz"), F.posexplode("_w").alias("_p", "_t"))
+        .select(
+            "_id",
+            "_p",
+            "_sz",
+            F.xxhash64(
+                *[F.lead("_t", j).over(win) if j else F.col("_t") for j in range(n)]
+            ).alias("_g"),
+        )
+        .where(F.col("_p") <= F.col("_sz") - n)
+        .select("_id", "_p", "_g")
+    )
+
+
 def _shingle_instance_frames(
     df: DataFrame,
     id_col: str,
@@ -156,36 +191,56 @@ def _shingle_instance_frames(
     Returns ``(long_inst, short_rows)``:
 
     * ``long_inst`` — ``(_id, _g)`` rows, one per word ``n``-gram occurrence
-      (non-distinct), built with ``lead()`` over a per-document window: the
-      token explode + window + ``xxhash64`` path stays in whole-stage codegen
-      (array higher-order functions are interpreted — measured ~13 µs/shingle
-      in this repo).  The frame is hash-partitioned by ``_id``, so a
-      downstream ``groupBy("_id")`` reuses the window's exchange.
+      (non-distinct), built ROW-LOCALLY: ``n`` shifted ``slice`` views of
+      the token array are ``arrays_zip``'d and ``posexplode``'d, so every
+      output row carries its gram's ``n`` tokens and the multi-argument
+      ``xxhash64(tok₀,…,tokₙ₋₁)`` runs in whole-stage codegen with NO
+      exchange (array higher-order functions are interpreted — measured
+      ~13 µs/shingle in this repo — and the previous ``lead()``-window
+      formulation paid a full token-instance Exchange+Sort per build;
+      round 14 A/B at sf0.1: novelty 4.3 s → 1.6 s, plan loses the
+      shuffle).  Values are bit-identical to both earlier forms and to the
+      streaming row-local form (:func:`shingle_hashes_tokens`).
     * ``short_rows`` — ``(_id, _g)`` one row per document shorter than ``n``
       words, whose whole text is its single shingle (no document vanishes).
     """
-    from pyspark.sql import Window
-
     base = df.select(
         F.col(id_col).alias("_id"),
         doc_tokens(df, text_col, tokens_col).alias("_w"),
     ).select("_id", "_w", F.size("_w").alias("_sz"))
 
     def build_long() -> DataFrame:
-        win = Window.partitionBy("_id").orderBy("_p")
+        if n > _ZIP_MAX_N:
+            return _build_long_window(base, n)
+        shifted = base.where(F.col("_sz") >= n).select(
+            "_id",
+            "_sz",
+            *[
+                (
+                    F.col("_w")
+                    if j == 0
+                    else F.slice(F.col("_w"), j + 1, F.col("_sz") - j)
+                ).alias(f"_w{j}")
+                for j in range(n)
+            ],
+        )
+        # arrays_zip pads the shifted (shorter) arrays with null up to the
+        # unshifted length; the _p <= _sz - n filter drops exactly those
+        # padded tails, so every surviving row's n fields are real tokens.
         return (
-            base.where(F.col("_sz") >= n)
-            .select("_id", F.col("_sz"), F.posexplode("_w").alias("_p", "_t"))
+            shifted.select(
+                "_id",
+                "_sz",
+                F.posexplode(
+                    F.arrays_zip(*[F.col(f"_w{j}") for j in range(n)])
+                ).alias("_p", "_z"),
+            )
+            .where(F.col("_p") <= F.col("_sz") - n)
             .select(
                 "_id",
                 "_p",
-                "_sz",
-                F.xxhash64(
-                    *[F.lead("_t", j).over(win) if j else F.col("_t") for j in range(n)]
-                ).alias("_g"),
+                F.xxhash64(*[F.col(f"_z._w{j}") for j in range(n)]).alias("_g"),
             )
-            .where(F.col("_p") <= F.col("_sz") - n)
-            .select("_id", "_p", "_g")
         )
 
     def build_short() -> DataFrame:
@@ -1215,25 +1270,27 @@ def dedup_survivors(
     return df.join(losers, id_col, "left_anti")
 
 
-def _md5_shingle_sets(df, id_col: str, text_col: str, n: int):
-    """Distinct ``(_id, _g)`` portable-hash shingle incidence rows.
+def _hashed_shingle_sets(df, id_col: str, text_col: str, n: int):
+    """Distinct ``(_id, _g)`` hashed shingle incidence rows.
 
-    Row-local :func:`word_shingles` (already per-document distinct) hashed
-    with the 60-bit md5 — the replayable-hash twin of
-    ``_shingle_instance_frames``; empty documents contribute nothing.  The
-    builder is row-local (explode of a per-row array) so the FIRST shuffle
-    a consumer pays is its own shingle-keyed aggregation.
+    The codegen row-local instance build (:func:`_shingle_instance_frames`)
+    followed by one ``(_id, _g)`` dedup.  Consumers (novelty /
+    source-overlap) expose only COUNTS derived from the grouping, never the
+    hash values themselves, so the internal key is the fast multi-argument
+    ``xxhash64`` — the portable-md5 formulation this replaces (round 14)
+    spent its time in the interpreted per-gram ``transform`` lambda plus
+    md5-hex + base-conv per shingle (A/B at sf0.1: novelty 4.3 s → 1.6 s,
+    identical output).  Oracles replay the same counts with md5 keys —
+    equality holds because both keys are collision-free partitions of the
+    same gram sets at any realistic corpus size.  Empty documents
+    contribute nothing; the build is row-local, so the FIRST shuffle a
+    consumer pays is the dedup's own ``(_id, _g)`` exchange.
     """
-    from .textops import _md5_60
-
-    return (
-        df.where(F.length(F.trim(F.col(text_col))) > 0)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
-        )
-        .select("_id", _md5_60(F.col("_s")).alias("_g"))
+    base = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     )
+    long_inst, short_rows = _shingle_instance_frames(base, "_id", "_t", n)
+    return long_inst.unionByName(short_rows).dropDuplicates(["_id", "_g"])
 
 
 def novelty_scores(
@@ -1265,7 +1322,7 @@ def novelty_scores(
     agg.  Linear in corpus shingles; no pairwise anything.
     """
     base = df.select(F.col(id_col).alias("__nid"), F.col(text_col).alias("__ntext"))
-    sets = _md5_shingle_sets(base, "__nid", "__ntext", n)
+    sets = _hashed_shingle_sets(base, "__nid", "__ntext", n)
     w = Window.partitionBy("_g")
     if order_col is None:
         # order == id: first owner is simply the smallest id
@@ -1319,7 +1376,9 @@ def source_overlap(
     """
     from .assoc import basket_pairs
 
-    sets = _md5_shingle_sets(df, group_col, text_col, n).distinct()
+    # _hashed_shingle_sets already dedups (_id, _g) — it IS the distinct
+    # (group, shingle) incidence frame; no second exchange needed.
+    sets = _hashed_shingle_sets(df, group_col, text_col, n)
     sizes = sets.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     inter = (
         basket_pairs(sets, "_g", "_id")
