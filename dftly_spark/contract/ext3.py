@@ -768,10 +768,12 @@ def _x67(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # structural guarantees of this graph: pairs is distinct and the two
     # directions cannot collide (even vs odd ids), so the edge list is
-    # distinct; symmetrization means every node has an out-edge.  Skipping
-    # the two guard shuffles is sound here.
+    # distinct; symmetrization means every node has an out-edge AND an
+    # in-edge (assume_full_in_degree drops the per-iteration nodes join —
+    # round 14).  Skipping the guard shuffles is sound here.
     return pagerank(
-        edges, iters=5, damping=0.85, assume_distinct=True, repair_dangling=False
+        edges, iters=5, damping=0.85, assume_distinct=True,
+        repair_dangling=False, assume_full_in_degree=True,
     )
 
 

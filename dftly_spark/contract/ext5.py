@@ -353,7 +353,9 @@ def _x107(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
         .distinct()
     )
-    return triangle_count(edges)
+    # the .distinct() above already canonicalized (item_a < item_b) and
+    # deduplicated across orders — skip the operator's second dedup
+    return triangle_count(edges, assume_distinct=True)
 
 
 _q(
@@ -569,7 +571,8 @@ def _x111(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
         .distinct()
     )
-    return kcore(edges, 80, max_rounds=8)
+    # distinct canonical pairs already — skip the operator's second dedup
+    return kcore(edges, 80, max_rounds=8, assume_distinct=True)
 
 
 _q(

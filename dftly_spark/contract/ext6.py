@@ -78,10 +78,12 @@ def _x123(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("src"), F.col("s").alias("dst"), "w"
     ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
     # grouped pairs are distinct and even/odd ids cannot collide across
-    # directions; symmetrization gives every node an out-edge
+    # directions; symmetrization gives every node an out-edge and an
+    # in-edge (assume_full_in_degree drops the per-iteration nodes join)
     return pagerank(
         edges, iters=5, damping=0.85, weight="w",
         assume_distinct=True, repair_dangling=False,
+        assume_full_in_degree=True,
     )
 
 

@@ -97,6 +97,7 @@ def triangle_count(
     dst: str = "dst",
     *,
     partitions: int | None = None,
+    assume_distinct: bool = False,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-node triangle counts: ``(node, triangles)`` for an undirected graph.
@@ -136,11 +137,17 @@ def triangle_count(
     # + the closer) — without lineage truncation the caller's whole edge
     # build re-executes (and re-broadcasts) once per reference, which is
     # both 5× the work and the actual heap blowup on small executors.
-    und = _ckpt(
-        ab.select(
-            F.least("_a", "_b").alias("_u"), F.greatest("_a", "_b").alias("_v")
-        ).distinct()
+    # assume_distinct: the caller GUARANTEES the edge list is already a
+    # distinct set of canonical (src < dst) undirected edges (e.g. it just
+    # ran .distinct() on basket-explode output) — the canonicalizing
+    # projection stays (row-local) but the dedup exchange is skipped.  A
+    # wrong claim double-counts triangles through parallel edges.
+    und = ab.select(
+        F.least("_a", "_b").alias("_u"), F.greatest("_a", "_b").alias("_v")
     )
+    if not assume_distinct:
+        und = und.distinct()
+    und = _ckpt(und)
     deg = (
         und.select(F.col("_u").alias("_n"))
         .unionByName(und.select(F.col("_v").alias("_n")))
@@ -230,6 +237,7 @@ def kcore(
     max_rounds: int = 8,
     checkpoint_every: int = 3,
     broadcast_survivors: bool = True,
+    assume_distinct: bool = False,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Nodes of the ``k``-core after ``max_rounds`` of peeling:
@@ -267,9 +275,14 @@ def kcore(
     ab = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")).where(
         F.col(src) != F.col(dst)
     )
+    # assume_distinct: same contract as triangle_count — the edge list is
+    # already a distinct canonical undirected set, so the dedup exchange
+    # is skipped (a wrong claim inflates degrees via parallel edges).
     und = ab.select(
         F.least("_a", "_b").alias("_u"), F.greatest("_a", "_b").alias("_v")
-    ).distinct()
+    )
+    if not assume_distinct:
+        und = und.distinct()
     # symmetric orientation: node degree == out-degree of _s
     e = _ckpt(
         und.select(F.col("_u").alias("_s"), F.col("_v").alias("_t")).unionByName(
@@ -348,6 +361,7 @@ def pagerank(
     checkpoint_every: int | None = 8,
     assume_distinct: bool = False,
     repair_dangling: bool = True,
+    assume_full_in_degree: bool = False,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank: ``(node, rank)`` after ``iters`` rounds.
@@ -415,6 +429,56 @@ def pagerank(
     else:
         outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     e2 = _ckpt(e.join(outdeg, "_src"))
+    # ``assume_full_in_degree=True``: the caller GUARANTEES every node has
+    # at least one in-edge (structural on symmetrized graphs — both trade-
+    # graph queries).  Then every node appears in every iteration's
+    # contribution sum, so the per-iteration ``nodes`` LEFT JOIN that only
+    # exists to re-attach in-edge-less nodes (and the nodes frame build
+    # itself) is a no-op — dropping it removes one join + one node-frame
+    # exchange per iteration (round-14: plan 32 → 21 Exchanges at x67's
+    # shape), and iteration 1 folds the constant initial rank 1.0 straight
+    # into the contribution expression instead of joining a constant frame.
+    # A wrong claim silently drops in-edge-less nodes from the output.
+    if assume_full_in_degree:
+        ranks = None
+        for i in range(iters):
+            if ranks is None:
+                contrib_rows = e2.select(
+                    F.col("_dst").alias("_cn"),
+                    (
+                        (F.lit(1.0) * F.col("_w") / F.col("_deg"))
+                        if weight is not None
+                        else (F.lit(1.0) / F.col("_deg"))
+                    ).alias("_c"),
+                )
+            else:
+                r_side = ranks.select(
+                    F.col("_n").alias("_rsrc"), F.col("_r").alias("_rval")
+                )
+                contrib_rows = e2.join(
+                    r_side, e2["_src"] == r_side["_rsrc"]
+                ).select(
+                    F.col("_dst").alias("_cn"),
+                    (
+                        (F.col("_rval") * F.col("_w") / F.col("_deg"))
+                        if weight is not None
+                        else (F.col("_rval") / F.col("_deg"))
+                    ).alias("_c"),
+                )
+            ranks = (
+                contrib_rows.groupBy("_cn")
+                .agg(F.sum("_c").alias("_sum"))
+                .select(
+                    F.col("_cn").alias("_n"),
+                    (F.lit(1.0 - damping) + damping * F.col("_sum")).alias("_r"),
+                )
+            )
+            if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+                ranks = _ckpt(ranks)
+        return ranks.select(
+            F.col("_n").alias("node"),
+            portable_round(F.col("_r"), decimals).alias("rank"),
+        )
     nodes = _ckpt(e.select(F.col("_src").alias("_n")).distinct())
     ranks = nodes.select("_n", F.lit(1.0).alias("_r"))
     for i in range(iters):
