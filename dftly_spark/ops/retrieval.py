@@ -265,6 +265,15 @@ def sparse_cosine_pairs(
     ).select(F.col(id_col).alias("_id"), "term", "df", "tf_idf")
     if max_df is not None:
         postings = postings.where(F.col("df") <= max_df)
+    # referenced THREE times below (norms + both self-join sides) — without
+    # lineage truncation the tokenize+tf+df build rides the plan once per
+    # reference (AQE stage reuse dedupes only bit-identical exchange
+    # subtrees, and the three consumers project/aggregate differently
+    # above the shared scan).  Round-14 A/B at sf0.1 (x54 shape):
+    # 2.1 s → 1.5 s median with the truncation.
+    from .scale import durable_checkpoint
+
+    postings = durable_checkpoint(postings, eager=False)
 
     def _sorted_fold(pairs_col):
         return F.aggregate(
