@@ -330,9 +330,13 @@ def minhash_dup_pairs(
     document; the verify join ships 8-byte shingle hashes, not strings.
     """
     rows = k // bands
+    # referenced twice (banded signatures + the verify join's shingle
+    # sets): truncate lineage or the tokenize+shingle+k-min aggregation
+    # re-executes per reference (self-join aliasing defeats exchange
+    # reuse).  Lazy — nothing runs at plan build.
     per_doc = _minhash_per_doc(
         df, id_col, text_col, n, k, tokens_col=tokens_col, cache_key=cache_key
-    )
+    ).transform(durable_checkpoint, eager=False)
     sig = F.array(*[F.col(f"_m{i}") for i in range(k)])
     # The banded frame carries only (id, band, bucket) — shingle sets would
     # be duplicated `bands`× through the explode and shuffle otherwise.
@@ -341,8 +345,13 @@ def minhash_dup_pairs(
     ).select("_id", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket"))
 
     # Skew cap: drop pathological buckets before the quadratic self-join.
+    # The capped frame feeds both self-join sides (aliased differently, so
+    # the cap join would run twice) — truncate it too; (id, band, bucket)
+    # rows are `bands` longs per document.
     sizes = sigs.groupBy("_band", "_bucket").count().where(F.col("count") <= max_bucket_size)
-    sigs = sigs.join(sizes.select("_band", "_bucket"), ["_band", "_bucket"])
+    sigs = sigs.join(sizes.select("_band", "_bucket"), ["_band", "_bucket"]).transform(
+        durable_checkpoint, eager=False
+    )
 
     left = sigs.select("_band", "_bucket", F.col("_id").alias("id_l"))
     right = sigs.select("_band", "_bucket", F.col("_id").alias("id_r"))
@@ -394,7 +403,12 @@ def minhash_index(
     (proved in ``tests/test_scale.py``).  :func:`minhash_join_index` is the
     matching ingest query.
     """
-    per_doc = _minhash_per_doc(df, id_col, text_col, n, k)
+    # referenced by BOTH returned frames (banded + sets): truncating here
+    # means a caller that materializes both — the persist path writes each
+    # to its own bucketed table — runs the signature build once, not twice.
+    per_doc = _minhash_per_doc(df, id_col, text_col, n, k).transform(
+        durable_checkpoint, eager=False
+    )
     sig = F.array(*[F.col(f"_m{i}") for i in range(k)])
     rows = k // bands
     banded = per_doc.select(
@@ -492,6 +506,11 @@ def cross_corpus_dup_pairs(
             "_id", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket")
         )
 
+    # each side is referenced twice (banded + the verify join), but AQE's
+    # runtime stage reuse already dedupes the identical signature-build
+    # exchanges here — a lineage-truncating checkpoint was A/B'd in round
+    # 14 and REGRESSED (+17% on the x16 shape: materializing the shingle
+    # sets costs more than the reuse saves), so the frames stay lazy.
     new_pd = _minhash_per_doc(new_df, id_col, text_col, n, k)
     old_pd = _minhash_per_doc(corpus_df, id_col, text_col, n, k)
     new_b = banded(new_pd).withColumnRenamed("_id", "new_id")
@@ -579,6 +598,9 @@ def ngram_jaccard_pairs(
     short_docs = short_rows.select("_id", F.lit(1).alias("_n"), "_g")
     sh = long_docs.unionByName(short_docs)
     if max_df is not None:
+        # sh feeds both the df-count aggregate and the keep join: truncate
+        # lineage or the shingle+collect_set build runs twice.
+        sh = durable_checkpoint(sh, eager=False)
         keep = sh.groupBy("_g").count().where(F.col("count") <= max_df).select("_g")
         sh = sh.join(keep, "_g")
     groups = (
@@ -822,8 +844,16 @@ def hamming_pairs(
         ).alias("_bb"),
     ).select("_id", "_fp", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket"))
 
+    # chunks is referenced by the bucket-size aggregate AND the cap join,
+    # and the capped frame by both self-join sides — truncate lineage at
+    # both points or the fingerprint build (for simhash, the per-token
+    # vote aggregation) re-executes up to three times.  Both frames are
+    # (n_bands + fp) longs per row.
+    chunks = durable_checkpoint(chunks, eager=False)
     sizes = chunks.groupBy("_band", "_bucket").count().where(F.col("count") <= max_bucket_size)
-    chunks = chunks.join(sizes.select("_band", "_bucket"), ["_band", "_bucket"])
+    chunks = chunks.join(sizes.select("_band", "_bucket"), ["_band", "_bucket"]).transform(
+        durable_checkpoint, eager=False
+    )
 
     left = chunks.select("_band", "_bucket", F.col("_id").alias("id_l"), F.col("_fp").alias("_fp_l"))
     right = chunks.select("_band", "_bucket", F.col("_id").alias("id_r"), F.col("_fp").alias("_fp_r"))
@@ -896,13 +926,21 @@ def embedding_dup_pairs(
         planes = _hyperplanes(dim, n_planes, seed)
         base = base.withColumn("_bucket", _plane_signature(F.col("_v"), planes))
         base = base.withColumn("_v", unit(F.col("_v")))
+        # both self-join sides read base: truncate lineage or the plane-
+        # signature + normalize folds (interpreted, n_planes x dim ops per
+        # row) run twice.
+        base = durable_checkpoint(base, eager=False)
         join_keys = ["_bucket"]
         left = base.select(*join_keys, F.col("_id").alias("id_l"), F.col("_v").alias("_vl"))
         right = base.select(*join_keys, F.col("_id").alias("id_r"), F.col("_v").alias("_vr"))
         cand = left.join(right, join_keys).where(F.col("id_l") < F.col("id_r"))
     else:
-        # Pre-normalize once per row so each pair costs one dot product.
-        base = base.withColumn("_v", unit(F.col("_v")))
+        # Pre-normalize once per row so each pair costs one dot product;
+        # truncate lineage so the normalize fold isn't recomputed for the
+        # broadcast side.
+        base = durable_checkpoint(
+            base.withColumn("_v", unit(F.col("_v"))), eager=False
+        )
         left = base.select(F.col("_id").alias("id_l"), F.col("_v").alias("_vl"))
         right = base.select(F.col("_id").alias("id_r"), F.col("_v").alias("_vr"))
         cand = left.join(F.broadcast(right), F.col("id_l") < F.col("id_r"))
@@ -1097,6 +1135,10 @@ def semantic_dedup_pairs(
             .where(F.col("_rn") <= max_cell_size)
             .drop("_rn")
         )
+    # cells feeds both sides of the within-cell self-join: truncate
+    # lineage or the centroid-assignment argmax (k x dim multiply-adds
+    # per row) runs twice.
+    cells = durable_checkpoint(cells, eager=False)
     left = cells.select(
         "_cell", F.col("_id").alias("id_l"), F.col("_v").alias("_vl")
     )
@@ -1187,6 +1229,11 @@ def edit_distance_pairs(
         )
     else:
         varied = base.select("_id", "_s", v1.alias("_vars"))
+    # the exploded variant rows feed both self-join sides (and the hot-
+    # bucket aggregate): truncate before the explode so the O(len^max_dist)
+    # neighborhood generation — an interpreted nested transform — runs
+    # once; the explode+hash below it is codegen'd and cheap to repeat.
+    varied = durable_checkpoint(varied, eager=False)
     inst = varied.select(
         "_id", "_s", F.explode("_vars").alias("_v")
     ).select("_id", "_s", F.xxhash64("_v").alias("_h"))
@@ -1448,6 +1495,10 @@ def pair_quality(
             .dropDuplicates(["_a", "_b"])
         )
 
+    # each normalized pair frame is referenced twice (the hit semi-join +
+    # its own count); AQE's runtime stage reuse dedupes the identical
+    # dropDuplicates exchanges, so no lineage truncation here (A/B'd in
+    # round 14: a checkpoint pair regressed the x154 shape ~9%).
     p, t = norm(pred), norm(truth)
     hit = p.join(t, ["_a", "_b"], "left_semi")
     stats = (

@@ -195,7 +195,9 @@ def fuzzy_join(
     #   the bound, so pruning failing rows never loses a pair — measured
     #   ~2x candidate reduction on the gate corpus.
     if max_prefix_df is None:
-        cand = _prefix_cand(pl, pr, threshold).distinct()
+        cand = _prefix_cand(pl, pr, threshold).distinct().transform(
+            durable_checkpoint, eager=False
+        )
     else:
         if salt_buckets < 2:
             raise ValueError(f"salt_buckets must be >= 2, got {salt_buckets}")
@@ -231,23 +233,28 @@ def fuzzy_join(
                 )
             )
             .distinct()
+            .transform(durable_checkpoint, eager=False)
         )
 
     # V-SMART verify: shared-shingle count per candidate pair (threshold>0
-    # implies s >= 1, so the inner joins lose no qualifying pair)
+    # implies s >= 1, so the inner joins lose no qualifying pair).  The
+    # candidate-times-shingles expansion is the heavy intermediate, so it
+    # stays SLIM (ids only — carrying the sizes through it was A/B'd and
+    # lost); both exact set sizes already ride the slim candidate frame
+    # from the prefix join (`_sz` is the same per-id count the shingle
+    # frames would re-aggregate), attached afterwards with ONE pair-keyed
+    # join instead of two size aggregates plus two attach joins.
     shared = (
-        cand.join(sh_l, "id_l")
+        cand.select("id_l", "id_r")
+        .join(sh_l, "id_l")
         .join(sh_r, ["id_r", "_g"])
         .groupBy("id_l", "id_r")
         .agg(F.count(F.lit(1)).alias("_s"))
     )
-    sizes_l = sh_l.groupBy("id_l").agg(F.count(F.lit(1)).alias("_na"))
-    sizes_r = sh_r.groupBy("id_r").agg(F.count(F.lit(1)).alias("_nb"))
     # integer-derived division: both engines compute the identical double
     jac = F.col("_s").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_s"))
     out = (
-        shared.join(sizes_l, "id_l")
-        .join(sizes_r, "id_r")
+        shared.join(cand, ["id_l", "id_r"])
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_l", "id_r", "jaccard")
@@ -278,7 +285,13 @@ def _prefix_cand(pl: DataFrame, pr: DataFrame, threshold: float, extra=None) -> 
     )
     if extra is not None:
         cond = cond & extra(pl, pr)
-    return pl.join(pr, cond).select("id_l", "id_r")
+    # carry both exact set sizes (functionally dependent on the ids, so
+    # the downstream distinct is unchanged) — the verify step divides by
+    # them directly instead of re-aggregating sizes from the shingle
+    # frames and attaching them with two more joins
+    return pl.join(pr, cond).select(
+        "id_l", "id_r", pl["_sz"].alias("_na"), pr["_sz"].alias("_nb")
+    )
 
 
 def _shingle_rows(
