@@ -24,6 +24,7 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+
 def normalize_text(col: SparkColumn) -> SparkColumn:
     """Lowercase + collapse whitespace + trim (canonical form for dedup)."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
@@ -293,6 +294,11 @@ def dup_ngram_fraction(
         df, id_col, text_col, n, tokens_col=tokens_col, cache_key=cache_key
     )
     inst = long_inst.unionByName(short_rows)
+    # referenced twice below (the df-count aggregate + the join back):
+    # truncate lineage or the wide-n window build re-executes per
+    # reference (the repo-wide multi-reference discipline; lazy).
+    # Round-14 A/B at sf0.1: x32 2.34 -> 1.87 s median.
+    inst = durable_checkpoint(inst, eager=False)
     # gram → number of distinct documents containing it (two-phase, no
     # count-distinct Expand over the raw instance stream)
     gdf = (
@@ -349,6 +355,10 @@ def remove_dup_ngram_spans(
         df, id_col, text_col, n, tokens_col=tokens_col, cache_key=cache_key,
         keep_pos=True,
     )
+    # referenced twice below (flagged-gram aggregate + coverage join):
+    # same lineage truncation as dup_substring_spans.  Round-14 A/B at
+    # sf0.1: x37 3.08 -> 2.35 s median.
+    inst = durable_checkpoint(inst, eager=False)
     flagged = (
         inst.dropDuplicates(["_id", "_g"])
         .groupBy("_g")
