@@ -32,7 +32,89 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from dftly_spark.io import normalize_event_ts
 
         df = normalize_event_ts(df)
+    if _fanout_active:
+        df = _fan_out_scan(df, name)
     return df
+
+
+#: Scan fan-out (guide §2.5 "repartition immediately after the read" for
+#: under-split inputs): the testdata parquet files carry ONE row group
+#: each, so every expression evaluated in the scan stage runs on <= 1 core
+#: per file no matter how many cores the session has.  For the
+#: expression-heavy queries below, a hash repartition on the table key
+#: right after the read moves the parse/tokenize work above an exchange of
+#: the (small) raw bytes and onto every core.  The rule is scale-adaptive,
+#: not a local[32] constant: it fires only when the scan's actual split
+#: count is below the session's defaultParallelism (at cluster scale a
+#: large table yields splits >> cores and the read is returned untouched),
+#: and the width is defaultParallelism itself, which tracks
+#: SPARK_GRAFT_CPUS through the master URL.  Applied per-query, not
+#: globally: the round-14 full-suite A/B measured a uniform extra-exchange
+#: tax on the ~150 scan-light queries and pathological losses where the
+#: exchange defeats scan-adjacent reuse (x147 +6.3 s, x107 +2.8 s), vs
+#: 0.3-1.5 s wins on the queries listed here.  Disable outright with
+#: SPARK_DFTLY_SCAN_FANOUT=off.
+_FANOUT_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "documents": "doc_id",
+    "events": "event_id",
+    "embeddings": "vec_id",
+    "part": "p_partkey",
+    "customer": "c_custkey",
+}
+
+#: Queries that opt in (chosen by interleaved A/B, OPTIMIZATION_r14.md).
+_FANOUT_QUERIES = {
+    "q07_casts",
+    "q09_duration_units",
+    "q15_strptime",
+    "q25_iso_week",
+    "q28_chrono_residue",
+    "q30_chrono_midformat",
+    "x02_ngram_jaccard_pairs",
+    "x03_minhash_lsh_pairs",
+    "x07_text_analysis",
+    "x08_fingerprint",
+    "x23_json_extract",
+    "x28_chunk_text",
+    "x51_gopher_rules",
+    "x56_ivf_kmeans_topk",
+    "x139_dedup_substrings",
+    "x154_pair_quality",
+}
+
+_fanout_active = False
+
+
+def _fan_out_scan(df: DataFrame, name: str) -> DataFrame:
+    import os
+
+    if os.environ.get("SPARK_DFTLY_SCAN_FANOUT", "").lower() == "off":
+        return df
+    key = _FANOUT_KEYS.get(name)
+    if key is None:
+        return df
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col(key))
+
+
+def _with_scan_fanout(name: str, fn: Callable) -> Callable:
+    """Builder wrapper: arm the fan-out for the duration of plan build."""
+    import functools
+
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        global _fanout_active
+        _fanout_active = name in _FANOUT_QUERIES
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            _fanout_active = False
+
+    return run
 
 
 _TOK = "__tokens"
@@ -49,8 +131,11 @@ def _docs_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dftly_spark.ops import tokenized_docs
 
+    # fan-out changes the frame under the tokenizer, so the session memo
+    # must not hand a plan built in one mode to a query in the other
+    suffix = "#fan" if _fanout_active else ""
     return tokenized_docs(
-        _t(spark, sf_dir, "documents"), cache_key=f"documents:{sf_dir}"
+        _t(spark, sf_dir, "documents"), cache_key=f"documents:{sf_dir}{suffix}"
     )
 
 
@@ -122,4 +207,4 @@ def _q(name: str, builder: Callable, oracle) -> None:
     callable returning one (resolved lazily at ``oracle_sql()`` time — for
     oracles whose literals depend on the gate's sf dir, like x56's fitted
     centroids), or None for rows-only checks."""
-    _DEFS[name] = (builder, oracle)
+    _DEFS[name] = (_with_scan_fanout(name, builder), oracle)
