@@ -77,10 +77,12 @@ _FANOUT_QUERIES = {
     "x07_text_analysis",
     "x08_fingerprint",
     "x23_json_extract",
+    "x14_corpus_clean_pipeline",
     "x28_chunk_text",
     "x51_gopher_rules",
     "x56_ivf_kmeans_topk",
     "x139_dedup_substrings",
+    "x147_chrono_locale",
     "x154_pair_quality",
 }
 
