@@ -1145,8 +1145,11 @@ def semantic_dedup_pairs(
     right = cells.select(
         "_cell", F.col("_id").alias("id_r"), F.col("_v").alias("_vr")
     )
+    # SHUFFLE_HASH on one side: max_cell_size bounds a cell, so the
+    # per-partition build is capped, and SMJ would sort both vector
+    # streams by cell id (round-14 conf A/B: x46 -0.5 s).
     return (
-        left.join(right, "_cell")
+        left.join(right.hint("shuffle_hash"), "_cell")
         .where(F.col("id_l") < F.col("id_r"))
         .select("id_l", "id_r", dot(F.col("_vl"), F.col("_vr")).alias("cos"))
         .where(F.col("cos") >= threshold)

@@ -296,8 +296,12 @@ def sparse_cosine_pairs(
     )
     l = unit.select(F.col("_id").alias("id_l"), "term", F.col("_w").alias("_wl"))
     r = unit.select(F.col("_id").alias("id_r"), "term", F.col("_w").alias("_wr"))
+    # SHUFFLE_HASH on one side of the term self-join: with max_df capping
+    # hot terms the per-partition build is bounded, and SMJ would sort
+    # BOTH posting streams by term first (round-14 conf A/B: x54 -0.5 s;
+    # the hinted plan drops both per-side Sorts).
     return (
-        l.join(r, "term")
+        l.join(r.hint("shuffle_hash"), "term")
         .where(F.col("id_l") < F.col("id_r"))
         .groupBy("id_l", "id_r")
         .agg(
