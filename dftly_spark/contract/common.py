@@ -32,7 +32,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from dftly_spark.io import normalize_event_ts
 
         df = normalize_event_ts(df)
-    if _fanout_active:
+    if _fanout_active.get():
         df = _fan_out_scan(df, name)
     return df
 
@@ -86,7 +86,28 @@ _FANOUT_QUERIES = {
     "x154_pair_quality",
 }
 
-_fanout_active = False
+#: Plan-build fan-out mode.  A ContextVar (not a module global): concurrent
+#: plan builds in one driver each see their own value, and a wrapped builder
+#: that invokes another wrapped builder restores the OUTER builder's mode on
+#: exit instead of clobbering it to False (round-15, from round-14 advice).
+from contextvars import ContextVar
+
+_fanout_active: ContextVar[bool] = ContextVar("dftly_fanout_active", default=False)
+
+
+def _ckey(sf_dir: str, base: str = "documents") -> str:
+    """Session-memo cache key for a corpus, split by fan-out mode.
+
+    Every shared-frame memo (tokenized docs, shingle instances, term
+    frames — ops/corpus.py) keyed off a corpus MUST build its key here:
+    the fan-out changes the frame under the derivation, so a plan built in
+    one mode must never be handed to a query in the other.  Round-14 only
+    suffixed the ``_docs_tok`` key; keys passed straight into op
+    ``cache_key=`` parameters leaked fanned shingle/term frames into
+    non-fan queries (or vice versa) depending on which query ran first.
+    """
+    suffix = "#fan" if _fanout_active.get() else ""
+    return f"{base}:{sf_dir}{suffix}"
 
 
 def _fan_out_scan(df: DataFrame, name: str) -> DataFrame:
@@ -98,23 +119,64 @@ def _fan_out_scan(df: DataFrame, name: str) -> DataFrame:
     if key is None:
         return df
     n = df.sparkSession.sparkContext.defaultParallelism
+    # NOTE: getNumPartitions() on a fresh scan triggers a file listing at
+    # plan-build time — free here (single-file tables, listing is cached
+    # per session), but worth a cache if this pattern leaves the contract
+    # layer for a real metastore-backed cluster.
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n, F.col(key))
 
 
+#: Per-query session-conf overrides, armed at plan-build time and LEFT SET
+#: so they are active when the (serial) runner executes the returned frame
+#: — the driver, bench.py and the oracle gate all run build -> action ->
+#: build -> action on one thread, and every builder (re)sets every conf in
+#: ``_CONF_DEFAULTS``, so each action runs exactly under its own query's
+#: arm.  This is the fan-out wrapper's mechanism applied to planner conf:
+#: some join-strategy wins are unreachable by per-op hints because the
+#: SMJ sits in shared op code whose OTHER consumers measured losses under
+#: the same conf (round-14 session-wide A/B: -18.6 s of wins, +12.3 s of
+#: losses).  Scale note: ``preferSortMergeJoin=false`` only lets the
+#: planner pick shuffled-hash where its size conditions hold, and the AQE
+#: threshold converts SMJ->SHJ at runtime only when every post-shuffle
+#: partition is under 64 MB — both are size-gated decisions that remain
+#: sound off local[32], not local-core-count constants.
+_CONF_DEFAULTS: dict[str, str] = {
+    "spark.sql.join.preferSortMergeJoin": "true",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "0",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
+}
+
+#: The shuffled-hash arm (guide §3.1): planner may choose SHJ when its
+#: size conditions are met + AQE rewrites SMJ->SHJ for <=64 MB partitions.
+_SHJ_ARM: dict[str, str] = {
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864",
+}
+
+#: Queries that opt in to a conf arm (chosen by interleaved A/B,
+#: OPTIMIZATION_r15.md).
+_QUERY_CONFS: dict[str, dict[str, str]] = {}
+
+
 def _with_scan_fanout(name: str, fn: Callable) -> Callable:
-    """Builder wrapper: arm the fan-out for the duration of plan build."""
+    """Builder wrapper: arm the fan-out + per-query conf for this build."""
     import functools
 
     @functools.wraps(fn)
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        global _fanout_active
-        _fanout_active = name in _FANOUT_QUERIES
+        import os
+
+        if os.environ.get("SPARK_DFTLY_QUERY_CONFS", "").lower() != "off":
+            overrides = _QUERY_CONFS.get(name, {})
+            for k, default in _CONF_DEFAULTS.items():
+                spark.conf.set(k, overrides.get(k, default))
+        token = _fanout_active.set(name in _FANOUT_QUERIES)
         try:
             return fn(spark, sf_dir)
         finally:
-            _fanout_active = False
+            _fanout_active.reset(token)
 
     return run
 
@@ -135,10 +197,7 @@ def _docs_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fan-out changes the frame under the tokenizer, so the session memo
     # must not hand a plan built in one mode to a query in the other
-    suffix = "#fan" if _fanout_active else ""
-    return tokenized_docs(
-        _t(spark, sf_dir, "documents"), cache_key=f"documents:{sf_dir}{suffix}"
-    )
+    return tokenized_docs(_t(spark, sf_dir, "documents"), cache_key=_ckey(sf_dir))
 
 
 def _spec_query(table: str, spec: dict[str, str]):

@@ -22,7 +22,7 @@ from __future__ import annotations
 from dftly_spark.sqlgen import exact_sum, portable_round, portable_round_sql
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from .common import _TOK, _docs_tok, _prep, _q, _t
+from .common import _TOK, _ckey, _docs_tok, _prep, _q, _t
 from .qseries import _MAX_DF, _SHINGLE_CTE
 
 
@@ -197,7 +197,7 @@ def _x54(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_df=2,
         max_df=300,
         tokens_col=_TOK,
-        cache_key=f"documents+copies:{sf_dir}",
+        cache_key=_ckey(sf_dir, "documents+copies"),
     )
 
 
@@ -528,7 +528,7 @@ def _x61(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         min_group_tf=5,
         tokens_col=_TOK,
-        cache_key=f"documents:{sf_dir}",
+        cache_key=_ckey(sf_dir),
     )
 
 

@@ -1147,9 +1147,14 @@ def semantic_dedup_pairs(
     )
     # SHUFFLE_HASH on one side: max_cell_size bounds a cell, so the
     # per-partition build is capped, and SMJ would sort both vector
-    # streams by cell id (round-14 conf A/B: x46 -0.5 s).
+    # streams by cell id (round-14 conf A/B: x46 -0.5 s).  Only hinted
+    # when the cap is actually set — shuffled-hash cannot spill its
+    # build side, so an uncapped hot cell must keep sort-merge's
+    # graceful-spill default (round-15, from round-14 advice).
+    if max_cell_size is not None:
+        right = right.hint("shuffle_hash")
     return (
-        left.join(right.hint("shuffle_hash"), "_cell")
+        left.join(right, "_cell")
         .where(F.col("id_l") < F.col("id_r"))
         .select("id_l", "id_r", dot(F.col("_vl"), F.col("_vr")).alias("cos"))
         .where(F.col("cos") >= threshold)

@@ -34,6 +34,52 @@ from ..sqlgen import portable_round
 # comfortable headroom on a 1 GiB executor heap.
 _EDGES_PER_BUILD_TASK = 150_000
 
+# Hash buckets for the opt-in ``validate=True`` sampled assertions: the
+# checked subset is rows whose key hashes into bucket 0, ~1/32 of keys.
+_VALIDATE_BUCKETS = 32
+
+
+def _validate_distinct(df: DataFrame, cols: list[str], claim: str) -> None:
+    """Debug guard for ``assume_distinct``: sampled duplicate detection.
+
+    Hash-BUCKET sampling, not row sampling: every copy of a duplicated key
+    carries the same ``xxhash64``, so all copies land in the sampled bucket
+    together and any duplicate whose key falls in the bucket IS caught
+    (per-duplicate detection probability = 1/``_VALIDATE_BUCKETS``, vs an
+    independent-row sample which usually keeps only one copy and sees
+    nothing).  Runs one count job eagerly — debug mode, opt-in.
+    """
+    sampled = df.where(
+        F.pmod(F.xxhash64(*cols), F.lit(_VALIDATE_BUCKETS)) == 0
+    ).select(*cols)
+    n_rows = sampled.count()
+    n_keys = sampled.distinct().count()
+    if n_rows != n_keys:
+        raise ValueError(
+            f"validate=True: {claim} is FALSE — the sampled hash bucket holds "
+            f"{n_rows} rows over {n_keys} distinct keys; drop the assume_* "
+            "flag (or fix the edge build) to avoid silently wrong results"
+        )
+
+
+def _validate_full_in_degree(e: DataFrame) -> None:
+    """Debug guard for ``assume_full_in_degree``: sampled in-edge check.
+
+    A node appears among destinations iff it appears among the SAME hash
+    bucket's destinations, so both sides of the anti-join are pre-filtered
+    to one bucket — the check costs two bucket scans, not a full dedup.
+    """
+    bucket = lambda c: F.pmod(F.xxhash64(c), F.lit(_VALIDATE_BUCKETS)) == 0  # noqa: E731
+    srcs = e.select(F.col("_src").alias("_n")).where(bucket(F.col("_n"))).distinct()
+    dsts = e.select(F.col("_dst").alias("_m")).where(bucket(F.col("_m"))).distinct()
+    missing = srcs.join(dsts, srcs["_n"] == dsts["_m"], "left_anti").count()
+    if missing:
+        raise ValueError(
+            f"validate=True: assume_full_in_degree is FALSE — {missing} sampled "
+            "node(s) have no in-edge; their ranks would silently drop from the "
+            "output.  Drop the flag (or symmetrize the graph)."
+        )
+
 
 def prepare_edges(
     edges: DataFrame,
@@ -43,6 +89,7 @@ def prepare_edges(
     weight: str | None = None,
     assume_distinct: bool = False,
     repair_dangling: bool = True,
+    validate: bool = False,
 ) -> DataFrame:
     """Distinct edges + self-loops for dangling nodes: ``(_src, _dst)``.
 
@@ -67,12 +114,16 @@ def prepare_edges(
         # silently destroying rank mass — drop them here (a node whose
         # edges ALL drop becomes dangling and gets the self-loop repair)
         e = e.where(F.col("_w") > 0)
+        if assume_distinct and validate:
+            _validate_distinct(e, ["_src", "_dst"], "assume_distinct (prepare_edges)")
         if not assume_distinct:
             # parallel weighted edges COMBINE (sum), the weighted analog of
             # the unweighted distinct
             e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
     else:
         e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        if assume_distinct and validate:
+            _validate_distinct(e, ["_src", "_dst"], "assume_distinct (prepare_edges)")
         if not assume_distinct:
             e = e.distinct()
     if not repair_dangling:
@@ -98,9 +149,15 @@ def triangle_count(
     *,
     partitions: int | None = None,
     assume_distinct: bool = False,
+    validate: bool = False,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-node triangle counts: ``(node, triangles)`` for an undirected graph.
+
+    ``validate=True`` (debug mode) asserts an ``assume_distinct`` claim on
+    a hash-sampled bucket of the canonical edge frame before trusting it —
+    one extra count job; a violating edge list raises instead of silently
+    double-counting triangles.
 
     Degree-oriented wedge closing (the MapReduce-classic node-iterator++
     layout): edges are canonicalized undirected, then ORIENTED from the
@@ -145,6 +202,8 @@ def triangle_count(
     und = ab.select(
         F.least("_a", "_b").alias("_u"), F.greatest("_a", "_b").alias("_v")
     )
+    if assume_distinct and validate:
+        _validate_distinct(und, ["_u", "_v"], "assume_distinct (triangle_count)")
     if not assume_distinct:
         und = und.distinct()
     und = _ckpt(und)
@@ -238,6 +297,7 @@ def kcore(
     checkpoint_every: int = 3,
     broadcast_survivors: bool = True,
     assume_distinct: bool = False,
+    validate: bool = False,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Nodes of the ``k``-core after ``max_rounds`` of peeling:
@@ -281,6 +341,8 @@ def kcore(
     und = ab.select(
         F.least("_a", "_b").alias("_u"), F.greatest("_a", "_b").alias("_v")
     )
+    if assume_distinct and validate:
+        _validate_distinct(und, ["_u", "_v"], "assume_distinct (kcore)")
     if not assume_distinct:
         und = und.distinct()
     # symmetric orientation: node degree == out-degree of _s
@@ -362,6 +424,7 @@ def pagerank(
     assume_distinct: bool = False,
     repair_dangling: bool = True,
     assume_full_in_degree: bool = False,
+    validate: bool = False,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank: ``(node, rank)`` after ``iters`` rounds.
@@ -382,6 +445,10 @@ def pagerank(
     join keyed on ``_src``) and one ``_dst``-keyed sum.  The out-degree is
     folded into the checkpointed edge frame once, so an iteration adds no
     degree join.
+    ``validate=True`` (debug mode) asserts the ``assume_distinct`` /
+    ``assume_full_in_degree`` claims on hash-sampled buckets before
+    trusting them — a few extra count jobs; a violating edge list raises
+    instead of silently skewing ranks.
     ``checkpoint_every`` truncates plan lineage on long runs exactly like
     ``dup_clusters``.  ``checkpoint_dir`` switches the truncation from
     ``localCheckpoint`` (executor block store — spills when the edge frame
@@ -417,8 +484,11 @@ def pagerank(
             weight=weight,
             assume_distinct=assume_distinct,
             repair_dangling=repair_dangling,
+            validate=validate,
         )
     )
+    if assume_full_in_degree and validate:
+        _validate_full_in_degree(e)
     # out-degree folded INTO the edge frame ONCE (map-side-combined count +
     # one join here, instead of a count join inside every iteration; not a
     # per-_src window, which would put a hub supernode's whole edge list on
@@ -440,6 +510,13 @@ def pagerank(
     # into the contribution expression instead of joining a constant frame.
     # A wrong claim silently drops in-edge-less nodes from the output.
     if assume_full_in_degree:
+        if iters < 1:
+            # parity with the regular path's iters=0 result (the initial
+            # rank-1.0 frame) instead of an AttributeError on ranks=None
+            return (
+                e.select(F.col("_src").alias("node")).distinct()
+                .select("node", portable_round(F.lit(1.0), decimals).alias("rank"))
+            )
         ranks = None
         for i in range(iters):
             if ranks is None:

@@ -299,9 +299,14 @@ def sparse_cosine_pairs(
     # SHUFFLE_HASH on one side of the term self-join: with max_df capping
     # hot terms the per-partition build is bounded, and SMJ would sort
     # BOTH posting streams by term first (round-14 conf A/B: x54 -0.5 s;
-    # the hinted plan drops both per-side Sorts).
+    # the hinted plan drops both per-side Sorts).  Only hinted when the
+    # cap is actually set — shuffled-hash cannot spill its build side, so
+    # an uncapped stop-word term must keep sort-merge's graceful-spill
+    # default (round-15, from round-14 advice).
+    if max_df is not None:
+        r = r.hint("shuffle_hash")
     return (
-        l.join(r.hint("shuffle_hash"), "term")
+        l.join(r, "term")
         .where(F.col("id_l") < F.col("id_r"))
         .groupBy("id_l", "id_r")
         .agg(
