@@ -156,8 +156,17 @@ _SHJ_ARM: dict[str, str] = {
 }
 
 #: Queries that opt in to a conf arm (chosen by interleaved A/B,
-#: OPTIMIZATION_r15.md).
-_QUERY_CONFS: dict[str, dict[str, str]] = {}
+#: OPTIMIZATION_r15.md).  x107: two independent sf0.1 A/Bs (-0.97 s,
+#: -2.7 s) — the arm reaches the build-phase jobs (edge dedup, degree
+#: attach, materialized before the partitions derivation) that per-op
+#: hints deliberately leave alone.  Candidates measured and REJECTED:
+#: x129 +9.5 s, x154 +5.2 s, x04 +0.5 s at sf1.0 (verify-stage hash
+#: aggregates lose their sort-based fallback); x46 — its executed plan is
+#: IDENTICAL under the arm (the AQE SMJ->SHJ conversion never fires for
+#: its cell join), so its small A/B deltas were noise.
+_QUERY_CONFS: dict[str, dict[str, str]] = {
+    "x107_triangle_count": _SHJ_ARM,
+}
 
 
 def _with_scan_fanout(name: str, fn: Callable) -> Callable:

@@ -171,8 +171,12 @@ def _x05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
     aug = emb.unionByName(copies)
+    # pair_scorer="arrow": per-bucket vectorized cosine, bit-identical
+    # values (ops/dedup.py _cell_pairs_arrow) — round-15 A/B in
+    # OPTIMIZATION_r15.md; the hash-pinned oracle is unchanged.
     return embedding_dup_pairs(
-        aug, "vec_id", "embedding", threshold=0.95, method="lsh", n_planes=8, dim=64
+        aug, "vec_id", "embedding", threshold=0.95, method="lsh", n_planes=8, dim=64,
+        pair_scorer="arrow",
     )
 
 

@@ -902,6 +902,7 @@ def embedding_dup_pairs(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    pair_scorer: str = "fold",
 ) -> DataFrame:
     """Pairs with cosine similarity ≥ ``threshold``: ``(id_l, id_r, cos)``.
 
@@ -913,6 +914,14 @@ def embedding_dup_pairs(
     covers any pair whose members share a bucket — in particular, pairs that
     are positive scalings of each other have *identical* sign signatures and
     are never missed.
+
+    ``pair_scorer="arrow"`` evaluates the pairwise cosines with the
+    vectorized path (BIT-IDENTICAL values — see
+    :func:`_cell_pairs_arrow`) instead of the interpreted per-pair fold:
+    for ``lsh`` each sign bucket is one ``applyInPandas`` group; for
+    ``brute`` the all-pairs work spreads over hash block pairs
+    (:func:`_allpairs_arrow`), so it parallelizes instead of riding one
+    broadcast nested loop (round-15 A/B in OPTIMIZATION_r15.md).
     """
     from .similarity import dot, infer_dim, unit
 
@@ -930,6 +939,8 @@ def embedding_dup_pairs(
         # signature + normalize folds (interpreted, n_planes x dim ops per
         # row) run twice.
         base = durable_checkpoint(base, eager=False)
+        if pair_scorer == "arrow":
+            return _cell_pairs_arrow(base, threshold, cell_col="_bucket")
         join_keys = ["_bucket"]
         left = base.select(*join_keys, F.col("_id").alias("id_l"), F.col("_v").alias("_vl"))
         right = base.select(*join_keys, F.col("_id").alias("id_r"), F.col("_v").alias("_vr"))
@@ -941,9 +952,13 @@ def embedding_dup_pairs(
         base = durable_checkpoint(
             base.withColumn("_v", unit(F.col("_v"))), eager=False
         )
+        if pair_scorer == "arrow":
+            return _allpairs_arrow(base, threshold)
         left = base.select(F.col("_id").alias("id_l"), F.col("_v").alias("_vl"))
         right = base.select(F.col("_id").alias("id_r"), F.col("_v").alias("_vr"))
         cand = left.join(F.broadcast(right), F.col("id_l") < F.col("id_r"))
+    if pair_scorer != "fold":
+        raise ValueError(f"pair_scorer must be 'fold' or 'arrow', got {pair_scorer!r}")
     cos = dot(F.col("_vl"), F.col("_vr"))
     return cand.select("id_l", "id_r", cos.alias("cos")).where(F.col("cos") >= threshold)
 
@@ -1075,6 +1090,7 @@ def semantic_dedup_pairs(
     max_cell_size: int | None = None,
     centroids_as: str = "broadcast_join",
     scorer: str = "auto",
+    pair_scorer: str = "fold",
 ) -> DataFrame:
     """Semantic near-duplicate pairs via cluster-then-prune (SemDeDup shape).
 
@@ -1098,6 +1114,13 @@ def semantic_dedup_pairs(
     ulp and flip — the last-ulp caveat documented at
     :func:`~dftly_spark.ops.similarity.assign_cells` applies to the pair
     set too.
+
+    ``pair_scorer`` picks the within-cell pairwise engine: ``"fold"``
+    (default — the cell self-join + interpreted JVM fold) or ``"arrow"``
+    (per-cell vectorized cosine, :func:`_cell_pairs_arrow` — BIT-IDENTICAL
+    values via ascending-dimension accumulation, ~20× faster at sf1.0
+    pair volumes; needs one cell's n×n double matrix per task, so cap
+    degenerate cells with ``max_cell_size`` at scale).
 
     .. note:: *changed in round 12* — the default moved from
        ``scorer="fold"`` to ``"auto"``, which resolves to ``"arrow"``
@@ -1139,6 +1162,10 @@ def semantic_dedup_pairs(
     # lineage or the centroid-assignment argmax (k x dim multiply-adds
     # per row) runs twice.
     cells = durable_checkpoint(cells, eager=False)
+    if pair_scorer == "arrow":
+        return _cell_pairs_arrow(cells, threshold)
+    if pair_scorer != "fold":
+        raise ValueError(f"pair_scorer must be 'fold' or 'arrow', got {pair_scorer!r}")
     left = cells.select(
         "_cell", F.col("_id").alias("id_l"), F.col("_v").alias("_vl")
     )
@@ -1158,6 +1185,167 @@ def semantic_dedup_pairs(
         .where(F.col("id_l") < F.col("id_r"))
         .select("id_l", "id_r", dot(F.col("_vl"), F.col("_vr")).alias("cos"))
         .where(F.col("cos") >= threshold)
+    )
+
+
+def _cell_pairs_arrow(
+    cells: DataFrame, threshold: float, cell_col: str = "_cell"
+) -> DataFrame:
+    """Within-cell qualifying pairs via a per-cell vectorized cosine that is
+    BIT-IDENTICAL to the JVM fold path.
+
+    The fold path (guide §4.1) enumerates the ~``Σ C(cell,2)`` pairs as join
+    rows and evaluates an interpreted ``zip_with``+``aggregate`` per pair —
+    measured 42 s of 43 s total at 50M pairs × dim 64 (sf1.0, round 15).
+    Here each cell's vectors cross the Arrow boundary ONCE (corpus-sized,
+    not pairs-sized — the pair expansion happens inside numpy, guide §4.2)
+    and the cosine matrix accumulates in ASCENDING DIMENSION ORDER:
+    ``C += M[:,k] ⊗ M[:,k]`` for k = 0..dim-1 performs, for every pair,
+    exactly the fold's sequence of IEEE-double multiply-then-add — NOT a
+    BLAS matmul (which reorders accumulation and carries the last-ulp
+    caveat ``_assign_cells_arrow`` documents).  Hash-pinned oracles stay
+    bit-exact, which is why this path may be used by gate queries.
+
+    Memory: one cell's ``n×n`` double matrix per task (~66 MB at n≈2.9k);
+    pair with ``max_cell_size`` at scale exactly like the join path's
+    skew cap.  Rows with a NULL unit vector (zero-norm inputs) are dropped
+    up front — the fold path's NULL cosine is filtered by the threshold
+    the same way.  Requires fixed-dimension finite vectors (the corpus
+    contract every embedding op in this module already states).
+    """
+    import pandas as pd
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "id_l": pd.Series(dtype="int64"),
+                "id_r": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        pdf = pdf[pdf["_v"].notna()]
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].to_numpy()[order]]
+        )
+        # ascending-k accumulation == the fold's operation order per pair
+        C = np.zeros((n, n))
+        buf = np.empty((n, n))
+        for k in range(M.shape[1]):
+            col = M[:, k]
+            np.multiply(col[:, None], col[None, :], out=buf)
+            C += buf
+        iu, ju = np.triu_indices(n, k=1)
+        cos = C[iu, ju]
+        mask = cos >= threshold
+        return pd.DataFrame(
+            {"id_l": ids[iu[mask]], "id_r": ids[ju[mask]], "cos": cos[mask]}
+        )
+
+    id_type = cells.schema["_id"].dataType.simpleString()
+    return (
+        cells.select(cell_col, "_id", "_v")
+        .groupBy(cell_col)
+        .applyInPandas(per_cell, f"id_l {id_type}, id_r {id_type}, cos double")
+    )
+
+
+def _allpairs_arrow(
+    base: DataFrame, threshold: float, blocks: int | None = None
+) -> DataFrame:
+    """All-pairs qualifying cosines via BLOCK-PAIR vectorized evaluation —
+    the parallel form of :func:`_cell_pairs_arrow` for the brute (no-cell)
+    case, same bit-exact ascending-dimension accumulation.
+
+    Rows split into ``blocks`` deterministic hash blocks; every unordered
+    block pair (i <= j) is one ``applyInPandas`` group holding both blocks'
+    rows (each row replicates ``blocks`` times — B·n tagged rows, trivial
+    next to the n² pair work), so the O(n²) compute spreads over
+    B(B+1)/2 tasks instead of serializing on one.  ``blocks`` defaults to
+    the smallest B with B(B+1)/2 >= defaultParallelism.  Cosines are
+    symmetric bit-for-bit (per-k products commute, add order equal), so
+    emitting each cross pair once as (min id, max id) matches the join
+    path's ``id_l < id_r`` enumeration exactly.
+    """
+    import pandas as pd
+
+    if blocks is None:
+        p = base.sparkSession.sparkContext.defaultParallelism
+        blocks = 1
+        while blocks * (blocks + 1) // 2 < p:
+            blocks += 1
+
+    def per_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "id_l": pd.Series(dtype="int64"),
+                "id_r": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        pdf = pdf[pdf["_v"].notna()]
+        if len(pdf) < 2:
+            return empty
+        lo, hi = int(pdf["_lo"].iloc[0]), int(pdf["_hi"].iloc[0])
+
+        def mat(sub):
+            ids = sub["_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            M = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in sub["_v"].to_numpy()[order]]
+            )
+            return ids, M
+
+        def cos_matrix(A, B):
+            C = np.zeros((A.shape[0], B.shape[0]))
+            buf = np.empty_like(C)
+            for k in range(A.shape[1]):
+                np.multiply(A[:, k][:, None], B[:, k][None, :], out=buf)
+                C += buf
+            return C
+
+        if lo == hi:
+            ids, M = mat(pdf)
+            if len(ids) < 2:
+                return empty
+            C = cos_matrix(M, M)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            il, ir, cos = ids[iu], ids[ju], C[iu, ju]
+        else:
+            a = pdf[pdf["_blk"] == lo]
+            b = pdf[pdf["_blk"] == hi]
+            if len(a) == 0 or len(b) == 0:
+                return empty
+            ia, Ma = mat(a)
+            ib, Mb = mat(b)
+            C = cos_matrix(Ma, Mb)
+            gi, gj = np.meshgrid(np.arange(len(ia)), np.arange(len(ib)), indexing="ij")
+            il = np.minimum(ia[gi.ravel()], ib[gj.ravel()])
+            ir = np.maximum(ia[gi.ravel()], ib[gj.ravel()])
+            cos = C.ravel()
+        mask = cos >= threshold
+        return pd.DataFrame({"id_l": il[mask], "id_r": ir[mask], "cos": cos[mask]})
+
+    id_type = base.schema["_id"].dataType.simpleString()
+    tagged = (
+        base.select("_id", "_v")
+        .withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(blocks)).cast("int"))
+        .withColumn("_j", F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))))
+        .withColumn("_lo", F.least("_blk", "_j"))
+        .withColumn("_hi", F.greatest("_blk", "_j"))
+    )
+    return tagged.groupBy("_lo", "_hi").applyInPandas(
+        per_block_pair, f"id_l {id_type}, id_r {id_type}, cos double"
     )
 
 
